@@ -1,0 +1,63 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Determinism helpers — rules D1–D5 from SURVEY.md §2.
+  *
+  * Cross-engine hash-matching against DuckDB requires:
+  *  - D1: total ORDER BY over a unique key in every declared query
+  *        (callers' responsibility; helpers here don't order).
+  *  - D2: never emit raw nanosecond timestamps (see [[Tables.events]]).
+  *  - D3: double aggregation via exact decimal addition —
+  *        `SUM(CAST(x AS DECIMAL(18,4)))` on both engines, final cast to
+  *        DOUBLE; averages/ratios computed from decimal sums then
+  *        `ROUND(..., 4)`.
+  *  - D4: identical output column names/order on both sides.
+  *  - D5: pinned NOW (no wall-clock / randomness inside queries).
+  */
+object D {
+  /** CAST(x AS DECIMAL(18,4)) — exact, order-independent addition. */
+  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  /** Order-independent sum of a double column, emitted as DOUBLE.
+    * Oracle side: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */
+  def sumDec(c: Column): Column = sum(dec(c)).cast("double")
+
+  /** Order-independent mean, rounded to 4dp.
+    * Oracle: `ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)/COUNT(x), 4)`. */
+  def avgDec(c: Column): Column = round(sum(dec(c)).cast("double") / count(c), 4)
+
+  /** Sample variance from decimal sums (native stddev is float-order
+    * dependent). var = (Σx² − (Σx)²/n) / (n−1), computed in DOUBLE at the
+    * end, rounded 4dp. Oracle uses the same explicit formula. */
+  def varSampDec(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = sum(dec(c)).cast("double")
+    val sxx = sum(dec(c) * dec(c)).cast("double")
+    round((sxx - sx * sx / n) / (n - lit(1.0)), 4)
+  }
+
+  def stddevSampDec(c: Column): Column = {
+    val n = count(c).cast("double")
+    val sx = sum(dec(c)).cast("double")
+    val sxx = sum(dec(c) * dec(c)).cast("double")
+    round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 4)
+  }
+
+  /** Round a final double ratio to 4dp (D3). */
+  def r4(c: Column): Column = round(c, 4)
+
+  // Oracle-SQL fragment builders (keep Spark + DuckDB text in one place).
+  def oSumDec(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+  def oAvgDec(x: String): String = s"ROUND(${oSumDec(x)} / COUNT($x), 4)"
+  def oVarSampDec(x: String): String = {
+    val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(18,4)) * CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+    s"ROUND(($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0), 4)"
+  }
+  def oStddevSampDec(x: String): String = {
+    val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(18,4)) * CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+    s"ROUND(SQRT(($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0)), 4)"
+  }
+}

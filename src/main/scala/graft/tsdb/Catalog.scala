@@ -1,0 +1,48 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Series-metadata catalog — the Elasticsearch-index analog (SURVEY §1.2).
+  * A compacted table {tsid, metric, tags} queried for suggest/lookup and
+  * used as a semi-join prune before the points scan. Built batch here;
+  * [[graft.stream.Ingest]] maintains it incrementally via foreachBatch.
+  */
+object Catalog {
+
+  /** Distinct series of a canonical points frame (metric, tags map). The
+    * tsid is a hash of metric + canonically-sorted tag serialization —
+    * xxhash64, Spark's native 64-bit hash (codegen'd). */
+  def fromPoints(points: DataFrame): DataFrame = {
+    val canonical = expr(
+      "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
+    points.select(col("metric"), col("tags"), canonical.as("tags_canonical"))
+      .distinct()
+      .withColumn("tsid", xxhash64(col("metric"), col("tags_canonical")))
+  }
+
+  /** `/api/suggest` analog: prefix match over one catalog column,
+    * deduped, sorted, capped. */
+  def suggest(catalog: DataFrame, column: String, prefix: String, max: Int): DataFrame =
+    catalog.where(col(column).startsWith(prefix))
+      .select(col(column)).distinct().orderBy(col(column)).limit(max)
+
+  /** `/api/search/lookup` analog: series matching metric + tag filters,
+    * stable order, offset/limit pagination. */
+  def lookup(catalog: DataFrame, metric: String, filters: Seq[TagFilterSpec],
+             limit: Int, offset: Int = 0): DataFrame = {
+    var df = catalog.where(col("metric") === metric)
+    filters.foreach { f => df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
+    df.orderBy(col("metric"), col("tags_canonical")).offset(offset).limit(limit)
+  }
+
+  /** Prune a points frame to series matching the catalog subset — the
+    * ES-before-Cassandra two-phase read (SURVEY §4.1 row 1). Broadcast
+    * left-semi join on tsid: the catalog side is small by construction. */
+  def pruneByCatalog(points: DataFrame, matchingSeries: DataFrame): DataFrame = {
+    val canonical = expr(
+      "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
+    points.withColumn("tsid", xxhash64(col("metric"), canonical))
+      .join(broadcast(matchingSeries.select("tsid")), Seq("tsid"), "left_semi")
+  }
+}

@@ -1,0 +1,69 @@
+package graft.tsdb
+
+import graft.core.D
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-series downsampling: align each point to an interval bucket and
+  * aggregate within (series, bucket). This is the data-reduction stage
+  * that runs BEFORE any cross-series merge (mycenae's plot pipeline order);
+  * in Spark it compiles to a hash aggregate with automatic partial
+  * (map-side) aggregation, so at 100 TB each executor reduces its own
+  * series-buckets before the single shuffle on the group keys.
+  */
+object Downsample {
+
+  /** Bucket-align an epoch-ms column: exact integer arithmetic
+    * (`x - pmod(x, interval)`), never double division (1.7e12 ms is fine in
+    * a double, but nanos are not — keep the idiom uniformly exact). */
+  def bucketMs(tsMs: Column, intervalMs: Long): Column =
+    (tsMs - pmod(tsMs, lit(intervalMs))).cast("long")
+
+  /** Deterministic aggregator (D3): sums/avgs go through DECIMAL(18,4). */
+  def aggExpr(aggregator: String, value: Column, tsMs: Column): Column = aggregator match {
+    case "sum"   => D.sumDec(value)
+    case "avg"   => D.avgDec(value)
+    case "min"   => min(value)
+    case "max"   => max(value)
+    case "count" => count(value).cast("long")
+    case "first" => min_by(value, tsMs)
+    case "last"  => max_by(value, tsMs)
+    case other   => throw new IllegalArgumentException(s"unknown aggregator: $other")
+  }
+
+  /** points(seriesCols..., tsMs, value) → (seriesCols..., bucket_ms, value). */
+  def apply(points: DataFrame, seriesCols: Seq[String], intervalMs: Long,
+            aggregator: String, tsMsCol: String = "ts_ms",
+            valueCol: String = "value"): DataFrame = {
+    val bucket = bucketMs(col(tsMsCol), intervalMs).as("bucket_ms")
+    points
+      .groupBy((seriesCols.map(col) :+ bucket): _*)
+      .agg(aggExpr(aggregator, col(valueCol), col(tsMsCol)).as("value"))
+  }
+
+  /** Dense bucket spine [t0, t1) × the distinct series present, left-joined
+    * with the downsampled values and filled per policy. The spine is built
+    * with `spark.range` (distributed, no driver-side materialization) and
+    * broadcast against the series list — at scale the spine is tiny
+    * (buckets × series cardinality), the points table is the big side and
+    * was already reduced by the downsample. Fill policies (OpenTSDB):
+    * none (inner join — no spine), zero, null, nan.
+    */
+  def withFill(spark: SparkSession, downsampled: DataFrame,
+               seriesCols: Seq[String], intervalMs: Long,
+               t0Ms: Long, t1Ms: Long, fill: String): DataFrame = {
+    if (fill == "none") return downsampled
+    val spine = spark.range(t0Ms - (t0Ms % intervalMs), t1Ms, intervalMs)
+      .toDF("bucket_ms")
+    val series = downsampled.select(seriesCols.map(col): _*).distinct()
+    val grid = broadcast(series).crossJoin(spine)
+    val joined = grid.join(downsampled, seriesCols :+ "bucket_ms", "left")
+    val filled = fill match {
+      case "zero" => coalesce(col("value"), lit(0.0))
+      case "null" => col("value")
+      case "nan"  => coalesce(col("value"), lit(Double.NaN))
+      case other  => throw new IllegalArgumentException(s"unknown fill policy: $other")
+    }
+    joined.withColumn("value", filled)
+  }
+}

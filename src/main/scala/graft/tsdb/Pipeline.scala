@@ -1,0 +1,65 @@
+package graft.tsdb
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** EP2' — the full mycenae query pipeline (SURVEY §3.2):
+  * tag-filter → per-series downsample → cross-series merge → rate → order.
+  * Two shapes:
+  *  - [[run]]: generic, over a canonical points DataFrame
+  *    (metric STRING, tags MAP<STRING,STRING>, ts_ms BIGINT, value DOUBLE);
+  *  - [[flagship]]: the oracle-checked composition over the events fixture
+  *    (event_type plays `metric`, user_id plays the `user` tag).
+  */
+object Pipeline {
+
+  /** Canonical points view of the events fixture. */
+  def eventsAsPoints(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).select(
+      col("event_type").as("metric"),
+      map(lit("user"), col("user_id").cast("string")).as("tags"),
+      col("ts_ms"), col("value"))
+
+  /** Generic executor for one SubQuery over canonical points. Series
+    * identity = (metric, canonical tag serialization); grouping tags are
+    * the filters marked groupBy=true, everything else becomes an
+    * aggregateTag (dropped by the merge). */
+  def run(spark: SparkSession, points: DataFrame, q: TsdbQuery): DataFrame = {
+    val sub = q.queries.head
+    var df = points
+      .where(col("metric") === sub.metric)
+      .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs)
+    sub.filters.foreach { f => df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
+    // canonical per-series key: sorted k=v join (tsid analog)
+    val seriesKey = expr(
+      "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
+    df = df.withColumn("series_key", seriesKey)
+    val groupTags = sub.filters.filter(_.groupBy).map(_.tagk).distinct
+    groupTags.foreach { k => df = df.withColumn(s"tag_$k", element_at(col("tags"), k)) }
+    val ds = sub.downsample.getOrElse(DownsampleSpec(60000L, "avg"))
+    val down = Downsample(
+      df.select((Seq("series_key", "ts_ms", "value") ++ groupTags.map(k => s"tag_$k")).map(col): _*),
+      "series_key" +: groupTags.map(k => s"tag_$k"), ds.intervalMs, ds.aggregator)
+    val filled = Downsample.withFill(spark, down, "series_key" +: groupTags.map(k => s"tag_$k"),
+      ds.intervalMs, q.startMs, q.endMs, ds.fill)
+    val merged = MergeRate.merge(filled, groupTags.map(k => s"tag_$k"), sub.aggregator)
+    val out =
+      if (sub.rate) MergeRate.rate(merged, groupTags.map(k => s"tag_$k"), sub.rateOptions)
+      else merged
+    out.orderBy((groupTags.map(k => col(s"tag_$k")) :+ col("bucket_ms")): _*)
+  }
+
+  /** Flagship (SURVEY §7.1 step 1): events, literal_or filter on
+    * event_type ∈ (click,view), 1h-avg downsample per (event_type,user_id)
+    * series, merge sum grouped by event_type, total order. */
+  def flagship(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.events(s, dir)
+      .where(TagFilters.toPredicate(col("event_type"),
+        TagFilterSpec("literal_or", "event_type", "click|view")))
+    val down = Downsample(ev, Seq("event_type", "user_id"), 3600000L, "avg")
+    val merged = MergeRate.merge(down, Seq("event_type"), "sum")
+    merged.select("event_type", "bucket_ms", "value")
+      .orderBy("event_type", "bucket_ms")
+  }
+}

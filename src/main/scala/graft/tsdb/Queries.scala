@@ -1,0 +1,182 @@
+package graft.tsdb
+
+import graft.core.{D, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked TSDB operator queries (SURVEY §2.J). Events columns play
+  * the series roles: event_type = metric, user_id = the `user` tag.
+  * DuckDB reads events.ts natively as TIMESTAMP_NS → oracle SQL derives
+  * epoch-ms with `epoch_ns(ts) // 1000000` (integer division, exact), the
+  * mirror of Spark's `ts DIV 1000000` under nanosAsLong (D2).
+  */
+object TsdbQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val H = 3600000L           // 1h in ms
+  private val Day = 86400000L
+  private val T0 = 1704067200000L    // 2024-01-01T00:00:00Z
+  private val T1 = Tables.NowMs      // 2024-01-31T00:00:00Z (pinned NOW, D5)
+
+  val queries: Map[String, Q] = Map(
+    "tsdb_downsample" -> ((s, dir) => {
+      Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
+        .orderBy("event_type", "user_id", "bucket_ms")
+    }),
+
+    "tsdb_downsample_fill" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Downsample.withFill(s, ds, Seq("user_id"), Day, T0, T1, "zero")
+        .select("user_id", "bucket_ms", "value")
+        .orderBy("user_id", "bucket_ms")
+    }),
+
+    "tsdb_merge" -> ((s, dir) => {
+      val down = Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
+      MergeRate.merge(down, Seq("event_type"), "sum")
+        .select("event_type", "bucket_ms", "value")
+        .orderBy("event_type", "bucket_ms")
+    }),
+
+    "tsdb_rate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), H, "sum")
+      MergeRate.rate(ds, Seq("user_id"))
+        .select("user_id", "bucket_ms", "value", "rate")
+        .orderBy("user_id", "bucket_ms")
+    }),
+
+    "tsdb_rate_counter" -> ((s, dir) => {
+      // synthesize a wrapping monotonic counter: running decimal sum % 1000
+      val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ctr = ev.withColumn("counter",
+        pmod(sum(D.dec(col("value"))).over(wRun), lit(1000)).cast("double"))
+      // last counter value per 1h bucket (deterministic tie-break on event_id)
+      val wLast = Window.partitionBy(col("user_id"), Downsample.bucketMs(col("ts_ms"), H))
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      val ds = ctr.withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("user_id"), Downsample.bucketMs(col("ts_ms"), H).as("bucket_ms"),
+          col("counter").as("value"))
+      MergeRate.rate(ds, Seq("user_id"),
+          RateOptions(counter = true, counterMax = Some(1000L)))
+        .select("user_id", "bucket_ms", "value", "rate")
+        .orderBy("user_id", "bucket_ms")
+    }),
+
+    "tsdb_query_pipeline" -> ((s, dir) => Pipeline.flagship(s, dir)),
+
+    "tsdb_suggest" -> ((s, dir) => {
+      Catalog.suggest(
+        Tables.events(s, dir).select(col("user_id").cast("string").as("tagv")),
+        "tagv", "1", 20)
+    }),
+
+    "tsdb_lookup" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .where(TagFilters.toPredicate(col("event_type"),
+          TagFilterSpec("literal_or", "metric", "click|view")))
+        .where(pmod(col("user_id"), lit(7)) === 0)
+        .select("event_type", "user_id").distinct()
+        .orderBy("event_type", "user_id")
+        .offset(10).limit(50)
+    }),
+
+    "tsdb_text_query" -> ((s, dir) => {
+      Tables.documents(s, dir)
+        .where(col("lang") === "en")
+        .where(TagFilters.toPredicate(col("source"),
+          TagFilterSpec("wildcard", "source", "src1*")))
+        .select("doc_id", "source", "lang", "text")
+        .orderBy("doc_id").limit(100)
+    })
+  )
+
+  private def oBucket(intervalMs: Long): String =
+    s"(epoch_ns(ts) // ${intervalMs * 1000000L}) * $intervalMs"
+
+  val oracleSql: Map[String, String] = Map(
+    "tsdb_downsample" ->
+      s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+          ${D.oAvgDec("value")} AS value
+          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "tsdb_downsample_fill" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          spine AS (SELECT range AS bucket_ms FROM range($T0, $T1, $Day)),
+          series AS (SELECT DISTINCT user_id FROM ds)
+          SELECT s.user_id, p.bucket_ms, COALESCE(d.value, 0.0) AS value
+          FROM series s CROSS JOIN spine p
+          LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms
+          ORDER BY 1, 2""",
+
+    "tsdb_merge" ->
+      s"""WITH ds AS (
+            SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2, 3)
+          SELECT event_type, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "tsdb_rate" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oSumDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+          SELECT user_id, bucket_ms, value,
+                 ROUND((value - lag(value) OVER w)
+                       / ((bucket_ms - lag(bucket_ms) OVER w) / 1000.0), 4) AS rate
+          FROM ds WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
+          ORDER BY 1, 2""",
+
+    "tsdb_rate_counter" ->
+      s"""WITH c AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                        OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                        % 1000 AS DOUBLE) AS counter
+            FROM events WHERE event_type = 'purchase'),
+          lastv AS (
+            SELECT user_id, (ts_ms // 3600000) * 3600000 AS bucket_ms, counter,
+                   row_number() OVER (PARTITION BY user_id, ts_ms // 3600000
+                                      ORDER BY ts_ms DESC, event_id DESC) AS rn
+            FROM c),
+          ds AS (SELECT user_id, bucket_ms, counter AS value FROM lastv WHERE rn = 1),
+          d AS (
+            SELECT user_id, bucket_ms, value,
+                   value - lag(value) OVER w AS delta,
+                   (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS dt
+            FROM ds WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms))
+          SELECT user_id, bucket_ms, value,
+                 ROUND(CASE WHEN delta < 0 THEN delta + 1000 ELSE delta END / dt, 4) AS rate
+          FROM d ORDER BY 1, 2""",
+
+    "tsdb_query_pipeline" ->
+      s"""WITH ds AS (
+            SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type IN ('click', 'view') GROUP BY 1, 2, 3)
+          SELECT event_type, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "tsdb_suggest" ->
+      """SELECT DISTINCT CAST(user_id AS VARCHAR) AS tagv FROM events
+         WHERE CAST(user_id AS VARCHAR) LIKE '1%' ORDER BY 1 LIMIT 20""",
+
+    "tsdb_lookup" ->
+      """SELECT DISTINCT event_type, user_id FROM events
+         WHERE event_type IN ('click', 'view') AND user_id % 7 = 0
+         ORDER BY 1, 2 LIMIT 50 OFFSET 10""",
+
+    "tsdb_text_query" ->
+      """SELECT doc_id, source, lang, text FROM documents
+         WHERE lang = 'en' AND source LIKE 'src1%'
+         ORDER BY doc_id LIMIT 100"""
+  )
+}
