@@ -53,11 +53,11 @@ object D {
   def oSumDec(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def oAvgDec(x: String): String = s"ROUND(${oSumDec(x)} / COUNT($x), 4)"
   def oVarSampDec(x: String): String = {
-    val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(18,4)) * CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+    val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($x AS DECIMAL(19,4))) AS DOUBLE)"
     s"ROUND(($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0), 4)"
   }
   def oStddevSampDec(x: String): String = {
-    val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(18,4)) * CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
+    val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($x AS DECIMAL(19,4))) AS DOUBLE)"
     s"ROUND(SQRT(($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0)), 4)"
   }
 }

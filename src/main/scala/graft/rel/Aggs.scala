@@ -1,0 +1,242 @@
+package graft.rel
+
+import graft.core.{D, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+
+/** §2.D aggregation surface. All double aggregation goes through
+  * DECIMAL(18,4) (D3) so partial/final aggregation order — which differs
+  * between a 32-thread local run and a 1000-executor cluster — can never
+  * change the result. Spark's hash aggregate does map-side partial
+  * aggregation automatically; grouping cardinalities here are tiny
+  * relative to input, so each shuffle moves (groups × partitions) rows.
+  */
+object Aggs {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Weighted average as a typed Aggregator (UDAF surface, `agg_custom_typed`).
+    * Buffer keeps exact BigDecimal sums (scale-4 per-element rounding =
+    * the same contract as D3 decimal casts), so merge order is irrelevant. */
+  class WeightedAvg extends Aggregator[(Double, Double), (BigDecimal, BigDecimal), Double] {
+    private def dec4(d: Double): BigDecimal =
+      BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+    def zero: (BigDecimal, BigDecimal) = (BigDecimal(0), BigDecimal(0))
+    def reduce(b: (BigDecimal, BigDecimal), a: (Double, Double)): (BigDecimal, BigDecimal) =
+      (b._1 + dec4(a._1 * a._2), b._2 + dec4(a._2))
+    def merge(x: (BigDecimal, BigDecimal), y: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
+      (x._1 + y._1, x._2 + y._2)
+    def finish(b: (BigDecimal, BigDecimal)): Double =
+      BigDecimal(b._1.toDouble / b._2.toDouble)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def bufferEncoder = org.apache.spark.sql.Encoders.product[(BigDecimal, BigDecimal)]
+    def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
+  }
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1 shape
+    "agg_hash_groupby" -> ((s, dir) => {
+      val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          D.sumDec(col("l_quantity")).as("sum_qty"),
+          D.sumDec(col("l_extendedprice")).as("sum_base_price"),
+          D.sumDec(disc).as("sum_disc_price"),
+          D.avgDec(col("l_quantity")).as("avg_qty"),
+          D.avgDec(col("l_discount")).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    "agg_global" -> ((s, dir) =>
+      Tables.lineitem(s, dir).agg(
+        D.sumDec(col("l_extendedprice")).as("sum_price"),
+        D.avgDec(col("l_quantity")).as("avg_qty"),
+        count(lit(1)).as("n"),
+        min(col("l_shipdate")).as("min_ship"),
+        max(col("l_shipdate")).as("max_ship"))),
+
+    "agg_count_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("users"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type")),
+
+    // HLL sketch — no oracle (approximate); rows-only check + error-bound
+    // property test in the suite.
+    "agg_approx_distinct_hll" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
+        .orderBy("event_type")),
+
+    "agg_grouping_sets" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
+      s.sql(s"""
+        SELECT l_returnflag, l_linestatus,
+               CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+               CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+               count(1) AS n
+        FROM li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")
+    }),
+
+    "agg_rollup" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_ru")
+      Tables.nation(s, dir).createOrReplaceTempView("nation_ru")
+      Tables.region(s, dir).createOrReplaceTempView("region_ru")
+      s.sql("""
+        SELECT r_name, n_name, count(1) AS customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS acctbal
+        FROM cust_ru
+        JOIN nation_ru ON c_nationkey = n_nationkey
+        JOIN region_ru ON n_regionkey = r_regionkey
+        GROUP BY ROLLUP (r_name, n_name)
+        ORDER BY r_name ASC NULLS FIRST, n_name ASC NULLS FIRST""")
+    }),
+
+    "agg_cube" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("day_ms", graft.tsdb.Downsample.bucketMs(col("ts_ms"), 86400000L))
+        .cube("event_type", "day_ms")
+        .agg(count(lit(1)).as("n"), D.sumDec(col("value")).as("sum_value"))
+        .orderBy(asc_nulls_first("event_type"), asc_nulls_first("day_ms"))),
+
+    "agg_first_last" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(
+          min_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("first_value"),
+          max_by(col("value"), struct(col("ts_ms"), col("event_id"))).as("last_value"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")),
+
+    "agg_percentile_exact" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("pct"))
+        .select(col("event_type"),
+          round(element_at(col("pct"), 1), 4).as("p50"),
+          round(element_at(col("pct"), 2), 4).as("p95"),
+          round(element_at(col("pct"), 3), 4).as("p99"))
+        .orderBy("event_type")),
+
+    "agg_stddev_var" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(D.stddevSampDec(col("l_extendedprice")).as("sd"),
+          D.varSampDec(col("l_extendedprice")).as("vr"))
+        .orderBy("l_returnflag")),
+
+    "agg_collect_sorted" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .agg(sort_array(collect_list(col("ts_ms"))).as("ts_list"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")),
+
+    "agg_sum_distinct" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(sum_distinct(D.dec(col("l_quantity"))).cast("double").as("sum_dq"))
+        .orderBy("l_returnflag")),
+
+    "agg_custom_typed" -> ((s, dir) => {
+      val wavg = udaf(new WeightedAvg)
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
+        .orderBy("l_returnflag")
+    })
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "agg_hash_groupby" ->
+      s"""SELECT l_returnflag, l_linestatus,
+            ${D.oSumDec("l_quantity")} AS sum_qty,
+            ${D.oSumDec("l_extendedprice")} AS sum_base_price,
+            ${D.oSumDec("l_extendedprice * (1.0 - l_discount)")} AS sum_disc_price,
+            ${D.oAvgDec("l_quantity")} AS avg_qty,
+            ${D.oAvgDec("l_discount")} AS avg_disc,
+            count(1) AS count_order
+          FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "agg_global" ->
+      s"""SELECT ${D.oSumDec("l_extendedprice")} AS sum_price,
+            ${D.oAvgDec("l_quantity")} AS avg_qty, count(1) AS n,
+            min(l_shipdate) AS min_ship, max(l_shipdate) AS max_ship
+          FROM lineitem""",
+
+    "agg_count_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS users, count(1) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus,
+            CAST(grouping(l_returnflag) AS BIGINT) AS g_rf, CAST(grouping(l_linestatus) AS BIGINT) AS g_ls,
+            CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_qty,
+            count(1) AS n
+         FROM lineitem
+         GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+         ORDER BY g_rf, g_ls, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""",
+
+    "agg_rollup" ->
+      s"""SELECT r_name, n_name, count(1) AS customers, ${D.oSumDec("c_acctbal")} AS acctbal
+          FROM customer
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY ROLLUP (r_name, n_name)
+          ORDER BY r_name NULLS FIRST, n_name NULLS FIRST""",
+
+    "agg_cube" ->
+      s"""SELECT event_type, (epoch_ns(ts) // 86400000000000) * 86400000 AS day_ms,
+            count(1) AS n, ${D.oSumDec("value")} AS sum_value
+          FROM events
+          GROUP BY CUBE (1, 2)
+          ORDER BY event_type NULLS FIRST, day_ms NULLS FIRST""",
+
+    "agg_first_last" ->
+      """WITH e AS (
+           SELECT user_id, event_id, value, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         r AS (
+           SELECT user_id, value,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS rn_a,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts_ms DESC, event_id DESC) AS rn_d
+           FROM e)
+         SELECT user_id,
+                max(CASE WHEN rn_a = 1 THEN value END) AS first_value,
+                max(CASE WHEN rn_d = 1 THEN value END) AS last_value,
+                count(1) AS n
+         FROM r GROUP BY 1 ORDER BY 1""",
+
+    "agg_percentile_exact" ->
+      """WITH q AS (SELECT event_type, quantile_cont(value, [0.5, 0.95, 0.99]) AS pct
+                    FROM events GROUP BY 1)
+         SELECT event_type, round(pct[1], 4) AS p50, round(pct[2], 4) AS p95,
+                round(pct[3], 4) AS p99
+         FROM q ORDER BY 1""",
+
+    "agg_stddev_var" ->
+      s"""SELECT l_returnflag, ${D.oStddevSampDec("l_extendedprice")} AS sd,
+            ${D.oVarSampDec("l_extendedprice")} AS vr
+          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "agg_collect_sorted" ->
+      """SELECT user_id, list(epoch_ns(ts) // 1000000 ORDER BY epoch_ns(ts) // 1000000) AS ts_list,
+            count(1) AS n
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_sum_distinct" ->
+      """SELECT l_returnflag,
+            CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_dq
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "agg_custom_typed" ->
+      s"""SELECT l_returnflag,
+            ROUND(${D.oSumDec("l_extendedprice * l_quantity")} / ${D.oSumDec("l_quantity")}, 4) AS wavg_price
+          FROM lineitem GROUP BY 1 ORDER BY 1"""
+  )
+}

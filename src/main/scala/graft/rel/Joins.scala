@@ -1,0 +1,203 @@
+package graft.rel
+
+import graft.core.{D, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** §2.C join surface. Scale notes per operator:
+  *  - dims (region/nation/part/supplier/customer at dim-scale) are
+  *    broadcast — no shuffle of the fact side;
+  *  - large-large joins shuffle on the equi keys (hash or sort-merge, with
+  *    explicit hints where the operator IS the hint);
+  *  - the band join pre-buckets both sides so it runs as an equi shuffle
+  *    join on (key, time_bucket) + residual range filter — never a
+  *    per-key cross product;
+  *  - the as-of join is a union + running last_value — one shuffle on the
+  *    series key, no join at all.
+  */
+object Joins {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val BandMs = 300000L  // 5 min
+
+  val queries: Map[String, Q] = Map(
+    "join_broadcast" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
+        .select("l_orderkey", "l_linenumber", "p_name", "p_type")
+        .orderBy("l_orderkey", "l_linenumber", "p_name", "p_type")),
+
+    "join_shuffle_hash" -> ((s, dir) =>
+      Tables.orders(s, dir).hint("shuffle_hash")
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
+        .orderBy("o_orderkey", "l_linenumber", "l_extendedprice")),
+
+    "join_sort_merge" -> ((s, dir) =>
+      Tables.orders(s, dir).hint("merge")
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
+        .orderBy("o_orderkey", "l_linenumber", "l_extendedprice")),
+
+    "join_left_outer" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
+        .select("c_custkey", "o_orderkey", "o_totalprice")
+        .orderBy(asc("c_custkey"), asc_nulls_first("o_orderkey"))),
+
+    "join_full_outer" -> ((s, dir) => {
+      val sc = Tables.supplier(s, dir).groupBy("s_nationkey")
+        .agg(count(lit(1)).as("sc"))
+      val cc = Tables.customer(s, dir).groupBy("c_nationkey")
+        .agg(count(lit(1)).as("cc"))
+      sc.join(cc, col("s_nationkey") === col("c_nationkey"), "full_outer")
+        .select("s_nationkey", "c_nationkey", "sc", "cc")
+        .orderBy(asc_nulls_first("s_nationkey"), asc_nulls_first("c_nationkey"))
+    }),
+
+    "join_semi" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .join(Tables.lineitem(s, dir), col("p_partkey") === col("l_partkey"), "left_semi")
+        .select("p_partkey", "p_name")
+        .orderBy("p_partkey")),
+
+    "join_anti" -> ((s, dir) =>
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")
+        .orderBy("c_custkey")),
+
+    "join_cross" -> ((s, dir) =>
+      Tables.region(s, dir).crossJoin(Tables.nation(s, dir))
+        .select("r_name", "n_name")
+        .orderBy("r_name", "n_name")),
+
+    // Band join: b strictly after a, within 5 min, same user. Bucketed:
+    // each a-row is expanded to its bucket and the next (explode of 2),
+    // then an equi join on (user_id, bucket) + residual range predicate —
+    // the classic interval-join decomposition that stays an equi shuffle
+    // at any scale.
+    "join_theta_range" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("event_id", "user_id", "ts_ms")
+      val bucket = (col("ts_ms") - pmod(col("ts_ms"), lit(BandMs))) / BandMs
+      val a = e.withColumn("jb",
+        explode(array(bucket.cast("long"), bucket.cast("long") + 1)))
+        .withColumnRenamed("event_id", "a_id").withColumnRenamed("ts_ms", "a_ts")
+      val b = e.withColumn("b_jb", bucket.cast("long"))
+        .withColumnRenamed("event_id", "b_id").withColumnRenamed("ts_ms", "b_ts")
+        .withColumnRenamed("user_id", "b_user")
+      a.join(b, col("user_id") === col("b_user") && col("jb") === col("b_jb") &&
+          col("b_ts") > col("a_ts") && col("b_ts") <= col("a_ts") + BandMs)
+        .select("a_id", "b_id")
+        .orderBy("a_id", "b_id")
+    }),
+
+    // As-of: for each purchase, the latest click of the same user at or
+    // before it (ms granularity). Union + running last(ignoreNulls) —
+    // single shuffle on user_id, no join. Clicks deduped to one per
+    // (user, ms) keeping max event_id, so ties are deterministic (and the
+    // DuckDB ASOF oracle sees a unique ts per key).
+    "join_asof" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "ts_ms").agg(max("event_id").as("click_id"))
+        .select(col("user_id"), col("ts_ms"), lit(0).as("kind"),
+          col("click_id"), lit(null).cast("long").as("p_id"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts_ms"), lit(1).as("kind"),
+          lit(null).cast("long").as("click_id"), col("event_id").as("p_id"))
+      val w = Window.partitionBy("user_id")
+        .orderBy("ts_ms", "kind", "p_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(purchases)
+        .withColumn("last_click", last("click_id", ignoreNulls = true).over(w))
+        .where(col("kind") === 1)
+        .select(col("p_id"), col("last_click").as("click_id"))
+        .orderBy("p_id")
+    }),
+
+    // TPC-H Q5 shape: local-supplier revenue per nation within one region.
+    "join_multiway" -> ((s, dir) => {
+      val rev = (col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+      Tables.customer(s, dir)
+        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"))
+        .join(Tables.lineitem(s, dir), col("o_orderkey") === col("l_orderkey"))
+        .join(Tables.supplier(s, dir), col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir)), col("n_regionkey") === col("r_regionkey"))
+        .where(col("r_name") === "ASIA")
+        .groupBy("n_name")
+        .agg(D.sumDec(rev).as("revenue"))
+        .orderBy("n_name")
+    })
+  )
+
+  private val bigJoinSql =
+    """SELECT o_orderkey, l_linenumber, o_totalprice, l_extendedprice
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       ORDER BY o_orderkey, l_linenumber, l_extendedprice"""
+
+  val oracleSql: Map[String, String] = Map(
+    "join_broadcast" ->
+      """SELECT l_orderkey, l_linenumber, p_name, p_type
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         ORDER BY l_orderkey, l_linenumber, p_name, p_type""",
+
+    "join_shuffle_hash" -> bigJoinSql,
+    "join_sort_merge" -> bigJoinSql,
+
+    "join_left_outer" ->
+      """SELECT c_custkey, o_orderkey, o_totalprice
+         FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+         ORDER BY c_custkey, o_orderkey NULLS FIRST""",
+
+    "join_full_outer" ->
+      """WITH sc AS (SELECT s_nationkey, count(*) AS sc FROM supplier GROUP BY 1),
+            cc AS (SELECT c_nationkey, count(*) AS cc FROM customer GROUP BY 1)
+         SELECT s_nationkey, c_nationkey, sc, cc
+         FROM sc FULL OUTER JOIN cc ON s_nationkey = c_nationkey
+         ORDER BY s_nationkey NULLS FIRST, c_nationkey NULLS FIRST""",
+
+    "join_semi" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE p_partkey IN (SELECT l_partkey FROM lineitem) ORDER BY p_partkey""",
+
+    "join_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+
+    "join_cross" ->
+      "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",
+
+    "join_theta_range" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events)
+          SELECT a.event_id AS a_id, b.event_id AS b_id
+          FROM e a JOIN e b ON a.user_id = b.user_id
+            AND b.ts_ms > a.ts_ms AND b.ts_ms <= a.ts_ms + $BandMs
+          ORDER BY a_id, b_id""",
+
+    "join_asof" ->
+      """WITH c AS (
+           SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, max(event_id) AS click_id
+           FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+         p AS (
+           SELECT event_id AS p_id, user_id, epoch_ns(ts) // 1000000 AS ts_ms
+           FROM events WHERE event_type = 'purchase')
+         SELECT p.p_id, c.click_id
+         FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.ts_ms <= p.ts_ms
+         ORDER BY p_id""",
+
+    "join_multiway" ->
+      s"""SELECT n_name, ${D.oSumDec("l_extendedprice * (1.0 - l_discount)")} AS revenue
+          FROM customer
+          JOIN orders ON c_custkey = o_custkey
+          JOIN lineitem ON o_orderkey = l_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          WHERE r_name = 'ASIA'
+          GROUP BY n_name ORDER BY n_name"""
+  )
+}

@@ -1,0 +1,16 @@
+package graft.rel
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Aggregates the relational operator surface (SURVEY §2.A–H). */
+object Relational {
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] =
+    ScanFilter.queries ++ Joins.queries ++ Aggs.queries ++
+      Windows.queries ++ SetsFns.queries
+
+  val oracleSql: Map[String, String] =
+    ScanFilter.oracleSql ++ Joins.oracleSql ++ Aggs.oracleSql ++
+      Windows.oracleSql ++ SetsFns.oracleSql
+}

@@ -1,0 +1,185 @@
+package graft.rel
+
+import graft.core.Tables
+import graft.tsdb.{TagFilterSpec, TagFilters, TimeParse}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.A scans/ingest + §2.B projections/filters/tag-filter types.
+  * Ingest parsing (OpenTSDB JSON put payload / telnet put lines) is
+  * expressed as Column expressions so Catalyst codegens it — no UDFs.
+  */
+object ScanFilter {
+  type Q = (SparkSession, String) => DataFrame
+
+  // pinned relative-time constant (D5): "72h-ago" at NOW=2024-01-31T00:00:00Z
+  private val Rel72h: Long = TimeParse.toAbsMs("72h-ago", Tables.NowMs)
+  private val Day5: Long = 1704067200000L + 5L * 86400000L  // 2024-01-06
+  private val Day6: Long = Day5 + 86400000L
+
+  /** Telnet `put <metric> <ts> <value> k=v` round-trip: build the wire line
+    * from events, then parse it back with regexp_extract (lib/telnet
+    * analog). Integer value (event_id) avoids float-formatting skew. */
+  private val TelnetRe = "^put (\\S+) (\\d+) (\\d+) user=(\\d+)$"
+
+  val queries: Map[String, Q] = Map(
+    "scan_parquet" -> ((s, dir) =>
+      Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber",
+        "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
+        "l_discount", "l_tax", "l_returnflag", "l_linestatus", "l_shipdate")),
+
+    "scan_pruned" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+               col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
+
+    "ingest_jsonlines" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .select(col("event_id"),
+          from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("k INT")).getField("k").as("k"))
+        .orderBy("event_id")),
+
+    "ingest_telnet_line" -> ((s, dir) => {
+      val line = concat_ws(" ", lit("put"), col("event_type"),
+        col("ts_sec"), col("event_id"), concat(lit("user="), col("user_id")))
+      Tables.events(s, dir).select(line.as("line"))
+        .select(
+          regexp_extract(col("line"), TelnetRe, 1).as("metric"),
+          regexp_extract(col("line"), TelnetRe, 2).cast("long").as("ts_sec"),
+          regexp_extract(col("line"), TelnetRe, 3).cast("long").as("val"),
+          regexp_extract(col("line"), TelnetRe, 4).cast("long").as("user"))
+        .orderBy("val")
+    }),
+
+    "project_select" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          (col("l_extendedprice") * (lit(1.0) - col("l_discount"))).as("net"))
+        .orderBy("l_orderkey", "l_linenumber", "net")),
+
+    "filter_predicate" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .where(col("l_quantity") < 24 && col("l_discount").between(0.05, 0.07))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+        .orderBy("l_orderkey", "l_linenumber", "l_quantity", "l_discount")),
+
+    "filter_time_range" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(col("ts_ms") >= Day5 && col("ts_ms") < Day6)
+        .select("event_id", "ts_ms", "event_type")
+        .orderBy("event_id")),
+
+    "filter_time_relative" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(col("ts_ms") >= Rel72h)
+        .select("event_id", "ts_ms", "user_id")
+        .orderBy("event_id")),
+
+    "tagfilter_literal_or" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(TagFilters.toPredicate(col("event_type"),
+          TagFilterSpec("literal_or", "event_type", "click|view")))
+        .select("event_id", "event_type").orderBy("event_id")),
+
+    "tagfilter_not_literal_or" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(TagFilters.toPredicate(col("event_type"),
+          TagFilterSpec("not_literal_or", "event_type", "click|view|error")))
+        .select("event_id", "event_type").orderBy("event_id")),
+
+    "tagfilter_wildcard" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .where(TagFilters.toPredicate(col("p_type"),
+          TagFilterSpec("wildcard", "p_type", "S*L")))
+        .select("p_partkey", "p_type").orderBy("p_partkey")),
+
+    "tagfilter_iwildcard" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .where(TagFilters.toPredicate(col("p_type"),
+          TagFilterSpec("iwildcard", "p_type", "eco*")))
+        .select("p_partkey", "p_type").orderBy("p_partkey")),
+
+    "tagfilter_regexp" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .where(TagFilters.toPredicate(col("p_name"),
+          TagFilterSpec("regexp", "p_name", "^(red|blue) .*t$")))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    "tagfilter_on_map" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("tags", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING,INT>")))
+        .where(element_at(col("tags"), "k") > 50)
+        .select(col("event_id"), element_at(col("tags"), "k").as("k"))
+        .orderBy("event_id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "scan_parquet" ->
+      """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey,
+         l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,
+         l_returnflag, l_linestatus, l_shipdate""",
+
+    "scan_pruned" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+         WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+         ORDER BY l_orderkey, l_linenumber, l_quantity""",
+
+    "ingest_jsonlines" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INT AS k
+         FROM events ORDER BY event_id""",
+
+    "ingest_telnet_line" ->
+      """WITH lines AS (
+           SELECT 'put ' || event_type || ' ' || (epoch_ns(ts) // 1000000000)
+                  || ' ' || event_id || ' user=' || user_id AS line
+           FROM events)
+         SELECT regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 1) AS metric,
+                regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 2)::BIGINT AS ts_sec,
+                regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 3)::BIGINT AS val,
+                regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 4)::BIGINT AS user
+         FROM lines ORDER BY val""",
+
+    "project_select" ->
+      """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS net
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, net""",
+
+    "filter_predicate" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_discount FROM lineitem
+         WHERE l_quantity < 24 AND l_discount BETWEEN 0.05 AND 0.07
+         ORDER BY l_orderkey, l_linenumber, l_quantity, l_discount""",
+
+    "filter_time_range" ->
+      s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type FROM events
+          WHERE epoch_ns(ts) // 1000000 >= $Day5 AND epoch_ns(ts) // 1000000 < $Day6
+          ORDER BY event_id""",
+
+    "filter_time_relative" ->
+      s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, user_id FROM events
+          WHERE epoch_ns(ts) // 1000000 >= $Rel72h ORDER BY event_id""",
+
+    "tagfilter_literal_or" ->
+      """SELECT event_id, event_type FROM events
+         WHERE event_type IN ('click', 'view') ORDER BY event_id""",
+
+    "tagfilter_not_literal_or" ->
+      """SELECT event_id, event_type FROM events
+         WHERE event_type NOT IN ('click', 'view', 'error') ORDER BY event_id""",
+
+    "tagfilter_wildcard" ->
+      "SELECT p_partkey, p_type FROM part WHERE p_type LIKE 'S%L' ORDER BY p_partkey",
+
+    "tagfilter_iwildcard" ->
+      """SELECT p_partkey, p_type FROM part
+         WHERE lower(p_type) LIKE 'eco%' ORDER BY p_partkey""",
+
+    "tagfilter_regexp" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE regexp_matches(p_name, '^(red|blue) .*t$') ORDER BY p_partkey""",
+
+    "tagfilter_on_map" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
+         WHERE json_extract_string(props, '$.k')::INT > 50 ORDER BY event_id"""
+  )
+}

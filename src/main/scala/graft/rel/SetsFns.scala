@@ -1,0 +1,301 @@
+package graft.rel
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** §2.G set operations + §2.H scalar-function families (one composite
+  * query per family — string/like/date/math/array/HOF/explode/map/json/
+  * conditional/hash). Everything is built-in `functions._` (codegen'd);
+  * no UDFs anywhere in this module.
+  */
+object SetsFns {
+  type Q = (SparkSession, String) => DataFrame
+
+  private def clickUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(col("event_type") === "click")
+      .select("user_id").distinct()
+  private def viewUsers(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir).where(col("event_type") === "view")
+      .select("user_id").distinct()
+
+  val queries: Map[String, Q] = Map(
+    "set_union_all" -> ((s, dir) =>
+      clickUsers(s, dir).withColumn("src", lit("click"))
+        .unionByName(viewUsers(s, dir).withColumn("src", lit("view")))
+        .orderBy("user_id", "src")),
+
+    "set_union_distinct" -> ((s, dir) =>
+      clickUsers(s, dir).union(viewUsers(s, dir)).distinct().orderBy("user_id")),
+
+    "set_intersect" -> ((s, dir) =>
+      clickUsers(s, dir).intersect(viewUsers(s, dir)).orderBy("user_id")),
+
+    "set_except" -> ((s, dir) =>
+      clickUsers(s, dir).except(viewUsers(s, dir)).orderBy("user_id")),
+
+    "fn_string" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        upper(col("p_name")).as("up"),
+        length(col("p_name")).cast("long").as("len"),
+        substring(col("p_name"), 1, 5).as("sub"),
+        trim(concat(lit("  "), col("p_name"), lit(" "))).as("trimmed"),
+        lpad(col("p_brand"), 10, "*").as("pad"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
+        regexp_extract(col("p_name"), "^(\\w+) ", 1).as("first_word"),
+        concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
+        split(col("p_name"), " ").as("words"))
+        .orderBy("p_partkey")),
+
+    "fn_like" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        col("p_type").like("ECO%").as("is_eco"),
+        col("p_type").ilike("sta%").as("is_sta_i"),
+        col("p_name").startsWith("red").as("sw"),
+        col("p_name").endsWith("t").as("ew"),
+        col("p_name").contains("widget").as("cont"))
+        .orderBy("p_partkey")),
+
+    "fn_date" -> ((s, dir) =>
+      Tables.orders(s, dir).select(
+        col("o_orderkey"),
+        date_format(date_trunc("month", col("o_orderdate")), "yyyy-MM-dd").as("month_start"),
+        year(col("o_orderdate")).cast("long").as("yr"),
+        month(col("o_orderdate")).cast("long").as("mo"),
+        dayofweek(col("o_orderdate")).cast("long").as("dow"),
+        datediff(to_date(lit("2000-01-01")), col("o_orderdate")).cast("long").as("days_to_y2k"),
+        date_format(date_add(col("o_orderdate"), 30), "yyyy-MM-dd").as("plus30"),
+        (unix_timestamp(col("o_orderdate")) * 1000).as("epoch_ms"),
+        date_format(make_date(year(col("o_orderdate")), month(col("o_orderdate")), lit(1)),
+          "yyyy-MM-dd").as("made"))
+        .orderBy("o_orderkey")),
+
+    "fn_math" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        abs(col("l_discount") - 0.05).as("ab"),
+        ceil(col("l_extendedprice")).cast("long").as("ce"),
+        floor(col("l_extendedprice")).cast("long").as("fl"),
+        round(sqrt(col("l_quantity")), 4).as("sq"),
+        round(exp(col("l_discount")), 4).as("ex"),
+        round(log(col("l_extendedprice")), 4).as("ln_"),
+        round(log10(col("l_extendedprice")), 4).as("lg"),
+        pow(col("l_quantity"), 2).as("pw"),
+        pmod(col("l_orderkey"), lit(7)).as("pm"),
+        signum(col("l_discount") - 0.05).cast("long").as("sg"),
+        greatest(col("l_tax"), col("l_discount")).as("gr"),
+        least(col("l_tax"), col("l_discount")).as("le"))
+        .orderBy("l_orderkey", "l_linenumber", "ab", "ce", "fl", "sq", "ex",
+          "ln_", "lg", "pw", "pm", "sg", "gr", "le")),
+
+    "fn_array" -> ((s, dir) => {
+      val words = split(col("text"), " ")
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(words).cast("long").as("n_words"),
+        slice(words, 1, 3).as("first3"),
+        sort_array(slice(words, 1, 5)).as("sorted5"),
+        size(array_distinct(words)).cast("long").as("n_distinct"),
+        array_contains(words, "the").as("has_the"),
+        sequence(lit(1L), lit(3L)).as("seq3"))
+        .orderBy("doc_id")
+    }),
+
+    "fn_array_hof" -> ((s, dir) =>
+      Tables.embeddings(s, dir).select(
+        col("vec_id"),
+        expr("""CAST(aggregate(embedding, CAST(0.0 AS DECIMAL(38,4)),
+                 (acc, x) -> CAST(acc + CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+                                             AS DECIMAL(18,4)) AS DECIMAL(38,4)))
+                 AS DOUBLE)""").as("dot_self"),
+        expr("""CAST(aggregate(zip_with(embedding, reverse(embedding),
+                 (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                 CAST(0.0 AS DECIMAL(38,4)),
+                 (acc, p) -> CAST(acc + CAST(p AS DECIMAL(18,4)) AS DECIMAL(38,4)))
+                 AS DOUBLE)""").as("dot_rev"),
+        expr("size(filter(embedding, x -> x > CAST(0.5 AS FLOAT)))")
+          .cast("long").as("n_gt_half"),
+        expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 4))").as("scaled"))
+        .withColumn("norm", round(sqrt(col("dot_self")), 4))
+        .orderBy("vec_id")),
+
+    "fn_explode" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(slice(col("embedding"), 1, 8)))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("col").cast("double").as("comp"))
+        .orderBy("vec_id", "pos")),
+
+    "fn_map" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("tags", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING,INT>")))
+        .select(
+          col("event_id"),
+          map_keys(col("tags")).as("mk"),
+          map_values(col("tags")).as("mv"),
+          element_at(col("tags"), "k").as("el"),
+          map_keys(map_filter(map(lit("a"), lit(1), lit("b"), lit(2)),
+            (_, v) => v > 1)).as("fk"))
+        .orderBy("event_id")),
+
+    "fn_json" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        get_json_object(col("props"), "$.k").as("k_str"),
+        from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("k INT")).getField("k").as("k_int"),
+        to_json(struct(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("k INT")).getField("k").as("k"))).as("rebuilt"))
+        .orderBy("event_id")),
+
+    "fn_conditional" -> ((s, dir) =>
+      Tables.lineitem(s, dir).select(
+        col("l_orderkey"), col("l_linenumber"),
+        when(col("l_discount") < 0.03, "low")
+          .when(col("l_discount") < 0.07, "mid")
+          .otherwise("high").as("band"),
+        coalesce(nullif(col("l_returnflag"), lit("N")), lit("none")).as("co"),
+        when(col("l_quantity") > 25, 1L).otherwise(0L).as("iv"))
+        .orderBy("l_orderkey", "l_linenumber", "band", "co", "iv")),
+
+    // engine-specific hash implementations — golden-file test, no oracle
+    "fn_hash" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        xxhash64(col("p_name")).as("xx"),
+        md5(col("p_name").cast("binary")).as("m5"),
+        sha2(col("p_name").cast("binary"), 256).as("s2"),
+        crc32(col("p_name").cast("binary")).as("crc"))
+        .orderBy("p_partkey"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "set_union_all" ->
+      """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+            v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')
+         SELECT user_id, 'click' AS src FROM c
+         UNION ALL SELECT user_id, 'view' AS src FROM v
+         ORDER BY user_id, src""",
+
+    "set_union_distinct" ->
+      """SELECT DISTINCT user_id FROM events
+         WHERE event_type IN ('click', 'view') ORDER BY user_id""",
+
+    "set_intersect" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         INTERSECT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+         ORDER BY user_id""",
+
+    "set_except" ->
+      """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
+         EXCEPT
+         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+         ORDER BY user_id""",
+
+    "fn_string" ->
+      """SELECT p_partkey, upper(p_name) AS up, length(p_name) AS len,
+            substring(p_name, 1, 5) AS sub,
+            trim('  ' || p_name || ' ') AS trimmed,
+            lpad(p_brand, 10, '*') AS pad,
+            regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
+            regexp_extract(p_name, '^(\w+) ', 1) AS first_word,
+            concat_ws('|', p_brand, p_type) AS cw,
+            string_split(p_name, ' ') AS words
+         FROM part ORDER BY p_partkey""",
+
+    "fn_like" ->
+      """SELECT p_partkey, p_type LIKE 'ECO%' AS is_eco,
+            p_type ILIKE 'sta%' AS is_sta_i,
+            starts_with(p_name, 'red') AS sw,
+            ends_with(p_name, 't') AS ew,
+            contains(p_name, 'widget') AS cont
+         FROM part ORDER BY p_partkey""",
+
+    "fn_date" ->
+      """SELECT o_orderkey,
+            strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+            CAST(year(o_orderdate) AS BIGINT) AS yr,
+            CAST(month(o_orderdate) AS BIGINT) AS mo,
+            CAST(dayofweek(o_orderdate) + 1 AS BIGINT) AS dow,
+            CAST(date_diff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT) AS days_to_y2k,
+            strftime(CAST(o_orderdate AS DATE) + 30, '%Y-%m-%d') AS plus30,
+            epoch_ms(o_orderdate) AS epoch_ms,
+            strftime(make_date(CAST(year(o_orderdate) AS INT), CAST(month(o_orderdate) AS INT), 1), '%Y-%m-%d') AS made
+         FROM orders ORDER BY o_orderkey""",
+
+    "fn_math" ->
+      """SELECT l_orderkey, l_linenumber,
+            abs(l_discount - 0.05) AS ab,
+            CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
+            CAST(floor(l_extendedprice) AS BIGINT) AS fl,
+            round(sqrt(l_quantity), 4) AS sq,
+            round(exp(l_discount), 4) AS ex,
+            round(ln(l_extendedprice), 4) AS ln_,
+            round(log10(l_extendedprice), 4) AS lg,
+            pow(l_quantity, 2) AS pw,
+            l_orderkey % 7 AS pm,
+            CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
+            greatest(l_tax, l_discount) AS gr,
+            least(l_tax, l_discount) AS le
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, ab, ce, fl, sq, ex,
+           ln_, lg, pw, pm, sg, gr, le""",
+
+    "fn_array" ->
+      """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
+         SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+            words[1:3] AS first3,
+            list_sort(words[1:5]) AS sorted5,
+            CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
+            list_contains(words, 'the') AS has_the,
+            [1, 2, 3]::BIGINT[] AS seq3
+         FROM w ORDER BY doc_id""",
+
+    "fn_array_hof" ->
+      """WITH p AS (
+           SELECT e.vec_id,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot_dec,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[65 - r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS rev_dec,
+                  CAST(SUM(CASE WHEN e.embedding[r.i] > 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt_half
+           FROM embeddings e, range(1, 65) r(i)
+           GROUP BY e.vec_id),
+         t AS (SELECT vec_id,
+                  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 4)) AS scaled
+               FROM embeddings)
+         SELECT p.vec_id, CAST(p.dot_dec AS DOUBLE) AS dot_self,
+                CAST(p.rev_dec AS DOUBLE) AS dot_rev,
+                p.n_gt_half, t.scaled,
+                round(sqrt(CAST(p.dot_dec AS DOUBLE)), 4) AS norm
+         FROM p JOIN t ON p.vec_id = t.vec_id ORDER BY p.vec_id""",
+
+    "fn_explode" ->
+      """SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS comp
+         FROM embeddings e, range(1, 9) r(i)
+         ORDER BY vec_id, pos""",
+
+    "fn_map" ->
+      """SELECT event_id,
+            ['k'] AS mk,
+            [json_extract_string(props, '$.k')::INT] AS mv,
+            json_extract_string(props, '$.k')::INT AS el,
+            ['b'] AS fk
+         FROM events ORDER BY event_id""",
+
+    "fn_json" ->
+      """SELECT event_id,
+            json_extract_string(props, '$.k') AS k_str,
+            json_extract_string(props, '$.k')::INT AS k_int,
+            '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
+         FROM events ORDER BY event_id""",
+
+    "fn_conditional" ->
+      """SELECT l_orderkey, l_linenumber,
+            CASE WHEN l_discount < 0.03 THEN 'low'
+                 WHEN l_discount < 0.07 THEN 'mid' ELSE 'high' END AS band,
+            coalesce(nullif(l_returnflag, 'N'), 'none') AS co,
+            CAST(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END AS BIGINT) AS iv
+         FROM lineitem ORDER BY l_orderkey, l_linenumber, band, co, iv"""
+  )
+}
