@@ -1,0 +1,327 @@
+package graft.llm
+
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked LLM-pipeline operator queries (SURVEY §2.K + the
+  * training-data additions from the task brief: dedup family, similarity
+  * search, multimodal columns, text analysis). */
+object LlmQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Per-element-decimal dot-product CTEs shared by the vector oracles. */
+  private val NormCte =
+    """n AS (SELECT e.vec_id,
+         SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(e.embedding[r.i] AS DOUBLE)
+             AS DECIMAL(18,4))) AS d2
+       FROM embeddings e, range(1, 65) r(i) GROUP BY 1)"""
+
+  val queries: Map[String, Q] = Map(
+    "llm_dedup_exact" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("text")
+        .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n"))
+        .select("keep_id", "n")
+        .orderBy("keep_id")),
+
+    // MinHash-LSH near-dup candidates, Jaccard-verified. Hash family is
+    // engine-specific → property/golden tests, rows-only here.
+    "llm_dedup_near_minhash" -> ((s, dir) =>
+      Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
+        k = 32, r = 4, shingleN = 3, threshold = 0.5)),
+
+    "llm_dedup_simhash" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+        .select(col("doc_id"), Dedup.simhash("w", 16).as("sig"))
+        .orderBy("doc_id")),
+
+    // word-set Jaccard between consecutive doc ids — SQL-expressible
+    "llm_dedup_ngram_jaccard" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), array_distinct(Dedup.words(col("text"))).as("ws"))
+      val terms = docs.select(col("doc_id"), explode(col("ws")).as("term"))
+      val inter = terms.as("a")
+        .join(terms.as("b"), col("a.term") === col("b.term") &&
+          col("b.doc_id") === col("a.doc_id") + 1)
+        .groupBy(col("a.doc_id").as("a_id")).agg(count(lit(1)).as("inter"))
+      val sz = docs.select(col("doc_id"), size(col("ws")).cast("long").as("nw"))
+      inter
+        .join(sz.select(col("doc_id").as("a_id"), col("nw").as("na")), "a_id")
+        .join(sz.select((col("doc_id") - 1).as("a_id"), col("nw").as("nb")), "a_id")
+        .select(col("a_id"), (col("a_id") + 1).as("b_id"), col("na"), col("nb"),
+          col("inter"),
+          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("j"))
+        .orderBy("a_id")
+    }),
+
+    "llm_sim_cosine_topk" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.cosineTopK(emb, qv, 10)
+    }),
+
+    // LSH-bucketed ANN (hash-derived buckets → rows-only; recall property
+    // tested against the brute-force baseline in the suite)
+    "llm_sim_ann_lsh" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.annTopKLsh(emb, qv, 10, planes = 4)
+    }),
+
+    "llm_knn_join" -> ((s, dir) =>
+      Similarity.knnJoinPerGroup(Tables.embeddings(s, dir), "label", 3)),
+
+    "llm_embed_normalize" -> ((s, dir) =>
+      Tables.embeddings(s, dir)
+        .withColumn("nrm", Similarity.normExpr("embedding"))
+        .select(col("vec_id"),
+          round(col("nrm"), 4).as("norm"),
+          Similarity.normalized("embedding", "nrm").as("unit"))
+        .orderBy("vec_id")),
+
+    "llm_text_tokenize_counts" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .where(col("term") =!= "")
+        .groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))),
+
+    "llm_tfidf" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val t = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+      val n = docs.agg(count(lit(1)).as("n_docs"))
+      tf.join(dfreq, "term").crossJoin(n)
+        .select(col("doc_id"), col("term"), col("tf"),
+          round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4).as("score"))
+        .orderBy("doc_id", "term")
+    }),
+
+    "llm_lang_stats" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          countDistinct(col("source")).as("n_sources"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy("lang")),
+
+    "llm_lang_id" -> ((s, dir) => {
+      val scored = Tables.documents(s, dir)
+        .withColumn("w", Dedup.words(col("text")))
+        .select(col("doc_id") +:
+          Text.Markers.toSeq.sortBy(_._1).map { case (l, m) =>
+            Text.markerScore("w", m).as(s"s_$l")
+          }: _*)
+      scored.withColumn("predicted",
+        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"), col("s_zh")), "en")
+          .when(col("s_de") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "de")
+          .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+          .when(col("s_fr") >= col("s_zh"), "fr")
+          .otherwise("zh"))
+        .orderBy("doc_id")
+    }),
+
+    "llm_quality_score" -> ((s, dir) => {
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')", Seq("the", "a", "of", "and"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        nw.as("n_words"),
+        round((col("n_chars") - (nw - 1)).cast("double") / nw, 4).as("avg_word_len"),
+        round(stops.cast("double") / nw, 4).as("stop_ratio"),
+        round(least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
+          (stops.cast("double") / nw) * 0.5, 4).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "llm_token_count" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        Text.nWords(col("text")).as("n_ws"),
+        Text.regexTokens(col("text")).as("n_re"),
+        Text.bpeApprox(col("n_chars")).as("bpe_approx"))
+        .orderBy("doc_id")),
+
+    "llm_doc_len_hist" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(expr("CAST(n_chars DIV 100 AS BIGINT) * 100").as("bucket_lo"))
+        .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
+        .orderBy("bucket_lo")),
+
+    // winnowing fingerprints (engine-specific hash → rows-only + tests)
+    "llm_fingerprint" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"))
+        .withColumn("grams", Text.gramHashes("text", 8))
+        .select(col("doc_id"), Text.windowMins("grams", 16).as("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"), col("fp"))
+        .orderBy("doc_id")),
+
+    "llm_multimodal_join" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
+        .where(col("lang") === "en" && col("label") < 5)
+        .select(col("doc_id"), col("lang"), col("label").cast("long").as("label"),
+          col("n_chars"), round(Similarity.normExpr("embedding"), 4).as("norm"))
+        .orderBy("doc_id")),
+
+    "llm_multimodal_meta" -> ((s, dir) =>
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        when(pmod(col("doc_id"), lit(2)) === 0, "png").otherwise("wav").as("format"),
+        length(col("text")).cast("long").as("n_bytes"),
+        hex(substring(col("text"), 1, 4)).as("header_hex"),
+        hex(substring(col("text"), 9, 2)).as("probe_hex"))
+        .orderBy("doc_id")),
+
+    // mapPartitions decode-stub plumbing (checksum impl-specific → rows-only)
+    "llm_multimodal_features" -> ((s, dir) =>
+      Multimodal.features(s, dir).orderBy("id"))
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "llm_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents
+         GROUP BY text ORDER BY keep_id""",
+
+    "llm_dedup_ngram_jaccard" ->
+      """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+         t AS (SELECT doc_id, unnest(ws) AS term FROM w),
+         inter AS (SELECT a.doc_id AS a_id, count(*) AS inter
+                   FROM t a JOIN t b ON a.term = b.term AND b.doc_id = a.doc_id + 1
+                   GROUP BY 1),
+         sz AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM w)
+         SELECT i.a_id, i.a_id + 1 AS b_id, sa.nw AS na, sb.nw AS nb, i.inter,
+                ROUND(CAST(i.inter AS DOUBLE) / (sa.nw + sb.nw - i.inter), 4) AS j
+         FROM inter i
+         JOIN sz sa ON sa.doc_id = i.a_id
+         JOIN sz sb ON sb.doc_id = i.a_id + 1
+         ORDER BY i.a_id""",
+
+    "llm_sim_cosine_topk" ->
+      s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          $NormCte,
+          nq AS (SELECT SUM(CAST(CAST(q.qv[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                     AS DECIMAL(18,4))) AS d2 FROM q, range(1, 65) r(i)),
+          p AS (SELECT e.vec_id,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings e, q, range(1, 65) r(i) GROUP BY 1)
+          SELECT p.vec_id,
+                 ROUND(CAST(p.dot AS DOUBLE) /
+                       (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE))), 4) AS sim
+          FROM p JOIN n ON n.vec_id = p.vec_id CROSS JOIN nq
+          ORDER BY sim DESC, p.vec_id LIMIT 10""",
+
+    "llm_knn_join" ->
+      s"""WITH $NormCte,
+          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id <> b.vec_id, range(1, 65) r(i)
+                GROUP BY 1, 2),
+          sim AS (SELECT p.a_id, p.b_id,
+                    ROUND(CAST(p.dot AS DOUBLE) /
+                          (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE))), 4) AS sim
+                  FROM p JOIN n na ON na.vec_id = p.a_id JOIN n nb ON nb.vec_id = p.b_id),
+          r AS (SELECT a_id, b_id, sim,
+                  CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS BIGINT) AS rn
+                FROM sim)
+          SELECT a_id AS vec_id, rn, b_id AS neighbor_id, sim
+          FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+
+    "llm_embed_normalize" ->
+      s"""WITH $NormCte
+          SELECT e.vec_id, ROUND(SQRT(CAST(n.d2 AS DOUBLE)), 4) AS norm,
+                 list_transform(e.embedding,
+                   x -> round(CAST(x AS DOUBLE) / SQRT(CAST(n.d2 AS DOUBLE)), 4)) AS unit
+          FROM embeddings e JOIN n ON n.vec_id = e.vec_id
+          ORDER BY e.vec_id""",
+
+    "llm_text_tokenize_counts" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
+         SELECT term, count(*) AS n FROM t WHERE term <> ''
+         GROUP BY 1 ORDER BY n DESC, term""",
+
+    "llm_tfidf" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM t GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents)
+         SELECT tf.doc_id, tf.term, tf.tf,
+                ROUND(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 4) AS score
+         FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+         ORDER BY tf.doc_id, tf.term""",
+
+    "llm_lang_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+            ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+            count(DISTINCT source) AS n_sources,
+            CAST(SUM(n_chars) AS BIGINT) AS total_chars
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "llm_lang_id" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         sc AS (SELECT doc_id,
+            CAST(len(list_filter(ws, x -> x IN ('der', 'die', 'und', 'ist'))) AS BIGINT) AS s_de,
+            CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'value'))) AS BIGINT) AS s_en,
+            CAST(len(list_filter(ws, x -> x IN ('el', 'la', 'de', 'que'))) AS BIGINT) AS s_es,
+            CAST(len(list_filter(ws, x -> x IN ('le', 'les', 'et', 'est'))) AS BIGINT) AS s_fr,
+            CAST(len(list_filter(ws, x -> x IN ('de', 'shi', 'le'))) AS BIGINT) AS s_zh
+          FROM w)
+         SELECT doc_id, s_de, s_en, s_es, s_fr, s_zh,
+            CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+                 WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+                 WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                 WHEN s_fr >= s_zh THEN 'fr'
+                 ELSE 'zh' END AS predicted
+         FROM sc ORDER BY doc_id""",
+
+    "llm_quality_score" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
+          FROM documents)
+         SELECT doc_id, n_words,
+            ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 4) AS avg_word_len,
+            ROUND(CAST(stops AS DOUBLE) / n_words, 4) AS stop_ratio,
+            ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+                  (CAST(stops AS DOUBLE) / n_words) * 0.5, 4) AS quality
+         FROM b ORDER BY doc_id""",
+
+    "llm_token_count" ->
+      """SELECT doc_id,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+            CAST(len(regexp_extract_all(text, '[a-z]+')) AS BIGINT) AS n_re,
+            CAST(ceil(n_chars / 4.0) AS BIGINT) AS bpe_approx
+         FROM documents ORDER BY doc_id""",
+
+    "llm_doc_len_hist" ->
+      """SELECT (n_chars // 100) * 100 AS bucket_lo, count(*) AS n
+         FROM documents GROUP BY 1 ORDER BY 1""",
+
+    "llm_multimodal_join" ->
+      s"""WITH $NormCte
+          SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label, d.n_chars,
+                 ROUND(SQRT(CAST(n.d2 AS DOUBLE)), 4) AS norm
+          FROM documents d
+          JOIN embeddings e ON d.doc_id = e.vec_id
+          JOIN n ON n.vec_id = e.vec_id
+          WHERE d.lang = 'en' AND e.label < 5
+          ORDER BY d.doc_id""",
+
+    "llm_multimodal_meta" ->
+      """SELECT doc_id,
+            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+            CAST(length(text) AS BIGINT) AS n_bytes,
+            hex(substring(text, 1, 4)) AS header_hex,
+            hex(substring(text, 9, 2)) AS probe_hex
+         FROM documents ORDER BY doc_id"""
+  )
+}

@@ -1,0 +1,49 @@
+package graft.llm
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data curation: tokenization, TF-IDF,
+  * language-ID heuristics, quality scoring, token counting, rolling-hash
+  * fingerprinting. All pure Column expressions (codegen'd); the explode-
+  * based operators (token counts, TF-IDF) are hash-partitioned groupBys
+  * on the token — the classic scalable shape.
+  */
+object Text {
+
+  /** Language-ID marker words (n-gram heuristic, deterministic). */
+  val Markers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "value"),
+    "de" -> Seq("der", "die", "und", "ist"),
+    "es" -> Seq("el", "la", "de", "que"),
+    "fr" -> Seq("le", "les", "et", "est"),
+    "zh" -> Seq("de", "shi", "le"))
+
+  /** Count of tokens from `wordsCol` present in `markers`. */
+  def markerScore(wordsSql: String, markers: Seq[String]): Column = {
+    val list = markers.map(m => s"'$m'").mkString(", ")
+    expr(s"CAST(size(filter($wordsSql, x -> x IN ($list))) AS BIGINT)")
+  }
+
+  /** Whitespace token count (BIGINT). */
+  def nWords(text: Column): Column = size(split(text, " ")).cast("long")
+
+  /** BPE-ish token estimate: regex alpha-token count + the chars/4
+    * heuristic used for LLM budget estimates. */
+  def regexTokens(text: Column): Column = regexp_count(text, lit("[a-z]+")).cast("long")
+  def bpeApprox(nChars: Column): Column = ceil(nChars.cast("double") / 4.0).cast("long")
+
+  /** Rolling-hash document fingerprint (winnowing-style), two stages so
+    * the gram hashes are computed once (materialize [[gramHashes]] with
+    * withColumn, then take [[windowMins]] over it — inlining both into
+    * one expression would re-hash per window). Engine-specific hash →
+    * golden/property tested, not oracle-compared. */
+  def gramHashes(textSql: String, k: Int = 8): Column =
+    expr(s"""transform(sequence(0, greatest(length($textSql) - $k, 0)),
+             i -> xxhash64(substring($textSql, i + 1, $k)))""")
+
+  def windowMins(gramsSql: String, w: Int = 16): Column =
+    expr(s"""array_distinct(transform(
+        sequence(0, greatest(size($gramsSql) - $w, 0)),
+        i -> array_min(slice($gramsSql, i + 1, $w))))""")
+}
