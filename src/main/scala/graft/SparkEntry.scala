@@ -13,10 +13,10 @@ object SparkEntry {
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    tsdb.TsdbQueries.queries ++ rel.Relational.queries ++ llm.LlmQueries.queries
+    tsdb.TsdbQueries.queries ++ rel.Relational.queries ++ llm.LlmQueries.queries ++ stream.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    tsdb.TsdbQueries.oracleSql ++ rel.Relational.oracleSql ++ llm.LlmQueries.oracleSql
+    tsdb.TsdbQueries.oracleSql ++ rel.Relational.oracleSql ++ llm.LlmQueries.oracleSql ++ stream.StreamQueries.oracleSql
 }

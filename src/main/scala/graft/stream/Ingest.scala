@@ -1,0 +1,193 @@
+package graft.stream
+
+import java.util.concurrent.atomic.AtomicInteger
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Structured Streaming ingestion + windowed analytics (SURVEY §2.I, EP1').
+  *
+  * The reference ingests via always-on HTTP/UDP/telnet listeners; the
+  * Spark-native shape is `readStream` on an arriving-files source with a
+  * checkpoint (the WAL analog), watermarked event-time windows, and
+  * `foreachBatch` for the series-catalog upsert + partitioned parquet
+  * append. Every operator here is driven through a REAL StreamingQuery
+  * (file source → transforms → memory sink, Trigger.AvailableNow), then
+  * the sink table is returned as a DataFrame so the driver's batch
+  * harness can hash-compare it against a batch-equivalence oracle.
+  */
+object Ingest {
+
+  /** events.parquet physical schema under nanosAsLong (ts = BIGINT ns). */
+  val eventsSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  private val sinkId = new AtomicInteger(0)
+
+  /** The file stream source requires a DIRECTORY; the fixtures are single
+    * parquet files → stage a temp dir with a symlink (once per fixture). */
+  private val stageDirs = scala.collection.concurrent.TrieMap.empty[String, String]
+  private def stagedEventsDir(dir: String): String =
+    stageDirs.getOrElseUpdate(dir, {
+      val d = java.nio.file.Files.createTempDirectory("graft_events_")
+      java.nio.file.Files.createSymbolicLink(
+        d.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+      d.toString
+    })
+
+  /** Streaming view of the events fixture (file source). */
+  def eventsStream(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.readStream.schema(eventsSchema).parquet(stagedEventsDir(dir))
+      .withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+      .withColumn("ts_ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+  }
+
+  /** Run a streaming DataFrame to completion (AvailableNow) into a memory
+    * sink; returns the sink contents. `mode` = complete for aggregations,
+    * append otherwise. */
+  def runToMemory(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
+    val name = s"graft_sink_${sinkId.incrementAndGet()}"
+    val q = streamed.writeStream.format("memory").queryName(name)
+      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+    s.table(name)
+  }
+
+  /** Tumbling 1h window per event_type (watermarked). */
+  def tumbling(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast("double").as("sum_value"))
+    runToMemory(s, agg, "complete")
+      .select(col("event_type"),
+        (unix_timestamp(col("window.start")) * 1000).as("bucket_ms"),
+        col("n"), col("sum_value"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
+  /** Sliding 1h/15m windows per event_type. */
+  def sliding(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour", "15 minutes"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    runToMemory(s, agg, "complete")
+      .select(col("event_type"),
+        (unix_timestamp(col("window.start")) * 1000).as("start_ms"), col("n"))
+      .orderBy("event_type", "start_ms")
+  }
+
+  /** Gap-based session windows (30 min) per user. */
+  def session(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(session_window(col("ts_ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), min(col("ts_ms")).as("session_start"))
+    runToMemory(s, agg, "complete")
+      .select(col("user_id"), col("session_start"), col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  /** Exact dedup on event_id within the watermark. */
+  def dedup(s: SparkSession, dir: String): DataFrame = {
+    val d = eventsStream(s, dir)
+      .withWatermark("ts_ts", "10 minutes")
+      .dropDuplicates("event_id")
+      .select("event_id")
+    runToMemory(s, d, "append").agg(count(lit(1)).as("n"))
+  }
+
+  /** Stream-static enrichment join (stream side stays streaming). */
+  def staticJoin(s: SparkSession, dir: String): DataFrame = {
+    val dim = graft.core.Tables.customer(s, dir)
+      .select(col("c_custkey"), col("c_name"))
+    val joined = eventsStream(s, dir)
+      .join(dim, col("user_id") === col("c_custkey"))
+      .select(col("event_id"), col("user_id"), col("c_name"))
+    runToMemory(s, joined, "append").orderBy("event_id")
+  }
+
+  /** Counter-reset detection with explicit state (rate building block):
+    * keeps (lastTs, lastValue) per series, emits deltas; negative delta =
+    * counter reset → null delta (mycenae rate semantics). */
+  def statefulCounter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = eventsStream(s, dir)
+      .where(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ms"), col("value"))
+      .as[(Long, Long, Double)]
+    val out = src.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Long, Double)],
+       state: GroupState[(Long, Double)]) => {
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        var last = state.getOption
+        val res = sorted.map { case (_, ts, v) =>
+          val delta = last match {
+            case Some((_, pv)) if v >= pv => Some(v - pv)
+            case Some(_) => None // reset
+            case None => None
+          }
+          last = Some((ts, v))
+          (user, ts, v, delta)
+        }
+        state.update(last.get)
+        res.iterator
+      })
+    runToMemory(s, out.toDF("user_id", "ts_ms", "value", "delta"), "append")
+      .orderBy("user_id", "ts_ms")
+  }
+
+  /** EP1' sink: foreachBatch appends points partitioned by metric and
+    * upserts the series catalog (dedupe-merge) — the Elasticsearch-upsert
+    * analog. Writes under `outBase`; returns the final catalog. */
+  def ingestWithCatalog(s: SparkSession, dir: String, outBase: String): DataFrame = {
+    val catalogPath = s"$outBase/catalog.parquet"
+    val pointsPath = s"$outBase/points"
+    val stream = eventsStream(s, dir).select(
+      col("event_type").as("metric"),
+      map(lit("user"), col("user_id").cast("string")).as("tags"),
+      col("ts_ms"), col("value"))
+    val q = stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outBase/_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.persist()
+        batch.write.mode("append").partitionBy("metric").parquet(pointsPath)
+        val newSeries = graft.tsdb.Catalog.fromPoints(batch)
+        val merged = try {
+          val existing = batch.sparkSession.read.parquet(catalogPath)
+          existing.unionByName(newSeries).dropDuplicates("tsid")
+        } catch { case _: Exception => newSeries }
+        // rewrite via temp to avoid read-overwrite conflict
+        merged.persist().count()
+        merged.write.mode("overwrite").parquet(catalogPath + ".tmp")
+        batch.sparkSession.read.parquet(catalogPath + ".tmp")
+          .write.mode("overwrite").parquet(catalogPath)
+        batch.unpersist(); ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(catalogPath)
+      .select(col("metric"), col("tags_canonical"))
+      .orderBy("metric", "tags_canonical")
+  }
+
+  /** Partitioned parquet point sink (§2.A sink_parquet_partitioned):
+    * partitionBy(event_type) + sortWithinPartitions(user_id, ts) — the
+    * (ksid, date)/(tsid, ts) layout analog from SURVEY §4.2 that gives
+    * row-group locality per series. */
+  def writePartitioned(s: SparkSession, dir: String, out: String): Unit =
+    graft.core.Tables.events(s, dir)
+      .repartition(col("event_type"))
+      .sortWithinPartitions("user_id", "ts_ms")
+      .write.mode("overwrite").partitionBy("event_type").parquet(out)
+}

@@ -16,8 +16,11 @@ object Catalog {
   def fromPoints(points: DataFrame): DataFrame = {
     val canonical = expr(
       "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
-    points.select(col("metric"), col("tags"), canonical.as("tags_canonical"))
+    // distinct on the canonical STRING (set ops are unsupported on MAP
+    // columns); the map is rebuilt from it afterwards.
+    points.select(col("metric"), canonical.as("tags_canonical"))
       .distinct()
+      .withColumn("tags", expr("str_to_map(tags_canonical, ',', '=')"))
       .withColumn("tsid", xxhash64(col("metric"), col("tags_canonical")))
   }
 

@@ -85,6 +85,19 @@ object TsdbQueries {
         .offset(10).limit(50)
     }),
 
+    // EP3': expression string → parser → the same pipeline builders
+    "tsdb_expression" -> ((s, dir) => {
+      val q = Expression.parse(
+        "merge(sum, downsample(1h, avg, none, query(click, {user=*}, 30d)))",
+        Tables.NowMs)
+      Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
+    }),
+
+    "tsdb_ttl_expiry" -> ((s, dir) =>
+      Retention.applyTtl(Tables.events(s, dir), "ts_ms", Tables.NowMs, 14L * 86400000)
+        .select("event_id", "ts_ms")
+        .orderBy("event_id")),
+
     "tsdb_text_query" -> ((s, dir) => {
       Tables.documents(s, dir)
         .where(col("lang") === "en")
@@ -173,6 +186,23 @@ object TsdbQueries {
       """SELECT DISTINCT event_type, user_id FROM events
          WHERE event_type IN ('click', 'view') AND user_id % 7 = 0
          ORDER BY 1, 2 LIMIT 50 OFFSET 10""",
+
+    "tsdb_expression" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click'
+              AND epoch_ns(ts) // 1000000 >= ${T1 - 30L * 86400000}
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2)
+          SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "tsdb_ttl_expiry" ->
+      s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
+          WHERE epoch_ns(ts) // 1000000 >= ${T1 - 14L * 86400000}
+          ORDER BY event_id""",
 
     "tsdb_text_query" ->
       """SELECT doc_id, source, lang, text FROM documents
