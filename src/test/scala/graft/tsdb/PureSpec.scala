@@ -1,0 +1,74 @@
+package graft.tsdb
+
+import org.scalacheck.Prop.forAll
+import org.scalacheck.Test.{check, Parameters}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure (no-Spark) units: relative-time parsing, downsample specs,
+  * glob→LIKE translation, the expression parser. */
+class PureSpec extends AnyFunSuite {
+  private val Now = 1706659200000L // 2024-01-31T00:00:00Z
+
+  test("relative time: units") {
+    assert(TimeParse.toAbsMs("1h-ago", Now) == Now - 3600000L)
+    assert(TimeParse.toAbsMs("90s-ago", Now) == Now - 90000L)
+    assert(TimeParse.toAbsMs("2d-ago", Now) == Now - 2 * 86400000L)
+    assert(TimeParse.toAbsMs("1w-ago", Now) == Now - 7 * 86400000L)
+    assert(TimeParse.toAbsMs("1n-ago", Now) == Now - 30 * 86400000L)
+    assert(TimeParse.toAbsMs("1y-ago", Now) == Now - 365 * 86400000L)
+  }
+
+  test("absolute time: seconds are normalized to ms, ms pass through") {
+    assert(TimeParse.toAbsMs("1706659200", Now) == Now)      // 10-digit s
+    assert(TimeParse.toAbsMs("1706659200000", Now) == Now)   // 13-digit ms
+  }
+
+  test("relative time round-trip property") {
+    val prop = forAll { (n0: Int) =>
+      val n = math.abs(n0 % 10000) + 1
+      TimeParse.toAbsMs(s"${n}m-ago", Now) == Now - n * 60000L
+    }
+    assert(check(Parameters.default, prop).passed)
+  }
+
+  test("downsample spec parsing") {
+    assert(TimeParse.parseDownsample("1h-avg-zero") ==
+      DownsampleSpec(3600000L, "avg", "zero"))
+    assert(TimeParse.parseDownsample("30s-sum") ==
+      DownsampleSpec(30000L, "sum", "none"))
+    intercept[IllegalArgumentException](TimeParse.parseDownsample("bogus"))
+  }
+
+  test("glob → LIKE translation escapes metacharacters") {
+    assert(TagFilters.glob2like("cli*") == "cli%")
+    assert(TagFilters.glob2like("a?c") == "a_c")
+    assert(TagFilters.glob2like("100%*") == "100\\%%")
+    assert(TagFilters.glob2like("a_b*") == "a\\_b%")
+  }
+
+  test("expression parser: full pipeline") {
+    val q = Expression.parse(
+      "merge(sum, downsample(1h, avg, zero, query(click, {user=*, dc=east|west}, 2d)))", Now)
+    assert(q.startMs == Now - 2 * 86400000L)
+    assert(q.endMs == Now)
+    val sub = q.queries.head
+    assert(sub.metric == "click")
+    assert(sub.aggregator == "sum")
+    assert(sub.downsample.contains(DownsampleSpec(3600000L, "avg", "zero")))
+    assert(sub.filters == Seq(
+      TagFilterSpec("wildcard", "user", "*", groupBy = true),
+      TagFilterSpec("literal_or", "dc", "east|west")))
+  }
+
+  test("expression parser: rate nesting and errors") {
+    val q = Expression.parse(
+      "merge(max, rate(true, 1000, null, downsample(1m, last, none, query(cpu, {}, 2h))))", Now)
+    val sub = q.queries.head
+    assert(sub.rate && sub.rateOptions == RateOptions(counter = true, Some(1000L), None))
+    assert(sub.downsample.contains(DownsampleSpec(60000L, "last", "none")))
+    intercept[Expression.ParseError](Expression.parse("merge(sum)", Now))
+    intercept[Expression.ParseError](Expression.parse("downsample(1h, avg, none, query(a, {}, 1h))", Now))
+    intercept[Expression.ParseError](
+      Expression.parse("merge(sum, query(a, {}, 1h)) trailing", Now))
+  }
+}

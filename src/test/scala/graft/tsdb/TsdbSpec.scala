@@ -1,0 +1,128 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** TSDB pipeline semantics on hand-built micro-frames: fill-policy edge
+  * cases, counter wrap/reset, downsample∘merge commutation, catalog
+  * prune, partial-aggregation plan shape, TTL vacuum. */
+class TsdbSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pts(rows: (String, Long, Long, Double)*) =
+    rows.toDF("metric", "user", "ts_ms", "value")
+
+  test("downsample aggregators per series") {
+    val df = pts(("m", 1L, 0L, 1.0), ("m", 1L, 1000L, 3.0), ("m", 1L, 61000L, 10.0))
+    val out = Downsample(df, Seq("metric", "user"), 60000L, "avg")
+      .orderBy("bucket_ms").collect()
+    assert(out.map(_.getAs[Double]("value")).toSeq == Seq(2.0, 10.0))
+    val last = Downsample(df, Seq("metric", "user"), 60000L, "last")
+      .orderBy("bucket_ms").collect()
+    assert(last.map(_.getAs[Double]("value")).toSeq == Seq(3.0, 10.0))
+    val cnt = Downsample(df, Seq("metric", "user"), 60000L, "count")
+      .orderBy("bucket_ms").collect()
+    assert(cnt.map(_.getAs[Long]("value")).toSeq == Seq(2L, 1L))
+  }
+
+  test("fill policies: zero fills gaps, null keeps them, none drops them") {
+    val df = pts(("m", 1L, 0L, 1.0), ("m", 1L, 120000L, 5.0)) // gap at bucket 1
+    val ds = Downsample(df, Seq("user"), 60000L, "sum")
+    val zero = Downsample.withFill(spark, ds, Seq("user"), 60000L, 0L, 180000L, "zero")
+      .orderBy("bucket_ms").collect()
+    assert(zero.length == 3)
+    assert(zero.map(_.getAs[Double]("value")).toSeq == Seq(1.0, 0.0, 5.0))
+    val nul = Downsample.withFill(spark, ds, Seq("user"), 60000L, 0L, 180000L, "null")
+      .orderBy("bucket_ms").collect()
+    assert(nul(1).isNullAt(nul(1).fieldIndex("value")))
+    val nan = Downsample.withFill(spark, ds, Seq("user"), 60000L, 0L, 180000L, "nan")
+      .orderBy("bucket_ms").collect()
+    assert(nan(1).getAs[Double]("value").isNaN)
+    val none = Downsample.withFill(spark, ds, Seq("user"), 60000L, 0L, 180000L, "none")
+    assert(none.count() == 2)
+  }
+
+  test("fill spine covers head and tail gaps") {
+    val df = pts(("m", 1L, 60000L, 2.0))
+    val ds = Downsample(df, Seq("user"), 60000L, "sum")
+    val filled = Downsample.withFill(spark, ds, Seq("user"), 60000L, 0L, 240000L, "zero")
+      .orderBy("bucket_ms").collect()
+    assert(filled.map(_.getAs[Long]("bucket_ms")).toSeq == Seq(0L, 60000L, 120000L, 180000L))
+    assert(filled.map(_.getAs[Double]("value")).toSeq == Seq(0.0, 2.0, 0.0, 0.0))
+  }
+
+  test("rate: plain deltas and counter wrap / reset suppression") {
+    val ds = Seq((1L, 0L, 10.0), (1L, 60000L, 70.0), (1L, 120000L, 10.0))
+      .toDF("user", "bucket_ms", "value")
+    val plain = MergeRate.rate(ds, Seq("user")).orderBy("bucket_ms").collect()
+    assert(plain(0).isNullAt(plain(0).fieldIndex("rate")))
+    assert(plain(1).getAs[Double]("rate") == 1.0)   // +60 over 60s
+    assert(plain(2).getAs[Double]("rate") == -1.0)
+    // counter with wrap at 100: delta -60 → +40 → 40/60s
+    val ctr = MergeRate.rate(ds, Seq("user"),
+      RateOptions(counter = true, counterMax = Some(100L))).orderBy("bucket_ms").collect()
+    assert(ctr(2).getAs[Double]("rate") == math.rint(40.0 / 60.0 * 10000) / 10000)
+    // resetValue: spikes above it are nulled
+    val rst = MergeRate.rate(ds, Seq("user"),
+      RateOptions(counter = true, counterMax = Some(100L), resetValue = Some(30L)))
+      .orderBy("bucket_ms").collect()
+    assert(rst(2).isNullAt(rst(2).fieldIndex("rate")))
+  }
+
+  test("downsample(sum) then merge(sum) == merge-all sum (commutation)") {
+    val df = pts(("m", 1L, 0L, 1.5), ("m", 1L, 1000L, 2.5), ("m", 2L, 500L, 3.0),
+      ("m", 2L, 61000L, 4.0))
+    val ds = Downsample(df, Seq("metric", "user"), 60000L, "sum")
+    val merged = MergeRate.merge(ds, Seq("metric"), "sum")
+      .agg(sum("value")).as[Double].head()
+    assert(merged == 11.0)
+  }
+
+  test("catalog: build, suggest, lookup, prune") {
+    val points = Pipeline.eventsAsPoints(spark, sf)
+    val cat = Catalog.fromPoints(points)
+    assert(cat.columns.toSet == Set("metric", "tags", "tags_canonical", "tsid"))
+    assert(cat.count() > 0)
+    assert(cat.select("tsid").distinct().count() == cat.count(), "tsid unique")
+    val sug = Catalog.suggest(cat, "metric", "c", 10).as[String].collect()
+    assert(sug.forall(_.startsWith("c")))
+    val looked = Catalog.lookup(cat, "click",
+      Seq(TagFilterSpec("regexp", "user", "^1$")), limit = 10)
+    assert(looked.count() == 1)
+    val pruned = Catalog.pruneByCatalog(points, looked)
+    assert(pruned.select("metric").distinct().as[String].collect().toSeq == Seq("click"))
+  }
+
+  test("partial aggregation shows in the physical plan (map-side combine)") {
+    val plan = Downsample(pts(("m", 1L, 0L, 1.0)), Seq("user"), 60000L, "sum")
+      .queryExecution.executedPlan.toString
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, s"expected partial+final:\n$plan")
+  }
+
+  test("ttl: scan predicate and vacuum rewrite") {
+    val now = 200000L
+    val df = pts(("m", 1L, 10000L, 1.0), ("m", 1L, 150000L, 2.0))
+    assert(Retention.applyTtl(df, "ts_ms", now, 100000L).count() == 1)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ttl_").toString
+    df.write.mode("overwrite").parquet(s"$tmp/in")
+    Retention.vacuum(spark, s"$tmp/in", s"$tmp/out", "ts_ms", now, 100000L)
+    val back = spark.read.parquet(s"$tmp/out")
+    assert(back.count() == 1 && back.select("value").as[Double].head() == 2.0)
+  }
+
+  test("expression pipeline end-to-end matches hand-built pipeline") {
+    val q = Expression.parse(
+      "merge(sum, downsample(1h, avg, none, query(click, {}, 30d)))", graft.core.Tables.NowMs)
+    val viaExpr = Pipeline.run(spark, Pipeline.eventsAsPoints(spark, sf), q)
+    val ev = graft.core.Tables.events(spark, sf).where(col("event_type") === "click")
+    val hand = MergeRate.merge(
+      Downsample(ev, Seq("user_id"), 3600000L, "avg"), Nil, "sum")
+    // compare exact row multisets (a plain double-sum over the frame would
+    // itself be float-order-sensitive)
+    val exprRows = viaExpr.select("bucket_ms", "value")
+      .as[(Long, Double)].collect().sorted.toSeq
+    val handRows = hand.select("bucket_ms", "value")
+      .as[(Long, Double)].collect().sorted.toSeq
+    assert(exprRows == handRows)
+  }
+}
