@@ -5,11 +5,17 @@ import org.apache.spark.sql.functions._
 
 /** Vector similarity search over an embedding column (ARRAY<FLOAT>).
   *
-  * Determinism: dot products / norms accumulate per-element products as
-  * DECIMAL(18,4) (rule D3) so results are independent of evaluation
-  * order and identical to the explode-based DuckDB oracle formulation.
+  * Determinism: dot products accumulate per-element products rounded to
+  * DECIMAL(18,4) semantics (rule D3) but carried as scaled BIGINTs —
+  * product → decimal(18,4) → ×10⁴ → exact long — so the reduction is
+  * order-independent AND a primitive long add in codegen (the naive
+  * decimal accumulator was ~3× slower in the hot loop). The final value
+  * (long/10⁴ as double) is bit-identical to the DuckDB oracle's
+  * `CAST(SUM(CAST(p AS DECIMAL(18,4))) AS DOUBLE)`.
   *
   * Scale design:
+  *  - norms are precomputed ONCE per vector (a column), never per pair —
+  *    at N vectors and P pairs that's N norm computations instead of 2P;
   *  - brute-force top-k = broadcast the (single) query vector, one
   *    codegen'd projection per row, then TakeOrderedAndProject — no
   *    shuffle of the corpus;
@@ -20,37 +26,53 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Order-independent dot product of two ARRAY<FLOAT>/<DOUBLE> columns
-    * named by SQL fragment (pass simple column names). */
+  /** Order-independent dot product of two ARRAY<FLOAT> columns named by
+    * SQL fragment — backed by the native [[org.apache.spark.sql.graftfn.Dot4]]
+    * expression (allocation-free codegen loop). */
   def dotExpr(a: String, b: String): Column =
-    expr(s"""CAST(aggregate(zip_with($a, $b, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
-             CAST(0.0 AS DECIMAL(38,4)),
-             (acc, p) -> CAST(acc + CAST(p AS DECIMAL(18,4)) AS DECIMAL(38,4))) AS DOUBLE)""")
+    org.apache.spark.sql.graftfn.Dot4.of(expr(a), expr(b))
+
+  /** Reference formulation of [[dotExpr]] as pure higher-order built-ins
+    * (same value, slower); kept for cross-checking the native expression. */
+  def dotExprHof(a: String, b: String): Column =
+    expr(s"""CAST(aggregate(zip_with($a, $b,
+             (x, y) -> CAST(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE) AS DECIMAL(18,4)) * 10000 AS BIGINT)),
+             0L, (acc, p) -> acc + p) AS DOUBLE) / 10000.0""")
 
   def normExpr(a: String): Column = sqrt(dotExpr(a, a))
 
-  /** cosine = dot / (|a| * |b|), rounded 4dp. */
+  /** cosine from a pair dot product and two PRECOMPUTED norm columns. */
+  def cosineFrom(dot: Column, na: Column, nb: Column): Column =
+    round(dot / (na * nb), 4)
+
+  /** cosine = dot / (|a| * |b|), rounded 4dp (self-contained form; prefer
+    * precomputed norms in joins). */
   def cosineExpr(a: String, b: String): Column =
-    round(dotExpr(a, b) / (normExpr(a) * normExpr(b)), 4)
+    cosineFrom(dotExpr(a, b), normExpr(a), normExpr(b))
 
   /** Brute-force top-k cosine neighbors of one query vector. */
-  def cosineTopK(vectors: DataFrame, queryVec: DataFrame, k: Int): DataFrame =
-    vectors.crossJoin(broadcast(queryVec))
-      .select(col("vec_id"), cosineExpr("embedding", "qv").as("sim"))
+  def cosineTopK(vectors: DataFrame, queryVec: DataFrame, k: Int): DataFrame = {
+    val q = queryVec.withColumn("qnrm", normExpr("qv"))
+    vectors.withColumn("nrm", normExpr("embedding"))
+      .crossJoin(broadcast(q))
+      .select(col("vec_id"),
+        cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
 
   /** Exact kNN join within a blocking column (here: label). */
   def knnJoinPerGroup(vectors: DataFrame, blockCol: String, k: Int): DataFrame = {
-    val a = vectors.select(col(blockCol).as("blk"), col("vec_id").as("a_id"),
-      col("embedding").as("av"))
-    val b = vectors.select(col(blockCol).as("blk"), col("vec_id").as("b_id"),
-      col("embedding").as("bv"))
+    val withNorm = vectors.withColumn("nrm", normExpr("embedding"))
+    val a = withNorm.select(col(blockCol).as("blk"), col("vec_id").as("a_id"),
+      col("embedding").as("av"), col("nrm").as("a_nrm"))
+    val b = withNorm.select(col(blockCol).as("blk"), col("vec_id").as("b_id"),
+      col("embedding").as("bv"), col("nrm").as("b_nrm"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
     a.join(b, Seq("blk"))
       .where(col("a_id") =!= col("b_id"))
-      .withColumn("sim", cosineExpr("av", "bv"))
+      .withColumn("sim", cosineFrom(dotExpr("av", "bv"), col("a_nrm"), col("b_nrm")))
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select(col("a_id").as("vec_id"), col("rn"), col("b_id").as("neighbor_id"), col("sim"))
@@ -65,9 +87,9 @@ object Similarity {
     expr(s"""aggregate(zip_with(
          transform(sequence(0, $planes - 1), h ->
            CASE WHEN aggregate(zip_with($embedding, sequence(0, size($embedding) - 1),
-             (x, i) -> CAST(x AS DOUBLE) * IF((xxhash64(i, h) & 1L) = 1L, 1.0D, -1.0D)),
-             CAST(0.0 AS DECIMAL(38,4)),
-             (acc, p) -> CAST(acc + CAST(p AS DECIMAL(18,4)) AS DECIMAL(38,4))) > 0 THEN 1L ELSE 0L END),
+             (x, i) -> CAST(CAST(CAST(x AS DOUBLE) * IF((xxhash64(i, h) & 1L) = 1L, 1.0D, -1.0D)
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT)),
+             0L, (acc, p) -> acc + p) > 0L THEN 1L ELSE 0L END),
          sequence(0, $planes - 1), (bit, h) -> bit * shiftleft(1L, cast(h as int))),
          0L, (a, b) -> a + b)""")
 
@@ -76,9 +98,12 @@ object Similarity {
     * scale path (bucket column is precomputable + partitionable). */
   def annTopKLsh(vectors: DataFrame, queryVec: DataFrame, k: Int, planes: Int = 8): DataFrame = {
     val bucketed = vectors.withColumn("bucket", lshBucket("embedding", planes))
+      .withColumn("nrm", normExpr("embedding"))
     val qb = queryVec.withColumn("qbucket", lshBucket("qv", planes))
+      .withColumn("qnrm", normExpr("qv"))
     bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
-      .select(col("vec_id"), cosineExpr("embedding", "qv").as("sim"))
+      .select(col("vec_id"),
+        cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
   }

@@ -19,7 +19,8 @@ class LlmSpec extends SparkSpec {
   test("minhash: exact duplicates always share the full signature") {
     val sig = docs.select(col("doc_id"), Dedup.words(col("text")).as("w"))
       .withColumn("sh", Dedup.shingles("w", 3))
-      .withColumn("sig", Dedup.minhashSignature("sh", 32))
+      .withColumn("bh", Dedup.baseHashes("sh"))
+      .withColumn("sig", Dedup.minhashSignature("bh", 32))
       .select("doc_id", "sig").as[(Long, Seq[Long])].collect().toMap
     assert(sig(1L) == sig(2L))
     assert(sig(1L) != sig(4L))
@@ -96,6 +97,17 @@ class LlmSpec extends SparkSpec {
     assert(fp(1L) == fp(2L))
     assert(fp(1L) != fp(4L))
     assert(fp(1L).nonEmpty)
+  }
+
+  test("native Dot4 expression equals the higher-order decimal formulation") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val pair = emb.select(col("vec_id"), col("embedding").as("a"))
+      .crossJoin(emb.where(col("vec_id") === 7).select(col("embedding").as("b")))
+    val rows = pair.select(
+      Similarity.dotExpr("a", "b").as("native"),
+      Similarity.dotExprHof("a", "b").as("hof"))
+      .as[(Double, Double)].collect()
+    assert(rows.nonEmpty && rows.forall { case (n, h) => n == h })
   }
 
   test("hll estimate within 10% of exact") {
