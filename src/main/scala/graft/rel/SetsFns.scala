@@ -158,7 +158,17 @@ object SetsFns {
         when(col("l_quantity") > 25, 1L).otherwise(0L).as("iv"))
         .orderBy("l_orderkey", "l_linenumber", "band", "co", "iv")),
 
-    // engine-specific hash implementations — golden-file test, no oracle
+    // scalar UDF surface (§2.L) — prefer built-ins everywhere else; this
+    // demonstrates registration. glob2like on metachar-free names reduces
+    // to appending '%', which the oracle can mirror.
+    "udf_scalar" -> ((s, dir) => {
+      val glob2like = udf((g: String) => graft.tsdb.TagFilters.glob2like(g))
+      Tables.part(s, dir)
+        .select(col("p_partkey"), glob2like(concat(col("p_name"), lit("*"))).as("pat"))
+        .orderBy("p_partkey")
+    }),
+
+    // engine-specific hash implementations — golden-value test, no oracle
     "fn_hash" -> ((s, dir) =>
       Tables.part(s, dir).select(
         col("p_partkey"),
@@ -289,6 +299,9 @@ object SetsFns {
             json_extract_string(props, '$.k')::INT AS k_int,
             '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
          FROM events ORDER BY event_id""",
+
+    "udf_scalar" ->
+      """SELECT p_partkey, p_name || '%' AS pat FROM part ORDER BY p_partkey""",
 
     "fn_conditional" ->
       """SELECT l_orderkey, l_linenumber,

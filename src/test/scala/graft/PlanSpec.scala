@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Physical-plan shape assertions — the scale contract (SURVEY §4).
+  * These queries must keep the plans that survive a 100 TB scale-up:
+  * filters pushed to the parquet scan, column pruning, broadcast for dim
+  * joins, partial aggregation, TakeOrderedAndProject for top-k, and no
+  * accidental cartesian products.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, sf).queryExecution.executedPlan.toString
+
+  private def optimized(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf)
+
+  test("scan_pruned pushes the time-range filter and prunes columns") {
+    val p = plan("scan_pruned")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), GreaterThanOrEqual(l_shipdate"),
+      s"missing pushed filter:\n$p")
+    // 3 projected columns + the filter column (needed for the residual
+    // filter); the other 7 lineitem columns must be pruned
+    assert(p.contains("ReadSchema") &&
+      p.split("ReadSchema:")(1).takeWhile(_ != '\n').split(",").length <= 4,
+      "scan must read only projected + filter columns")
+  }
+
+  test("dim joins broadcast the small side") {
+    assert(plan("join_broadcast").contains("BroadcastHashJoin"))
+    val q5 = plan("join_multiway")
+    assert(q5.contains("BroadcastHashJoin"), "nation/region must broadcast")
+  }
+
+  test("join hints are honored") {
+    assert(plan("join_shuffle_hash").contains("ShuffledHashJoin"))
+    assert(plan("join_sort_merge").contains("SortMergeJoin"))
+  }
+
+  test("band join is an equi join, not a cartesian product") {
+    val p = plan("join_theta_range")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval join degenerated to a product:\n$p")
+  }
+
+  test("aggregations do map-side partial aggregation") {
+    val p = plan("agg_hash_groupby")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+  }
+
+  test("ordered limit compiles to TakeOrderedAndProject") {
+    assert(plan("limit_topk").contains("TakeOrderedAndProject"))
+  }
+
+  test("kNN join blocks on the label key (hash or broadcast equi join)") {
+    val p = plan("llm_knn_join")
+    assert(!p.contains("CartesianProduct"), s"kNN must block on label:\n$p")
+  }
+
+  test("cosine top-k broadcasts the query vector and avoids shuffling the corpus") {
+    val p = plan("llm_sim_cosine_topk")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"),
+      s"query vector should be broadcast:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must not globally sort")
+  }
+
+  test("whole-stage codegen covers the hot projections") {
+    // AQE prints codegen spans only in the FINAL plan → execute first
+    val df = optimized("project_select")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // '*(n)' prefixes mark WholeStageCodegen stages in the compact form
+    assert(p.contains("WholeStageCodegen") || p.contains("*("),
+      s"projection fell out of codegen:\n$p")
+  }
+
+  test("events scan prunes columns for the downsample pipeline") {
+    val p = plan("tsdb_query_pipeline")
+    val read = p.split("ReadSchema:")(1).takeWhile(_ != '\n')
+    assert(!read.contains("props"), s"props must be pruned from the scan: $read")
+  }
+}
