@@ -1,0 +1,38 @@
+package graft.rel
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale helpers the 100 TB deployment leans on (SURVEY §4.2 layout +
+  * the brief's shuffle-minimization checklist): bucketed co-located
+  * joins and deterministic skew salting.
+  */
+object Scale {
+
+  /** Write both sides bucketed on the join key so subsequent joins are
+    * shuffle-free (Exchange-less SortMergeJoin). Bucketing survives in
+    * the table catalog — at 100 TB this turns every recurring fact⋈fact
+    * join on the key into a local merge. */
+  def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
+                    path: Option[String] = None): Unit = {
+    val w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+      .format("parquet")
+    path.fold(w)(p => w.option("path", p)).saveAsTable(table)
+  }
+
+  /** Deterministic salted join for skewed keys: the skewed (large) side
+    * gets a salt derived by hashing a set of distinguishing columns —
+    * NO randomness, so retries/speculative tasks agree — and the small
+    * side is replicated across all `salts`. The join key becomes
+    * (key, salt), spreading a hot key over `salts` reducers. AQE's
+    * skew-join handles moderate skew automatically; this is the explicit
+    * tool for pathological keys. */
+  def saltedJoin(large: DataFrame, small: DataFrame, key: String,
+                 salts: Int, saltSource: Seq[String]): DataFrame = {
+    val salted = large.withColumn("_salt",
+      pmod(xxhash64(saltSource.map(col): _*), lit(salts.toLong)))
+    val replicated = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit(salts.toLong - 1))))
+    salted.join(replicated, Seq(key, "_salt")).drop("_salt")
+  }
+}

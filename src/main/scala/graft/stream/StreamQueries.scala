@@ -19,6 +19,31 @@ object StreamQueries {
     "stream_foreachbatch_sink" -> ((s, dir) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
       Ingest.ingestWithCatalog(s, dir, tmp)
+    }),
+
+    // collector validation: synthesize deterministic defects (every 3rd
+    // point loses its ksid tag, every 5th gets a NaN value), run the real
+    // validators, count survivors — the oracle mirrors the construction
+    // analytically.
+    "ingest_validate" -> ((s, dir) => {
+      import org.apache.spark.sql.functions._
+      val ev = graft.core.Tables.events(s, dir)
+      val pts = ev.select(
+        col("event_type").as("metric"),
+        when(pmod(col("event_id"), lit(3)) === 0,
+          map(lit("user"), col("user_id").cast("string")))
+          .otherwise(map(lit("ksid"), lit("k0"), lit("user"), col("user_id").cast("string")))
+          .as("tags"),
+        col("ts_ms"),
+        when(pmod(col("event_id"), lit(5)) === 0, lit(Double.NaN))
+          .otherwise(col("value")).as("value"))
+      Validate.validatePoints(pts)
+        .groupBy("metric")
+        .agg(count(lit(1)).as("n"),
+          sum(col("is_valid").cast("long")).as("n_valid"),
+          sum(col("ksid_ok").cast("long")).as("n_ksid_ok"),
+          sum(col("value_ok").cast("long")).as("n_value_ok"))
+        .orderBy("metric")
     })
   )
 
@@ -63,6 +88,13 @@ object StreamQueries {
 
     "stream_foreachbatch_sink" ->
       """SELECT DISTINCT event_type AS metric, 'user=' || user_id AS tags_canonical
-         FROM events ORDER BY 1, 2"""
+         FROM events ORDER BY 1, 2""",
+
+    "ingest_validate" ->
+      """SELECT event_type AS metric, count(*) AS n,
+            CAST(SUM(CASE WHEN event_id % 3 <> 0 AND event_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
+            CAST(SUM(CASE WHEN event_id % 3 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_ksid_ok,
+            CAST(SUM(CASE WHEN event_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_value_ok
+         FROM events GROUP BY 1 ORDER BY 1"""
   )
 }

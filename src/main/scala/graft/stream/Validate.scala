@@ -1,0 +1,55 @@
+package graft.stream
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Ingest validation (mycenae collector semantics, SURVEY §1.1): charset
+  * rules on metric/tag names+values, required keyset tag, timestamp
+  * sanity bounds, numeric value checks; s→ms normalization. Invalid
+  * points are rejected with per-point error detail (the engine keeps
+  * them in a quarantine frame instead of HTTP 400s).
+  */
+object Validate {
+
+  /** mycenae/OpenTSDB identifier charset: alnum + `. _ - /`. */
+  val CharsetRe = "^[a-zA-Z0-9._/-]+$"
+
+  /** OpenTSDB accepts seconds or milliseconds; normalize to ms
+    * (10-digit-era values are seconds). Exact integer arithmetic. */
+  def normalizeTsMs(ts: Column): Column =
+    when(ts < 10000000000L, ts * 1000).otherwise(ts)
+
+  /** Timestamp sanity: 2000-01-01 .. 2100-01-01 in ms. */
+  def tsInBounds(tsMs: Column): Column =
+    tsMs >= 946684800000L && tsMs < 4102444800000L
+
+  /** Per-point validation verdicts over a points frame
+    * (metric, tags MAP, ts_ms, value). Adds boolean rule columns, an
+    * `errors` array of failed-rule names, and `is_valid`. */
+  def validatePoints(points: DataFrame, requiredTag: String = "ksid"): DataFrame = {
+    val metricOk = col("metric").rlike(CharsetRe)
+    val tagsOk = expr(
+      s"forall(map_keys(tags), k -> k rlike '$CharsetRe') AND " +
+      s"forall(map_values(tags), v -> v rlike '$CharsetRe')")
+    val ksidOk = expr(s"map_contains_key(tags, '$requiredTag')")
+    val tsOk = tsInBounds(col("ts_ms"))
+    val valueOk = col("value").isNotNull && !isnan(col("value"))
+    points
+      .withColumn("metric_ok", metricOk)
+      .withColumn("tags_ok", tagsOk)
+      .withColumn("ksid_ok", ksidOk)
+      .withColumn("ts_ok", tsOk)
+      .withColumn("value_ok", valueOk)
+      .withColumn("errors", array_compact(array(
+        when(!metricOk, "bad_metric"), when(!tagsOk, "bad_tag_charset"),
+        when(!ksidOk, s"missing_$requiredTag"), when(!tsOk, "ts_out_of_bounds"),
+        when(!valueOk, "bad_value"))))
+      .withColumn("is_valid", size(col("errors")) === 0)
+  }
+
+  /** Split into (accepted, quarantined) — the 204-vs-400 analog. */
+  def partition(validated: DataFrame): (DataFrame, DataFrame) =
+    (validated.where(col("is_valid")).drop("metric_ok", "tags_ok", "ksid_ok",
+      "ts_ok", "value_ok", "errors", "is_valid"),
+     validated.where(!col("is_valid")))
+}
