@@ -1,0 +1,49 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Golden-checksum tool for the queries WITHOUT a DuckDB oracle
+  * (hash-family, LSH internals, sketches — SURVEY §5.2 item 5).
+  *
+  * `graft.Golden gen` regenerates `src/test/resources/golden.json` at
+  * sf0.001; `GoldenSpec` asserts current outputs still match. The
+  * checksum is an MD5 over the ordered Row.toString stream — stable for
+  * a fixed JVM + fixture, which is exactly the regression contract
+  * between rounds.
+  */
+object Golden {
+  val GoldenPath = "src/test/resources/golden.json"
+
+  /** The no-oracle queries whose output is fully deterministic.
+    * (limit_sample and agg_approx_distinct_hll excluded: unordered pick /
+    * sketch internals; they have their own property tests.) */
+  val Tracked: Seq[String] = Seq(
+    "fn_hash", "llm_dedup_simhash", "llm_fingerprint",
+    "llm_dedup_near_minhash", "llm_sim_ann_lsh", "llm_multimodal_features")
+
+  def checksum(df: DataFrame): (Long, String) = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    var n = 0L
+    df.collect().foreach { r => md.update(r.toString.getBytes("UTF-8")); n += 1 }
+    (n, md.digest().map(b => f"$b%02x").mkString)
+  }
+
+  def compute(spark: SparkSession, sfDir: String): Map[String, (Long, String)] =
+    Tracked.map(q => q -> checksum(SparkEntry.queries(q)(spark, sfDir))).toMap
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val entries = compute(spark, "/root/testdata/sf0.001").toSeq.sortBy(_._1)
+      .map { case (q, (n, c)) => s"""  "$q": {"rows": $n, "md5": "$c"}""" }
+    Files.writeString(Paths.get(GoldenPath),
+      entries.mkString("{\n", ",\n", "\n}\n"))
+    println(s"wrote $GoldenPath")
+    spark.stop()
+  }
+}
