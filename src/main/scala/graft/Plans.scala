@@ -1,0 +1,36 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.SparkSession
+
+/** Dumps `explain("formatted")` for the headline queries to PLANS.md —
+  * the reviewable evidence that filters push down, dims broadcast,
+  * aggregation is partial→final, and top-k avoids global sorts. */
+object Plans {
+  val Headline = Seq(
+    "tsdb_query_pipeline", "scan_pruned", "join_multiway", "join_theta_range",
+    "join_asof", "agg_hash_groupby", "limit_topk", "llm_sim_cosine_topk",
+    "llm_knn_join", "llm_dedup_near_minhash")
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.001"
+    val out = new StringBuilder
+    out ++= "# Physical plans (sf0.001, `explain formatted`)\n\n"
+    out ++= "Regenerate with `tools/run.sh graft.Plans`.\n"
+    Headline.foreach { q =>
+      val df = SparkEntry.queries(q)(spark, sf)
+      val plan = df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+      out ++= s"\n## $q\n\n```\n$plan```\n"
+    }
+    Files.writeString(Paths.get("PLANS.md"), out.toString)
+    println("wrote PLANS.md")
+    spark.stop()
+  }
+}

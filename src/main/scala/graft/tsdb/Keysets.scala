@@ -1,0 +1,51 @@
+package graft.tsdb
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Keyset / keyspace management (SURVEY §1.1 multi-tenancy): keysets are
+  * metadata namespaces, keyspaces carry retention config. Here both are
+  * one registry table (parquet) keyed by ksid with `{ttl_ms,
+  * replication, created_ms}`; tenant isolation at the data layer is the
+  * `ksid` partition column (partition pruning = tenant routing).
+  */
+object Keysets {
+  private val Schema = "ksid STRING, ttl_ms BIGINT, replication INT, created_ms BIGINT"
+
+  def create(s: SparkSession, registryPath: String, ksid: String,
+             ttlMs: Long, replication: Int, nowMs: Long): Unit = {
+    require(ksid.matches(graft.stream.Validate.CharsetRe), s"invalid ksid: $ksid")
+    val row = s.createDataFrame(
+      java.util.List.of(org.apache.spark.sql.Row(ksid, ttlMs, replication, nowMs)),
+      org.apache.spark.sql.types.StructType.fromDDL(Schema))
+    val merged = try {
+      s.read.parquet(registryPath).where(col("ksid") =!= ksid).unionByName(row)
+    } catch { case _: Exception => row }
+    merged.persist().count()
+    merged.write.mode("overwrite").parquet(registryPath + ".tmp")
+    s.read.parquet(registryPath + ".tmp").write.mode("overwrite").parquet(registryPath)
+    merged.unpersist()
+  }
+
+  def list(s: SparkSession, registryPath: String): DataFrame =
+    s.read.parquet(registryPath).orderBy("ksid")
+
+  def drop(s: SparkSession, registryPath: String, ksid: String): Unit = {
+    val rest = s.read.parquet(registryPath).where(col("ksid") =!= ksid)
+    rest.persist().count()
+    rest.write.mode("overwrite").parquet(registryPath + ".tmp")
+    s.read.parquet(registryPath + ".tmp").write.mode("overwrite").parquet(registryPath)
+    rest.unpersist()
+  }
+
+  /** Apply a tenant's retention to its slice of a points table
+    * (partition-pruned scan by ksid + TTL predicate). */
+  def scanTenant(points: DataFrame, registry: DataFrame, ksid: String,
+                 nowMs: Long): DataFrame = {
+    val ttl = registry.where(col("ksid") === ksid)
+      .select("ttl_ms").collect().headOption
+      .map(_.getLong(0)).getOrElse(Long.MaxValue)
+    points.where(col("ksid") === ksid)
+      .where(col("ts_ms") >= lit(nowMs - ttl))
+  }
+}

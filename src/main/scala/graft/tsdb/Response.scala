@@ -1,0 +1,35 @@
+package graft.tsdb
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** OpenTSDB-style response shaping (SURVEY §1.1): each merge group
+  * becomes one result row `{metric, tags (common), aggregateTags[],
+  * dps: sorted [(ts, value)]}`. The dps assembly is a per-group
+  * sort_array(collect_list) — one hash aggregate over the (already
+  * tiny) merged frame. */
+object Response {
+
+  /** Shape a merged pipeline output (groupTag columns + bucket_ms +
+    * value) into response rows. `aggregateTags` = the tag keys that were
+    * collapsed by the merge (present on the series, absent from the
+    * groupBy), reported as a constant array — same as the reference. */
+  def shape(merged: DataFrame, metric: String, groupTags: Seq[String],
+            aggregateTags: Seq[String]): DataFrame = {
+    val tagCols =
+      if (groupTags.isEmpty) map().cast("map<string,string>")
+      else map(groupTags.flatMap(k => Seq(lit(k), col(s"tag_$k").cast("string"))): _*)
+    val grouped =
+      if (groupTags.isEmpty) merged.groupBy()
+      else merged.groupBy(groupTags.map(k => col(s"tag_$k")): _*)
+    grouped
+      .agg(sort_array(collect_list(struct(col("bucket_ms").as("ts"),
+        col("value")))).as("dps"))
+      .withColumn("metric", lit(metric))
+      .withColumn("tags", tagCols)
+      .withColumn("aggregateTags",
+        if (aggregateTags.isEmpty) array().cast("array<string>")
+        else array(aggregateTags.map(lit): _*))
+      .select("metric", "tags", "aggregateTags", "dps")
+  }
+}

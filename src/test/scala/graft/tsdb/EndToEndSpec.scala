@@ -1,0 +1,75 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** End-to-end storage fidelity: ingest events into the partitioned
+  * layout (EP1'), query the store through the pipeline (EP2'), and get
+  * exactly the same result as querying the source directly. Plus
+  * response shaping and keyset lifecycle. */
+class EndToEndSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("store round-trip: partitioned sink → pipeline ≡ direct pipeline") {
+    val out = java.nio.file.Files.createTempDirectory("graft_store_").toString
+    graft.stream.Ingest.writePartitioned(spark, sf, out)
+    val fromStore = {
+      val ev = spark.read.parquet(out)
+        .where(col("event_type").isin("click", "view"))
+      MergeRate.merge(
+        Downsample(ev, Seq("event_type", "user_id"), 3600000L, "avg"),
+        Seq("event_type"), "sum")
+        .select("event_type", "bucket_ms", "value")
+    }
+    val direct = Pipeline.flagship(spark, sf)
+    val a = fromStore.orderBy("event_type", "bucket_ms")
+      .as[(String, Long, Double)].collect().toSeq
+    val b = direct.as[(String, Long, Double)].collect().toSeq
+    assert(a == b, "partitioned store must be query-equivalent to the source")
+    // and the partition filter prunes at scan time
+    val plan = spark.read.parquet(out).where(col("event_type") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(event_type"),
+      s"partition pruning missing:\n$plan")
+  }
+
+  test("response shaping: {metric, tags, aggregateTags, dps} per group") {
+    val merged = MergeRate.merge(
+      Downsample(Tables.events(spark, sf).where(col("event_type") === "click"),
+        Seq("event_type", "user_id"), 3600000L, "avg"),
+      Seq("event_type"), "sum")
+      .withColumnRenamed("event_type", "tag_event_type")
+    val resp = Response.shape(merged, "click", Seq("event_type"), Seq("user"))
+    val row = resp.collect().head
+    assert(row.getAs[String]("metric") == "click")
+    assert(row.getAs[Map[String, String]]("tags") == Map("event_type" -> "click"))
+    assert(row.getAs[scala.collection.Seq[String]]("aggregateTags").toSeq == Seq("user"))
+    val dps = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("dps")
+    assert(dps.nonEmpty && dps.map(_.getLong(0)).sliding(2).forall(p => p.head <= p.last),
+      "dps must be time-sorted")
+  }
+
+  test("keyset lifecycle: create, overwrite, list, drop, tenant scan with TTL") {
+    val reg = java.nio.file.Files.createTempDirectory("graft_ks_").toString + "/registry"
+    val now = Tables.NowMs
+    Keysets.create(spark, reg, "tenant_a", ttlMs = 7L * 86400000, replication = 3, now)
+    Keysets.create(spark, reg, "tenant_b", ttlMs = 30L * 86400000, replication = 3, now)
+    Keysets.create(spark, reg, "tenant_a", ttlMs = 14L * 86400000, replication = 3, now)
+    val listed = Keysets.list(spark, reg).as[(String, Long, Int, Long)].collect()
+    assert(listed.map(_._1).toSeq == Seq("tenant_a", "tenant_b"))
+    assert(listed.head._2 == 14L * 86400000, "create must upsert")
+    intercept[IllegalArgumentException](
+      Keysets.create(spark, reg, "bad ksid!", 1L, 1, now))
+    // tenant scan applies the tenant's TTL
+    val pts = Tables.events(spark, sf)
+      .select(lit("tenant_a").as("ksid"), col("ts_ms"), col("value"))
+    val scanned = Keysets.scanTenant(pts, Keysets.list(spark, reg), "tenant_a", now)
+    val cutoff = now - 14L * 86400000
+    assert(scanned.agg(min("ts_ms")).as[Long].head() >= cutoff)
+    assert(scanned.count() ==
+      pts.where(col("ts_ms") >= cutoff).count())
+    Keysets.drop(spark, reg, "tenant_b")
+    assert(Keysets.list(spark, reg).count() == 1)
+  }
+}
