@@ -180,7 +180,36 @@ object LlmQueries {
 
     // mapPartitions decode-stub plumbing (checksum impl-specific → rows-only)
     "llm_multimodal_features" -> ((s, dir) =>
-      Multimodal.features(s, dir).orderBy("id"))
+      Multimodal.features(s, dir).orderBy("id")),
+
+    // deterministic stratified sampling: every 5th doc per language
+    // (row_number over doc_id) — reproducible without RNG state
+    "llm_sample_stratified" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .where(pmod(col("rn"), lit(5)) === 1)
+        .select("lang", "doc_id", "rn")
+        .orderBy("lang", "doc_id")
+    }),
+
+    // weighted mixture: upweight one slice by replication (epoch mixing)
+    "llm_mixture_weighted" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select("doc_id", "lang")
+      d.withColumn("copy", lit(0L))
+        .unionByName(d.where(col("lang") === "en").withColumn("copy", lit(1L)))
+        .orderBy("doc_id", "copy")
+    }),
+
+    // deterministic train/val split on the stable id
+    "llm_train_val_split" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("split",
+          when(pmod(col("doc_id"), lit(100)) < 90, "train").otherwise("val"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
+        .orderBy("lang", "split"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -315,6 +344,23 @@ object LlmQueries {
           JOIN n ON n.vec_id = e.vec_id
           WHERE d.lang = 'en' AND e.label < 5
           ORDER BY d.doc_id""",
+
+    "llm_sample_stratified" ->
+      """WITH r AS (SELECT lang, doc_id,
+            CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
+          FROM documents)
+         SELECT lang, doc_id, rn FROM r WHERE rn % 5 = 1 ORDER BY lang, doc_id""",
+
+    "llm_mixture_weighted" ->
+      """SELECT doc_id, lang, CAST(0 AS BIGINT) AS copy FROM documents
+         UNION ALL
+         SELECT doc_id, lang, CAST(1 AS BIGINT) AS copy FROM documents WHERE lang = 'en'
+         ORDER BY doc_id, copy""",
+
+    "llm_train_val_split" ->
+      """SELECT lang, CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'val' END AS split,
+            count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
+         FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "llm_multimodal_meta" ->
       """SELECT doc_id,
