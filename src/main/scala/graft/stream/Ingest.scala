@@ -48,12 +48,22 @@ object Ingest {
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
     * sink; returns the sink contents. `mode` = complete for aggregations,
-    * append otherwise. */
+    * append otherwise.
+    *
+    * Stateful streaming allocates one state-store partition per shuffle
+    * partition — at local fixture scale the per-partition store init
+    * dominates, so the stream runs with a smaller shuffle width (state
+    * partitioning is fixed at first run by the checkpoint anyway; on a
+    * real cluster this is sized to executor count once, up front). */
   def runToMemory(s: SparkSession, streamed: DataFrame, mode: String): DataFrame = {
     val name = s"graft_sink_${sinkId.incrementAndGet()}"
-    val q = streamed.writeStream.format("memory").queryName(name)
-      .outputMode(mode).trigger(Trigger.AvailableNow()).start()
-    q.awaitTermination()
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = streamed.writeStream.format("memory").queryName(name)
+        .outputMode(mode).trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name)
   }
 

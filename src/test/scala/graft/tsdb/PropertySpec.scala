@@ -1,0 +1,102 @@
+package graft.tsdb
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based TSDB invariants (SURVEY §5.2 item 3) over generated
+  * point sets. Each property materializes the generated points into a
+  * DataFrame and checks the pipeline algebra. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val genPoints: Gen[List[(Long, Long, Double)]] = for {
+    n <- Gen.choose(1, 60)
+    pts <- Gen.listOfN(n, for {
+      user <- Gen.choose(1L, 3L)
+      ts <- Gen.choose(0L, 10L * 3600000)
+      v <- Gen.choose(-1000000L, 1000000L).map(_ / 100.0) // 2dp-exact doubles
+    } yield (user, ts, v))
+  } yield pts
+
+  private def run(prop: Prop): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+    assert(res.passed, res.status.toString)
+  }
+
+  test("downsample(sum) ∘ merge(sum) conserves the total sum") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        val merged = MergeRate.merge(
+          Downsample(df, Seq("user"), 3600000L, "sum"), Nil, "sum")
+        val total = merged.agg(sum(graft.core.D.dec(col("value")))).as[java.math.BigDecimal]
+          .head()
+        val expected = pts.map(p => BigDecimal(p._3).setScale(4)).sum
+        BigDecimal(total) == expected
+      }
+    })
+  }
+
+  test("downsample(count) partitions the points: bucket counts sum to n") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        val ds = Downsample(df, Seq("user"), 3600000L, "count")
+        ds.agg(sum("value")).as[Long].head() == pts.length
+      }
+    })
+  }
+
+  test("downsample(min) ≤ downsample(avg) ≤ downsample(max) per bucket") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        def d(agg: String) = Downsample(df, Seq("user"), 3600000L, agg)
+          .withColumnRenamed("value", agg)
+        val joined = d("min").join(d("avg"), Seq("user", "bucket_ms"))
+          .join(d("max"), Seq("user", "bucket_ms"))
+        // avg is 4dp-rounded → allow half-ulp-of-rounding slack
+        joined.where(col("avg") < col("min") - 0.00005 ||
+          col("avg") > col("max") + 0.00005).count() == 0
+      }
+    })
+  }
+
+  test("rate of a monotonic counter is never negative") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        // cumulative |v| per user ordered by ts makes a monotonic counter
+        val df = pts.toDF("user", "ts_ms", "value")
+          .withColumn("rn", row_number().over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user").orderBy("ts_ms", "value")))
+          .withColumn("counter", sum(abs(graft.core.D.dec(col("value")))).over(
+            org.apache.spark.sql.expressions.Window
+              .partitionBy("user").orderBy("ts_ms", "rn")
+              .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0))
+            .cast("double"))
+          // unique bucket per row so rate is defined row-to-row
+          .select(col("user"), (col("rn") * 60000L).as("bucket_ms"),
+            col("counter").as("value"))
+        MergeRate.rate(df, Seq("user"))
+          .where(col("rate") < 0).count() == 0
+      }
+    })
+  }
+
+  test("fill=zero adds exactly the missing buckets, fill=none adds none") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        val ds = Downsample(df, Seq("user"), 3600000L, "sum")
+        val t1 = 10L * 3600000
+        val users = ds.select("user").distinct().count()
+        val zero = Downsample.withFill(spark, ds, Seq("user"), 3600000L, 0L, t1, "zero")
+        zero.count() == users * 10 &&
+          Downsample.withFill(spark, ds, Seq("user"), 3600000L, 0L, t1, "none")
+            .count() == ds.count()
+      }
+    })
+  }
+}
