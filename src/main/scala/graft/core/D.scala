@@ -21,13 +21,26 @@ object D {
   /** CAST(x AS DECIMAL(18,4)) — exact, order-independent addition. */
   def dec(c: Column): Column = c.cast(DecimalType(18, 4))
 
+  /** Cross-engine-safe 4dp rounding: `round(x*10⁴, 0)/10⁴`.
+    *
+    * Plain `round(x, 4)` DIVERGES between Spark and DuckDB when the
+    * double's shortest decimal representation ends in a 5 at the 5th
+    * decimal (Spark rounds the shortest-repr BigDecimal, DuckDB the raw
+    * double) — observed once in 600k rows at sf0.1. After scaling, a
+    * ".5" shortest repr can only occur when the double IS exactly N.5
+    * (N.5 is representable), where both engines round half away from
+    * zero — so integer-scale rounding agrees on every input. Both sides
+    * must compute the identical expression shape: (x) * 10000.0 first. */
+  def r4s(c: Column): Column = round(c * lit(10000.0), 0) / 10000.0
+  def oR4(x: String): String = s"ROUND(($x) * 10000.0, 0) / 10000.0"
+
   /** Order-independent sum of a double column, emitted as DOUBLE.
     * Oracle side: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */
   def sumDec(c: Column): Column = sum(dec(c)).cast("double")
 
   /** Order-independent mean, rounded to 4dp.
     * Oracle: `ROUND(CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)/COUNT(x), 4)`. */
-  def avgDec(c: Column): Column = round(sum(dec(c)).cast("double") / count(c), 4)
+  def avgDec(c: Column): Column = r4s(sum(dec(c)).cast("double") / count(c))
 
   /** Sample variance from decimal sums (native stddev is float-order
     * dependent). var = (Σx² − (Σx)²/n) / (n−1), computed in DOUBLE at the
@@ -36,28 +49,28 @@ object D {
     val n = count(c).cast("double")
     val sx = sum(dec(c)).cast("double")
     val sxx = sum(dec(c) * dec(c)).cast("double")
-    round((sxx - sx * sx / n) / (n - lit(1.0)), 4)
+    r4s((sxx - sx * sx / n) / (n - lit(1.0)))
   }
 
   def stddevSampDec(c: Column): Column = {
     val n = count(c).cast("double")
     val sx = sum(dec(c)).cast("double")
     val sxx = sum(dec(c) * dec(c)).cast("double")
-    round(sqrt((sxx - sx * sx / n) / (n - lit(1.0))), 4)
+    r4s(sqrt((sxx - sx * sx / n) / (n - lit(1.0))))
   }
 
-  /** Round a final double ratio to 4dp (D3). */
-  def r4(c: Column): Column = round(c, 4)
+  /** Round a final double ratio to 4dp (D3) — see [[r4s]]. */
+  def r4(c: Column): Column = r4s(c)
 
   // Oracle-SQL fragment builders (keep Spark + DuckDB text in one place).
   def oSumDec(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
-  def oAvgDec(x: String): String = s"ROUND(${oSumDec(x)} / COUNT($x), 4)"
+  def oAvgDec(x: String): String = oR4(s"${oSumDec(x)} / COUNT($x)")
   def oVarSampDec(x: String): String = {
     val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($x AS DECIMAL(19,4))) AS DOUBLE)"
-    s"ROUND(($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0), 4)"
+    oR4(s"($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0)")
   }
   def oStddevSampDec(x: String): String = {
     val sx = oSumDec(x); val sxx = s"CAST(SUM(CAST($x AS DECIMAL(19,4)) * CAST($x AS DECIMAL(19,4))) AS DOUBLE)"
-    s"ROUND(SQRT(($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0)), 4)"
+    oR4(s"SQRT(($sxx - $sx*$sx/CAST(COUNT($x) AS DOUBLE)) / (CAST(COUNT($x) AS DOUBLE)-1.0))")
   }
 }

@@ -63,7 +63,7 @@ object Dedup {
   def jaccard(a: Column, b: Column): Column = {
     val inter = size(array_intersect(a, b)).cast("double")
     val uni = size(array_union(a, b)).cast("double")
-    round(inter / uni, 4)
+    graft.core.D.r4s(inter / uni)
   }
 
   /** MinHash-LSH near-duplicate candidate pairs, verified by exact

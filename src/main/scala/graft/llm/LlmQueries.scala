@@ -52,7 +52,7 @@ object LlmQueries {
         .join(sz.select((col("doc_id") - 1).as("a_id"), col("nw").as("nb")), "a_id")
         .select(col("a_id"), (col("a_id") + 1).as("b_id"), col("na"), col("nb"),
           col("inter"),
-          round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("j"))
+          graft.core.D.r4s(col("inter").cast("double") / (col("na") + col("nb") - col("inter"))).as("j"))
         .orderBy("a_id")
     }),
 
@@ -77,7 +77,7 @@ object LlmQueries {
       Tables.embeddings(s, dir)
         .withColumn("nrm", Similarity.normExpr("embedding"))
         .select(col("vec_id"),
-          round(col("nrm"), 4).as("norm"),
+          graft.core.D.r4s(col("nrm")).as("norm"),
           Similarity.normalized("embedding", "nrm").as("unit"))
         .orderBy("vec_id")),
 
@@ -96,7 +96,7 @@ object LlmQueries {
       val n = docs.agg(count(lit(1)).as("n_docs"))
       tf.join(dfreq, "term").crossJoin(n)
         .select(col("doc_id"), col("term"), col("tf"),
-          round(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1)), 4).as("score"))
+          graft.core.D.r4s(col("tf") * log((col("n_docs") + 1).cast("double") / (col("df") + 1))).as("score"))
         .orderBy("doc_id", "term")
     }),
 
@@ -104,7 +104,7 @@ object LlmQueries {
       Tables.documents(s, dir)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
-          round(sum(col("n_chars")).cast("double") / count(lit(1)), 4).as("avg_chars"),
+          graft.core.D.r4s(sum(col("n_chars")).cast("double") / count(lit(1))).as("avg_chars"),
           countDistinct(col("source")).as("n_sources"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang")),
@@ -131,10 +131,10 @@ object LlmQueries {
       Tables.documents(s, dir).select(
         col("doc_id"),
         nw.as("n_words"),
-        round((col("n_chars") - (nw - 1)).cast("double") / nw, 4).as("avg_word_len"),
-        round(stops.cast("double") / nw, 4).as("stop_ratio"),
-        round(least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
-          (stops.cast("double") / nw) * 0.5, 4).as("quality"))
+        graft.core.D.r4s((col("n_chars") - (nw - 1)).cast("double") / nw).as("avg_word_len"),
+        graft.core.D.r4s(stops.cast("double") / nw).as("stop_ratio"),
+        graft.core.D.r4s(least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
+          (stops.cast("double") / nw) * 0.5).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -166,7 +166,7 @@ object LlmQueries {
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
         .where(col("lang") === "en" && col("label") < 5)
         .select(col("doc_id"), col("lang"), col("label").cast("long").as("label"),
-          col("n_chars"), round(Similarity.normExpr("embedding"), 4).as("norm"))
+          col("n_chars"), graft.core.D.r4s(Similarity.normExpr("embedding")).as("norm"))
         .orderBy("doc_id")),
 
     "llm_multimodal_meta" -> ((s, dir) =>
@@ -225,7 +225,7 @@ object LlmQueries {
                    GROUP BY 1),
          sz AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM w)
          SELECT i.a_id, i.a_id + 1 AS b_id, sa.nw AS na, sb.nw AS nb, i.inter,
-                ROUND(CAST(i.inter AS DOUBLE) / (sa.nw + sb.nw - i.inter), 4) AS j
+                ROUND((CAST(i.inter AS DOUBLE) / (sa.nw + sb.nw - i.inter)) * 10000.0, 0) / 10000.0 AS j
          FROM inter i
          JOIN sz sa ON sa.doc_id = i.a_id
          JOIN sz sb ON sb.doc_id = i.a_id + 1
@@ -241,8 +241,8 @@ object LlmQueries {
                       AS DECIMAL(18,4))) AS dot
                 FROM embeddings e, q, range(1, 65) r(i) GROUP BY 1)
           SELECT p.vec_id,
-                 ROUND(CAST(p.dot AS DOUBLE) /
-                       (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE))), 4) AS sim
+                 ROUND((CAST(p.dot AS DOUBLE) /
+                       (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 AS sim
           FROM p JOIN n ON n.vec_id = p.vec_id CROSS JOIN nq
           ORDER BY sim DESC, p.vec_id LIMIT 10""",
 
@@ -255,8 +255,8 @@ object LlmQueries {
                   ON a.label = b.label AND a.vec_id <> b.vec_id, range(1, 65) r(i)
                 GROUP BY 1, 2),
           sim AS (SELECT p.a_id, p.b_id,
-                    ROUND(CAST(p.dot AS DOUBLE) /
-                          (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE))), 4) AS sim
+                    ROUND((CAST(p.dot AS DOUBLE) /
+                          (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 AS sim
                   FROM p JOIN n na ON na.vec_id = p.a_id JOIN n nb ON nb.vec_id = p.b_id),
           r AS (SELECT a_id, b_id, sim,
                   CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS BIGINT) AS rn
@@ -266,9 +266,9 @@ object LlmQueries {
 
     "llm_embed_normalize" ->
       s"""WITH $NormCte
-          SELECT e.vec_id, ROUND(SQRT(CAST(n.d2 AS DOUBLE)), 4) AS norm,
+          SELECT e.vec_id, ROUND(SQRT(CAST(n.d2 AS DOUBLE)) * 10000.0, 0) / 10000.0 AS norm,
                  list_transform(e.embedding,
-                   x -> round(CAST(x AS DOUBLE) / SQRT(CAST(n.d2 AS DOUBLE)), 4)) AS unit
+                   x -> round((CAST(x AS DOUBLE) / SQRT(CAST(n.d2 AS DOUBLE))) * 10000.0, 0) / 10000.0) AS unit
           FROM embeddings e JOIN n ON n.vec_id = e.vec_id
           ORDER BY e.vec_id""",
 
@@ -283,13 +283,13 @@ object LlmQueries {
          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          n AS (SELECT count(*) AS n_docs FROM documents)
          SELECT tf.doc_id, tf.term, tf.tf,
-                ROUND(tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1)), 4) AS score
+                ROUND((tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))) * 10000.0, 0) / 10000.0 AS score
          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
          ORDER BY tf.doc_id, tf.term""",
 
     "llm_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
-            ROUND(CAST(SUM(n_chars) AS DOUBLE) / count(*), 4) AS avg_chars,
+            ROUND((CAST(SUM(n_chars) AS DOUBLE) / count(*)) * 10000.0, 0) / 10000.0 AS avg_chars,
             count(DISTINCT source) AS n_sources,
             CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
@@ -318,10 +318,10 @@ object LlmQueries {
                  x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
           FROM documents)
          SELECT doc_id, n_words,
-            ROUND(CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words, 4) AS avg_word_len,
-            ROUND(CAST(stops AS DOUBLE) / n_words, 4) AS stop_ratio,
-            ROUND(least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
-                  (CAST(stops AS DOUBLE) / n_words) * 0.5, 4) AS quality
+            ROUND((CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 AS avg_word_len,
+            ROUND((CAST(stops AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 AS stop_ratio,
+            ROUND((least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
+                  (CAST(stops AS DOUBLE) / n_words) * 0.5) * 10000.0, 0) / 10000.0 AS quality
          FROM b ORDER BY doc_id""",
 
     "llm_token_count" ->
@@ -338,7 +338,7 @@ object LlmQueries {
     "llm_multimodal_join" ->
       s"""WITH $NormCte
           SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label, d.n_chars,
-                 ROUND(SQRT(CAST(n.d2 AS DOUBLE)), 4) AS norm
+                 ROUND(SQRT(CAST(n.d2 AS DOUBLE)) * 10000.0, 0) / 10000.0 AS norm
           FROM documents d
           JOIN embeddings e ON d.doc_id = e.vec_id
           JOIN n ON n.vec_id = e.vec_id

@@ -43,7 +43,7 @@ object Similarity {
 
   /** cosine from a pair dot product and two PRECOMPUTED norm columns. */
   def cosineFrom(dot: Column, na: Column, nb: Column): Column =
-    round(dot / (na * nb), 4)
+    graft.core.D.r4s(dot / (na * nb))
 
   /** cosine = dot / (|a| * |b|), rounded 4dp (self-contained form; prefer
     * precomputed norms in joins). */
@@ -112,5 +112,5 @@ object Similarity {
     * column — don't inline the norm expression, transform would
     * re-evaluate it per element), rounded 4dp. */
   def normalized(embedding: String, normCol: String): Column =
-    expr(s"transform($embedding, x -> round(CAST(x AS DOUBLE) / $normCol, 4))")
+    expr(s"transform($embedding, x -> round((CAST(x AS DOUBLE) / $normCol) * 10000.0, 0) / 10000.0)")
 }

@@ -27,8 +27,9 @@ object Aggs {
     def merge(x: (BigDecimal, BigDecimal), y: (BigDecimal, BigDecimal)): (BigDecimal, BigDecimal) =
       (x._1 + y._1, x._2 + y._2)
     def finish(b: (BigDecimal, BigDecimal)): Double =
-      BigDecimal(b._1.toDouble / b._2.toDouble)
-        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+      // same scaled-integer rounding as D.r4s / D.oR4 (cross-engine safe)
+      BigDecimal((b._1.toDouble / b._2.toDouble) * 10000.0)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0
     def bufferEncoder = org.apache.spark.sql.Encoders.product[(BigDecimal, BigDecimal)]
     def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
@@ -119,9 +120,9 @@ object Aggs {
         .groupBy("event_type")
         .agg(expr("percentile(value, array(0.5D, 0.95D, 0.99D))").as("pct"))
         .select(col("event_type"),
-          round(element_at(col("pct"), 1), 4).as("p50"),
-          round(element_at(col("pct"), 2), 4).as("p95"),
-          round(element_at(col("pct"), 3), 4).as("p99"))
+          D.r4s(element_at(col("pct"), 1)).as("p50"),
+          D.r4s(element_at(col("pct"), 2)).as("p95"),
+          D.r4s(element_at(col("pct"), 3)).as("p99"))
         .orderBy("event_type")),
 
     "agg_stddev_var" -> ((s, dir) =>
@@ -215,8 +216,9 @@ object Aggs {
     "agg_percentile_exact" ->
       """WITH q AS (SELECT event_type, quantile_cont(value, [0.5, 0.95, 0.99]) AS pct
                     FROM events GROUP BY 1)
-         SELECT event_type, round(pct[1], 4) AS p50, round(pct[2], 4) AS p95,
-                round(pct[3], 4) AS p99
+         SELECT event_type, ROUND(pct[1] * 10000.0, 0) / 10000.0 AS p50,
+                ROUND(pct[2] * 10000.0, 0) / 10000.0 AS p95,
+                ROUND(pct[3] * 10000.0, 0) / 10000.0 AS p99
          FROM q ORDER BY 1""",
 
     "agg_stddev_var" ->
@@ -236,7 +238,7 @@ object Aggs {
 
     "agg_custom_typed" ->
       s"""SELECT l_returnflag,
-            ROUND(${D.oSumDec("l_extendedprice * l_quantity")} / ${D.oSumDec("l_quantity")}, 4) AS wavg_price
+            ${D.oR4(s"${D.oSumDec("l_extendedprice * l_quantity")} / ${D.oSumDec("l_quantity")}")} AS wavg_price
           FROM lineitem GROUP BY 1 ORDER BY 1"""
   )
 }

@@ -78,10 +78,10 @@ object SetsFns {
         abs(col("l_discount") - 0.05).as("ab"),
         ceil(col("l_extendedprice")).cast("long").as("ce"),
         floor(col("l_extendedprice")).cast("long").as("fl"),
-        round(sqrt(col("l_quantity")), 4).as("sq"),
-        round(exp(col("l_discount")), 4).as("ex"),
-        round(log(col("l_extendedprice")), 4).as("ln_"),
-        round(log10(col("l_extendedprice")), 4).as("lg"),
+        graft.core.D.r4s(sqrt(col("l_quantity"))).as("sq"),
+        graft.core.D.r4s(exp(col("l_discount"))).as("ex"),
+        graft.core.D.r4s(log(col("l_extendedprice"))).as("ln_"),
+        graft.core.D.r4s(log10(col("l_extendedprice"))).as("lg"),
         pow(col("l_quantity"), 2).as("pw"),
         pmod(col("l_orderkey"), lit(7)).as("pm"),
         signum(col("l_discount") - 0.05).cast("long").as("sg"),
@@ -117,8 +117,8 @@ object SetsFns {
                  AS DOUBLE)""").as("dot_rev"),
         expr("size(filter(embedding, x -> x > CAST(0.5 AS FLOAT)))")
           .cast("long").as("n_gt_half"),
-        expr("transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 4))").as("scaled"))
-        .withColumn("norm", round(sqrt(col("dot_self")), 4))
+        expr("transform(embedding, x -> round((CAST(x AS DOUBLE) * 2) * 10000.0, 0) / 10000.0)").as("scaled"))
+        .withColumn("norm", graft.core.D.r4s(sqrt(col("dot_self"))))
         .orderBy("vec_id")),
 
     "fn_explode" -> ((s, dir) =>
@@ -239,10 +239,10 @@ object SetsFns {
             abs(l_discount - 0.05) AS ab,
             CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
             CAST(floor(l_extendedprice) AS BIGINT) AS fl,
-            round(sqrt(l_quantity), 4) AS sq,
-            round(exp(l_discount), 4) AS ex,
-            round(ln(l_extendedprice), 4) AS ln_,
-            round(log10(l_extendedprice), 4) AS lg,
+            ROUND(sqrt(l_quantity) * 10000.0, 0) / 10000.0 AS sq,
+            ROUND(exp(l_discount) * 10000.0, 0) / 10000.0 AS ex,
+            ROUND(ln(l_extendedprice) * 10000.0, 0) / 10000.0 AS ln_,
+            ROUND(log10(l_extendedprice) * 10000.0, 0) / 10000.0 AS lg,
             pow(l_quantity, 2) AS pw,
             l_orderkey % 7 AS pm,
             CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
@@ -272,12 +272,12 @@ object SetsFns {
            FROM embeddings e, range(1, 65) r(i)
            GROUP BY e.vec_id),
          t AS (SELECT vec_id,
-                  list_transform(embedding, x -> round(CAST(x AS DOUBLE) * 2, 4)) AS scaled
+                  list_transform(embedding, x -> round((CAST(x AS DOUBLE) * 2) * 10000.0, 0) / 10000.0) AS scaled
                FROM embeddings)
          SELECT p.vec_id, CAST(p.dot_dec AS DOUBLE) AS dot_self,
                 CAST(p.rev_dec AS DOUBLE) AS dot_rev,
                 p.n_gt_half, t.scaled,
-                round(sqrt(CAST(p.dot_dec AS DOUBLE)), 4) AS norm
+                ROUND(sqrt(CAST(p.dot_dec AS DOUBLE)) * 10000.0, 0) / 10000.0 AS norm
          FROM p JOIN t ON p.vec_id = t.vec_id ORDER BY p.vec_id""",
 
     "fn_explode" ->

@@ -47,8 +47,8 @@ object Windows {
         .rowsBetween(-3, 0)
       Tables.orders(s, dir)
         .select(col("o_custkey"), col("o_orderkey"),
-          round(sum(D.dec(col("o_totalprice"))).over(w).cast("double")
-            / count(lit(1)).over(w), 4).as("mavg"))
+          D.r4s(sum(D.dec(col("o_totalprice"))).over(w).cast("double")
+            / count(lit(1)).over(w)).as("mavg"))
         .orderBy("o_custkey", "o_orderkey")
     }),
 
@@ -159,8 +159,8 @@ object Windows {
 
     "win_moving_avg_rows" ->
       """SELECT o_custkey, o_orderkey,
-            ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
-                  / COUNT(1) OVER w, 4) AS mavg
+            ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
+                  / COUNT(1) OVER w) * 10000.0, 0) / 10000.0 AS mavg
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)

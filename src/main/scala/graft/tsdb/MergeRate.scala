@@ -44,6 +44,6 @@ object MergeRate {
     } else rawDelta
     val dtSec = (col(bucketCol) - prevT).cast("double") / 1000.0
     df.withColumn("rate",
-      when(prevT.isNull, lit(null)).otherwise(round(delta0 / dtSec, 4)))
+      when(prevT.isNull, lit(null)).otherwise(graft.core.D.r4s(delta0 / dtSec)))
   }
 }

@@ -143,8 +143,8 @@ object TsdbQueries {
                    ${D.oSumDec("value")} AS value
             FROM events WHERE event_type = 'click' GROUP BY 1, 2)
           SELECT user_id, bucket_ms, value,
-                 ROUND((value - lag(value) OVER w)
-                       / ((bucket_ms - lag(bucket_ms) OVER w) / 1000.0), 4) AS rate
+                 ROUND(((value - lag(value) OVER w)
+                       / ((bucket_ms - lag(bucket_ms) OVER w) / 1000.0)) * 10000.0, 0) / 10000.0 AS rate
           FROM ds WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
           ORDER BY 1, 2""",
 
@@ -167,7 +167,7 @@ object TsdbQueries {
                    (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS dt
             FROM ds WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms))
           SELECT user_id, bucket_ms, value,
-                 ROUND(CASE WHEN delta < 0 THEN delta + 1000 ELSE delta END / dt, 4) AS rate
+                 ROUND((CASE WHEN delta < 0 THEN delta + 1000 ELSE delta END / dt) * 10000.0, 0) / 10000.0 AS rate
           FROM d ORDER BY 1, 2""",
 
     "tsdb_query_pipeline" ->
