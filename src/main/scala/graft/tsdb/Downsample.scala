@@ -51,8 +51,16 @@ object Downsample {
     */
   def withFill(spark: SparkSession, downsampled: DataFrame,
                seriesCols: Seq[String], intervalMs: Long,
-               t0Ms: Long, t1Ms: Long, fill: String): DataFrame = {
+               t0Ms: Long, t1Ms: Long, fill: String,
+               maxBuckets: Long = 100000L): DataFrame = {
     if (fill == "none") return downsampled
+    // maxDataPoints-style cap (the reference bounds result size the same
+    // way): the filled grid is buckets × series — an unbounded range
+    // over a long retention would explode it
+    val nBuckets = (t1Ms - t0Ms + intervalMs - 1) / intervalMs
+    require(nBuckets <= maxBuckets,
+      s"fill spine would have $nBuckets buckets (> $maxBuckets); " +
+        "narrow the time range or coarsen the interval")
     val spine = spark.range(t0Ms - (t0Ms % intervalMs), t1Ms, intervalMs)
       .toDF("bucket_ms")
     val series = downsampled.select(seriesCols.map(col): _*).distinct()

@@ -51,6 +51,15 @@ class TsdbSpec extends SparkSpec {
     assert(filled.map(_.getAs[Double]("value")).toSeq == Seq(0.0, 2.0, 0.0, 0.0))
   }
 
+  test("fill spine enforces the maxDataPoints-style cap") {
+    val df = pts(("m", 1L, 0L, 1.0))
+    val ds = Downsample(df, Seq("user"), 1000L, "sum")
+    intercept[IllegalArgumentException] {
+      Downsample.withFill(spark, ds, Seq("user"), 1000L,
+        0L, 365L * 86400000L, "zero", maxBuckets = 10000L)
+    }
+  }
+
   test("rate: plain deltas and counter wrap / reset suppression") {
     val ds = Seq((1L, 0L, 10.0), (1L, 60000L, 70.0), (1L, 120000L, 10.0))
       .toDF("user", "bucket_ms", "value")
