@@ -1,9 +1,19 @@
 package graft.tsdb
 
-/** Typed mirror of the mycenae/OpenTSDB query JSON (SURVEY.md §3.1 EP2).
-  * These case classes are the planner input; the planner compiles them to
-  * DataFrame pipelines — no custom Catalyst IR (SURVEY §4.2).
+/** Typed mirror of the mycenae/OpenTSDB data + query model (SURVEY §1.2,
+  * §3.1 EP2). The query case classes are the planner input; the planner
+  * compiles them to DataFrame pipelines — no custom Catalyst IR
+  * (SURVEY §4.2).
   */
+
+/** One datapoint (the `/api/put` wire format, normalized): numeric value
+  * or text payload — exactly one of `value`/`text` is set. */
+final case class Point(
+    metric: String,
+    tags: Map[String, String],
+    ts_ms: Long,
+    value: Option[Double],
+    text: Option[String] = None)
 final case class DownsampleSpec(
     intervalMs: Long,
     aggregator: String,        // sum | avg | min | max | count | first | last

@@ -21,6 +21,18 @@ object Pipeline {
       map(lit("user"), col("user_id").cast("string")).as("tags"),
       col("ts_ms"), col("value"))
 
+  /** Typed view (`Dataset[Point]`) for callers that want compile-time
+    * safety over the canonical schema; the DataFrame path stays the hot
+    * path (no serialization round-trip in the pipeline itself). */
+  def typedPoints(s: SparkSession, dir: String): org.apache.spark.sql.Dataset[Point] = {
+    import s.implicits._
+    eventsAsPoints(s, dir)
+      .select(col("metric"), col("tags"), col("ts_ms"),
+        col("value").cast("double").as("value"))
+      .withColumn("text", lit(null).cast("string"))
+      .as[Point]
+  }
+
   /** Generic executor for one SubQuery over canonical points. Series
     * identity = (metric, canonical tag serialization); grouping tags are
     * the filters marked groupBy=true, everything else becomes an

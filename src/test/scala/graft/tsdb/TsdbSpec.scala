@@ -119,6 +119,13 @@ class TsdbSpec extends SparkSpec {
     assert(back.count() == 1 && back.select("value").as[Double].head() == 2.0)
   }
 
+  test("typed Dataset[Point] view round-trips the canonical schema") {
+    val ds = Pipeline.typedPoints(spark, sf)
+    val p = ds.head()
+    assert(p.tags.contains("user") && p.value.isDefined && p.text.isEmpty)
+    assert(ds.count() == Pipeline.eventsAsPoints(spark, sf).count())
+  }
+
   test("expression pipeline end-to-end matches hand-built pipeline") {
     val q = Expression.parse(
       "merge(sum, downsample(1h, avg, none, query(click, {}, 30d)))", graft.core.Tables.NowMs)
