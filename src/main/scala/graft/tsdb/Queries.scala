@@ -69,6 +69,17 @@ object TsdbQueries {
 
     "tsdb_query_pipeline" -> ((s, dir) => Pipeline.flagship(s, dir)),
 
+    // materialized-rollup path: 1m partial state re-aggregated to 1h must
+    // hash-match DuckDB computing 1h directly from raw points
+    "tsdb_rollup_reagg" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("event_type"), col("user_id"), col("ts_ms"), col("value"))
+      Rollups.reaggregate(
+        Rollups.build(ev, Seq("event_type", "user_id"), 60000L),
+        Seq("event_type", "user_id"), H, "avg")
+        .orderBy("event_type", "user_id", "bucket_ms")
+    }),
+
     "tsdb_suggest" -> ((s, dir) => {
       Catalog.suggest(
         Tables.events(s, dir).select(col("user_id").cast("string").as("tagv")),
@@ -186,6 +197,11 @@ object TsdbQueries {
       """SELECT DISTINCT event_type, user_id FROM events
          WHERE event_type IN ('click', 'view') AND user_id % 7 = 0
          ORDER BY 1, 2 LIMIT 50 OFFSET 10""",
+
+    "tsdb_rollup_reagg" ->
+      s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+          ${D.oAvgDec("value")} AS value
+          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "tsdb_expression" ->
       s"""WITH ds AS (
