@@ -191,6 +191,41 @@ object Ingest {
       .orderBy("metric", "tags_canonical")
   }
 
+  /** Continuous aggregate: maintain a [[graft.tsdb.Rollups]] table
+    * incrementally from the stream. Each micro-batch's partial states
+    * merge EXACTLY with the stored ones (decimal sums and counts add,
+    * min/max fold), so the streamed rollup equals the batch-built one
+    * regardless of batch boundaries. Merge is a grouped union — at scale
+    * only the touched day partitions need rewriting. */
+  def maintainRollup(s: SparkSession, dir: String, outBase: String,
+                     intervalMs: Long): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val path = s"$outBase/rollup"
+    val keys = Seq("event_type", "user_id")
+    val q = eventsStream(s, dir)
+      .select(col("event_type"), col("user_id"), col("ts_ms"), col("value"))
+      .writeStream
+      .outputMode("append")
+      .option("checkpointLocation", s"$outBase/_rollup_checkpoint")
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val delta = graft.tsdb.Rollups.build(batch, keys, intervalMs)
+        val merged = try {
+          s.read.parquet(path).unionByName(delta)
+            .groupBy((keys :+ "bucket_ms").map(col): _*)
+            .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
+              min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"))
+        } catch { case _: Exception => delta }
+        merged.persist().count()
+        merged.write.mode("overwrite").parquet(path + ".tmp")
+        s.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
+        merged.unpersist(); ()
+      }
+      .start()
+    q.awaitTermination()
+    s.read.parquet(path)
+  }
+
   /** Partitioned parquet point sink (§2.A sink_parquet_partitioned):
     * partitionBy(event_type) + sortWithinPartitions(user_id, ts) — the
     * (ksid, date)/(tsid, ts) layout analog from SURVEY §4.2 that gives

@@ -97,6 +97,24 @@ class StreamSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") || back.where(col("event_type") === "click").count() > 0)
   }
 
+  test("streaming-maintained rollup equals the batch-built rollup") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cr_").toString
+    val streamed = Ingest.maintainRollup(spark, sf, tmp, 60000L)
+    val keys = Seq("event_type", "user_id")
+    val batch = graft.tsdb.Rollups.build(
+      graft.core.Tables.events(spark, sf)
+        .select(col("event_type"), col("user_id"), col("ts_ms"), col("value")),
+      keys, 60000L)
+    def agg1h(r: org.apache.spark.sql.DataFrame) =
+      graft.tsdb.Rollups.reaggregate(r, keys, 3600000L, "avg")
+        .orderBy("event_type", "user_id", "bucket_ms")
+        .collect().map(_.toString).toSeq
+    assert(agg1h(streamed) == agg1h(batch))
+    // idempotent: re-running with the same checkpoint changes nothing
+    val again = Ingest.maintainRollup(spark, sf, tmp, 60000L)
+    assert(agg1h(again) == agg1h(batch))
+  }
+
   test("foreachBatch ingest maintains the series catalog across restarts") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_fb_").toString
     val cat = Ingest.ingestWithCatalog(spark, sf, tmp)
