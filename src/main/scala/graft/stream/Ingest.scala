@@ -104,11 +104,15 @@ object Ingest {
       .orderBy("user_id", "session_start")
   }
 
-  /** Exact dedup on event_id within the watermark. */
+  /** Exact dedup on event_id within the watermark. Uses
+    * dropDuplicatesWithinWatermark so the per-key state actually EXPIRES
+    * once the watermark passes — plain dropDuplicates(key) without the
+    * event-time column in the key keeps state forever (unbounded at
+    * stream scale). */
   def dedup(s: SparkSession, dir: String): DataFrame = {
     val d = eventsStream(s, dir)
       .withWatermark("ts_ts", "10 minutes")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
       .select("event_id")
     runToMemory(s, d, "append").agg(count(lit(1)).as("n"))
   }
@@ -140,13 +144,19 @@ object Ingest {
         val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
         var last = state.getOption
         val res = sorted.map { case (_, ts, v) =>
-          val delta = last match {
-            case Some((_, pv)) if v >= pv => Some(v - pv)
-            case Some(_) => None // reset
-            case None => None
+          last match {
+            case Some((lastTs, _)) if ts < lastTs =>
+              // late row from an earlier batch: report no delta and do
+              // NOT regress the state (it is not a counter reset)
+              (user, ts, v, None: Option[Double])
+            case Some((_, pv)) =>
+              val delta = if (v >= pv) Some(v - pv) else None // v<pv = reset
+              last = Some((ts, v))
+              (user, ts, v, delta)
+            case None =>
+              last = Some((ts, v))
+              (user, ts, v, None: Option[Double])
           }
-          last = Some((ts, v))
-          (user, ts, v, delta)
         }
         state.update(last.get)
         res.iterator
@@ -155,9 +165,30 @@ object Ingest {
       .orderBy("user_id", "ts_ms")
   }
 
+  /** Bootstrap-only read: missing state path → None; any OTHER failure
+    * (corrupt footer, transient IO) propagates — substituting an empty
+    * state there would silently wipe everything accumulated. */
+  private def readStateIfExists(s: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(s.read.parquet(path)) else None
+  }
+
+  /** foreachBatch replays a batch if the job dies between the sink write
+    * and the checkpoint commit — exactly-once therefore needs a
+    * batch-level idempotence marker next to the sink. Returns false if
+    * `batchId` was already applied. */
+  private def markBatch(s: SparkSession, outBase: String, batchId: Long): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$outBase/_applied/$batchId")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) false else { fs.mkdirs(p.getParent); fs.createNewFile(p); true }
+  }
+
   /** EP1' sink: foreachBatch appends points partitioned by metric and
     * upserts the series catalog (dedupe-merge) — the Elasticsearch-upsert
-    * analog. Writes under `outBase`; returns the final catalog. */
+    * analog. Batch markers make the replayed-batch path a no-op
+    * (exactly-once for the points append). Writes under `outBase`;
+    * returns the final catalog. */
   def ingestWithCatalog(s: SparkSession, dir: String, outBase: String): DataFrame = {
     val catalogPath = s"$outBase/catalog.parquet"
     val pointsPath = s"$outBase/points"
@@ -169,20 +200,22 @@ object Ingest {
       .outputMode("append")
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        batch.persist()
-        batch.write.mode("append").partitionBy("metric").parquet(pointsPath)
-        val newSeries = graft.tsdb.Catalog.fromPoints(batch)
-        val merged = try {
-          val existing = batch.sparkSession.read.parquet(catalogPath)
-          existing.unionByName(newSeries).dropDuplicates("tsid")
-        } catch { case _: Exception => newSeries }
-        // rewrite via temp to avoid read-overwrite conflict
-        merged.persist().count()
-        merged.write.mode("overwrite").parquet(catalogPath + ".tmp")
-        batch.sparkSession.read.parquet(catalogPath + ".tmp")
-          .write.mode("overwrite").parquet(catalogPath)
-        batch.unpersist(); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (markBatch(batch.sparkSession, outBase, batchId)) {
+          batch.persist()
+          batch.write.mode("append").partitionBy("metric").parquet(pointsPath)
+          val newSeries = graft.tsdb.Catalog.fromPoints(batch)
+          val merged = readStateIfExists(batch.sparkSession, catalogPath)
+            .map(_.unionByName(newSeries).dropDuplicates("tsid"))
+            .getOrElse(newSeries)
+          // rewrite via temp to avoid read-overwrite conflict
+          merged.persist().count()
+          merged.write.mode("overwrite").parquet(catalogPath + ".tmp")
+          batch.sparkSession.read.parquet(catalogPath + ".tmp")
+            .write.mode("overwrite").parquet(catalogPath)
+          batch.unpersist()
+        }
+        ()
       }
       .start()
     q.awaitTermination()
@@ -195,8 +228,9 @@ object Ingest {
     * incrementally from the stream. Each micro-batch's partial states
     * merge EXACTLY with the stored ones (decimal sums and counts add,
     * min/max fold), so the streamed rollup equals the batch-built one
-    * regardless of batch boundaries. Merge is a grouped union — at scale
-    * only the touched day partitions need rewriting. */
+    * regardless of batch boundaries. Batch markers prevent a replayed
+    * batch from double-merging its delta. At scale only the touched day
+    * partitions need rewriting. */
   def maintainRollup(s: SparkSession, dir: String, outBase: String,
                      intervalMs: Long): DataFrame = {
     import org.apache.spark.sql.functions._
@@ -208,18 +242,22 @@ object Ingest {
       .outputMode("append")
       .option("checkpointLocation", s"$outBase/_rollup_checkpoint")
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val delta = graft.tsdb.Rollups.build(batch, keys, intervalMs)
-        val merged = try {
-          s.read.parquet(path).unionByName(delta)
-            .groupBy((keys :+ "bucket_ms").map(col): _*)
-            .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
-              min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"))
-        } catch { case _: Exception => delta }
-        merged.persist().count()
-        merged.write.mode("overwrite").parquet(path + ".tmp")
-        s.read.parquet(path + ".tmp").write.mode("overwrite").parquet(path)
-        merged.unpersist(); ()
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (markBatch(batch.sparkSession, s"$outBase/_rollup", batchId)) {
+          val delta = graft.tsdb.Rollups.build(batch, keys, intervalMs)
+          val merged = readStateIfExists(batch.sparkSession, path)
+            .map(_.unionByName(delta)
+              .groupBy((keys :+ "bucket_ms").map(col): _*)
+              .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
+                min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax")))
+            .getOrElse(delta)
+          merged.persist().count()
+          merged.write.mode("overwrite").parquet(path + ".tmp")
+          batch.sparkSession.read.parquet(path + ".tmp")
+            .write.mode("overwrite").parquet(path)
+          merged.unpersist()
+        }
+        ()
       }
       .start()
     q.awaitTermination()

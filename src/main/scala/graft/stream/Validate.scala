@@ -27,12 +27,15 @@ object Validate {
     * (metric, tags MAP, ts_ms, value). Adds boolean rule columns, an
     * `errors` array of failed-rule names, and `is_valid`. */
   def validatePoints(points: DataFrame, requiredTag: String = "ksid"): DataFrame = {
-    val metricOk = col("metric").rlike(CharsetRe)
-    val tagsOk = expr(
+    // coalesce(..., false): a NULL metric/tags/ts makes the raw predicate
+    // SQL NULL, which would silently VANISH from the errors array below —
+    // null inputs must fail their rule, not pass it
+    val metricOk = coalesce(col("metric").rlike(CharsetRe), lit(false))
+    val tagsOk = coalesce(expr(
       s"forall(map_keys(tags), k -> k rlike '$CharsetRe') AND " +
-      s"forall(map_values(tags), v -> v rlike '$CharsetRe')")
-    val ksidOk = expr(s"map_contains_key(tags, '$requiredTag')")
-    val tsOk = tsInBounds(col("ts_ms"))
+      s"forall(map_values(tags), v -> v rlike '$CharsetRe')"), lit(false))
+    val ksidOk = coalesce(expr(s"map_contains_key(tags, '$requiredTag')"), lit(false))
+    val tsOk = coalesce(tsInBounds(col("ts_ms")), lit(false))
     val valueOk = col("value").isNotNull && !isnan(col("value"))
     points
       .withColumn("metric_ok", metricOk)

@@ -10,15 +10,19 @@ import org.apache.spark.sql.functions._
   */
 object Catalog {
 
+  /** THE canonical tag serialization (sorted k=v join). tsid consistency
+    * across catalog build / prune / pipeline depends on every caller
+    * using this one definition. */
+  def canonicalTags: org.apache.spark.sql.Column = expr(
+    "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
+
   /** Distinct series of a canonical points frame (metric, tags map). The
     * tsid is a hash of metric + canonically-sorted tag serialization —
     * xxhash64, Spark's native 64-bit hash (codegen'd). */
   def fromPoints(points: DataFrame): DataFrame = {
-    val canonical = expr(
-      "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
     // distinct on the canonical STRING (set ops are unsupported on MAP
     // columns); the map is rebuilt from it afterwards.
-    points.select(col("metric"), canonical.as("tags_canonical"))
+    points.select(col("metric"), canonicalTags.as("tags_canonical"))
       .distinct()
       .withColumn("tags", expr("str_to_map(tags_canonical, ',', '=')"))
       .withColumn("tsid", xxhash64(col("metric"), col("tags_canonical")))
@@ -43,9 +47,7 @@ object Catalog {
     * ES-before-Cassandra two-phase read (SURVEY §4.1 row 1). Broadcast
     * left-semi join on tsid: the catalog side is small by construction. */
   def pruneByCatalog(points: DataFrame, matchingSeries: DataFrame): DataFrame = {
-    val canonical = expr(
-      "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
-    points.withColumn("tsid", xxhash64(col("metric"), canonical))
+    points.withColumn("tsid", xxhash64(col("metric"), canonicalTags))
       .join(broadcast(matchingSeries.select("tsid")), Seq("tsid"), "left_semi")
   }
 }

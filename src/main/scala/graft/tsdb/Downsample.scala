@@ -57,7 +57,8 @@ object Downsample {
     // maxDataPoints-style cap (the reference bounds result size the same
     // way): the filled grid is buckets × series — an unbounded range
     // over a long retention would explode it
-    val nBuckets = (t1Ms - t0Ms + intervalMs - 1) / intervalMs
+    val alignedT0 = t0Ms - (t0Ms % intervalMs)
+    val nBuckets = (t1Ms - alignedT0 + intervalMs - 1) / intervalMs
     require(nBuckets <= maxBuckets,
       s"fill spine would have $nBuckets buckets (> $maxBuckets); " +
         "narrow the time range or coarsen the interval")

@@ -18,9 +18,14 @@ object Keysets {
     val row = s.createDataFrame(
       java.util.List.of(org.apache.spark.sql.Row(ksid, ttlMs, replication, nowMs)),
       org.apache.spark.sql.types.StructType.fromDDL(Schema))
-    val merged = try {
-      s.read.parquet(registryPath).where(col("ksid") =!= ksid).unionByName(row)
-    } catch { case _: Exception => row }
+    // bootstrap ONLY when the registry doesn't exist yet; any other read
+    // failure must propagate (an empty substitute would wipe the registry)
+    val p = new org.apache.hadoop.fs.Path(registryPath)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val merged =
+      if (fs.exists(p))
+        s.read.parquet(registryPath).where(col("ksid") =!= ksid).unionByName(row)
+      else row
     merged.persist().count()
     merged.write.mode("overwrite").parquet(registryPath + ".tmp")
     s.read.parquet(registryPath + ".tmp").write.mode("overwrite").parquet(registryPath)

@@ -38,15 +38,16 @@ object Pipeline {
     * the filters marked groupBy=true, everything else becomes an
     * aggregateTag (dropped by the merge). */
   def run(spark: SparkSession, points: DataFrame, q: TsdbQuery): DataFrame = {
+    require(q.queries.size == 1,
+      s"run executes exactly one SubQuery (got ${q.queries.size}); " +
+        "execute multi-subquery requests one run() per SubQuery")
     val sub = q.queries.head
     var df = points
       .where(col("metric") === sub.metric)
       .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs)
     sub.filters.foreach { f => df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
     // canonical per-series key: sorted k=v join (tsid analog)
-    val seriesKey = expr(
-      "array_join(transform(array_sort(map_keys(tags)), k -> concat(k, '=', element_at(tags, k))), ',')")
-    df = df.withColumn("series_key", seriesKey)
+    df = df.withColumn("series_key", Catalog.canonicalTags)
     val groupTags = sub.filters.filter(_.groupBy).map(_.tagk).distinct
     groupTags.foreach { k => df = df.withColumn(s"tag_$k", element_at(col("tags"), k)) }
     val ds = sub.downsample.getOrElse(DownsampleSpec(60000L, "avg"))

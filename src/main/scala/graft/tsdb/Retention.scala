@@ -15,12 +15,15 @@ object Retention {
   def applyTtl(points: DataFrame, tsMsCol: String, nowMs: Long, ttlMs: Long): DataFrame =
     points.where(col(tsMsCol) >= nowMs - ttlMs)
 
-  /** Vacuum: rewrite a parquet table dropping expired rows. On a
-    * date-partitioned table only partitions older than the cutoff need
-    * rewriting — pass the partition predicate in `partitionFilter`. */
+  /** Vacuum: rewrite a parquet table dropping expired rows. `scope`
+    * restricts which rows are even read (on a date-partitioned table pass
+    * the partition predicate covering the expiring window so only those
+    * partitions are scanned and rewritten; unscoped = full-table rewrite). */
   def vacuum(s: SparkSession, path: String, outPath: String,
-             tsMsCol: String, nowMs: Long, ttlMs: Long): Unit = {
-    s.read.parquet(path)
+             tsMsCol: String, nowMs: Long, ttlMs: Long,
+             scope: Option[org.apache.spark.sql.Column] = None): Unit = {
+    val base = s.read.parquet(path)
+    scope.fold(base)(base.where)
       .where(col(tsMsCol) >= nowMs - ttlMs)
       .write.mode("overwrite").parquet(outPath)
   }

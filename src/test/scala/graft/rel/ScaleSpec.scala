@@ -67,6 +67,17 @@ class ScaleSpec extends SparkSpec {
     assert(ok.columns.toSet == Set("metric", "tags", "ts_ms", "value"))
   }
 
+  test("validation quarantines NULL metric/tags/ts instead of passing them") {
+    val pts = Seq(
+      (Option.empty[String], Option(Map("ksid" -> "k")), Option(1704067200000L), 1.0),
+      (Option("cpu"), Option.empty[Map[String, String]], Option(1704067200000L), 1.0),
+      (Option("cpu"), Option(Map("ksid" -> "k")), Option.empty[Long], 1.0)
+    ).toDF("metric", "tags", "ts_ms", "value")
+    val v = graft.stream.Validate.validatePoints(pts)
+    assert(v.where(col("is_valid")).count() == 0,
+      "null inputs must fail validation, not vanish from the errors array")
+  }
+
   test("timestamp normalization: seconds become ms, ms pass through") {
     val out = Seq(1704067200L, 1704067200000L).toDF("ts")
       .select(graft.stream.Validate.normalizeTsMs(col("ts")).as("ms"))
