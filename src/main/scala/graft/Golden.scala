@@ -20,7 +20,8 @@ object Golden {
     * sketch internals; they have their own property tests.) */
   val Tracked: Seq[String] = Seq(
     "fn_hash", "llm_dedup_simhash", "llm_fingerprint",
-    "llm_dedup_near_minhash", "llm_sim_ann_lsh", "llm_multimodal_features")
+    "llm_dedup_near_minhash", "llm_sim_ann_lsh", "llm_sim_ivf",
+    "llm_multimodal_features")
 
   def checksum(df: DataFrame): (Long, String) = {
     val md = java.security.MessageDigest.getInstance("MD5")

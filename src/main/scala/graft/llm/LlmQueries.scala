@@ -70,6 +70,15 @@ object LlmQueries {
       Similarity.annTopKLsh(emb, qv, 10, planes = 4)
     }),
 
+    // IVF ANN (deterministic k-means coarse quantizer, nprobe clusters
+    // searched) — centroid-dependent → rows-only + recall tests
+    "llm_sim_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cents = Similarity.ivfCentroids(emb, 8, iters = 2)
+      Similarity.ivfTopK(emb, qv, cents, 10, nprobe = 2)
+    }),
+
     "llm_knn_join" -> ((s, dir) =>
       Similarity.knnJoinPerGroup(Tables.embeddings(s, dir), "label", 3)),
 

@@ -113,4 +113,72 @@ object Similarity {
     * re-evaluate it per element), rounded 4dp. */
   def normalized(embedding: String, normCol: String): Column =
     expr(s"transform($embedding, x -> round((CAST(x AS DOUBLE) / $normCol) * 10000.0, 0) / 10000.0)")
+
+  // ---------------------------------------------------------------- IVF
+
+  /** IVF coarse quantizer: k-means with DETERMINISTIC seeding (the k
+    * vectors with the lowest ids — no RNG, so executors/retries agree)
+    * and a fixed number of Lloyd iterations. Each iteration is one
+    * broadcast join (centroids are tiny) + one groupBy; at corpus scale
+    * that's a map-side assignment pass and a k-sized aggregate. Returns
+    * (centroid_id, cvec ARRAY<FLOAT>). */
+  def ivfCentroids(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    var centroids = vectors.orderBy("vec_id").limit(k)
+      .withColumn("centroid_id",
+        (row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy("vec_id")) - 1).cast("int"))
+      .select(col("centroid_id"), col("embedding").as("cvec"))
+    for (_ <- 1 to iters) {
+      // component-wise mean via posexplode → per-(cluster, dim) decimal
+      // avg → reassemble: shuffle-friendly (never collects a cluster's
+      // members into one row) and deterministic under any partitioning
+      centroids = assignToCentroids(vectors, centroids)
+        .select(col("centroid_id"), posexplode(col("embedding")))
+        .groupBy("centroid_id", "pos")
+        .agg((sum(graft.core.D.dec(col("col").cast("double"))).cast("double")
+          / count(lit(1))).as("mean"))
+        .groupBy("centroid_id")
+        .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), s -> CAST(s.mean AS FLOAT))")
+          .as("cvec"))
+    }
+    centroids
+  }
+
+  /** Assign every vector to its nearest centroid (broadcast join; ties
+    * broken by centroid_id so assignment is deterministic). Squared
+    * norms are precomputed per side, so per-pair work is one dot. */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("vec_id").orderBy(col("dist").asc, col("centroid_id").asc)
+    val v = vectors.withColumn("sq_a", dotExpr("embedding", "embedding"))
+    val c = centroids.withColumn("sq_c", dotExpr("cvec", "cvec"))
+    v.crossJoin(broadcast(c))
+      .withColumn("dist",
+        col("sq_a") + col("sq_c") - lit(2.0) * dotExpr("embedding", "cvec"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .drop("rn", "dist", "cvec", "sq_a", "sq_c")
+  }
+
+  /** IVF ANN top-k: search only the `nprobe` clusters nearest the query.
+    * At scale the assignment column is precomputed/partitioned, so a
+    * query touches nprobe/k of the corpus. */
+  def ivfTopK(vectors: DataFrame, queryVec: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int): DataFrame = {
+    val assigned = assignToCentroids(vectors, centroids)
+    val qc = queryVec.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        dotExpr("qv", "qv") + dotExpr("cvec", "cvec")
+          - lit(2.0) * dotExpr("qv", "cvec"))
+      .orderBy(col("dist").asc, col("centroid_id").asc)
+      .limit(nprobe)
+      .select(col("centroid_id"), col("qv"))
+    assigned.join(broadcast(qc), Seq("centroid_id"))
+      .withColumn("nrm", normExpr("embedding"))
+      .withColumn("qnrm", normExpr("qv"))
+      .select(col("vec_id"),
+        cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")).as("sim"))
+      .orderBy(col("sim").desc, col("vec_id"))
+      .limit(k)
+  }
 }

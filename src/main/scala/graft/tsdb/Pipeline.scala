@@ -63,6 +63,12 @@ object Pipeline {
     out.orderBy((groupTags.map(k => col(s"tag_$k")) :+ col("bucket_ms")): _*)
   }
 
+  /** Multi-subquery form of the OpenTSDB request: one result frame per
+    * SubQuery, in request order (their schemas differ per groupBy tags,
+    * so they cannot be a single union). */
+  def runAll(spark: SparkSession, points: DataFrame, q: TsdbQuery): Seq[DataFrame] =
+    q.queries.map(sub => run(spark, points, q.copy(queries = Seq(sub))))
+
   /** Flagship (SURVEY §7.1 step 1): events, literal_or filter on
     * event_type ∈ (click,view), 1h-avg downsample per (event_type,user_id)
     * series, merge sum grouped by event_type, total order. */

@@ -90,6 +90,24 @@ class LlmSpec extends SparkSpec {
     assert(ann.map(_._2).max <= brute.map(_._2).max)
   }
 
+  test("IVF: deterministic centroids, total assignment, query found in its probe") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val c1 = Similarity.ivfCentroids(emb, 8, iters = 2)
+    val c2 = Similarity.ivfCentroids(emb, 8, iters = 2)
+    assert(c1.orderBy("centroid_id").collect().map(_.toString).toSeq ==
+      c2.orderBy("centroid_id").collect().map(_.toString).toSeq,
+      "centroids must be deterministic across runs")
+    val assigned = Similarity.assignToCentroids(emb, c1)
+    assert(assigned.count() == emb.count(), "every vector assigned exactly once")
+    assert(assigned.select("centroid_id").distinct().count() <= 8)
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val top = Similarity.ivfTopK(emb, qv, c1, 5, nprobe = 2).as[(Long, Double)].collect()
+    assert(top.head._1 == 0L && top.head._2 == 1.0,
+      "query vector's own cluster is always probed first")
+    val brute = Similarity.cosineTopK(emb, qv, 5).as[(Long, Double)].collect()
+    assert(top.map(_._2).max <= brute.map(_._2).max)
+  }
+
   test("fingerprints: deterministic, identical texts agree, prefix-stable") {
     val fp = docs.withColumn("grams", Text.gramHashes("text", 8))
       .select(col("doc_id"), Text.windowMins("grams", 4).as("fp"))
