@@ -148,16 +148,18 @@ object Similarity {
     * broken by centroid_id so assignment is deterministic). Squared
     * norms are precomputed per side, so per-pair work is one dot. */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("vec_id").orderBy(col("dist").asc, col("centroid_id").asc)
     val v = vectors.withColumn("sq_a", dotExpr("embedding", "embedding"))
     val c = centroids.withColumn("sq_c", dotExpr("cvec", "cvec"))
+    // argmin as a hash aggregate over struct ordering (dist, centroid_id)
+    // — deterministic tie-break, no window sort; `first(embedding)` is
+    // safe because embedding is functionally dependent on vec_id
     v.crossJoin(broadcast(c))
       .withColumn("dist",
         col("sq_a") + col("sq_c") - lit(2.0) * dotExpr("embedding", "cvec"))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .drop("rn", "dist", "cvec", "sq_a", "sq_c")
+      .groupBy("vec_id")
+      .agg(min(struct(col("dist"), col("centroid_id"))).getField("centroid_id")
+          .as("centroid_id"),
+        first(col("embedding")).as("embedding"))
   }
 
   /** IVF ANN top-k: search only the `nprobe` clusters nearest the query.

@@ -85,6 +85,25 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("scale invariance: duplicating the corpus doubles sums, keeps avgs") {
+    // the 10×-the-data thought experiment as an executable check: avg
+    // downsampling is invariant under exact duplication, sum doubles
+    // exactly (decimal arithmetic — no float drift at any multiplier)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select(col("event_type"), col("user_id"), col("ts_ms"), col("value"))
+    val doubled = ev.unionByName(ev)
+    val avg1 = Downsample(ev, Seq("event_type", "user_id"), 3600000L, "avg")
+    val avg2 = Downsample(doubled, Seq("event_type", "user_id"), 3600000L, "avg")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("event_type", "user_id", "bucket_ms").collect().map(_.toString).toSeq
+    assert(canon(avg1) == canon(avg2), "avg must be invariant under duplication")
+    val sum1 = Downsample(ev, Seq("event_type"), 3600000L, "sum")
+      .agg(sum(graft.core.D.dec(col("value")))).as[java.math.BigDecimal].head()
+    val sum2 = Downsample(doubled, Seq("event_type"), 3600000L, "sum")
+      .agg(sum(graft.core.D.dec(col("value")))).as[java.math.BigDecimal].head()
+    assert(BigDecimal(sum2) == BigDecimal(sum1) * 2, "sum must exactly double")
+  }
+
   test("fill=zero adds exactly the missing buckets, fill=none adds none") {
     run(Prop.forAll(genPoints) { pts =>
       pts.isEmpty || {
