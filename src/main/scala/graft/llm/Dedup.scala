@@ -21,7 +21,11 @@ object Dedup {
   /** w-shingles (word n-grams) as strings: shingle i = words[i..i+n).
     * `arr` is a SQL fragment (pass a materialized column name). */
   def shingles(arr: String, n: Int): Column =
-    expr(s"transform(sequence(0, greatest(size($arr) - $n, 0)), i -> concat_ws(' ', slice($arr, i + 1, $n)))")
+    // size < n → NO shingles (matching graftfn.MinHashSig), not one
+    // truncated shingle
+    expr(s"""CASE WHEN size($arr) < $n THEN array()
+             ELSE transform(sequence(0, size($arr) - $n), i -> concat_ws(' ', slice($arr, i + 1, $n)))
+             END""")
 
   /** Base hashes: each shingle string hashed ONCE. The k-seed family is
     * then derived by re-hashing the 64-bit values ([[minhashSignature]]) —
@@ -83,6 +87,9 @@ object Dedup {
       .withColumn("sig",
         org.apache.spark.sql.graftfn.MinHashSig.of(col("w"), shingleN, k))
       .select(col("id"), explode(bandKeys("sig", k, r)).as("band"))
+    // persist: the self-join would otherwise recompute the MinHash
+    // signatures (the dominant cost) once per side
+    bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val cand = bands.select(col("band"), col("id").as("a_id"))
       .join(bands.select(col("band"), col("id").as("b_id")), Seq("band"))
       .where(col("a_id") < col("b_id"))

@@ -39,8 +39,11 @@ object Text {
     * one expression would re-hash per window). Engine-specific hash →
     * golden/property tested, not oracle-compared. */
   def gramHashes(textSql: String, k: Int = 8): Column =
-    expr(s"""transform(sequence(0, greatest(length($textSql) - $k, 0)),
-             i -> xxhash64(substring($textSql, i + 1, $k)))""")
+    // length < k → NO grams (not one truncated gram)
+    expr(s"""CASE WHEN length($textSql) < $k THEN array()
+             ELSE transform(sequence(0, length($textSql) - $k),
+                  i -> xxhash64(substring($textSql, i + 1, $k)))
+             END""")
 
   def windowMins(gramsSql: String, w: Int = 16): Column =
     expr(s"""array_distinct(transform(

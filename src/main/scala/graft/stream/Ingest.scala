@@ -162,7 +162,7 @@ object Ingest {
         res.iterator
       })
     runToMemory(s, out.toDF("user_id", "ts_ms", "value", "delta"), "append")
-      .orderBy("user_id", "ts_ms")
+      .orderBy("user_id", "ts_ms", "value")   // value breaks ms-timestamp ties (D1)
   }
 
   /** Bootstrap-only read: missing state path → None; any OTHER failure
@@ -174,21 +174,14 @@ object Ingest {
     if (fs.exists(p)) Some(s.read.parquet(path)) else None
   }
 
-  /** foreachBatch replays a batch if the job dies between the sink write
-    * and the checkpoint commit — exactly-once therefore needs a
-    * batch-level idempotence marker next to the sink. Returns false if
-    * `batchId` was already applied. */
-  private def markBatch(s: SparkSession, outBase: String, batchId: Long): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(s"$outBase/_applied/$batchId")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) false else { fs.mkdirs(p.getParent); fs.createNewFile(p); true }
-  }
-
-  /** EP1' sink: foreachBatch appends points partitioned by metric and
-    * upserts the series catalog (dedupe-merge) — the Elasticsearch-upsert
-    * analog. Batch markers make the replayed-batch path a no-op
-    * (exactly-once for the points append). Writes under `outBase`;
-    * returns the final catalog. */
+  /** EP1' sink: foreachBatch lands points and upserts the series catalog
+    * (the Elasticsearch-upsert analog). Exactly-once WITHOUT markers
+    * (a marker written before the sink is at-most-once, after it is
+    * at-least-once): every write is idempotent per batch —
+    *  - points land in a batch-scoped directory with overwrite mode, so
+    *    a replayed batch rewrites the same files;
+    *  - the catalog merge is a dedupe on tsid, a natural no-op on replay.
+    * Writes under `outBase`; returns the final catalog. */
   def ingestWithCatalog(s: SparkSession, dir: String, outBase: String): DataFrame = {
     val catalogPath = s"$outBase/catalog.parquet"
     val pointsPath = s"$outBase/points"
@@ -201,20 +194,20 @@ object Ingest {
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (markBatch(batch.sparkSession, outBase, batchId)) {
-          batch.persist()
-          batch.write.mode("append").partitionBy("metric").parquet(pointsPath)
-          val newSeries = graft.tsdb.Catalog.fromPoints(batch)
-          val merged = readStateIfExists(batch.sparkSession, catalogPath)
-            .map(_.unionByName(newSeries).dropDuplicates("tsid"))
-            .getOrElse(newSeries)
-          // rewrite via temp to avoid read-overwrite conflict
-          merged.persist().count()
-          merged.write.mode("overwrite").parquet(catalogPath + ".tmp")
-          batch.sparkSession.read.parquet(catalogPath + ".tmp")
-            .write.mode("overwrite").parquet(catalogPath)
-          batch.unpersist()
-        }
+        batch.persist()
+        batch.write.mode("overwrite").partitionBy("metric")
+          .parquet(s"$pointsPath/batch=$batchId")
+        val newSeries = graft.tsdb.Catalog.fromPoints(batch)
+        val merged = readStateIfExists(batch.sparkSession, catalogPath)
+          .map(_.unionByName(newSeries).dropDuplicates("tsid"))
+          .getOrElse(newSeries)
+        // rewrite via temp to avoid read-overwrite conflict
+        merged.persist().count()
+        merged.write.mode("overwrite").parquet(catalogPath + ".tmp")
+        batch.sparkSession.read.parquet(catalogPath + ".tmp")
+          .write.mode("overwrite").parquet(catalogPath)
+        merged.unpersist()
+        batch.unpersist()
         ()
       }
       .start()
@@ -225,16 +218,19 @@ object Ingest {
   }
 
   /** Continuous aggregate: maintain a [[graft.tsdb.Rollups]] table
-    * incrementally from the stream. Each micro-batch's partial states
-    * merge EXACTLY with the stored ones (decimal sums and counts add,
-    * min/max fold), so the streamed rollup equals the batch-built one
-    * regardless of batch boundaries. Batch markers prevent a replayed
-    * batch from double-merging its delta. At scale only the touched day
-    * partitions need rewriting. */
+    * incrementally from the stream. Each micro-batch writes its DELTA
+    * (pre-aggregated partial states) to a batch-scoped directory with
+    * overwrite mode — a replayed batch rewrites the same delta, never
+    * double-merges, and a crash at any point is safe (exactly-once
+    * without markers). The rollup view is the grouped merge over all
+    * deltas; decimal sums/counts add and min/max fold, so it equals the
+    * batch-built rollup regardless of batch boundaries. Compaction (fold
+    * old deltas into one) is a read-side optimization, not a correctness
+    * requirement. */
   def maintainRollup(s: SparkSession, dir: String, outBase: String,
                      intervalMs: Long): DataFrame = {
     import org.apache.spark.sql.functions._
-    val path = s"$outBase/rollup"
+    val deltas = s"$outBase/rollup_deltas"
     val keys = Seq("event_type", "user_id")
     val q = eventsStream(s, dir)
       .select(col("event_type"), col("user_id"), col("ts_ms"), col("value"))
@@ -243,25 +239,16 @@ object Ingest {
       .option("checkpointLocation", s"$outBase/_rollup_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        if (markBatch(batch.sparkSession, s"$outBase/_rollup", batchId)) {
-          val delta = graft.tsdb.Rollups.build(batch, keys, intervalMs)
-          val merged = readStateIfExists(batch.sparkSession, path)
-            .map(_.unionByName(delta)
-              .groupBy((keys :+ "bucket_ms").map(col): _*)
-              .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
-                min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax")))
-            .getOrElse(delta)
-          merged.persist().count()
-          merged.write.mode("overwrite").parquet(path + ".tmp")
-          batch.sparkSession.read.parquet(path + ".tmp")
-            .write.mode("overwrite").parquet(path)
-          merged.unpersist()
-        }
+        graft.tsdb.Rollups.build(batch, keys, intervalMs)
+          .write.mode("overwrite").parquet(s"$deltas/batch=$batchId")
         ()
       }
       .start()
     q.awaitTermination()
-    s.read.parquet(path)
+    s.read.parquet(deltas)
+      .groupBy((keys :+ "bucket_ms").map(col): _*)
+      .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
+        min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"))
   }
 
   /** Partitioned parquet point sink (§2.A sink_parquet_partitioned):

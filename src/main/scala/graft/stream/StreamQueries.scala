@@ -81,6 +81,19 @@ object StreamQueries {
     "stream_dedup" ->
       "SELECT count(DISTINCT event_id) AS n FROM events",
 
+    // batch equivalence of the flatMapGroupsWithState counter (single
+    // AvailableNow batch → per-user (ts, value) order, first row and
+    // resets yield NULL delta)
+    "stream_stateful_counter" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+                    FROM events WHERE event_type = 'purchase'),
+         l AS (SELECT user_id, ts_ms, value,
+                 lag(value) OVER (PARTITION BY user_id ORDER BY ts_ms, value) AS pv
+               FROM e)
+         SELECT user_id, ts_ms, value,
+                CASE WHEN pv IS NULL OR value < pv THEN NULL ELSE value - pv END AS delta
+         FROM l ORDER BY user_id, ts_ms, value""",
+
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_name
          FROM events e JOIN customer c ON e.user_id = c.c_custkey

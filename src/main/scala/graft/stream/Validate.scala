@@ -27,6 +27,9 @@ object Validate {
     * (metric, tags MAP, ts_ms, value). Adds boolean rule columns, an
     * `errors` array of failed-rule names, and `is_valid`. */
   def validatePoints(points: DataFrame, requiredTag: String = "ksid"): DataFrame = {
+    // OpenTSDB clients legitimately send seconds — normalize BEFORE the
+    // bounds check (nulls stay null and fail ts_ok below)
+    val normalized = points.withColumn("ts_ms", normalizeTsMs(col("ts_ms")))
     // coalesce(..., false): a NULL metric/tags/ts makes the raw predicate
     // SQL NULL, which would silently VANISH from the errors array below —
     // null inputs must fail their rule, not pass it
@@ -37,7 +40,7 @@ object Validate {
     val ksidOk = coalesce(expr(s"map_contains_key(tags, '$requiredTag')"), lit(false))
     val tsOk = coalesce(tsInBounds(col("ts_ms")), lit(false))
     val valueOk = col("value").isNotNull && !isnan(col("value"))
-    points
+    normalized
       .withColumn("metric_ok", metricOk)
       .withColumn("tags_ok", tagsOk)
       .withColumn("ksid_ok", ksidOk)

@@ -42,6 +42,10 @@ case class Dot4(left: Expression, right: Expression)
     var acc = 0L
     var i = 0
     while (i < n) {
+      // a NULL element poisons the whole dot product — the same
+      // propagation as the HOF/decimal-oracle formulation (reading the
+      // slot as 0.0 would silently diverge from them)
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val p = x.getFloat(i).toDouble * y.getFloat(i).toDouble * 10000.0
       acc += (if (p >= 0) math.floor(p + 0.5) else math.ceil(p - 0.5)).toLong
       i += 1
@@ -59,11 +63,12 @@ case class Dot4(left: Expression, right: Expression)
         int $n = java.lang.Math.min($a.numElements(), $b.numElements());
         long $acc = 0L;
         for (int $i = 0; $i < $n; $i++) {
+          if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 10000.0;
           $acc += (long) ($p >= 0 ? java.lang.Math.floor($p + 0.5d)
                                   : java.lang.Math.ceil($p - 0.5d));
         }
-        ${ev.value} = $acc / 10000.0;
+        if (!${ev.isNull}) { ${ev.value} = $acc / 10000.0; }
       """
     })
 

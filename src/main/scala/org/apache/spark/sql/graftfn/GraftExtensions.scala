@@ -17,11 +17,12 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Li
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def intLit(e: Expression, what: String): Int = e match {
+  private[graftfn] def intLitPublic(e: Expression, what: String): Int = e match {
     case Literal(v: Int, _) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
   }
+  private def intLit(e: Expression, what: String): Int = intLitPublic(e, what)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
@@ -43,16 +44,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 }
 
 object GraftExtensions {
+  private val builders = new GraftExtensions
+
   /** Register directly on a live session (for sessions built without the
-    * config — e.g. the driver-owned Verify/Bench sessions). */
+    * config — e.g. the driver-owned Verify/Bench sessions). Same
+    * validation as the extensions path. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
-    val reg: FunctionRegistry =
-      spark.sessionState.functionRegistry
+    val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dot4",
-      (children: Seq[Expression]) => Dot4(children(0), children(1)), "scala_udf")
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "dot4(arrayA, arrayB)")
+        Dot4(children(0), children(1))
+      }, "scala_udf")
     reg.createOrReplaceTempFunction("minhash_sig",
-      (children: Seq[Expression]) => MinHashSig(children(0),
-        children(1) match { case Literal(v: Int, _) => v },
-        children(2) match { case Literal(v: Int, _) => v }), "scala_udf")
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "minhash_sig(words, shingleN, k)")
+        MinHashSig(children(0),
+          builders.intLitPublic(children(1), "shingleN"),
+          builders.intLitPublic(children(2), "k"))
+      }, "scala_udf")
   }
 }
