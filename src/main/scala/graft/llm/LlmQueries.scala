@@ -82,6 +82,24 @@ object LlmQueries {
     "llm_knn_join" -> ((s, dir) =>
       Similarity.knnJoinPerGroup(Tables.embeddings(s, dir), "label", 3)),
 
+    // embedding-cosine near-dup: pairs above a similarity threshold,
+    // blocked on label (the brief's fourth dedup modality)
+    "llm_dedup_cosine" -> ((s, dir) => {
+      val withNorm = Tables.embeddings(s, dir)
+        .withColumn("nrm", Similarity.normExpr("embedding"))
+      val a = withNorm.select(col("label").as("blk"), col("vec_id").as("a_id"),
+        col("embedding").as("av"), col("nrm").as("a_nrm"))
+      val b = withNorm.select(col("label").as("blk"), col("vec_id").as("b_id"),
+        col("embedding").as("bv"), col("nrm").as("b_nrm"))
+      a.join(b, Seq("blk"))
+        .where(col("a_id") < col("b_id"))
+        .withColumn("sim",
+          Similarity.cosineFrom(Similarity.dotExpr("av", "bv"), col("a_nrm"), col("b_nrm")))
+        .where(col("sim") >= 0.35)
+        .select("a_id", "b_id", "sim")
+        .orderBy("a_id", "b_id")
+    }),
+
     "llm_embed_normalize" -> ((s, dir) =>
       Tables.embeddings(s, dir)
         .withColumn("nrm", Similarity.normExpr("embedding"))
@@ -272,6 +290,20 @@ object LlmQueries {
                 FROM sim)
           SELECT a_id AS vec_id, rn, b_id AS neighbor_id, sim
           FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
+
+    "llm_dedup_cosine" ->
+      s"""WITH $NormCte,
+          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+                  SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings a JOIN embeddings b
+                  ON a.label = b.label AND a.vec_id < b.vec_id, range(1, 65) r(i)
+                GROUP BY 1, 2),
+          s AS (SELECT p.a_id, p.b_id,
+                  ROUND((CAST(p.dot AS DOUBLE) /
+                        (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 AS sim
+                FROM p JOIN n na ON na.vec_id = p.a_id JOIN n nb ON nb.vec_id = p.b_id)
+          SELECT a_id, b_id, sim FROM s WHERE sim >= 0.35 ORDER BY a_id, b_id""",
 
     "llm_embed_normalize" ->
       s"""WITH $NormCte
