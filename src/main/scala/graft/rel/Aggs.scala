@@ -151,6 +151,35 @@ object Aggs {
         .groupBy("l_returnflag")
         .agg(wavg(col("l_extendedprice"), col("l_quantity")).as("wavg_price"))
         .orderBy("l_returnflag")
+    }),
+
+    // pivot: event counts per user fanned into one column per event type
+    "agg_pivot" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(coalesce(count(lit(1)), lit(0L)))
+        .na.fill(0L)
+        .orderBy("user_id")),
+
+    // listagg / string_agg: ordered per-group concatenation
+    "agg_listagg" -> ((s, dir) =>
+      Tables.nation(s, dir)
+        .groupBy("n_regionkey")
+        .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+        .orderBy("n_regionkey")),
+
+    // correlated scalar subquery (Catalyst decorrelates it to a join):
+    // orders costlier than their customer's average order
+    "sub_correlated_scalar" -> ((s, dir) => {
+      Tables.orders(s, dir).createOrReplaceTempView("ord_sub")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM ord_sub o
+        WHERE o_totalprice > (SELECT ROUND((CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                            / COUNT(1)) * 10000.0, 0) / 10000.0
+                              FROM ord_sub i WHERE i.o_custkey = o.o_custkey)
+        ORDER BY o_orderkey""")
     })
   )
 
@@ -235,6 +264,27 @@ object Aggs {
       """SELECT l_returnflag,
             CAST(SUM(DISTINCT CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) AS sum_dq
          FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "agg_pivot" ->
+      """SELECT user_id,
+            CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+            CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+            CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+            CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+            CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+         FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_listagg" ->
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+         FROM nation GROUP BY 1 ORDER BY 1""",
+
+    "sub_correlated_scalar" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders o
+         WHERE o_totalprice > (SELECT ROUND((CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+                                             / COUNT(1)) * 10000.0, 0) / 10000.0
+                               FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
 
     "agg_custom_typed" ->
       s"""SELECT l_returnflag,

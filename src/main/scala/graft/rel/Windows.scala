@@ -115,6 +115,15 @@ object Windows {
         .orderBy("user_id", "session_id")
     }),
 
+    "win_percent_rank_cume" -> ((s, dir) => {
+      val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
+      Tables.customer(s, dir)
+        .select(col("c_mktsegment"), col("c_custkey"),
+          D.r4s(percent_rank().over(w)).as("pr"),
+          D.r4s(cume_dist().over(w)).as("cd"))
+        .orderBy("c_mktsegment", "c_custkey")
+    }),
+
     "sort_global" -> ((s, dir) =>
       Tables.events(s, dir)
         .select("event_id", "ts_ms", "event_type")
@@ -223,6 +232,14 @@ object Windows {
          SELECT user_id, session_id, count(1) AS n_events,
                 min(ts_ms) AS session_start, max(ts_ms) AS session_end
          FROM sid GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "win_percent_rank_cume" ->
+      """SELECT c_mktsegment, c_custkey,
+            ROUND(percent_rank() OVER w * 10000.0, 0) / 10000.0 AS pr,
+            ROUND(cume_dist() OVER w * 10000.0, 0) / 10000.0 AS cd
+         FROM customer
+         WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
+         ORDER BY c_mktsegment, c_custkey""",
 
     "sort_global" ->
       """SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type
