@@ -41,6 +41,31 @@ object Downsample {
       .agg(aggExpr(aggregator, col(valueCol), col(tsMsCol)).as("value"))
   }
 
+  /** Time-weighted average per (series, bucket) — the right mean for
+    * IRREGULARLY sampled series (a value holds until the next sample;
+    * plain avg over-weights bursts). Weight of sample i = time until the
+    * next sample in the series, capped at the bucket end; the last
+    * sample extends to the bucket end. One lead() window + one hash
+    * aggregate; weights are exact integer ms and the weighted sum goes
+    * through DECIMAL(18,4), so the result is order-independent (D3). */
+  def timeWeightedAvg(points: DataFrame, seriesCols: Seq[String], intervalMs: Long,
+                      tsMsCol: String = "ts_ms", valueCol: String = "value"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col(tsMsCol), col(valueCol))
+    val bucket = bucketMs(col(tsMsCol), intervalMs)
+    val bucketEnd = bucket + intervalMs
+    val nextTs = lead(col(tsMsCol), 1).over(w)
+    val weight = least(coalesce(nextTs, bucketEnd), bucketEnd) - col(tsMsCol)
+    points
+      .withColumn("bucket_ms", bucket)
+      .withColumn("w_ms", weight)
+      .groupBy((seriesCols.map(col) :+ col("bucket_ms")): _*)
+      .agg(graft.core.D.r4s(
+        sum(graft.core.D.dec(col(valueCol) * col("w_ms"))).cast("double")
+          / sum(col("w_ms"))).as("twa"))
+  }
+
   /** Dense bucket spine [t0, t1) × the distinct series present, left-joined
     * with the downsampled values and filled per policy. The spine is built
     * with `spark.range` (distributed, no driver-side materialization) and

@@ -96,6 +96,13 @@ object TsdbQueries {
         .offset(10).limit(50)
     }),
 
+    // time-weighted average downsample (irregular-sample aware)
+    "tsdb_downsample_twa" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      Downsample.timeWeightedAvg(ev, Seq("user_id"), H)
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // EP3': expression string → parser → the same pipeline builders
     "tsdb_expression" -> ((s, dir) => {
       val q = Expression.parse(
@@ -202,6 +209,21 @@ object TsdbQueries {
       s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
           ${D.oAvgDec("value")} AS value
           FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "tsdb_downsample_twa" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+                     FROM events WHERE event_type = 'click'),
+          x AS (SELECT user_id, ts_ms, value,
+                  (ts_ms // $H) * $H AS bucket_ms,
+                  lead(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, value) AS next_ts
+                FROM e),
+          wgt AS (SELECT user_id, bucket_ms, value,
+                  least(coalesce(next_ts, bucket_ms + $H), bucket_ms + $H) - ts_ms AS w_ms
+                FROM x)
+          SELECT user_id, bucket_ms,
+                 ROUND((CAST(SUM(CAST(value * w_ms AS DECIMAL(18,4))) AS DOUBLE)
+                        / SUM(w_ms)) * 10000.0, 0) / 10000.0 AS twa
+          FROM wgt GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "tsdb_expression" ->
       s"""WITH ds AS (

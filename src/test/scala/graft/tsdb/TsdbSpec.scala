@@ -51,6 +51,20 @@ class TsdbSpec extends SparkSpec {
     assert(filled.map(_.getAs[Double]("value")).toSeq == Seq(0.0, 2.0, 0.0, 0.0))
   }
 
+  test("time-weighted average weights by holding time, not sample count") {
+    // 10 holds [0, 30min), 20 holds [30min, 60min) → twa 15.0 even though
+    // a burst of repeated 20-samples would skew a plain avg
+    val df = pts(("m", 1L, 0L, 10.0), ("m", 1L, 1800000L, 20.0),
+      ("m", 1L, 2700000L, 20.0)) // extra sample same value: twa unchanged
+    val twa = Downsample.timeWeightedAvg(df, Seq("user"), 3600000L)
+      .select("twa").as[Double].head()
+    assert(twa == 15.0)
+    // plain avg would be (10+20+20)/3 = 16.67 — different, by design
+    val plain = Downsample(df, Seq("user"), 3600000L, "avg")
+      .select("value").as[Double].head()
+    assert(plain > 16.0)
+  }
+
   test("fill spine enforces the maxDataPoints-style cap") {
     val df = pts(("m", 1L, 0L, 1.0))
     val ds = Downsample(df, Seq("user"), 1000L, "sum")
