@@ -158,8 +158,8 @@ object Aggs {
       Tables.events(s, dir)
         .groupBy("user_id")
         .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
-        .agg(coalesce(count(lit(1)), lit(0L)))
-        .na.fill(0L)
+        .agg(count(lit(1)))
+        .na.fill(0L)   // absent pivot cells surface as NULL after the pivot
         .orderBy("user_id")),
 
     // listagg / string_agg: ordered per-group concatenation

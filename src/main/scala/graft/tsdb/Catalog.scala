@@ -45,9 +45,15 @@ object Catalog {
 
   /** Prune a points frame to series matching the catalog subset — the
     * ES-before-Cassandra two-phase read (SURVEY §4.1 row 1). Broadcast
-    * left-semi join on tsid: the catalog side is small by construction. */
+    * left-semi join on (metric, canonical tags): exact — unlike a join
+    * on the 64-bit tsid hash, a collision can't leak a foreign series.
+    * (Canonical serialization is unambiguous because the ingest charset
+    * [[graft.stream.Validate.CharsetRe]] forbids ',' and '=' in tag
+    * keys/values.) */
   def pruneByCatalog(points: DataFrame, matchingSeries: DataFrame): DataFrame = {
-    points.withColumn("tsid", xxhash64(col("metric"), canonicalTags))
-      .join(broadcast(matchingSeries.select("tsid")), Seq("tsid"), "left_semi")
+    points.withColumn("tags_canonical", canonicalTags)
+      .join(broadcast(matchingSeries.select("metric", "tags_canonical")),
+        Seq("metric", "tags_canonical"), "left_semi")
+      .drop("tags_canonical")
   }
 }

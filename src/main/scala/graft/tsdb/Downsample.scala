@@ -47,7 +47,7 @@ object Downsample {
     * next sample in the series, capped at the bucket end; the last
     * sample extends to the bucket end. One lead() window + one hash
     * aggregate; weights are exact integer ms and the weighted sum goes
-    * through DECIMAL(18,4), so the result is order-independent (D3). */
+    * through DECIMAL(27,4), so the result is order-independent (D3). */
   def timeWeightedAvg(points: DataFrame, seriesCols: Seq[String], intervalMs: Long,
                       tsMsCol: String = "ts_ms", valueCol: String = "value"): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -61,8 +61,11 @@ object Downsample {
       .withColumn("bucket_ms", bucket)
       .withColumn("w_ms", weight)
       .groupBy((seriesCols.map(col) :+ col("bucket_ms")): _*)
+      // DECIMAL(27,4): value×weight_ms reaches 1e13+ for large values;
+      // (18,4) would overflow to silent NULLs on the Spark side
       .agg(graft.core.D.r4s(
-        sum(graft.core.D.dec(col(valueCol) * col("w_ms"))).cast("double")
+        sum((col(valueCol) * col("w_ms"))
+          .cast(org.apache.spark.sql.types.DecimalType(27, 4))).cast("double")
           / sum(col("w_ms"))).as("twa"))
   }
 
@@ -79,15 +82,18 @@ object Downsample {
                t0Ms: Long, t1Ms: Long, fill: String,
                maxBuckets: Long = 100000L): DataFrame = {
     if (fill == "none") return downsampled
+    require(t1Ms > t0Ms, s"empty fill range [$t0Ms, $t1Ms)")
+    // floorDiv alignment matches bucketMs' pmod for negative (pre-1970)
+    // timestamps; Scala % would start the spine one bucket late there
+    val alignedT0 = Math.floorDiv(t0Ms, intervalMs) * intervalMs
     // maxDataPoints-style cap (the reference bounds result size the same
     // way): the filled grid is buckets × series — an unbounded range
     // over a long retention would explode it
-    val alignedT0 = t0Ms - (t0Ms % intervalMs)
     val nBuckets = (t1Ms - alignedT0 + intervalMs - 1) / intervalMs
     require(nBuckets <= maxBuckets,
       s"fill spine would have $nBuckets buckets (> $maxBuckets); " +
         "narrow the time range or coarsen the interval")
-    val spine = spark.range(t0Ms - (t0Ms % intervalMs), t1Ms, intervalMs)
+    val spine = spark.range(alignedT0, t1Ms, intervalMs)
       .toDF("bucket_ms")
     val series = downsampled.select(seriesCols.map(col): _*).distinct()
     val grid = broadcast(series).crossJoin(spine)

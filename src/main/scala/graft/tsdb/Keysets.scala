@@ -26,21 +26,32 @@ object Keysets {
       if (fs.exists(p))
         s.read.parquet(registryPath).where(col("ksid") =!= ksid).unionByName(row)
       else row
-    merged.persist().count()
-    merged.write.mode("overwrite").parquet(registryPath + ".tmp")
-    s.read.parquet(registryPath + ".tmp").write.mode("overwrite").parquet(registryPath)
-    merged.unpersist()
+    swapInto(s, merged, registryPath)
+  }
+
+  /** Write-then-rename swap: the crash window is the metadata rename, not
+    * a data rewrite. (A transactional table format is the real-cluster
+    * answer; this registry is tiny and single-writer by contract.) */
+  private def swapInto(s: SparkSession, df: DataFrame, dest: String): Unit = {
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
+    val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    df.write.mode("overwrite").parquet(tmpP.toString)
+    if (fs.exists(destP)) fs.delete(destP, true)
+    fs.rename(tmpP, destP)
+    ()
   }
 
   def list(s: SparkSession, registryPath: String): DataFrame =
     s.read.parquet(registryPath).orderBy("ksid")
 
   def drop(s: SparkSession, registryPath: String, ksid: String): Unit = {
+    // materialize before the swap deletes the source being read
     val rest = s.read.parquet(registryPath).where(col("ksid") =!= ksid)
-    rest.persist().count()
-    rest.write.mode("overwrite").parquet(registryPath + ".tmp")
-    s.read.parquet(registryPath + ".tmp").write.mode("overwrite").parquet(registryPath)
-    rest.unpersist()
+      .collect()
+    val restDf = s.createDataFrame(java.util.Arrays.asList(rest: _*),
+      org.apache.spark.sql.types.StructType.fromDDL(Schema))
+    swapInto(s, restDf, registryPath)
   }
 
   /** Apply a tenant's retention to its slice of a points table

@@ -17,6 +17,12 @@ object MergeRate {
     * shrank the data to (series × bucket) rows, this shuffle is small. */
   def merge(downsampled: DataFrame, groupTags: Seq[String],
             aggregator: String): DataFrame = {
+    // first/last are PER-SERIES downsample aggregators; across series at
+    // one aligned bucket there is no time order to pick "first" by, so
+    // min_by/max_by over the (constant) bucket key would be arbitrary
+    require(aggregator != "first" && aggregator != "last",
+      s"'$aggregator' is a downsample aggregator; merge needs an " +
+        "associative cross-series aggregator (sum/avg/min/max/count)")
     val keys = groupTags.map(col) :+ col("bucket_ms")
     downsampled.groupBy(keys: _*)
       .agg(Downsample.aggExpr(aggregator, col("value"), col("bucket_ms")).as("value"))

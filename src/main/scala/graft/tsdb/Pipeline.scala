@@ -50,7 +50,9 @@ object Pipeline {
     df = df.withColumn("series_key", Catalog.canonicalTags)
     val groupTags = sub.filters.filter(_.groupBy).map(_.tagk).distinct
     groupTags.foreach { k => df = df.withColumn(s"tag_$k", element_at(col("tags"), k)) }
-    val ds = sub.downsample.getOrElse(DownsampleSpec(60000L, "avg"))
+    // no downsample requested → merge at raw ms timestamps (1 ms
+    // buckets; the avg of a single point is the point)
+    val ds = sub.downsample.getOrElse(DownsampleSpec(1L, "avg"))
     val down = Downsample(
       df.select((Seq("series_key", "ts_ms", "value") ++ groupTags.map(k => s"tag_$k")).map(col): _*),
       "series_key" +: groupTags.map(k => s"tag_$k"), ds.intervalMs, ds.aggregator)

@@ -169,9 +169,9 @@ object TsdbQueries {
     "tsdb_rate_counter" ->
       s"""WITH c AS (
             SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms,
-                   CAST(SUM(CAST(value AS DECIMAL(18,4)))
+                   CAST(((SUM(CAST(value AS DECIMAL(18,4)))
                         OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
-                        % 1000 AS DOUBLE) AS counter
+                        % 1000) + 1000) % 1000 AS DOUBLE) AS counter
             FROM events WHERE event_type = 'purchase'),
           lastv AS (
             SELECT user_id, (ts_ms // 3600000) * 3600000 AS bucket_ms, counter,
@@ -221,7 +221,7 @@ object TsdbQueries {
                   least(coalesce(next_ts, bucket_ms + $H), bucket_ms + $H) - ts_ms AS w_ms
                 FROM x)
           SELECT user_id, bucket_ms,
-                 ROUND((CAST(SUM(CAST(value * w_ms AS DECIMAL(18,4))) AS DOUBLE)
+                 ROUND((CAST(SUM(CAST(value * w_ms AS DECIMAL(27,4))) AS DOUBLE)
                         / SUM(w_ms)) * 10000.0, 0) / 10000.0 AS twa
           FROM wgt GROUP BY 1, 2 ORDER BY 1, 2""",
 

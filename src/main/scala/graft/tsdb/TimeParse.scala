@@ -32,7 +32,7 @@ object TimeParse {
     * values past year-2286-in-seconds are taken as ms). */
   def toAbsMs(spec: String, nowMs: Long): Long = spec match {
     case Relative(n, u) => nowMs - n.toLong * unitMs(u)
-    case s if s.forall(_.isDigit) =>
+    case s if s.nonEmpty && s.length <= 17 && s.forall(_.isDigit) =>
       val v = s.toLong
       if (s.length >= 13 || v > 9999999999L) v else v * 1000L
     case _ => throw new IllegalArgumentException(s"bad time spec: $spec")
