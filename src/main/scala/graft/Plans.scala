@@ -8,8 +8,9 @@ import org.apache.spark.sql.SparkSession
   * aggregation is partial→final, and top-k avoids global sorts. */
 object Plans {
   val Headline = Seq(
-    "tsdb_query_pipeline", "scan_pruned", "join_multiway", "join_theta_range",
-    "join_asof", "agg_hash_groupby", "limit_topk", "llm_sim_cosine_topk",
+    "tsdb_query_pipeline", "tsdb_downsample_twa", "scan_pruned",
+    "join_multiway", "join_theta_range", "join_asof", "agg_hash_groupby",
+    "sub_correlated_scalar", "limit_topk", "llm_sim_cosine_topk",
     "llm_knn_join", "llm_dedup_near_minhash")
 
   def main(args: Array[String]): Unit = {
