@@ -87,11 +87,13 @@ object Dedup {
       .withColumn("sig",
         org.apache.spark.sql.graftfn.MinHashSig.of(col("w"), shingleN, k))
       .select(col("id"), explode(bandKeys("sig", k, r)).as("band"))
-    // persist: the self-join would otherwise recompute the MinHash
-    // signatures (the dominant cost) once per side
-    bands.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val cand = bands.select(col("band"), col("id").as("a_id"))
-      .join(bands.select(col("band"), col("id").as("b_id")), Seq("band"))
+    // materialize once (the self-join would otherwise recompute the
+    // MinHash signatures — the dominant cost — per side); localCheckpoint
+    // is released by the ContextCleaner when the plan is dropped, unlike
+    // a persist with no owner to unpersist it
+    val bandsM = bands.localCheckpoint(true)
+    val cand = bandsM.select(col("band"), col("id").as("a_id"))
+      .join(bandsM.select(col("band"), col("id").as("b_id")), Seq("band"))
       .where(col("a_id") < col("b_id"))
       .select("a_id", "b_id").distinct()
     // Stage 2: fetch the two word sets only for surviving candidates and

@@ -198,14 +198,14 @@ object Ingest {
         batch.write.mode("overwrite").partitionBy("metric")
           .parquet(s"$pointsPath/batch=$batchId")
         val newSeries = graft.tsdb.Catalog.fromPoints(batch)
+        // dedupe on the exact key, not the 64-bit tsid (a hash collision
+        // would silently drop a series); swap via write-then-rename so a
+        // crash never destroys the accumulated catalog
         val merged = readStateIfExists(batch.sparkSession, catalogPath)
-          .map(_.unionByName(newSeries).dropDuplicates("tsid"))
+          .map(_.unionByName(newSeries).dropDuplicates("metric", "tags_canonical"))
           .getOrElse(newSeries)
-        // rewrite via temp to avoid read-overwrite conflict
         merged.persist().count()
-        merged.write.mode("overwrite").parquet(catalogPath + ".tmp")
-        batch.sparkSession.read.parquet(catalogPath + ".tmp")
-          .write.mode("overwrite").parquet(catalogPath)
+        graft.tsdb.Keysets.swapInto(batch.sparkSession, merged, catalogPath)
         merged.unpersist()
         batch.unpersist()
         ()

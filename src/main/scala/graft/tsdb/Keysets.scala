@@ -30,15 +30,20 @@ object Keysets {
   }
 
   /** Write-then-rename swap: the crash window is the metadata rename, not
-    * a data rewrite. (A transactional table format is the real-cluster
-    * answer; this registry is tiny and single-writer by contract.) */
-  private def swapInto(s: SparkSession, df: DataFrame, dest: String): Unit = {
+    * a data rewrite. Hadoop FileSystem signals failure via RETURN VALUE,
+    * not exceptions — ignoring it would leave the destination deleted
+    * with no error. (A transactional table format is the real-cluster
+    * answer; these state tables are small and single-writer by contract.) */
+  private[graft] def swapInto(s: SparkSession, df: DataFrame, dest: String): Unit = {
     val destP = new org.apache.hadoop.fs.Path(dest)
     val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
     val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(tmpP.toString)
-    if (fs.exists(destP)) fs.delete(destP, true)
-    fs.rename(tmpP, destP)
+    if (fs.exists(destP) && !fs.delete(destP, true))
+      throw new java.io.IOException(s"could not delete $destP for swap")
+    if (!fs.rename(tmpP, destP))
+      throw new java.io.IOException(s"rename $tmpP -> $destP failed; " +
+        s"previous state preserved at $tmpP")
     ()
   }
 

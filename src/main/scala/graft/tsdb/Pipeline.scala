@@ -50,14 +50,20 @@ object Pipeline {
     df = df.withColumn("series_key", Catalog.canonicalTags)
     val groupTags = sub.filters.filter(_.groupBy).map(_.tagk).distinct
     groupTags.foreach { k => df = df.withColumn(s"tag_$k", element_at(col("tags"), k)) }
-    // no downsample requested → merge at raw ms timestamps (1 ms
-    // buckets; the avg of a single point is the point)
-    val ds = sub.downsample.getOrElse(DownsampleSpec(1L, "avg"))
-    val down = Downsample(
-      df.select((Seq("series_key", "ts_ms", "value") ++ groupTags.map(k => s"tag_$k")).map(col): _*),
-      "series_key" +: groupTags.map(k => s"tag_$k"), ds.intervalMs, ds.aggregator)
-    val filled = Downsample.withFill(spark, down, "series_key" +: groupTags.map(k => s"tag_$k"),
-      ds.intervalMs, q.startMs, q.endMs, ds.fill)
+    val sel = df.select(
+      (Seq("series_key", "ts_ms", "value") ++ groupTags.map(k => s"tag_$k")).map(col): _*)
+    val seriesKeys = "series_key" +: groupTags.map(k => s"tag_$k")
+    // no downsample requested → RAW values at raw ms timestamps (no
+    // aggregation, no 4dp quantization — OpenTSDB semantics); otherwise
+    // per-series interval aggregation + fill
+    val filled = sub.downsample match {
+      case Some(ds) =>
+        val down = Downsample(sel, seriesKeys, ds.intervalMs, ds.aggregator)
+        Downsample.withFill(spark, down, seriesKeys,
+          ds.intervalMs, q.startMs, q.endMs, ds.fill)
+      case None =>
+        sel.withColumnRenamed("ts_ms", "bucket_ms")
+    }
     val merged = MergeRate.merge(filled, groupTags.map(k => s"tag_$k"), sub.aggregator)
     val out =
       if (sub.rate) MergeRate.rate(merged, groupTags.map(k => s"tag_$k"), sub.rateOptions)

@@ -15,10 +15,15 @@ import org.apache.spark.sql.types._
   * contingency).
   *
   * Semantics: Σᵢ round₄(aᵢ·bᵢ), carried as a scaled BIGINT accumulator
-  * (round-half-away-from-zero at the 4th decimal — the same contract as
-  * `CAST(x AS DECIMAL(18,4))`, rule D3), returned as DOUBLE. Summation is
+  * (round-half-away-from-zero at the 4th decimal — the DECIMAL(18,4)
+  * contract of rule D3), returned as DOUBLE. Summation is
   * order-independent (integer adds), so partial aggregation and cluster
-  * layout can never change the value.
+  * layout can never change the value. Caveat: the per-element rounding
+  * decides on the double `a·b·10⁴` (one extra rounding vs the decimal
+  * cast of `a·b`); products whose scaled value sits within one ULP of an
+  * exact .5 boundary could round differently from the decimal path —
+  * measure-zero for real-valued embeddings and cross-checked against the
+  * HOF/decimal formulation on every fixture at three scale factors.
   *
   * Why a custom expression: the equivalent higher-order-function form
   * (`aggregate(zip_with(...))` with a decimal accumulator) allocates an
