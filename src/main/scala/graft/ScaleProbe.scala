@@ -1,0 +1,49 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** One-off scaling probe: replicate the events fixture 10× (shifted ids,
+  * same time range → 10× the per-bucket density) and time representative
+  * operators at 1× and 10× to check the near-linear-scaling claim in
+  * PERF.md empirically. Run: `SPARK_GRAFT_CPUS=32 tools/run.sh graft.ScaleProbe`. */
+object ScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+    val big = java.nio.file.Files.createTempDirectory("graft_x10_").toString
+    val ev = core.Tables.events(spark, sf)
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+    (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/events.parquet")
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    def flagship(dir: String): Long = tsdb.Pipeline.flagship(spark, dir).count()
+    def downsample(dir: String): Long =
+      tsdb.Downsample(core.Tables.events(spark, dir),
+        Seq("event_type", "user_id"), 3600000L, "avg").count()
+    def sessionize(dir: String): Long =
+      SparkEntry.queries("win_sessionize")(spark, dir).count()
+
+    // warm the datasets AND each query shape (codegen compiles on first
+    // run; timing it against 1× would flatter the 10× ratio)
+    core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
+    flagship(sf); downsample(sf); sessionize(sf)
+    val rows = Seq(
+      ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
+      ("downsample_1h_avg", time(downsample(sf)), time(downsample(big))),
+      ("sessionize", time(sessionize(sf)), time(sessionize(big))))
+    println("operator,t_1x_sec,t_10x_sec,ratio")
+    rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
+    spark.stop()
+  }
+}

@@ -169,6 +169,30 @@ object Aggs {
         .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
         .orderBy("n_regionkey")),
 
+    // unpivot (stack): wide per-user event counts back to long form
+    "fn_unpivot" -> ((s, dir) => {
+      val wide = Tables.events(s, dir)
+        .groupBy("user_id")
+        .pivot("event_type", Seq("click", "view"))
+        .agg(count(lit(1))).na.fill(0L)
+      wide.select(col("user_id"),
+        expr("stack(2, 'click', click, 'view', view) AS (etype, n)"))
+        .select("user_id", "etype", "n")
+        .orderBy("user_id", "etype")
+    }),
+
+    // mode (most frequent value), deterministic: max count, then min value
+    "agg_mode" -> ((s, dir) => {
+      val counts = Tables.lineitem(s, dir)
+        .groupBy("l_returnflag", "l_quantity")
+        .agg(count(lit(1)).as("c"))
+      counts.groupBy("l_returnflag")
+        .agg(max(struct(col("c"), (-col("l_quantity")).as("negq"))).as("m"))
+        .select(col("l_returnflag"), (-col("m.negq")).as("mode_qty"),
+          col("m.c").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // correlated scalar subquery (Catalyst decorrelates it to a join):
     // orders costlier than their customer's average order
     "sub_correlated_scalar" -> ((s, dir) => {
@@ -277,6 +301,26 @@ object Aggs {
     "agg_listagg" ->
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
          FROM nation GROUP BY 1 ORDER BY 1""",
+
+    "fn_unpivot" ->
+      """WITH wide AS (
+           SELECT user_id,
+             CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+             CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+           FROM events GROUP BY 1)
+         SELECT user_id, 'click' AS etype, click AS n FROM wide
+         UNION ALL SELECT user_id, 'view' AS etype, view AS n FROM wide
+         ORDER BY user_id, etype""",
+
+    "agg_mode" ->
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS c
+                    FROM lineitem GROUP BY 1, 2),
+         r AS (SELECT l_returnflag, l_quantity, c,
+                 row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY c DESC, l_quantity ASC) AS rn
+               FROM c)
+         SELECT l_returnflag, l_quantity AS mode_qty, c AS n
+         FROM r WHERE rn = 1 ORDER BY l_returnflag""",
 
     "sub_correlated_scalar" ->
       """SELECT o_orderkey, o_custkey, o_totalprice
