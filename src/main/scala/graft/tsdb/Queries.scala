@@ -96,6 +96,14 @@ object TsdbQueries {
         .offset(10).limit(50)
     }),
 
+    // cross-series similarity: Pearson correlation over aligned buckets
+    "tsdb_series_corr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Correlate.pearsonPairs(ds, "user_id", minBuckets = 10)
+        .orderBy("a_key", "b_key")
+    }),
+
     // time-weighted average downsample (irregular-sample aware)
     "tsdb_downsample_twa" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
@@ -209,6 +217,29 @@ object TsdbQueries {
       s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
           ${D.oAvgDec("value")} AS value
           FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "tsdb_series_corr" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          p AS (
+            SELECT a.user_id AS a_key, b.user_id AS b_key, count(*) AS n,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(19,4)) * CAST(b.value AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(19,4)) * CAST(a.value AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(19,4)) * CAST(b.value AS DECIMAL(19,4))) AS DOUBLE) AS syy
+            FROM ds a JOIN ds b ON a.bucket_ms = b.bucket_ms AND a.user_id < b.user_id
+            GROUP BY 1, 2)
+          SELECT a_key, b_key, n,
+                 ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                             * (CAST(n AS DOUBLE) * syy - sy * sy))) * 10000.0, 0) / 10000.0 AS r
+          FROM p
+          WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+            AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+          ORDER BY a_key, b_key""",
 
     "tsdb_downsample_twa" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
