@@ -98,7 +98,11 @@ object TsdbQueries {
 
     // cross-series similarity: Pearson correlation over aligned buckets
     "tsdb_series_corr" -> ((s, dir) => {
-      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      // bounded to a user subset: all-pairs correlation is inherently
+      // n² in series count — the production pattern is correlating a
+      // candidate set (e.g. one service's series), not the whole corpus
+      val ev = Tables.events(s, dir)
+        .where(col("event_type") === "click" && col("user_id") < 200)
       val ds = Downsample(ev, Seq("user_id"), Day, "avg")
       Correlate.pearsonPairs(ds, "user_id", minBuckets = 10)
         .orderBy("a_key", "b_key")
@@ -222,7 +226,7 @@ object TsdbQueries {
       s"""WITH ds AS (
             SELECT user_id, ${oBucket(Day)} AS bucket_ms,
                    ${D.oAvgDec("value")} AS value
-            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+            FROM events WHERE event_type = 'click' AND user_id < 200 GROUP BY 1, 2),
           p AS (
             SELECT a.user_id AS a_key, b.user_id AS b_key, count(*) AS n,
                    CAST(SUM(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
