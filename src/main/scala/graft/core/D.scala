@@ -30,9 +30,12 @@ object D {
     * ".5" shortest repr can only occur when the double IS exactly N.5
     * (N.5 is representable), where both engines round half away from
     * zero — so integer-scale rounding agrees on every input. Both sides
-    * must compute the identical expression shape: (x) * 10000.0 first. */
-  def r4s(c: Column): Column = round(c * lit(10000.0), 0) / 10000.0
-  def oR4(x: String): String = s"ROUND(($x) * 10000.0, 0) / 10000.0"
+    * must compute the identical expression shape: (x) * 10000.0 first.
+    * The trailing `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 = +0.0):
+    * Spark's BigDecimal round() yields +0.0 for tiny negative values while
+    * DuckDB ROUND preserves -0.0, which breaks the exact hash compare. */
+  def r4s(c: Column): Column = round(c * lit(10000.0), 0) / 10000.0 + lit(0.0)
+  def oR4(x: String): String = s"ROUND(($x) * 10000.0, 0) / 10000.0 + 0.0"
 
   /** Order-independent sum of a double column, emitted as DOUBLE.
     * Oracle side: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */

@@ -100,13 +100,16 @@ object LlmQueries {
         .orderBy("a_id", "b_id")
     }),
 
+    // exploded to (vec_id, pos, comp) rows: the unit vector is verified
+    // component-by-component (the driver compare can't sort array cells)
     "llm_embed_normalize" -> ((s, dir) =>
       Tables.embeddings(s, dir)
         .withColumn("nrm", Similarity.normExpr("embedding"))
-        .select(col("vec_id"),
-          graft.core.D.r4s(col("nrm")).as("norm"),
-          Similarity.normalized("embedding", "nrm").as("unit"))
-        .orderBy("vec_id")),
+        .select(col("vec_id"), graft.core.D.r4s(col("nrm")).as("norm"),
+          posexplode(Similarity.normalized("embedding", "nrm")))
+        .select(col("vec_id"), col("norm"), col("pos").cast("long").as("pos"),
+          col("col").as("comp"))
+        .orderBy("vec_id", "pos")),
 
     "llm_text_tokenize_counts" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -179,13 +182,15 @@ object LlmQueries {
         .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
         .orderBy("bucket_lo")),
 
-    // winnowing fingerprints (engine-specific hash → rows-only + tests)
+    // winnowing fingerprints (engine-specific hash → rows-only + tests);
+    // fp is '|'-joined (driver compare can't sort array cells)
     "llm_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
         .select(col("doc_id"), col("text"))
         .withColumn("grams", Text.gramHashes("text", 8))
         .select(col("doc_id"), Text.windowMins("grams", 16).as("fp"))
-        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"), col("fp"))
+        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
+          expr("array_join(transform(fp, x -> cast(x as string)), '|')").as("fp"))
         .orderBy("doc_id")),
 
     "llm_multimodal_join" -> ((s, dir) =>
@@ -252,7 +257,7 @@ object LlmQueries {
                    GROUP BY 1),
          sz AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS nw FROM w)
          SELECT i.a_id, i.a_id + 1 AS b_id, sa.nw AS na, sb.nw AS nb, i.inter,
-                ROUND((CAST(i.inter AS DOUBLE) / (sa.nw + sb.nw - i.inter)) * 10000.0, 0) / 10000.0 AS j
+                ROUND((CAST(i.inter AS DOUBLE) / (sa.nw + sb.nw - i.inter)) * 10000.0, 0) / 10000.0 + 0.0 AS j
          FROM inter i
          JOIN sz sa ON sa.doc_id = i.a_id
          JOIN sz sb ON sb.doc_id = i.a_id + 1
@@ -269,7 +274,7 @@ object LlmQueries {
                 FROM embeddings e, q, range(1, 65) r(i) GROUP BY 1)
           SELECT p.vec_id,
                  ROUND((CAST(p.dot AS DOUBLE) /
-                       (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 AS sim
+                       (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
           FROM p JOIN n ON n.vec_id = p.vec_id CROSS JOIN nq
           ORDER BY sim DESC, p.vec_id LIMIT 10""",
 
@@ -283,7 +288,7 @@ object LlmQueries {
                 GROUP BY 1, 2),
           sim AS (SELECT p.a_id, p.b_id,
                     ROUND((CAST(p.dot AS DOUBLE) /
-                          (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 AS sim
+                          (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
                   FROM p JOIN n na ON na.vec_id = p.a_id JOIN n nb ON nb.vec_id = p.b_id),
           r AS (SELECT a_id, b_id, sim,
                   CAST(row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS BIGINT) AS rn
@@ -301,17 +306,17 @@ object LlmQueries {
                 GROUP BY 1, 2),
           s AS (SELECT p.a_id, p.b_id,
                   ROUND((CAST(p.dot AS DOUBLE) /
-                        (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 AS sim
+                        (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
                 FROM p JOIN n na ON na.vec_id = p.a_id JOIN n nb ON nb.vec_id = p.b_id)
           SELECT a_id, b_id, sim FROM s WHERE sim >= 0.35 ORDER BY a_id, b_id""",
 
     "llm_embed_normalize" ->
       s"""WITH $NormCte
-          SELECT e.vec_id, ROUND(SQRT(CAST(n.d2 AS DOUBLE)) * 10000.0, 0) / 10000.0 AS norm,
-                 list_transform(e.embedding,
-                   x -> round((CAST(x AS DOUBLE) / SQRT(CAST(n.d2 AS DOUBLE))) * 10000.0, 0) / 10000.0) AS unit
-          FROM embeddings e JOIN n ON n.vec_id = e.vec_id
-          ORDER BY e.vec_id""",
+          SELECT e.vec_id, ROUND(SQRT(CAST(n.d2 AS DOUBLE)) * 10000.0, 0) / 10000.0 + 0.0 AS norm,
+                 r.i - 1 AS pos,
+                 ROUND((CAST(e.embedding[r.i] AS DOUBLE) / SQRT(CAST(n.d2 AS DOUBLE))) * 10000.0, 0) / 10000.0 + 0.0 AS comp
+          FROM embeddings e JOIN n ON n.vec_id = e.vec_id, range(1, 65) r(i)
+          ORDER BY e.vec_id, pos""",
 
     "llm_text_tokenize_counts" ->
       """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents)
@@ -324,13 +329,13 @@ object LlmQueries {
          df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
          n AS (SELECT count(*) AS n_docs FROM documents)
          SELECT tf.doc_id, tf.term, tf.tf,
-                ROUND((tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))) * 10000.0, 0) / 10000.0 AS score
+                ROUND((tf.tf * ln(CAST(n.n_docs + 1 AS DOUBLE) / (df.df + 1))) * 10000.0, 0) / 10000.0 + 0.0 AS score
          FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
          ORDER BY tf.doc_id, tf.term""",
 
     "llm_lang_stats" ->
       """SELECT lang, count(*) AS n_docs,
-            ROUND((CAST(SUM(n_chars) AS DOUBLE) / count(*)) * 10000.0, 0) / 10000.0 AS avg_chars,
+            ROUND((CAST(SUM(n_chars) AS DOUBLE) / count(*)) * 10000.0, 0) / 10000.0 + 0.0 AS avg_chars,
             count(DISTINCT source) AS n_sources,
             CAST(SUM(n_chars) AS BIGINT) AS total_chars
          FROM documents GROUP BY 1 ORDER BY 1""",
@@ -359,10 +364,10 @@ object LlmQueries {
                  x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
           FROM documents)
          SELECT doc_id, n_words,
-            ROUND((CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 AS avg_word_len,
-            ROUND((CAST(stops AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 AS stop_ratio,
+            ROUND((CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 + 0.0 AS avg_word_len,
+            ROUND((CAST(stops AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 + 0.0 AS stop_ratio,
             ROUND((least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
-                  (CAST(stops AS DOUBLE) / n_words) * 0.5) * 10000.0, 0) / 10000.0 AS quality
+                  (CAST(stops AS DOUBLE) / n_words) * 0.5) * 10000.0, 0) / 10000.0 + 0.0 AS quality
          FROM b ORDER BY doc_id""",
 
     "llm_token_count" ->
@@ -379,7 +384,7 @@ object LlmQueries {
     "llm_multimodal_join" ->
       s"""WITH $NormCte
           SELECT d.doc_id, d.lang, CAST(e.label AS BIGINT) AS label, d.n_chars,
-                 ROUND(SQRT(CAST(n.d2 AS DOUBLE)) * 10000.0, 0) / 10000.0 AS norm
+                 ROUND(SQRT(CAST(n.d2 AS DOUBLE)) * 10000.0, 0) / 10000.0 + 0.0 AS norm
           FROM documents d
           JOIN embeddings e ON d.doc_id = e.vec_id
           JOIN n ON n.vec_id = e.vec_id

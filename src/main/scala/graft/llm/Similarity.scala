@@ -112,7 +112,7 @@ object Similarity {
     * column — don't inline the norm expression, transform would
     * re-evaluate it per element), rounded 4dp. */
   def normalized(embedding: String, normCol: String): Column =
-    expr(s"transform($embedding, x -> round((CAST(x AS DOUBLE) / $normCol) * 10000.0, 0) / 10000.0)")
+    expr(s"transform($embedding, x -> round((CAST(x AS DOUBLE) / $normCol) * 10000.0, 0) / 10000.0 + 0.0)")
 
   // ---------------------------------------------------------------- IVF
 

@@ -133,9 +133,10 @@ object Aggs {
         .orderBy("l_returnflag")),
 
     "agg_collect_sorted" -> ((s, dir) =>
+      // '|'-joined: the driver compare can't sort array-valued cells
       Tables.events(s, dir)
         .groupBy("user_id")
-        .agg(sort_array(collect_list(col("ts_ms"))).as("ts_list"),
+        .agg(expr("array_join(transform(sort_array(collect_list(ts_ms)), x -> cast(x as string)), '|')").as("ts_list"),
           count(lit(1)).as("n"))
         .orderBy("user_id")),
 
@@ -201,7 +202,7 @@ object Aggs {
         SELECT o_orderkey, o_custkey, o_totalprice
         FROM ord_sub o
         WHERE o_totalprice > (SELECT ROUND((CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                                            / COUNT(1)) * 10000.0, 0) / 10000.0
+                                            / COUNT(1)) * 10000.0, 0) / 10000.0 + 0.0
                               FROM ord_sub i WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
     })
@@ -269,9 +270,9 @@ object Aggs {
     "agg_percentile_exact" ->
       """WITH q AS (SELECT event_type, quantile_cont(value, [0.5, 0.95, 0.99]) AS pct
                     FROM events GROUP BY 1)
-         SELECT event_type, ROUND(pct[1] * 10000.0, 0) / 10000.0 AS p50,
-                ROUND(pct[2] * 10000.0, 0) / 10000.0 AS p95,
-                ROUND(pct[3] * 10000.0, 0) / 10000.0 AS p99
+         SELECT event_type, ROUND(pct[1] * 10000.0, 0) / 10000.0 + 0.0 AS p50,
+                ROUND(pct[2] * 10000.0, 0) / 10000.0 + 0.0 AS p95,
+                ROUND(pct[3] * 10000.0, 0) / 10000.0 + 0.0 AS p99
          FROM q ORDER BY 1""",
 
     "agg_stddev_var" ->
@@ -280,7 +281,8 @@ object Aggs {
           FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "agg_collect_sorted" ->
-      """SELECT user_id, list(epoch_ns(ts) // 1000000 ORDER BY epoch_ns(ts) // 1000000) AS ts_list,
+      """SELECT user_id,
+            array_to_string(list(epoch_ns(ts) // 1000000 ORDER BY epoch_ns(ts) // 1000000), '|') AS ts_list,
             count(1) AS n
          FROM events GROUP BY 1 ORDER BY 1""",
 
@@ -326,7 +328,7 @@ object Aggs {
       """SELECT o_orderkey, o_custkey, o_totalprice
          FROM orders o
          WHERE o_totalprice > (SELECT ROUND((CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
-                                             / COUNT(1)) * 10000.0, 0) / 10000.0
+                                             / COUNT(1)) * 10000.0, 0) / 10000.0 + 0.0
                                FROM orders i WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
 

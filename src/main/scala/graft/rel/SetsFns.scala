@@ -45,7 +45,9 @@ object SetsFns {
         regexp_replace(col("p_name"), "[aeiou]", "_").as("devowel"),
         regexp_extract(col("p_name"), "^(\\w+) ", 1).as("first_word"),
         concat_ws("|", col("p_brand"), col("p_type")).as("cw"),
-        split(col("p_name"), " ").as("words"))
+        // '|'-joined rather than raw ARRAY: the driver's pandas-based
+        // compare cannot sort array-valued cells (unhashable ndarray)
+        array_join(split(col("p_name"), " "), "|").as("words"))
         .orderBy("p_partkey")),
 
     "fn_like" -> ((s, dir) =>
@@ -92,14 +94,16 @@ object SetsFns {
 
     "fn_array" -> ((s, dir) => {
       val words = split(col("text"), " ")
+      // array results are '|'-joined to scalars (driver compare can't
+      // sort array cells); the array ops themselves still execute
       Tables.documents(s, dir).select(
         col("doc_id"),
         size(words).cast("long").as("n_words"),
-        slice(words, 1, 3).as("first3"),
-        sort_array(slice(words, 1, 5)).as("sorted5"),
+        array_join(slice(words, 1, 3), "|").as("first3"),
+        array_join(sort_array(slice(words, 1, 5)), "|").as("sorted5"),
         size(array_distinct(words)).cast("long").as("n_distinct"),
         array_contains(words, "the").as("has_the"),
-        sequence(lit(1L), lit(3L)).as("seq3"))
+        array_join(expr("transform(sequence(1L, 3L), x -> cast(x as string))"), "|").as("seq3"))
         .orderBy("doc_id")
     }),
 
@@ -117,7 +121,11 @@ object SetsFns {
                  AS DOUBLE)""").as("dot_rev"),
         expr("size(filter(embedding, x -> x > CAST(0.5 AS FLOAT)))")
           .cast("long").as("n_gt_half"),
-        expr("transform(embedding, x -> round((CAST(x AS DOUBLE) * 2) * 10000.0, 0) / 10000.0)").as("scaled"))
+        // sample two transform() outputs as scalars — double arrays can't
+        // be emitted (driver compare) and stringifying doubles is
+        // format-fragile across engines
+        expr("element_at(transform(embedding, x -> round((CAST(x AS DOUBLE) * 2) * 10000.0, 0) / 10000.0 + 0.0), 1)").as("scaled_1"),
+        expr("element_at(transform(embedding, x -> round((CAST(x AS DOUBLE) * 2) * 10000.0, 0) / 10000.0 + 0.0), 33)").as("scaled_33"))
         .withColumn("norm", graft.core.D.r4s(sqrt(col("dot_self"))))
         .orderBy("vec_id")),
 
@@ -133,11 +141,11 @@ object SetsFns {
         .withColumn("tags", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING,INT>")))
         .select(
           col("event_id"),
-          map_keys(col("tags")).as("mk"),
-          map_values(col("tags")).as("mv"),
+          array_join(map_keys(col("tags")), "|").as("mk"),
+          expr("array_join(transform(map_values(tags), v -> cast(v as string)), '|')").as("mv"),
           element_at(col("tags"), "k").as("el"),
-          map_keys(map_filter(map(lit("a"), lit(1), lit("b"), lit(2)),
-            (_, v) => v > 1)).as("fk"))
+          array_join(map_keys(map_filter(map(lit("a"), lit(1), lit("b"), lit(2)),
+            (_, v) => v > 1)), "|").as("fk"))
         .orderBy("event_id")),
 
     "fn_json" -> ((s, dir) =>
@@ -211,7 +219,7 @@ object SetsFns {
             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devowel,
             regexp_extract(p_name, '^(\w+) ', 1) AS first_word,
             concat_ws('|', p_brand, p_type) AS cw,
-            string_split(p_name, ' ') AS words
+            array_to_string(string_split(p_name, ' '), '|') AS words
          FROM part ORDER BY p_partkey""",
 
     "fn_like" ->
@@ -239,10 +247,10 @@ object SetsFns {
             abs(l_discount - 0.05) AS ab,
             CAST(ceil(l_extendedprice) AS BIGINT) AS ce,
             CAST(floor(l_extendedprice) AS BIGINT) AS fl,
-            ROUND(sqrt(l_quantity) * 10000.0, 0) / 10000.0 AS sq,
-            ROUND(exp(l_discount) * 10000.0, 0) / 10000.0 AS ex,
-            ROUND(ln(l_extendedprice) * 10000.0, 0) / 10000.0 AS ln_,
-            ROUND(log10(l_extendedprice) * 10000.0, 0) / 10000.0 AS lg,
+            ROUND(sqrt(l_quantity) * 10000.0, 0) / 10000.0 + 0.0 AS sq,
+            ROUND(exp(l_discount) * 10000.0, 0) / 10000.0 + 0.0 AS ex,
+            ROUND(ln(l_extendedprice) * 10000.0, 0) / 10000.0 + 0.0 AS ln_,
+            ROUND(log10(l_extendedprice) * 10000.0, 0) / 10000.0 + 0.0 AS lg,
             pow(l_quantity, 2) AS pw,
             l_orderkey % 7 AS pm,
             CAST(sign(l_discount - 0.05) AS BIGINT) AS sg,
@@ -254,11 +262,11 @@ object SetsFns {
     "fn_array" ->
       """WITH w AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents)
          SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
-            words[1:3] AS first3,
-            list_sort(words[1:5]) AS sorted5,
+            array_to_string(words[1:3], '|') AS first3,
+            array_to_string(list_sort(words[1:5]), '|') AS sorted5,
             CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct,
             list_contains(words, 'the') AS has_the,
-            [1, 2, 3]::BIGINT[] AS seq3
+            '1|2|3' AS seq3
          FROM w ORDER BY doc_id""",
 
     "fn_array_hof" ->
@@ -272,12 +280,13 @@ object SetsFns {
            FROM embeddings e, range(1, 65) r(i)
            GROUP BY e.vec_id),
          t AS (SELECT vec_id,
-                  list_transform(embedding, x -> round((CAST(x AS DOUBLE) * 2) * 10000.0, 0) / 10000.0) AS scaled
+                  ROUND((CAST(embedding[1] AS DOUBLE) * 2) * 10000.0, 0) / 10000.0 + 0.0 AS scaled_1,
+                  ROUND((CAST(embedding[33] AS DOUBLE) * 2) * 10000.0, 0) / 10000.0 + 0.0 AS scaled_33
                FROM embeddings)
          SELECT p.vec_id, CAST(p.dot_dec AS DOUBLE) AS dot_self,
                 CAST(p.rev_dec AS DOUBLE) AS dot_rev,
-                p.n_gt_half, t.scaled,
-                ROUND(sqrt(CAST(p.dot_dec AS DOUBLE)) * 10000.0, 0) / 10000.0 AS norm
+                p.n_gt_half, t.scaled_1, t.scaled_33,
+                ROUND(sqrt(CAST(p.dot_dec AS DOUBLE)) * 10000.0, 0) / 10000.0 + 0.0 AS norm
          FROM p JOIN t ON p.vec_id = t.vec_id ORDER BY p.vec_id""",
 
     "fn_explode" ->
@@ -287,10 +296,10 @@ object SetsFns {
 
     "fn_map" ->
       """SELECT event_id,
-            ['k'] AS mk,
-            [json_extract_string(props, '$.k')::INT] AS mv,
+            'k' AS mk,
+            json_extract_string(props, '$.k') AS mv,
             json_extract_string(props, '$.k')::INT AS el,
-            ['b'] AS fk
+            'b' AS fk
          FROM events ORDER BY event_id""",
 
     "fn_json" ->

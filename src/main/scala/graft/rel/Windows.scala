@@ -169,7 +169,7 @@ object Windows {
     "win_moving_avg_rows" ->
       """SELECT o_custkey, o_orderkey,
             ROUND((CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) OVER w AS DOUBLE)
-                  / COUNT(1) OVER w) * 10000.0, 0) / 10000.0 AS mavg
+                  / COUNT(1) OVER w) * 10000.0, 0) / 10000.0 + 0.0 AS mavg
          FROM orders
          WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
@@ -235,8 +235,8 @@ object Windows {
 
     "win_percent_rank_cume" ->
       """SELECT c_mktsegment, c_custkey,
-            ROUND(percent_rank() OVER w * 10000.0, 0) / 10000.0 AS pr,
-            ROUND(cume_dist() OVER w * 10000.0, 0) / 10000.0 AS cd
+            ROUND(percent_rank() OVER w * 10000.0, 0) / 10000.0 + 0.0 AS pr,
+            ROUND(cume_dist() OVER w * 10000.0, 0) / 10000.0 + 0.0 AS cd
          FROM customer
          WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal, c_custkey)
          ORDER BY c_mktsegment, c_custkey""",

@@ -27,15 +27,19 @@ object Correlate {
       col("value").as("av"))
     val b = downsampled.select(col(keyCol).as("b_key"), col("bucket_ms"),
       col("value").as("bv"))
-    val d19 = DecimalType(19, 4)
+    // (18,4)×(18,4) → DECIMAL(37,8): exact in Spark (≤38) AND DuckDB.
+    // (19,4) factors would need precision 39 > 38 on the Spark side,
+    // silently engaging the precision-loss path (scale-7 rounding) while
+    // DuckDB stays exact — a latent cross-engine divergence on near-ties.
+    val d18 = DecimalType(18, 4)
     val joined = a.join(b, Seq("bucket_ms")).where(col("a_key") < col("b_key"))
     val stats = joined.groupBy("a_key", "b_key").agg(
       count(lit(1)).as("n"),
       sum(D.dec(col("av"))).cast("double").as("sx"),
       sum(D.dec(col("bv"))).cast("double").as("sy"),
-      sum((col("av").cast(d19) * col("bv").cast(d19))).cast("double").as("sxy"),
-      sum((col("av").cast(d19) * col("av").cast(d19))).cast("double").as("sxx"),
-      sum((col("bv").cast(d19) * col("bv").cast(d19))).cast("double").as("syy"))
+      sum((col("av").cast(d18) * col("bv").cast(d18))).cast("double").as("sxy"),
+      sum((col("av").cast(d18) * col("av").cast(d18))).cast("double").as("sxx"),
+      sum((col("bv").cast(d18) * col("bv").cast(d18))).cast("double").as("syy"))
     val n = col("n").cast("double")
     val varX = n * col("sxx") - col("sx") * col("sx")
     val varY = n * col("syy") - col("sy") * col("sy")

@@ -174,7 +174,7 @@ object TsdbQueries {
             FROM events WHERE event_type = 'click' GROUP BY 1, 2)
           SELECT user_id, bucket_ms, value,
                  ROUND(((value - lag(value) OVER w)
-                       / ((bucket_ms - lag(bucket_ms) OVER w) / 1000.0)) * 10000.0, 0) / 10000.0 AS rate
+                       / ((bucket_ms - lag(bucket_ms) OVER w) / 1000.0)) * 10000.0, 0) / 10000.0 + 0.0 AS rate
           FROM ds WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms)
           ORDER BY 1, 2""",
 
@@ -197,7 +197,7 @@ object TsdbQueries {
                    (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS dt
             FROM ds WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms))
           SELECT user_id, bucket_ms, value,
-                 ROUND((CASE WHEN delta < 0 THEN delta + 1000 ELSE delta END / dt) * 10000.0, 0) / 10000.0 AS rate
+                 ROUND((CASE WHEN delta < 0 THEN delta + 1000 ELSE delta END / dt) * 10000.0, 0) / 10000.0 + 0.0 AS rate
           FROM d ORDER BY 1, 2""",
 
     "tsdb_query_pipeline" ->
@@ -231,15 +231,15 @@ object TsdbQueries {
             SELECT a.user_id AS a_key, b.user_id AS b_key, count(*) AS n,
                    CAST(SUM(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
                    CAST(SUM(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
-                   CAST(SUM(CAST(a.value AS DECIMAL(19,4)) * CAST(b.value AS DECIMAL(19,4))) AS DOUBLE) AS sxy,
-                   CAST(SUM(CAST(a.value AS DECIMAL(19,4)) * CAST(a.value AS DECIMAL(19,4))) AS DOUBLE) AS sxx,
-                   CAST(SUM(CAST(b.value AS DECIMAL(19,4)) * CAST(b.value AS DECIMAL(19,4))) AS DOUBLE) AS syy
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS syy
             FROM ds a JOIN ds b ON a.bucket_ms = b.bucket_ms AND a.user_id < b.user_id
             GROUP BY 1, 2)
           SELECT a_key, b_key, n,
                  ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
                         / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
-                             * (CAST(n AS DOUBLE) * syy - sy * sy))) * 10000.0, 0) / 10000.0 AS r
+                             * (CAST(n AS DOUBLE) * syy - sy * sy))) * 10000.0, 0) / 10000.0 + 0.0 AS r
           FROM p
           WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
             AND CAST(n AS DOUBLE) * syy - sy * sy > 0
@@ -257,7 +257,7 @@ object TsdbQueries {
                 FROM x)
           SELECT user_id, bucket_ms,
                  ROUND((CAST(SUM(CAST(value * w_ms AS DECIMAL(27,4))) AS DOUBLE)
-                        / SUM(w_ms)) * 10000.0, 0) / 10000.0 AS twa
+                        / SUM(w_ms)) * 10000.0, 0) / 10000.0 + 0.0 AS twa
           FROM wgt GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "tsdb_expression" ->

@@ -40,6 +40,15 @@ case class Dot4(left: Expression, right: Expression)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "dot4"
 
+  /** Always nullable: a NULL ELEMENT inside either array yields null even
+    * when both array columns are non-null. Without this override,
+    * non-nullable inputs make `ev.isNull` the literal `false` and the
+    * generated `isNull = true` line fails Janino compilation — silently
+    * dropping every dot product out of whole-stage codegen into the
+    * interpreted fallback (the exact hot path this expression exists
+    * to speed up). */
+  override def nullable: Boolean = true
+
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
