@@ -1,6 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
 object Bench {
+  /** Headline queries reported per-query in the JSON line — one or two
+    * representative heavy hitters per operator family. ALL queries are
+    * still timed (the `value` total covers every SparkEntry.queries
+    * entry); only this subset is itemized, because the driver captures a
+    * bounded output tail and a ~90-entry map pushes the line's opening
+    * brace out of the capture window (round-1 bench parsed as null). */
+  val Headline: Seq[String] = Seq(
+    "scan_parquet", "filter_predicate", "agg_hash_groupby", "agg_cube",
+    "join_broadcast", "join_sort_merge", "join_shuffle_hash",
+    "win_topk_pergroup", "win_sessionize", "sort_global",
+    "sub_correlated_scalar", "set_union_distinct",
+    "tsdb_query_pipeline", "tsdb_downsample", "tsdb_rate_counter",
+    "tsdb_series_corr", "tsdb_merge",
+    "stream_sliding", "stream_session",
+    "llm_dedup_near_minhash", "llm_sim_cosine_topk", "llm_sim_ivf",
+    "llm_knn_join", "llm_tfidf")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -25,10 +43,14 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    def r3(v: Double): String = f"$v%.3f"
+    val qs = Headline.flatMap(h => results.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // numeric scale factor from the fixture dir name ("sf0.1" → 0.1)
+    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     spark.stop()
+    // keep the JSON line LAST on stdout (after Spark shutdown chatter)
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sf,"n_queries":${results.size}}""")
   }
 }
