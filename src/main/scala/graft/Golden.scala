@@ -19,9 +19,7 @@ object Golden {
     * (limit_sample and agg_approx_distinct_hll excluded: unordered pick /
     * sketch internals; they have their own property tests.) */
   val Tracked: Seq[String] = Seq(
-    "fn_hash", "llm_dedup_simhash", "llm_fingerprint",
-    "llm_dedup_near_minhash", "llm_sim_ann_lsh", "llm_sim_ivf",
-    "llm_multimodal_features")
+    "fn_hash_native", "llm_dedup_minhash_native", "llm_sim_ivf")
 
   def checksum(df: DataFrame): (Long, String) = {
     val md = java.security.MessageDigest.getInstance("MD5")

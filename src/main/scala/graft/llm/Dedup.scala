@@ -70,6 +70,69 @@ object Dedup {
     graft.core.D.r4s(inter / uni)
   }
 
+  /** PORTABLE MinHash-LSH near-dup pairs: hash family = md5 over
+    * "seed:shingle" strings, minimum taken LEXICOGRAPHICALLY over the
+    * fixed-width hex digests (equivalent to numeric min), band signature =
+    * seed-ordered concat of the band's minhashes. Every step is plain
+    * relational algebra over a digest both engines implement bit-for-bit,
+    * so the WHOLE pipeline — candidates included — hash-matches the
+    * DuckDB oracle. ~32× more hash invocations than [[nearDupPairs]]
+    * (which re-hashes 64-bit values with xxhash64); keep that one for
+    * throughput, this one for verifiability.
+    *
+    * Same shuffle shape as [[nearDupPairs]]: the (id,seed) min-aggregate
+    * and (band,sig) self-join distribute over buckets, never all-pairs. */
+  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 32, r: Int = 4, shingleN: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    val base = docs.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .where(size(col("w")) >= shingleN)
+    val sh = base.select(col("id"), explode(shingles("w", shingleN)).as("s"))
+    val mh = sh
+      .select(col("id"), col("s"), explode(expr(s"sequence(0, ${k - 1})")).as("seed"))
+      .groupBy("id", "seed")
+      .agg(min(expr("md5(cast(concat(seed, ':', s) as binary))")).as("mh"))
+    val bandSig = mh.withColumn("band", expr(s"seed DIV $r"))
+      .groupBy("id", "band")
+      .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), '')").as("sig"))
+    val bandsM = bandSig.localCheckpoint(true)
+    val cand = bandsM.select(col("band"), col("sig"), col("id").as("a_id"))
+      .join(bandsM.select(col("band"), col("sig"), col("id").as("b_id")), Seq("band", "sig"))
+      .where(col("a_id") < col("b_id"))
+      .select("a_id", "b_id").distinct()
+    val wsets = docs.select(col(idCol).as("id"),
+      array_distinct(words(col(textCol))).as("ws"))
+    cand
+      .join(wsets.select(col("id").as("a_id"), col("ws").as("a_w")), "a_id")
+      .join(wsets.select(col("id").as("b_id"), col("ws").as("b_w")), "b_id")
+      .withColumn("jaccard", jaccard(col("a_w"), col("b_w")))
+      .where(col("jaccard") >= threshold)
+      .select("a_id", "b_id", "jaccard")
+      .orderBy("a_id", "b_id")
+  }
+
+  /** PORTABLE SimHash: bit j of the signature is the sign of
+    * Σ_tokens (±1 from bit j of the first 16 bits of md5(token)).
+    * Tokens explode to rows and the 16 per-bit sums are one hash
+    * aggregate (map-side combinable), so it scales like any groupBy —
+    * and md5 makes it replicable in the DuckDB oracle, unlike the
+    * xxhash64 HOF variant [[simhash]]. */
+  def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    def nib(k: Int) = s"(instr('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+    val tok = docs
+      .select(col(idCol).as("doc_id"), explode(words(col(textCol))).as("w"))
+      .withColumn("hx", md5(col("w").cast("binary")))
+      .withColumn("v",
+        expr(s"((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)}"))
+    val sums = (0 until 16).map(j =>
+      sum(expr(s"CASE WHEN (v DIV ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END")).as(s"s_$j"))
+    val sigExpr = (0 until 16)
+      .map(j => s"CASE WHEN s_$j > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+    tok.groupBy("doc_id").agg(sums.head, sums.tail: _*)
+      .select(col("doc_id"), expr(s"CAST($sigExpr AS BIGINT)").as("sig"))
+      .orderBy("doc_id")
+  }
+
   /** MinHash-LSH near-duplicate candidate pairs, verified by exact
     * Jaccard. Pipeline: signature → explode band keys → self-join per
     * bucket (a.id < b.id) → dedup pairs → exact-verify ≥ threshold.

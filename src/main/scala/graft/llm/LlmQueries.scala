@@ -25,17 +25,21 @@ object LlmQueries {
         .select("keep_id", "n")
         .orderBy("keep_id")),
 
-    // MinHash-LSH near-dup candidates, Jaccard-verified. Hash family is
-    // engine-specific → property/golden tests, rows-only here.
+    // MinHash-LSH near-dup candidates, Jaccard-verified — md5 hash
+    // family, so the full pipeline (candidates included) is
+    // oracle-checked; the xxhash64 fast path is golden-tested below
     "llm_dedup_near_minhash" -> ((s, dir) =>
+      Dedup.nearDupPairsPortable(Tables.documents(s, dir), "doc_id", "text",
+        k = 32, r = 4, shingleN = 3, threshold = 0.5)),
+
+    // throughput variant of the same pipeline (native MinHashSig
+    // expression + xxhash64 seed family) — golden-value test, no oracle
+    "llm_dedup_minhash_native" -> ((s, dir) =>
       Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 32, r = 4, shingleN = 3, threshold = 0.5)),
 
     "llm_dedup_simhash" -> ((s, dir) =>
-      Tables.documents(s, dir)
-        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
-        .select(col("doc_id"), Dedup.simhash("w", 16).as("sig"))
-        .orderBy("doc_id")),
+      Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text")),
 
     // word-set Jaccard between consecutive doc ids — SQL-expressible
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
@@ -62,8 +66,9 @@ object LlmQueries {
       Similarity.cosineTopK(emb, qv, 10)
     }),
 
-    // LSH-bucketed ANN (hash-derived buckets → rows-only; recall property
-    // tested against the brute-force baseline in the suite)
+    // LSH-bucketed ANN — md5-derived hyperplane signs, so bucket
+    // membership AND the re-ranked top-k are oracle-checked; recall is
+    // additionally property-tested against the brute-force baseline
     "llm_sim_ann_lsh" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
@@ -182,16 +187,28 @@ object LlmQueries {
         .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
         .orderBy("bucket_lo")),
 
-    // winnowing fingerprints (engine-specific hash → rows-only + tests);
-    // fp is '|'-joined (driver compare can't sort array cells)
-    "llm_fingerprint" -> ((s, dir) =>
+    // winnowing fingerprints over md5 8-char grams: per-doc window min of
+    // 16 consecutive gram hashes, distinct mins = the fingerprint set.
+    // One window + one distinct, both partitioned by doc — the shuffle
+    // unit is a document, so this scales embarrassingly. md5 makes the
+    // whole thing oracle-checked (the HOF/xxhash64 winnowing helpers in
+    // Text remain the in-memory fast path, property-tested separately).
+    "llm_fingerprint" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("doc_id").orderBy("j").rowsBetween(0, 15)
+      val ng = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
       Tables.documents(s, dir)
-        .select(col("doc_id"), col("text"))
-        .withColumn("grams", Text.gramHashes("text", 8))
-        .select(col("doc_id"), Text.windowMins("grams", 16).as("fp"))
-        .select(col("doc_id"), size(col("fp")).cast("long").as("n_fp"),
-          expr("array_join(transform(fp, x -> cast(x as string)), '|')").as("fp"))
-        .orderBy("doc_id")),
+        .where(length(col("text")) >= 8)
+        .select(col("doc_id"), col("text"),
+          explode(expr("sequence(1, length(text) - 7)")).as("j"))
+        .select(col("doc_id"), col("j"),
+          expr("md5(cast(substr(text, j, 8) as binary))").as("h"))
+        .withColumn("mh", min(col("h")).over(w))
+        .withColumn("ng", count(lit(1)).over(ng))
+        .where(col("j") <= col("ng") - 15)
+        .select("doc_id", "mh").distinct()
+        .orderBy("doc_id", "mh")
+    }),
 
     "llm_multimodal_join" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -210,7 +227,9 @@ object LlmQueries {
         hex(substring(col("text"), 9, 2)).as("probe_hex"))
         .orderBy("doc_id")),
 
-    // mapPartitions decode-stub plumbing (checksum impl-specific → rows-only)
+    // mapPartitions decode-stub plumbing; the stub emits only portable
+    // derivations (md5 digest, byte arithmetic) so the full output is
+    // DuckDB-oracle-checked even though it runs through a typed Dataset
     "llm_multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, dir).orderBy("id")),
 
@@ -244,10 +263,48 @@ object LlmQueries {
         .orderBy("lang", "split"))
   )
 
+  /** DuckDB mirror of [[Dedup.simhashPortable]] — the 16 per-bit sums are
+    * generated here so both engines stay structurally in lockstep. */
+  private val SimhashOracle: String = {
+    def nib(k: Int) = s"(instr('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+    val sums = (0 until 16)
+      .map(j => s"SUM(CASE WHEN (v // ${1 << j}) % 2 = 1 THEN 1 ELSE -1 END) AS s_$j")
+      .mkString(", ")
+    val sig = (0 until 16)
+      .map(j => s"CASE WHEN s_$j > 0 THEN ${1 << j} ELSE 0 END").mkString(" + ")
+    s"""WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS w FROM documents),
+       h AS (SELECT doc_id, md5(w) AS hx FROM t),
+       vv AS (SELECT doc_id, ((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)} AS v FROM h),
+       s AS (SELECT doc_id, $sums FROM vv GROUP BY 1)
+       SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM s ORDER BY doc_id"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents
          GROUP BY text ORDER BY keep_id""",
+
+    "llm_dedup_simhash" -> SimhashOracle,
+
+    "llm_dedup_near_minhash" ->
+      """WITH w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
+         el AS (SELECT id, ws FROM w WHERE len(ws) >= 3),
+         js AS (SELECT id, ws, unnest(range(1, len(ws) - 1)) AS j FROM el),
+         sh AS (SELECT id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s FROM js),
+         sd AS (SELECT id, s, unnest(range(0, 32)) AS seed FROM sh),
+         mh AS (SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
+                FROM sd GROUP BY 1, 2),
+         bands AS (SELECT id, seed // 4 AS band, string_agg(mh, '' ORDER BY seed) AS sig
+                   FROM mh GROUP BY 1, 2),
+         cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+                  FROM bands a JOIN bands b
+                    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         dw AS (SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+         ver AS (SELECT c.a_id, c.b_id,
+                   ROUND((CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
+                          / len(list_distinct(da.ws || db.ws))) * 10000.0, 0) / 10000.0 + 0.0 AS jaccard
+                 FROM cand c JOIN dw da ON da.id = c.a_id JOIN dw db ON db.id = c.b_id)
+         SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
 
     "llm_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
@@ -272,6 +329,35 @@ object LlmQueries {
                   SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
                       AS DECIMAL(18,4))) AS dot
                 FROM embeddings e, q, range(1, 65) r(i) GROUP BY 1)
+          SELECT p.vec_id,
+                 ROUND((CAST(p.dot AS DOUBLE) /
+                       (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+          FROM p JOIN n ON n.vec_id = p.vec_id CROSS JOIN nq
+          ORDER BY sim DESC, p.vec_id LIMIT 10""",
+
+    "llm_sim_ann_lsh" ->
+      s"""WITH sgn AS (SELECT p.h AS h, r.i AS i,
+              CASE WHEN instr('0123456789abcdef',
+                     substr(md5(CAST(p.h AS VARCHAR) || ':' || CAST(r.i - 1 AS VARCHAR)), 1, 1)) - 1 >= 8
+                   THEN 1.0 ELSE -1.0 END AS s
+            FROM range(0, 4) p(h), range(1, 65) r(i)),
+          bits AS (SELECT e.vec_id, g.h,
+              CASE WHEN SUM(CAST(CAST(CAST(e.embedding[g.i] AS DOUBLE) * g.s AS DECIMAL(18,4)) * 10000 AS BIGINT)) > 0
+                   THEN 1 ELSE 0 END AS bit
+            FROM embeddings e, sgn g GROUP BY 1, 2),
+          buck AS (SELECT vec_id,
+              SUM(bit * (CASE h WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END)) AS bucket
+            FROM bits GROUP BY 1),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          $NormCte,
+          nq AS (SELECT SUM(CAST(CAST(q.qv[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                     AS DECIMAL(18,4))) AS d2 FROM q, range(1, 65) r(i)),
+          p AS (SELECT e.vec_id,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings e JOIN buck b ON b.vec_id = e.vec_id, q, range(1, 65) r(i)
+                WHERE b.bucket = (SELECT bucket FROM buck WHERE vec_id = 0)
+                GROUP BY 1)
           SELECT p.vec_id,
                  ROUND((CAST(p.dot AS DOUBLE) /
                        (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
@@ -407,6 +493,28 @@ object LlmQueries {
       """SELECT lang, CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'val' END AS split,
             count(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS chars
          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "llm_fingerprint" ->
+      """WITH g AS (SELECT doc_id, j, md5(substr(text, j, 8)) AS h
+                    FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS j
+                          FROM documents WHERE length(text) >= 8)),
+         wm AS (SELECT doc_id, j,
+                  min(h) OVER (PARTITION BY doc_id ORDER BY j
+                               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh,
+                  count(*) OVER (PARTITION BY doc_id) AS ng
+                FROM g)
+         SELECT DISTINCT doc_id, mh FROM wm WHERE j <= ng - 15
+         ORDER BY doc_id, mh""",
+
+    "llm_multimodal_features" ->
+      """SELECT doc_id AS id,
+            CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
+            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
+            hex(substring(text, 1, 4)) AS header_hex,
+            md5(text) AS checksum,
+            CAST(greatest(octet_length(CAST(text AS BLOB)) // 16, 1) AS BIGINT) AS thumb_bytes,
+            CAST(least(8, octet_length(CAST(text AS BLOB)) // 64 + 1) AS INT) AS frames_sampled
+         FROM documents ORDER BY id""",
 
     "llm_multimodal_meta" ->
       """SELECT doc_id,

@@ -16,7 +16,7 @@ object Multimodal {
   /** One media row: media is the opaque payload; meta is typed. */
   case class MediaRow(id: Long, media: Array[Byte], format: String, n_bytes: Long)
   case class MediaFeatures(id: Long, format: String, n_bytes: Long,
-                           header_hex: String, checksum: Long,
+                           header_hex: String, checksum: String,
                            thumb_bytes: Long, frames_sampled: Int)
 
   /** Build a media table from the documents fixture: the UTF-8 bytes of
@@ -37,9 +37,13 @@ object Multimodal {
       // >>> STUB DECODER <<< — deterministic fake standing in for an
       // image/audio codec. Real impl: decode `m.media`, emit real
       // dimensions/frames. Everything below derives only from the bytes.
+      // The digest instance is per-partition (the codec-init-amortization
+      // slot); md5 (vs an ad-hoc fold) keeps the output engine-portable.
+      val md = java.security.MessageDigest.getInstance("MD5")
       rows.map { m =>
         val header = m.media.take(4).map(b => f"$b%02X").mkString
-        val checksum = m.media.foldLeft(1125899906842597L)((h, b) => 31 * h + b)
+        md.reset()
+        val checksum = md.digest(m.media).map(b => f"$b%02x").mkString
         val thumb = math.max(m.n_bytes / 16, 1L)        // "resize": 1/16 payload
         val frames = math.min(8, (m.n_bytes / 64 + 1)).toInt // "frame sample"
         MediaFeatures(m.id, m.format, m.n_bytes, header, checksum, thumb, frames)

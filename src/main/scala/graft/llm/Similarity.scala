@@ -93,13 +93,30 @@ object Similarity {
          sequence(0, $planes - 1), (bit, h) -> bit * shiftleft(1L, cast(h as int))),
          0L, (a, b) -> a + b)""")
 
+  /** PORTABLE [[lshBucket]]: hyperplane h's sign for dimension i comes
+    * from the first md5 nibble of "h:i" (≥ 8 → +1) instead of xxhash64,
+    * and the projection accumulates the same scaled-BIGINT decimals —
+    * every piece is replicable in DuckDB SQL, so ANN bucket membership
+    * itself is oracle-checked. Same cost shape: the signs are constants
+    * per (h,i), folded at plan time into one pass over the vector. */
+  def lshBucketPortable(embedding: String, planes: Int): Column =
+    expr(s"""aggregate(zip_with(
+         transform(sequence(0, $planes - 1), h ->
+           CASE WHEN aggregate(zip_with($embedding, sequence(0, size($embedding) - 1),
+             (x, i) -> CAST(CAST(CAST(x AS DOUBLE) *
+                        IF(instr('0123456789abcdef', substr(md5(cast(concat(h, ':', i) as binary)), 1, 1)) - 1 >= 8, 1.0D, -1.0D)
+                        AS DECIMAL(18,4)) * 10000 AS BIGINT)),
+             0L, (acc, p) -> acc + p) > 0L THEN 1L ELSE 0L END),
+         sequence(0, $planes - 1), (bit, h) -> bit * shiftleft(1L, cast(h as int))),
+         0L, (a, b) -> a + b)""")
+
   /** ANN top-k via LSH bucketing: probe only the query's bucket. The
     * baseline quality path is [[cosineTopK]]; this is the sub-linear
     * scale path (bucket column is precomputable + partitionable). */
   def annTopKLsh(vectors: DataFrame, queryVec: DataFrame, k: Int, planes: Int = 8): DataFrame = {
-    val bucketed = vectors.withColumn("bucket", lshBucket("embedding", planes))
+    val bucketed = vectors.withColumn("bucket", lshBucketPortable("embedding", planes))
       .withColumn("nrm", normExpr("embedding"))
-    val qb = queryVec.withColumn("qbucket", lshBucket("qv", planes))
+    val qb = queryVec.withColumn("qbucket", lshBucketPortable("qv", planes))
       .withColumn("qnrm", normExpr("qv"))
     bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
       .select(col("vec_id"),

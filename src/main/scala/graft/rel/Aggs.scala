@@ -67,11 +67,43 @@ object Aggs {
 
     // HLL sketch — no oracle (approximate); rows-only check + error-bound
     // property test in the suite.
-    "agg_approx_distinct_hll" -> ((s, dir) =>
-      Tables.events(s, dir)
-        .groupBy("event_type")
-        .agg(approx_count_distinct(col("user_id")).as("approx_users"))
-        .orderBy("event_type")),
+    // Explicit distributed HyperLogLog (m=256 registers, md5-derived
+    // hash): per-value (bucket, rho) → per-group register MAX → harmonic
+    // estimate with linear-counting correction. Two map-side-combinable
+    // hash aggregates — exactly how sketch merge distributes on a
+    // cluster — and, unlike approx_count_distinct's engine-internal
+    // HLL++, every step is replicated by the DuckDB oracle. The register
+    // sum Σ2^(-M) is carried as Σ2^(49-M) in BIGINT (exact, order-free).
+    "agg_approx_distinct_hll" -> ((s, dir) => {
+      def nib(k: Int) = s"(instr('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val regsIn = ev
+        .withColumn("hx", md5(col("user_id").cast("string").cast("binary")))
+        .withColumn("bucket", expr(s"${nib(1)} * 16 + ${nib(2)}"))
+        .withColumn("t", expr("trim(LEADING '0' FROM substr(hx, 3, 12))"))
+        .withColumn("rho", expr(
+          """CASE WHEN t = '' THEN 49
+             ELSE (12 - length(t)) * 4 +
+                  CASE WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 8 THEN 0
+                       WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 4 THEN 1
+                       WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 2 THEN 2
+                       ELSE 3 END + 1 END"""))
+      val regs = regsIn.groupBy("event_type", "bucket").agg(max(col("rho")).as("m"))
+      val est = regs.groupBy("event_type")
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).as("s_present"),
+          count(lit(1)).as("nb"))
+        .withColumn("v", lit(256) - col("nb"))
+        .withColumn("s_all", col("s_present") + col("v") * lit(562949953421312L))
+        .withColumn("e_raw", expr(
+          "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0 / CAST(s_all AS DOUBLE)"))
+        .withColumn("approx_users", graft.core.D.r4s(expr(
+          "CASE WHEN e_raw <= 640.0 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE e_raw END")))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("exact_users"))
+      est.join(exact, "event_type")
+        .select("event_type", "approx_users", "exact_users")
+        .orderBy("event_type")
+    }),
 
     "agg_grouping_sets" -> ((s, dir) => {
       Tables.lineitem(s, dir).createOrReplaceTempView("li_gs")
@@ -279,6 +311,41 @@ object Aggs {
       s"""SELECT l_returnflag, ${D.oStddevSampDec("l_extendedprice")} AS sd,
             ${D.oVarSampDec("l_extendedprice")} AS vr
           FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    "agg_approx_distinct_hll" ->
+      """WITH h AS (SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+         b AS (SELECT event_type,
+                 (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+                 (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+                 ltrim(substr(hx, 3, 12), '0') AS t
+               FROM h),
+         r AS (SELECT event_type, bucket,
+                 CASE WHEN t = '' THEN 49
+                      ELSE (12 - length(t)) * 4 +
+                           CASE WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 8 THEN 0
+                                WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 4 THEN 1
+                                WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 2 THEN 2
+                                ELSE 3 END + 1 END AS rho
+               FROM b),
+         regs AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+         est AS (SELECT event_type,
+                   SUM(CAST(1 AS BIGINT) << (49 - m)) AS s_present,
+                   COUNT(*) AS nb
+                 FROM regs GROUP BY 1),
+         fin AS (SELECT event_type,
+                   s_present + (256 - nb) * CAST(562949953421312 AS BIGINT) AS s_all,
+                   256 - nb AS v
+                 FROM est),
+         er AS (SELECT event_type, v,
+                  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0 / CAST(s_all AS DOUBLE) AS e_raw
+                FROM fin),
+         ex AS (SELECT event_type, count(DISTINCT user_id) AS exact_users FROM events GROUP BY 1)
+         SELECT er.event_type,
+                ROUND((CASE WHEN er.e_raw <= 640.0 AND er.v > 0
+                            THEN 256.0 * ln(256.0 / er.v) ELSE er.e_raw END) * 10000.0, 0) / 10000.0 + 0.0 AS approx_users,
+                ex.exact_users
+         FROM er JOIN ex ON ex.event_type = er.event_type
+         ORDER BY er.event_type""",
 
     "agg_collect_sorted" ->
       """SELECT user_id,

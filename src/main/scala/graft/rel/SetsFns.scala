@@ -176,13 +176,20 @@ object SetsFns {
         .orderBy("p_partkey")
     }),
 
-    // engine-specific hash implementations — golden-value test, no oracle
+    // portable digests (md5/sha256 are bit-identical across engines →
+    // full DuckDB oracle)
     "fn_hash" -> ((s, dir) =>
       Tables.part(s, dir).select(
         col("p_partkey"),
-        xxhash64(col("p_name")).as("xx"),
         md5(col("p_name").cast("binary")).as("m5"),
-        sha2(col("p_name").cast("binary"), 256).as("s2"),
+        sha2(col("p_name").cast("binary"), 256).as("s2"))
+        .orderBy("p_partkey")),
+
+    // engine-specific hash implementations — golden-value test, no oracle
+    "fn_hash_native" -> ((s, dir) =>
+      Tables.part(s, dir).select(
+        col("p_partkey"),
+        xxhash64(col("p_name")).as("xx"),
         crc32(col("p_name").cast("binary")).as("crc"))
         .orderBy("p_partkey"))
   )
@@ -308,6 +315,10 @@ object SetsFns {
             json_extract_string(props, '$.k')::INT AS k_int,
             '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
          FROM events ORDER BY event_id""",
+
+    "fn_hash" ->
+      """SELECT p_partkey, md5(p_name) AS m5, sha256(p_name) AS s2
+         FROM part ORDER BY p_partkey""",
 
     "udf_scalar" ->
       """SELECT p_partkey, p_name || '%' AS pat FROM part ORDER BY p_partkey""",

@@ -142,9 +142,15 @@ object Windows {
         .orderBy(col("o_totalprice").desc, col("o_orderkey"))
         .limit(100)),
 
-    // unordered limit — nondeterministic pick, no oracle (rows-only)
+    // deterministic ~10% Bernoulli sample: keep rows whose md5(key) hex
+    // prefix falls under a threshold. Hash-based sampling (not rand())
+    // is the reproducible at-scale pattern — stable under retries,
+    // partitioning, and engine — and makes the sample oracle-checkable.
     "limit_sample" -> ((s, dir) =>
-      Tables.lineitem(s, dir).limit(500))
+      Tables.orders(s, dir)
+        .where(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) <= "19")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy("o_orderkey"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -252,6 +258,11 @@ object Windows {
 
     "limit_topk" ->
       """SELECT o_orderkey, o_totalprice FROM orders
-         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100"""
+         ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""",
+
+    "limit_sample" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+         WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
+         ORDER BY o_orderkey"""
   )
 }

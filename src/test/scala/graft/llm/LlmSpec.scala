@@ -142,9 +142,9 @@ class LlmSpec extends SparkSpec {
     assert(feats.where(col("n_bytes") <= 0).count() == 0)
     assert(feats.select("format").distinct().as[String].collect().toSet == Set("png", "wav"))
     // deterministic across runs
-    val a = feats.orderBy("id").select("checksum").as[Long].collect()
+    val a = feats.orderBy("id").select("checksum").as[String].collect()
     val b = Multimodal.features(spark, sf, partitions = 2)
-      .orderBy("id").select("checksum").as[Long].collect()
+      .orderBy("id").select("checksum").as[String].collect()
     assert(a.toSeq == b.toSeq, "partitioning must not change features")
   }
 }
