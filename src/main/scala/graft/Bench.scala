@@ -38,7 +38,12 @@ object Bench {
     }
     try graft.core.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(o =>
+      SparkEntry.queries.view.filterKeys(o).toMap)
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -82,20 +82,41 @@ object Dedup {
     *
     * Same shuffle shape as [[nearDupPairs]]: the (id,seed) min-aggregate
     * and (band,sig) self-join distribute over buckets, never all-pairs. */
+  /** The k-hash family packs FOUR lanes per digest: hash (4j+l) of
+    * shingle s is the 8-hex-char slice l of md5("j:s") — an md5 hex
+    * digest is exactly 32 chars = 4×8, so k=32 costs 8 digest calls per
+    * shingle. (Mind the digest width: a slice past char 32 silently
+    * yields '' — a constant lane — which makes that band's signature
+    * collide for EVERY doc pair and degenerates the LSH to all-pairs.)
+    * 32-bit lanes are ample for minhash: per-doc shingle sets are ~10³,
+    * collision odds ~n²/2³² per lane, and any tie resolves identically
+    * on both engines. Lexicographic min over the fixed-width hex slices
+    * equals numeric min. */
   def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 32, r: Int = 4, shingleN: Int = 3,
                            threshold: Double = 0.5): DataFrame = {
+    require(k % 4 == 0 && k % r == 0, s"k=$k must be divisible by 4 and r=$r")
     val base = docs.select(col(idCol).as("id"), words(col(textCol)).as("w"))
       .where(size(col("w")) >= shingleN)
+    // one row per shingle; the k mins are aggregate COLUMNS (map-side
+    // combinable, no row explosion, no (id,seed) shuffle)
     val sh = base.select(col("id"), explode(shingles("w", shingleN)).as("s"))
-    val mh = sh
-      .select(col("id"), col("s"), explode(expr(s"sequence(0, ${k - 1})")).as("seed"))
-      .groupBy("id", "seed")
-      .agg(min(expr("md5(cast(concat(seed, ':', s) as binary))")).as("mh"))
-    val bandSig = mh.withColumn("band", expr(s"seed DIV $r"))
-      .groupBy("id", "band")
-      .agg(expr("array_join(transform(array_sort(collect_list(struct(seed, mh))), x -> x.mh), '')").as("sig"))
-    val bandsM = bandSig.localCheckpoint(true)
+      .select(col("id") +: (0 until k / 4).map(j =>
+        expr(s"md5(cast(concat('$j:', s) as binary))").as(s"h$j")): _*)
+    val mins = (0 until k).map { i =>
+      min(expr(s"substr(h${i / 4}, ${(i % 4) * 8 + 1}, 8)")).as(s"m$i")
+    }
+    val mh = sh.groupBy("id").agg(mins.head, mins.tail: _*)
+    // band signature = plain column concat of the band's r mins; unpivot
+    // the bands/r signatures to rows with stack() for the bucket join
+    val bands = k / r
+    val sigCols = (0 until bands).map { b =>
+      concat((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as(s"sig$b")
+    }
+    val stacked = mh.select(col("id") +: sigCols: _*)
+      .selectExpr("id",
+        s"stack($bands, ${(0 until bands).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
+    val bandsM = stacked.localCheckpoint(true)
     val cand = bandsM.select(col("band"), col("sig"), col("id").as("a_id"))
       .join(bandsM.select(col("band"), col("sig"), col("id").as("b_id")), Seq("band", "sig"))
       .where(col("a_id") < col("b_id"))

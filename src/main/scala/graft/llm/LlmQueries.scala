@@ -286,16 +286,22 @@ object LlmQueries {
 
     "llm_dedup_simhash" -> SimhashOracle,
 
-    "llm_dedup_near_minhash" ->
-      """WITH w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
+    "llm_dedup_near_minhash" -> {
+      // mirror of Dedup.nearDupPairsPortable's packed-lane layout:
+      // hash (4j+l) = 8-hex-char slice l of md5("j:shingle") (32-char
+      // digest = exactly four 8-char lanes; never slice past char 32)
+      val mins = (0 until 32)
+        .map(i => s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
+        .mkString(", ")
+      val sigs = (0 until 8)
+        .map(b => s"SELECT id, $b AS band, ${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || ")} AS sig FROM mh")
+        .mkString(" UNION ALL ")
+      s"""WITH w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
          el AS (SELECT id, ws FROM w WHERE len(ws) >= 3),
          js AS (SELECT id, ws, unnest(range(1, len(ws) - 1)) AS j FROM el),
          sh AS (SELECT id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s FROM js),
-         sd AS (SELECT id, s, unnest(range(0, 32)) AS seed FROM sh),
-         mh AS (SELECT id, seed, min(md5(CAST(seed AS VARCHAR) || ':' || s)) AS mh
-                FROM sd GROUP BY 1, 2),
-         bands AS (SELECT id, seed // 4 AS band, string_agg(mh, '' ORDER BY seed) AS sig
-                   FROM mh GROUP BY 1, 2),
+         mh AS (SELECT id, $mins FROM sh GROUP BY 1),
+         bands AS ($sigs),
          cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
                   FROM bands a JOIN bands b
                     ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
@@ -304,7 +310,8 @@ object LlmQueries {
                    ROUND((CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
                           / len(list_distinct(da.ws || db.ws))) * 10000.0, 0) / 10000.0 + 0.0 AS jaccard
                  FROM cand c JOIN dw da ON da.id = c.a_id JOIN dw db ON db.id = c.b_id)
-         SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+         SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id"""
+    },
 
     "llm_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
