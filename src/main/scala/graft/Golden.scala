@@ -19,7 +19,7 @@ object Golden {
     * (limit_sample and agg_approx_distinct_hll excluded: unordered pick /
     * sketch internals; they have their own property tests.) */
   val Tracked: Seq[String] = Seq(
-    "fn_hash_native", "llm_dedup_minhash_native", "llm_sim_ivf")
+    "fn_hash_native", "llm_dedup_minhash_native")
 
   def checksum(df: DataFrame): (Long, String) = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -279,7 +279,62 @@ object LlmQueries {
        SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM s ORDER BY doc_id"""
   }
 
+  /** DuckDB mirror of [[Similarity.ivfCentroids]] + [[Similarity.ivfTopK]]
+    * (k=8, iters=2, nprobe=2, query = vec 0): centroids in relational
+    * (cid, pos, v) form; each Lloyd iteration is one argmin assignment
+    * (row_number over (dist, cid)) plus a per-(cid,pos) decimal-mean
+    * update CAST through REAL — the same float32 quantization the Spark
+    * side applies when reassembling ARRAY<FLOAT> centroids, which is
+    * what keeps both engines' distance comparisons bit-identical. */
+  private val IvfOracle: String = {
+    // one Lloyd step: assignment against centroid elements `cin`, then
+    // (for the first `iters` steps) the refreshed centroids `cout`
+    def step(n: Int, cin: String, an: String, cout: Option[String]) = {
+      val upd = cout.map(c => s""",
+         $c AS (SELECT a.cid, el.pos,
+                  CAST(CAST(CAST(SUM(CAST(el.x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE) AS v
+                FROM $an a JOIN el ON el.vec_id = a.vec_id GROUP BY 1, 2)""").getOrElse("")
+      s"""
+         csq_$n AS (SELECT cid, CAST(SUM(CAST(v * v AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM $cin GROUP BY 1),
+         dot_$n AS (SELECT el.vec_id, c.cid, CAST(SUM(CAST(el.x * c.v AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                    FROM el JOIN $cin c ON c.pos = el.pos GROUP BY 1, 2),
+         dist_$n AS (SELECT d.vec_id, d.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
+                     FROM dot_$n d JOIN sq ON sq.vec_id = d.vec_id JOIN csq_$n cs ON cs.cid = d.cid),
+         $an AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM dist_$n) WHERE rn = 1)$upd"""
+    }
+    s"""WITH el AS (SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS x
+                    FROM embeddings e, range(1, 65) r(i)),
+         sq AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM el GROUP BY 1),
+         c_init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+                    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+         c0 AS (SELECT ci.cid, el.pos, el.x AS v FROM c_init ci JOIN el ON el.vec_id = ci.vec_id),
+         ${step(1, "c0", "a1", Some("c1"))},
+         ${step(2, "c1", "a2", Some("c2"))},
+         ${step(3, "c2", "a3", None)},
+         qdist AS (SELECT cs.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
+                   FROM csq_3 cs
+                   JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id = 0
+                   JOIN sq ON sq.vec_id = 0),
+         probes AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qdist)
+                    WHERE rn <= 2),
+         cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid),
+         qdot AS (SELECT el.vec_id, CAST(SUM(CAST(el.x * q.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                  FROM el JOIN (SELECT pos, x FROM el WHERE vec_id = 0) q ON q.pos = el.pos
+                  GROUP BY 1)
+         SELECT d.vec_id,
+                ROUND((d.dot / (SQRT(sq.sq) * SQRT(qs.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+         FROM qdot d
+         JOIN cand c ON c.vec_id = d.vec_id
+         JOIN sq ON sq.vec_id = d.vec_id
+         CROSS JOIN (SELECT sq FROM sq WHERE vec_id = 0) qs
+         ORDER BY sim DESC, d.vec_id LIMIT 10"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "llm_sim_ivf" -> IvfOracle,
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents
          GROUP BY text ORDER BY keep_id""",

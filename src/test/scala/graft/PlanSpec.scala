@@ -80,4 +80,30 @@ class PlanSpec extends SparkSpec {
     val read = p.split("ReadSchema:")(1).takeWhile(_ != '\n')
     assert(!read.contains("props"), s"props must be pruned from the scan: $read")
   }
+
+  test("custom expressions COMPILE in codegen (no silent interpreted fallback)") {
+    // With fallback disabled a Janino compile error throws instead of
+    // silently degrading to interpreted eval (which once cost 5× on the
+    // Dot4 hot path: a non-nullable ev.isNull assignment generated
+    // `false = true;`). Run the Dot4- and HOF-heavy queries end to end.
+    val prev = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    try {
+      Seq("llm_sim_cosine_topk", "llm_knn_join", "llm_dedup_cosine")
+        .foreach(q => SparkEntry.queries(q)(spark, sf).collect())
+    } finally {
+      prev.fold(spark.conf.unset("spark.sql.codegen.fallback"))(
+        v => spark.conf.set("spark.sql.codegen.fallback", v))
+    }
+  }
+
+  test("portable MinHash aggregates map-side (no explode-by-seed shuffle of shingles)") {
+    val df = optimized("llm_dedup_near_minhash")
+    val p = df.queryExecution.executedPlan.toString
+    // the k mins must be ONE hash aggregate over shingle rows — a
+    // per-(id,seed) exploded shape would show a 32x generator before
+    // the first exchange
+    assert(p.contains("HashAggregate"), s"minhash mins must hash-aggregate:\n$p")
+    assert(!p.contains("CartesianProduct"), "band join must stay equi")
+  }
 }
