@@ -23,6 +23,11 @@ object ScaleProbe {
     (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/events.parquet")
+    // documents 10× (shifted ids, same text distribution) for the dedup path
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/documents.parquet")
 
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -33,15 +38,33 @@ object ScaleProbe {
         Seq("event_type", "user_id"), 3600000L, "avg").count()
     def sessionize(dir: String): Long =
       SparkEntry.queries("win_sessionize")(spark, dir).count()
+    def minhash(dir: String): Long =
+      SparkEntry.queries("llm_dedup_near_minhash")(spark, dir).count()
+    // stage split: shingle+digest+32-lane min aggregate ONLY (no band
+    // join / verify) — tells whether signature build or candidate
+    // verification dominates the dedup cost
+    def minhashSigOnly(dir: String): Long = {
+      val docs = spark.read.parquet(s"$dir/documents.parquet")
+      val base = docs.select(col("doc_id").as("id"),
+        llm.Dedup.words(col("text")).as("w")).where(size(col("w")) >= 3)
+      val sh = base.select(col("id"), explode(llm.Dedup.shingles("w", 3)).as("s"))
+        .select(col("id") +: (0 until 8).map(j =>
+          expr(s"md5(cast(concat('$j:', s) as binary))").as(s"h$j")): _*)
+      val mins = (0 until 32).map(i =>
+        min(expr(s"substr(h${i / 4}, ${(i % 4) * 8 + 1}, 8)")).as(s"m$i"))
+      sh.groupBy("id").agg(mins.head, mins.tail: _*).count()
+    }
 
     // warm the datasets AND each query shape (codegen compiles on first
     // run; timing it against 1× would flatter the 10× ratio)
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
-    flagship(sf); downsample(sf); sessionize(sf)
+    flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
       ("downsample_1h_avg", time(downsample(sf)), time(downsample(big))),
-      ("sessionize", time(sessionize(sf)), time(sessionize(big))))
+      ("sessionize", time(sessionize(sf)), time(sessionize(big))),
+      ("minhash_neardup", time(minhash(sf)), time(minhash(big))),
+      ("minhash_sig_only", time(minhashSigOnly(sf)), time(minhashSigOnly(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()
