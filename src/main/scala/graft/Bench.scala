@@ -48,12 +48,18 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    def r3(v: Double): String = f"$v%.3f"
+    // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
+    // emit "1,234" and corrupt the JSON line
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = Headline.flatMap(h => results.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    // numeric scale factor from the fixture dir name ("sf0.1" → 0.1)
-    val sf = "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
+    // numeric scale factor from the fixture dir name ("sf0.1" → 0.1);
+    // the pattern requires a leading digit so a match is always a valid
+    // JSON number (never "." from an odd dir name)
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     spark.stop()
     // keep the JSON line LAST on stdout (after Spark shutdown chatter)
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sf,"n_queries":${results.size}}""")

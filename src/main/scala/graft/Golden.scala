@@ -15,9 +15,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Golden {
   val GoldenPath = "src/test/resources/golden.json"
 
-  /** The no-oracle queries whose output is fully deterministic.
-    * (limit_sample and agg_approx_distinct_hll excluded: unordered pick /
-    * sketch internals; they have their own property tests.) */
+  /** The no-oracle queries whose output is fully deterministic — since
+    * round 2 only the two engine-native (xxhash64) throughput variants;
+    * everything else, sketches included, is DuckDB-oracle-checked. */
   val Tracked: Seq[String] = Seq(
     "fn_hash_native", "llm_dedup_minhash_native")
 

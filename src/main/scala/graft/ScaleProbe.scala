@@ -23,9 +23,17 @@ object ScaleProbe {
     (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/events.parquet")
-    // documents 10× (shifted ids, same text distribution) for the dedup path
+    // documents 10×: shifted ids AND per-replica word prefixes, so each
+    // replica keeps the 1× corpus's internal near-dup structure but
+    // shares NO shingles across replicas. Replicating identical texts
+    // would instead multiply every dup cluster by 10 (C(10,2)=45
+    // candidate pairs per doc) and the probe would measure quadratic
+    // pair blowup, not corpus scaling.
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    (0 until 10).map(i => docs.withColumn("doc_id", col("doc_id") + lit(i * 10000000L)))
+    (0 until 10).map(i => docs
+        .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
+        .withColumn("text",
+          expr(s"array_join(transform(split(text, ' '), w -> concat('x$i', w)), ' ')")))
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
 
@@ -42,18 +50,11 @@ object ScaleProbe {
       SparkEntry.queries("llm_dedup_near_minhash")(spark, dir).count()
     // stage split: shingle+digest+32-lane min aggregate ONLY (no band
     // join / verify) — tells whether signature build or candidate
-    // verification dominates the dedup cost
-    def minhashSigOnly(dir: String): Long = {
-      val docs = spark.read.parquet(s"$dir/documents.parquet")
-      val base = docs.select(col("doc_id").as("id"),
-        llm.Dedup.words(col("text")).as("w")).where(size(col("w")) >= 3)
-      val sh = base.select(col("id"), explode(llm.Dedup.shingles("w", 3)).as("s"))
-        .select(col("id") +: (0 until 8).map(j =>
-          expr(s"md5(cast(concat('$j:', s) as binary))").as(s"h$j")): _*)
-      val mins = (0 until 32).map(i =>
-        min(expr(s"substr(h${i / 4}, ${(i % 4) * 8 + 1}, 8)")).as(s"m$i"))
-      sh.groupBy("id").agg(mins.head, mins.tail: _*).count()
-    }
+    // verification dominates the dedup cost. Same code path as the
+    // full pipeline (Dedup.minhashSigsPortable), not a re-implementation.
+    def minhashSigOnly(dir: String): Long =
+      llm.Dedup.minhashSigsPortable(
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text").count()
 
     // warm the datasets AND each query shape (codegen compiles on first
     // run; timing it against 1× would flatter the 10× ratio)

@@ -92,10 +92,13 @@ object Dedup {
     * collision odds ~n²/2³² per lane, and any tie resolves identically
     * on both engines. Lexicographic min over the fixed-width hex slices
     * equals numeric min. */
-  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 32, r: Int = 4, shingleN: Int = 3,
-                           threshold: Double = 0.5): DataFrame = {
-    require(k % 4 == 0 && k % r == 0, s"k=$k must be divisible by 4 and r=$r")
+  /** Signature stage of [[nearDupPairsPortable]], exposed so the scale
+    * probe and plan tests exercise the exact pipeline (the lane layout
+    * must not be re-implemented anywhere else — it has to stay in
+    * lockstep with the DuckDB oracle). Emits (id, m0..m{k-1}). */
+  def minhashSigsPortable(docs: DataFrame, idCol: String, textCol: String,
+                          k: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(k % 4 == 0, s"k=$k must be divisible by 4 (lanes per digest)")
     val base = docs.select(col(idCol).as("id"), words(col(textCol)).as("w"))
       .where(size(col("w")) >= shingleN)
     // one row per shingle; the k mins are aggregate COLUMNS (map-side
@@ -103,15 +106,29 @@ object Dedup {
     val sh = base.select(col("id"), explode(shingles("w", shingleN)).as("s"))
       .select(col("id") +: (0 until k / 4).map(j =>
         expr(s"md5(cast(concat('$j:', s) as binary))").as(s"h$j")): _*)
+    // lanes are aggregated as BIGINTs, not hex strings: min(STRING) has
+    // an immutable buffer, which silently downgrades the whole aggregate
+    // to Sort+SortAggregate over every shingle row; min(BIGINT) keeps it
+    // a HashAggregate. Numeric min == lexicographic min of the
+    // fixed-width hex (band signatures hex them back — see caller).
     val mins = (0 until k).map { i =>
-      min(expr(s"substr(h${i / 4}, ${(i % 4) * 8 + 1}, 8)")).as(s"m$i")
+      min(expr(s"cast(conv(substr(h${i / 4}, ${(i % 4) * 8 + 1}, 8), 16, 10) as bigint)")).as(s"m$i")
     }
-    val mh = sh.groupBy("id").agg(mins.head, mins.tail: _*)
-    // band signature = plain column concat of the band's r mins; unpivot
+    sh.groupBy("id").agg(mins.head, mins.tail: _*)
+  }
+
+  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 32, r: Int = 4, shingleN: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    require(k % r == 0, s"k=$k must be divisible by r=$r")
+    val mh = minhashSigsPortable(docs, idCol, textCol, k, shingleN)
+    // band signature = concat of the band's r mins rendered back to the
+    // 8-hex-char lane form (matching the oracle's string mins); unpivot
     // the bands/r signatures to rows with stack() for the bucket join
     val bands = k / r
     val sigCols = (0 until bands).map { b =>
-      concat((b * r until (b + 1) * r).map(i => col(s"m$i")): _*).as(s"sig$b")
+      concat((b * r until (b + 1) * r).map(i =>
+        expr(s"lpad(lower(hex(m$i)), 8, '0')")): _*).as(s"sig$b")
     }
     val stacked = mh.select(col("id") +: sigCols: _*)
       .selectExpr("id",

@@ -571,11 +571,11 @@ object LlmQueries {
     "llm_multimodal_features" ->
       """SELECT doc_id AS id,
             CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'wav' END AS format,
-            CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS n_bytes,
-            hex(substring(text, 1, 4)) AS header_hex,
+            CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+            substring(hex(encode(text)), 1, 8) AS header_hex,
             md5(text) AS checksum,
-            CAST(greatest(octet_length(CAST(text AS BLOB)) // 16, 1) AS BIGINT) AS thumb_bytes,
-            CAST(least(8, octet_length(CAST(text AS BLOB)) // 64 + 1) AS INT) AS frames_sampled
+            CAST(greatest(octet_length(encode(text)) // 16, 1) AS BIGINT) AS thumb_bytes,
+            CAST(least(8, octet_length(encode(text)) // 64 + 1) AS INT) AS frames_sampled
          FROM documents ORDER BY id""",
 
     "llm_multimodal_meta" ->

@@ -98,12 +98,32 @@ class PlanSpec extends SparkSpec {
   }
 
   test("portable MinHash aggregates map-side (no explode-by-seed shuffle of shingles)") {
-    val df = optimized("llm_dedup_near_minhash")
-    val p = df.queryExecution.executedPlan.toString
-    // the k mins must be ONE hash aggregate over shingle rows — a
-    // per-(id,seed) exploded shape would show a 32x generator before
-    // the first exchange
+    // inspect the SIGNATURE stage directly: the full pipeline hides it
+    // behind localCheckpoint (truncated lineage), where a vacuous
+    // HashAggregate from distinct() would satisfy any assertion
+    val sig = llm.Dedup.minhashSigsPortable(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text")
+    val p = sig.queryExecution.executedPlan.toString
     assert(p.contains("HashAggregate"), s"minhash mins must hash-aggregate:\n$p")
-    assert(!p.contains("CartesianProduct"), "band join must stay equi")
+    // exactly one generator — the shingle explode; an explode-by-seed
+    // regression would add a second Generate (32x rows)
+    assert("Generate".r.findAllIn(p).length == 1,
+      s"expected exactly the shingle explode, got:\n$p")
+    val full = optimized("llm_dedup_near_minhash")
+    assert(!full.queryExecution.executedPlan.toString.contains("CartesianProduct"),
+      "band join must stay equi")
+  }
+
+  test("explicit HLL estimate stays within 15% of the exact distinct count") {
+    // the DuckDB oracle proves both engines compute the same FORMULA;
+    // this asserts the formula is a sane estimator
+    val rows = optimized("agg_approx_distinct_hll")
+      .select("approx_users", "exact_users").collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (est, exact) = (r.getDouble(0), r.getLong(1).toDouble)
+      assert(math.abs(est - exact) / exact < 0.15,
+        s"HLL estimate $est vs exact $exact drifts beyond 15%")
+    }
   }
 }
