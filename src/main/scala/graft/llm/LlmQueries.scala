@@ -253,6 +253,34 @@ object LlmQueries {
         .orderBy("doc_id", "copy")
     }),
 
+    // PII scrubbing: map-only redaction (regex common subset of Java
+    // and RE2, so the oracle matches the same spans) + per-doc counts;
+    // the scrubbed text is emitted as md5 to keep the compared rows
+    // narrow while still pinning every redacted byte
+    "llm_pii_scrub" -> ((s, dir) => {
+      val (em, dg) = Text.piiCounts(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        md5(Text.scrubPii(col("text")).cast("binary")).as("scrubbed_md5"),
+        em.as("n_email"), dg.as("n_num"))
+        .orderBy("doc_id")
+    }),
+
+    // context-window packing: greedy fill of 512-token bins per language
+    // in doc_id order — running token sum, bin = (cum-1) DIV capacity.
+    // Partitioned by lang: the window shuffles per partition key, never
+    // a single global sort (the at-scale packing shape)
+    "llm_pack_contexts" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy("doc_id")
+      Tables.documents(s, dir)
+        .withColumn("toks", Text.bpeApprox(col("n_chars")))
+        .withColumn("cum", sum(col("toks")).over(w))
+        .select(col("lang"), col("doc_id"), col("toks"),
+          expr("CAST((cum - 1) DIV 512 AS BIGINT)").as("bin"))
+        .orderBy("lang", "doc_id")
+    }),
+
     // deterministic train/val split on the stable id
     "llm_train_val_split" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -550,6 +578,20 @@ object LlmQueries {
          UNION ALL
          SELECT doc_id, lang, CAST(1 AS BIGINT) AS copy FROM documents WHERE lang = 'en'
          ORDER BY doc_id, copy""",
+
+    "llm_pii_scrub" ->
+      s"""SELECT doc_id,
+            md5(regexp_replace(regexp_replace(text, '${Text.PiiEmail}', '<EMAIL>', 'g'),
+                               '${Text.PiiDigits}', '<NUM>', 'g')) AS scrubbed_md5,
+            CAST(len(regexp_extract_all(text, '${Text.PiiEmail}')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(text, '${Text.PiiDigits}')) AS BIGINT) AS n_num
+         FROM documents ORDER BY doc_id""",
+
+    "llm_pack_contexts" ->
+      """WITH t AS (SELECT lang, doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks FROM documents)
+         SELECT lang, doc_id, toks,
+            CAST((SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id) - 1) // 512 AS BIGINT) AS bin
+         FROM t ORDER BY lang, doc_id""",
 
     "llm_train_val_split" ->
       """SELECT lang, CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'val' END AS split,

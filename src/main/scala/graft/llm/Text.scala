@@ -49,4 +49,22 @@ object Text {
     expr(s"""array_distinct(transform(
         sequence(0, greatest(size($gramsSql) - $w, 0)),
         i -> array_min(slice($gramsSql, i + 1, $w))))""")
+
+  /** PII scrubbing patterns — the RE2/Java-regex COMMON SUBSET (no
+    * backrefs, no lookaround), so Spark and the DuckDB oracle match the
+    * same spans. Email-ish tokens and long digit runs (phone/account
+    * numbers); extend per deployment. */
+  val PiiEmail = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PiiDigits = "[0-9]{6,}"
+
+  /** Redact PII in-place (single codegen'd projection — scrubbing 100 TB
+    * is a map-only pass, no shuffle). */
+  def scrubPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(text, PiiEmail, "<EMAIL>"),
+      PiiDigits, "<NUM>")
+
+  def piiCounts(text: Column): (Column, Column) =
+    (regexp_count(text, lit(PiiEmail)).cast("long"),
+      regexp_count(text, lit(PiiDigits)).cast("long"))
 }
