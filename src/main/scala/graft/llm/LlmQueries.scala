@@ -256,20 +256,32 @@ object LlmQueries {
     // PII scrubbing: map-only redaction (regex common subset of Java
     // and RE2, so the oracle matches the same spans) + per-doc counts;
     // the scrubbed text is emitted as md5 to keep the compared rows
-    // narrow while still pinning every redacted byte
+    // narrow while still pinning every redacted byte. The fixture text
+    // contains no '@' or digits, so deterministic PII spans are
+    // APPENDED from doc_id before scrubbing — otherwise the oracle
+    // check would be vacuous (md5(text) with zero matches). doc_id*9973
+    // crosses the 6-digit redaction threshold only for larger ids,
+    // exercising both the match and no-match sides of PiiDigits.
     "llm_pii_scrub" -> ((s, dir) => {
-      val (em, dg) = Text.piiCounts(col("text"))
+      val salted = expr(
+        "concat(text, ' contact user', CAST(doc_id AS STRING), " +
+          "'@example.com ref ', CAST(doc_id * 9973 AS STRING))")
+      val (em, dg) = Text.piiCounts(salted)
       Tables.documents(s, dir).select(
         col("doc_id"),
-        md5(Text.scrubPii(col("text")).cast("binary")).as("scrubbed_md5"),
+        md5(Text.scrubPii(salted).cast("binary")).as("scrubbed_md5"),
         em.as("n_email"), dg.as("n_num"))
         .orderBy("doc_id")
     }),
 
-    // context-window packing: greedy fill of 512-token bins per language
-    // in doc_id order — running token sum, bin = (cum-1) DIV capacity.
-    // Partitioned by lang: the window shuffles per partition key, never
-    // a single global sort (the at-scale packing shape)
+    // continuous token-stream packing (GPT-style concat-and-chunk): per
+    // language, docs concatenate in doc_id order into one token stream
+    // chunked into 512-token context windows; a doc may STRADDLE a
+    // window boundary, so it reports its first and last window. (This is
+    // deliberately NOT capacity-bounded bin packing — the cumsum never
+    // resets, and windows hold exactly 512 stream tokens.) The window
+    // function shuffles per lang partition; the final orderBy exists
+    // only for the D1 compare contract.
     "llm_pack_contexts" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("lang").orderBy("doc_id")
@@ -277,7 +289,8 @@ object LlmQueries {
         .withColumn("toks", Text.bpeApprox(col("n_chars")))
         .withColumn("cum", sum(col("toks")).over(w))
         .select(col("lang"), col("doc_id"), col("toks"),
-          expr("CAST((cum - 1) DIV 512 AS BIGINT)").as("bin"))
+          expr("CAST((cum - toks) DIV 512 AS BIGINT)").as("win_first"),
+          expr("CAST((cum - 1) DIV 512 AS BIGINT)").as("win_last"))
         .orderBy("lang", "doc_id")
     }),
 
@@ -580,18 +593,27 @@ object LlmQueries {
          ORDER BY doc_id, copy""",
 
     "llm_pii_scrub" ->
-      s"""SELECT doc_id,
-            md5(regexp_replace(regexp_replace(text, '${Text.PiiEmail}', '<EMAIL>', 'g'),
-                               '${Text.PiiDigits}', '<NUM>', 'g')) AS scrubbed_md5,
-            CAST(len(regexp_extract_all(text, '${Text.PiiEmail}')) AS BIGINT) AS n_email,
-            CAST(len(regexp_extract_all(text, '${Text.PiiDigits}')) AS BIGINT) AS n_num
-         FROM documents ORDER BY doc_id""",
+      s"""WITH salted AS (SELECT doc_id,
+              text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+              '@example.com ref ' || CAST(doc_id * 9973 AS VARCHAR) AS st
+            FROM documents),
+          em AS (SELECT doc_id, st,
+              regexp_replace(st, '${Text.PiiEmail}', '<EMAIL>', 'g') AS no_email
+            FROM salted)
+          SELECT doc_id,
+            md5(regexp_replace(no_email, '${Text.PiiDigits}', '<NUM>', 'g')) AS scrubbed_md5,
+            CAST(len(regexp_extract_all(st, '${Text.PiiEmail}')) AS BIGINT) AS n_email,
+            CAST(len(regexp_extract_all(no_email, '${Text.PiiDigits}')) AS BIGINT) AS n_num
+         FROM em ORDER BY doc_id""",
 
     "llm_pack_contexts" ->
-      """WITH t AS (SELECT lang, doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks FROM documents)
+      """WITH t AS (SELECT lang, doc_id, CAST(ceil(n_chars / 4.0) AS BIGINT) AS toks FROM documents),
+         c AS (SELECT lang, doc_id, toks,
+                 SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id) AS cum FROM t)
          SELECT lang, doc_id, toks,
-            CAST((SUM(toks) OVER (PARTITION BY lang ORDER BY doc_id) - 1) // 512 AS BIGINT) AS bin
-         FROM t ORDER BY lang, doc_id""",
+            CAST((cum - toks) // 512 AS BIGINT) AS win_first,
+            CAST((cum - 1) // 512 AS BIGINT) AS win_last
+         FROM c ORDER BY lang, doc_id""",
 
     "llm_train_val_split" ->
       """SELECT lang, CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'val' END AS split,

@@ -64,7 +64,11 @@ object Text {
       regexp_replace(text, PiiEmail, "<EMAIL>"),
       PiiDigits, "<NUM>")
 
+  /** Redaction counts matching [[scrubPii]]'s actual replacements: digit
+    * runs are counted AFTER email removal (a digit run inside an email
+    * disappears into `<EMAIL>` and must not be counted as a `<NUM>`). */
   def piiCounts(text: Column): (Column, Column) =
     (regexp_count(text, lit(PiiEmail)).cast("long"),
-      regexp_count(text, lit(PiiDigits)).cast("long"))
+      regexp_count(regexp_replace(text, PiiEmail, "<EMAIL>"),
+        lit(PiiDigits)).cast("long"))
 }
