@@ -62,9 +62,15 @@ object Joins {
         .select("p_partkey", "p_name")
         .orderBy("p_partkey")),
 
+    // "customers with no order above 400k": the compound condition makes
+    // the exclusion non-trivial — every customer has SOME order in the
+    // dense fixture, so a bare key anti join returns 0 rows and proves
+    // nothing about anti-join semantics
     "join_anti" -> ((s, dir) =>
       Tables.customer(s, dir)
-        .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left_anti")
+        .join(Tables.orders(s, dir),
+          col("c_custkey") === col("o_custkey") && col("o_totalprice") > 400000,
+          "left_anti")
         .select("c_custkey", "c_name")
         .orderBy("c_custkey")),
 
@@ -165,8 +171,10 @@ object Joins {
          WHERE p_partkey IN (SELECT l_partkey FROM lineitem) ORDER BY p_partkey""",
 
     "join_anti" ->
-      """SELECT c_custkey, c_name FROM customer
-         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders) ORDER BY c_custkey""",
+      """SELECT c_custkey, c_name FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+         ORDER BY c_custkey""",
 
     "join_cross" ->
       "SELECT r_name, n_name FROM region CROSS JOIN nation ORDER BY r_name, n_name",

@@ -31,8 +31,16 @@ object SetsFns {
     "set_intersect" -> ((s, dir) =>
       clickUsers(s, dir).intersect(viewUsers(s, dir)).orderBy("user_id")),
 
-    "set_except" -> ((s, dir) =>
-      clickUsers(s, dir).except(viewUsers(s, dir)).orderBy("user_id")),
+    // click users minus HEAVY viewers (≥15 views): every click user also
+    // views in the dense fixture, so the plain click∖view difference is
+    // empty and a 0-row match proves nothing about EXCEPT semantics
+    "set_except" -> ((s, dir) => {
+      val heavyViewers = Tables.events(s, dir)
+        .where(col("event_type") === "view")
+        .groupBy("user_id").agg(count(lit(1)).as("n"))
+        .where(col("n") >= 15).select("user_id")
+      clickUsers(s, dir).except(heavyViewers).orderBy("user_id")
+    }),
 
     "fn_string" -> ((s, dir) =>
       Tables.part(s, dir).select(
@@ -215,7 +223,8 @@ object SetsFns {
     "set_except" ->
       """SELECT DISTINCT user_id FROM events WHERE event_type = 'click'
          EXCEPT
-         SELECT DISTINCT user_id FROM events WHERE event_type = 'view'
+         SELECT user_id FROM events WHERE event_type = 'view'
+         GROUP BY user_id HAVING count(*) >= 15
          ORDER BY user_id""",
 
     "fn_string" ->
