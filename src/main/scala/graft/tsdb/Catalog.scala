@@ -24,7 +24,12 @@ object Catalog {
     // columns); the map is rebuilt from it afterwards.
     points.select(col("metric"), canonicalTags.as("tags_canonical"))
       .distinct()
-      .withColumn("tags", expr("str_to_map(tags_canonical, ',', '=')"))
+      // str_to_map('') yields {'' -> null}, not an empty map — guard the
+      // untagged-series case so it round-trips as map() instead of a
+      // corrupt single-entry map
+      .withColumn("tags", expr(
+        "CASE WHEN tags_canonical = '' THEN map() " +
+          "ELSE str_to_map(tags_canonical, ',', '=') END"))
       .withColumn("tsid", xxhash64(col("metric"), col("tags_canonical")))
   }
 

@@ -19,15 +19,19 @@ object Downsample {
   def bucketMs(tsMs: Column, intervalMs: Long): Column =
     (tsMs - pmod(tsMs, lit(intervalMs))).cast("long")
 
-  /** Deterministic aggregator (D3): sums/avgs go through DECIMAL(18,4). */
+  /** Deterministic aggregator (D3): sums/avgs go through DECIMAL(18,4).
+    * first/last order by (ts, value) — a bare min_by/max_by on ts is
+    * nondeterministic when a series has duplicate timestamps in one
+    * bucket (whichever partial aggregate wins the merge race), which
+    * would violate the order-independence contract. */
   def aggExpr(aggregator: String, value: Column, tsMs: Column): Column = aggregator match {
     case "sum"   => D.sumDec(value)
     case "avg"   => D.avgDec(value)
     case "min"   => min(value)
     case "max"   => max(value)
     case "count" => count(value).cast("long")
-    case "first" => min_by(value, tsMs)
-    case "last"  => max_by(value, tsMs)
+    case "first" => min_by(value, struct(tsMs, value))
+    case "last"  => max_by(value, struct(tsMs, value))
     case other   => throw new IllegalArgumentException(s"unknown aggregator: $other")
   }
 
@@ -95,9 +99,15 @@ object Downsample {
         "narrow the time range or coarsen the interval")
     val spine = spark.range(alignedT0, t1Ms, intervalMs)
       .toDF("bucket_ms")
-    val series = downsampled.select(seriesCols.map(col): _*).distinct()
+    // materialize the downsampled frame ONCE: the series-list distinct()
+    // and the join side cannot share an exchange (different grouping
+    // keys), so without this the entire upstream points scan + hash
+    // aggregate would execute twice. The checkpointed data is the
+    // REDUCED (series × bucket) frame, not the raw points.
+    val down = downsampled.localCheckpoint(true)
+    val series = down.select(seriesCols.map(col): _*).distinct()
     val grid = broadcast(series).crossJoin(spine)
-    val joined = grid.join(downsampled, seriesCols :+ "bucket_ms", "left")
+    val joined = grid.join(down, seriesCols :+ "bucket_ms", "left")
     val filled = fill match {
       case "zero" => coalesce(col("value"), lit(0.0))
       case "null" => col("value")

@@ -4,10 +4,17 @@ package graft.tsdb
   *
   *   merge(<agg>, downsample(<ival>-<agg>[-<fill>]?, rate(<ctr>,<max>,<reset>,)? query(<metric>, {k=v|v2, k2=*}, <relative>)))
   *
-  * concretely, nesting defines operator order:
-  *
   *   merge(sum, downsample(1h, avg, none, query(click, {user=*}, 30d)))
   *   merge(max, rate(true, 1000, 0, downsample(1m, last, null, query(cpu, {}, 2h))))
+  *
+  * The stage ORDER is fixed: every expression normalizes into one
+  * [[TsdbQuery]] and [[Pipeline.run]] always executes
+  * downsample → merge → rate, regardless of how `rate(...)` and
+  * `downsample(...)` are nested in the text (both parse into flags on
+  * the same SubQuery). This matches the OpenTSDB request model, where
+  * rate/downsample are properties of a (sub)query, not free-floating
+  * operators; an expression nesting rate INSIDE downsample is accepted
+  * and means the same normalized pipeline.
   *
   * A tag value of `*` marks the tag as a groupBy key (wildcard-all);
   * other values compile to literal_or filters. Pure recursive descent,

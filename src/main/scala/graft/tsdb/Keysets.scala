@@ -50,14 +50,13 @@ object Keysets {
   def list(s: SparkSession, registryPath: String): DataFrame =
     s.read.parquet(registryPath).orderBy("ksid")
 
-  def drop(s: SparkSession, registryPath: String, ksid: String): Unit = {
-    // materialize before the swap deletes the source being read
-    val rest = s.read.parquet(registryPath).where(col("ksid") =!= ksid)
-      .collect()
-    val restDf = s.createDataFrame(java.util.Arrays.asList(rest: _*),
-      org.apache.spark.sql.types.StructType.fromDDL(Schema))
-    swapInto(s, restDf, registryPath)
-  }
+  def drop(s: SparkSession, registryPath: String, ksid: String): Unit =
+    // no driver-side collect needed: swapInto fully writes to a .tmp
+    // path BEFORE deleting the destination, so the lazy read is
+    // materialized while its source still exists (same pattern as
+    // create())
+    swapInto(s, s.read.parquet(registryPath).where(col("ksid") =!= ksid),
+      registryPath)
 
   /** Apply a tenant's retention to its slice of a points table
     * (partition-pruned scan by ksid + TTL predicate). */

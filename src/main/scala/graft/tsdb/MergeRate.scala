@@ -24,7 +24,13 @@ object MergeRate {
       s"'$aggregator' is a downsample aggregator; merge needs an " +
         "associative cross-series aggregator (sum/avg/min/max/count)")
     val keys = groupTags.map(col) :+ col("bucket_ms")
-    downsampled.groupBy(keys: _*)
+    // OpenTSDB semantics: a NaN-filled (missing) point is SKIPPED by the
+    // cross-series aggregator. Without this filter NaN poisons the merge:
+    // dec(NaN) → NULL drops it from sums but count(value) still counts
+    // it (inflating avg denominators), and max() ranks NaN above every
+    // double. A bucket missing in ALL series emits no merged point.
+    downsampled.where(col("value").isNull || !isnan(col("value")))
+      .groupBy(keys: _*)
       .agg(Downsample.aggExpr(aggregator, col("value"), col("bucket_ms")).as("value"))
   }
 

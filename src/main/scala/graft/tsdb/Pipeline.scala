@@ -53,9 +53,12 @@ object Pipeline {
     val sel = df.select(
       (Seq("series_key", "ts_ms", "value") ++ groupTags.map(k => s"tag_$k")).map(col): _*)
     val seriesKeys = "series_key" +: groupTags.map(k => s"tag_$k")
-    // no downsample requested → RAW values at raw ms timestamps (no
-    // aggregation, no 4dp quantization — OpenTSDB semantics); otherwise
-    // per-series interval aggregation + fill
+    // no downsample requested → raw ms timestamps pass through as the
+    // merge "buckets" (no interval alignment). The cross-series merge
+    // still applies the engine's D3 decimal contract to sum/avg, so
+    // values are 4dp-quantized there; this is the engine's documented
+    // determinism contract, a deliberate divergence from OpenTSDB's
+    // raw-double merge.
     val filled = sub.downsample match {
       case Some(ds) =>
         val down = Downsample(sel, seriesKeys, ds.intervalMs, ds.aggregator)

@@ -15,13 +15,19 @@ object Retention {
   def applyTtl(points: DataFrame, tsMsCol: String, nowMs: Long, ttlMs: Long): DataFrame =
     points.where(col(tsMsCol) >= nowMs - ttlMs)
 
-  /** Vacuum: rewrite a parquet table dropping expired rows. `scope`
-    * restricts which rows are even read (on a date-partitioned table pass
-    * the partition predicate covering the expiring window so only those
-    * partitions are scanned and rewritten; unscoped = full-table rewrite). */
+  /** Vacuum: rewrite dropping expired rows. `outPath` receives ONLY the
+    * surviving rows that match `scope` — with a scope the output is a
+    * REPLACEMENT FOR THOSE PARTITIONS ONLY, not the whole table; the
+    * caller owns swapping it in for the scoped partition directories
+    * (out-of-scope data is neither read nor written). Unscoped =
+    * full-table rewrite to `outPath`. `outPath` must differ from `path`:
+    * overwriting a parquet path while reading it corrupts the source. */
   def vacuum(s: SparkSession, path: String, outPath: String,
              tsMsCol: String, nowMs: Long, ttlMs: Long,
              scope: Option[org.apache.spark.sql.Column] = None): Unit = {
+    require(new org.apache.hadoop.fs.Path(path) !=
+      new org.apache.hadoop.fs.Path(outPath),
+      s"vacuum cannot overwrite its own input path in place: $path")
     val base = s.read.parquet(path)
     scope.fold(base)(base.where)
       .where(col(tsMsCol) >= nowMs - ttlMs)

@@ -155,4 +155,34 @@ class TsdbSpec extends SparkSpec {
       .as[(Long, Double)].collect().sorted.toSeq
     assert(exprRows == handRows)
   }
+
+  test("merge skips NaN-filled points (OpenTSDB missing-point semantics)") {
+    // series a has a real value at both buckets; series b is missing at
+    // bucket 0 (NaN-filled). avg must divide by the PRESENT count, max
+    // must not return NaN, count must count only real points.
+    val filled = Seq(
+      ("a", 0L, 10.0), ("a", 1000L, 20.0),
+      ("b", 0L, Double.NaN), ("b", 1000L, 40.0)
+    ).toDF("series", "bucket_ms", "value")
+    def merged(agg: String) =
+      MergeRate.merge(filled, Nil, agg)
+        .orderBy("bucket_ms").as[(Long, Double)].collect().toSeq
+    assert(merged("avg") == Seq((0L, 10.0), (1000L, 30.0)),
+      "NaN must not inflate the avg denominator")
+    assert(merged("max") == Seq((0L, 10.0), (1000L, 40.0)),
+      "NaN must not win max")
+    val counts = MergeRate.merge(filled, Nil, "count")
+      .orderBy("bucket_ms").as[(Long, Long)].collect().toSeq
+    assert(counts == Seq((0L, 1L), (1000L, 2L)),
+      "count must count only present points")
+    // first/last downsample tie-break: duplicate ts in one bucket must
+    // resolve deterministically by (ts, value), not partial-merge order
+    val dup = Seq(("s", 5L, 3.0), ("s", 5L, 1.0), ("s", 7L, 9.0))
+      .toDF("series", "ts_ms", "value")
+    val first = Downsample(dup, Seq("series"), 1000L, "first")
+      .select("value").as[Double].head()
+    val last = Downsample(dup, Seq("series"), 1000L, "last")
+      .select("value").as[Double].head()
+    assert(first == 1.0 && last == 9.0)
+  }
 }
