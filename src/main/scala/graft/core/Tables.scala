@@ -37,11 +37,18 @@ object Tables {
     */
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(s, dir, "events")
-      .withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
+    deriveTs(table(s, dir, "events"))
+  }
+
+  /** The ONE definition of the ns→ms/sec/timestamp derivations (integer
+    * division is mandatory — double division loses precision at 1.7e18
+    * ns). Shared by the batch reader above and the streaming source
+    * ([[graft.stream.Ingest.eventsStream]]) so the two paths cannot
+    * drift; unused columns are pruned by Catalyst. */
+  def deriveTs(df: DataFrame): DataFrame =
+    df.withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
       .withColumn("ts_sec", expr("CAST(ts DIV 1000000000 AS BIGINT)"))
       .withColumn("ts_ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
-  }
 
   /** Pinned "now" for relative-time queries (D5): just past the events
     * range (FIXTURES.md). 2024-01-31T00:00:00Z. */

@@ -33,17 +33,21 @@ object Ingest {
   private def stagedEventsDir(dir: String): String =
     stageDirs.getOrElseUpdate(dir, {
       val d = java.nio.file.Files.createTempDirectory("graft_events_")
+      // absolute target: a relative link target would resolve against
+      // the TEMP dir (symlink semantics), not the JVM cwd — a relative
+      // fixture dir would silently dangle and zero every stream query
       java.nio.file.Files.createSymbolicLink(
-        d.resolve("events.parquet"), java.nio.file.Paths.get(s"$dir/events.parquet"))
+        d.resolve("events.parquet"),
+        java.nio.file.Paths.get(s"$dir/events.parquet").toAbsolutePath)
       d.toString
     })
 
-  /** Streaming view of the events fixture (file source). */
+  /** Streaming view of the events fixture (file source); ts derivations
+    * shared with the batch reader (one definition in Tables.deriveTs). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    s.readStream.schema(eventsSchema).parquet(stagedEventsDir(dir))
-      .withColumn("ts_ms", expr("CAST(ts DIV 1000000 AS BIGINT)"))
-      .withColumn("ts_ts", expr("timestamp_micros(CAST(ts DIV 1000 AS BIGINT))"))
+    graft.core.Tables.deriveTs(
+      s.readStream.schema(eventsSchema).parquet(stagedEventsDir(dir)))
   }
 
   /** Run a streaming DataFrame to completion (AvailableNow) into a memory
@@ -64,7 +68,13 @@ object Ingest {
         .outputMode(mode).trigger(Trigger.AvailableNow()).start()
       q.awaitTermination()
     } finally s.conf.set("spark.sql.shuffle.partitions", prev)
-    s.table(name)
+    // Datasets analyze eagerly, so the returned frame holds the resolved
+    // memory-sink plan; dropping the temp view releases the catalog
+    // reference — otherwise every stream query's full result stays
+    // pinned in driver memory for the session lifetime
+    val df = s.table(name)
+    s.catalog.dropTempView(name)
+    df
   }
 
   /** Tumbling 1h window per event_type (watermarked). */
@@ -167,11 +177,22 @@ object Ingest {
 
   /** Bootstrap-only read: missing state path → None; any OTHER failure
     * (corrupt footer, transient IO) propagates — substituting an empty
-    * state there would silently wipe everything accumulated. */
+    * state there would silently wipe everything accumulated.
+    *
+    * Crash-window recovery: swapInto deletes the destination BEFORE
+    * renaming its fully-written `.tmp` in. A crash between the two
+    * leaves the complete state only at `.tmp`; treating that as "no
+    * state" would rebuild the catalog from the single replayed batch
+    * and destroy everything accumulated — so the `.tmp` is read (and
+    * the next successful swap supersedes it). */
   private def readStateIfExists(s: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(path)) else None
+    if (fs.exists(p)) Some(s.read.parquet(path))
+    else {
+      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
+      if (fs.exists(tmp)) Some(s.read.parquet(tmp.toString)) else None
+    }
   }
 
   /** EP1' sink: foreachBatch lands points and upserts the series catalog
@@ -194,20 +215,27 @@ object Ingest {
       .option("checkpointLocation", s"$outBase/_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // try/finally: a throw from the merge/swap must not leak the
+        // cached datasets into the rest of the session (Verify keeps
+        // running other queries after a failed one)
         batch.persist()
-        batch.write.mode("overwrite").partitionBy("metric")
-          .parquet(s"$pointsPath/batch=$batchId")
-        val newSeries = graft.tsdb.Catalog.fromPoints(batch)
-        // dedupe on the exact key, not the 64-bit tsid (a hash collision
-        // would silently drop a series); swap via write-then-rename so a
-        // crash never destroys the accumulated catalog
-        val merged = readStateIfExists(batch.sparkSession, catalogPath)
-          .map(_.unionByName(newSeries).dropDuplicates("metric", "tags_canonical"))
-          .getOrElse(newSeries)
-        merged.persist().count()
-        graft.tsdb.Keysets.swapInto(batch.sparkSession, merged, catalogPath)
-        merged.unpersist()
-        batch.unpersist()
+        var merged: DataFrame = null
+        try {
+          batch.write.mode("overwrite").partitionBy("metric")
+            .parquet(s"$pointsPath/batch=$batchId")
+          val newSeries = graft.tsdb.Catalog.fromPoints(batch)
+          // dedupe on the exact key, not the 64-bit tsid (a hash collision
+          // would silently drop a series); swap via write-then-rename so a
+          // crash never destroys the accumulated catalog
+          merged = readStateIfExists(batch.sparkSession, catalogPath)
+            .map(_.unionByName(newSeries).dropDuplicates("metric", "tags_canonical"))
+            .getOrElse(newSeries)
+          merged.persist().count()
+          graft.tsdb.Keysets.swapInto(batch.sparkSession, merged, catalogPath)
+        } finally {
+          if (merged != null) merged.unpersist()
+          batch.unpersist()
+        }
         ()
       }
       .start()

@@ -15,9 +15,13 @@ object Validate {
   val CharsetRe = "^[a-zA-Z0-9._/-]+$"
 
   /** OpenTSDB accepts seconds or milliseconds; normalize to ms
-    * (10-digit-era values are seconds). Exact integer arithmetic. */
+    * (10-digit-era values are seconds). Only POSITIVE seconds-era values
+    * are multiplied: a large-negative ts × 1000 would overflow Long and
+    * can wrap INTO the valid bounds, turning garbage into a "valid"
+    * fabricated timestamp; left unmultiplied it fails the bounds check
+    * and quarantines as intended. */
   def normalizeTsMs(ts: Column): Column =
-    when(ts < 10000000000L, ts * 1000).otherwise(ts)
+    when(ts > 0L && ts < 10000000000L, ts * 1000).otherwise(ts)
 
   /** Timestamp sanity: 2000-01-01 .. 2100-01-01 in ms. */
   def tsInBounds(tsMs: Column): Column =
@@ -39,7 +43,11 @@ object Validate {
       s"forall(map_values(tags), v -> v rlike '$CharsetRe')"), lit(false))
     val ksidOk = coalesce(expr(s"map_contains_key(tags, '$requiredTag')"), lit(false))
     val tsOk = coalesce(tsInBounds(col("ts_ms")), lit(false))
-    val valueOk = col("value").isNotNull && !isnan(col("value"))
+    // finite check: ±Infinity must quarantine too — downstream decimal
+    // casts turn Infinity into NULL, silently dropping it from sums
+    // while counts still include it
+    val valueOk = col("value").isNotNull && !isnan(col("value")) &&
+      abs(col("value")) <= lit(Double.MaxValue)
     normalized
       .withColumn("metric_ok", metricOk)
       .withColumn("tags_ok", tagsOk)
