@@ -65,8 +65,6 @@ object Aggs {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
-    // HLL sketch — no oracle (approximate); rows-only check + error-bound
-    // property test in the suite.
     // Explicit distributed HyperLogLog (m=256 registers, md5-derived
     // hash): per-value (bucket, rho) → per-group register MAX → harmonic
     // estimate with linear-counting correction. Two map-side-combinable

@@ -86,7 +86,8 @@ object Joins {
     // at any scale.
     "join_theta_range" -> ((s, dir) => {
       val e = Tables.events(s, dir).select("event_id", "user_id", "ts_ms")
-      val bucket = (col("ts_ms") - pmod(col("ts_ms"), lit(BandMs))) / BandMs
+      // one bucketing definition engine-wide (negative-ts handling etc.)
+      val bucket = graft.tsdb.Downsample.bucketMs(col("ts_ms"), BandMs) / BandMs
       val a = e.withColumn("jb",
         explode(array(bucket.cast("long"), bucket.cast("long") + 1)))
         .withColumnRenamed("event_id", "a_id").withColumnRenamed("ts_ms", "a_ts")

@@ -29,6 +29,10 @@ object Scale {
     * tool for pathological keys. */
   def saltedJoin(large: DataFrame, small: DataFrame, key: String,
                  salts: Int, saltSource: Seq[String]): DataFrame = {
+    // pmod(x, 0) is NULL and NULL joins nothing: salts=0 (e.g. from a
+    // dynamic hotKeys/threshold computation rounding down) would return
+    // an EMPTY result with no error — fail loudly instead
+    require(salts >= 1, s"salts must be >= 1 (got $salts)")
     val salted = large.withColumn("_salt",
       pmod(xxhash64(saltSource.map(col): _*), lit(salts.toLong)))
     val replicated = small.withColumn("_salt",

@@ -165,7 +165,8 @@ object ScanFilter {
 
     "tagfilter_not_literal_or" ->
       """SELECT event_id, event_type FROM events
-         WHERE event_type NOT IN ('click', 'view', 'error') ORDER BY event_id""",
+         WHERE COALESCE(event_type NOT IN ('click', 'view', 'error'), TRUE)
+         ORDER BY event_id""",
 
     "tagfilter_wildcard" ->
       "SELECT p_partkey, p_type FROM part WHERE p_type LIKE 'S%L' ORDER BY p_partkey",

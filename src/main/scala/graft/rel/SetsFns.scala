@@ -322,7 +322,9 @@ object SetsFns {
       """SELECT event_id,
             json_extract_string(props, '$.k') AS k_str,
             json_extract_string(props, '$.k')::INT AS k_int,
-            '{"k":' || json_extract_string(props, '$.k') || '}' AS rebuilt
+            CASE WHEN json_extract_string(props, '$.k') IS NULL THEN '{}'
+                 ELSE '{"k":' || json_extract_string(props, '$.k') || '}'
+            END AS rebuilt
          FROM events ORDER BY event_id""",
 
     "fn_hash" ->
