@@ -52,6 +52,9 @@ object Dedup {
     * `bits` ≤ 32. Computed as one aggregate HOF with an int-array
     * accumulator — single pass over the tokens. */
   def simhash(arr: String, bits: Int): Column = {
+    require(bits >= 1 && bits <= 32,
+      s"simhash bits must be in [1, 32] (got $bits): higher bits reach " +
+        "the Long sign bit via shiftleft and corrupt the signature")
     val acc = s"aggregate($arr, transform(sequence(1, $bits), i -> 0L), " +
       s"(acc, w) -> zip_with(acc, transform(sequence(0, ${bits - 1}), " +
       s"i -> IF((shiftright(xxhash64(w), i) & 1L) = 1L, 1L, -1L)), (a, b) -> a + b))"

@@ -88,22 +88,12 @@ object LlmQueries {
       Similarity.knnJoinPerGroup(Tables.embeddings(s, dir), "label", 3)),
 
     // embedding-cosine near-dup: pairs above a similarity threshold,
-    // blocked on label (the brief's fourth dedup modality)
-    "llm_dedup_cosine" -> ((s, dir) => {
-      val withNorm = Tables.embeddings(s, dir)
-        .withColumn("nrm", Similarity.normExpr("embedding"))
-      val a = withNorm.select(col("label").as("blk"), col("vec_id").as("a_id"),
-        col("embedding").as("av"), col("nrm").as("a_nrm"))
-      val b = withNorm.select(col("label").as("blk"), col("vec_id").as("b_id"),
-        col("embedding").as("bv"), col("nrm").as("b_nrm"))
-      a.join(b, Seq("blk"))
-        .where(col("a_id") < col("b_id"))
-        .withColumn("sim",
-          Similarity.cosineFrom(Similarity.dotExpr("av", "bv"), col("a_nrm"), col("b_nrm")))
+    // blocked on label (the brief's fourth dedup modality); shares the
+    // blocked pair-generation scaffold with the kNN join
+    "llm_dedup_cosine" -> ((s, dir) =>
+      Similarity.blockedPairCosines(Tables.embeddings(s, dir), "label", ordered = true)
         .where(col("sim") >= 0.35)
-        .select("a_id", "b_id", "sim")
-        .orderBy("a_id", "b_id")
-    }),
+        .orderBy("a_id", "b_id")),
 
     // exploded to (vec_id, pos, comp) rows: the unit vector is verified
     // component-by-component (the driver compare can't sort array cells)
@@ -118,14 +108,14 @@ object LlmQueries {
 
     "llm_text_tokenize_counts" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .select(explode(split(lower(col("text")), " ")).as("term"))
+        .select(explode(Dedup.words(col("text"))).as("term"))
         .where(col("term") =!= "")
         .groupBy("term").agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("term"))),
 
     "llm_tfidf" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
-      val t = docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      val t = docs.select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
       val tf = t.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
       val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val n = docs.agg(count(lit(1)).as("n_docs"))

@@ -61,18 +61,30 @@ object Similarity {
       .limit(k)
   }
 
-  /** Exact kNN join within a blocking column (here: label). */
-  def knnJoinPerGroup(vectors: DataFrame, blockCol: String, k: Int): DataFrame = {
+  /** Shared scaffold for blocked pairwise cosines: norms computed ONCE
+    * per vector, pairs generated only within a blocking key (Σ bucket²,
+    * never corpus²). `ordered = true` keeps only a_id < b_id (symmetric
+    * dedup); false keeps every directed pair a_id ≠ b_id. Emits
+    * (a_id, b_id, sim). The ONE definition of the pair-generation —
+    * kNN join and cosine dedup must not drift apart. */
+  def blockedPairCosines(vectors: DataFrame, blockCol: String,
+                         ordered: Boolean): DataFrame = {
     val withNorm = vectors.withColumn("nrm", normExpr("embedding"))
     val a = withNorm.select(col(blockCol).as("blk"), col("vec_id").as("a_id"),
       col("embedding").as("av"), col("nrm").as("a_nrm"))
     val b = withNorm.select(col(blockCol).as("blk"), col("vec_id").as("b_id"),
       col("embedding").as("bv"), col("nrm").as("b_nrm"))
+    a.join(b, Seq("blk"))
+      .where(if (ordered) col("a_id") < col("b_id") else col("a_id") =!= col("b_id"))
+      .withColumn("sim", cosineFrom(dotExpr("av", "bv"), col("a_nrm"), col("b_nrm")))
+      .select("a_id", "b_id", "sim")
+  }
+
+  /** Exact kNN join within a blocking column (here: label). */
+  def knnJoinPerGroup(vectors: DataFrame, blockCol: String, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("a_id").orderBy(col("sim").desc, col("b_id"))
-    a.join(b, Seq("blk"))
-      .where(col("a_id") =!= col("b_id"))
-      .withColumn("sim", cosineFrom(dotExpr("av", "bv"), col("a_nrm"), col("b_nrm")))
+    blockedPairCosines(vectors, blockCol, ordered = false)
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select(col("a_id").as("vec_id"), col("rn"), col("b_id").as("neighbor_id"), col("sim"))
@@ -122,10 +134,13 @@ object Similarity {
     * scale path (bucket column is precomputable + partitionable). */
   def annTopKLsh(vectors: DataFrame, queryVec: DataFrame, k: Int, planes: Int = 8): DataFrame = {
     val bucketed = vectors.withColumn("bucket", lshBucketPortable("embedding", planes))
-      .withColumn("nrm", normExpr("embedding"))
     val qb = queryVec.withColumn("qbucket", lshBucketPortable("qv", planes))
       .withColumn("qnrm", normExpr("qv"))
+    // norms AFTER the bucket filter: only ~1/2^planes of the corpus
+    // survives the join, so computing nrm on the scan side would waste a
+    // full-corpus Dot4 pass on rows that are dropped anyway
     bucketed.join(broadcast(qb), col("bucket") === col("qbucket"))
+      .withColumn("nrm", normExpr("embedding"))
       .select(col("vec_id"),
         cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))

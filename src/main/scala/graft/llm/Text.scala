@@ -45,10 +45,14 @@ object Text {
                   i -> xxhash64(substring($textSql, i + 1, $k)))
              END""")
 
+  /** FULL windows only (size < w → no fingerprints) — the same contract
+    * as the oracle-checked llm_fingerprint query; a partial-window min
+    * here would make the two implementations disagree on short docs. */
   def windowMins(gramsSql: String, w: Int = 16): Column =
-    expr(s"""array_distinct(transform(
-        sequence(0, greatest(size($gramsSql) - $w, 0)),
-        i -> array_min(slice($gramsSql, i + 1, $w))))""")
+    expr(s"""CASE WHEN size($gramsSql) < $w THEN array()
+             ELSE array_distinct(transform(
+               sequence(0, size($gramsSql) - $w),
+               i -> array_min(slice($gramsSql, i + 1, $w)))) END""")
 
   /** PII scrubbing patterns — the RE2/Java-regex COMMON SUBSET (no
     * backrefs, no lookaround), so Spark and the DuckDB oracle match the

@@ -52,7 +52,12 @@ case class Dot4(left: Expression, right: Expression)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    // length mismatch → NULL, matching the zip_with/aggregate HOF
+    // formulation (zip_with pads with NULL, poisoning the sum). A
+    // silent min-length truncation would compute a plausible-looking
+    // dot over a prefix with no error.
+    if (x.numElements() != y.numElements()) return null
+    val n = x.numElements()
     var acc = 0L
     var i = 0
     while (i < n) {
@@ -74,9 +79,10 @@ case class Dot4(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val p = ctx.freshName("p")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+        int $n = $a.numElements();
+        if ($n != $b.numElements()) { ${ev.isNull} = true; }
         long $acc = 0L;
-        for (int $i = 0; $i < $n; $i++) {
+        for (int $i = 0; !${ev.isNull} && $i < $n; $i++) {
           if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
           double $p = ((double) $a.getFloat($i)) * ((double) $b.getFloat($i)) * 10000.0;
           $acc += (long) ($p >= 0 ? java.lang.Math.floor($p + 0.5d)
