@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout/stderr through RAW instead of routing
+// them through sbt's logger: the driver tail-parses Bench's one-line JSON
+// from stdout, and the logger's "[info] " prefix breaks a per-line
+// json.loads (BENCH_r01/r02 both recorded parsed:null).
+outputStrategy := Some(StdoutOutput)
+// ...and drop the trailing "[success] Total time ..." line so Bench's JSON
+// line is the LAST line of the sbt invocation's output.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

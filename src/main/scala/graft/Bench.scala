@@ -20,6 +20,10 @@ object Bench {
     "llm_knn_join", "llm_tfidf")
 
   def main(args: Array[String]): Unit = {
+    // A renamed query must fail loudly here, not silently vanish from the
+    // itemized JSON map (ADVICE r2).
+    val missing = Headline.filterNot(SparkEntry.queries.contains)
+    require(missing.isEmpty, s"Headline names not in SparkEntry.queries: $missing")
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
