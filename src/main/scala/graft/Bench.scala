@@ -50,7 +50,11 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release localCheckpoint blocks the finished query pinned
+      // (async, excluded from the per-query time)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      name -> dt
     }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // emit "1,234" and corrupt the JSON line

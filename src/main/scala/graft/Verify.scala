@@ -21,6 +21,11 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // release blocks pinned by eager localCheckpoints inside the
+      // finished query's plan (Downsample.withFill, Dedup.nearDupPairs*):
+      // across a 124-query session they otherwise accumulate in executor
+      // storage until the frames are GC'd (ADVICE r2)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

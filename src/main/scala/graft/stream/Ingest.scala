@@ -181,18 +181,16 @@ object Ingest {
     *
     * Crash-window recovery: swapInto deletes the destination BEFORE
     * renaming its fully-written `.tmp` in. A crash between the two
-    * leaves the complete state only at `.tmp`; treating that as "no
-    * state" would rebuild the catalog from the single replayed batch
-    * and destroy everything accumulated — so the `.tmp` is read (and
-    * the next successful swap supersedes it). */
+    * leaves the complete state only at `.tmp` — Keysets.repairSwap
+    * finishes that rename first (it distinguishes a committed `.tmp`,
+    * `_SUCCESS` present, from a partial one left by a crashed FIRST
+    * write, where bootstrapping fresh is correct because no state was
+    * ever committed). */
   private def readStateIfExists(s: SparkSession, path: String): Option[DataFrame] = {
+    graft.tsdb.Keysets.repairSwap(s, path)
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(path))
-    else {
-      val tmp = new org.apache.hadoop.fs.Path(path + ".tmp")
-      if (fs.exists(tmp)) Some(s.read.parquet(tmp.toString)) else None
-    }
+    if (fs.exists(p)) Some(s.read.parquet(path)) else None
   }
 
   /** EP1' sink: foreachBatch lands points and upserts the series catalog

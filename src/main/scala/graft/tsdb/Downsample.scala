@@ -103,7 +103,10 @@ object Downsample {
     // and the join side cannot share an exchange (different grouping
     // keys), so without this the entire upstream points scan + hash
     // aggregate would execute twice. The checkpointed data is the
-    // REDUCED (series × bucket) frame, not the raw points.
+    // REDUCED (series × bucket) frame, not the raw points. Retention:
+    // the blocks live until the frame is GC'd (ContextCleaner) or the
+    // session driver unpersists them — Verify/Bench release all
+    // persistent RDDs after each query.
     val down = downsampled.localCheckpoint(true)
     val series = down.select(seriesCols.map(col): _*).distinct()
     val grid = broadcast(series).crossJoin(spine)

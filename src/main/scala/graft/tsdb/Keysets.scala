@@ -20,6 +20,7 @@ object Keysets {
       org.apache.spark.sql.types.StructType.fromDDL(Schema))
     // bootstrap ONLY when the registry doesn't exist yet; any other read
     // failure must propagate (an empty substitute would wipe the registry)
+    repairSwap(s, registryPath)
     val p = new org.apache.hadoop.fs.Path(registryPath)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     val merged =
@@ -47,16 +48,42 @@ object Keysets {
     ()
   }
 
-  def list(s: SparkSession, registryPath: String): DataFrame =
-    s.read.parquet(registryPath).orderBy("ksid")
+  /** Finish an interrupted swap before touching a swapInto-managed table.
+    * swapInto fully writes (and commits — Spark leaves a `_SUCCESS`
+    * marker) the `.tmp` BEFORE deleting the destination, so a missing
+    * destination with a COMMITTED `.tmp` means the crash hit the
+    * delete→rename window and the `.tmp` holds the current state:
+    * complete the rename. A `.tmp` WITHOUT the marker is a crashed
+    * in-progress write — no state was ever lost — and is ignored (the
+    * next swap's overwrite replaces it). Repairing eagerly (instead of
+    * reading from `.tmp` in place) also keeps writers safe: a
+    * read-from-.tmp feeding swapInto would overwrite its own input. */
+  private[graft] def repairSwap(s: SparkSession, dest: String): Unit = {
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(destP)) {
+      val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
+      if (fs.exists(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS")) &&
+          !fs.rename(tmpP, destP))
+        throw new java.io.IOException(
+          s"recovery rename $tmpP -> $destP failed; state preserved at $tmpP")
+    }
+  }
 
-  def drop(s: SparkSession, registryPath: String, ksid: String): Unit =
+  def list(s: SparkSession, registryPath: String): DataFrame = {
+    repairSwap(s, registryPath)
+    s.read.parquet(registryPath).orderBy("ksid")
+  }
+
+  def drop(s: SparkSession, registryPath: String, ksid: String): Unit = {
+    repairSwap(s, registryPath)
     // no driver-side collect needed: swapInto fully writes to a .tmp
     // path BEFORE deleting the destination, so the lazy read is
     // materialized while its source still exists (same pattern as
     // create())
     swapInto(s, s.read.parquet(registryPath).where(col("ksid") =!= ksid),
       registryPath)
+  }
 
   /** Apply a tenant's retention to its slice of a points table
     * (partition-pruned scan by ksid + TTL predicate). */

@@ -72,4 +72,41 @@ class EndToEndSpec extends SparkSpec {
     Keysets.drop(spark, reg, "tenant_b")
     assert(Keysets.list(spark, reg).count() == 1)
   }
+
+  test("swap crash windows: committed .tmp is recovered, partial .tmp is not state") {
+    val base = java.nio.file.Files.createTempDirectory("graft_swp_").toString
+    val reg = s"$base/registry"
+    val now = Tables.NowMs
+    Keysets.create(spark, reg, "tenant_a", 1000L, 1, now)
+    Keysets.create(spark, reg, "tenant_b", 2000L, 1, now)
+    // simulate a crash between swapInto's delete and rename: the committed
+    // state sits only at .tmp (with its _SUCCESS marker)
+    val fs = new org.apache.hadoop.fs.Path(reg)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(reg),
+      new org.apache.hadoop.fs.Path(reg + ".tmp")))
+    assert(Keysets.list(spark, reg).count() == 2, "list must recover committed .tmp")
+    assert(fs.exists(new org.apache.hadoop.fs.Path(reg)) &&
+      !fs.exists(new org.apache.hadoop.fs.Path(reg + ".tmp")), "rename completed")
+    // drop after the same crash shape must see the recovered state
+    assert(fs.rename(new org.apache.hadoop.fs.Path(reg),
+      new org.apache.hadoop.fs.Path(reg + ".tmp")))
+    Keysets.drop(spark, reg, "tenant_b")
+    assert(Keysets.list(spark, reg).as[(String, Long, Int, Long)]
+      .collect().map(_._1).toSeq == Seq("tenant_a"))
+    // create after the crash shape must MERGE, not wipe
+    assert(fs.rename(new org.apache.hadoop.fs.Path(reg),
+      new org.apache.hadoop.fs.Path(reg + ".tmp")))
+    Keysets.create(spark, reg, "tenant_c", 3000L, 1, now)
+    assert(Keysets.list(spark, reg).as[(String, Long, Int, Long)]
+      .collect().map(_._1).toSeq == Seq("tenant_a", "tenant_c"))
+    // a PARTIAL .tmp (crashed first write: no _SUCCESS) is not state:
+    // create bootstraps fresh instead of failing on a torn directory
+    val reg2 = s"$base/registry2"
+    fs.mkdirs(new org.apache.hadoop.fs.Path(reg2 + ".tmp"))
+    val torn = fs.create(new org.apache.hadoop.fs.Path(reg2 + ".tmp/part-00000.parquet"))
+    torn.write("not parquet".getBytes); torn.close()
+    Keysets.create(spark, reg2, "tenant_x", 1000L, 1, now)
+    assert(Keysets.list(spark, reg2).count() == 1)
+  }
 }
