@@ -104,6 +104,24 @@ object Dedup {
     require(k % 4 == 0, s"k=$k must be divisible by 4 (lanes per digest)")
     val base = docs.select(col(idCol).as("id"), words(col(textCol)).as("w"))
       .where(size(col("w")) >= shingleN)
+    // one compiled pass per document over the raw digest bytes — no
+    // shingle explosion, no groupBy shuffle, no hex round-trips. The
+    // values are bit-identical to [[minhashSigsPortableSql]] (asserted in
+    // DedupSpec), which is the shape the DuckDB oracle runs.
+    val sig = base.select(col("id"),
+      org.apache.spark.sql.graftfn.Md5MinHashSig.of(col("w"), shingleN, k).as("mh"))
+    sig.select(col("id") +:
+      (0 until k).map(i => element_at(col("mh"), i + 1).as(s"m$i")): _*)
+  }
+
+  /** Pure-relational formulation of [[minhashSigsPortable]] — the exact
+    * shape the DuckDB oracle evaluates; kept as the cross-check for the
+    * native expression (DedupSpec asserts frame equality). */
+  def minhashSigsPortableSql(docs: DataFrame, idCol: String, textCol: String,
+                             k: Int = 32, shingleN: Int = 3): DataFrame = {
+    require(k % 4 == 0, s"k=$k must be divisible by 4 (lanes per digest)")
+    val base = docs.select(col(idCol).as("id"), words(col(textCol)).as("w"))
+      .where(size(col("w")) >= shingleN)
     // one row per shingle; the k mins are aggregate COLUMNS (map-side
     // combinable, no row explosion, no (id,seed) shuffle)
     val sh = base.select(col("id"), explode(shingles("w", shingleN)).as("s"))

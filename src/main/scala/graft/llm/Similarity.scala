@@ -179,6 +179,14 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), s -> CAST(s.mean AS FLOAT))")
           .as("cvec"))
+        // materialize the k tiny centroid rows per iteration: truncating
+        // the lineage keeps each Lloyd iteration a small job instead of
+        // one ever-deepening plan, and consumers that reference the
+        // centroids more than once (ivfTopK joins them on both the
+        // corpus side and the query side) don't re-run the whole loop
+        // per reference. Values are unchanged; the driver releases the
+        // blocks after each query.
+        .localCheckpoint(true)
     }
     centroids
   }

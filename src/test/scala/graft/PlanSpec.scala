@@ -101,14 +101,22 @@ class PlanSpec extends SparkSpec {
     // inspect the SIGNATURE stage directly: the full pipeline hides it
     // behind localCheckpoint (truncated lineage), where a vacuous
     // HashAggregate from distinct() would satisfy any assertion
+    val sigSql = llm.Dedup.minhashSigsPortableSql(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text")
+    val pSql = sigSql.queryExecution.executedPlan.toString
+    assert(pSql.contains("HashAggregate"), s"minhash mins must hash-aggregate:\n$pSql")
+    // exactly one generator — the shingle explode; an explode-by-seed
+    // regression would add a second Generate (32x rows)
+    assert("Generate".r.findAllIn(pSql).length == 1,
+      s"expected exactly the shingle explode, got:\n$pSql")
+    // the NATIVE sig stage is a pure per-row projection: no explode, no
+    // aggregate, no exchange — the shuffle-free shape is the point
     val sig = llm.Dedup.minhashSigsPortable(
       graft.core.Tables.documents(spark, sf), "doc_id", "text")
     val p = sig.queryExecution.executedPlan.toString
-    assert(p.contains("HashAggregate"), s"minhash mins must hash-aggregate:\n$p")
-    // exactly one generator — the shingle explode; an explode-by-seed
-    // regression would add a second Generate (32x rows)
-    assert("Generate".r.findAllIn(p).length == 1,
-      s"expected exactly the shingle explode, got:\n$p")
+    assert(p.contains("md5_minhash_sig"), s"native sig expression expected:\n$p")
+    assert(!p.contains("Generate") && !p.contains("Exchange") && !p.contains("HashAggregate"),
+      s"native sig stage must be a shuffle-free projection:\n$p")
     val full = optimized("llm_dedup_near_minhash")
     assert(!full.queryExecution.executedPlan.toString.contains("CartesianProduct"),
       "band join must stay equi")

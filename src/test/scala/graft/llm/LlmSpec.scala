@@ -34,6 +34,21 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
   }
 
+  test("native md5 minhash equals the relational md5 formulation, lane by lane") {
+    // the native expression must stay in bit-lockstep with the SQL shape
+    // the DuckDB oracle evaluates — over the real fixture corpus, not
+    // just the micro docs
+    val fixture = graft.core.Tables.documents(spark, sf)
+    for (src <- Seq(docs, fixture)) {
+      val native = Dedup.minhashSigsPortable(src, "doc_id", "text", 32, 3)
+        .orderBy("id").collect()
+      val sql = Dedup.minhashSigsPortableSql(src, "doc_id", "text", 32, 3)
+        .orderBy("id").collect()
+      assert(native.length == sql.length && native.length > 0)
+      native.zip(sql).foreach { case (a, b) => assert(a == b) }
+    }
+  }
+
   test("jaccard: symmetric, 1.0 for identical sets, bounded") {
     val two = docs.where(col("doc_id").isin(1, 3))
       .select(array_distinct(Dedup.words(col("text"))).as("w"))
