@@ -179,26 +179,18 @@ object LlmQueries {
 
     // winnowing fingerprints over md5 8-char grams: per-doc window min of
     // 16 consecutive gram hashes, distinct mins = the fingerprint set.
-    // One window + one distinct, both partitioned by doc — the shuffle
-    // unit is a document, so this scales embarrassingly. md5 makes the
-    // whole thing oracle-checked (the HOF/xxhash64 winnowing helpers in
-    // Text remain the in-memory fast path, property-tested separately).
-    "llm_fingerprint" -> ((s, dir) => {
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("doc_id").orderBy("j").rowsBetween(0, 15)
-      val ng = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    // Winnowing fingerprints, evaluated natively in one pass per doc
+    // (monotonic-deque sliding min over raw digest bytes — no explode,
+    // no per-doc sort shuffle); values are bit-identical to the
+    // relational md5 formulation the oracle runs ([[fingerprintMd5Sql]],
+    // equality asserted in LlmSpec). The shuffle unit is a document, so
+    // this scales embarrassingly. (The HOF/xxhash64 winnowing helpers in
+    // Text remain property-tested separately.)
+    "llm_fingerprint" -> ((s, dir) =>
       Tables.documents(s, dir)
-        .where(length(col("text")) >= 8)
-        .select(col("doc_id"), col("text"),
-          explode(expr("sequence(1, length(text) - 7)")).as("j"))
-        .select(col("doc_id"), col("j"),
-          expr("md5(cast(substr(text, j, 8) as binary))").as("h"))
-        .withColumn("mh", min(col("h")).over(w))
-        .withColumn("ng", count(lit(1)).over(ng))
-        .where(col("j") <= col("ng") - 15)
-        .select("doc_id", "mh").distinct()
-        .orderBy("doc_id", "mh")
-    }),
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graftfn.Md5Winnow.of(col("text"), 8, 16)).as("mh"))
+        .orderBy("doc_id", "mh")),
 
     "llm_multimodal_join" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -308,6 +300,27 @@ object LlmQueries {
        vv AS (SELECT doc_id, ((${nib(1)} * 16 + ${nib(2)}) * 16 + ${nib(3)}) * 16 + ${nib(4)} AS v FROM h),
        s AS (SELECT doc_id, $sums FROM vv GROUP BY 1)
        SELECT doc_id, CAST($sig AS BIGINT) AS sig FROM s ORDER BY doc_id"""
+  }
+
+  /** Relational md5 winnowing — the exact shape the DuckDB oracle runs
+    * for llm_fingerprint; kept as the cross-check for the native
+    * [[org.apache.spark.sql.graftfn.Md5Winnow]] expression (equality
+    * asserted in LlmSpec over the fixture corpus). */
+  def fingerprintMd5Sql(s: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("j").rowsBetween(0, 15)
+    val ng = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    Tables.documents(s, dir)
+      .where(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 7)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        expr("md5(cast(substr(text, j, 8) as binary))").as("h"))
+      .withColumn("mh", min(col("h")).over(w))
+      .withColumn("ng", count(lit(1)).over(ng))
+      .where(col("j") <= col("ng") - 15)
+      .select("doc_id", "mh").distinct()
+      .orderBy("doc_id", "mh")
   }
 
   /** DuckDB mirror of [[Similarity.ivfCentroids]] + [[Similarity.ivfTopK]]

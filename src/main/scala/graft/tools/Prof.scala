@@ -82,6 +82,19 @@ object Prof {
     q("tsdb_series_corr")
     q("stream_session")
     q("stream_sliding")
+    if (sys.env.contains("PROF_ALL")) {
+      // time every registered query, print slowest-first
+      val times = graft.SparkEntry.queries.toSeq.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        try fn(spark, sfDir).count() catch { case _: Throwable => }
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+        name -> (System.nanoTime() - t0) / 1e9
+      }
+      times.sortBy(-_._2).take(25).foreach { case (n, s) =>
+        println(f"PROFALL $n%-40s $s%8.3f s")
+      }
+      println(f"PROFALL TOTAL ${times.map(_._2).sum}%8.3f s")
+    }
     spark.stop()
   }
 }

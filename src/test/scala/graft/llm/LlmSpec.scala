@@ -49,6 +49,13 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("native md5 winnow equals the relational window-min formulation") {
+    val native = graft.SparkEntry.queries("llm_fingerprint")(spark, sf).collect()
+    val sql = LlmQueries.fingerprintMd5Sql(spark, sf).collect()
+    assert(native.length == sql.length && native.length > 0)
+    native.zip(sql).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("jaccard: symmetric, 1.0 for identical sets, bounded") {
     val two = docs.where(col("doc_id").isin(1, 3))
       .select(array_distinct(Dedup.words(col("text"))).as("w"))
