@@ -41,6 +41,29 @@ object LlmQueries {
     "llm_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text")),
 
+    // Benchmark decontamination: flag training docs sharing any 8-gram
+    // word shingle with the held-out eval slice (doc_id % 20 == 0 —
+    // stand-in for a benchmark suite). Output per flagged doc: distinct
+    // shared shingles + distinct eval docs hit. The eval side is small
+    // by construction (benchmarks are thousands of docs vs a 100 TB
+    // corpus), so it is broadcast — the train side streams map-side,
+    // no corpus-wide shuffle on the shingle key.
+    "llm_decontaminate" -> ((s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+        .where(size(col("w")) >= 8)
+        .select(col("doc_id"),
+          explode(array_distinct(Dedup.shingles("w", 8))).as("s"))
+      val ev = sh.where(col("doc_id") % 20 === 0)
+        .select(col("s"), col("doc_id").as("eval_id"))
+      sh.where(col("doc_id") % 20 =!= 0)
+        .join(broadcast(ev), "s")
+        .groupBy("doc_id")
+        .agg(countDistinct(col("s")).as("n_shared"),
+          countDistinct(col("eval_id")).as("n_eval_docs"))
+        .orderBy("doc_id")
+    }),
+
     // word-set Jaccard between consecutive doc ids — SQL-expressible
     "llm_dedup_ngram_jaccard" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
@@ -411,6 +434,21 @@ object LlmQueries {
                  FROM cand c JOIN dw da ON da.id = c.a_id JOIN dw db ON db.id = c.b_id)
          SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id"""
     },
+
+    "llm_decontaminate" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         el AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 8),
+         js AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 6)) AS j FROM el),
+         sh0 AS (SELECT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] || ' ' || ws[j+3]
+                   || ' ' || ws[j+4] || ' ' || ws[j+5] || ' ' || ws[j+6] || ' ' || ws[j+7] AS s
+                 FROM js),
+         sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+         ev AS (SELECT doc_id AS eval_id, s FROM sh WHERE doc_id % 20 = 0),
+         tr AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0)
+         SELECT tr.doc_id, count(DISTINCT tr.s) AS n_shared,
+                count(DISTINCT ev.eval_id) AS n_eval_docs
+         FROM tr JOIN ev ON tr.s = ev.s
+         GROUP BY 1 ORDER BY 1""",
 
     "llm_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),

@@ -22,6 +22,11 @@ object ScanFilter {
     * analog). Integer value (event_id) avoids float-formatting skew. */
   private val TelnetRe = "^put (\\S+) (\\d+) (\\d+) user=(\\d+)$"
 
+  /** Scratch dir for the format round-trip queries (fresh per call: the
+    * write is part of the measured operator, like any sink). */
+  private def roundtripDir(fmt: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_rt_${fmt}_").toString
+
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) =>
       Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber",
@@ -51,6 +56,37 @@ object ScanFilter {
           regexp_extract(col("line"), TelnetRe, 3).cast("long").as("val"),
           regexp_extract(col("line"), TelnetRe, 4).cast("long").as("user"))
         .orderBy("val")
+    }),
+
+    // CSV source+sink fidelity: write the table as CSV WITH a derived
+    // CSV-hostile column (embedded commas and quotes — the writer must
+    // quote, the reader must unquote), read it back with an explicit DDL
+    // schema (header on; schema inference is an extra pass at scale and
+    // is never used here), and hash-compare against the oracle computed
+    // straight from parquet. Doubles round-trip exactly (Java shortest
+    // decimal rendering parses back to the same bits).
+    "ingest_csv_roundtrip" -> ((s, dir) => {
+      val out = roundtripDir("csv")
+      Tables.part(s, dir)
+        .select(col("p_partkey"),
+          concat(col("p_name"), lit(", \""), col("p_brand"), lit("\"")).as("name_csv"),
+          col("p_size"), col("p_retailprice"))
+        .write.mode("overwrite").option("header", "true").csv(out)
+      s.read.schema("p_partkey BIGINT, name_csv STRING, p_size INT, p_retailprice DOUBLE")
+        .option("header", "true").csv(out)
+        .orderBy("p_partkey")
+    }),
+
+    // ORC source+sink fidelity, timestamps included (instants must
+    // survive the round-trip bit-exactly; ORC is the columnar alternate
+    // interchange format, with the same pushdown/pruning properties as
+    // parquet on the read side).
+    "ingest_orc_roundtrip" -> ((s, dir) => {
+      val out = roundtripDir("orc")
+      Tables.orders(s, dir)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice", "o_orderdate")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("o_orderkey")
     }),
 
     "project_select" -> ((s, dir) =>
@@ -140,6 +176,15 @@ object ScanFilter {
                 regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 3)::BIGINT AS val,
                 regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 4)::BIGINT AS user
          FROM lines ORDER BY val""",
+
+    "ingest_csv_roundtrip" ->
+      """SELECT p_partkey, p_name || ', "' || p_brand || '"' AS name_csv,
+            p_size, p_retailprice
+         FROM part ORDER BY p_partkey""",
+
+    "ingest_orc_roundtrip" ->
+      """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
+         FROM orders ORDER BY o_orderkey""",
 
     "project_select" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS net

@@ -56,6 +56,15 @@ class LlmSpec extends SparkSpec {
     native.zip(sql).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("decontaminate: flags only train docs, never the eval slice, with positive overlap") {
+    val out = graft.SparkEntry.queries("llm_decontaminate")(spark, sf).collect()
+    assert(out.nonEmpty, "fixture corpus must produce contaminated docs")
+    out.foreach { r =>
+      assert(r.getAs[Long]("doc_id") % 20 != 0, "eval docs must not be flagged")
+      assert(r.getAs[Long]("n_shared") >= 1 && r.getAs[Long]("n_eval_docs") >= 1)
+    }
+  }
+
   test("jaccard: symmetric, 1.0 for identical sets, bounded") {
     val two = docs.where(col("doc_id").isin(1, 3))
       .select(array_distinct(Dedup.words(col("text"))).as("w"))
