@@ -53,8 +53,13 @@ object ScaleProbe {
     // verification dominates the dedup cost. Same code path as the
     // full pipeline (Dedup.minhashSigsPortable), not a re-implementation.
     def minhashSigOnly(dir: String): Long =
+      // aggregate a lane, don't count(): column pruning under count()
+      // drops the signature expression entirely and the probe would time
+      // only the scan (evaluating m0 forces the whole per-doc digest
+      // pass — all 32 lanes come from the one native expression)
       llm.Dedup.minhashSigsPortable(
-        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text").count()
+        spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
+        .agg(sum(col("m0")), count(lit(1))).head().getLong(1)
 
     // warm the datasets AND each query shape (codegen compiles on first
     // run; timing it against 1× would flatter the 10× ratio)

@@ -23,9 +23,14 @@ object Correlate {
     * by the positive-variance predicate. Emits (a_key, b_key, n, r). */
   def pearsonPairs(downsampled: DataFrame, keyCol: String,
                    minBuckets: Int): DataFrame = {
-    val a = downsampled.select(col(keyCol).as("a_key"), col("bucket_ms"),
+    // materialize the REDUCED (series × bucket) frame once: the
+    // self-join would otherwise run the whole upstream scan + downsample
+    // aggregate twice, once per side (same pattern as
+    // Downsample.withFill; the drivers release the blocks per query)
+    val down = downsampled.localCheckpoint(true)
+    val a = down.select(col(keyCol).as("a_key"), col("bucket_ms"),
       col("value").as("av"))
-    val b = downsampled.select(col(keyCol).as("b_key"), col("bucket_ms"),
+    val b = down.select(col(keyCol).as("b_key"), col("bucket_ms"),
       col("value").as("bv"))
     // (18,4)×(18,4) → DECIMAL(37,8): exact in Spark (≤38) AND DuckDB.
     // (19,4) factors would need precision 39 > 38 on the Spark side,
