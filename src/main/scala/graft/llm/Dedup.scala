@@ -107,7 +107,7 @@ object Dedup {
     // one compiled pass per document over the raw digest bytes — no
     // shingle explosion, no groupBy shuffle, no hex round-trips. The
     // values are bit-identical to [[minhashSigsPortableSql]] (asserted in
-    // DedupSpec), which is the shape the DuckDB oracle runs.
+    // LlmSpec), which is the shape the DuckDB oracle runs.
     val sig = base.select(col("id"),
       org.apache.spark.sql.graftfn.Md5MinHashSig.of(col("w"), shingleN, k).as("mh"))
     sig.select(col("id") +:
@@ -116,7 +116,7 @@ object Dedup {
 
   /** Pure-relational formulation of [[minhashSigsPortable]] — the exact
     * shape the DuckDB oracle evaluates; kept as the cross-check for the
-    * native expression (DedupSpec asserts frame equality). */
+    * native expression (LlmSpec asserts frame equality). */
   def minhashSigsPortableSql(docs: DataFrame, idCol: String, textCol: String,
                              k: Int = 32, shingleN: Int = 3): DataFrame = {
     require(k % 4 == 0, s"k=$k must be divisible by 4 (lanes per digest)")

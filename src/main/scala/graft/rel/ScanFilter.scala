@@ -22,10 +22,17 @@ object ScanFilter {
     * analog). Integer value (event_id) avoids float-formatting skew. */
   private val TelnetRe = "^put (\\S+) (\\d+) (\\d+) user=(\\d+)$"
 
-  /** Scratch dir for the format round-trip queries (fresh per call: the
-    * write is part of the measured operator, like any sink). */
-  private def roundtripDir(fmt: String): String =
-    java.nio.file.Files.createTempDirectory(s"graft_rt_${fmt}_").toString
+  /** Scratch dir for the format round-trip queries. Stable per format —
+    * the writes below use mode("overwrite"), so repeated Bench/Verify
+    * runs reuse (not accumulate) the scratch copy; a fresh
+    * createTempDirectory per call leaked a full table copy per run. The
+    * write itself is part of the measured operator, like any sink. */
+  private def roundtripDir(fmt: String): String = {
+    val d = java.nio.file.Paths.get(
+      sys.props("java.io.tmpdir"), "graft_rt", fmt)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
 
   val queries: Map[String, Q] = Map(
     "scan_parquet" -> ((s, dir) =>

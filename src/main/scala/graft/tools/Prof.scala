@@ -18,7 +18,11 @@ object Prof {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    def t(name: String)(f: => Long): Unit = {
+    // [namePrefix] arg: run only the stages/queries whose PROF name
+    // starts with it (sub-stage names keep their p_/sig_ prefixes, so
+    // e.g. `Prof llm_` times just the llm queries)
+    val prefix = args.headOption.getOrElse("")
+    def t(name: String)(f: => Long): Unit = if (name.startsWith(prefix)) {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROF $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s  ($n rows)")
@@ -40,8 +44,10 @@ object Prof {
     }
     q("llm_dedup_near_minhash")
     q("llm_dedup_near_minhash")
-    // fine-grained replica of nearDupPairsPortable stages
-    locally {
+    // fine-grained replica of nearDupPairsPortable stages; the stages
+    // chain through shared frames, so the block runs all-or-nothing
+    // (gated on its first stage name, not per-stage)
+    if ("p_checkpoint_stacked".startsWith(prefix)) locally {
       import org.apache.spark.sql.functions._
       val k = 32; val r = 4; val bands = k / r
       val mh = Dedup.minhashSigsPortable(docs, "doc_id", "text", k, 3)

@@ -40,6 +40,14 @@ object Keysets {
     val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
     val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
     df.write.mode("overwrite").parquet(tmpP.toString)
+    // The `_SUCCESS` marker is repairSwap's commit signal. Write it
+    // ourselves instead of relying on the committer's, so recovery does
+    // not silently break when a session runs with
+    // mapreduce.fileoutputcommitter.marksuccessfuljobs=false. Ordering
+    // keeps the window safe: a crash before this line leaves the
+    // destination untouched (delete happens below), so an unmarked .tmp
+    // never holds the only copy of the state.
+    fs.create(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"), true).close()
     if (fs.exists(destP) && !fs.delete(destP, true))
       throw new java.io.IOException(s"could not delete $destP for swap")
     if (!fs.rename(tmpP, destP))

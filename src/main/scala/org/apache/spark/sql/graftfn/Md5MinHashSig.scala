@@ -26,7 +26,7 @@ import org.apache.spark.sql.types._
   * chain per (shingle, lane). This expression does the identical math in
   * one compiled pass per document on the raw digest bytes (no row
   * explosion, no groupBy shuffle, no hex round-trips); equality of the
-  * two forms is asserted in DedupSpec, and the DuckDB oracle still runs
+  * two forms is asserted in LlmSpec, and the DuckDB oracle still runs
   * the relational form.
   *
   * Returns array<bigint> of the k lane minima; a doc with fewer than

@@ -69,13 +69,19 @@ case class Md5Winnow(child: Expression, k: Int, w: Int)
     val deque = new Array[Int](ng)
     var head = 0; var tail = 0 // [head, tail)
     val out = new java.util.TreeSet[String]()
+    // classic winnowing emit rule: consecutive windows usually share the
+    // same minimum INDEX — render/insert only when the head index moves
+    // (equal digests at different indices still dedup via the TreeSet),
+    // turning O(n) hex renders into O(distinct minima)
+    var lastEmitted = -1
     j = 0
     while (j < ng) {
       while (tail > head && !less(digests(deque(tail - 1)), digests(j))) tail -= 1
       deque(tail) = j; tail += 1
       if (deque(head) <= j - w) head += 1
-      if (j >= w - 1) {
-        val d = digests(deque(head))
+      if (j >= w - 1 && deque(head) != lastEmitted) {
+        lastEmitted = deque(head)
+        val d = digests(lastEmitted)
         val hex = new java.lang.StringBuilder(32)
         var b = 0
         while (b < 16) {
