@@ -230,4 +230,61 @@ object Dedup {
       .select("a_id", "b_id", "jaccard")
       .orderBy("a_id", "b_id")
   }
+
+  /** Connected components over a near-dup pair set: cluster id = the
+    * minimum doc id reachable through the pair graph, which is how a
+    * corpus-scale dedup actually retains documents (keep ONE
+    * representative per cluster, not one per pair — pairwise output
+    * alone over-deletes when A~B and B~C but A!~C).
+    *
+    * Min-label propagation to fixpoint: labels start as the node's own
+    * id; each round takes the min of a node's label and its neighbors'
+    * labels. Every round is one hash join (edges ⋈ labels on the node
+    * id) plus one min-aggregate — both hash-partitioned on node id, no
+    * driver-side data, lineage truncated per round with localCheckpoint
+    * (the loop would otherwise stack O(rounds) join plans). Rounds are
+    * bounded by the cluster diameter; near-dup clusters are shallow
+    * (dups of a common source), so this converges in a handful of
+    * rounds — for adversarially long chains the large-star/small-star
+    * variant halves the bound, at the cost of two joins per round.
+    *
+    * Output: (doc_id, cluster_id, n_members) for every doc in ≥1 pair,
+    * ordered by doc_id. Docs in no pair are singleton clusters and are
+    * omitted (at corpus scale that is the overwhelming majority — a
+    * dedup pass wants the clustered slice, not an identity mapping). */
+  def dedupClusters(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("a_id"), col("b_id"))
+    // undirected: propagate both ways
+    val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
+      .select(col("a_id").as("src"), col("b_id").as("dst"))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    // convergence metric: labels only ever DECREASE, so the label sum is
+    // strictly monotone until fixpoint — one aggregate per round instead
+    // of a join+count against the previous round (decimal: a BIGINT sum
+    // over corpus-scale ids would wrap)
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO) // empty input: sum is NULL
+    var prevSum = labelSum(labels)
+    var converged = false
+    while (!converged) {
+      val viaNbr = edges.join(labels, edges("src") === labels("node"))
+        .select(col("dst").as("node"), col("label"))
+      val next = labels.select("node", "label").union(viaNbr)
+        .groupBy("node").agg(min("label").as("label"))
+        .localCheckpoint(true)
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
+      labels = next
+    }
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
 }

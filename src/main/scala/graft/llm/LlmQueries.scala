@@ -38,6 +38,14 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 32, r = 4, shingleN = 3, threshold = 0.5)),
 
+    // connected components over the verified near-dup pairs — the
+    // retention unit of a corpus dedup (keep the min-id doc per
+    // cluster; pairwise output over-deletes on transitive chains)
+    "llm_dedup_clusters" -> ((s, dir) =>
+      Dedup.dedupClusters(
+        Dedup.nearDupPairsPortable(Tables.documents(s, dir), "doc_id", "text",
+          k = 32, r = 4, shingleN = 3, threshold = 0.5))),
+
     "llm_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -400,6 +408,34 @@ object LlmQueries {
          ORDER BY sim DESC, d.vec_id LIMIT 10"""
   }
 
+  /** Shared CTE chain ending at `ver` (verified candidate pairs) — the
+    * oracle mirror of Dedup.nearDupPairsPortable's packed-lane layout:
+    * hash (4j+l) = 8-hex-char slice l of md5("j:shingle") (32-char
+    * digest = exactly four 8-char lanes; never slice past char 32).
+    * Used by llm_dedup_near_minhash and llm_dedup_clusters. */
+  private val NearDupPairCtes: String = {
+    val mins = (0 until 32)
+      .map(i => s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
+      .mkString(", ")
+    val sigs = (0 until 8)
+      .map(b => s"SELECT id, $b AS band, ${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || ")} AS sig FROM mh")
+      .mkString(" UNION ALL ")
+    s"""w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
+       el AS (SELECT id, ws FROM w WHERE len(ws) >= 3),
+       js AS (SELECT id, ws, unnest(range(1, len(ws) - 1)) AS j FROM el),
+       sh AS (SELECT id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s FROM js),
+       mh AS (SELECT id, $mins FROM sh GROUP BY 1),
+       bands AS ($sigs),
+       cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
+                FROM bands a JOIN bands b
+                  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+       dw AS (SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
+       ver AS (SELECT c.a_id, c.b_id,
+                 ROUND((CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
+                        / len(list_distinct(da.ws || db.ws))) * 10000.0, 0) / 10000.0 + 0.0 AS jaccard
+               FROM cand c JOIN dw da ON da.id = c.a_id JOIN dw db ON db.id = c.b_id)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "llm_sim_ivf" -> IvfOracle,
     "llm_dedup_exact" ->
@@ -408,32 +444,28 @@ object LlmQueries {
 
     "llm_dedup_simhash" -> SimhashOracle,
 
-    "llm_dedup_near_minhash" -> {
-      // mirror of Dedup.nearDupPairsPortable's packed-lane layout:
-      // hash (4j+l) = 8-hex-char slice l of md5("j:shingle") (32-char
-      // digest = exactly four 8-char lanes; never slice past char 32)
-      val mins = (0 until 32)
-        .map(i => s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
-        .mkString(", ")
-      val sigs = (0 until 8)
-        .map(b => s"SELECT id, $b AS band, ${(b * 4 until b * 4 + 4).map(i => s"m$i").mkString(" || ")} AS sig FROM mh")
-        .mkString(" UNION ALL ")
-      s"""WITH w AS (SELECT doc_id AS id, string_split(lower(text), ' ') AS ws FROM documents),
-         el AS (SELECT id, ws FROM w WHERE len(ws) >= 3),
-         js AS (SELECT id, ws, unnest(range(1, len(ws) - 1)) AS j FROM el),
-         sh AS (SELECT id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS s FROM js),
-         mh AS (SELECT id, $mins FROM sh GROUP BY 1),
-         bands AS ($sigs),
-         cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
-                  FROM bands a JOIN bands b
-                    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
-         dw AS (SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
-         ver AS (SELECT c.a_id, c.b_id,
-                   ROUND((CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
-                          / len(list_distinct(da.ws || db.ws))) * 10000.0, 0) / 10000.0 + 0.0 AS jaccard
-                 FROM cand c JOIN dw da ON da.id = c.a_id JOIN dw db ON db.id = c.b_id)
-         SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id"""
-    },
+    "llm_dedup_near_minhash" ->
+      s"""WITH $NearDupPairCtes
+         SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    // same pair CTEs + recursive reachability closure: cluster id = min
+    // reachable doc id; DuckDB's UNION (distinct) in the recursive term
+    // guarantees termination
+    "llm_dedup_clusters" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+         pr AS (SELECT a_id, b_id FROM ver WHERE jaccard >= 0.5),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+                   UNION ALL SELECT b_id, a_id FROM pr),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+         ),
+         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         sz AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
+         SELECT lab.node AS doc_id, lab.cluster_id, sz.n_members
+         FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
 
     "llm_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

@@ -65,6 +65,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("dedup clusters: transitive chain collapses to min-id label; disjoint pairs stay apart") {
+    // chain 1-2, 2-3 plus disjoint pair 7-9: closure must label {1,2,3}
+    // as cluster 1 (size 3) even though (1,3) is never a pair
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("a_id", "b_id")
+    val out = Dedup.dedupClusters(pairs)
+      .as[(Long, Long, Long)].collect().toList
+    assert(out == List((1L, 1L, 3L), (2L, 1L, 3L), (3L, 1L, 3L),
+      (7L, 7L, 2L), (9L, 7L, 2L)))
+  }
+
+  test("dedup clusters: empty pair set yields empty output, not a crash") {
+    val pairs = Seq.empty[(Long, Long)].toDF("a_id", "b_id")
+    assert(Dedup.dedupClusters(pairs).count() == 0L)
+  }
+
+  test("dedup clusters: label propagates over a long chain to one component") {
+    // worst-case diameter: a path 0-1-...-9; fixpoint loop must not stop
+    // early at any fixed round count
+    val pairs = (0L until 9L).map(i => (i, i + 1)).toDF("a_id", "b_id")
+    val out = Dedup.dedupClusters(pairs).as[(Long, Long, Long)].collect()
+    assert(out.length == 10 && out.forall { case (_, c, n) => c == 0L && n == 10L })
+  }
+
   test("jaccard: symmetric, 1.0 for identical sets, bounded") {
     val two = docs.where(col("doc_id").isin(1, 3))
       .select(array_distinct(Dedup.words(col("text"))).as("w"))
