@@ -17,7 +17,7 @@ object Bench {
     "tsdb_series_corr", "tsdb_merge",
     "stream_sliding", "stream_session",
     "llm_dedup_near_minhash", "llm_sim_cosine_topk", "llm_sim_ivf",
-    "llm_knn_join", "llm_tfidf")
+    "llm_knn_join", "llm_tfidf", "llm_corpus_curate")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

@@ -253,11 +253,13 @@ object Dedup {
     * omitted (at corpus scale that is the overwhelming majority — a
     * dedup pass wants the clustered slice, not an identity mapping). */
   def dedupClusters(pairs: DataFrame): DataFrame = {
-    val p = pairs.select(col("a_id"), col("b_id"))
-    // undirected: propagate both ways
+    // materialize the pair pipeline BEFORE the undirected union — p is
+    // referenced twice (forward + swapped), and an un-materialized union
+    // would run the candidate-join/verify stages once per side
+    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    // undirected: propagate both ways (cheap lineage over checkpointed p)
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-      .localCheckpoint(true)
     var labels = edges.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -268,7 +270,10 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty input: sum is NULL
-    var prevSum = labelSum(labels)
+    // no initial sum: any non-empty edge set strictly decreases some
+    // label in round 1 (the larger endpoint of any edge), so the
+    // fixpoint can only be observed from round 2 onward
+    var prevSum: java.math.BigDecimal = null
     var converged = false
     while (!converged) {
       val viaNbr = edges.join(labels, edges("src") === labels("node"))
@@ -277,7 +282,7 @@ object Dedup {
         .groupBy("node").agg(min("label").as("label"))
         .localCheckpoint(true)
       val s = labelSum(next)
-      converged = s.compareTo(prevSum) == 0
+      converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s
       labels = next
     }

@@ -46,6 +46,40 @@ object LlmQueries {
         Dedup.nearDupPairsPortable(Tables.documents(s, dir), "doc_id", "text",
           k = 32, r = 4, shingleN = 3, threshold = 0.5))),
 
+    // The flagship curation pipeline — the chain a training-data run
+    // actually executes, composed from the operators above: exact dedup
+    // (keep min-id per text) → near-dup cluster representatives only →
+    // length + quality gate → per-language doc/token/quality stats.
+    // Scale shape: one groupBy(text) shuffle for exact dedup; the
+    // near-dup machinery shuffles only (id, band, sig) tuples; the
+    // cluster non-representative set is a tiny fraction of the corpus,
+    // so the anti join broadcasts; everything after is one partial-agg
+    // shuffle on lang.
+    "llm_corpus_curate" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exactKeep = docs.groupBy("text")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val nonRep = Dedup.dedupClusters(
+          Dedup.nearDupPairsPortable(docs, "doc_id", "text",
+            k = 32, r = 4, shingleN = 3, threshold = 0.5))
+        .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')",
+        Seq("the", "a", "of", "and"))
+      docs
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(broadcast(nonRep), Seq("doc_id"), "left_anti")
+        .select(col("lang"), col("n_chars"), nw.as("n_words"),
+          (least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
+            (stops.cast("double") / nw) * 0.5).as("quality"))
+        .where(col("n_words") >= 20 && col("quality") >= 0.25)
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.bpeApprox(col("n_chars"))).as("n_tokens"),
+          graft.core.D.avgDec(col("quality")).as("avg_quality"))
+        .orderBy("lang")
+    }),
+
     "llm_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -466,6 +500,42 @@ object LlmQueries {
          sz AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
          SELECT lab.node AS doc_id, lab.cluster_id, sz.n_members
          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
+
+    // curation flagship: pair CTEs + recursive closure (as above) feed
+    // the non-representative drop set; exact dedup and the quality gate
+    // mirror llm_dedup_exact / llm_quality_score shapes; aggregates per
+    // D3 (decimal sums, 4dp-rounded mean, BIGINT-cast token sum)
+    "llm_corpus_curate" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+         pr AS (SELECT a_id, b_id FROM ver WHERE jaccard >= 0.5),
+         edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+                   UNION ALL SELECT b_id, a_id FROM pr),
+         nodes AS (SELECT DISTINCT src AS node FROM edges),
+         reach(node, r) AS (
+           SELECT node, node FROM nodes
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+         ),
+         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         nonrep AS (SELECT node AS doc_id FROM lab WHERE node <> cluster_id),
+         keepx AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         b AS (SELECT d.lang, d.n_chars,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split(lower(d.text), ' '),
+                      x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
+               FROM documents d
+               JOIN keepx k ON k.doc_id = d.doc_id
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM nonrep)),
+         q AS (SELECT lang, n_chars, n_words,
+                 least(1.0, n_words / 100.0) * 0.5
+                   + (CAST(stops AS DOUBLE) / n_words) * 0.5 AS quality
+               FROM b)
+         SELECT lang, count(*) AS n_docs,
+                CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens,
+                ROUND((CAST(SUM(CAST(quality AS DECIMAL(18,4))) AS DOUBLE)
+                       / count(quality)) * 10000.0, 0) / 10000.0 + 0.0 AS avg_quality
+         FROM q WHERE n_words >= 20 AND quality >= 0.25
+         GROUP BY lang ORDER BY lang""",
 
     "llm_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

@@ -88,6 +88,24 @@ class LlmSpec extends SparkSpec {
     assert(out.length == 10 && out.forall { case (_, c, n) => c == 0L && n == 10L })
   }
 
+  test("corpus curate: bounded by the gate-only count, nonempty, scores in range") {
+    val dir = sf
+    val curate = graft.SparkEntry.queries("llm_corpus_curate")(spark, dir)
+      .collect()
+    assert(curate.nonEmpty)
+    val total = curate.map(_.getAs[Long]("n_docs")).sum
+    // independent cross-check: llm_quality_score applies the same gate
+    // but NO dedup, so its passing count is an upper bound
+    val gateOnly = graft.SparkEntry.queries("llm_quality_score")(spark, dir)
+      .where(col("n_words") >= 20 && col("quality") >= 0.25).count()
+    assert(total > 0 && total <= gateOnly)
+    val nDocs = graft.core.Tables.documents(spark, dir).count()
+    assert(total < nDocs, "curation must drop something on the dup-dense fixture")
+    assert(curate.forall { r =>
+      val q = r.getAs[Double]("avg_quality"); q >= 0.25 && q <= 1.0
+    })
+  }
+
   test("jaccard: symmetric, 1.0 for identical sets, bounded") {
     val two = docs.where(col("doc_id").isin(1, 3))
       .select(array_distinct(Dedup.words(col("text"))).as("w"))
