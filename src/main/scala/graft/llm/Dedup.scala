@@ -253,6 +253,19 @@ object Dedup {
     * omitted (at corpus scale that is the overwhelming majority — a
     * dedup pass wants the clustered slice, not an identity mapping). */
   def dedupClusters(pairs: DataFrame): DataFrame = {
+    val labels = clusterLabels(pairs)
+    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
+    labels.join(sizes, "label")
+      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
+        col("n_members"))
+      .orderBy("doc_id")
+  }
+
+  /** Fixpoint (node, label) frame of [[dedupClusters]] without the
+    * size/order dressing — callers that only need the label mapping
+    * (e.g. dropping non-representatives) skip the sizes aggregate and
+    * join entirely. */
+  def clusterLabels(pairs: DataFrame): DataFrame = {
     // materialize the pair pipeline BEFORE the undirected union — p is
     // referenced twice (forward + swapped), and an un-materialized union
     // would run the candidate-join/verify stages once per side
@@ -286,10 +299,6 @@ object Dedup {
       prevSum = s
       labels = next
     }
-    val sizes = labels.groupBy("label").agg(count(lit(1)).as("n_members"))
-    labels.join(sizes, "label")
-      .select(col("node").as("doc_id"), col("label").as("cluster_id"),
-        col("n_members"))
-      .orderBy("doc_id")
+    labels
   }
 }

@@ -59,10 +59,10 @@ object LlmQueries {
       val docs = Tables.documents(s, dir)
       val exactKeep = docs.groupBy("text")
         .agg(min("doc_id").as("doc_id")).select("doc_id")
-      val nonRep = Dedup.dedupClusters(
+      val nonRep = Dedup.clusterLabels(
           Dedup.nearDupPairsPortable(docs, "doc_id", "text",
             k = 32, r = 4, shingleN = 3, threshold = 0.5))
-        .where(col("doc_id") =!= col("cluster_id")).select("doc_id")
+        .where(col("node") =!= col("label")).select(col("node").as("doc_id"))
       val nw = Text.nWords(col("text"))
       val stops = Text.markerScore("split(lower(text), ' ')",
         Seq("the", "a", "of", "and"))
@@ -70,8 +70,7 @@ object LlmQueries {
         .join(exactKeep, Seq("doc_id"), "left_semi")
         .join(broadcast(nonRep), Seq("doc_id"), "left_anti")
         .select(col("lang"), col("n_chars"), nw.as("n_words"),
-          (least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
-            (stops.cast("double") / nw) * 0.5).as("quality"))
+          qualityCol(nw, stops).as("quality"))
         .where(col("n_words") >= 20 && col("quality") >= 0.25)
         .groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
@@ -223,8 +222,7 @@ object LlmQueries {
         nw.as("n_words"),
         graft.core.D.r4s((col("n_chars") - (nw - 1)).cast("double") / nw).as("avg_word_len"),
         graft.core.D.r4s(stops.cast("double") / nw).as("stop_ratio"),
-        graft.core.D.r4s(least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
-          (stops.cast("double") / nw) * 0.5).as("quality"))
+        graft.core.D.r4s(qualityCol(nw, stops)).as("quality"))
         .orderBy("doc_id")
     }),
 
@@ -470,6 +468,32 @@ object LlmQueries {
                FROM cand c JOIN dw da ON da.id = c.a_id JOIN dw db ON db.id = c.b_id)"""
   }
 
+  /** Min-label closure over the verified pairs (appended after
+    * [[NearDupPairCtes]] under WITH RECURSIVE): `lab` maps every node of
+    * the pair graph to its cluster id = min reachable node. Shared by
+    * llm_dedup_clusters and llm_corpus_curate — one copy, or the two
+    * oracles silently desynchronize. */
+  private val MinLabelClosureCtes: String =
+    """pr AS (SELECT a_id, b_id FROM ver WHERE jaccard >= 0.5),
+       edges AS (SELECT a_id AS src, b_id AS dst FROM pr
+                 UNION ALL SELECT b_id, a_id FROM pr),
+       nodes AS (SELECT DISTINCT src AS node FROM edges),
+       reach(node, r) AS (
+         SELECT node, node FROM nodes
+         UNION
+         SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+       ),
+       lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"""
+
+  /** Quality score over derived columns n_words / stops — the single
+    * definition behind llm_quality_score AND llm_corpus_curate's gate,
+    * as a Spark Column and the bit-matching oracle fragment. */
+  private def qualityCol(nw: org.apache.spark.sql.Column, stops: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
+      (stops.cast("double") / nw) * 0.5
+  private val QualitySqlExpr: String =
+    "least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 + (CAST(stops AS DOUBLE) / n_words) * 0.5"
+
   val oracleSql: Map[String, String] = Map(
     "llm_sim_ivf" -> IvfOracle,
     "llm_dedup_exact" ->
@@ -487,36 +511,18 @@ object LlmQueries {
     // guarantees termination
     "llm_dedup_clusters" ->
       s"""WITH RECURSIVE $NearDupPairCtes,
-         pr AS (SELECT a_id, b_id FROM ver WHERE jaccard >= 0.5),
-         edges AS (SELECT a_id AS src, b_id AS dst FROM pr
-                   UNION ALL SELECT b_id, a_id FROM pr),
-         nodes AS (SELECT DISTINCT src AS node FROM edges),
-         reach(node, r) AS (
-           SELECT node, node FROM nodes
-           UNION
-           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
-         ),
-         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         $MinLabelClosureCtes,
          sz AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
          SELECT lab.node AS doc_id, lab.cluster_id, sz.n_members
          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
 
-    // curation flagship: pair CTEs + recursive closure (as above) feed
-    // the non-representative drop set; exact dedup and the quality gate
+    // curation flagship: pair CTEs + recursive closure feed the
+    // non-representative drop set; exact dedup and the quality gate
     // mirror llm_dedup_exact / llm_quality_score shapes; aggregates per
     // D3 (decimal sums, 4dp-rounded mean, BIGINT-cast token sum)
     "llm_corpus_curate" ->
       s"""WITH RECURSIVE $NearDupPairCtes,
-         pr AS (SELECT a_id, b_id FROM ver WHERE jaccard >= 0.5),
-         edges AS (SELECT a_id AS src, b_id AS dst FROM pr
-                   UNION ALL SELECT b_id, a_id FROM pr),
-         nodes AS (SELECT DISTINCT src AS node FROM edges),
-         reach(node, r) AS (
-           SELECT node, node FROM nodes
-           UNION
-           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
-         ),
-         lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+         $MinLabelClosureCtes,
          nonrep AS (SELECT node AS doc_id FROM lab WHERE node <> cluster_id),
          keepx AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
          b AS (SELECT d.lang, d.n_chars,
@@ -526,9 +532,7 @@ object LlmQueries {
                FROM documents d
                JOIN keepx k ON k.doc_id = d.doc_id
                WHERE d.doc_id NOT IN (SELECT doc_id FROM nonrep)),
-         q AS (SELECT lang, n_chars, n_words,
-                 least(1.0, n_words / 100.0) * 0.5
-                   + (CAST(stops AS DOUBLE) / n_words) * 0.5 AS quality
+         q AS (SELECT lang, n_chars, n_words, $QualitySqlExpr AS quality
                FROM b)
          SELECT lang, count(*) AS n_docs,
                 CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens,
@@ -690,7 +694,7 @@ object LlmQueries {
          FROM sc ORDER BY doc_id""",
 
     "llm_quality_score" ->
-      """WITH b AS (SELECT doc_id, n_chars,
+      s"""WITH b AS (SELECT doc_id, n_chars,
             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
             CAST(len(list_filter(string_split(lower(text), ' '),
                  x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
@@ -698,8 +702,7 @@ object LlmQueries {
          SELECT doc_id, n_words,
             ROUND((CAST(n_chars - (n_words - 1) AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 + 0.0 AS avg_word_len,
             ROUND((CAST(stops AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 + 0.0 AS stop_ratio,
-            ROUND((least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 +
-                  (CAST(stops AS DOUBLE) / n_words) * 0.5) * 10000.0, 0) / 10000.0 + 0.0 AS quality
+            ROUND(($QualitySqlExpr) * 10000.0, 0) / 10000.0 + 0.0 AS quality
          FROM b ORDER BY doc_id""",
 
     "llm_token_count" ->
