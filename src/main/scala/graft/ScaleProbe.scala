@@ -48,6 +48,8 @@ object ScaleProbe {
       SparkEntry.queries("win_sessionize")(spark, dir).count()
     def minhash(dir: String): Long =
       SparkEntry.queries("llm_dedup_near_minhash")(spark, dir).count()
+    def clusters(dir: String): Long =
+      SparkEntry.queries("llm_dedup_clusters")(spark, dir).count()
     // stage split: shingle+digest+32-lane min aggregate ONLY (no band
     // join / verify) — tells whether signature build or candidate
     // verification dominates the dedup cost. Same code path as the
@@ -65,12 +67,18 @@ object ScaleProbe {
     // run; timing it against 1× would flatter the 10× ratio)
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
+    clusters(sf)
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
       ("downsample_1h_avg", time(downsample(sf)), time(downsample(big))),
       ("sessionize", time(sessionize(sf)), time(sessionize(big))),
       ("minhash_neardup", time(minhash(sf)), time(minhash(big))),
-      ("minhash_sig_only", time(minhashSigOnly(sf)), time(minhashSigOnly(big))))
+      ("minhash_sig_only", time(minhashSigOnly(sf)), time(minhashSigOnly(big))),
+      // the 10× corpus has the same per-replica dup structure (disjoint
+      // shingle spaces), so cluster count scales 10× while diameter —
+      // and hence the round count — stays flat: the probe checks the
+      // closure cost tracks the edge count, not rounds × corpus
+      ("neardup_clusters", time(clusters(sf)), time(clusters(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()
