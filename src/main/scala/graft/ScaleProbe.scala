@@ -17,7 +17,12 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
-    val big = java.nio.file.Files.createTempDirectory("graft_x10_").toString
+    // stable scratch dir (writes overwrite): repeated probe runs reuse
+    // the replicated copy instead of leaking one per run
+    val big = {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_x10")
+      java.nio.file.Files.createDirectories(d); d.toString
+    }
     val ev = core.Tables.events(spark, sf)
       .select("event_id", "ts", "user_id", "event_type", "value", "props")
     (0 until 10).map(i => ev.withColumn("event_id", col("event_id") + lit(i * 10000000L)))

@@ -56,6 +56,43 @@ class LlmSpec extends SparkSpec {
     native.zip(sql).foreach { case (a, b) => assert(a == b) }
   }
 
+  test("native md5 expressions match relational forms on multibyte/surrogate text") {
+    // code-point-safe tokens incl. a supplementary-plane char (𝕏) and an
+    // emoji — both are ONE code point but TWO UTF-16 units, which is
+    // exactly where a chars-vs-code-points mismatch between the native
+    // substring loop and SQL substr would surface
+    val toks = Seq("a", "b", " ", "ä", "☃", "𝕏", "漢", "é", "🙂")
+    val rnd = new scala.util.Random(42)
+    val df = (0L until 150L).map { i =>
+      (i, Seq.fill(rnd.nextInt(30))(toks(rnd.nextInt(toks.size))).mkString)
+    }.toDF("doc_id", "text")
+    // winnow (k=8, w=16): native vs relational window-min
+    val nat = df.select(col("doc_id"),
+        explode(org.apache.spark.sql.graftfn.Md5Winnow.of(col("text"), 8, 16)).as("mh"))
+      .distinct().orderBy("doc_id", "mh").collect()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy("j").rowsBetween(0, 15)
+    val ng = org.apache.spark.sql.expressions.Window.partitionBy("doc_id")
+    val rel = df.where(length(col("text")) >= 8)
+      .select(col("doc_id"), col("text"),
+        explode(expr("sequence(1, length(text) - 7)")).as("j"))
+      .select(col("doc_id"), col("j"),
+        expr("md5(cast(substr(text, j, 8) as binary))").as("h"))
+      .withColumn("mh", min(col("h")).over(w))
+      .withColumn("ng", count(lit(1)).over(ng))
+      .where(col("j") <= col("ng") - 15)
+      .select("doc_id", "mh").distinct().orderBy("doc_id", "mh").collect()
+    assert(nat.length == rel.length && nat.nonEmpty)
+    nat.zip(rel).foreach { case (a, b) => assert(a == b) }
+    // minhash signatures: native lane evaluation vs relational min-agg
+    val natSig = Dedup.minhashSigsPortable(df, "doc_id", "text", 32, 3)
+      .orderBy("id").collect()
+    val relSig = Dedup.minhashSigsPortableSql(df, "doc_id", "text", 32, 3)
+      .orderBy("id").collect()
+    assert(natSig.length == relSig.length && natSig.nonEmpty)
+    natSig.zip(relSig).foreach { case (a, b) => assert(a == b) }
+  }
+
   test("decontaminate: flags only train docs, never the eval slice, with positive overlap") {
     val out = graft.SparkEntry.queries("llm_decontaminate")(spark, sf).collect()
     assert(out.nonEmpty, "fixture corpus must produce contaminated docs")
