@@ -40,6 +40,39 @@ object Joins {
         .select("o_orderkey", "l_linenumber", "o_totalprice", "l_extendedprice")
         .orderBy("o_orderkey", "l_linenumber", "l_extendedprice")),
 
+    // Co-located join via bucketed tables: both sides pre-bucketed (and
+    // sorted) on the join key, so the join reads bucket files pairwise
+    // with NO shuffle on either side — the layout tool for repeated
+    // big⋈big joins at corpus scale, where re-shuffling 100 TB per join
+    // is the bottleneck. PlanSpec asserts the exchange-free plan (with
+    // broadcast disabled; the only Exchange left is the D1 orderBy's
+    // range partitioning). The write half is part of the operator, like
+    // the format round-trips.
+    "join_bucketed" -> ((s, dir) => {
+      // the in-memory catalog forgets tables between sessions but their
+      // warehouse directories persist — drop BOTH or saveAsTable fails
+      // with LOCATION_ALREADY_EXISTS on the next session
+      Seq("graft_orders_bkt", "graft_customer_bkt").foreach { t =>
+        s.sql(s"DROP TABLE IF EXISTS $t")
+        val loc = new org.apache.hadoop.fs.Path(
+          s.conf.get("spark.sql.warehouse.dir"), t)
+        val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+        if (fs.exists(loc)) fs.delete(loc, true)
+        ()
+      }
+      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
+        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("graft_orders_bkt")
+      Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("graft_customer_bkt")
+      s.table("graft_orders_bkt")
+        .join(s.table("graft_customer_bkt"),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_custkey", "c_name", "o_totalprice", "c_acctbal")
+        .orderBy("o_orderkey")
+    }),
+
     "join_left_outer" -> ((s, dir) =>
       Tables.customer(s, dir)
         .join(Tables.orders(s, dir), col("c_custkey") === col("o_custkey"), "left")
@@ -154,6 +187,13 @@ object Joins {
 
     "join_shuffle_hash" -> bigJoinSql,
     "join_sort_merge" -> bigJoinSql,
+
+    // the bucketed layout changes the plan, never the result: oracle is
+    // the plain join
+    "join_bucketed" ->
+      """SELECT o_orderkey, o_custkey, c_name, o_totalprice, c_acctbal
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         ORDER BY o_orderkey""",
 
     "join_left_outer" ->
       """SELECT c_custkey, o_orderkey, o_totalprice

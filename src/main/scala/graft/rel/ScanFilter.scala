@@ -96,6 +96,23 @@ object ScanFilter {
       s.read.orc(out).orderBy("o_orderkey")
     }),
 
+    // Partitioned sink + pruned read-back: write documents partitioned
+    // by lang — THE directory-level layout tool at corpus scale
+    // (partition pruning = language/tenant routing; a lang='en' read
+    // touches only that subdirectory) — then read back one partition.
+    // PlanSpec asserts the read-back scan carries a PartitionFilter and
+    // scans a single partition, not the full directory. Explicit select
+    // restores column order (read-back appends partition cols last).
+    "sink_partitioned_roundtrip" -> ((s, dir) => {
+      val out = roundtripDir("part_lang")
+      Tables.documents(s, dir)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").partitionBy("lang").parquet(out)
+      s.read.parquet(out).where(col("lang") === "en")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")
+    }),
+
     "project_select" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -192,6 +209,10 @@ object ScanFilter {
     "ingest_orc_roundtrip" ->
       """SELECT o_orderkey, o_orderstatus, o_totalprice, o_orderdate
          FROM orders ORDER BY o_orderkey""",
+
+    "sink_partitioned_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+         WHERE lang = 'en' ORDER BY doc_id""",
 
     "project_select" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS net

@@ -38,6 +38,28 @@ class PlanSpec extends SparkSpec {
     assert(plan("join_sort_merge").contains("SortMergeJoin"))
   }
 
+  test("bucketed join reads bucket files in place — no join-side shuffle") {
+    // broadcast off: the small customer side would otherwise broadcast
+    // and mask the bucket layout the assertion is about
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val p = plan("join_bucketed")
+      assert(p.contains("SortMergeJoin"), s"expected SMJ over buckets:\n$p")
+      // the only Exchange allowed is the final orderBy's range
+      // partitioning; a hash-partitioning Exchange means a side was
+      // re-shuffled and the bucket layout was wasted
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not re-shuffle either side:\n$p")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
+  test("partitioned-sink read-back prunes to the selected partition") {
+    val p = plan("sink_partitioned_roundtrip")
+    assert(p.contains("PartitionFilters: [isnotnull(lang"),
+      s"lang filter must prune partitions, not scan rows:\n$p")
+  }
+
   test("band join is an equi join, not a cartesian product") {
     val p = plan("join_theta_range")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
