@@ -17,8 +17,11 @@ object ScaleProbe {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"
-    // stable scratch dir (writes overwrite): repeated probe runs reuse
-    // the replicated copy instead of leaking one per run
+    // stable scratch dir, rewritten (mode overwrite) each run: bounds
+    // disk use instead of leaking a replicated copy per run. The
+    // replication itself still runs every time — it depends on the
+    // source sf — and the dir is single-writer by contract (one probe
+    // at a time, like the state tables).
     val big = {
       val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_x10")
       java.nio.file.Files.createDirectories(d); d.toString
@@ -43,7 +46,14 @@ object ScaleProbe {
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
 
     def time(f: => Long): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release localCheckpoint blocks the finished operator pinned
+      // (pair pipeline + one per label-propagation round) so storage
+      // pressure from one probe never skews the next timing — same
+      // pattern as Bench/Verify (ADVICE r2); excluded from the timing
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
     }
     def flagship(dir: String): Long = tsdb.Pipeline.flagship(spark, dir).count()
     def downsample(dir: String): Long =
@@ -73,6 +83,7 @@ object ScaleProbe {
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
     clusters(sf)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
       ("downsample_1h_avg", time(downsample(sf)), time(downsample(big))),
