@@ -17,8 +17,14 @@ object StreamQueries {
     "stream_static_join" -> ((s, dir) => Ingest.staticJoin(s, dir)),
     "stream_stateful_counter" -> ((s, dir) => Ingest.statefulCounter(s, dir)),
     "stream_foreachbatch_sink" -> ((s, dir) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft_ingest_").toString
-      Ingest.ingestWithCatalog(s, dir, tmp)
+      // stable scratch dir, WIPED before each run: catalog upserts are
+      // stateful, so leftover state from a previous run would change the
+      // output (and a fresh temp dir per run leaked the state forever)
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_ingest")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      java.nio.file.Files.createDirectories(tmp)
+      Ingest.ingestWithCatalog(s, dir, tmp.toString)
     }),
 
     // collector validation: synthesize deterministic defects (every 3rd
