@@ -60,17 +60,34 @@ object Joins {
         if (fs.exists(loc)) fs.delete(loc, true)
         ()
       }
-      Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice")
-        .write.mode("overwrite").bucketBy(8, "o_custkey").sortBy("o_custkey")
-        .saveAsTable("graft_orders_bkt")
-      Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
-        .write.mode("overwrite").bucketBy(8, "c_custkey").sortBy("c_custkey")
-        .saveAsTable("graft_customer_bkt")
+      Scale.writeBucketed(
+        Tables.orders(s, dir).select("o_orderkey", "o_custkey", "o_totalprice"),
+        "graft_orders_bkt", "o_custkey", 8)
+      Scale.writeBucketed(
+        Tables.customer(s, dir).select("c_custkey", "c_name", "c_acctbal"),
+        "graft_customer_bkt", "c_custkey", 8)
       s.table("graft_orders_bkt")
         .join(s.table("graft_customer_bkt"),
           col("o_custkey") === col("c_custkey"))
         .select("o_orderkey", "o_custkey", "c_name", "o_totalprice", "c_acctbal")
         .orderBy("o_orderkey")
+    }),
+
+    // Pathological-skew tool under the correctness gate: event_type has
+    // a handful of values over the whole events table — the shape where
+    // one reducer gets almost everything. Scale.saltedJoin spreads each
+    // hot key over 8 deterministic salts (hash of event_id — no RNG, so
+    // retries agree) and replicates the small side; the result is
+    // IDENTICAL to the plain join, which is exactly what the oracle
+    // checks. AQE skew-join handles moderate skew at runtime; this is
+    // the explicit lever for keys it misses.
+    "join_skew_salted" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("event_id", "event_type", "value")
+      val dim = ev.groupBy("event_type").agg(count(lit(1)).as("n_type"))
+      Scale.saltedJoin(ev, dim, "event_type", salts = 8,
+          saltSource = Seq("event_id"))
+        .select("event_id", "event_type", "n_type")
+        .orderBy("event_id")
     }),
 
     "join_left_outer" -> ((s, dir) =>
@@ -194,6 +211,15 @@ object Joins {
       """SELECT o_orderkey, o_custkey, c_name, o_totalprice, c_acctbal
          FROM orders JOIN customer ON o_custkey = c_custkey
          ORDER BY o_orderkey""",
+
+    // salting changes the plan, never the result: oracle is the plain
+    // join against the derived dim
+    "join_skew_salted" ->
+      """WITH dim AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_type
+                      FROM events GROUP BY 1)
+         SELECT e.event_id, e.event_type, d.n_type
+         FROM events e JOIN dim d USING (event_type)
+         ORDER BY e.event_id""",
 
     "join_left_outer" ->
       """SELECT c_custkey, o_orderkey, o_totalprice
