@@ -119,4 +119,28 @@ object Downsample {
     }
     joined.withColumn("value", filled)
   }
+
+  /** Linear interpolation over a null-filled grid (extension beyond the
+    * OpenTSDB fill set, the gap-fill most TSDB UIs want): each gap takes
+    * the line between the nearest real buckets of its series;
+    * leading/trailing gaps (no anchor on one side) stay null. One
+    * partitioned window per series — scales like any per-series window,
+    * never a global sort. */
+  def fillLinear(gridded: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy("bucket_ms")
+    val wPrev = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val pv = last(col("value"), ignoreNulls = true).over(wPrev)
+    val nv = first(col("value"), ignoreNulls = true).over(wNext)
+    val pb = last(when(col("value").isNotNull, col("bucket_ms")),
+      ignoreNulls = true).over(wPrev)
+    val nb = first(when(col("value").isNotNull, col("bucket_ms")),
+      ignoreNulls = true).over(wNext)
+    gridded.withColumn("value",
+      when(col("value").isNotNull, col("value"))
+        .when(pv.isNotNull && nv.isNotNull,
+          pv + (nv - pv) * (col("bucket_ms") - pb) / (nb - pb))
+        .otherwise(lit(null).cast("double")))
+  }
 }

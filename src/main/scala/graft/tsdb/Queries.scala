@@ -33,6 +33,18 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // linear gap-fill over the null-filled grid (extension beyond the
+    // OpenTSDB policy set); leading/trailing gaps stay null
+    "tsdb_downsample_fill_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      val grid = Downsample.withFill(s, ds, Seq("user_id"), Day, T0, T1, "null")
+      Downsample.fillLinear(grid, Seq("user_id"))
+        .select(col("user_id"), col("bucket_ms"),
+          graft.core.D.r4s(col("value")).as("value"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     "tsdb_merge" -> ((s, dir) => {
       val down = Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
       MergeRate.merge(down, Seq("event_type"), "sum")
@@ -158,6 +170,40 @@ object TsdbQueries {
           FROM series s CROSS JOIN spine p
           LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms
           ORDER BY 1, 2""",
+
+    // mirror of Downsample.fillLinear: nearest real anchors per side via
+    // IGNORE NULLS windows, identical lerp expression shape (left-assoc
+    // double ops), 4dp-rounded final on both engines
+    "tsdb_downsample_fill_linear" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          spine AS (SELECT range AS bucket_ms FROM range($T0, $T1, $Day)),
+          series AS (SELECT DISTINCT user_id FROM ds),
+          grid AS (SELECT s.user_id, p.bucket_ms, d.value
+                   FROM series s CROSS JOIN spine p
+                   LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms),
+          anch AS (SELECT user_id, bucket_ms, value,
+            last_value(value IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            first_value(value IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY bucket_ms
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            last_value(CASE WHEN value IS NOT NULL THEN bucket_ms END IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+            first_value(CASE WHEN value IS NOT NULL THEN bucket_ms END IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY bucket_ms
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+            FROM grid)
+          SELECT user_id, bucket_ms,
+            ${D.oR4("""CASE WHEN value IS NOT NULL THEN value
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN pv + (nv - pv) * (bucket_ms - pb) / (nb - pb)
+                 ELSE NULL END""")} AS value
+          FROM anch ORDER BY 1, 2""",
 
     "tsdb_merge" ->
       s"""WITH ds AS (

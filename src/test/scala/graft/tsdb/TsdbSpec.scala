@@ -25,6 +25,24 @@ class TsdbSpec extends SparkSpec {
     assert(cnt.map(_.getAs[Long]("value")).toSeq == Seq(2L, 1L))
   }
 
+  test("linear fill interpolates interior gaps, leaves edges null") {
+    // series values 2.0 @ bucket1 and 8.0 @ bucket4 over spine [0,6):
+    // buckets 2,3 lerp to 4.0,6.0; buckets 0 and 5 have one-sided
+    // anchors and must stay null
+    val df = pts(("m", 1L, 60000L, 2.0), ("m", 1L, 240000L, 8.0))
+    val ds = Downsample(df, Seq("user"), 60000L, "sum")
+    val grid = Downsample.withFill(spark, ds, Seq("user"), 60000L, 0L, 360000L, "null")
+    val out = Downsample.fillLinear(grid, Seq("user"))
+      .orderBy("bucket_ms").collect()
+    assert(out.length == 6)
+    def v(i: Int): Option[Double] =
+      if (out(i).isNullAt(out(i).fieldIndex("value"))) None
+      else Some(out(i).getAs[Double]("value"))
+    assert(v(0).isEmpty && v(5).isEmpty, "one-sided gaps stay null")
+    assert(v(1).contains(2.0) && v(4).contains(8.0), "real points unchanged")
+    assert(v(2).contains(4.0) && v(3).contains(6.0), "interior gaps lerp")
+  }
+
   test("fill policies: zero fills gaps, null keeps them, none drops them") {
     val df = pts(("m", 1L, 0L, 1.0), ("m", 1L, 120000L, 5.0)) // gap at bucket 1
     val ds = Downsample(df, Seq("user"), 60000L, "sum")
