@@ -48,12 +48,18 @@ object Bench {
     val selected = only.fold(SparkEntry.queries)(o =>
       SparkEntry.queries.view.filterKeys(o).toMap)
     val results = selected.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // release localCheckpoint blocks the finished query pinned
-      // (async, excluded from the per-query time)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      var dt = 0.0
+      // blocks pinned by this query's eager localCheckpoints are released
+      // right after its timing stops (async, excluded from the time);
+      // blocks that existed before it stay untouched
+      graft.core.Exec.releasingNewBlocks(spark.sparkContext) {
+        val t0 = System.nanoTime()
+        // full-row evaluation — count() would let Catalyst prune the very
+        // projections being benchmarked (graft.core.Exec.forceRows)
+        try { graft.core.Exec.forceRows(fn(spark, sfDir)) }
+        catch { case _: Throwable => -1L }
+        dt = (System.nanoTime() - t0) / 1e9
+      }
       name -> dt
     }
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would

@@ -16,16 +16,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      }
       // release blocks pinned by eager localCheckpoints inside the
-      // finished query's plan (Downsample.withFill, Dedup.nearDupPairs*):
-      // across a 124-query session they otherwise accumulate in executor
-      // storage until the frames are GC'd (ADVICE r2)
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      // finished query's plan (Downsample.withFill, Dedup.nearDupPairs*)
+      // — scoped to the blocks THIS query created (ADVICE r3)
+      graft.core.Exec.releasingNewBlocks(spark.sparkContext) {
+        try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+          .parquet(s"$outDir/$name")
+        catch { case e: Throwable =>
+          System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        }
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -157,9 +157,11 @@ object Similarity {
 
   /** IVF coarse quantizer: k-means with DETERMINISTIC seeding (the k
     * vectors with the lowest ids — no RNG, so executors/retries agree)
-    * and a fixed number of Lloyd iterations. Each iteration is one
-    * broadcast join (centroids are tiny) + one groupBy; at corpus scale
-    * that's a map-side assignment pass and a k-sized aggregate. Returns
+    * and a fixed number of Lloyd iterations. Each iteration collects the
+    * k tiny centroid rows to the driver (literals), so assignment is a
+    * zero-shuffle map-side projection and the only shuffle per iteration
+    * is the k×dim-keyed mean aggregate — at corpus scale the per-
+    * iteration cost is one map pass, never a payload re-shuffle. Returns
     * (centroid_id, cvec ARRAY<FLOAT>). */
   def ivfCentroids(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     var centroids = vectors.orderBy("vec_id").limit(k)
@@ -170,7 +172,11 @@ object Similarity {
     for (_ <- 1 to iters) {
       // component-wise mean via posexplode → per-(cluster, dim) decimal
       // avg → reassemble: shuffle-friendly (never collects a cluster's
-      // members into one row) and deterministic under any partitioning
+      // members into one row) and deterministic under any partitioning.
+      // collectCentroids (inside assignToCentroids) eagerly evaluates
+      // the previous iteration into k literal rows, so each Lloyd step
+      // is a small self-contained job — no ever-deepening plan and no
+      // full-corpus checkpoint.
       centroids = assignToCentroids(vectors, centroids)
         .select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy("centroid_id", "pos")
@@ -179,46 +185,59 @@ object Similarity {
         .groupBy("centroid_id")
         .agg(expr("transform(array_sort(collect_list(struct(pos, mean))), s -> CAST(s.mean AS FLOAT))")
           .as("cvec"))
-        // materialize the k tiny centroid rows per iteration: truncating
-        // the lineage keeps each Lloyd iteration a small job instead of
-        // one ever-deepening plan, and consumers that reference the
-        // centroids more than once (ivfTopK joins them on both the
-        // corpus side and the query side) don't re-run the whole loop
-        // per reference. Values are unchanged; the driver releases the
-        // blocks after each query.
-        .localCheckpoint(true)
     }
     centroids
   }
 
-  /** Assign every vector to its nearest centroid (broadcast join; ties
-    * broken by centroid_id so assignment is deterministic). Squared
-    * norms are precomputed per side, so per-pair work is one dot. */
-  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-    val v = vectors.withColumn("sq_a", dotExpr("embedding", "embedding"))
-    val c = centroids.withColumn("sq_c", dotExpr("cvec", "cvec"))
-    // argmin as a hash aggregate over struct ordering (dist, centroid_id)
-    // — deterministic tie-break, no window sort; `first(embedding)` is
-    // safe because embedding is functionally dependent on vec_id
-    v.crossJoin(broadcast(c))
-      .withColumn("dist",
-        col("sq_a") + col("sq_c") - lit(2.0) * dotExpr("embedding", "cvec"))
-      .groupBy("vec_id")
-      .agg(min(struct(col("dist"), col("centroid_id"))).getField("centroid_id")
-          .as("centroid_id"),
-        first(col("embedding")).as("embedding"))
+  /** The k centroid rows as driver-side literals (centroid_id, cvec,
+    * squared norm). k is tiny by construction, so this is a config-sized
+    * read, not a data collect; the squared norm comes from the SAME Dot4
+    * expression the join form used, keeping distances bit-identical. */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float], Double)] =
+    centroids.select(col("centroid_id"), col("cvec"), dotExpr("cvec", "cvec").as("sq_c"))
+      .collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
+      .sortBy(_._1)
+
+  /** Assign every vector to its nearest centroid — MAP-ONLY: the k
+    * centroids are literal constant arrays, so assignment is a
+    * zero-shuffle codegen'd projection (`least` over (dist, centroid_id)
+    * structs — the same deterministic tie-break the former aggregate
+    * form used, without shuffling embedding payloads through a
+    * full-corpus hash-agg once per Lloyd iteration). */
+  def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame =
+    assignByLiterals(vectors, collectCentroids(centroids))
+
+  private def assignByLiterals(vectors: DataFrame,
+                               cs: Array[(Int, Seq[Float], Double)]): DataFrame = {
+    val dists = cs.map { case (cid, cvec, sqc) =>
+      struct(
+        (col("sq_a") + lit(sqc) - lit(2.0)
+          * org.apache.spark.sql.graftfn.Dot4.of(col("embedding"), typedLit(cvec))).as("dist"),
+        lit(cid).as("centroid_id"))
+    }
+    vectors.withColumn("sq_a", dotExpr("embedding", "embedding"))
+      .withColumn("centroid_id", least(dists.toIndexedSeq: _*).getField("centroid_id"))
+      .drop("sq_a")
   }
 
   /** IVF ANN top-k: search only the `nprobe` clusters nearest the query.
     * At scale the assignment column is precomputed/partitioned, so a
-    * query touches nprobe/k of the corpus. */
+    * query touches nprobe/k of the corpus. The centroid plan (the whole
+    * Lloyd loop) is evaluated exactly ONCE — both the corpus-side
+    * assignment and the query-side probe selection run off the collected
+    * k-row literals. */
   def ivfTopK(vectors: DataFrame, queryVec: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
-    val assigned = assignToCentroids(vectors, centroids)
-    val qc = queryVec.crossJoin(broadcast(centroids))
+    val cs = collectCentroids(centroids)
+    val assigned = assignByLiterals(vectors, cs)
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cdf = cs.toIndexedSeq.map { case (cid, cvec, sqc) => (cid, cvec, sqc) }
+      .toDF("centroid_id", "cvec", "sq_c")
+    val qc = queryVec.crossJoin(broadcast(cdf))
       .withColumn("dist",
-        dotExpr("qv", "qv") + dotExpr("cvec", "cvec")
-          - lit(2.0) * dotExpr("qv", "cvec"))
+        dotExpr("qv", "qv") + col("sq_c") - lit(2.0) * dotExpr("qv", "cvec"))
       .orderBy(col("dist").asc, col("centroid_id").asc)
       .limit(nprobe)
       .select(col("centroid_id"), col("qv"))
