@@ -176,6 +176,28 @@ object Dedup {
     * aggregate (map-side combinable), so it scales like any groupBy —
     * and md5 makes it replicable in the DuckDB oracle, unlike the
     * xxhash64 HOF variant [[simhash]]. */
+  /** Benchmark decontamination join: flag train docs sharing any shingle
+    * with the eval set. `train` = (doc_id, s), `ev` = (s, eval_id).
+    *
+    * The eval side is broadcast in the normal case — benchmark suites
+    * are thousands of docs against a 100 TB corpus — but that assumption
+    * is CHECKED, not trusted: a bounded probe (limit N+1, so the scan
+    * stops as soon as the threshold is exceeded, never a full count)
+    * verifies the eval shingle count, and an oversized eval set falls
+    * back to a shuffle hash join instead of OOMing the driver. */
+  def decontaminate(train: DataFrame, ev: DataFrame,
+                    maxBroadcastRows: Long = 4000000L): DataFrame = {
+    val probe = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    val evSide =
+      if (ev.limit(probe).count() <= maxBroadcastRows) broadcast(ev)
+      else ev.hint("shuffle_hash")
+    train.join(evSide, "s")
+      .groupBy("doc_id")
+      .agg(countDistinct(col("s")).as("n_shared"),
+        countDistinct(col("eval_id")).as("n_eval_docs"))
+      .orderBy("doc_id")
+  }
+
   def simhashPortable(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     def nib(k: Int) = s"(instr('0123456789abcdef', substr(hx, $k, 1)) - 1)"
     val tok = docs

@@ -86,23 +86,19 @@ object LlmQueries {
     // word shingle with the held-out eval slice (doc_id % 20 == 0 —
     // stand-in for a benchmark suite). Output per flagged doc: distinct
     // shared shingles + distinct eval docs hit. The eval side is small
-    // by construction (benchmarks are thousands of docs vs a 100 TB
-    // corpus), so it is broadcast — the train side streams map-side,
-    // no corpus-wide shuffle on the shingle key.
+    // in the normal case so Dedup.decontaminate broadcasts it — after a
+    // bounded size probe, with a shuffle-join fallback for oversized
+    // eval sets (DedupSpec covers both branches).
     "llm_decontaminate" -> ((s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(col("doc_id"), Dedup.words(col("text")).as("w"))
         .where(size(col("w")) >= 8)
         .select(col("doc_id"),
           explode(array_distinct(Dedup.shingles("w", 8))).as("s"))
-      val ev = sh.where(col("doc_id") % 20 === 0)
-        .select(col("s"), col("doc_id").as("eval_id"))
-      sh.where(col("doc_id") % 20 =!= 0)
-        .join(broadcast(ev), "s")
-        .groupBy("doc_id")
-        .agg(countDistinct(col("s")).as("n_shared"),
-          countDistinct(col("eval_id")).as("n_eval_docs"))
-        .orderBy("doc_id")
+      Dedup.decontaminate(
+        sh.where(col("doc_id") % 20 =!= 0),
+        sh.where(col("doc_id") % 20 === 0)
+          .select(col("s"), col("doc_id").as("eval_id")))
     }),
 
     // word-set Jaccard between consecutive doc ids — SQL-expressible

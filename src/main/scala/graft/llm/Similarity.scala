@@ -162,7 +162,11 @@ object Similarity {
     * zero-shuffle map-side projection and the only shuffle per iteration
     * is the k×dim-keyed mean aggregate — at corpus scale the per-
     * iteration cost is one map pass, never a payload re-shuffle. Returns
-    * (centroid_id, cvec ARRAY<FLOAT>). */
+    * (centroid_id, cvec ARRAY<FLOAT>).
+    *
+    * EAGER: each Lloyd iteration runs Spark jobs at CALL time (the
+    * centroid collect inside assignToCentroids), so this is not a lazy
+    * plan builder — explain/plan-only callers still pay the iterations. */
   def ivfCentroids(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
     var centroids = vectors.orderBy("vec_id").limit(k)
       .withColumn("centroid_id",
@@ -192,32 +196,55 @@ object Similarity {
   /** The k centroid rows as driver-side literals (centroid_id, cvec,
     * squared norm). k is tiny by construction, so this is a config-sized
     * read, not a data collect; the squared norm comes from the SAME Dot4
-    * expression the join form used, keeping distances bit-identical. */
-  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float], Double)] =
-    centroids.select(col("centroid_id"), col("cvec"), dotExpr("cvec", "cvec").as("sq_c"))
+    * expression the join form used, keeping distances bit-identical.
+    *
+    * EAGER: this runs a Spark collect job at call time, so everything
+    * built on it (ivfCentroids, assignToCentroids, ivfTopK) executes
+    * full jobs during DataFrame CONSTRUCTION — plan-dump / schema-only
+    * consumers pay the Lloyd iterations too. Deliberate trade-off: it
+    * keeps assignment a zero-shuffle literal projection. */
+  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float], Double)] = {
+    val rows = centroids
+      .select(col("centroid_id"), col("cvec"), dotExpr("cvec", "cvec").as("sq_c"))
       .collect()
-      .map(r => (r.getInt(0), r.getSeq[Float](1), r.getDouble(2)))
-      .sortBy(_._1)
+    require(rows.nonEmpty, "collectCentroids: no centroids (empty input?)")
+    rows.map { r =>
+      if (r.isNullAt(2))
+        throw new IllegalStateException(
+          s"collectCentroids: centroid ${r.get(0)} has a null/invalid cvec " +
+            "(null element or length mismatch made Dot4 return NULL)")
+      (r.getInt(0), r.getSeq[Float](1), r.getDouble(2))
+    }.sortBy(_._1)
+  }
 
   /** Assign every vector to its nearest centroid — MAP-ONLY: the k
     * centroids are literal constant arrays, so assignment is a
     * zero-shuffle codegen'd projection (`least` over (dist, centroid_id)
     * structs — the same deterministic tie-break the former aggregate
     * form used, without shuffling embedding payloads through a
-    * full-corpus hash-agg once per Lloyd iteration). */
+    * full-corpus hash-agg once per Lloyd iteration).
+    *
+    * EAGER: collects the centroid frame at call time (see
+    * [[collectCentroids]]) — constructing the returned DataFrame runs
+    * Spark jobs. */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame =
     assignByLiterals(vectors, collectCentroids(centroids))
 
   private def assignByLiterals(vectors: DataFrame,
                                cs: Array[(Int, Seq[Float], Double)]): DataFrame = {
+    require(cs.nonEmpty, "assignByLiterals: no centroids")
     val dists = cs.map { case (cid, cvec, sqc) =>
       struct(
         (col("sq_a") + lit(sqc) - lit(2.0)
           * org.apache.spark.sql.graftfn.Dot4.of(col("embedding"), typedLit(cvec))).as("dist"),
         lit(cid).as("centroid_id"))
     }
+    // least() needs >=2 args; with one centroid (k=1, or Lloyd dropping
+    // empty clusters down to a single survivor) every row belongs to it
+    val nearest = if (dists.length == 1) dists.head
+                  else least(dists.toIndexedSeq: _*)
     vectors.withColumn("sq_a", dotExpr("embedding", "embedding"))
-      .withColumn("centroid_id", least(dists.toIndexedSeq: _*).getField("centroid_id"))
+      .withColumn("centroid_id", nearest.getField("centroid_id"))
       .drop("sq_a")
   }
 

@@ -102,6 +102,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("decontaminate: broadcast under the threshold, shuffle fallback over it, same answer") {
+    val train = Seq((1L, "aa"), (1L, "bb"), (2L, "cc"), (3L, "aa"))
+      .toDF("doc_id", "s")
+    val ev = Seq(("aa", 20L), ("cc", 40L), ("aa", 40L)).toDF("s", "eval_id")
+    val small = Dedup.decontaminate(train, ev)                    // eval fits: broadcast
+    val big = Dedup.decontaminate(train, ev, maxBroadcastRows = 1) // forced fallback
+    assert(small.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    val bigPlan = big.queryExecution.executedPlan.toString
+    assert(!bigPlan.contains("BroadcastHashJoin") && bigPlan.contains("ShuffledHashJoin"))
+    val expect = Set((1L, 1L, 2L), (2L, 1L, 1L), (3L, 1L, 2L))
+    assert(small.as[(Long, Long, Long)].collect().toSet == expect)
+    assert(big.as[(Long, Long, Long)].collect().toSet == expect)
+  }
+
   test("dedup clusters: transitive chain collapses to min-id label; disjoint pairs stay apart") {
     // chain 1-2, 2-3 plus disjoint pair 7-9: closure must label {1,2,3}
     // as cluster 1 (size 3) even though (1,3) is never a pair
