@@ -27,6 +27,23 @@ object Validate {
   def tsInBounds(tsMs: Column): Column =
     tsMs >= 946684800000L && tsMs < 4102444800000L
 
+  /** Per-point TTL in ms from the reserved `ttl` tag (retention override
+    * in DAYS, SURVEY §1.1 special tags), falling back to the keyset
+    * default when the tag is absent. A non-numeric ttl value yields NULL
+    * → default; [[validatePoints]] quarantines such points as `bad_ttl`,
+    * so the fallback only ever applies to accepted tag-less points. */
+  def ttlMsFromTags(tags: Column, defaultTtlMs: Long): Column = {
+    val raw = element_at(tags, "ttl")
+    // rlike-guarded cast: ANSI mode throws on CAST('7d' AS BIGINT), and
+    // the digit bound keeps the cast itself overflow-proof
+    coalesce(when(raw.rlike(TtlRe), raw.cast("long") * 86400000L),
+      lit(defaultTtlMs))
+  }
+
+  /** Valid `ttl` tag value: 1..9999999 days (digit-bounded so the cast
+    * can never overflow; leading zeros accepted, bare zero rejected). */
+  private val TtlRe = "^0*[1-9][0-9]{0,6}$"
+
   /** Per-point validation verdicts over a points frame
     * (metric, tags MAP, ts_ms, value). Adds boolean rule columns, an
     * `errors` array of failed-rule names, and `is_valid`. */
@@ -48,22 +65,30 @@ object Validate {
     // while counts still include it
     val valueOk = col("value").isNotNull && !isnan(col("value")) &&
       abs(col("value")) <= lit(Double.MaxValue)
+    // reserved `ttl` tag: absent is fine; present must be a positive
+    // integer day count (a malformed ttl silently falling back to the
+    // keyset default would retain data the client asked to expire)
+    val ttlOk = coalesce(
+      expr("NOT map_contains_key(tags, 'ttl')") ||
+        element_at(col("tags"), "ttl").rlike(TtlRe),
+      lit(false))
     normalized
       .withColumn("metric_ok", metricOk)
       .withColumn("tags_ok", tagsOk)
       .withColumn("ksid_ok", ksidOk)
       .withColumn("ts_ok", tsOk)
       .withColumn("value_ok", valueOk)
+      .withColumn("ttl_ok", ttlOk)
       .withColumn("errors", array_compact(array(
         when(!metricOk, "bad_metric"), when(!tagsOk, "bad_tag_charset"),
         when(!ksidOk, s"missing_$requiredTag"), when(!tsOk, "ts_out_of_bounds"),
-        when(!valueOk, "bad_value"))))
+        when(!valueOk, "bad_value"), when(!ttlOk, "bad_ttl"))))
       .withColumn("is_valid", size(col("errors")) === 0)
   }
 
   /** Split into (accepted, quarantined) — the 204-vs-400 analog. */
   def partition(validated: DataFrame): (DataFrame, DataFrame) =
     (validated.where(col("is_valid")).drop("metric_ok", "tags_ok", "ksid_ok",
-      "ts_ok", "value_ok", "errors", "is_valid"),
+      "ts_ok", "value_ok", "ttl_ok", "errors", "is_valid"),
      validated.where(!col("is_valid")))
 }

@@ -140,6 +140,46 @@ object TsdbQueries {
         .select("event_id", "ts_ms")
         .orderBy("event_id")),
 
+    // per-point `ttl` tag override (SURVEY §1.1 special tags): points
+    // carrying a ttl tag (here: props.k in 1..10, read as retention
+    // days) expire by their own ttl; tag-less points use the 14d keyset
+    // default. One coalesced scan predicate — see Retention.
+    "tsdb_ttl_override" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("k INT")).getField("k"))
+        .withColumn("tags",
+          when(col("k").between(1, 10),
+            map(lit("ksid"), lit("k0"), lit("ttl"), col("k").cast("string")))
+            .otherwise(map(lit("ksid"), lit("k0"))))
+      Retention.applyTtlWithOverride(ev, "ts_ms", "tags", Tables.NowMs, 14L * 86400000)
+        .select("event_id", "ts_ms", "k")
+        .orderBy("event_id")
+    }),
+
+    // ksid multi-tenancy through the storage layer (SURVEY §3.2 EP2'):
+    // events land partitioned by (ksid, date) — tenant routing IS the
+    // directory layout — and a tenant query reads back ONE ksid and a
+    // date slice with both filters resolved at the partition level
+    // (PlanSpec asserts PartitionFilters carry ksid AND date; zero data
+    // rows outside the slice are touched). ksid is derived user_id%4
+    // here; production ingest carries it as a validated reserved tag.
+    "tsdb_ksid_scan" -> ((s, dir) => {
+      val out = scratch("ksid_date")
+      Tables.events(s, dir)
+        .withColumn("ksid", concat(lit("ks"), pmod(col("user_id"), lit(4))))
+        .withColumn("date", to_date(timestamp_millis(col("ts_ms"))))
+        .select(col("event_id"), col("ts_ms"), col("event_type"),
+          col("user_id"), col("value"), col("ksid"), col("date"))
+        .write.mode("overwrite").partitionBy("ksid", "date").parquet(out)
+      s.read.parquet(out)
+        .where(col("ksid") === "ks1" &&
+          col("date") >= lit("2024-01-10").cast("date") &&
+          col("date") < lit("2024-01-20").cast("date"))
+        .select("event_id", "ts_ms", "event_type", "user_id", "value")
+        .orderBy("event_id")
+    }),
+
     "tsdb_text_query" -> ((s, dir) => {
       Tables.documents(s, dir)
         .where(col("lang") === "en")
@@ -152,6 +192,14 @@ object TsdbQueries {
 
   private def oBucket(intervalMs: Long): String =
     s"(epoch_ns(ts) // ${intervalMs * 1000000L}) * $intervalMs"
+
+  /** Stable scratch dir for sink queries (overwritten, never accumulated
+    * — same contract as rel.ScanFilter.roundtripDir). */
+  private def scratch(name: String): String = {
+    val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_rt", name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
 
   val oracleSql: Map[String, String] = Map(
     "tsdb_downsample" ->
@@ -321,6 +369,25 @@ object TsdbQueries {
     "tsdb_ttl_expiry" ->
       s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
           WHERE epoch_ns(ts) // 1000000 >= ${T1 - 14L * 86400000}
+          ORDER BY event_id""",
+
+    "tsdb_ttl_override" ->
+      s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+            json_extract_string(props, '$$.k')::INT AS k
+          FROM events
+          WHERE epoch_ns(ts) // 1000000 >= $T1 - COALESCE(
+            CASE WHEN json_extract_string(props, '$$.k')::INT BETWEEN 1 AND 10
+                 THEN json_extract_string(props, '$$.k')::BIGINT * 86400000 END,
+            ${14L * 86400000})
+          ORDER BY event_id""",
+
+    "tsdb_ksid_scan" ->
+      s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, event_type,
+            user_id, value
+          FROM events
+          WHERE user_id % 4 = 1
+            AND epoch_ns(ts) // 1000000 >= ${1704067200000L + 9L * 86400000}
+            AND epoch_ns(ts) // 1000000 < ${1704067200000L + 19L * 86400000}
           ORDER BY event_id""",
 
     "tsdb_text_query" ->

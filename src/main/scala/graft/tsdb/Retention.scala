@@ -15,6 +15,16 @@ object Retention {
   def applyTtl(points: DataFrame, tsMsCol: String, nowMs: Long, ttlMs: Long): DataFrame =
     points.where(col(tsMsCol) >= nowMs - ttlMs)
 
+  /** Scan-side TTL honoring the per-point `ttl` tag (SURVEY §1.1 special
+    * tags): a point carrying a ttl tag expires by its OWN retention; the
+    * keyset default applies only to tag-less points. Still a single scan
+    * predicate — per-point ttl costs one map-side coalesce, no extra
+    * pass, so it prunes row groups exactly like the fixed-ttl form. */
+  def applyTtlWithOverride(points: DataFrame, tsMsCol: String, tagsCol: String,
+                           nowMs: Long, defaultTtlMs: Long): DataFrame =
+    points.where(col(tsMsCol) >=
+      lit(nowMs) - graft.stream.Validate.ttlMsFromTags(col(tagsCol), defaultTtlMs))
+
   /** Vacuum: rewrite dropping expired rows. `outPath` receives ONLY the
     * surviving rows that match `scope` — with a scope the output is a
     * REPLACEMENT FOR THOSE PARTITIONS ONLY, not the whole table; the

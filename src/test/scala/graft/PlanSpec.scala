@@ -60,6 +60,18 @@ class PlanSpec extends SparkSpec {
       s"lang filter must prune partitions, not scan rows:\n$p")
   }
 
+  test("ksid tenant scan prunes BOTH the ksid and date partition levels") {
+    val p = plan("tsdb_ksid_scan")
+    val pf = p.split("PartitionFilters:")
+    assert(pf.length >= 2, s"read-back must have PartitionFilters:\n$p")
+    val filters = pf(1).takeWhile(_ != ']')
+    assert(filters.contains("ksid") && filters.contains("date"),
+      s"tenant + date routing must be partition-level, got: $filters")
+    // nothing should remain as a row-level data filter
+    assert(!p.contains("PushedFilters: [IsNotNull(ksid"),
+      s"ksid must prune directories, not filter rows:\n$p")
+  }
+
   test("band join is an equi join, not a cartesian product") {
     val p = plan("join_theta_range")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),

@@ -67,6 +67,23 @@ class ScaleSpec extends SparkSpec {
     assert(ok.columns.toSet == Set("metric", "tags", "ts_ms", "value"))
   }
 
+  test("ttl tag: valid overrides pass, malformed quarantine, absent uses default") {
+    val pts = Seq(
+      ("cpu", Map("ksid" -> "k1", "ttl" -> "7"), 1704067200000L, 1.0),   // valid override
+      ("cpu", Map("ksid" -> "k1", "ttl" -> "0"), 1704067200000L, 1.0),   // zero: invalid
+      ("cpu", Map("ksid" -> "k1", "ttl" -> "7d"), 1704067200000L, 1.0),  // non-numeric
+      ("cpu", Map("ksid" -> "k1"), 1704067200000L, 1.0)                  // absent: fine
+    ).toDF("metric", "tags", "ts_ms", "value")
+    val v = graft.stream.Validate.validatePoints(pts)
+    val errs = v.select("errors").as[Seq[String]].collect()
+    assert(errs(0).isEmpty && errs(3).isEmpty)
+    assert(errs(1) == Seq("bad_ttl") && errs(2) == Seq("bad_ttl"))
+    val ttls = pts.select(graft.stream.Validate
+      .ttlMsFromTags(col("tags"), 14L * 86400000).as("t")).as[Long].collect()
+    assert(ttls(0) == 7L * 86400000, "ttl tag must override the keyset default")
+    assert(ttls(3) == 14L * 86400000, "tag-less points must use the keyset default")
+  }
+
   test("validation quarantines NULL metric/tags/ts instead of passing them") {
     val pts = Seq(
       (Option.empty[String], Option(Map("ksid" -> "k")), Option(1704067200000L), 1.0),
