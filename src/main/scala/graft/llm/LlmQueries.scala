@@ -185,6 +185,69 @@ object LlmQueries {
         .orderBy("doc_id", "term")
     }),
 
+    // Gopher-style repetition signal: the fraction of a doc's word
+    // bigrams taken by its single most frequent bigram (high →
+    // boilerplate / degenerate repetition). Two map-side-combinable
+    // hash aggregates; the shuffle unit is (doc, bigram) then doc —
+    // never corpus-wide state. Tie-break on (cnt, bigram) makes the
+    // winning bigram deterministic under any partitioning.
+    "llm_repetition_ratio" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+        .where(size(col("w")) >= 2)
+        .select(col("doc_id"), explode(Dedup.shingles("w", 2)).as("bg"))
+      bg.groupBy("doc_id", "bg").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(max_by(struct(col("cnt"), col("bg")), struct(col("cnt"), col("bg"))).as("top"),
+          sum(col("cnt")).as("n_bigrams"))
+        .select(col("doc_id"), col("top.bg").as("top_bigram"),
+          col("top.cnt").as("top_cnt"), col("n_bigrams"),
+          graft.core.D.r4s(col("top.cnt").cast("double") / col("n_bigrams")).as("rep_ratio"))
+        .orderBy("doc_id")
+    }),
+
+    // HTML boilerplate strip: fixture docs are plain text, so wrap them
+    // in synthesized markup first (the non-vacuous trick llm_pii_scrub
+    // uses), then strip tags and collapse whitespace with codegen'd
+    // regexp ops — pure map-side, the curation front-door at 100 TB.
+    "llm_html_strip" -> ((s, dir) => {
+      val html = concat(lit("<html><body class=\"c\"><p>"),
+        regexp_replace(col("text"), "\\. ", ".</p><p>"),
+        lit("</p><br/></body></html>"))
+      Tables.documents(s, dir)
+        .withColumn("h", html)
+        .withColumn("clean",
+          trim(regexp_replace(regexp_replace(col("h"), "<[^>]+>", " "), " +", " ")))
+        .select(col("doc_id"), length(col("h")).cast("long").as("n_html"),
+          length(col("clean")).cast("long").as("n_clean"),
+          substring(col("clean"), 1, 80).as("clean_prefix"))
+        .orderBy("doc_id")
+    }),
+
+    // unigram corpus-familiarity score: mean corpus frequency (ppm) of a
+    // doc's tokens — the LM-free analog of a unigram-logprob quality
+    // filter (rare-token gibberish scores low). Deliberately log-free:
+    // score = 1e6·Σcf / (n_tokens·total) stays ALL-INTEGER until one
+    // final IEEE division, so it is bit-identical cross-engine (a log10
+    // would hostage the hash-compare to libm rounding). The vocabulary
+    // join shuffles on term (both sides reduced), the 1-row total
+    // broadcasts.
+    "llm_unigram_score" -> ((s, dir) => {
+      val t = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+      val cf = t.groupBy("term").agg(count(lit(1)).as("cf"))
+      val total = t.agg(count(lit(1)).as("total"))
+      t.join(cf, "term").crossJoin(broadcast(total))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"),
+          first(col("total")).as("total"))
+        .select(col("doc_id"), col("n_tokens"),
+          graft.core.D.r4s(col("sum_cf") * lit(1000000.0)
+            / (col("n_tokens") * col("total"))).as("fam_ppm"))
+        .orderBy("doc_id")
+    }),
+
     "llm_lang_stats" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy("lang")
@@ -551,6 +614,44 @@ object LlmQueries {
                 count(DISTINCT ev.eval_id) AS n_eval_docs
          FROM tr JOIN ev ON tr.s = ev.s
          GROUP BY 1 ORDER BY 1""",
+
+    "llm_repetition_ratio" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         el AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 2),
+         js AS (SELECT doc_id, ws, unnest(range(1, len(ws))) AS j FROM el),
+         bg AS (SELECT doc_id, ws[j] || ' ' || ws[j+1] AS bg FROM js),
+         c AS (SELECT doc_id, bg, count(*) AS cnt FROM bg GROUP BY 1, 2),
+         r AS (SELECT doc_id, bg, cnt,
+                 CAST(SUM(cnt) OVER (PARTITION BY doc_id) AS BIGINT) AS n_bigrams,
+                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, bg DESC) AS rn
+               FROM c)
+         SELECT doc_id, bg AS top_bigram, cnt AS top_cnt, n_bigrams,
+                ROUND((CAST(cnt AS DOUBLE) / n_bigrams) * 10000.0, 0) / 10000.0 + 0.0 AS rep_ratio
+         FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    "llm_html_strip" ->
+      """WITH h AS (SELECT doc_id,
+              '<html><body class="c"><p>' || regexp_replace(text, '\. ', '.</p><p>', 'g')
+                || '</p><br/></body></html>' AS h
+            FROM documents),
+         c AS (SELECT doc_id, h,
+              trim(regexp_replace(regexp_replace(h, '<[^>]+>', ' ', 'g'), ' +', ' ', 'g')) AS clean
+            FROM h)
+         SELECT doc_id, CAST(length(h) AS BIGINT) AS n_html,
+                CAST(length(clean) AS BIGINT) AS n_clean,
+                substr(clean, 1, 80) AS clean_prefix
+         FROM c ORDER BY doc_id""",
+
+    "llm_unigram_score" ->
+      """WITH t AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tt AS (SELECT doc_id, term FROM t WHERE term <> ''),
+         cf AS (SELECT term, count(*) AS cf FROM tt GROUP BY 1),
+         tot AS (SELECT count(*) AS total FROM tt),
+         d AS (SELECT tt.doc_id, count(*) AS n_tokens, CAST(SUM(cf.cf) AS BIGINT) AS sum_cf
+               FROM tt JOIN cf USING (term) GROUP BY 1)
+         SELECT doc_id, n_tokens,
+                ROUND((sum_cf * 1000000.0 / (n_tokens * total)) * 10000.0, 0) / 10000.0 + 0.0 AS fam_ppm
+         FROM d, tot ORDER BY doc_id""",
 
     "llm_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),

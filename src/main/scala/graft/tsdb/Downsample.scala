@@ -32,6 +32,15 @@ object Downsample {
     case "count" => count(value).cast("long")
     case "first" => min_by(value, struct(tsMs, value))
     case "last"  => max_by(value, struct(tsMs, value))
+    // OpenTSDB 2.4 percentile downsamplers (p50/p75/p90/p95/p99/p999):
+    // exact interpolated percentile. The buffer is one bucket's values
+    // per group — bounded by points-per-bucket, never corpus size; for
+    // extreme per-bucket density swap in percentile_approx (same plan
+    // shape, fixed-size sketch buffers).
+    case p if p.matches("p\\d{2,3}") =>
+      val digits = p.drop(1)
+      val q = digits.toDouble / math.pow(10, digits.length)
+      call_function("percentile", value, lit(q))
     case other   => throw new IllegalArgumentException(s"unknown aggregator: $other")
   }
 

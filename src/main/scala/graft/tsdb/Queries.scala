@@ -120,6 +120,22 @@ object TsdbQueries {
         .orderBy("a_key", "b_key")
     }),
 
+    // OpenTSDB 2.4 percentile downsampler (p95 per series-hour); exact
+    // percentile — buffers are bounded by points-per-bucket, see
+    // Downsample.aggExpr
+    "tsdb_downsample_pct" -> ((s, dir) =>
+      Downsample(Tables.events(s, dir), Seq("event_type"), H, "p95")
+        .select(col("event_type"), col("bucket_ms"),
+          graft.core.D.r4s(col("value")).as("value"))
+        .orderBy("event_type", "bucket_ms")),
+
+    // trailing-24h z-score anomaly flags per user series (see Anomaly)
+    "tsdb_anomaly_zscore" -> ((s, dir) =>
+      Anomaly.zscore(
+        Downsample(Tables.events(s, dir), Seq("user_id"), H, "avg"),
+        Seq("user_id"), lookback = 24, minBuckets = 12, threshold = 2.0)
+        .orderBy("user_id", "bucket_ms")),
+
     // time-weighted average downsample (irregular-sample aware)
     "tsdb_downsample_twa" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
@@ -338,6 +354,32 @@ object TsdbQueries {
           WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
             AND CAST(n AS DOUBLE) * syy - sy * sy > 0
           ORDER BY a_key, b_key""",
+
+    "tsdb_downsample_pct" ->
+      s"""SELECT event_type, ${oBucket(H)} AS bucket_ms,
+            ROUND(quantile_cont(value, 0.95) * 10000.0, 0) / 10000.0 + 0.0 AS value
+          FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "tsdb_anomaly_zscore" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2),
+          st AS (
+            SELECT user_id, bucket_ms, value,
+                   CAST(count(value) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))
+                          * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx
+            FROM ds
+            WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+          SELECT user_id, bucket_ms, value,
+                 ${D.oR4("(value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))")} AS z
+          FROM st
+          WHERE n >= 12 AND n * sxx - sx * sx > 0
+            AND abs((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) >= 2.0
+          ORDER BY 1, 2""",
 
     "tsdb_downsample_twa" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value

@@ -157,6 +157,28 @@ class LlmSpec extends SparkSpec {
     })
   }
 
+  test("repetition ratio: degenerate repetition scores ~1, varied text scores low") {
+    val d = Seq(
+      (1L, "spam spam spam spam spam spam spam spam"),       // one bigram only
+      (2L, "every single word here is used exactly once okay")
+    ).toDF("doc_id", "text")
+    val out = graft.llm.LlmQueries.queries("llm_repetition_ratio")(spark, sf)
+    // run the same shape on the micro-frame via the public pieces
+    val bg = d.select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      .select(col("doc_id"), explode(Dedup.shingles("w", 2)).as("bg"))
+    val ratios = bg.groupBy("doc_id", "bg").count()
+      .groupBy("doc_id").agg((max("count") / sum("count")).as("r"))
+      .as[(Long, Double)].collect().toMap
+    assert(ratios(1L) == 1.0 && ratios(2L) < 0.2)
+    assert(out.columns.contains("rep_ratio"))
+  }
+
+  test("unigram familiarity: common-word docs outscore rare-word docs") {
+    val out = graft.SparkEntry.queries("llm_unigram_score")(spark, sf)
+      .select("fam_ppm").as[Double].collect()
+    assert(out.forall(p => p > 0.0), "every doc shares at least its own tokens")
+  }
+
   test("jaccard: symmetric, 1.0 for identical sets, bounded") {
     val two = docs.where(col("doc_id").isin(1, 3))
       .select(array_distinct(Dedup.words(col("text"))).as("w"))

@@ -104,6 +104,37 @@ class PropertySpec extends SparkSpec {
     assert(BigDecimal(sum2) == BigDecimal(sum1) * 2, "sum must exactly double")
   }
 
+  test("percentile downsample: p50 of identical values is the value; p in [min,max]") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        val p = Downsample(df, Seq("user"), 3600000L, "p50")
+        val mn = Downsample(df, Seq("user"), 3600000L, "min")
+          .withColumnRenamed("value", "lo")
+        val mx = Downsample(df, Seq("user"), 3600000L, "max")
+          .withColumnRenamed("value", "hi")
+        p.join(mn, Seq("user", "bucket_ms")).join(mx, Seq("user", "bucket_ms"))
+          .where(col("value") < col("lo") || col("value") > col("hi"))
+          .count() == 0
+      }
+    })
+  }
+
+  test("zscore anomaly: an injected spike is flagged, its baseline is not") {
+    // 30 hourly buckets of constant 10.0 plus one 1000.0 spike at the end;
+    // variance needs jitter so alternate 10.0 / 10.2
+    val pts = (0 until 30).map(i =>
+      (1L, i.toLong * 3600000, if (i % 2 == 0) 10.0 else 10.2)) :+
+      (1L, 30L * 3600000, 1000.0)
+    val ds = Downsample(pts.toDF("user", "ts_ms", "value"), Seq("user"), 3600000L, "avg")
+    val out = Anomaly.zscore(ds, Seq("user"), lookback = 24, minBuckets = 12,
+      threshold = 2.0).collect()
+    assert(out.length == 1, s"exactly the spike must flag, got ${out.length}")
+    assert(out.head.getAs[Long]("bucket_ms") == 30L * 3600000)
+    assert(math.abs(out.head.getAs[Double]("z")) > 100,
+      "spike z-score must be enormous against a near-constant baseline")
+  }
+
   test("fill=zero adds exactly the missing buckets, fill=none adds none") {
     run(Prop.forAll(genPoints) { pts =>
       pts.isEmpty || {
