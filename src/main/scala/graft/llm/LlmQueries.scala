@@ -155,6 +155,25 @@ object LlmQueries {
         .where(col("sim") >= 0.35)
         .orderBy("a_id", "b_id")),
 
+    // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
+    // clusters — k-means coarse clusters bound the pair generation
+    // (Σ cluster², never corpus²), then within-cluster cosine pairs
+    // above the threshold mark the higher-id member for dropping
+    // (keep-lowest-id, like llm_dedup_exact). Reuses the deterministic
+    // IVF quantizer, so the oracle unrolls the SAME two Lloyd
+    // iterations the llm_sim_ivf oracle does and the two queries are
+    // guaranteed one clustering.
+    "llm_semdedup" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val assigned = Similarity.assignToCentroids(
+        emb, Similarity.ivfCentroids(emb, 8, iters = 2))
+      Similarity.blockedPairCosines(assigned, "centroid_id", ordered = true)
+        .where(col("sim") >= 0.35)
+        .groupBy(col("b_id").as("drop_id"))
+        .agg(min(col("a_id")).as("kept_id"), max(col("sim")).as("max_sim"))
+        .orderBy("drop_id")
+    }),
+
     // exploded to (vec_id, pos, comp) rows: the unit vector is verified
     // component-by-component (the driver compare can't sort array cells)
     "llm_embed_normalize" -> ((s, dir) =>
@@ -237,7 +256,9 @@ object LlmQueries {
         .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
         .where(col("term") =!= "")
       val cf = t.groupBy("term").agg(count(lit(1)).as("cf"))
-      val total = t.agg(count(lit(1)).as("total"))
+      // total token count folds out of the REDUCED vocab frame (Σcf) —
+      // two passes over the exploded tokens, never three
+      val total = cf.agg(sum(col("cf")).as("total"))
       t.join(cf, "term").crossJoin(broadcast(total))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_tokens"), sum(col("cf")).as("sum_cf"),
@@ -452,7 +473,12 @@ object LlmQueries {
     * update CAST through REAL — the same float32 quantization the Spark
     * side applies when reassembling ARRAY<FLOAT> centroids, which is
     * what keeps both engines' distance comparisons bit-identical. */
-  private val IvfOracle: String = {
+  /** Shared CTE chain for the deterministic 8-centroid / 2-iteration
+    * k-means (mirror of Similarity.ivfCentroids): element explode `el`,
+    * squared norms `sq`, Lloyd steps ending at the final assignment
+    * `a3` (+ `csq_3`/`dot_3` for query-side probe selection). Used by
+    * llm_sim_ivf and llm_semdedup — the two must share one clustering. */
+  private val IvfCtes: String = {
     // one Lloyd step: assignment against centroid elements `cin`, then
     // (for the first `iters` steps) the refreshed centroids `cout`
     def step(n: Int, cin: String, an: String, cout: Option[String]) = {
@@ -470,7 +496,7 @@ object LlmQueries {
                    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
                    FROM dist_$n) WHERE rn = 1)$upd"""
     }
-    s"""WITH el AS (SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS x
+    s"""el AS (SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS x
                     FROM embeddings e, range(1, 65) r(i)),
          sq AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM el GROUP BY 1),
          c_init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
@@ -478,7 +504,11 @@ object LlmQueries {
          c0 AS (SELECT ci.cid, el.pos, el.x AS v FROM c_init ci JOIN el ON el.vec_id = ci.vec_id),
          ${step(1, "c0", "a1", Some("c1"))},
          ${step(2, "c1", "a2", Some("c2"))},
-         ${step(3, "c2", "a3", None)},
+         ${step(3, "c2", "a3", None)}"""
+  }
+
+  private val IvfOracle: String = {
+    s"""WITH $IvfCtes,
          qdist AS (SELECT cs.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
                    FROM csq_3 cs
                    JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id = 0
@@ -555,6 +585,24 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "llm_sim_ivf" -> IvfOracle,
+
+    "llm_semdedup" ->
+      s"""WITH $IvfCtes,
+          pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                 FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          d AS (SELECT p.a_id, p.b_id,
+                  CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                FROM pr p
+                JOIN el ea ON ea.vec_id = p.a_id
+                JOIN el eb ON eb.vec_id = p.b_id AND eb.pos = ea.pos
+                GROUP BY 1, 2),
+          sm AS (SELECT d.a_id, d.b_id,
+                   ROUND((d.dot / (SQRT(sa.sq) * SQRT(sb.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                 FROM d
+                 JOIN sq sa ON sa.vec_id = d.a_id
+                 JOIN sq sb ON sb.vec_id = d.b_id)
+          SELECT b_id AS drop_id, MIN(a_id) AS kept_id, MAX(sim) AS max_sim
+          FROM sm WHERE sim >= 0.35 GROUP BY 1 ORDER BY 1""",
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents
          GROUP BY text ORDER BY keep_id""",

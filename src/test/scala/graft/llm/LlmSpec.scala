@@ -235,6 +235,18 @@ class LlmSpec extends SparkSpec {
     assert(ann.map(_._2).max <= brute.map(_._2).max)
   }
 
+  test("semdedup: keep-lowest-id invariant and drops are a strict subset") {
+    val out = graft.SparkEntry.queries("llm_semdedup")(spark, sf)
+      .as[(Long, Long, Double)].collect()
+    assert(out.nonEmpty, "fixture embeddings must contain semantic near-dups")
+    out.foreach { case (drop, kept, sim) =>
+      assert(kept < drop, "the kept representative is always the lowest id")
+      assert(sim >= 0.35 && sim <= 1.0001)
+    }
+    val total = graft.core.Tables.embeddings(spark, sf).count()
+    assert(out.length < total, "semdedup must never drop the whole corpus")
+  }
+
   test("IVF: deterministic centroids, total assignment, query found in its probe") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val c1 = Similarity.ivfCentroids(emb, 8, iters = 2)
