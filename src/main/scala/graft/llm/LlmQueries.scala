@@ -144,6 +144,18 @@ object LlmQueries {
       Similarity.ivfTopK(emb, qv, cents, 10, nprobe = 2)
     }),
 
+    // batched ANN: a query FRAME (the 4 lowest-id corpus vectors here)
+    // probed in one pass — nprobe clusters per query, top-5 each; the
+    // dedup-against-index / retrieval shape a training pipeline runs
+    // with millions of probes
+    "llm_sim_ivf_batch" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val cents = Similarity.ivfCentroids(emb, 8, iters = 2)
+      Similarity.ivfTopKBatch(emb, qs, cents, 5, nprobe = 2)
+    }),
+
     "llm_knn_join" -> ((s, dir) =>
       Similarity.knnJoinPerGroup(Tables.embeddings(s, dir), "label", 3)),
 
@@ -157,20 +169,34 @@ object LlmQueries {
 
     // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
     // clusters — k-means coarse clusters bound the pair generation
-    // (Σ cluster², never corpus²), then within-cluster cosine pairs
-    // above the threshold mark the higher-id member for dropping
-    // (keep-lowest-id, like llm_dedup_exact). Reuses the deterministic
-    // IVF quantizer, so the oracle unrolls the SAME two Lloyd
-    // iterations the llm_sim_ivf oracle does and the two queries are
-    // guaranteed one clustering.
+    // (Σ cluster², never corpus²), then the τ-pair graph inside each
+    // cluster is closed with the SAME min-label propagation
+    // llm_dedup_clusters uses: keep exactly ONE representative (the
+    // min id) per connected set, drop the rest. A greedy pairwise drop
+    // would over-delete on transitive chains (A~B, B~C, A!~C drops
+    // both B and C) and could report a kept_id that was itself
+    // dropped — a real footgun for a downstream retention join; the
+    // closure makes kept_id always a survivor by construction. Reuses
+    // the deterministic IVF quantizer, so the oracle unrolls the SAME
+    // two Lloyd iterations the llm_sim_ivf oracle does and the two
+    // queries are guaranteed one clustering.
     "llm_semdedup" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val assigned = Similarity.assignToCentroids(
         emb, Similarity.ivfCentroids(emb, 8, iters = 2))
-      Similarity.blockedPairCosines(assigned, "centroid_id", ordered = true)
+      // materialized once: the label closure and the per-doc max-sim
+      // aggregate both consume the verified pair set
+      val pairs = Similarity.blockedPairCosines(assigned, "centroid_id", ordered = true)
         .where(col("sim") >= 0.35)
-        .groupBy(col("b_id").as("drop_id"))
-        .agg(min(col("a_id")).as("kept_id"), max(col("sim")).as("max_sim"))
+        .localCheckpoint(true)
+      val labels = Dedup.clusterLabels(pairs)
+      val maxSim = pairs.select(col("a_id").as("node"), col("sim"))
+        .union(pairs.select(col("b_id").as("node"), col("sim")))
+        .groupBy("node").agg(max(col("sim")).as("max_sim"))
+      labels.where(col("node") =!= col("label"))
+        .join(maxSim, "node")
+        .select(col("node").as("drop_id"), col("label").as("kept_id"),
+          col("max_sim"))
         .orderBy("drop_id")
     }),
 
@@ -586,8 +612,44 @@ object LlmQueries {
   val oracleSql: Map[String, String] = Map(
     "llm_sim_ivf" -> IvfOracle,
 
-    "llm_semdedup" ->
+    // same Lloyd unroll as IvfOracle, generalized to a query SET: probe
+    // selection (rn <= nprobe per query) and the per-query top-k both
+    // become window ranks partitioned by query_id
+    "llm_sim_ivf_batch" ->
       s"""WITH $IvfCtes,
+          qdist AS (SELECT d.vec_id AS query_id, cs.cid,
+                      sq.sq + cs.sq - 2.0 * d.dot AS dist
+                    FROM csq_3 cs
+                    JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id < 4
+                    JOIN sq ON sq.vec_id = d.vec_id),
+          probes AS (SELECT query_id, cid FROM (
+                       SELECT query_id, cid,
+                              row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS rn
+                       FROM qdist) WHERE rn <= 2),
+          cand AS (SELECT p.query_id, a.vec_id
+                   FROM a3 a JOIN probes p ON p.cid = a.cid),
+          qdot AS (SELECT c.query_id, c.vec_id,
+                     CAST(SUM(CAST(ev.x * eq.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                   FROM cand c
+                   JOIN el ev ON ev.vec_id = c.vec_id
+                   JOIN el eq ON eq.vec_id = c.query_id AND eq.pos = ev.pos
+                   GROUP BY 1, 2),
+          sm AS (SELECT q.query_id, q.vec_id,
+                   ROUND((q.dot / (SQRT(sv.sq) * SQRT(sqq.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                 FROM qdot q
+                 JOIN sq sv ON sv.vec_id = q.vec_id
+                 JOIN sq sqq ON sqq.vec_id = q.query_id)
+          SELECT query_id, rn, vec_id, sim FROM (
+            SELECT query_id, vec_id, sim,
+                   CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+            FROM sm)
+          WHERE rn <= 5 ORDER BY query_id, rn""",
+
+    // min-label closure over the τ-pair graph (same recursive
+    // reachability shape as the llm_dedup_clusters oracle): kept_id =
+    // the component's min node, never a dropped doc
+    "llm_semdedup" ->
+      s"""WITH RECURSIVE $IvfCtes,
           pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
                  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
           d AS (SELECT p.a_id, p.b_id,
@@ -600,9 +662,25 @@ object LlmQueries {
                    ROUND((d.dot / (SQRT(sa.sq) * SQRT(sb.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
                  FROM d
                  JOIN sq sa ON sa.vec_id = d.a_id
-                 JOIN sq sb ON sb.vec_id = d.b_id)
-          SELECT b_id AS drop_id, MIN(a_id) AS kept_id, MAX(sim) AS max_sim
-          FROM sm WHERE sim >= 0.35 GROUP BY 1 ORDER BY 1""",
+                 JOIN sq sb ON sb.vec_id = d.b_id),
+          tp AS (SELECT a_id, b_id, sim FROM sm WHERE sim >= 0.35),
+          edges AS (SELECT a_id AS src, b_id AS dst FROM tp
+                    UNION ALL SELECT b_id, a_id FROM tp),
+          nodes AS (SELECT DISTINCT src AS node FROM edges),
+          reach(node, r) AS (
+            SELECT node, node FROM nodes
+            UNION
+            SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node
+          ),
+          lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node),
+          ms AS (SELECT node, MAX(sim) AS max_sim FROM (
+                   SELECT a_id AS node, sim FROM tp
+                   UNION ALL SELECT b_id, sim FROM tp)
+                 GROUP BY node)
+          SELECT lab.node AS drop_id, lab.cluster_id AS kept_id, ms.max_sim
+          FROM lab JOIN ms ON ms.node = lab.node
+          WHERE lab.node <> lab.cluster_id
+          ORDER BY drop_id""",
     "llm_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents
          GROUP BY text ORDER BY keep_id""",

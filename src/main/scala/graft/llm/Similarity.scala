@@ -168,11 +168,15 @@ object Similarity {
     * centroid collect inside assignToCentroids), so this is not a lazy
     * plan builder — explain/plan-only callers still pay the iterations. */
   def ivfCentroids(vectors: DataFrame, k: Int, iters: Int = 2): DataFrame = {
+    // seed ids via sort_array(collect_list) over the k seed rows — same
+    // (rank by vec_id − 1) mapping as a row_number window, without an
+    // unpartitioned WindowExec (k rows post-limit, so the single-group
+    // aggregate is config-sized by construction)
     var centroids = vectors.orderBy("vec_id").limit(k)
-      .withColumn("centroid_id",
-        (row_number().over(org.apache.spark.sql.expressions.Window
-          .orderBy("vec_id")) - 1).cast("int"))
-      .select(col("centroid_id"), col("embedding").as("cvec"))
+      .agg(expr("sort_array(collect_list(struct(vec_id, embedding)))").as("s"))
+      .select(posexplode(col("s")))
+      .select(col("pos").cast("int").as("centroid_id"),
+        col("col").getField("embedding").as("cvec"))
     for (_ <- 1 to iters) {
       // component-wise mean via posexplode → per-(cluster, dim) decimal
       // avg → reassemble: shuffle-friendly (never collects a cluster's
@@ -275,5 +279,48 @@ object Similarity {
         cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")).as("sim"))
       .orderBy(col("sim").desc, col("vec_id"))
       .limit(k)
+  }
+
+  /** Batched IVF ANN probe — the realistic 100 TB shape: a query
+    * DATAFRAME (query_id, qv), millions of probes in one pass, not one
+    * vector. Per query the nprobe nearest centroids are picked MAP-SIDE
+    * (centroids are driver-collected literals: one array_sort over k
+    * (dist, cid) structs, no shuffle, no per-query job), then the
+    * corpus joins the exploded (query, centroid) probe set on
+    * centroid_id and a per-query top-k window ranks candidates. The
+    * probe set is broadcast here (queries ≪ corpus is the indexing
+    * norm); for probe sets past broadcast size the same plan
+    * shuffle-hash-joins on centroid_id — the corpus side is already
+    * partitionable by its precomputed assignment, so only candidates
+    * within probed clusters ever move. */
+  def ivfTopKBatch(vectors: DataFrame, queries: DataFrame, centroids: DataFrame,
+                   k: Int, nprobe: Int): DataFrame = {
+    val cs = collectCentroids(centroids)
+    val assigned = assignByLiterals(vectors, cs)
+    val dists = cs.map { case (cid, cvec, sqc) =>
+      struct(
+        (col("sq_q") + lit(sqc) - lit(2.0)
+          * org.apache.spark.sql.graftfn.Dot4.of(col("qv"), typedLit(cvec))).as("dist"),
+        lit(cid).as("centroid_id"))
+    }
+    // array_sort over (dist, centroid_id) structs = the deterministic
+    // (dist, cid) tie-break the single-query path orders by
+    val probes = queries
+      .withColumn("sq_q", dotExpr("qv", "qv"))
+      .withColumn("p",
+        explode(slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nprobe)))
+      .select(col("query_id"), col("qv"),
+        col("p").getField("centroid_id").as("centroid_id"))
+      .withColumn("qnrm", normExpr("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    assigned.join(broadcast(probes), Seq("centroid_id"))
+      .withColumn("nrm", normExpr("embedding"))
+      .withColumn("sim",
+        cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select("query_id", "rn", "vec_id", "sim")
+      .orderBy("query_id", "rn")
   }
 }

@@ -177,6 +177,26 @@ class LlmSpec extends SparkSpec {
     val out = graft.SparkEntry.queries("llm_unigram_score")(spark, sf)
       .select("fam_ppm").as[Double].collect()
     assert(out.forall(p => p > 0.0), "every doc shares at least its own tokens")
+    // ordering, not just positivity: a doc of repeated corpus-common
+    // tokens must strictly outscore a doc of corpus-unique tokens
+    val micro = Seq(
+      (1L, "the the the the"),
+      (2L, "axolotl bandicoot capybara dugong")
+    ).toDF("doc_id", "text")
+    val t = micro
+      .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+      .where(col("term") =!= "")
+    val cf = t.groupBy("term").agg(count(lit(1)).as("cf"))
+    val total = cf.agg(sum(col("cf")).as("total"))
+    val fam = t.join(cf, "term").crossJoin(broadcast(total))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"), sum(col("cf")).as("sum_cf"),
+        first(col("total")).as("tot"))
+      .select(col("doc_id"),
+        (col("sum_cf") * lit(1000000.0) / (col("n") * col("tot"))).as("fam"))
+      .as[(Long, Double)].collect().toMap
+    assert(fam(1L) > fam(2L),
+      s"common-token doc must outscore unique-token doc: $fam")
   }
 
   test("jaccard: symmetric, 1.0 for identical sets, bounded") {
@@ -245,6 +265,23 @@ class LlmSpec extends SparkSpec {
     }
     val total = graft.core.Tables.embeddings(spark, sf).count()
     assert(out.length < total, "semdedup must never drop the whole corpus")
+    // representative integrity: no dropped doc may ever appear as a
+    // kept_id (the greedy pairwise form violated this on transitive
+    // chains — the label closure makes kept_ids survivors by
+    // construction)
+    val dropped = out.map(_._1).toSet
+    assert(out.forall(r => !dropped.contains(r._2)),
+      "kept_id must never reference a dropped doc")
+  }
+
+  test("semdedup closure: transitive chain keeps exactly one representative") {
+    // A~B and B~C above τ with A!~C: the component {A,B,C} must drop
+    // B and C, both pointing at A — the greedy pairwise form reported
+    // kept_id = B for C (a dropped doc)
+    val pairs = Seq((1L, 2L, 0.9), (2L, 3L, 0.9)).toDF("a_id", "b_id", "sim")
+    val labels = Dedup.clusterLabels(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
   test("IVF: deterministic centroids, total assignment, query found in its probe") {
