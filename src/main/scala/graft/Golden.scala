@@ -15,11 +15,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object Golden {
   val GoldenPath = "src/test/resources/golden.json"
 
-  /** The no-oracle queries whose output is fully deterministic — since
-    * round 2 only the two engine-native (xxhash64) throughput variants;
-    * everything else, sketches included, is DuckDB-oracle-checked. */
+  /** The no-oracle queries whose output is fully deterministic — the
+    * two engine-native (xxhash64) throughput variants plus the `nan`
+    * fill policy (NaN encodings are not hash-comparable cross-engine,
+    * SURVEY §2.J); everything else, sketches included, is
+    * DuckDB-oracle-checked. */
   val Tracked: Seq[String] = Seq(
-    "fn_hash_native", "llm_dedup_minhash_native")
+    "fn_hash_native", "llm_dedup_minhash_native", "tsdb_downsample_fill_nan")
 
   def checksum(df: DataFrame): (Long, String) = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -37,7 +37,10 @@ object Downsample {
     // per group — bounded by points-per-bucket, never corpus size; for
     // extreme per-bucket density swap in percentile_approx (same plan
     // shape, fixed-size sketch buffers).
-    case p if p.matches("p\\d{2,3}") =>
+    // exactly the OpenTSDB-documented set — a permissive p\d{2,3} would
+    // silently parse near-misses ("p100" → q=0.100, the 10th percentile;
+    // "p00" → q=0) instead of raising `unknown aggregator`
+    case p if p.matches("p(50|75|90|95|99|999)") =>
       val digits = p.drop(1)
       val q = digits.toDouble / math.pow(10, digits.length)
       call_function("percentile", value, lit(q))

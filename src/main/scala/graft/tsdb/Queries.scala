@@ -151,6 +151,30 @@ object TsdbQueries {
       Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
     }),
 
+    // EP3' rate+fill branch: the parser's rate(...) nesting normalized
+    // into the same downsample → fill → merge → rate pipeline; the
+    // oracle mirrors the whole chain, closing the previously
+    // unexercised rate path of the expression language
+    "tsdb_expression_rate" -> ((s, dir) => {
+      val q = Expression.parse(
+        "merge(sum, rate(false, null, null, downsample(1h, avg, zero, query(click, {user=*}, 30d))))",
+        Tables.NowMs)
+      Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
+    }),
+
+    // `nan` fill policy (SURVEY §2.J: oracle-excluded — NaN encodings
+    // are not hash-comparable cross-engine; golden-pinned instead). The
+    // range extends 2 days past both ends of the data so EVERY series
+    // exercises head AND tail gaps alongside natural interior ones.
+    "tsdb_downsample_fill_nan" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Downsample.withFill(s, ds, Seq("user_id"), Day,
+        T0 - 2 * Day, T1 + 2 * Day, "nan")
+        .select("user_id", "bucket_ms", "value")
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     "tsdb_ttl_expiry" -> ((s, dir) =>
       Retention.applyTtl(Tables.events(s, dir), "ts_ms", Tables.NowMs, 14L * 86400000)
         .select("event_id", "ts_ms")
@@ -407,6 +431,30 @@ object TsdbQueries {
             GROUP BY 1, 2)
           SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
           FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // full chain mirror: zero-filled grid → decimal merge → lag-based
+    // rate (first bucket per series: NULL rate on both engines)
+    "tsdb_expression_rate" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click'
+              AND epoch_ns(ts) // 1000000 >= ${T1 - 30L * Day}
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2),
+          spine AS (SELECT range AS bucket_ms FROM range(${T1 - 30L * Day}, $T1, $H)),
+          series AS (SELECT DISTINCT tag_user FROM ds),
+          grid AS (SELECT s.tag_user, p.bucket_ms, COALESCE(d.value, 0.0) AS value
+                   FROM series s CROSS JOIN spine p
+                   LEFT JOIN ds d ON d.tag_user = s.tag_user
+                                 AND d.bucket_ms = p.bucket_ms),
+          m AS (SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+                FROM grid GROUP BY 1, 2)
+          SELECT tag_user, bucket_ms, value,
+                 ${D.oR4("(value - lag(value) OVER w) / ((bucket_ms - lag(bucket_ms) OVER w) / 1000.0)")} AS rate
+          FROM m WINDOW w AS (PARTITION BY tag_user ORDER BY bucket_ms)
+          ORDER BY 1, 2""",
 
     "tsdb_ttl_expiry" ->
       s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events

@@ -69,6 +69,20 @@ class TsdbSpec extends SparkSpec {
     assert(filled.map(_.getAs[Double]("value")).toSeq == Seq(0.0, 2.0, 0.0, 0.0))
   }
 
+  test("nan fill pins head, interior, and tail gaps as NaN") {
+    // golden.json pins the same policy at fixture scale
+    // (tsdb_downsample_fill_nan); this is the semantic micro-pin
+    val df = pts(("m", 1L, 60000L, 2.0), ("m", 1L, 180000L, 4.0))
+    val ds = Downsample(df, Seq("user"), 60000L, "sum")
+    val filled = Downsample.withFill(spark, ds, Seq("user"), 60000L, 0L, 300000L, "nan")
+      .orderBy("bucket_ms").collect()
+    val vs = filled.map(_.getAs[Double]("value"))
+    assert(vs.length == 5)
+    assert(vs(0).isNaN && vs(2).isNaN && vs(4).isNaN,
+      "head/interior/tail gaps must all fill NaN")
+    assert(vs(1) == 2.0 && vs(3) == 4.0, "real points must survive the fill")
+  }
+
   test("time-weighted average weights by holding time, not sample count") {
     // 10 holds [0, 30min), 20 holds [30min, 60min) → twa 15.0 even though
     // a burst of repeated 20-samples would skew a plain avg
