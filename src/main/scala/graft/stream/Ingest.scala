@@ -175,34 +175,22 @@ object Ingest {
       .orderBy("user_id", "ts_ms", "value")   // value breaks ms-timestamp ties (D1)
   }
 
-  /** Bootstrap-only read: missing state path → None; any OTHER failure
-    * (corrupt footer, transient IO) propagates — substituting an empty
-    * state there would silently wipe everything accumulated.
-    *
-    * Crash-window recovery: swapInto deletes the destination BEFORE
-    * renaming its fully-written `.tmp` in. A crash between the two
-    * leaves the complete state only at `.tmp` — Keysets.repairSwap
-    * finishes that rename first (it distinguishes a committed `.tmp`,
-    * `_SUCCESS` present, from a partial one left by a crashed FIRST
-    * write, where bootstrapping fresh is correct because no state was
-    * ever committed). */
-  private def readStateIfExists(s: SparkSession, path: String): Option[DataFrame] = {
-    graft.tsdb.Keysets.repairSwap(s, path)
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(s.read.parquet(path)) else None
-  }
-
   /** EP1' sink: foreachBatch lands points and upserts the series catalog
     * (the Elasticsearch-upsert analog). Exactly-once WITHOUT markers
     * (a marker written before the sink is at-most-once, after it is
     * at-least-once): every write is idempotent per batch —
     *  - points land in a batch-scoped directory with overwrite mode, so
     *    a replayed batch rewrites the same files;
-    *  - the catalog merge is a dedupe on tsid, a natural no-op on replay.
-    * Writes under `outBase`; returns the final catalog. */
+    *  - the catalog upsert is a per-bucket dedupe on the series key, a
+    *    natural no-op on replay.
+    * The catalog is the BUCKETED store ([[graft.tsdb.Catalog
+    * .upsertCatalog]]): a micro-batch rewrites only buckets that gained
+    * a new series, so steady-state upsert cost scales with the batch's
+    * novelty, never the accumulated catalog size — the full-catalog
+    * rewrite this replaces was the first scale casualty at real series
+    * cardinality. Writes under `outBase`; returns the final catalog. */
   def ingestWithCatalog(s: SparkSession, dir: String, outBase: String): DataFrame = {
-    val catalogPath = s"$outBase/catalog.parquet"
+    val catalogPath = s"$outBase/catalog"
     val pointsPath = s"$outBase/points"
     val stream = eventsStream(s, dir).select(
       col("event_type").as("metric"),
@@ -217,28 +205,21 @@ object Ingest {
         // cached datasets into the rest of the session (Verify keeps
         // running other queries after a failed one)
         batch.persist()
-        var merged: DataFrame = null
         try {
           batch.write.mode("overwrite").partitionBy("metric")
             .parquet(s"$pointsPath/batch=$batchId")
-          val newSeries = graft.tsdb.Catalog.fromPoints(batch)
-          // dedupe on the exact key, not the 64-bit tsid (a hash collision
-          // would silently drop a series); swap via write-then-rename so a
-          // crash never destroys the accumulated catalog
-          merged = readStateIfExists(batch.sparkSession, catalogPath)
-            .map(_.unionByName(newSeries).dropDuplicates("metric", "tags_canonical"))
-            .getOrElse(newSeries)
-          merged.persist().count()
-          graft.tsdb.Keysets.swapInto(batch.sparkSession, merged, catalogPath)
-        } finally {
-          if (merged != null) merged.unpersist()
-          batch.unpersist()
-        }
+          // dedupe on the exact key, not the 64-bit tsid (a hash
+          // collision would silently drop a series)
+          graft.tsdb.Catalog.upsertCatalog(batch.sparkSession,
+            graft.tsdb.Catalog.fromPoints(batch), catalogPath)
+        } finally { batch.unpersist(); () }
         ()
       }
       .start()
     q.awaitTermination()
-    s.read.parquet(catalogPath)
+    graft.tsdb.Catalog.readCatalog(s, catalogPath)
+      .getOrElse(throw new IllegalStateException(
+        s"ingest produced no catalog under $catalogPath"))
       .select(col("metric"), col("tags_canonical"))
       .orderBy("metric", "tags_canonical")
   }

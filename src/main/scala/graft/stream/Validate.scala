@@ -67,11 +67,13 @@ object Validate {
       abs(col("value")) <= lit(Double.MaxValue)
     // reserved `ttl` tag: absent is fine; present must be a positive
     // integer day count (a malformed ttl silently falling back to the
-    // keyset default would retain data the client asked to expire)
-    val ttlOk = coalesce(
+    // keyset default would retain data the client asked to expire).
+    // NULL tags pass vacuously — the point already fails tags_ok, and a
+    // spurious bad_ttl there would misattribute the quarantine cause
+    val ttlOk = when(col("tags").isNull, lit(true)).otherwise(coalesce(
       expr("NOT map_contains_key(tags, 'ttl')") ||
         element_at(col("tags"), "ttl").rlike(TtlRe),
-      lit(false))
+      lit(false)))
     normalized
       .withColumn("metric_ok", metricOk)
       .withColumn("tags_ok", tagsOk)

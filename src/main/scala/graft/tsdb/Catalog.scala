@@ -1,6 +1,6 @@
 package graft.tsdb
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Series-metadata catalog — the Elasticsearch-index analog (SURVEY §1.2).
@@ -46,6 +46,81 @@ object Catalog {
     var df = catalog.where(col("metric") === metric)
     filters.foreach { f => df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
     df.orderBy(col("metric"), col("tags_canonical")).offset(offset).limit(limit)
+  }
+
+  // -------------------------------------------------- bucketed store
+  //
+  // The persisted catalog is split into [[CatalogBuckets]] hash buckets
+  // of the series key; each bucket is an INDEPENDENT swap-managed
+  // parquet table (Keysets.swapInto/repairSwap crash contract). An
+  // incremental upsert rewrites ONLY buckets that gained a new series —
+  // the full-catalog rewrite per micro-batch was the first thing that
+  // would fall over on a real cluster (steady-state cost proportional
+  // to the accumulated catalog instead of the batch's novelty).
+
+  /** Bucket count. Fixture-sized; a production deployment sizes it so a
+    * bucket stays a few hundred MB (or replaces this layer with a
+    * transactional table format — the swap contract is the same). */
+  val CatalogBuckets = 16
+
+  /** Bucket id of a series row — derived from the SAME canonical key the
+    * dedupe uses, so a series always lands in exactly one bucket. */
+  def bucketId: org.apache.spark.sql.Column =
+    pmod(xxhash64(col("metric"), col("tags_canonical")), lit(CatalogBuckets)).cast("int")
+
+  private def bucketPath(base: String, b: Int): String = f"$base/b$b%02d"
+
+  /** Read the full catalog (union of existing buckets), repairing any
+    * interrupted per-bucket swap first. None = never written. */
+  def readCatalog(s: SparkSession, catalogPath: String): Option[DataFrame] = {
+    val existing = (0 until CatalogBuckets).flatMap { b =>
+      val p = bucketPath(catalogPath, b)
+      Keysets.repairSwap(s, p)
+      val hp = new org.apache.hadoop.fs.Path(p)
+      val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(hp)) Some(p) else None
+    }
+    if (existing.isEmpty) None else Some(s.read.parquet(existing: _*))
+  }
+
+  /** Upsert a batch's series into the bucketed catalog. Only buckets
+    * whose slice contains a series NOT already present are rewritten —
+    * an unchanged bucket's files are never touched, and a replayed
+    * batch (streaming restart) is a per-bucket no-op. Each rewritten
+    * bucket goes through the write-then-rename swap, so a crash at any
+    * point preserves a complete previous state (repairSwap finishes an
+    * interrupted rename on the next read/upsert). */
+  def upsertCatalog(s: SparkSession, newSeries: DataFrame, catalogPath: String): Unit = {
+    val withB = newSeries.withColumn("b", bucketId)
+    withB.persist()
+    try {
+      // config-sized collect: at most CatalogBuckets distinct values
+      val affected = withB.select("b").distinct()
+        .collect().map(_.getInt(0)).sorted
+      affected.foreach { b =>
+        val dest = bucketPath(catalogPath, b)
+        Keysets.repairSwap(s, dest)
+        val destP = new org.apache.hadoop.fs.Path(dest)
+        val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
+        val slice = withB.where(col("b") === b).drop("b")
+        if (!fs.exists(destP)) {
+          Keysets.swapInto(s, slice.dropDuplicates("metric", "tags_canonical"), dest)
+        } else {
+          val existing = s.read.parquet(dest)
+          val merged = existing
+            .unionByName(slice)
+            .dropDuplicates("metric", "tags_canonical")
+            .persist()
+          try {
+            // key-identical rows carry identical payloads (tags/tsid
+            // derive from the key), so count equality == content
+            // equality: skip the rewrite when the bucket gained nothing
+            if (merged.count() > existing.count())
+              Keysets.swapInto(s, merged, dest)
+          } finally { merged.unpersist(); () }
+        }
+      }
+    } finally { withB.unpersist(); () }
   }
 
   /** Prune a points frame to series matching the catalog subset — the

@@ -125,4 +125,41 @@ class StreamSpec extends SparkSpec {
     val cat2 = Ingest.ingestWithCatalog(spark, sf, tmp)
     assert(cat2.count() == expected)
   }
+
+  test("catalog upsert rewrites only buckets that gained a series") {
+    import graft.tsdb.Catalog
+    val base = java.nio.file.Files.createTempDirectory("graft_cat_").toString
+    def series(rows: (String, String)*) = rows.toSeq
+      .toDF("metric", "user")
+      .select(col("metric"),
+        map(lit("user"), col("user")).as("tags"),
+        lit(0L).as("ts_ms"), lit(1.0).as("value"))
+    def snapshot(): Map[String, Long] = {
+      val d = new java.io.File(base)
+      d.listFiles().filter(_.getName.startsWith("b")).flatMap(bdir =>
+        bdir.listFiles().map(f =>
+          s"${bdir.getName}/${f.getName}" -> f.lastModified())).toMap
+    }
+    Catalog.upsertCatalog(spark, Catalog.fromPoints(series(
+      ("m1", "1"), ("m1", "2"), ("m2", "1"))), base)
+    val before = snapshot()
+    assert(before.nonEmpty)
+    // replaying the exact same batch must rewrite NOTHING
+    Thread.sleep(1100) // mtime granularity
+    Catalog.upsertCatalog(spark, Catalog.fromPoints(series(
+      ("m1", "1"), ("m1", "2"), ("m2", "1"))), base)
+    assert(snapshot() == before, "replay must not touch any bucket")
+    // a new series touches only its own bucket
+    val novel = series(("m9", "77"))
+    val novelBucket = Catalog.fromPoints(novel).withColumn("b", Catalog.bucketId)
+      .select("b").as[Int].head()
+    Catalog.upsertCatalog(spark, Catalog.fromPoints(novel), base)
+    val after = snapshot()
+    val untouched = before.keySet.filterNot(_.startsWith(f"b$novelBucket%02d/"))
+    untouched.foreach { k =>
+      assert(after(k) == before(k), s"unchanged bucket file rewritten: $k")
+    }
+    // and the catalog reads back as the union
+    assert(Catalog.readCatalog(spark, base).get.count() == 4)
+  }
 }
