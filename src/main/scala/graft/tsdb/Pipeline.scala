@@ -76,9 +76,28 @@ object Pipeline {
 
   /** Multi-subquery form of the OpenTSDB request: one result frame per
     * SubQuery, in request order (their schemas differ per groupBy tags,
-    * so they cannot be a single union). */
-  def runAll(spark: SparkSession, points: DataFrame, q: TsdbQuery): Seq[DataFrame] =
-    q.queries.map(sub => run(spark, points, q.copy(queries = Seq(sub))))
+    * so they cannot be a single union).
+    *
+    * SHARED SCAN: all subquery pipelines build off ONE filtered points
+    * projection — the union of the subqueries' metric predicates plus
+    * the request time range pushed into a single scan, materialized
+    * once (localCheckpoint, released by the ContextCleaner like every
+    * other eager materialization here). An n-subquery request over the
+    * same metric otherwise scans the full points table n times — the
+    * dominant cost at 100 TB, where the scan dwarfs the per-subquery
+    * downsample/merge stages. Each run() then re-applies its own
+    * metric/time predicates, which are cheap map-side filters over the
+    * already-reduced materialized slice. */
+  def runAll(spark: SparkSession, points: DataFrame, q: TsdbQuery): Seq[DataFrame] = {
+    if (q.queries.size <= 1)
+      return q.queries.map(sub => run(spark, points, q.copy(queries = Seq(sub))))
+    val metrics = q.queries.map(_.metric).distinct
+    val shared = points
+      .where(col("metric").isin(metrics: _*))
+      .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs)
+      .localCheckpoint(true)
+    q.queries.map(sub => run(spark, shared, q.copy(queries = Seq(sub))))
+  }
 
   /** Flagship (SURVEY §7.1 step 1): events, literal_or filter on
     * event_type ∈ (click,view), 1h-avg downsample per (event_type,user_id)

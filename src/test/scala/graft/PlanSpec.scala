@@ -156,6 +156,35 @@ class PlanSpec extends SparkSpec {
       "band join must stay equi")
   }
 
+  test("multi-subquery request shares ONE points scan; results unchanged") {
+    import graft.tsdb._
+    val points = Pipeline.eventsAsPoints(spark, sf)
+    val q = TsdbQuery(1704067200000L, graft.core.Tables.NowMs, Seq(
+      SubQuery("click", "sum",
+        downsample = Some(DownsampleSpec(3600000L, "avg")),
+        filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true))),
+      SubQuery("view", "max",
+        downsample = Some(DownsampleSpec(3600000L, "avg")))))
+    val shared = Pipeline.runAll(spark, points, q)
+    // the parquet scan ran exactly once, inside the shared
+    // materialization: each subquery plan reads the checkpointed slice,
+    // never the file source
+    shared.foreach { df =>
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("FileScan") && p.contains("ExistingRDD"),
+        s"subquery must read the shared materialized slice:\n$p")
+    }
+    // results identical to the per-subquery independent runs
+    val independent = q.queries.map(sub =>
+      Pipeline.run(spark, points, q.copy(queries = Seq(sub))))
+    shared.zip(independent).foreach { case (a, b) =>
+      assert(a.collect().map(_.toString).toSeq ==
+        b.collect().map(_.toString).toSeq,
+        "shared-scan results must equal independent runs")
+      assert(a.count() > 0, "fixture subqueries must produce rows")
+    }
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
