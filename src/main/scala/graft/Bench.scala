@@ -47,7 +47,10 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(o =>
       SparkEntry.queries.view.filterKeys(o).toMap)
-    val results = selected.map { case (name, fn) =>
+    // stable name order: HashMap iteration order reshuffles whenever the
+    // query surface grows, which makes per-query timings absorb each
+    // other's GC/cache state and breaks round-over-round comparison
+    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
       var dt = 0.0
       // blocks pinned by this query's eager localCheckpoints are released
       // right after its timing stops (async, excluded from the time);
@@ -66,9 +69,10 @@ object Bench {
     // emit "1,234" and corrupt the JSON line
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-    val qs = Headline.flatMap(h => results.get(h).map(v => s"\"$h\":${r3(v)}"))
+    val byName = results.toMap
+    val qs = Headline.flatMap(h => byName.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     // numeric scale factor from the fixture dir name ("sf0.1" → 0.1);
     // the pattern requires a leading digit so a match is always a valid
     // JSON number (never "." from an odd dir name)

@@ -15,7 +15,12 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // dev filter (mirrors Bench): SPARK_GRAFT_ONLY=q1,q2 dumps just those
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only.fold(SparkEntry.queries)(o =>
+      SparkEntry.queries.view.filterKeys(o).toMap)
+    selected.foreach { case (name, fn) =>
       // release blocks pinned by eager localCheckpoints inside the
       // finished query's plan (Downsample.withFill, Dedup.nearDupPairs*)
       // — scoped to the blocks THIS query created (ADVICE r3)
