@@ -84,42 +84,75 @@ object Catalog {
   }
 
   /** Upsert a batch's series into the bucketed catalog. Only buckets
-    * whose slice contains a series NOT already present are rewritten —
-    * an unchanged bucket's files are never touched, and a replayed
-    * batch (streaming restart) is a per-bucket no-op. Each rewritten
-    * bucket goes through the write-then-rename swap, so a crash at any
-    * point preserves a complete previous state (repairSwap finishes an
-    * interrupted rename on the next read/upsert). */
+    * that gained a series NOT already present are rewritten — an
+    * unchanged bucket's files are never touched, and a replayed batch
+    * (streaming restart) is a no-op.
+    *
+    * Job shape is bucket-count-INDEPENDENT: one read of the candidate
+    * buckets, one anti-join for novelty, one partitioned write staging
+    * every affected bucket's merged content, then a filesystem-rename
+    * swap per bucket (metadata ops, no further Spark jobs) — a
+    * per-bucket merge loop would pay 2×buckets job launches per batch.
+    * Each bucket swap keeps the write-then-rename crash contract:
+    * `_SUCCESS`-marked `.tmp` lands BEFORE the destination is deleted,
+    * so repairSwap can always finish an interrupted rename, and a
+    * crash between bucket swaps just leaves the replayed batch to
+    * re-merge the not-yet-swapped buckets (idempotent adds). */
   def upsertCatalog(s: SparkSession, newSeries: DataFrame, catalogPath: String): Unit = {
-    val withB = newSeries.withColumn("b", bucketId)
-    withB.persist()
+    val fs = new org.apache.hadoop.fs.Path(catalogPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val withB = newSeries.dropDuplicates("metric", "tags_canonical")
+      .withColumn("b", bucketId).persist()
     try {
-      // config-sized collect: at most CatalogBuckets distinct values
-      val affected = withB.select("b").distinct()
+      // candidate buckets: ≤ CatalogBuckets rows — config-sized collect
+      val candidates = withB.select("b").distinct()
         .collect().map(_.getInt(0)).sorted
-      affected.foreach { b =>
-        val dest = bucketPath(catalogPath, b)
-        Keysets.repairSwap(s, dest)
-        val destP = new org.apache.hadoop.fs.Path(dest)
-        val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
-        val slice = withB.where(col("b") === b).drop("b")
-        if (!fs.exists(destP)) {
-          Keysets.swapInto(s, slice.dropDuplicates("metric", "tags_canonical"), dest)
-        } else {
-          val existing = s.read.parquet(dest)
-          val merged = existing
-            .unionByName(slice)
-            .dropDuplicates("metric", "tags_canonical")
-            .persist()
-          try {
-            // key-identical rows carry identical payloads (tags/tsid
-            // derive from the key), so count equality == content
-            // equality: skip the rewrite when the bucket gained nothing
-            if (merged.count() > existing.count())
-              Keysets.swapInto(s, merged, dest)
-          } finally { merged.unpersist(); () }
-        }
+      val existingPaths = candidates.map(bucketPath(catalogPath, _)).filter { p =>
+        Keysets.repairSwap(s, p)
+        fs.exists(new org.apache.hadoop.fs.Path(p))
       }
+      // novelty = batch series minus what the candidate buckets already
+      // hold (exact key, not the 64-bit tsid); bucket ids recompute
+      // deterministically from the key on the read side
+      val (novel, existing) =
+        if (existingPaths.isEmpty) (withB, None)
+        else {
+          val ex = s.read.parquet(existingPaths.toIndexedSeq: _*)
+            .withColumn("b", bucketId).persist()
+          (withB.join(ex.select("metric", "tags_canonical"),
+            Seq("metric", "tags_canonical"), "left_anti"), Some(ex))
+        }
+      val staged = novel.localCheckpoint(true) // one job: novelty materialized
+      try {
+        val affected = staged.select("b").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (affected.nonEmpty) {
+          val merged = existing
+            .map(ex => ex.where(col("b").isin(affected.map(Integer.valueOf): _*))
+              .unionByName(staged.where(col("b").isin(affected.map(Integer.valueOf): _*))))
+            .getOrElse(staged)
+          val staging = s"$catalogPath/_staging"
+          merged.write.mode("overwrite").partitionBy("b").parquet(staging)
+          affected.foreach { b =>
+            val dest = bucketPath(catalogPath, b)
+            val destP = new org.apache.hadoop.fs.Path(dest)
+            val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
+            val stagedP = new org.apache.hadoop.fs.Path(s"$staging/b=$b")
+            if (fs.exists(tmpP) && !fs.delete(tmpP, true))
+              throw new java.io.IOException(s"could not clear stale $tmpP")
+            if (!fs.rename(stagedP, tmpP))
+              throw new java.io.IOException(s"rename $stagedP -> $tmpP failed")
+            // marker BEFORE the destination delete — same ordering as
+            // Keysets.swapInto, so repairSwap's recovery logic applies
+            fs.create(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"), true).close()
+            if (fs.exists(destP) && !fs.delete(destP, true))
+              throw new java.io.IOException(s"could not delete $destP for swap")
+            if (!fs.rename(tmpP, destP))
+              throw new java.io.IOException(
+                s"rename $tmpP -> $destP failed; previous state preserved at $tmpP")
+          }
+        }
+      } finally existing.foreach { ex => ex.unpersist(); () }
     } finally { withB.unpersist(); () }
   }
 

@@ -157,7 +157,7 @@ object TsdbQueries {
     // unexercised rate path of the expression language
     "tsdb_expression_rate" -> ((s, dir) => {
       val q = Expression.parse(
-        "merge(sum, rate(false, null, null, downsample(1h, avg, zero, query(click, {user=*}, 30d))))",
+        "merge(sum, rate(false, null, null, downsample(1h, avg, zero, query(click, {user=*}, 7d))))",
         Tables.NowMs)
       Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
     }),
@@ -440,10 +440,10 @@ object TsdbQueries {
                    ${D.oAvgDec("value")} AS value
             FROM events
             WHERE event_type = 'click'
-              AND epoch_ns(ts) // 1000000 >= ${T1 - 30L * Day}
+              AND epoch_ns(ts) // 1000000 >= ${T1 - 7L * Day}
               AND epoch_ns(ts) // 1000000 < $T1
             GROUP BY 1, 2),
-          spine AS (SELECT range AS bucket_ms FROM range(${T1 - 30L * Day}, $T1, $H)),
+          spine AS (SELECT range AS bucket_ms FROM range(${T1 - 7L * Day}, $T1, $H)),
           series AS (SELECT DISTINCT tag_user FROM ds),
           grid AS (SELECT s.tag_user, p.bucket_ms, COALESCE(d.value, 0.0) AS value
                    FROM series s CROSS JOIN spine p
