@@ -162,6 +162,27 @@ object TsdbQueries {
       Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
     }),
 
+    // EP2' multi-subquery request over the SHARED scan (Pipeline.runAll
+    // materializes one filtered points slice for both subqueries —
+    // plan-asserted in PlanSpec): click/sum and view/max grouped by the
+    // user tag, stacked with a subquery index the way the OpenTSDB
+    // response array orders result sets
+    "tsdb_multi_subquery" -> ((s, dir) => {
+      val q = TsdbQuery(T0, T1, Seq(
+        SubQuery("click", "sum",
+          downsample = Some(DownsampleSpec(H, "avg")),
+          filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true))),
+        SubQuery("view", "max",
+          downsample = Some(DownsampleSpec(H, "avg")),
+          filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true)))))
+      val parts = Pipeline.runAll(s, Pipeline.eventsAsPoints(s, dir), q)
+      parts.zipWithIndex.map { case (df, i) =>
+        df.select(lit(i.toLong).as("qidx"), col("tag_user"),
+          col("bucket_ms"), col("value"))
+      }.reduce(_.unionByName(_))
+        .orderBy("qidx", "tag_user", "bucket_ms")
+    }),
+
     // `nan` fill policy (SURVEY §2.J: oracle-excluded — NaN encodings
     // are not hash-comparable cross-engine; golden-pinned instead). The
     // range extends 2 days past both ends of the data so EVERY series
@@ -431,6 +452,25 @@ object TsdbQueries {
             GROUP BY 1, 2)
           SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
           FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // one SELECT per subquery, stacked in request order — the oracle
+    // mirror of the OpenTSDB response array
+    "tsdb_multi_subquery" ->
+      s"""WITH ds AS (
+            SELECT event_type, CAST(user_id AS VARCHAR) AS tag_user,
+                   ${oBucket(H)} AS bucket_ms, ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type IN ('click', 'view')
+              AND epoch_ns(ts) // 1000000 >= $T0
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2, 3)
+          SELECT CAST(0 AS BIGINT) AS qidx, tag_user, bucket_ms,
+                 ${D.oSumDec("value")} AS value
+          FROM ds WHERE event_type = 'click' GROUP BY 2, 3
+          UNION ALL
+          SELECT CAST(1 AS BIGINT), tag_user, bucket_ms, MAX(value)
+          FROM ds WHERE event_type = 'view' GROUP BY 2, 3
+          ORDER BY 1, 2, 3""",
 
     // full chain mirror: zero-filled grid → decimal merge → lag-based
     // rate (first bucket per series: NULL rate on both engines)
