@@ -69,6 +69,12 @@ object Bench {
     // emit "1,234" and corrupt the JSON line
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    // dev aid: full per-query timings to a file (the stdout JSON line
+    // stays bounded for the driver's capture window)
+    sys.env.get("SPARK_GRAFT_TIMINGS_FILE").foreach { f =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
+        results.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
+    }
     val byName = results.toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
