@@ -45,6 +45,15 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
 
+    // embeddings 10×: shifted ids, vectors unchanged — replica 0 keeps
+    // the lowest ids, so the deterministic quantizer picks the SAME
+    // seeds at both scales; each replica adds corpus mass inside the
+    // same cluster structure (what a probe-join scale-up looks like)
+    val emb1 = spark.read.parquet(s"$sf/embeddings.parquet")
+    (0 until 10).map(i => emb1.withColumn("vec_id", col("vec_id") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
+
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f
       val dt = (System.nanoTime() - t0) / 1e9
@@ -69,6 +78,16 @@ object ScaleProbe {
     // join / verify) — tells whether signature build or candidate
     // verification dominates the dedup cost. Same code path as the
     // full pipeline (Dedup.minhashSigsPortable), not a re-implementation.
+    // batched ANN: 4 queries against the IVF index — candidate volume
+    // scales with nprobe/k of the corpus, the per-query top-k is
+    // WindowGroupLimit-pruned map-side before the query_id exchange
+    def ivfBatch(dir: String): Long = {
+      val e = spark.read.parquet(s"$dir/embeddings.parquet")
+      val qs = e.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      llm.Similarity.ivfTopKBatch(e, qs,
+        llm.Similarity.ivfCentroids(e, 8, iters = 2), 5, nprobe = 2).count()
+    }
     def minhashSigOnly(dir: String): Long =
       // aggregate a lane, don't count(): column pruning under count()
       // drops the signature expression entirely and the probe would time
@@ -82,7 +101,7 @@ object ScaleProbe {
     // run; timing it against 1× would flatter the 10× ratio)
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
-    clusters(sf)
+    clusters(sf); ivfBatch(sf)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
@@ -94,7 +113,8 @@ object ScaleProbe {
       // shingle spaces), so cluster count scales 10× while diameter —
       // and hence the round count — stays flat: the probe checks the
       // closure cost tracks the edge count, not rounds × corpus
-      ("neardup_clusters", time(clusters(sf)), time(clusters(big))))
+      ("neardup_clusters", time(clusters(sf)), time(clusters(big))),
+      ("ivf_batch_topk", time(ivfBatch(sf)), time(ivfBatch(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()

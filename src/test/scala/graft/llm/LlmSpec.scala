@@ -302,6 +302,23 @@ class LlmSpec extends SparkSpec {
     assert(top.map(_._2).max <= brute.map(_._2).max)
   }
 
+  test("batched IVF probe equals the single-query path for each query") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cents = Similarity.ivfCentroids(emb, 8, iters = 2)
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val batch = Similarity.ivfTopKBatch(emb, qs, cents, 5, nprobe = 2)
+      .as[(Long, Long, Long, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(r => (r._3, r._4)).toSeq).toMap
+    (0L until 3L).foreach { q =>
+      val single = Similarity.ivfTopK(emb,
+        emb.where(col("vec_id") === q).select(col("embedding").as("qv")),
+        cents, 5, nprobe = 2).as[(Long, Double)].collect().toSeq
+      assert(batch(q) == single,
+        s"batched probe for query $q must equal the single-query path")
+    }
+  }
+
   test("fingerprints: deterministic, identical texts agree, prefix-stable") {
     val fp = docs.withColumn("grams", Text.gramHashes("text", 8))
       .select(col("doc_id"), Text.windowMins("grams", 4).as("fp"))
