@@ -14,9 +14,10 @@ object Bench {
     "win_topk_pergroup", "win_sessionize", "sort_global",
     "sub_correlated_scalar", "set_union_distinct",
     "tsdb_query_pipeline", "tsdb_downsample", "tsdb_rate_counter",
-    "tsdb_series_corr", "tsdb_merge",
+    "tsdb_series_corr", "tsdb_merge", "tsdb_multi_subquery",
     "stream_sliding", "stream_session",
     "llm_dedup_near_minhash", "llm_sim_cosine_topk", "llm_sim_ivf",
+    "llm_sim_ivf_batch", "llm_semdedup",
     "llm_knn_join", "llm_tfidf", "llm_corpus_curate")
 
   def main(args: Array[String]): Unit = {

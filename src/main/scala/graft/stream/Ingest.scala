@@ -246,12 +246,17 @@ object Ingest {
       .option("checkpointLocation", s"$outBase/_rollup_checkpoint")
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // repair first: a crash inside compactDeltas' swap would
+        // otherwise let this append recreate the directory and orphan
+        // the committed compacted state in `.tmp`
+        graft.tsdb.Keysets.repairSwap(batch.sparkSession, deltas)
         graft.tsdb.Rollups.build(batch, keys, intervalMs)
           .write.mode("overwrite").parquet(s"$deltas/batch=$batchId")
         ()
       }
       .start()
     q.awaitTermination()
+    graft.tsdb.Keysets.repairSwap(s, deltas)
     s.read.parquet(deltas)
       .groupBy((keys :+ "bucket_ms").map(col): _*)
       .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),

@@ -27,6 +27,51 @@ class RollupSpec extends SparkSpec {
     }
   }
 
+  test("compaction folds delta dirs without changing the rollup view") {
+    val keys = Seq("event_type", "user_id")
+    val deltas = java.nio.file.Files.createTempDirectory("graft_cd_")
+      .toString + "/rollup_deltas"
+    // three synthetic micro-batches (disjoint event slices)
+    (0 until 3).foreach { i =>
+      Rollups.build(ev.where(pmod(col("user_id"), lit(3)) === i), keys, 60000L)
+        .write.parquet(s"$deltas/batch=$i")
+    }
+    def view() = collectSorted(
+      spark.read.parquet(deltas)
+        .groupBy((keys :+ "bucket_ms").map(col): _*)
+        .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
+          min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax")))
+    val before = view()
+    Rollups.compactDeltas(spark, deltas, keys)
+    val dirs = new java.io.File(deltas).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.map(_.getName).toSeq == Seq("batch=compacted"),
+      "three delta dirs must fold into one")
+    assert(view() == before, "compaction must not change the rollup view")
+    // post-compaction appends glob together with the folded state
+    Rollups.build(ev.where(col("user_id") === 1), keys, 60000L)
+      .write.parquet(s"$deltas/batch=99")
+    assert(spark.read.parquet(deltas).count() > 0)
+    val full = Rollups.reaggregate(
+      spark.read.parquet(deltas).drop("batch")
+        .groupBy((keys :+ "bucket_ms").map(col): _*)
+        .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
+          min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax")),
+      keys, 3600000L, "count")
+    // user 1's points are in the store twice (batch=1's slice and
+    // batch=99) — counts reflect the double append, proving the
+    // compacted state and the new delta BOTH contribute
+    val direct = Downsample(ev, keys, 3600000L, "count")
+    val fullMap = full.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    val directMap = direct.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)) -> r.getLong(3)).toMap
+    directMap.foreach { case (k @ (_, u, _), n) =>
+      val expected = if (u == 1L) 2 * n else n
+      assert(fullMap(k) == expected, s"post-append count wrong at $k")
+    }
+  }
+
   test("router: rollup answers compatible queries, raw covers the rest") {
     val keys = Seq("event_type", "user_id")
     val path = java.nio.file.Files.createTempDirectory("graft_ru_").toString + "/r1m"
