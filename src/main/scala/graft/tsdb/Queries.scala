@@ -241,6 +241,23 @@ object TsdbQueries {
         .orderBy("event_id")
     }),
 
+    // the ES-before-Cassandra two-phase read (SURVEY §4.1): resolve
+    // matching series in the CATALOG first (metric + regexp tag
+    // filter via /api/search/lookup), then prune the points scan to
+    // exactly those series with a broadcast semi join — the oracle is
+    // the equivalent direct predicate, so the whole
+    // build→lookup→prune chain is hash-checked
+    "tsdb_catalog_prune" -> ((s, dir) => {
+      val points = Pipeline.eventsAsPoints(s, dir)
+      val cat = Catalog.fromPoints(points)
+      val matching = Catalog.lookup(cat, "click",
+        Seq(TagFilterSpec("regexp", "user", "^1[0-9]$")), limit = 1000)
+      Catalog.pruneByCatalog(points, matching)
+        .select(col("metric"), element_at(col("tags"), "user").as("tag_user"),
+          col("ts_ms"), col("value"))
+        .orderBy("tag_user", "ts_ms", "value")
+    }),
+
     "tsdb_text_query" -> ((s, dir) => {
       Tables.documents(s, dir)
         .where(col("lang") === "en")
@@ -519,6 +536,16 @@ object TsdbQueries {
             AND epoch_ns(ts) // 1000000 >= ${1704067200000L + 9L * 86400000}
             AND epoch_ns(ts) // 1000000 < ${1704067200000L + 19L * 86400000}
           ORDER BY event_id""",
+
+    // the prune is semantically the direct predicate — that equality
+    // IS the check on the build→lookup→semi-join chain
+    "tsdb_catalog_prune" ->
+      """SELECT event_type AS metric, CAST(user_id AS VARCHAR) AS tag_user,
+            epoch_ns(ts) // 1000000 AS ts_ms, value
+         FROM events
+         WHERE event_type = 'click'
+           AND regexp_matches(CAST(user_id AS VARCHAR), '^1[0-9]$')
+         ORDER BY tag_user, ts_ms, value""",
 
     "tsdb_text_query" ->
       """SELECT doc_id, source, lang, text FROM documents
