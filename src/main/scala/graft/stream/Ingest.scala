@@ -206,6 +206,10 @@ object Ingest {
         // running other queries after a failed one)
         batch.persist()
         try {
+          // repair first: a crash inside compactPoints' swap must not
+          // let this landing recreate the directory and orphan the
+          // committed compacted state in `.tmp`
+          graft.tsdb.Keysets.repairSwap(batch.sparkSession, pointsPath)
           batch.write.mode("overwrite").partitionBy("metric")
             .parquet(s"$pointsPath/batch=$batchId")
           // dedupe on the exact key, not the 64-bit tsid (a hash
@@ -261,6 +265,38 @@ object Ingest {
       .groupBy((keys :+ "bucket_ms").map(col): _*)
       .agg(sum(col("psum")).as("psum"), sum(col("pcount")).as("pcount"),
         min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"))
+  }
+
+  /** Fold the per-micro-batch point landing directories into ONE
+    * compacted, query-optimized layout: partitioned by metric, rows
+    * sorted by (ts, value) within partitions — the §4.2 row-group
+    * locality the landing writes can't give (each batch dir holds a
+    * sliver of every series, so a range query touches every batch
+    * footer forever without compaction). Points are immutable rows, so
+    * this is pure re-layout; contents are unchanged. Same whole-dir
+    * write-then-rename swap and single-writer maintenance-window
+    * contract as [[graft.tsdb.Rollups.compactDeltas]] — the streaming
+    * appender repairs an interrupted swap before landing a batch. */
+  def compactPoints(s: SparkSession, pointsPath: String): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, pointsPath)
+    val destP = new org.apache.hadoop.fs.Path(pointsPath)
+    val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(destP)) return
+    val tmpP = new org.apache.hadoop.fs.Path(pointsPath + ".tmp")
+    if (fs.exists(tmpP) && !fs.delete(tmpP, true))
+      throw new java.io.IOException(s"could not clear stale $tmpP")
+    s.read.parquet(pointsPath).drop("batch")
+      .repartition(col("metric"))
+      .sortWithinPartitions("ts_ms", "value")
+      .write.partitionBy("metric")
+      .parquet(new org.apache.hadoop.fs.Path(tmpP, "batch=compacted").toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"), true).close()
+    if (!fs.delete(destP, true))
+      throw new java.io.IOException(s"could not delete $destP for swap")
+    if (!fs.rename(tmpP, destP))
+      throw new java.io.IOException(
+        s"rename $tmpP -> $destP failed; previous state preserved at $tmpP")
+    ()
   }
 
   /** Partitioned parquet point sink (§2.A sink_parquet_partitioned):

@@ -126,6 +126,31 @@ class StreamSpec extends SparkSpec {
     assert(cat2.count() == expected)
   }
 
+  test("point compaction re-lays batch dirs; contents and catalog unchanged") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp_").toString
+    Ingest.ingestWithCatalog(spark, sf, tmp)
+    val points = s"$tmp/points"
+    def contents() = spark.read.parquet(points)
+      .select(col("metric"), graft.tsdb.Catalog.canonicalTags.as("tagsc"),
+        col("ts_ms"), col("value"))
+      .orderBy("metric", "ts_ms", "value", "tagsc")
+      .collect().map(_.toString).toSeq
+    val before = contents()
+    assert(before.nonEmpty)
+    Ingest.compactPoints(spark, points)
+    val dirs = new java.io.File(points).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("batch="))
+    assert(dirs.map(_.getName).toSeq == Seq("batch=compacted"),
+      "landing dirs must fold into one")
+    assert(contents() == before, "compaction must not change the points")
+    // the compacted layout prunes metric partitions at the scan
+    val plan = spark.read.parquet(points)
+      .where(col("metric") === "click")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(metric"),
+      s"metric filter must prune partitions:\n$plan")
+  }
+
   test("catalog upsert rewrites only buckets that gained a series") {
     import graft.tsdb.Catalog
     val base = java.nio.file.Files.createTempDirectory("graft_cat_").toString
