@@ -187,4 +187,35 @@ class StreamSpec extends SparkSpec {
     // and the catalog reads back as the union
     assert(Catalog.readCatalog(spark, base).get.count() == 4)
   }
+
+  test("bucketed catalog recovers a bucket caught in the swap crash window") {
+    import graft.tsdb.Catalog
+    val base = java.nio.file.Files.createTempDirectory("graft_cr2_").toString
+    val pts = Seq(("m1", "1"), ("m2", "2"), ("m3", "3"), ("m4", "4"))
+      .toDF("metric", "user")
+      .select(col("metric"), map(lit("user"), col("user")).as("tags"),
+        lit(0L).as("ts_ms"), lit(1.0).as("value"))
+    Catalog.upsertCatalog(spark, Catalog.fromPoints(pts), base)
+    val total = Catalog.readCatalog(spark, base).get.count()
+    assert(total == 4)
+    // crash between a bucket's delete and rename: the committed state
+    // (swap left its _SUCCESS marker inside) sits only at `.tmp`
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bdir = new java.io.File(base).listFiles()
+      .filter(_.getName.matches("b\\d+")).head
+    assert(fs.rename(new org.apache.hadoop.fs.Path(bdir.getPath),
+      new org.apache.hadoop.fs.Path(bdir.getPath + ".tmp")))
+    assert(Catalog.readCatalog(spark, base).get.count() == total,
+      "read must recover the committed bucket from .tmp")
+    assert(bdir.exists(), "recovery completes the interrupted rename")
+    // an upsert after the same crash shape merges, never wipes
+    assert(fs.rename(new org.apache.hadoop.fs.Path(bdir.getPath),
+      new org.apache.hadoop.fs.Path(bdir.getPath + ".tmp")))
+    val more = Seq(("m9", "9")).toDF("metric", "user")
+      .select(col("metric"), map(lit("user"), col("user")).as("tags"),
+        lit(0L).as("ts_ms"), lit(1.0).as("value"))
+    Catalog.upsertCatalog(spark, Catalog.fromPoints(more), base)
+    assert(Catalog.readCatalog(spark, base).get.count() == total + 1)
+  }
 }
