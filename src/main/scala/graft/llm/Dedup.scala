@@ -295,8 +295,14 @@ object Dedup {
     // undirected: propagate both ways (cheap lineage over checkpointed p)
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
-    var labels = edges.select(col("src").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // init fused with the first propagation round: label₀(node) =
+    // min(node, neighbors) — one aggregate instead of a distinct plus
+    // a join round (every node appears as dst because edges are
+    // direction-doubled); equivalent to one round from the identity
+    // labeling, so the fixpoint is unchanged
+    var labels = edges
+      .groupBy(col("dst").as("node"))
+      .agg(min(least(col("src"), col("dst"))).as("label"))
       .localCheckpoint(true)
     // convergence metric: labels only ever DECREASE, so the label sum is
     // strictly monotone until fixpoint — one aggregate per round instead
@@ -305,10 +311,11 @@ object Dedup {
     def labelSum(df: DataFrame): java.math.BigDecimal =
       Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty input: sum is NULL
-    // no initial sum: any non-empty edge set strictly decreases some
-    // label in round 1 (the larger endpoint of any edge), so the
-    // fixpoint can only be observed from round 2 onward
-    var prevSum: java.math.BigDecimal = null
+    // the fused init IS a completed round, so its sum seeds the
+    // convergence compare: a diameter-1 graph (dup pairs around one
+    // representative — the common near-dup shape) is detected done
+    // after a single join round instead of two
+    var prevSum: java.math.BigDecimal = labelSum(labels)
     var converged = false
     while (!converged) {
       val viaNbr = edges.join(labels, edges("src") === labels("node"))
