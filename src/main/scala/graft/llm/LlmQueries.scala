@@ -361,6 +361,44 @@ object LlmQueries {
           explode(org.apache.spark.sql.graftfn.Md5Winnow.of(col("text"), 8, 16)).as("mh"))
         .orderBy("doc_id", "mh")),
 
+    // character-level near-dup: docs sharing ≥5 winnowed 8-gram
+    // fingerprints — substring overlap (Lee et al.-style), robust to
+    // the word-boundary edits that defeat shingle MinHash. Pair
+    // generation is blocked on the fingerprint VALUE with a
+    // document-frequency cap: a ubiquitous substring's bucket would
+    // otherwise push Σ bucket² toward corpus² — the same posting-list
+    // cap every inverted-index candidate generator applies at scale.
+    "llm_dedup_substring" -> ((s, dir) => {
+      val fp = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(org.apache.spark.sql.graftfn.Md5Winnow.of(col("text"), 8, 16)).as("mh"))
+      val rare = fp.groupBy("mh").agg(count(lit(1)).as("df"))
+        .where(col("df") <= 20).select("mh")
+      // materialize once: both sides of the value-blocked self-join
+      // would otherwise recompute the winnow + df stages
+      val filtered = fp.join(rare, "mh").localCheckpoint(true)
+      filtered.select(col("mh"), col("doc_id").as("a_id"))
+        .join(filtered.select(col("mh"), col("doc_id").as("b_id")), "mh")
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("n_shared"))
+        .where(col("n_shared") >= 5)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // inverted index (term → sorted posting list + df): the corpus
+    // tooling primitive behind decontamination and text search; one
+    // (doc, term) dedupe + one term-keyed hash aggregate
+    "llm_inverted_index" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"), explode(Dedup.words(col("text"))).as("term"))
+        .where(col("term") =!= "")
+        .distinct()
+        .groupBy("term")
+        .agg(count(lit(1)).as("df"),
+          expr("array_join(transform(sort_array(collect_list(doc_id)), x -> cast(x as string)), '|')")
+            .as("postings"))
+        .orderBy("term")),
+
     "llm_multimodal_join" -> ((s, dir) =>
       Tables.documents(s, dir)
         .join(Tables.embeddings(s, dir), col("doc_id") === col("vec_id"))
@@ -608,6 +646,21 @@ object LlmQueries {
       (stops.cast("double") / nw) * 0.5
   private val QualitySqlExpr: String =
     "least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 + (CAST(stops AS DOUBLE) / n_words) * 0.5"
+
+  /** Shared winnowed-fingerprint CTE chain ending at `fp` (doc_id, mh)
+    * — the oracle mirror of graftfn.Md5Winnow(text, 8, 16). ONE copy,
+    * used by llm_fingerprint and llm_dedup_substring, or the two
+    * oracles silently desynchronize. */
+  private val WinnowCtes: String =
+    """g AS (SELECT doc_id, j, md5(substr(text, j, 8)) AS h
+             FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS j
+                   FROM documents WHERE length(text) >= 8)),
+       wm AS (SELECT doc_id, j,
+                min(h) OVER (PARTITION BY doc_id ORDER BY j
+                             ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh,
+                count(*) OVER (PARTITION BY doc_id) AS ng
+              FROM g),
+       fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE j <= ng - 15)"""
 
   val oracleSql: Map[String, String] = Map(
     "llm_sim_ivf" -> IvfOracle,
@@ -990,16 +1043,26 @@ object LlmQueries {
          FROM documents GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "llm_fingerprint" ->
-      """WITH g AS (SELECT doc_id, j, md5(substr(text, j, 8)) AS h
-                    FROM (SELECT doc_id, text, unnest(range(1, length(text) - 6)) AS j
-                          FROM documents WHERE length(text) >= 8)),
-         wm AS (SELECT doc_id, j,
-                  min(h) OVER (PARTITION BY doc_id ORDER BY j
-                               ROWS BETWEEN CURRENT ROW AND 15 FOLLOWING) AS mh,
-                  count(*) OVER (PARTITION BY doc_id) AS ng
-                FROM g)
-         SELECT DISTINCT doc_id, mh FROM wm WHERE j <= ng - 15
-         ORDER BY doc_id, mh""",
+      s"""WITH $WinnowCtes
+         SELECT doc_id, mh FROM fp ORDER BY doc_id, mh""",
+
+    // substring-overlap dedup over the same winnowed fingerprints:
+    // df cap + pair counting mirror the Spark shapes exactly
+    "llm_dedup_substring" ->
+      s"""WITH $WinnowCtes,
+         rare AS (SELECT mh FROM fp GROUP BY mh HAVING count(*) <= 20),
+         ff AS (SELECT f.doc_id, f.mh FROM fp f JOIN rare USING (mh))
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS n_shared
+         FROM ff a JOIN ff b ON a.mh = b.mh AND a.doc_id < b.doc_id
+         GROUP BY 1, 2 HAVING count(*) >= 5 ORDER BY 1, 2""",
+
+    "llm_inverted_index" ->
+      """WITH t AS (SELECT DISTINCT doc_id, term FROM (
+              SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+              FROM documents) WHERE term <> '')
+         SELECT term, count(*) AS df,
+                array_to_string(list(CAST(doc_id AS VARCHAR) ORDER BY doc_id), '|') AS postings
+         FROM t GROUP BY 1 ORDER BY 1""",
 
     "llm_multimodal_features" ->
       """SELECT doc_id AS id,
