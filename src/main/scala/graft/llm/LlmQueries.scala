@@ -156,6 +156,20 @@ object LlmQueries {
       Similarity.ivfTopKBatch(emb, qs, cents, 5, nprobe = 2)
     }),
 
+    // product quantization (ADC / inner-product): 4 subspaces × 8-entry
+    // codebooks over the sliced vectors (same deterministic Lloyd as
+    // IVF), corpus stored as 4 codes per vector (~64× smaller than
+    // float32 — the only way a 100 TB embedding corpus stays
+    // serveable), query scored full-precision against the codebook
+    // dots. The score math is engine-exact (decimal dots) → oracled;
+    // recall vs brute force is property-tested.
+    "llm_sim_pq" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val books = Similarity.pqCodebooks(emb, m = 4, k = 8, iters = 1, dim = 64)
+      Similarity.pqTopK(emb, qv, books, 64, 10)
+    }),
+
     "llm_knn_join" -> ((s, dir) =>
       Similarity.knnJoinPerGroup(Tables.embeddings(s, dir), "label", 3)),
 
@@ -647,6 +661,63 @@ object LlmQueries {
   private val QualitySqlExpr: String =
     "least(1.0, CAST(n_words AS DOUBLE) / 100.0) * 0.5 + (CAST(stops AS DOUBLE) / n_words) * 0.5"
 
+  /** One PQ subspace's Lloyd unroll, namespaced by `p`: elements
+    * `el_p` = the full-space explode restricted to the subspace's pos
+    * range, seeds = the 8 lowest-id vectors' slices, ONE Lloyd update
+    * (mirror of Similarity.pqCodebooks iters=1), final assignment
+    * `a2_p` against the updated codebook `c1_p`. Same decimal/float32
+    * quantization chain as the shared IvfCtes. */
+  private def pqSubCtes(p: Int, lo: Int, hi: Int): String = {
+    def step(n: Int, cin: String, an: String, cout: Option[String]) = {
+      val upd = cout.map(c => s""",
+         $c AS (SELECT a.cid, e.pos,
+                  CAST(CAST(CAST(SUM(CAST(e.x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE) AS v
+                FROM $an a JOIN el_$p e ON e.vec_id = a.vec_id GROUP BY 1, 2)""").getOrElse("")
+      s"""
+         csq_${p}_$n AS (SELECT cid, CAST(SUM(CAST(v * v AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM $cin GROUP BY 1),
+         dot_${p}_$n AS (SELECT e.vec_id, c.cid, CAST(SUM(CAST(e.x * c.v AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                    FROM el_$p e JOIN $cin c ON c.pos = e.pos GROUP BY 1, 2),
+         dist_${p}_$n AS (SELECT d.vec_id, d.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
+                     FROM dot_${p}_$n d JOIN sq_$p sq ON sq.vec_id = d.vec_id
+                     JOIN csq_${p}_$n cs ON cs.cid = d.cid),
+         $an AS (SELECT vec_id, cid FROM (
+                   SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+                   FROM dist_${p}_$n) WHERE rn = 1)$upd"""
+    }
+    s"""el_$p AS (SELECT vec_id, pos, x FROM el WHERE pos >= $lo AND pos < $hi),
+       sq_$p AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM el_$p GROUP BY 1),
+       c_init_$p AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
+                  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+       c0_$p AS (SELECT ci.cid, e.pos, e.x AS v FROM c_init_$p ci JOIN el_$p e ON e.vec_id = ci.vec_id),
+       ${step(1, s"c0_$p", s"a1_$p", Some(s"c1_$p"))},
+       ${step(2, s"c1_$p", s"a2_$p", None)}"""
+  }
+
+  /** PQ/ADC oracle: per subspace the query's dot against each codebook
+    * entry (`qd_p`), score = Σ_p qd_p[a2_p(vec)], left-associative sum
+    * then one 4dp round — the exact expression order pqTopK emits. */
+  private val PqOracle: String = {
+    val subs = (0 until 4).map(p => pqSubCtes(p, p * 16, (p + 1) * 16)).mkString(",\n")
+    val qds = (0 until 4).map(p =>
+      s"""qd_$p AS (SELECT c.cid, CAST(SUM(CAST(q.x * c.v AS DECIMAL(18,4))) AS DOUBLE) AS dot
+          FROM c1_$p c JOIN el_$p q ON q.pos = c.pos AND q.vec_id = 0 GROUP BY 1)""").mkString(",\n")
+    s"""WITH el AS (SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS x
+                FROM embeddings e, range(1, 65) r(i)),
+       $subs,
+       $qds,
+       sc AS (SELECT x0.vec_id, q0.dot + q1.dot + q2.dot + q3.dot AS raw
+              FROM a2_0 x0
+              JOIN a2_1 x1 ON x1.vec_id = x0.vec_id
+              JOIN a2_2 x2 ON x2.vec_id = x0.vec_id
+              JOIN a2_3 x3 ON x3.vec_id = x0.vec_id
+              JOIN qd_0 q0 ON q0.cid = x0.cid
+              JOIN qd_1 q1 ON q1.cid = x1.cid
+              JOIN qd_2 q2 ON q2.cid = x2.cid
+              JOIN qd_3 q3 ON q3.cid = x3.cid)
+       SELECT vec_id, ROUND(raw * 10000.0, 0) / 10000.0 + 0.0 AS score
+       FROM sc ORDER BY score DESC, vec_id LIMIT 10"""
+  }
+
   /** Shared winnowed-fingerprint CTE chain ending at `fp` (doc_id, mh)
     * — the oracle mirror of graftfn.Md5Winnow(text, 8, 16). ONE copy,
     * used by llm_fingerprint and llm_dedup_substring, or the two
@@ -664,6 +735,7 @@ object LlmQueries {
 
   val oracleSql: Map[String, String] = Map(
     "llm_sim_ivf" -> IvfOracle,
+    "llm_sim_pq" -> PqOracle,
 
     // same Lloyd unroll as IvfOracle, generalized to a query SET: probe
     // selection (rn <= nprobe per query) and the per-query top-k both

@@ -281,6 +281,87 @@ object Similarity {
       .limit(k)
   }
 
+  // ----------------------------------------------------------- PQ
+
+  /** Product-quantization codebooks: the embedding splits into `m`
+    * contiguous subspaces and each gets its own deterministic k-means
+    * codebook over the SLICED vectors (same seeding/Lloyd machinery as
+    * [[ivfCentroids]] — lowest-id seeds, fixed iterations, decimal
+    * means, float32 re-quantization). Returns one centroid frame per
+    * subspace. EAGER, like everything in the IVF family.
+    *
+    * Why PQ at all: a 100 TB float32 corpus cannot stay resident for
+    * ANN serving; m byte-sized codes per vector (here 4) shrink it
+    * ~64× while scoring stays a table lookup per subspace. */
+  def pqCodebooks(vectors: DataFrame, m: Int, k: Int,
+                  iters: Int, dim: Int): Seq[DataFrame] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val len = dim / m
+    (0 until m).map { s =>
+      val sliced = vectors.select(col("vec_id"),
+        expr(s"slice(embedding, ${s * len + 1}, $len)").as("embedding"))
+      ivfCentroids(sliced, k, iters)
+    }
+  }
+
+  /** Encode every vector as `m` codebook ids — ONE map-only projection
+    * (the codebooks are driver-collected literals; each code is the
+    * same least-over-(dist, cid) argmin the IVF assignment uses, per
+    * subspace slice). Emits vec_id + code_0..code_{m-1}. */
+  def pqEncode(vectors: DataFrame, codebooks: Seq[DataFrame], dim: Int): DataFrame = {
+    val m = codebooks.size
+    val len = dim / m
+    val perSub = codebooks.map(collectCentroids)
+    val codeCols = perSub.zipWithIndex.map { case (cs, s) =>
+      val sub = s"slice(embedding, ${s * len + 1}, $len)"
+      val sqSub = org.apache.spark.sql.graftfn.Dot4.of(expr(sub), expr(sub))
+      val dists = cs.map { case (cid, cvec, sqc) =>
+        struct(
+          (sqSub + lit(sqc) - lit(2.0)
+            * org.apache.spark.sql.graftfn.Dot4.of(expr(sub), typedLit(cvec))).as("dist"),
+          lit(cid).as("cid"))
+      }
+      val nearest = if (dists.length == 1) dists.head
+                    else least(dists.toIndexedSeq: _*)
+      nearest.getField("cid").as(s"code_$s")
+    }
+    vectors.select(col("vec_id") +: codeCols: _*)
+  }
+
+  /** PQ asymmetric top-k (ADC, inner-product): score(vec) =
+    * Σ_subspaces dot(query_sub, centroid(code_sub)) — the query stays
+    * full precision, the corpus is codes only. Per row the scoring is
+    * ONE chained-conditional lookup per subspace over k driver-literal
+    * dot products (each computed with the same per-element
+    * DECIMAL(18,4) semantics as every other dot here, so the score is
+    * engine-exact and oracle-checkable). Approximate by construction —
+    * recall vs [[cosineTopK]] is property-tested, exactness of the
+    * MATH is the oracle's job. */
+  def pqTopK(vectors: DataFrame, queryVec: DataFrame, codebooks: Seq[DataFrame],
+             dim: Int, topK: Int): DataFrame = {
+    val m = codebooks.size
+    val len = dim / m
+    val perSub = codebooks.map(collectCentroids)
+    val encoded = pqEncode(vectors, codebooks, dim)
+    val q = broadcast(queryVec)
+    val scoreCols = perSub.zipWithIndex.map { case (cs, s) =>
+      val qSub = s"slice(qv, ${s * len + 1}, $len)"
+      // dot(query_sub, centroid_cid) per codebook entry, selected by
+      // the row's code — k tiny Dot4s against literals, then a chained
+      // CASE; no join, no shuffle
+      cs.foldLeft(lit(null).cast("double")) { case (acc, (cid, cvec, _)) =>
+        when(col(s"code_$s") === cid,
+          org.apache.spark.sql.graftfn.Dot4.of(expr(qSub), typedLit(cvec)))
+          .otherwise(acc)
+      }
+    }
+    encoded.crossJoin(q)
+      .select(col("vec_id"),
+        graft.core.D.r4s(scoreCols.reduce(_ + _)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+  }
+
   /** Batched IVF ANN probe — the realistic 100 TB shape: a query
     * DATAFRAME (query_id, qv), millions of probes in one pass, not one
     * vector. Per query the nprobe nearest centroids are picked MAP-SIDE
