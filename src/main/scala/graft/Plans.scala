@@ -12,7 +12,8 @@ object Plans {
     "join_multiway", "join_theta_range", "join_asof", "agg_hash_groupby",
     "sub_correlated_scalar", "limit_topk", "llm_sim_cosine_topk",
     "llm_knn_join", "llm_dedup_near_minhash", "llm_sim_ann_lsh",
-    "llm_sim_ivf", "llm_sim_ivf_batch", "agg_approx_distinct_hll",
+    "llm_sim_ivf", "llm_sim_ivf_batch", "llm_sim_pq",
+    "llm_dedup_substring", "agg_approx_distinct_hll",
     "llm_fingerprint", "llm_corpus_curate", "tsdb_multi_subquery")
 
   def main(args: Array[String]): Unit = {
