@@ -172,7 +172,42 @@ object ScanFilter {
         .withColumn("tags", from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("MAP<STRING,INT>")))
         .where(element_at(col("tags"), "k") > 50)
         .select(col("event_id"), element_at(col("tags"), "k").as("k"))
-        .orderBy("event_id"))
+        .orderBy("event_id")),
+
+    // case-insensitive literal list (OpenTSDB iliteral_or)
+    "tagfilter_iliteral_or" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(TagFilters.toPredicate(col("event_type"),
+          TagFilterSpec("iliteral_or", "event_type", "CLICK|View")))
+        .select("event_id", "event_type").orderBy("event_id")),
+
+    "tagfilter_not_iliteral_or" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .where(TagFilters.toPredicate(col("event_type"),
+          TagFilterSpec("not_iliteral_or", "event_type", "CLICK|View|ERROR")))
+        .select("event_id", "event_type").orderBy("event_id")),
+
+    // (?i)-prefixed pattern — identical string on both engines
+    "tagfilter_regexp_ci" -> ((s, dir) =>
+      Tables.part(s, dir)
+        .where(TagFilters.toPredicate(col("p_name"),
+          TagFilterSpec("regexp_ci", "p_name", "^(RED|Blue) .*T$")))
+        .select("p_partkey", "p_name").orderBy("p_partkey")),
+
+    // OpenTSDB explicitTags: the point's tag KEY SET is exactly the
+    // queried set (no extra tags). Tags synthesized as in
+    // tsdb_ttl_override: points with props.k in 1..10 carry a second
+    // `ttl` key and must NOT match explicit {ksid}.
+    "tagfilter_explicit" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .withColumn("k", from_json(col("props"),
+          org.apache.spark.sql.types.DataType.fromDDL("k INT")).getField("k"))
+        .withColumn("tags",
+          when(col("k").between(1, 10),
+            map(lit("ksid"), lit("k0"), lit("ttl"), col("k").cast("string")))
+            .otherwise(map(lit("ksid"), lit("k0"))))
+        .where(graft.tsdb.TagFilters.explicitTags(col("tags"), Seq("ksid")))
+        .select("event_id", "k").orderBy("event_id"))
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -254,6 +289,25 @@ object ScanFilter {
 
     "tagfilter_on_map" ->
       """SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
-         WHERE json_extract_string(props, '$.k')::INT > 50 ORDER BY event_id"""
+         WHERE json_extract_string(props, '$.k')::INT > 50 ORDER BY event_id""",
+
+    "tagfilter_iliteral_or" ->
+      """SELECT event_id, event_type FROM events
+         WHERE lower(event_type) IN ('click', 'view') ORDER BY event_id""",
+
+    "tagfilter_not_iliteral_or" ->
+      """SELECT event_id, event_type FROM events
+         WHERE COALESCE(lower(event_type) NOT IN ('click', 'view', 'error'), TRUE)
+         ORDER BY event_id""",
+
+    "tagfilter_regexp_ci" ->
+      """SELECT p_partkey, p_name FROM part
+         WHERE regexp_matches(p_name, '(?i)^(RED|Blue) .*T$') ORDER BY p_partkey""",
+
+    // explicit {ksid} ⟺ no ttl tag was attached ⟺ k outside 1..10
+    "tagfilter_explicit" ->
+      """SELECT event_id, json_extract_string(props, '$.k')::INT AS k FROM events
+         WHERE COALESCE(json_extract_string(props, '$.k')::INT NOT BETWEEN 1 AND 10, TRUE)
+         ORDER BY event_id"""
   )
 }

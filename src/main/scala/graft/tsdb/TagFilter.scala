@@ -26,11 +26,26 @@ object TagFilters {
     case "not_literal_or" =>
       // null-safe: a null tag value is "not in the list" for OpenTSDB
       !coalesce(tagValue.isin(f.filter.split('|').toIndexedSeq: _*), lit(false))
+    case "iliteral_or"    =>
+      lower(tagValue).isin(f.filter.toLowerCase.split('|').toIndexedSeq: _*)
+    case "not_iliteral_or" =>
+      !coalesce(lower(tagValue).isin(
+        f.filter.toLowerCase.split('|').toIndexedSeq: _*), lit(false))
     case "wildcard"       => tagValue.like(glob2like(f.filter))
     case "iwildcard"      => lower(tagValue).like(glob2like(f.filter.toLowerCase))
     case "regexp"         => tagValue.rlike(f.filter)
+    // (?i) is the Java∩RE2 case-insensitivity prefix, so the SAME
+    // pattern string works verbatim in the DuckDB oracle
+    case "regexp_ci"      => tagValue.rlike("(?i)" + f.filter)
     case other => throw new IllegalArgumentException(s"unknown filter type: $other")
   }
+
+  /** OpenTSDB `explicitTags`: the point's tag KEY SET is exactly the
+    * queried set — no extra tags allowed. Sorted-array equality over
+    * map_keys (canonical order on both sides, so it is a plain
+    * comparison, not a subset test). */
+  def explicitTags(tags: Column, keys: Seq[String]): Column =
+    array_sort(map_keys(tags)) === typedLit(keys.sorted)
 
   /** Same, addressing a tag inside a MAP<STRING,STRING> tags column. */
   def toMapPredicate(tags: Column, f: TagFilterSpec): Column =
