@@ -34,6 +34,38 @@ object MergeRate {
       .agg(Downsample.aggExpr(aggregator, col("value"), col("bucket_ms")).as("value"))
   }
 
+  /** OpenTSDB-faithful merge: each series is linearly INTERPOLATED to
+    * the union of its group's timestamps before aggregating — the
+    * reference interpolates a series to the other series' sample
+    * times when they misalign, rather than dropping the bucket
+    * ([[merge]] is the engine's bucket-aligned default; this variant
+    * closes the interpolation semantics SURVEY §0 flags). Leading /
+    * trailing gaps stay null (no extrapolation) and nulls vanish into
+    * the aggregate, exactly as the reference skips a series outside
+    * its sample range. Interpolated values are 4dp-quantized (D3)
+    * BEFORE aggregation so the cross-series sum stays engine-exact.
+    *
+    * `seriesCols` is the full series identity and must contain
+    * `groupTags`. Shuffle shape: one distinct per side of the
+    * group-spine grid (reduced rows), one per-series window for the
+    * lerp, then the same grouped aggregate as [[merge]] — no
+    * corpus-sized join. */
+  def mergeInterpolated(ds: DataFrame, seriesCols: Seq[String],
+                        groupTags: Seq[String], aggregator: String): DataFrame = {
+    require(groupTags.forall(seriesCols.contains),
+      s"seriesCols $seriesCols must contain groupTags $groupTags")
+    // materialized once: the spine distinct, the series distinct, and
+    // the grid join all consume the downsampled frame
+    val dsm = ds.localCheckpoint(true)
+    val spine = dsm.select((groupTags :+ "bucket_ms").map(col): _*).distinct()
+    val series = dsm.select(seriesCols.map(col): _*).distinct()
+    val grid = series.join(spine, groupTags)
+    val joined = grid.join(dsm, seriesCols :+ "bucket_ms", "left")
+    val filled = Downsample.fillLinear(joined, seriesCols)
+      .withColumn("value", graft.core.D.r4s(col("value")))
+    merge(filled, groupTags, aggregator)
+  }
+
   /** Per-series rate: (v − v_prev) / Δt_seconds over bucket order. One
     * window shuffle partitioned by the series key; when it follows a merge
     * grouped on the same keys, AQE/exchange-reuse keeps it cheap. */

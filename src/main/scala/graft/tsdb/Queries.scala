@@ -52,6 +52,23 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // OpenTSDB-faithful interpolating merge: series lerped to the
+    // union of the group's timestamps before the cross-series sum
+    // (the engine's default merge is bucket-aligned — SURVEY §0 flags
+    // the reference's interpolation semantics; this closes it).
+    // Bounded to click|view × 50 users: the grid is series × group
+    // spine, and the production pattern interpolates a queried slice,
+    // not the corpus.
+    "tsdb_merge_interp" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("event_type").isin("click", "view") && col("user_id") < 50)
+      val ds = Downsample(ev, Seq("event_type", "user_id"), H, "avg")
+      MergeRate.mergeInterpolated(ds, Seq("event_type", "user_id"),
+        Seq("event_type"), "sum")
+        .select("event_type", "bucket_ms", "value")
+        .orderBy("event_type", "bucket_ms")
+    }),
+
     "tsdb_rate" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
       val ds = Downsample(ev, Seq("user_id"), H, "sum")
@@ -338,6 +355,46 @@ object TsdbQueries {
             FROM events GROUP BY 1, 2, 3)
           SELECT event_type, bucket_ms, ${D.oSumDec("value")} AS value
           FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // same anchor-window lerp as the fill_linear oracle, partitioned
+    // per series, 4dp-quantized, then the decimal cross-series sum
+    "tsdb_merge_interp" ->
+      s"""WITH ds AS (
+            SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type IN ('click', 'view') AND user_id < 50
+            GROUP BY 1, 2, 3),
+          spine AS (SELECT DISTINCT event_type, bucket_ms FROM ds),
+          series AS (SELECT DISTINCT event_type, user_id FROM ds),
+          grid AS (SELECT s.event_type, s.user_id, p.bucket_ms
+                   FROM series s JOIN spine p ON p.event_type = s.event_type),
+          j AS (SELECT g.event_type, g.user_id, g.bucket_ms, d.value
+                FROM grid g LEFT JOIN ds d
+                  ON d.event_type = g.event_type AND d.user_id = g.user_id
+                 AND d.bucket_ms = g.bucket_ms),
+          anch AS (SELECT event_type, user_id, bucket_ms, value,
+            last_value(value IGNORE NULLS) OVER
+              (PARTITION BY event_type, user_id ORDER BY bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+            first_value(value IGNORE NULLS) OVER
+              (PARTITION BY event_type, user_id ORDER BY bucket_ms
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+            last_value(CASE WHEN value IS NOT NULL THEN bucket_ms END IGNORE NULLS) OVER
+              (PARTITION BY event_type, user_id ORDER BY bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pb,
+            first_value(CASE WHEN value IS NOT NULL THEN bucket_ms END IGNORE NULLS) OVER
+              (PARTITION BY event_type, user_id ORDER BY bucket_ms
+               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nb
+            FROM j),
+          f AS (SELECT event_type, bucket_ms,
+            ${D.oR4("""CASE WHEN value IS NOT NULL THEN value
+                 WHEN pv IS NOT NULL AND nv IS NOT NULL
+                   THEN pv + (nv - pv) * (bucket_ms - pb) / (nb - pb)
+                 ELSE NULL END""")} AS value
+            FROM anch)
+          SELECT event_type, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "tsdb_rate" ->
       s"""WITH ds AS (

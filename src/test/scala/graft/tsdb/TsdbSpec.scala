@@ -124,6 +124,25 @@ class TsdbSpec extends SparkSpec {
     assert(rst(2).isNullAt(rst(2).fieldIndex("rate")))
   }
 
+  test("interpolating merge lerps a series to its group's timestamps") {
+    // A samples at 0 and 2h (1.0 → 3.0), B only at 1h (10.0): the
+    // interpolating merge fills A's 1h as 2.0 and leaves B's edges
+    // null (no extrapolation) — bucket-aligned merge would read 10.0
+    // at 1h instead of 12.0
+    val ds = Seq(
+      ("m", 1L, 0L, 1.0), ("m", 1L, 7200000L, 3.0),
+      ("m", 2L, 3600000L, 10.0)
+    ).toDF("g", "user", "bucket_ms", "value")
+    val out = MergeRate.mergeInterpolated(ds, Seq("g", "user"), Seq("g"), "sum")
+      .orderBy("bucket_ms")
+      .select("bucket_ms", "value").as[(Long, Double)].collect().toSeq
+    assert(out == Seq((0L, 1.0), (3600000L, 12.0), (7200000L, 3.0)))
+    val aligned = MergeRate.merge(ds, Seq("g"), "sum")
+      .orderBy("bucket_ms")
+      .select("bucket_ms", "value").as[(Long, Double)].collect().toSeq
+    assert(aligned == Seq((0L, 1.0), (3600000L, 10.0), (7200000L, 3.0)))
+  }
+
   test("downsample(sum) then merge(sum) == merge-all sum (commutation)") {
     val df = pts(("m", 1L, 0L, 1.5), ("m", 1L, 1000L, 2.5), ("m", 2L, 500L, 3.0),
       ("m", 2L, 61000L, 4.0))
