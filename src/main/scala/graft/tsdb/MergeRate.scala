@@ -59,7 +59,11 @@ object MergeRate {
     val dsm = ds.localCheckpoint(true)
     val spine = dsm.select((groupTags :+ "bucket_ms").map(col): _*).distinct()
     val series = dsm.select(seriesCols.map(col): _*).distinct()
-    val grid = series.join(spine, groupTags)
+    // groupTags empty = global merge: ONE group, its spine is every
+    // bucket — an equi join on zero keys would be ill-formed
+    val grid =
+      if (groupTags.isEmpty) series.crossJoin(spine)
+      else series.join(spine, groupTags)
     val joined = grid.join(dsm, seriesCols :+ "bucket_ms", "left")
     val filled = Downsample.fillLinear(joined, seriesCols)
       .withColumn("value", graft.core.D.r4s(col("value")))

@@ -141,6 +141,11 @@ class TsdbSpec extends SparkSpec {
       .orderBy("bucket_ms")
       .select("bucket_ms", "value").as[(Long, Double)].collect().toSeq
     assert(aligned == Seq((0L, 1.0), (3600000L, 10.0), (7200000L, 3.0)))
+    // global (no group tags) interpolating merge: one group, same sums
+    val global = MergeRate.mergeInterpolated(ds, Seq("g", "user"), Nil, "sum")
+      .orderBy("bucket_ms")
+      .select("bucket_ms", "value").as[(Long, Double)].collect().toSeq
+    assert(global == Seq((0L, 1.0), (3600000L, 12.0), (7200000L, 3.0)))
   }
 
   test("downsample(sum) then merge(sum) == merge-all sum (commutation)") {
