@@ -24,6 +24,30 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("interpolating merge equals aligned merge on fully aligned series") {
+    // when every series has a value at every bucket of the group there
+    // is nothing to interpolate — the two merges must coincide exactly
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        val ds = Downsample(df, Seq("user"), 3600000L, "avg")
+        // densify: give every (user, bucket) a value (zero-fill), so
+        // the series are fully aligned by construction
+        val buckets = ds.select("bucket_ms").distinct()
+        val users = ds.select("user").distinct()
+        val dense = users.crossJoin(buckets)
+          .join(ds, Seq("user", "bucket_ms"), "left")
+          .withColumn("value", coalesce(col("value"), lit(0.0)))
+          .withColumn("g", lit("m"))
+        def rows(d: org.apache.spark.sql.DataFrame) =
+          d.orderBy("bucket_ms").select("bucket_ms", "value")
+            .collect().map(_.toString).toSeq
+        rows(MergeRate.mergeInterpolated(dense, Seq("g", "user"), Seq("g"), "sum")) ==
+          rows(MergeRate.merge(dense, Seq("g"), "sum"))
+      }
+    })
+  }
+
   test("downsample(sum) ∘ merge(sum) conserves the total sum") {
     run(Prop.forAll(genPoints) { pts =>
       pts.isEmpty || {
