@@ -4,8 +4,39 @@ import org.apache.spark.SparkContext
 import org.apache.spark.sql.DataFrame
 
 /** Shared execution helpers for the driver-facing mains (Bench, Verify,
-  * Prof, ScaleProbe). */
+  * Prof, ScaleProbe) plus the ONE materialization primitive every eager
+  * mid-plan cut in the main tree goes through. */
 object Exec {
+
+  /** Reliable-materialization switch: `SPARK_GRAFT_RELIABLE=1` (env) or
+    * `-Dgraft.reliable=1` (tests toggle the prop per-suite; env vars
+    * can't be set per-JVM under a forked sbt test run). */
+  private def reliableMode: Boolean =
+    sys.props.get("graft.reliable").orElse(sys.env.get("SPARK_GRAFT_RELIABLE"))
+      .contains("1")
+
+  /** Cut a plan and materialize it eagerly — THE materializer for every
+    * shared-scan slice, self-join input, and fixpoint-loop round in the
+    * main tree (one definition, switchable at once).
+    *
+    * Default: `localCheckpoint(eager)` — cheapest on local[n], but the
+    * truncated lineage lives in UNREPLICATED executor block storage, so
+    * on a real cluster an executor loss makes the frame unrecomputable
+    * mid-query. With [[reliableMode]] on, the cut is a RELIABLE
+    * checkpoint instead: blocks land under the checkpoint dir (HDFS/
+    * object store on a cluster), surviving executor loss — the setting a
+    * 100 TB deployment runs with. Both variants truncate lineage, which
+    * the label-propagation loops depend on (a lineage-keeping persist
+    * would stack O(rounds) of join plans). */
+  def materialize(df: DataFrame): DataFrame =
+    if (reliableMode) {
+      val sc = df.sparkSession.sparkContext
+      if (sc.getCheckpointDir.isEmpty)
+        sc.setCheckpointDir(java.nio.file.Files.createDirectories(
+          java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_ckpt"))
+          .toString)
+      df.checkpoint(eager = true)
+    } else df.localCheckpoint(eager = true)
 
   /** Force FULL-ROW evaluation of a query result. A bare `count()` lets
     * Catalyst prune every column — the projection being benchmarked is

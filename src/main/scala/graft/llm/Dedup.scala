@@ -154,7 +154,7 @@ object Dedup {
     val stacked = mh.select(col("id") +: sigCols: _*)
       .selectExpr("id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
-    val bandsM = stacked.localCheckpoint(true)
+    val bandsM = graft.core.Exec.materialize(stacked)
     val cand = bandsM.select(col("band"), col("sig"), col("id").as("a_id"))
       .join(bandsM.select(col("band"), col("sig"), col("id").as("b_id")), Seq("band", "sig"))
       .where(col("a_id") < col("b_id"))
@@ -232,10 +232,10 @@ object Dedup {
         org.apache.spark.sql.graftfn.MinHashSig.of(col("w"), shingleN, k))
       .select(col("id"), explode(bandKeys("sig", k, r)).as("band"))
     // materialize once (the self-join would otherwise recompute the
-    // MinHash signatures — the dominant cost — per side); localCheckpoint
-    // is released by the ContextCleaner when the plan is dropped, unlike
-    // a persist with no owner to unpersist it
-    val bandsM = bands.localCheckpoint(true)
+    // MinHash signatures — the dominant cost — per side); the materialize
+    // cut is released by the ContextCleaner when the plan is dropped,
+    // unlike a persist with no owner to unpersist it
+    val bandsM = graft.core.Exec.materialize(bands)
     val cand = bandsM.select(col("band"), col("id").as("a_id"))
       .join(bandsM.select(col("band"), col("id").as("b_id")), Seq("band"))
       .where(col("a_id") < col("b_id"))
@@ -263,7 +263,7 @@ object Dedup {
     * id; each round takes the min of a node's label and its neighbors'
     * labels. Every round is one hash join (edges ⋈ labels on the node
     * id) plus one min-aggregate — both hash-partitioned on node id, no
-    * driver-side data, lineage truncated per round with localCheckpoint
+    * driver-side data, lineage truncated per round with Exec.materialize
     * (the loop would otherwise stack O(rounds) join plans). Rounds are
     * bounded by the cluster diameter; near-dup clusters are shallow
     * (dups of a common source), so this converges in a handful of
@@ -291,7 +291,7 @@ object Dedup {
     // materialize the pair pipeline BEFORE the undirected union — p is
     // referenced twice (forward + swapped), and an un-materialized union
     // would run the candidate-join/verify stages once per side
-    val p = pairs.select(col("a_id"), col("b_id")).localCheckpoint(true)
+    val p = graft.core.Exec.materialize(pairs.select(col("a_id"), col("b_id")))
     // undirected: propagate both ways (cheap lineage over checkpointed p)
     val edges = p.union(p.select(col("b_id").as("a_id"), col("a_id").as("b_id")))
       .select(col("a_id").as("src"), col("b_id").as("dst"))
@@ -300,10 +300,9 @@ object Dedup {
     // a join round (every node appears as dst because edges are
     // direction-doubled); equivalent to one round from the identity
     // labeling, so the fixpoint is unchanged
-    var labels = edges
+    var labels = graft.core.Exec.materialize(edges
       .groupBy(col("dst").as("node"))
-      .agg(min(least(col("src"), col("dst"))).as("label"))
-      .localCheckpoint(true)
+      .agg(min(least(col("src"), col("dst"))).as("label")))
     // convergence metric: labels only ever DECREASE, so the label sum is
     // strictly monotone until fixpoint — one aggregate per round instead
     // of a join+count against the previous round (decimal: a BIGINT sum
@@ -320,9 +319,9 @@ object Dedup {
     while (!converged) {
       val viaNbr = edges.join(labels, edges("src") === labels("node"))
         .select(col("dst").as("node"), col("label"))
-      val next = labels.select("node", "label").union(viaNbr)
-        .groupBy("node").agg(min("label").as("label"))
-        .localCheckpoint(true)
+      val next = graft.core.Exec.materialize(
+        labels.select("node", "label").union(viaNbr)
+          .groupBy("node").agg(min("label").as("label")))
       val s = labelSum(next)
       converged = prevSum != null && s.compareTo(prevSum) == 0
       prevSum = s

@@ -122,7 +122,7 @@ object Catalog {
           (withB.join(ex.select("metric", "tags_canonical"),
             Seq("metric", "tags_canonical"), "left_anti"), Some(ex))
         }
-      val staged = novel.localCheckpoint(true) // one job: novelty materialized
+      val staged = graft.core.Exec.materialize(novel) // one job: novelty materialized
       try {
         val affected = staged.select("b").distinct()
           .collect().map(_.getInt(0)).sorted
@@ -151,6 +151,12 @@ object Catalog {
               throw new java.io.IOException(
                 s"rename $tmpP -> $destP failed; previous state preserved at $tmpP")
           }
+          // staged output is spent once every bucket swapped (committer
+          // _SUCCESS + emptied partition dirs would otherwise accumulate
+          // forever); readers never address _staging, so this is pure
+          // hygiene and safe to do last (ADVICE r6)
+          val stagingP = new org.apache.hadoop.fs.Path(staging)
+          if (fs.exists(stagingP)) { fs.delete(stagingP, true); () }
         }
       } finally existing.foreach { ex => ex.unpersist(); () }
     } finally { withB.unpersist(); () }

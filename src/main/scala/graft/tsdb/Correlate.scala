@@ -27,7 +27,7 @@ object Correlate {
     // self-join would otherwise run the whole upstream scan + downsample
     // aggregate twice, once per side (same pattern as
     // Downsample.withFill; the drivers release the blocks per query)
-    val down = downsampled.localCheckpoint(true)
+    val down = graft.core.Exec.materialize(downsampled)
     val a = down.select(col(keyCol).as("a_key"), col("bucket_ms"),
       col("value").as("av"))
     val b = down.select(col(keyCol).as("b_key"), col("bucket_ms"),

@@ -119,7 +119,7 @@ object Downsample {
     // the blocks live until the frame is GC'd (ContextCleaner) or the
     // session driver unpersists them — Verify/Bench release all
     // persistent RDDs after each query.
-    val down = downsampled.localCheckpoint(true)
+    val down = graft.core.Exec.materialize(downsampled)
     val series = down.select(seriesCols.map(col): _*).distinct()
     val grid = broadcast(series).crossJoin(spine)
     val joined = grid.join(down, seriesCols :+ "bucket_ms", "left")

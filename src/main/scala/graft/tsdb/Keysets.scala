@@ -78,6 +78,28 @@ object Keysets {
     }
   }
 
+  /** [[swapInto]] generalized to a MULTI-TABLE artifact directory (e.g.
+    * the ANN index: centroids + codebooks + inverted lists + meta):
+    * `build` populates the `.tmp` dir with whatever tables/files the
+    * artifact needs, then the same marker-before-delete rename contract
+    * applies — so [[repairSwap]] recovers these artifacts unchanged. */
+  private[graft] def swapBuiltDir(s: SparkSession, dest: String)
+                                 (build: String => Unit): Unit = {
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
+    val fs = destP.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(tmpP) && !fs.delete(tmpP, true))
+      throw new java.io.IOException(s"could not clear stale $tmpP")
+    build(tmpP.toString)
+    fs.create(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"), true).close()
+    if (fs.exists(destP) && !fs.delete(destP, true))
+      throw new java.io.IOException(s"could not delete $destP for swap")
+    if (!fs.rename(tmpP, destP))
+      throw new java.io.IOException(s"rename $tmpP -> $destP failed; " +
+        s"previous state preserved at $tmpP")
+    ()
+  }
+
   def list(s: SparkSession, registryPath: String): DataFrame = {
     repairSwap(s, registryPath)
     s.read.parquet(registryPath).orderBy("ksid")

@@ -54,9 +54,14 @@ object MergeRate {
                         groupTags: Seq[String], aggregator: String): DataFrame = {
     require(groupTags.forall(seriesCols.contains),
       s"seriesCols $seriesCols must contain groupTags $groupTags")
-    // materialized once: the spine distinct, the series distinct, and
-    // the grid join all consume the downsampled frame
-    val dsm = ds.localCheckpoint(true)
+    // NaN-filled buckets (fill="nan" upstream) must not become lerp
+    // anchors — an NaN anchor would poison every interpolated neighbor
+    // BEFORE merge()'s own NaN skip can drop it (ADVICE r6). Dropping
+    // them here treats an NaN bucket exactly like the missing point it
+    // encodes. Materialized once: the spine distinct, the series
+    // distinct, and the grid join all consume the downsampled frame.
+    val dsm = graft.core.Exec.materialize(
+      ds.where(col("value").isNull || !isnan(col("value"))))
     val spine = dsm.select((groupTags :+ "bucket_ms").map(col): _*).distinct()
     val series = dsm.select(seriesCols.map(col): _*).distinct()
     // groupTags empty = global merge: ONE group, its spine is every

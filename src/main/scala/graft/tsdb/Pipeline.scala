@@ -81,7 +81,7 @@ object Pipeline {
     * SHARED SCAN: all subquery pipelines build off ONE filtered points
     * projection — the union of the subqueries' metric predicates plus
     * the request time range pushed into a single scan, materialized
-    * once (localCheckpoint, released by the ContextCleaner like every
+    * once (Exec.materialize, released by the ContextCleaner like every
     * other eager materialization here). An n-subquery request over the
     * same metric otherwise scans the full points table n times — the
     * dominant cost at 100 TB, where the scan dwarfs the per-subquery
@@ -92,10 +92,9 @@ object Pipeline {
     if (q.queries.size <= 1)
       return q.queries.map(sub => run(spark, points, q.copy(queries = Seq(sub))))
     val metrics = q.queries.map(_.metric).distinct
-    val shared = points
+    val shared = graft.core.Exec.materialize(points
       .where(col("metric").isin(metrics: _*))
-      .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs)
-      .localCheckpoint(true)
+      .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs))
     q.queries.map(sub => run(spark, shared, q.copy(queries = Seq(sub))))
   }
 

@@ -185,6 +185,36 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stored-index probe plan carries zero Lloyd work") {
+    // build-once: the training jobs run HERE (eagerly), not in the probe
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_planspec_idx").resolve("ann").toString
+    llm.Similarity.buildIvfIndex(spark, emb, path, "planspec")
+    val qs = emb.where(org.apache.spark.sql.functions.col("vec_id") < 4)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("qv"))
+    val probe = llm.Similarity.ivfTopKStored(spark, qs, path, 5, nprobe = 2)
+    val p = probe.queryExecution.executedPlan.toString
+    // Lloyd iterations are posexplode + per-(cid,pos) mean
+    // HashAggregates; the probe plan must contain NEITHER — it is a
+    // lists-scan + probe join + per-query top-k window, nothing else
+    // (the one Generate allowed is the probe side's own nprobe explode
+    // over driver-literal centroids)
+    assert(!p.contains("HashAggregate") && !p.contains("posexplode"),
+      s"stored probe must not retrain the quantizer:\n$p")
+    assert(p.contains("FileScan"), s"probe must scan the stored lists:\n$p")
+    // the inverted-list layout pays off: the candidate fetch prunes to
+    // the probed centroid_id partitions via dynamic partition pruning
+    assert(p.contains("dynamicpruning"),
+      s"lists scan must partition-prune on the probed centroids:\n$p")
+    // and the probe result is the inline batch query bit-for-bit
+    val inline = optimized("llm_sim_ivf_batch")
+    assert(probe.collect().map(_.toString).toSeq ==
+      inline.collect().map(_.toString).toSeq,
+      "stored probe must equal the inline ivfTopKBatch")
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
