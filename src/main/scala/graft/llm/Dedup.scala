@@ -138,22 +138,31 @@ object Dedup {
     sh.groupBy("id").agg(mins.head, mins.tail: _*)
   }
 
-  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
-                           k: Int = 32, r: Int = 4, shingleN: Int = 3,
-                           threshold: Double = 0.5): DataFrame = {
+  /** Stacked portable band keys (id, band, sig) — band signature =
+    * concat of the band's r mins rendered back to the 8-hex-char lane
+    * form (matching the oracle's string mins); the bands/r signatures
+    * unpivot to rows with stack() for the bucket join. The ONE band-key
+    * definition: the whole-corpus pairing AND the stored band index
+    * ([[buildBandIndex]]) both come from here, so an index probe can
+    * never disagree with a batch recomputation. */
+  def bandSigsPortable(docs: DataFrame, idCol: String, textCol: String,
+                       k: Int = 32, r: Int = 4, shingleN: Int = 3): DataFrame = {
     require(k % r == 0, s"k=$k must be divisible by r=$r")
     val mh = minhashSigsPortable(docs, idCol, textCol, k, shingleN)
-    // band signature = concat of the band's r mins rendered back to the
-    // 8-hex-char lane form (matching the oracle's string mins); unpivot
-    // the bands/r signatures to rows with stack() for the bucket join
     val bands = k / r
     val sigCols = (0 until bands).map { b =>
       concat((b * r until (b + 1) * r).map(i =>
         expr(s"lpad(lower(hex(m$i)), 8, '0')")): _*).as(s"sig$b")
     }
-    val stacked = mh.select(col("id") +: sigCols: _*)
+    mh.select(col("id") +: sigCols: _*)
       .selectExpr("id",
         s"stack($bands, ${(0 until bands).map(b => s"$b, sig$b").mkString(", ")}) AS (band, sig)")
+  }
+
+  def nearDupPairsPortable(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 32, r: Int = 4, shingleN: Int = 3,
+                           threshold: Double = 0.5): DataFrame = {
+    val stacked = bandSigsPortable(docs, idCol, textCol, k, r, shingleN)
     val bandsM = graft.core.Exec.materialize(stacked)
     val cand = bandsM.select(col("band"), col("sig"), col("id").as("a_id"))
       .join(bandsM.select(col("band"), col("sig"), col("id").as("b_id")), Seq("band", "sig"))
@@ -328,5 +337,91 @@ object Dedup {
       labels = next
     }
     labels
+  }
+
+  // --------------------- stored band index (dedup-against-index)
+  //
+  // Whole-corpus dedup is a bootstrap operation; the steady-state
+  // pipeline deduplicates each NEW ingest batch against the
+  // ACCUMULATED corpus. Recomputing the corpus signatures per batch
+  // would cost O(corpus) every time — the corpus's band keys are the
+  // state worth persisting. The index is the stacked (id, band, sig)
+  // frame of [[bandSigsPortable]], stored swap-managed (the Keysets
+  // crash contract), so a crashed rebuild never corrupts the servable
+  // index. Per batch the cost is O(batch) signature computation + one
+  // bucket join against the index + Jaccard verification of the
+  // candidates — corpus work only on the candidate fetch.
+
+  private def bandMetaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_meta")
+
+  /** True iff a committed band index at `path` carries `fingerprint`. */
+  def bandIndexCurrent(s: org.apache.spark.sql.SparkSession, path: String,
+                       fingerprint: String): Boolean = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val mp = bandMetaPath(path)
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.exists(mp) && {
+      val in = fs.open(mp)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+      finally in.close()
+    }
+  }
+
+  /** Build (and atomically swap in) the corpus band index at `path`. */
+  def buildBandIndex(s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                     idCol: String, textCol: String, path: String,
+                     fingerprint: String, k: Int = 32, r: Int = 4,
+                     shingleN: Int = 3): Unit =
+    graft.tsdb.Keysets.swapBuiltDir(s, path) { tmp =>
+      bandSigsPortable(corpus, idCol, textCol, k, r, shingleN)
+        .write.parquet(s"$tmp/bands")
+      val fs = bandMetaPath(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(bandMetaPath(tmp), true)
+      try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+
+  /** [[buildBandIndex]] only when the stored index isn't current. */
+  def ensureBandIndex(s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
+                      idCol: String, textCol: String, path: String,
+                      fingerprint: String, k: Int = 32, r: Int = 4,
+                      shingleN: Int = 3): Unit =
+    if (!bandIndexCurrent(s, path, fingerprint))
+      buildBandIndex(s, corpus, idCol, textCol, path, fingerprint, k, r, shingleN)
+
+  /** Near-dup-check a NEW batch against the STORED corpus band index:
+    * O(batch) signatures, bucket join on (band, sig), exact-Jaccard
+    * verification of candidates against `allDocs` (the corpus store —
+    * candidate ids only reach it through the verify joins). The batch
+    * side is broadcast after a bounded count probe (batches are small
+    * against a 100 TB corpus — but that is CHECKED, not trusted, same
+    * pattern as [[decontaminate]]): the stored index never shuffles.
+    * Emits (new_id, corpus_id, jaccard ≥ threshold). */
+  def incrementalNearDups(s: org.apache.spark.sql.SparkSession, batch: DataFrame,
+                          allDocs: DataFrame, path: String,
+                          idCol: String = "doc_id", textCol: String = "text",
+                          k: Int = 32, r: Int = 4, shingleN: Int = 3,
+                          threshold: Double = 0.5,
+                          maxBroadcastSigs: Long = 4000000L): DataFrame = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val idx = s.read.parquet(s"$path/bands")
+    val batchSigs = bandSigsPortable(batch, idCol, textCol, k, r, shingleN)
+      .select(col("band"), col("sig"), col("id").as("new_id"))
+    val probe = math.min(maxBroadcastSigs + 1, Int.MaxValue.toLong).toInt
+    val batchSide =
+      if (batchSigs.limit(probe).count() <= maxBroadcastSigs) broadcast(batchSigs)
+      else batchSigs.hint("shuffle_hash")
+    val cand = idx.select(col("band"), col("sig"), col("id").as("corpus_id"))
+      .join(batchSide, Seq("band", "sig"))
+      .select("corpus_id", "new_id").distinct()
+    val wsets = allDocs.select(col(idCol).as("id"),
+      array_distinct(words(col(textCol))).as("ws"))
+    cand
+      .join(wsets.select(col("id").as("corpus_id"), col("ws").as("a_w")), "corpus_id")
+      .join(wsets.select(col("id").as("new_id"), col("ws").as("b_w")), "new_id")
+      .withColumn("jaccard", jaccard(col("a_w"), col("b_w")))
+      .where(col("jaccard") >= threshold)
+      .select("new_id", "corpus_id", "jaccard")
+      .orderBy("new_id", "corpus_id")
   }
 }

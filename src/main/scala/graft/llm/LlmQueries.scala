@@ -29,6 +29,14 @@ object LlmQueries {
   private def annFingerprint(dir: String): String =
     Similarity.IndexParams().fingerprint(dir)
 
+  /** Stored corpus band index for llm_dedup_incremental (same per-sfDir
+    * scratch contract as [[annIndexPath]]). */
+  private def bandIndexPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands").toString
+  private def bandFingerprint(dir: String): String =
+    s"bands-v1|$dir|k=32,r=4,n=3|batch=mod10eq7"
+
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
@@ -93,6 +101,21 @@ object LlmQueries {
 
     "llm_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text")),
+
+    // dedup-against-index — the steady-state ingest shape: a NEW batch
+    // (doc_id % 10 == 7 stands in for today's crawl) near-dup-checked
+    // against the STORED band index of the accumulated corpus. First
+    // run builds + swaps the index; every later run pays O(batch)
+    // signatures + one bucket probe. Oracle recomputes batch × corpus
+    // from scratch — stored-index probe ≡ full recomputation IS the check.
+    "llm_dedup_incremental" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = bandIndexPath(dir)
+      Dedup.ensureBandIndex(s, docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
+        "doc_id", "text", path, bandFingerprint(dir))
+      Dedup.incrementalNearDups(s, docs.where(pmod(col("doc_id"), lit(10)) === 7),
+        docs, path)
+    }),
 
     // Benchmark decontamination: flag training docs sharing any 8-gram
     // word shingle with the held-out eval slice (doc_id % 20 == 0 —
@@ -683,8 +706,11 @@ object LlmQueries {
     * oracle mirror of Dedup.nearDupPairsPortable's packed-lane layout:
     * hash (4j+l) = 8-hex-char slice l of md5("j:shingle") (32-char
     * digest = exactly four 8-char lanes; never slice past char 32).
-    * Used by llm_dedup_near_minhash and llm_dedup_clusters. */
-  private val NearDupPairCtes: String = {
+    * `pairPred` picks which (a, b) band collisions become candidates —
+    * the whole-corpus pairing uses a.id < b.id; the incremental check
+    * pairs corpus side × batch side. Used by llm_dedup_near_minhash,
+    * llm_dedup_clusters, llm_corpus_curate, llm_dedup_incremental. */
+  private def nearDupPairCtesWith(pairPred: String): String = {
     val mins = (0 until 32)
       .map(i => s"min(substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8)) AS m$i")
       .mkString(", ")
@@ -699,13 +725,14 @@ object LlmQueries {
        bands AS ($sigs),
        cand AS (SELECT DISTINCT a.id AS a_id, b.id AS b_id
                 FROM bands a JOIN bands b
-                  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+                  ON a.band = b.band AND a.sig = b.sig AND ($pairPred)),
        dw AS (SELECT doc_id AS id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
        ver AS (SELECT c.a_id, c.b_id,
                  ROUND((CAST(len(list_intersect(da.ws, db.ws)) AS DOUBLE)
                         / len(list_distinct(da.ws || db.ws))) * 10000.0, 0) / 10000.0 + 0.0 AS jaccard
                FROM cand c JOIN dw da ON da.id = c.a_id JOIN dw db ON db.id = c.b_id)"""
   }
+  private val NearDupPairCtes: String = nearDupPairCtesWith("a.id < b.id")
 
   /** Min-label closure over the verified pairs (appended after
     * [[NearDupPairCtes]] under WITH RECURSIVE): `lab` maps every node of
@@ -864,6 +891,13 @@ object LlmQueries {
     "llm_dedup_near_minhash" ->
       s"""WITH $NearDupPairCtes
          SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    // batch (id % 10 = 7) × corpus (the rest) candidates from the SAME
+    // band machinery — the from-scratch mirror of the stored-index probe
+    "llm_dedup_incremental" ->
+      s"""WITH ${nearDupPairCtesWith("a.id % 10 <> 7 AND b.id % 10 = 7")}
+         SELECT b_id AS new_id, a_id AS corpus_id, jaccard FROM ver
+         WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
 
     // same pair CTEs + recursive reachability closure: cluster id = min
     // reachable doc id; DuckDB's UNION (distinct) in the recursive term
