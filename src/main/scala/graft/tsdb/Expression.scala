@@ -26,7 +26,24 @@ object Expression {
   final case class ParseError(msg: String, pos: Int)
     extends IllegalArgumentException(s"$msg at position $pos")
 
+  /** Series-arithmetic AST: a leaf is one normalized pipeline, a binop
+    * combines two sub-expressions point-wise on (group tags, bucket) —
+    * the canonical TSDB expression use (error-rate = errors ÷ requests).
+    * Evaluated by [[Pipeline.runExpr]]. */
+  sealed trait ExprNode
+  final case class QueryNode(q: TsdbQuery) extends ExprNode
+  final case class BinOpNode(op: String, left: ExprNode, right: ExprNode) extends ExprNode
+
+  /** The supported point-wise combinators. */
+  val BinOps: Set[String] = Set("add", "sub", "mul", "div")
+
   def parse(input: String, nowMs: Long): TsdbQuery = new P(input, nowMs).top()
+
+  /** Full expression grammar:
+    * `expr := merge(...) | add|sub|mul|div(expr, expr)` — each merge
+    * leaf is a complete pipeline with its own query(...) time range. */
+  def parseExpr(input: String, nowMs: Long): ExprNode =
+    new P(input, nowMs).topExpr()
 
   private final class P(s: String, nowMs: Long) {
     private var i = 0
@@ -51,6 +68,28 @@ object Expression {
       ws()
       if (i != s.length) throw ParseError(s"trailing input '${s.substring(i)}'", i)
       q
+    }
+
+    def topExpr(): ExprNode = {
+      val e = exprNode()
+      ws()
+      if (i != s.length) throw ParseError(s"trailing input '${s.substring(i)}'", i)
+      e
+    }
+
+    // expr := merge(...) | <binop>(expr, expr)
+    private def exprNode(): ExprNode = {
+      ws()
+      val save = i
+      val f = ident()
+      if (BinOps(f)) {
+        expect('('); val l = exprNode()
+        expect(','); val r = exprNode(); expect(')')
+        BinOpNode(f, l, r)
+      } else {
+        i = save // mergeExpr re-reads its own leading identifier
+        QueryNode(mergeExpr())
+      }
     }
 
     // merge(<agg>, <downsample-or-rate-or-query>)

@@ -98,6 +98,43 @@ object Pipeline {
     q.queries.map(sub => run(spark, shared, q.copy(queries = Seq(sub))))
   }
 
+  /** Evaluate a parsed expression tree ([[Expression.parseExpr]]):
+    * leaves run through [[run]]; a binop joins its two sides point-wise
+    * on (group tags, bucket_ms) — both sides must group by the SAME
+    * tags or the point-wise combination is ill-defined — and combines
+    * the values (div yields null on a zero denominator, matching the
+    * "no data point" reading rather than ±Inf). Intersection semantics:
+    * a bucket missing on either side emits nothing; use zero/fill
+    * downsample policies in the leaves when a dense result is wanted.
+    * Scale shape: each leaf is the ordinary pipeline; the combining
+    * join keys on the same (tags, bucket) grouping the merges already
+    * shuffled by, so AQE/exchange reuse keeps it one extra small join
+    * over REDUCED (series × bucket) frames, never raw points. */
+  def runExpr(spark: SparkSession, points: DataFrame,
+              node: Expression.ExprNode): DataFrame = node match {
+    case Expression.QueryNode(q) => run(spark, points, q)
+    case Expression.BinOpNode(op, l, r) =>
+      val ld = runExpr(spark, points, l)
+      val rd = runExpr(spark, points, r)
+      val keys = ld.columns.filter(_ != "value").toSeq
+      require(rd.columns.filter(_ != "value").toSeq == keys,
+        s"binop '$op' needs both sides grouped by the same tags " +
+          s"(${ld.columns.toSeq} vs ${rd.columns.toSeq})")
+      val joined = ld.select(keys.map(col) :+ col("value").as("lv"): _*)
+        .join(rd.select(keys.map(col) :+ col("value").as("rv"): _*), keys)
+      val v = op match {
+        case "add" => graft.core.D.r4s(col("lv") + col("rv"))
+        case "sub" => graft.core.D.r4s(col("lv") - col("rv"))
+        case "mul" => graft.core.D.r4s(col("lv") * col("rv"))
+        case "div" => graft.core.D.r4s(col("lv") /
+          when(col("rv") === 0.0, lit(null)).otherwise(col("rv")))
+        case other => throw new IllegalArgumentException(s"unknown binop: $other")
+      }
+      joined.withColumn("value", v)
+        .select((keys :+ "value").map(col): _*)
+        .orderBy(keys.map(col): _*)
+  }
+
   /** Flagship (SURVEY §7.1 step 1): events, literal_or filter on
     * event_type ∈ (click,view), 1h-avg downsample per (event_type,user_id)
     * series, merge sum grouped by event_type, total order. */

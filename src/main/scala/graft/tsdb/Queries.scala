@@ -179,6 +179,18 @@ object TsdbQueries {
       Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
     }),
 
+    // EP3' series arithmetic: click-through rate = click ÷ view per
+    // user — the canonical expression-language use (error-rate shape).
+    // Both leaves zero-fill the same 7d/1h grid, so the point-wise
+    // division exercises the null-on-zero-denominator path too.
+    "tsdb_expression_ratio" -> ((s, dir) => {
+      val n = Expression.parseExpr(
+        "div(merge(sum, downsample(1h, avg, zero, query(click, {user=*}, 7d)))," +
+          " merge(sum, downsample(1h, avg, zero, query(view, {user=*}, 7d))))",
+        Tables.NowMs)
+      Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
+    }),
+
     // EP2' multi-subquery request over the SHARED scan (Pipeline.runAll
     // materializes one filtered points slice for both subqueries —
     // plan-asserted in PlanSpec): click/sum and view/max grouped by the
@@ -569,6 +581,35 @@ object TsdbQueries {
                  ${D.oR4("(value - lag(value) OVER w) / ((bucket_ms - lag(bucket_ms) OVER w) / 1000.0)")} AS rate
           FROM m WINDOW w AS (PARTITION BY tag_user ORDER BY bucket_ms)
           ORDER BY 1, 2""",
+
+    // two zero-filled merge pipelines (the tsdb_expression_rate grid
+    // shape, once per metric) joined point-wise; NULLIF mirrors the
+    // div-by-zero → null semantics of Pipeline.runExpr
+    "tsdb_expression_ratio" -> {
+      def leaf(metric: String, name: String) =
+        s"""ds_$name AS (
+              SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                     ${D.oAvgDec("value")} AS value
+              FROM events
+              WHERE event_type = '$metric'
+                AND epoch_ns(ts) // 1000000 >= ${T1 - 7L * Day}
+                AND epoch_ns(ts) // 1000000 < $T1
+              GROUP BY 1, 2),
+            series_$name AS (SELECT DISTINCT tag_user FROM ds_$name),
+            grid_$name AS (SELECT s.tag_user, p.bucket_ms, COALESCE(d.value, 0.0) AS value
+                     FROM series_$name s CROSS JOIN spine p
+                     LEFT JOIN ds_$name d ON d.tag_user = s.tag_user
+                                         AND d.bucket_ms = p.bucket_ms),
+            m_$name AS (SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+                  FROM grid_$name GROUP BY 1, 2)"""
+      s"""WITH spine AS (SELECT range AS bucket_ms FROM range(${T1 - 7L * Day}, $T1, $H)),
+          ${leaf("click", "c")},
+          ${leaf("view", "v")}
+          SELECT c.tag_user, c.bucket_ms,
+                 ${D.oR4("c.value / NULLIF(v.value, 0)")} AS value
+          FROM m_c c JOIN m_v v ON v.tag_user = c.tag_user AND v.bucket_ms = c.bucket_ms
+          ORDER BY 1, 2"""
+    },
 
     "tsdb_ttl_expiry" ->
       s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events

@@ -71,4 +71,38 @@ class PureSpec extends AnyFunSuite {
     intercept[Expression.ParseError](
       Expression.parse("merge(sum, query(a, {}, 1h)) trailing", Now))
   }
+
+  test("expression parser: series arithmetic (binop nodes)") {
+    import Expression._
+    // a bare merge parses to a leaf — parseExpr generalizes parse
+    assert(parseExpr("merge(sum, query(a, {}, 1h))", Now) match {
+      case QueryNode(q) => q.queries.head.metric == "a"
+      case _ => false
+    })
+    val n = parseExpr(
+      "div(merge(sum, downsample(1h, avg, zero, query(click, {user=*}, 7d)))," +
+        " merge(sum, downsample(1h, avg, zero, query(view, {user=*}, 7d))))", Now)
+    n match {
+      case BinOpNode("div", QueryNode(l), QueryNode(r)) =>
+        assert(l.queries.head.metric == "click" && r.queries.head.metric == "view")
+        // each leaf captured its OWN query()'s relative range
+        assert(l.startMs == Now - 7 * 86400000L && r.startMs == Now - 7 * 86400000L)
+      case other => fail(s"unexpected tree: $other")
+    }
+    // nesting: binops compose over binops
+    val nested = parseExpr(
+      "mul(div(merge(sum, query(a, {}, 1h)), merge(sum, query(b, {}, 2h)))," +
+        " merge(max, query(c, {}, 3h)))", Now)
+    nested match {
+      case BinOpNode("mul", BinOpNode("div", QueryNode(a), QueryNode(b)), QueryNode(c)) =>
+        assert(a.queries.head.metric == "a" && b.queries.head.metric == "b" &&
+          c.queries.head.metric == "c")
+        assert(b.startMs == Now - 2 * 3600000L && c.startMs == Now - 3 * 3600000L)
+      case other => fail(s"unexpected tree: $other")
+    }
+    intercept[Expression.ParseError](
+      parseExpr("div(merge(sum, query(a, {}, 1h)))", Now)) // arity
+    intercept[Expression.ParseError](
+      parseExpr("pow(merge(sum, query(a, {}, 1h)), merge(sum, query(b, {}, 1h)))", Now))
+  }
 }
