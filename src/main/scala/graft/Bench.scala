@@ -17,8 +17,9 @@ object Bench {
     "tsdb_series_corr", "tsdb_merge", "tsdb_multi_subquery",
     "stream_sliding", "stream_session",
     "llm_dedup_near_minhash", "llm_sim_cosine_topk", "llm_sim_ivf",
-    "llm_sim_ivf_batch", "llm_semdedup",
-    "llm_knn_join", "llm_tfidf", "llm_corpus_curate")
+    "llm_sim_ivf_batch", "llm_sim_ivf_stored", "llm_semdedup",
+    "llm_knn_join", "llm_tfidf", "llm_corpus_curate",
+    "llm_sim_pq", "llm_dedup_substring", "tsdb_merge_interp")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the
@@ -48,24 +49,33 @@ object Bench {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
     val selected = only.fold(SparkEntry.queries)(o =>
       SparkEntry.queries.view.filterKeys(o).toMap)
+    // drift control (dev aid): SPARK_GRAFT_BENCH_REPS=N runs the whole
+    // surface N times and reports the per-query MIN — ambient machine
+    // load inflated three r6 driver timings 4-6× and cost a verdict
+    // round to disprove; the single-pass default stays the driver
+    // contract (its wall-clock budget assumes one pass)
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS").map(_.toInt).getOrElse(1)
     // stable name order: HashMap iteration order reshuffles whenever the
     // query surface grows, which makes per-query timings absorb each
     // other's GC/cache state and breaks round-over-round comparison
-    val results = selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-      var dt = 0.0
-      // blocks pinned by this query's eager localCheckpoints are released
-      // right after its timing stops (async, excluded from the time);
-      // blocks that existed before it stay untouched
-      graft.core.Exec.releasingNewBlocks(spark.sparkContext) {
-        val t0 = System.nanoTime()
-        // full-row evaluation — count() would let Catalyst prune the very
-        // projections being benchmarked (graft.core.Exec.forceRows)
-        try { graft.core.Exec.forceRows(fn(spark, sfDir)) }
-        catch { case _: Throwable => -1L }
-        dt = (System.nanoTime() - t0) / 1e9
+    val perRep = (1 to reps).map { _ =>
+      selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        var dt = 0.0
+        // blocks pinned by this query's eager localCheckpoints are released
+        // right after its timing stops (async, excluded from the time);
+        // blocks that existed before it stay untouched
+        graft.core.Exec.releasingNewBlocks(spark.sparkContext) {
+          val t0 = System.nanoTime()
+          // full-row evaluation — count() would let Catalyst prune the very
+          // projections being benchmarked (graft.core.Exec.forceRows)
+          try { graft.core.Exec.forceRows(fn(spark, sfDir)) }
+          catch { case _: Throwable => -1L }
+          dt = (System.nanoTime() - t0) / 1e9
+        }
+        name -> dt
       }
-      name -> dt
     }
+    val results = perRep.transpose.map(ts => ts.head._1 -> ts.map(_._2).min)
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // emit "1,234" and corrupt the JSON line
     def r3(v: Double): String =

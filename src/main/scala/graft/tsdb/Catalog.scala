@@ -133,24 +133,7 @@ object Catalog {
             .getOrElse(staged)
           val staging = s"$catalogPath/_staging"
           merged.write.mode("overwrite").partitionBy("b").parquet(staging)
-          affected.foreach { b =>
-            val dest = bucketPath(catalogPath, b)
-            val destP = new org.apache.hadoop.fs.Path(dest)
-            val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
-            val stagedP = new org.apache.hadoop.fs.Path(s"$staging/b=$b")
-            if (fs.exists(tmpP) && !fs.delete(tmpP, true))
-              throw new java.io.IOException(s"could not clear stale $tmpP")
-            if (!fs.rename(stagedP, tmpP))
-              throw new java.io.IOException(s"rename $stagedP -> $tmpP failed")
-            // marker BEFORE the destination delete — same ordering as
-            // Keysets.swapInto, so repairSwap's recovery logic applies
-            fs.create(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"), true).close()
-            if (fs.exists(destP) && !fs.delete(destP, true))
-              throw new java.io.IOException(s"could not delete $destP for swap")
-            if (!fs.rename(tmpP, destP))
-              throw new java.io.IOException(
-                s"rename $tmpP -> $destP failed; previous state preserved at $tmpP")
-          }
+          affected.foreach(b => swapStagedBucket(fs, staging, catalogPath, b))
           // staged output is spent once every bucket swapped (committer
           // _SUCCESS + emptied partition dirs would otherwise accumulate
           // forever); readers never address _staging, so this is pure
@@ -160,6 +143,73 @@ object Catalog {
         }
       } finally existing.foreach { ex => ex.unpersist(); () }
     } finally { withB.unpersist(); () }
+  }
+
+  /** Swap one staged bucket (`$staging/b=$b`) into place, or DELETE the
+    * bucket when the staged write produced no content for it (every
+    * series died). Marker-BEFORE-destination-delete ordering, identical
+    * to Keysets.swapInto, so repairSwap's recovery applies; a missing
+    * staged dir deleting the dest is idempotent (the intended end state
+    * has no bucket — a replay after a crash finds nothing to redo). */
+  private def swapStagedBucket(fs: org.apache.hadoop.fs.FileSystem,
+                               staging: String, catalogPath: String, b: Int): Unit = {
+    val dest = bucketPath(catalogPath, b)
+    val destP = new org.apache.hadoop.fs.Path(dest)
+    val tmpP = new org.apache.hadoop.fs.Path(dest + ".tmp")
+    val stagedP = new org.apache.hadoop.fs.Path(s"$staging/b=$b")
+    if (!fs.exists(stagedP)) {
+      if (fs.exists(destP) && !fs.delete(destP, true))
+        throw new java.io.IOException(s"could not delete emptied $destP")
+      return
+    }
+    if (fs.exists(tmpP) && !fs.delete(tmpP, true))
+      throw new java.io.IOException(s"could not clear stale $tmpP")
+    if (!fs.rename(stagedP, tmpP))
+      throw new java.io.IOException(s"rename $stagedP -> $tmpP failed")
+    fs.create(new org.apache.hadoop.fs.Path(tmpP, "_SUCCESS"), true).close()
+    if (fs.exists(destP) && !fs.delete(destP, true))
+      throw new java.io.IOException(s"could not delete $destP for swap")
+    if (!fs.rename(tmpP, destP))
+      throw new java.io.IOException(
+        s"rename $tmpP -> $destP failed; previous state preserved at $tmpP")
+  }
+
+  /** Retention for the catalog itself — the ES-index analog of point
+    * TTL: a series whose points are ALL expired/deleted lives in the
+    * catalog forever otherwise (the upsert only ever ADDS). `livePoints`
+    * is the canonical points frame AFTER retention filtering
+    * ([[Retention.applyTtl]] etc.); any catalog series absent from it
+    * is dead. Mirrors the upsert's novelty scoping in reverse: dead
+    * series → affected buckets (config-sized collect), ONE staged
+    * partitioned write of those buckets' SURVIVORS, per-bucket rename
+    * swaps — a bucket that lost nothing is never opened, a bucket whose
+    * series all died is deleted. Cost ∝ catalog-side of dead buckets +
+    * one distinct over the (already reduced) live series, never the
+    * full points table. */
+  def vacuum(s: SparkSession, catalogPath: String, livePoints: DataFrame): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(catalogPath)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    readCatalog(s, catalogPath).foreach { cat =>
+      val ex = cat.withColumn("b", bucketId).persist()
+      try {
+        val live = livePoints
+          .select(col("metric"), canonicalTags.as("tags_canonical")).distinct()
+        val dead = ex.join(live, Seq("metric", "tags_canonical"), "left_anti")
+        // affected buckets: ≤ CatalogBuckets rows — config-sized collect
+        val affected = dead.select("b").distinct()
+          .collect().map(_.getInt(0)).sorted
+        if (affected.nonEmpty) {
+          val survivors = ex
+            .where(col("b").isin(affected.map(Integer.valueOf): _*))
+            .join(live, Seq("metric", "tags_canonical"), "left_semi")
+          val staging = s"$catalogPath/_staging"
+          survivors.write.mode("overwrite").partitionBy("b").parquet(staging)
+          affected.foreach(b => swapStagedBucket(fs, staging, catalogPath, b))
+          val stagingP = new org.apache.hadoop.fs.Path(staging)
+          if (fs.exists(stagingP)) { fs.delete(stagingP, true); () }
+        }
+      } finally { ex.unpersist(); () }
+    }
   }
 
   /** Prune a points frame to series matching the catalog subset — the

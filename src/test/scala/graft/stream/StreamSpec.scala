@@ -159,18 +159,24 @@ class StreamSpec extends SparkSpec {
       .select(col("metric"),
         map(lit("user"), col("user")).as("tags"),
         lit(0L).as("ts_ms"), lit(1.0).as("value"))
-    def snapshot(): Map[String, Long] = {
+    // content snapshot (name → md5), not mtimes: coarse mtime
+    // granularity / clock skew could false-pass a rewrite (ADVICE r6),
+    // and checksums need no sleep between phases
+    def snapshot(): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
       val d = new java.io.File(base)
       d.listFiles().filter(_.getName.startsWith("b")).flatMap(bdir =>
-        bdir.listFiles().map(f =>
-          s"${bdir.getName}/${f.getName}" -> f.lastModified())).toMap
+        bdir.listFiles().map { f =>
+          md.reset()
+          val digest = md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+          s"${bdir.getName}/${f.getName}" -> digest.map("%02x".format(_)).mkString
+        }).toMap
     }
     Catalog.upsertCatalog(spark, Catalog.fromPoints(series(
       ("m1", "1"), ("m1", "2"), ("m2", "1"))), base)
     val before = snapshot()
     assert(before.nonEmpty)
     // replaying the exact same batch must rewrite NOTHING
-    Thread.sleep(1100) // mtime granularity
     Catalog.upsertCatalog(spark, Catalog.fromPoints(series(
       ("m1", "1"), ("m1", "2"), ("m2", "1"))), base)
     assert(snapshot() == before, "replay must not touch any bucket")
@@ -186,6 +192,50 @@ class StreamSpec extends SparkSpec {
     }
     // and the catalog reads back as the union
     assert(Catalog.readCatalog(spark, base).get.count() == 4)
+  }
+
+  test("catalog vacuum drops point-less series; buckets that lost nothing stay intact") {
+    import graft.tsdb.Catalog
+    val base = java.nio.file.Files.createTempDirectory("graft_vac_").toString
+    def points(rows: (String, String)*) = rows.toSeq
+      .toDF("metric", "user")
+      .select(col("metric"),
+        map(lit("user"), col("user")).as("tags"),
+        lit(0L).as("ts_ms"), lit(1.0).as("value"))
+    def snapshot(): Map[String, String] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      new java.io.File(base).listFiles().filter(_.getName.matches("b\\d+"))
+        .flatMap(bdir => bdir.listFiles().map { f =>
+          md.reset()
+          s"${bdir.getName}/${f.getName}" ->
+            md.digest(java.nio.file.Files.readAllBytes(f.toPath))
+              .map("%02x".format(_)).mkString
+        }).toMap
+    }
+    val all = points(("m1", "1"), ("m1", "2"), ("m2", "1"), ("m3", "5"))
+    Catalog.upsertCatalog(spark, Catalog.fromPoints(all), base)
+    assert(Catalog.readCatalog(spark, base).get.count() == 4)
+    val before = snapshot()
+    // vacuum against FULLY live points is a no-op: nothing rewritten
+    Catalog.vacuum(spark, base, all)
+    assert(snapshot() == before, "no-op vacuum must not touch any bucket")
+    // expire one tenant's points (m2 retains nothing): its series goes,
+    // the rest stay, and buckets not holding m2/1 are byte-identical
+    val live = points(("m1", "1"), ("m1", "2"), ("m3", "5"))
+    val deadBucket = Catalog.fromPoints(points(("m2", "1")))
+      .withColumn("b", Catalog.bucketId).select("b").as[Int].head()
+    Catalog.vacuum(spark, base, live)
+    val cat = Catalog.readCatalog(spark, base).get
+    assert(cat.count() == 3)
+    assert(cat.where(col("metric") === "m2").count() == 0, "dead series must vanish")
+    val after = snapshot()
+    before.keySet.filterNot(_.startsWith(f"b$deadBucket%02d/")).foreach { k =>
+      assert(after.get(k).contains(before(k)), s"untouched bucket file changed: $k")
+    }
+    // vacuuming EVERYTHING deletes the buckets outright
+    Catalog.vacuum(spark, base, points().where(lit(false)))
+    assert(Catalog.readCatalog(spark, base).isEmpty,
+      "a catalog whose series all died reads back as never-written")
   }
 
   test("bucketed catalog recovers a bucket caught in the swap crash window") {
