@@ -88,6 +88,27 @@ object ScaleProbe {
       llm.Similarity.ivfTopKBatch(e, qs,
         llm.Similarity.ivfCentroids(e, 8, iters = 2), 5, nprobe = 2).count()
     }
+    // stored-index lifecycle, split: BUILD (the one-time training cost —
+    // Lloyd + PQ codebooks + inverted-list rewrite) vs PROBE (the
+    // steady-state per-query cost, which is what serving pays). The
+    // inline ivf_batch row above carries both fused; the split shows
+    // the probe side staying far below the inline cost at 10×.
+    val idxRoot = {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_x10_idx")
+      java.nio.file.Files.createDirectories(d); d.toString
+    }
+    def idxPath(dir: String) = s"$idxRoot/${if (dir == sf) "x1" else "x10"}"
+    def ivfStoredBuild(dir: String): Long = {
+      llm.Similarity.buildIvfIndex(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"), idxPath(dir), "probe")
+      1L
+    }
+    def ivfStoredProbe(dir: String): Long = {
+      val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      llm.Similarity.ivfTopKStored(spark, qs, idxPath(dir), 5, nprobe = 2).count()
+    }
     def minhashSigOnly(dir: String): Long =
       // aggregate a lane, don't count(): column pruning under count()
       // drops the signature expression entirely and the probe would time
@@ -101,7 +122,7 @@ object ScaleProbe {
     // run; timing it against 1× would flatter the 10× ratio)
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
-    clusters(sf); ivfBatch(sf)
+    clusters(sf); ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
@@ -114,7 +135,9 @@ object ScaleProbe {
       // and hence the round count — stays flat: the probe checks the
       // closure cost tracks the edge count, not rounds × corpus
       ("neardup_clusters", time(clusters(sf)), time(clusters(big))),
-      ("ivf_batch_topk", time(ivfBatch(sf)), time(ivfBatch(big))))
+      ("ivf_batch_topk", time(ivfBatch(sf)), time(ivfBatch(big))),
+      ("ivf_stored_build", time(ivfStoredBuild(sf)), time(ivfStoredBuild(big))),
+      ("ivf_stored_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()
