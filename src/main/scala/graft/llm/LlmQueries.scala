@@ -217,6 +217,19 @@ object LlmQueries {
       Similarity.pqTopKStored(s, qv, path, 64, 10)
     }),
 
+    // the full FAISS-style serving probe: IVF prune (nprobe clusters,
+    // partition-pruned lists read) AND PQ/ADC scoring (codes only —
+    // no stored float vector is touched). Oracle composes the shared
+    // Lloyd CTEs (probe selection + assignment) with the PQ codebook
+    // unrolls — approximate on both axes, exact in the math.
+    "llm_sim_ivfpq_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(dir))
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.ivfPqTopKStored(s, qv, path, 64, 10, nprobe = 2)
+    }),
+
     // product quantization (ADC / inner-product): 4 subspaces × 8-entry
     // codebooks over the sliced vectors (same deterministic Lloyd as
     // IVF), corpus stored as 4 codes per vector (~64× smaller than
@@ -256,9 +269,16 @@ object LlmQueries {
     // two Lloyd iterations the llm_sim_ivf oracle does and the two
     // queries are guaranteed one clustering.
     "llm_semdedup" -> ((s, dir) => {
+      // r7: the cluster assignment comes off the PERSISTED index (same
+      // deterministic Lloyd, so the clustering — and the oracle — is
+      // unchanged); the heaviest query on the surface no longer pays
+      // the quantizer training per run. The inline assignment path
+      // stays exercised by llm_sim_ivf / llm_sim_ivf_batch.
       val emb = Tables.embeddings(s, dir)
-      val assigned = Similarity.assignToCentroids(
-        emb, Similarity.ivfCentroids(emb, 8, iters = 2))
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(dir))
+      val assigned = s.read.parquet(s"$path/lists")
+        .select("vec_id", "embedding", "nrm", "centroid_id")
       // materialized once: the label closure and the per-doc max-sim
       // aggregate both consume the verified pair set
       val pairs = graft.core.Exec.materialize(
@@ -792,20 +812,23 @@ object LlmQueries {
        ${step(2, s"c1_$p", s"a2_$p", None)}"""
   }
 
-  /** PQ/ADC oracle: per subspace the query's dot against each codebook
-    * entry (`qd_p`), score = Σ_p qd_p[a2_p(vec)], left-associative sum
-    * then one 4dp round — the exact expression order pqTopK emits. */
-  private val PqOracle: String = {
+  /** The four PQ subspace unrolls + the query-side codebook dots —
+    * shared by [[PqOracle]] and [[IvfPqOracle]]. */
+  private val PqSubAndQdCtes: String = {
     val subs = (0 until 4).map(p => pqSubCtes(p, p * 16, (p + 1) * 16)).mkString(",\n")
     val qds = (0 until 4).map(p =>
       s"""qd_$p AS (SELECT c.cid, CAST(SUM(CAST(q.x * c.v AS DECIMAL(18,4))) AS DOUBLE) AS dot
           FROM c1_$p c JOIN el_$p q ON q.pos = c.pos AND q.vec_id = 0 GROUP BY 1)""").mkString(",\n")
-    s"""WITH el AS (SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS x
-                FROM embeddings e, range(1, 65) r(i)),
-       $subs,
-       $qds,
-       sc AS (SELECT x0.vec_id, q0.dot + q1.dot + q2.dot + q3.dot AS raw
+    s"$subs,\n$qds"
+  }
+
+  /** ADC score join: Σ_p qd_p[a2_p(vec)], left-associative sum — the
+    * exact expression order pqTopK emits; `extraJoin` restricts the
+    * scored set (IVFPQ joins the IVF candidate list). */
+  private def pqScoreSelect(extraJoin: String): String =
+    s"""sc AS (SELECT x0.vec_id, q0.dot + q1.dot + q2.dot + q3.dot AS raw
               FROM a2_0 x0
+              $extraJoin
               JOIN a2_1 x1 ON x1.vec_id = x0.vec_id
               JOIN a2_2 x2 ON x2.vec_id = x0.vec_id
               JOIN a2_3 x3 ON x3.vec_id = x0.vec_id
@@ -815,7 +838,32 @@ object LlmQueries {
               JOIN qd_3 q3 ON q3.cid = x3.cid)
        SELECT vec_id, ROUND(raw * 10000.0, 0) / 10000.0 + 0.0 AS score
        FROM sc ORDER BY score DESC, vec_id LIMIT 10"""
-  }
+
+  /** PQ/ADC oracle: per subspace the query's dot against each codebook
+    * entry (`qd_p`), score = Σ_p qd_p[a2_p(vec)], left-associative sum
+    * then one 4dp round — the exact expression order pqTopK emits. */
+  private val PqOracle: String =
+    s"""WITH el AS (SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS x
+                FROM embeddings e, range(1, 65) r(i)),
+       $PqSubAndQdCtes,
+       ${pqScoreSelect("")}"""
+
+  /** IVFPQ oracle: the shared Lloyd CTEs supply the query's probe
+    * clusters + the corpus assignment (`cand` — identical to the
+    * llm_sim_ivf candidate set), the PQ unrolls supply the ADC score;
+    * the probe scores ONLY candidates. */
+  private val IvfPqOracle: String =
+    s"""WITH $IvfCtes,
+       $PqSubAndQdCtes,
+       qdist AS (SELECT cs.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
+                 FROM csq_3 cs
+                 JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id = 0
+                 JOIN sq ON sq.vec_id = 0),
+       probes AS (SELECT cid FROM (
+                    SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qdist)
+                  WHERE rn <= 2),
+       cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid),
+       ${pqScoreSelect("JOIN cand cd ON cd.vec_id = x0.vec_id")}"""
 
   /** Shared winnowed-fingerprint CTE chain ending at `fp` (doc_id, mh)
     * — the oracle mirror of graftfn.Md5Winnow(text, 8, 16). ONE copy,
@@ -839,6 +887,7 @@ object LlmQueries {
     // oracle text, so any drift between artifact and inline machinery
     // (assignment, codes, norms) fails the hash compare
     "llm_sim_pq_stored" -> PqOracle,
+    "llm_sim_ivfpq_stored" -> IvfPqOracle,
 
     // same Lloyd unroll as IvfOracle, generalized to a query SET: probe
     // selection (rn <= nprobe per query) and the per-query top-k both

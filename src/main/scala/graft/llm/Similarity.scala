@@ -69,7 +69,11 @@ object Similarity {
     * kNN join and cosine dedup must not drift apart. */
   def blockedPairCosines(vectors: DataFrame, blockCol: String,
                          ordered: Boolean): DataFrame = {
-    val withNorm = vectors.withColumn("nrm", normExpr("embedding"))
+    // stored-index frames carry a precomputed norm; computing it is
+    // the same expression, so reuse is free and bit-identical
+    val withNorm =
+      if (vectors.columns.contains("nrm")) vectors
+      else vectors.withColumn("nrm", normExpr("embedding"))
     val a = withNorm.select(col(blockCol).as("blk"), col("vec_id").as("a_id"),
       col("embedding").as("av"), col("nrm").as("a_nrm"))
     val b = withNorm.select(col(blockCol).as("blk"), col("vec_id").as("b_id"),
@@ -355,26 +359,30 @@ object Similarity {
     * where the codes come off parquet and no codebook training runs. */
   private def pqAdcTopK(encoded: DataFrame, queryVec: DataFrame,
                         perSub: Seq[Array[(Int, Seq[Float], Double)]],
-                        dim: Int, topK: Int): DataFrame = {
+                        dim: Int, topK: Int): DataFrame =
+    encoded.crossJoin(broadcast(queryVec))
+      .select(col("vec_id"),
+        graft.core.D.r4s(pqScoreCol(perSub, dim)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
+
+  /** The raw ADC score over a frame carrying `qv` + code_0..code_{m-1}:
+    * dot(query_sub, centroid_cid) per codebook entry, selected by the
+    * row's code — k tiny Dot4s against literals per subspace, then a
+    * chained CASE; no join, no shuffle. Shared by [[pqAdcTopK]] and the
+    * IVFPQ probe. */
+  private def pqScoreCol(perSub: Seq[Array[(Int, Seq[Float], Double)]],
+                         dim: Int): Column = {
     val m = perSub.size
     val len = dim / m
-    val q = broadcast(queryVec)
-    val scoreCols = perSub.zipWithIndex.map { case (cs, s) =>
+    perSub.zipWithIndex.map { case (cs, s) =>
       val qSub = s"slice(qv, ${s * len + 1}, $len)"
-      // dot(query_sub, centroid_cid) per codebook entry, selected by
-      // the row's code — k tiny Dot4s against literals, then a chained
-      // CASE; no join, no shuffle
       cs.foldLeft(lit(null).cast("double")) { case (acc, (cid, cvec, _)) =>
         when(col(s"code_$s") === cid,
           org.apache.spark.sql.graftfn.Dot4.of(expr(qSub), typedLit(cvec)))
           .otherwise(acc)
       }
-    }
-    encoded.crossJoin(q)
-      .select(col("vec_id"),
-        graft.core.D.r4s(scoreCols.reduce(_ + _)).as("score"))
-      .orderBy(col("score").desc, col("vec_id"))
-      .limit(topK)
+    }.reduce(_ + _)
   }
 
   /** Batched IVF ANN probe — the realistic 100 TB shape: a query
@@ -552,17 +560,58 @@ object Similarity {
   def pqTopKStored(s: SparkSession, queryVec: DataFrame, path: String,
                    dim: Int, topK: Int): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
-    val rows = s.read.parquet(s"$path/codebooks")
-      .select(col("sub"), col("centroid_id"), col("cvec"),
-        dotExpr("cvec", "cvec").as("sq_c"))
-      .collect()
-    require(rows.nonEmpty, s"pqTopKStored: no codebooks at $path")
-    val perSub = rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
-      rs.map(r => (r.getInt(1), r.getSeq[Float](2), r.getDouble(3))).sortBy(_._1).toArray
-    }
+    val perSub = readPqCodebooks(s, path)
     val m = perSub.size
     val encoded = s.read.parquet(s"$path/lists")
       .select(col("vec_id") +: (0 until m).map(i => col(s"code_$i")): _*)
     pqAdcTopK(encoded, queryVec, perSub, dim, topK)
+  }
+
+  /** The stored PQ codebooks as driver literals — one m×k-row collect. */
+  private def readPqCodebooks(s: SparkSession,
+                              path: String): Seq[Array[(Int, Seq[Float], Double)]] = {
+    val rows = s.read.parquet(s"$path/codebooks")
+      .select(col("sub"), col("centroid_id"), col("cvec"),
+        dotExpr("cvec", "cvec").as("sq_c"))
+      .collect()
+    require(rows.nonEmpty, s"readPqCodebooks: no codebooks at $path")
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (_, rs) =>
+      rs.map(r => (r.getInt(1), r.getSeq[Float](2), r.getDouble(3))).sortBy(_._1).toArray
+    }
+  }
+
+  /** The full FAISS-style serving probe off the stored index — IVFPQ:
+    * IVF prune (the query's `nprobe` clusters, dynamic-partition-pruned
+    * inverted-list read) AND PQ/ADC scoring (codes only — the probe
+    * never touches a stored float vector). At 100 TB this is the shape
+    * that keeps ANN serveable: candidate volume is nprobe/k of the
+    * corpus, candidate BYTES are m codes per vector (~64× under
+    * float32). Approximate on both axes by construction; the score
+    * math is engine-exact, so the whole probe is oracle-checkable. */
+  def ivfPqTopKStored(s: SparkSession, queryVec: DataFrame, path: String,
+                      dim: Int, topK: Int, nprobe: Int): DataFrame = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
+    val perSub = readPqCodebooks(s, path)
+    val m = perSub.size
+    val dists = cs.map { case (cid, cvec, sqc) =>
+      struct(
+        (col("sq_q") + lit(sqc) - lit(2.0)
+          * org.apache.spark.sql.graftfn.Dot4.of(col("qv"), typedLit(cvec))).as("dist"),
+        lit(cid).as("centroid_id"))
+    }
+    val probes = queryVec
+      .withColumn("sq_q", dotExpr("qv", "qv"))
+      .withColumn("p",
+        explode(slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nprobe)))
+      .select(col("qv"), col("p").getField("centroid_id").as("centroid_id"))
+    val lists = s.read.parquet(s"$path/lists")
+      .select(col("vec_id") +: col("centroid_id")
+        +: (0 until m).map(i => col(s"code_$i")): _*)
+    lists.join(broadcast(probes), Seq("centroid_id"))
+      .select(col("vec_id"),
+        graft.core.D.r4s(pqScoreCol(perSub, dim)).as("score"))
+      .orderBy(col("score").desc, col("vec_id"))
+      .limit(topK)
   }
 }

@@ -33,6 +33,9 @@ object Expression {
   sealed trait ExprNode
   final case class QueryNode(q: TsdbQuery) extends ExprNode
   final case class BinOpNode(op: String, left: ExprNode, right: ExprNode) extends ExprNode
+  /** Numeric literal operand (`div(merge(...), 3600)` — unit scaling);
+    * evaluated map-side, never a join. Cannot be a whole expression. */
+  final case class ScalarNode(v: Double) extends ExprNode
 
   /** The supported point-wise combinators. */
   val BinOps: Set[String] = Set("add", "sub", "mul", "div")
@@ -77,9 +80,12 @@ object Expression {
       e
     }
 
-    // expr := merge(...) | <binop>(expr, expr)
+    // expr := merge(...) | <binop>(expr, expr) | <number>
     private def exprNode(): ExprNode = {
       ws()
+      // identifiers may CONTAIN digits but never start with one, so a
+      // leading digit / sign unambiguously starts a numeric literal
+      if (peek == '-' || peek == '.' || peek.isDigit) return ScalarNode(number())
       val save = i
       val f = ident()
       if (BinOps(f)) {
@@ -90,6 +96,16 @@ object Expression {
         i = save // mergeExpr re-reads its own leading identifier
         QueryNode(mergeExpr())
       }
+    }
+
+    private def number(): Double = {
+      val start = i
+      if (peek == '-') i += 1
+      while (i < s.length && (s(i).isDigit || s(i) == '.')) i += 1
+      val txt = s.substring(start, i)
+      try txt.toDouble
+      catch { case _: NumberFormatException =>
+        throw ParseError(s"bad number '$txt'", start) }
     }
 
     // merge(<agg>, <downsample-or-rate-or-query>)

@@ -113,6 +113,17 @@ object Pipeline {
   def runExpr(spark: SparkSession, points: DataFrame,
               node: Expression.ExprNode): DataFrame = node match {
     case Expression.QueryNode(q) => run(spark, points, q)
+    case Expression.ScalarNode(v) =>
+      throw new IllegalArgumentException(
+        s"a bare scalar ($v) has no series shape; scalars are binop operands")
+    case Expression.BinOpNode(op, Expression.ScalarNode(a), r) =>
+      // scalar ⊕ series: pure map-side projection over the evaluated
+      // side — order and shape preserved, no join
+      val rd = runExpr(spark, points, r)
+      rd.withColumn("value", applyOp(op, lit(a), col("value")))
+    case Expression.BinOpNode(op, l, Expression.ScalarNode(b)) =>
+      val ld = runExpr(spark, points, l)
+      ld.withColumn("value", applyOp(op, col("value"), lit(b)))
     case Expression.BinOpNode(op, l, r) =>
       val ld = runExpr(spark, points, l)
       val rd = runExpr(spark, points, r)
@@ -120,20 +131,24 @@ object Pipeline {
       require(rd.columns.filter(_ != "value").toSeq == keys,
         s"binop '$op' needs both sides grouped by the same tags " +
           s"(${ld.columns.toSeq} vs ${rd.columns.toSeq})")
-      val joined = ld.select(keys.map(col) :+ col("value").as("lv"): _*)
+      ld.select(keys.map(col) :+ col("value").as("lv"): _*)
         .join(rd.select(keys.map(col) :+ col("value").as("rv"): _*), keys)
-      val v = op match {
-        case "add" => graft.core.D.r4s(col("lv") + col("rv"))
-        case "sub" => graft.core.D.r4s(col("lv") - col("rv"))
-        case "mul" => graft.core.D.r4s(col("lv") * col("rv"))
-        case "div" => graft.core.D.r4s(col("lv") /
-          when(col("rv") === 0.0, lit(null)).otherwise(col("rv")))
-        case other => throw new IllegalArgumentException(s"unknown binop: $other")
-      }
-      joined.withColumn("value", v)
+        .withColumn("value", applyOp(op, col("lv"), col("rv")))
         .select((keys :+ "value").map(col): _*)
         .orderBy(keys.map(col): _*)
   }
+
+  /** Point-wise combinator (4dp-quantized, D3); div → null on a zero
+    * denominator — "no data point", never ±Inf. */
+  private def applyOp(op: String, lv: org.apache.spark.sql.Column,
+                      rv: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    op match {
+      case "add" => graft.core.D.r4s(lv + rv)
+      case "sub" => graft.core.D.r4s(lv - rv)
+      case "mul" => graft.core.D.r4s(lv * rv)
+      case "div" => graft.core.D.r4s(lv / when(rv === 0.0, lit(null)).otherwise(rv))
+      case other => throw new IllegalArgumentException(s"unknown binop: $other")
+    }
 
   /** Flagship (SURVEY §7.1 step 1): events, literal_or filter on
     * event_type ∈ (click,view), 1h-avg downsample per (event_type,user_id)

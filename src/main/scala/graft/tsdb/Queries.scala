@@ -191,6 +191,16 @@ object TsdbQueries {
       Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
     }),
 
+    // EP3' scalar operand: hourly sums ÷ 3600 = per-second rate — unit
+    // scaling, the other canonical expression-arithmetic use; evaluated
+    // map-side (no join) since one operand is a literal
+    "tsdb_expression_scale" -> ((s, dir) => {
+      val n = Expression.parseExpr(
+        "div(merge(sum, downsample(1h, sum, none, query(click, {user=*}, 7d))), 3600)",
+        Tables.NowMs)
+      Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
+    }),
+
     // EP2' multi-subquery request over the SHARED scan (Pipeline.runAll
     // materializes one filtered points slice for both subqueries —
     // plan-asserted in PlanSpec): click/sum and view/max grouped by the
@@ -610,6 +620,20 @@ object TsdbQueries {
           FROM m_c c JOIN m_v v ON v.tag_user = c.tag_user AND v.bucket_ms = c.bucket_ms
           ORDER BY 1, 2"""
     },
+
+    "tsdb_expression_scale" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ${D.oSumDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click'
+              AND epoch_ns(ts) // 1000000 >= ${T1 - 7L * Day}
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2),
+          m AS (SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+                FROM ds GROUP BY 1, 2)
+          SELECT tag_user, bucket_ms, ${D.oR4("value / 3600.0")} AS value
+          FROM m ORDER BY 1, 2""",
 
     "tsdb_ttl_expiry" ->
       s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events

@@ -104,5 +104,15 @@ class PureSpec extends AnyFunSuite {
       parseExpr("div(merge(sum, query(a, {}, 1h)))", Now)) // arity
     intercept[Expression.ParseError](
       parseExpr("pow(merge(sum, query(a, {}, 1h)), merge(sum, query(b, {}, 1h)))", Now))
+    // scalar operands: leading digit / sign / dot starts a literal
+    assert(parseExpr("div(merge(sum, query(a, {}, 1h)), 3600)", Now) match {
+      case BinOpNode("div", QueryNode(_), ScalarNode(v)) => v == 3600.0
+      case _ => false
+    })
+    assert(parseExpr("mul(-0.5, merge(sum, query(a, {}, 1h)))", Now) match {
+      case BinOpNode("mul", ScalarNode(v), QueryNode(_)) => v == -0.5
+      case _ => false
+    })
+    intercept[Expression.ParseError](parseExpr("div(merge(sum, query(a, {}, 1h)), -)", Now))
   }
 }
