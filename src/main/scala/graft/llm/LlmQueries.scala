@@ -29,6 +29,13 @@ object LlmQueries {
   private def annFingerprint(dir: String): String =
     Similarity.IndexParams().fingerprint(dir)
 
+  /** Separate artifact for the build-then-append lifecycle query — the
+    * main [[annIndexPath]] index must stay whole-corpus-trained for the
+    * stored ≡ inline oracles. */
+  private def annAppendPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_app").toString
+
   /** Stored corpus band index for llm_dedup_incremental (same per-sfDir
     * scratch contract as [[annIndexPath]]). */
   private def bandIndexPath(dir: String): String =
@@ -217,6 +224,27 @@ object LlmQueries {
       Similarity.pqTopKStored(s, qv, path, 64, 10)
     }),
 
+    // incremental corpus growth: index BUILT on the accumulated corpus
+    // (vec_id % 7 != 3), the new batch APPENDED with the stored
+    // quantizer (zero retraining — O(batch) assignment + codes into an
+    // atomic delta dir), then probed as one corpus. Oracle = the batch
+    // probe recomputed with the clustering TRAINED on the corpus slice
+    // but assigning every vector — exactly the append semantics.
+    "llm_sim_ivf_appended" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annAppendPath(dir)
+      val fp = annFingerprint(dir) + "|train=mod7ne3"
+      if (!(Similarity.ivfIndexCurrent(s, path, fp) &&
+            Similarity.ivfDeltaCount(s, path) > 0)) {
+        Similarity.buildIvfIndex(s, emb.where(pmod(col("vec_id"), lit(7)) =!= 3),
+          path, fp)
+        Similarity.appendIvfDelta(s, emb.where(pmod(col("vec_id"), lit(7)) === 3), path)
+      }
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
+    }),
+
     // the full FAISS-style serving probe: IVF prune (nprobe clusters,
     // partition-pruned lists read) AND PQ/ADC scoring (codes only —
     // no stored float vector is touched). Oracle composes the shared
@@ -277,7 +305,7 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       val path = annIndexPath(dir)
       Similarity.ensureIvfIndex(s, emb, path, annFingerprint(dir))
-      val assigned = s.read.parquet(s"$path/lists")
+      val assigned = Similarity.readLists(s, path)
         .select("vec_id", "embedding", "nrm", "centroid_id")
       // materialized once: the label closure and the per-doc max-sim
       // aggregate both consume the verified pair set
@@ -636,19 +664,28 @@ object LlmQueries {
     * k-means (mirror of Similarity.ivfCentroids): element explode `el`,
     * squared norms `sq`, Lloyd steps ending at the final assignment
     * `a3` (+ `csq_3`/`dot_3` for query-side probe selection). Used by
-    * llm_sim_ivf and llm_semdedup — the two must share one clustering. */
-  private val IvfCtes: String = {
+    * llm_sim_ivf and llm_semdedup — the two must share one clustering.
+    *
+    * `train` restricts which vectors the quantizer TRAINS on (seeds,
+    * Lloyd assignments, mean updates); the FINAL assignment `a3` always
+    * covers every vector — the mirror of building an index on the
+    * accumulated corpus and appending later batches with the stored
+    * centroids (`llm_sim_ivf_appended`). train = TRUE is the classic
+    * whole-corpus clustering every pre-r7 oracle uses. */
+  private def ivfCtes(train: String): String = {
     // one Lloyd step: assignment against centroid elements `cin`, then
-    // (for the first `iters` steps) the refreshed centroids `cout`
-    def step(n: Int, cin: String, an: String, cout: Option[String]) = {
+    // (for the first `iters` steps) the refreshed centroids `cout`;
+    // `src` is el_t during training, el for the final whole-corpus assignment
+    def step(n: Int, cin: String, an: String, cout: Option[String],
+             src: String) = {
       val upd = cout.map(c => s""",
          $c AS (SELECT a.cid, el.pos,
                   CAST(CAST(CAST(SUM(CAST(el.x AS DECIMAL(18,4))) AS DOUBLE) / COUNT(*) AS REAL) AS DOUBLE) AS v
-                FROM $an a JOIN el ON el.vec_id = a.vec_id GROUP BY 1, 2)""").getOrElse("")
+                FROM $an a JOIN $src el ON el.vec_id = a.vec_id GROUP BY 1, 2)""").getOrElse("")
       s"""
          csq_$n AS (SELECT cid, CAST(SUM(CAST(v * v AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM $cin GROUP BY 1),
          dot_$n AS (SELECT el.vec_id, c.cid, CAST(SUM(CAST(el.x * c.v AS DECIMAL(18,4))) AS DOUBLE) AS dot
-                    FROM el JOIN $cin c ON c.pos = el.pos GROUP BY 1, 2),
+                    FROM $src el JOIN $cin c ON c.pos = el.pos GROUP BY 1, 2),
          dist_$n AS (SELECT d.vec_id, d.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
                      FROM dot_$n d JOIN sq ON sq.vec_id = d.vec_id JOIN csq_$n cs ON cs.cid = d.cid),
          $an AS (SELECT vec_id, cid FROM (
@@ -657,14 +694,16 @@ object LlmQueries {
     }
     s"""el AS (SELECT e.vec_id, r.i - 1 AS pos, CAST(e.embedding[r.i] AS DOUBLE) AS x
                     FROM embeddings e, range(1, 65) r(i)),
+         el_t AS (SELECT * FROM el WHERE $train),
          sq AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM el GROUP BY 1),
          c_init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
-                    FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT 8)),
+                    FROM (SELECT vec_id FROM embeddings WHERE $train ORDER BY vec_id LIMIT 8)),
          c0 AS (SELECT ci.cid, el.pos, el.x AS v FROM c_init ci JOIN el ON el.vec_id = ci.vec_id),
-         ${step(1, "c0", "a1", Some("c1"))},
-         ${step(2, "c1", "a2", Some("c2"))},
-         ${step(3, "c2", "a3", None)}"""
+         ${step(1, "c0", "a1", Some("c1"), "el_t")},
+         ${step(2, "c1", "a2", Some("c2"), "el_t")},
+         ${step(3, "c2", "a3", None, "el")}"""
   }
+  private val IvfCtes: String = ivfCtes("TRUE")
 
   private val IvfOracle: String = {
     s"""WITH $IvfCtes,
@@ -691,9 +730,11 @@ object LlmQueries {
   /** IvfOracle generalized to a query SET (vec_id < 4): probe selection
     * (rn <= nprobe per query) and the per-query top-k both become window
     * ranks partitioned by query_id. ONE text for llm_sim_ivf_batch AND
-    * llm_sim_ivf_stored — the stored probe must equal the inline one. */
-  private val IvfBatchOracle: String =
-    s"""WITH $IvfCtes,
+    * llm_sim_ivf_stored — the stored probe must equal the inline one;
+    * `ctes` picks the clustering (whole-corpus, or train-restricted for
+    * the appended-index mirror). */
+  private def ivfBatchOracleWith(ctes: String): String =
+    s"""WITH $ctes,
           qdist AS (SELECT d.vec_id AS query_id, cs.cid,
                       sq.sq + cs.sq - 2.0 * d.dot AS dist
                     FROM csq_3 cs
@@ -721,6 +762,7 @@ object LlmQueries {
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
             FROM sm)
           WHERE rn <= 5 ORDER BY query_id, rn"""
+  private val IvfBatchOracle: String = ivfBatchOracleWith(IvfCtes)
 
   /** Shared CTE chain ending at `ver` (verified candidate pairs) — the
     * oracle mirror of Dedup.nearDupPairsPortable's packed-lane layout:
@@ -888,6 +930,9 @@ object LlmQueries {
     // (assignment, codes, norms) fails the hash compare
     "llm_sim_pq_stored" -> PqOracle,
     "llm_sim_ivfpq_stored" -> IvfPqOracle,
+    // clustering trained on the corpus slice, every vector assigned —
+    // the append-without-retrain semantics recomputed from scratch
+    "llm_sim_ivf_appended" -> ivfBatchOracleWith(ivfCtes("vec_id % 7 <> 3")),
 
     // same Lloyd unroll as IvfOracle, generalized to a query SET: probe
     // selection (rn <= nprobe per query) and the per-query top-k both

@@ -549,8 +549,71 @@ object Similarity {
                     maxBroadcastQueries: Long = 50000L): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
-    val lists = s.read.parquet(s"$path/lists")
-    probeJoinTopK(lists, queries, cs, k, nprobe, maxBroadcastQueries)
+    probeJoinTopK(readLists(s, path), queries, cs, k, nprobe, maxBroadcastQueries)
+  }
+
+  // ---- incremental growth: append deltas without retraining
+  //
+  // A 100 TB corpus grows daily; rebuilding the quantizer per batch
+  // would make ingest cost O(corpus). A delta append assigns the NEW
+  // vectors with the STORED centroids and encodes them with the STORED
+  // codebooks — O(batch) map-only work — and lands them as an atomic
+  // `delta_N` dir next to `lists/` (each delta its own swap, so a
+  // crashed append never corrupts the served index and a replay
+  // overwrites the same delta id idempotently). Readers union
+  // lists + deltas; the same partition layout keeps every probe's
+  // partition pruning. The quantizer drifts as the corpus grows — the
+  // standard IVF trade — until the next full [[buildIvfIndex]] folds
+  // everything back into one training run.
+
+  private val DeltaRe = "delta_(\\d+)".r
+
+  /** Committed delta dirs under `path`, ascending — any delta caught in
+    * the swap crash window (committed `.tmp`, missing dest) is repaired
+    * first, so a reader after a crash still sees the committed state. */
+  private def deltaDirs(s: SparkSession, path: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    fs.listStatus(p).toIndexedSeq.map(_.getPath.getName).collect {
+      case n @ DeltaRe(_) => n
+      case t @ _ if t.endsWith(".tmp") && DeltaRe.matches(t.stripSuffix(".tmp")) =>
+        t.stripSuffix(".tmp")
+    }.distinct.sorted.map { n =>
+      graft.tsdb.Keysets.repairSwap(s, s"$path/$n")
+      s"$path/$n"
+    }.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+  }
+
+  def ivfDeltaCount(s: SparkSession, path: String): Int = deltaDirs(s, path).size
+
+  /** The stored corpus = base inverted lists ∪ committed deltas — one
+    * read per root (a multi-root read trips Spark's common-basePath
+    * partition discovery), unioned by name; every root keeps its own
+    * centroid_id partitioning, so partition pruning holds per scan. */
+  def readLists(s: SparkSession, path: String): DataFrame =
+    (s"$path/lists" +: deltaDirs(s, path).map(d => s"$d/lists"))
+      .map(r => s.read.parquet(r))
+      .reduce(_ unionByName _)
+
+  /** Append `newVectors` as the next delta — assignment + PQ codes from
+    * the STORED quantizer (zero training; the only jobs are the k-row
+    * centroid read, the m×k codebook read, and the batch write). */
+  def appendIvfDelta(s: SparkSession, newVectors: DataFrame, path: String,
+                     p: IndexParams = IndexParams()): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
+    val perSub = readPqCodebooks(s, path)
+    val rows = assignByLiterals(newVectors, cs)
+      .withColumn("nrm", normExpr("embedding"))
+      .select(newVectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
+        ++ pqCodeCols(perSub, p.dim): _*)
+    val next = deltaDirs(s, path)
+      .map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt)
+      .maxOption.fold(0)(_ + 1)
+    graft.tsdb.Keysets.swapBuiltDir(s, f"$path/delta_$next%04d") { tmp =>
+      rows.write.partitionBy("centroid_id").parquet(s"$tmp/lists")
+    }
   }
 
   /** PQ/ADC top-k off a STORED index: codes and codebooks come off
@@ -562,7 +625,7 @@ object Similarity {
     graft.tsdb.Keysets.repairSwap(s, path)
     val perSub = readPqCodebooks(s, path)
     val m = perSub.size
-    val encoded = s.read.parquet(s"$path/lists")
+    val encoded = readLists(s, path)
       .select(col("vec_id") +: (0 until m).map(i => col(s"code_$i")): _*)
     pqAdcTopK(encoded, queryVec, perSub, dim, topK)
   }
@@ -605,7 +668,7 @@ object Similarity {
       .withColumn("p",
         explode(slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nprobe)))
       .select(col("qv"), col("p").getField("centroid_id").as("centroid_id"))
-    val lists = s.read.parquet(s"$path/lists")
+    val lists = readLists(s, path)
       .select(col("vec_id") +: col("centroid_id")
         +: (0 until m).map(i => col(s"code_$i")): _*)
     lists.join(broadcast(probes), Seq("centroid_id"))

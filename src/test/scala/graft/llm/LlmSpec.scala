@@ -377,6 +377,37 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(est - exact) / exact < 0.1)
   }
 
+  test("index delta append: probe sees the union; crashed delta swap recovers") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_llmspec_idx").resolve("ann").toString
+    val corpus = emb.where(col("vec_id") % 7 =!= 3)
+    val batch = emb.where(col("vec_id") % 7 === 3)
+    Similarity.buildIvfIndex(spark, corpus, path, "llmspec")
+    val baseN = Similarity.readLists(spark, path).count()
+    assert(baseN == corpus.count())
+    Similarity.appendIvfDelta(spark, batch, path)
+    assert(Similarity.ivfDeltaCount(spark, path) == 1)
+    assert(Similarity.readLists(spark, path).count() == emb.count(),
+      "probe corpus must be base + delta")
+    // appended rows carry assignment + codes from the STORED quantizer
+    val cols = Similarity.readLists(spark, path).columns.toSet
+    assert(Set("nrm", "centroid_id", "code_0", "code_3").subsetOf(cols))
+    // crash window: delta committed at .tmp (marker inside), dest gone —
+    // the reader must repair and still see the full corpus
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delta = new org.apache.hadoop.fs.Path(s"$path/delta_0000")
+    assert(fs.rename(delta, new org.apache.hadoop.fs.Path(s"$path/delta_0000.tmp")))
+    assert(Similarity.readLists(spark, path).count() == emb.count(),
+      "reader must finish the interrupted delta swap")
+    assert(fs.exists(delta), "recovery completes the rename")
+    // a second append lands as the NEXT delta, never overwriting
+    Similarity.appendIvfDelta(spark, batch.limit(5), path)
+    assert(Similarity.ivfDeltaCount(spark, path) == 2)
+    assert(Similarity.readLists(spark, path).count() == emb.count() + 5)
+  }
+
   test("multimodal: decode stub emits one feature row per media row") {
     val feats = Multimodal.features(spark, sf, partitions = 4)
     val n = graft.core.Tables.documents(spark, sf).count()
