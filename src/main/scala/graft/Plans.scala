@@ -14,7 +14,9 @@ object Plans {
     "llm_knn_join", "llm_dedup_near_minhash", "llm_sim_ann_lsh",
     "llm_sim_ivf", "llm_sim_ivf_batch", "llm_sim_pq",
     "llm_dedup_substring", "agg_approx_distinct_hll",
-    "llm_fingerprint", "llm_corpus_curate", "tsdb_multi_subquery")
+    "llm_fingerprint", "llm_corpus_curate", "tsdb_multi_subquery",
+    "llm_sim_ivf_stored", "llm_sim_ivfpq_stored", "llm_dedup_incremental",
+    "tsdb_expression_ratio")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
