@@ -19,7 +19,8 @@ object Bench {
     "llm_dedup_near_minhash", "llm_sim_cosine_topk", "llm_sim_ivf",
     "llm_sim_ivf_batch", "llm_sim_ivf_stored", "llm_semdedup",
     "llm_knn_join", "llm_tfidf", "llm_corpus_curate",
-    "llm_sim_pq", "llm_dedup_substring", "tsdb_merge_interp")
+    "llm_sim_pq", "llm_dedup_substring", "tsdb_merge_interp",
+    "llm_sim_ivfpq_stored", "llm_dedup_incremental")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

@@ -27,7 +27,11 @@ object Exec {
     * object store on a cluster), surviving executor loss — the setting a
     * 100 TB deployment runs with. Both variants truncate lineage, which
     * the label-propagation loops depend on (a lineage-keeping persist
-    * would stack O(rounds) of join plans). */
+    * would stack O(rounds) of join plans). Reliable-mode checkpoint
+    * files are reclaimed by the ContextCleaner only under
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` (set it at
+    * session build on a long-lived cluster deployment; one-shot jobs
+    * can simply clear the checkpoint dir on exit). */
   def materialize(df: DataFrame): DataFrame =
     if (reliableMode) {
       val sc = df.sparkSession.sparkContext
