@@ -406,6 +406,27 @@ class LlmSpec extends SparkSpec {
     Similarity.appendIvfDelta(spark, batch.limit(5), path)
     assert(Similarity.ivfDeltaCount(spark, path) == 2)
     assert(Similarity.readLists(spark, path).count() == emb.count() + 5)
+    // compaction folds the deltas into the base lists: same rows, same
+    // probe, zero visible deltas, spent dirs gone
+    val qs = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val preProbe = Similarity.ivfTopKStored(spark, qs, path, 5, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    Similarity.compactIvfDeltas(spark, path)
+    assert(Similarity.ivfDeltaCount(spark, path) == 0)
+    assert(Similarity.readLists(spark, path).count() == emb.count() + 5,
+      "compaction must not change the corpus")
+    assert(Similarity.ivfTopKStored(spark, qs, path, 5, nprobe = 2)
+      .collect().map(_.toString).toSeq == preProbe,
+      "probe results must be identical across compaction")
+    // a post-compaction append clears the folded watermark (a reused id
+    // would be invisible to readers)
+    Similarity.appendIvfDelta(spark, batch.limit(3), path)
+    assert(Similarity.ivfDeltaCount(spark, path) == 1)
+    assert(Similarity.readLists(spark, path).count() == emb.count() + 8)
+    // compacting again is a no-op-safe fold of the single delta
+    Similarity.compactIvfDeltas(spark, path)
+    assert(Similarity.readLists(spark, path).count() == emb.count() + 8)
   }
 
   test("multimodal: decode stub emits one feature row per media row") {
