@@ -381,6 +381,33 @@ object Dedup {
       finally out.close()
     }
 
+  /** The stored band index = base table ∪ committed deltas (the Keysets
+    * delta-dir lifecycle shared with the ANN index). */
+  def readBandIndex(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    graft.tsdb.Keysets.readWithDeltas(s, path, "bands")
+
+  /** Grow the stored band index by one corpus batch WITHOUT a rebuild:
+    * O(batch) signature computation landed as an atomic delta dir —
+    * band keys are per-doc independent, so base ∪ deltas is exactly
+    * the index a full rebuild over the grown corpus would produce
+    * (asserted in LlmSpec). */
+  def appendBandDelta(s: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                      idCol: String, textCol: String, path: String,
+                      k: Int = 32, r: Int = 4, shingleN: Int = 3): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val sigs = bandSigsPortable(newDocs, idCol, textCol, k, r, shingleN)
+    graft.tsdb.Keysets.appendDelta(s, path, "bands")(tmp => sigs.write.parquet(tmp))
+  }
+
+  /** Fold committed band deltas into the base table (bounded file
+    * counts for the probe side); watermark contract in Keysets. */
+  def compactBandDeltas(s: org.apache.spark.sql.SparkSession, path: String): Unit =
+    graft.tsdb.Keysets.compactDeltas(s, path, "bands")(
+      (merged, tmp) => merged.write.parquet(tmp))
+
+  def bandDeltaCount(s: org.apache.spark.sql.SparkSession, path: String): Int =
+    graft.tsdb.Keysets.deltaDirs(s, path, "bands").size
+
   /** [[buildBandIndex]] only when the stored index isn't current. */
   def ensureBandIndex(s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
                       idCol: String, textCol: String, path: String,
@@ -404,7 +431,7 @@ object Dedup {
                           threshold: Double = 0.5,
                           maxBroadcastSigs: Long = 4000000L): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
-    val idx = s.read.parquet(s"$path/bands")
+    val idx = readBandIndex(s, path)
     val batchSigs = bandSigsPortable(batch, idCol, textCol, k, r, shingleN)
       .select(col("band"), col("sig"), col("id").as("new_id"))
     val probe = math.min(maxBroadcastSigs + 1, Int.MaxValue.toLong).toInt

@@ -42,7 +42,7 @@ object LlmQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands").toString
   private def bandFingerprint(dir: String): String =
-    s"bands-v1|$dir|k=32,r=4,n=3|batch=mod10eq7"
+    s"bands-v2|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7"
 
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) =>
@@ -111,15 +111,23 @@ object LlmQueries {
 
     // dedup-against-index — the steady-state ingest shape: a NEW batch
     // (doc_id % 10 == 7 stands in for today's crawl) near-dup-checked
-    // against the STORED band index of the accumulated corpus. First
-    // run builds + swaps the index; every later run pays O(batch)
-    // signatures + one bucket probe. Oracle recomputes batch × corpus
-    // from scratch — stored-index probe ≡ full recomputation IS the check.
+    // against the STORED band index of the accumulated corpus, which
+    // itself GREW incrementally (built on %10 ∉ {7,9}, the %10 == 9
+    // slice appended as a delta — band keys are per-doc independent,
+    // so base ∪ delta ≡ a full rebuild, and the oracle's from-scratch
+    // batch × corpus recomputation stays the check). Every later run
+    // pays O(batch) signatures + one bucket probe.
     "llm_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = bandIndexPath(dir)
-      Dedup.ensureBandIndex(s, docs.where(pmod(col("doc_id"), lit(10)) =!= 7),
-        "doc_id", "text", path, bandFingerprint(dir))
+      val fp = bandFingerprint(dir)
+      if (!(Dedup.bandIndexCurrent(s, path, fp) &&
+            Dedup.bandDeltaCount(s, path) > 0)) {
+        val m10 = pmod(col("doc_id"), lit(10))
+        Dedup.buildBandIndex(s, docs.where(m10 =!= 7 && m10 =!= 9),
+          "doc_id", "text", path, fp)
+        Dedup.appendBandDelta(s, docs.where(m10 === 9), "doc_id", "text", path)
+      }
       Dedup.incrementalNearDups(s, docs.where(pmod(col("doc_id"), lit(10)) === 7),
         docs, path)
     }),

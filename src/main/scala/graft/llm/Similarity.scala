@@ -566,91 +566,14 @@ object Similarity {
   // standard IVF trade — until the next full [[buildIvfIndex]] folds
   // everything back into one training run.
 
-  private val DeltaRe = "delta_(\\d+)".r
+  def ivfDeltaCount(s: SparkSession, path: String): Int =
+    graft.tsdb.Keysets.deltaDirs(s, path, "lists").size
 
-  /** Committed delta dirs under `path`, ascending — any delta caught in
-    * the swap crash window (committed `.tmp`, missing dest) is repaired
-    * first, so a reader after a crash still sees the committed state.
-    * Deltas at or below the base lists' `_folded` watermark are SKIPPED:
-    * compaction already folded their rows into `lists/`, and the
-    * watermark — not their deletion — is what keeps a reader from
-    * double-counting them (deletion is best-effort cleanup, so a crash
-    * between the lists swap and the delta deletes is harmless). */
-  private def deltaDirs(s: SparkSession, path: String): Seq[String] = {
-    val p = new org.apache.hadoop.fs.Path(path)
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) return Nil
-    val folded = foldedThru(fs, path)
-    fs.listStatus(p).toIndexedSeq.map(_.getPath.getName).collect {
-      case n @ DeltaRe(_) => n
-      case t @ _ if t.endsWith(".tmp") && DeltaRe.matches(t.stripSuffix(".tmp")) =>
-        t.stripSuffix(".tmp")
-    }.distinct.sorted
-      .filter { case DeltaRe(id) => id.toInt > folded }
-      .map { n =>
-        graft.tsdb.Keysets.repairSwap(s, s"$path/$n")
-        s"$path/$n"
-      }.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
-  }
-
-  /** Highest delta id folded into `lists/` by [[compactIvfDeltas]], or
-    * -1. The marker lives INSIDE the lists dir, so it travels with the
-    * lists swap atomically. */
-  private def foldedThru(fs: org.apache.hadoop.fs.FileSystem, path: String): Int = {
-    val mp = new org.apache.hadoop.fs.Path(s"$path/lists/_folded")
-    if (!fs.exists(mp)) -1
-    else {
-      val in = fs.open(mp)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
-        .trim.toInt
-      finally in.close()
-    }
-  }
-
-  /** Fold committed deltas back into the base inverted lists — the
-    * maintenance pass that keeps probe-side file counts bounded as
-    * batches accumulate (the [[graft.stream.Ingest.compactPoints]]
-    * analog). One read of lists ∪ deltas, one partitioned rewrite
-    * staged under `lists.tmp`, then the usual marker-before-delete
-    * swap; the `_folded` watermark written INSIDE the staged lists
-    * makes the swap atomic for readers (deltas ≤ watermark are ignored
-    * the instant the rename lands), after which the spent delta dirs
-    * are deleted as best-effort cleanup. No-op when no deltas. */
-  def compactIvfDeltas(s: SparkSession, path: String): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val deltas = deltaDirs(s, path)
-    if (deltas.isEmpty) return
-    val maxId = deltas.map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt).max
-    val merged = readLists(s, path)
-    graft.tsdb.Keysets.swapBuiltDir(s, s"$path/lists") { tmp =>
-      // swapBuiltDir stages at lists.tmp; the partitioned rows land in
-      // the dir root so the swapped result replaces lists/ in place
-      merged.write.partitionBy("centroid_id").parquet(tmp)
-      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded"), true)
-      try out.write(maxId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally out.close()
-    }
-    deltas.foreach { d =>
-      val dp = new org.apache.hadoop.fs.Path(d)
-      if (fs.exists(dp)) { fs.delete(dp, true); () }
-    }
-  }
-
-  def ivfDeltaCount(s: SparkSession, path: String): Int = deltaDirs(s, path).size
-
-  /** The stored corpus = base inverted lists ∪ committed deltas — one
-    * read per root (a multi-root read trips Spark's common-basePath
-    * partition discovery), unioned by name; every root keeps its own
-    * centroid_id partitioning, so partition pruning holds per scan.
-    * The base lists dir is itself swap-managed (compaction replaces
-    * it), so finish any interrupted swap before reading. */
-  def readLists(s: SparkSession, path: String): DataFrame = {
-    graft.tsdb.Keysets.repairSwap(s, s"$path/lists")
-    (s"$path/lists" +: deltaDirs(s, path).map(d => s"$d/lists"))
-      .map(r => s.read.parquet(r))
-      .reduce(_ unionByName _)
-  }
+  /** The stored corpus = base inverted lists ∪ committed deltas (the
+    * Keysets delta-dir lifecycle); every root keeps its own centroid_id
+    * partitioning, so partition pruning holds per scan. */
+  def readLists(s: SparkSession, path: String): DataFrame =
+    graft.tsdb.Keysets.readWithDeltas(s, path, "lists")
 
   /** Append `newVectors` as the next delta — assignment + PQ codes from
     * the STORED quantizer (zero training; the only jobs are the k-row
@@ -664,17 +587,17 @@ object Similarity {
       .withColumn("nrm", normExpr("embedding"))
       .select(newVectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, p.dim): _*)
-    // next id clears BOTH the visible deltas and the compaction
-    // watermark — reusing a folded id would land a delta readers ignore
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val next = (deltaDirs(s, path)
-      .map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt + 1)
-      :+ (foldedThru(fs, path) + 1) :+ 0).max
-    graft.tsdb.Keysets.swapBuiltDir(s, f"$path/delta_$next%04d") { tmp =>
-      rows.write.partitionBy("centroid_id").parquet(s"$tmp/lists")
-    }
+    graft.tsdb.Keysets.appendDelta(s, path, "lists")(
+      tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
   }
+
+  /** Fold committed deltas back into the base inverted lists — the
+    * maintenance pass that keeps probe-side file counts bounded as
+    * batches accumulate (the [[graft.stream.Ingest.compactPoints]]
+    * analog); see Keysets.compactDeltas for the watermark contract. */
+  def compactIvfDeltas(s: SparkSession, path: String): Unit =
+    graft.tsdb.Keysets.compactDeltas(s, path, "lists")(
+      (merged, tmp) => merged.write.partitionBy("centroid_id").parquet(tmp))
 
   /** PQ/ADC top-k off a STORED index: codes and codebooks come off
     * parquet (one m×k-row collect), scoring is the same chained-CASE

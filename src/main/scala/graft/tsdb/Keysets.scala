@@ -100,6 +100,100 @@ object Keysets {
     ()
   }
 
+  // ----------------------- delta-dir lifecycle (grow-without-rebuild)
+  //
+  // Artifacts that grow with the corpus (ANN inverted lists, dedup band
+  // indexes) append batches as `delta_NNNN/` dirs next to the base
+  // table `$path/$sub` — each delta its own [[swapBuiltDir]] commit.
+  // Readers union base + committed deltas; `compactDeltas` folds them
+  // back into the base behind a `_folded` watermark INSIDE the swapped
+  // base dir, so the fold is atomic for readers and deleting spent
+  // delta dirs is best-effort cleanup, never a correctness event.
+
+  private val DeltaRe = "delta_(\\d+)".r
+
+  private[graft] def foldedThru(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, sub: String): Int = {
+    val mp = new org.apache.hadoop.fs.Path(s"$path/$sub/_folded")
+    if (!fs.exists(mp)) -1
+    else {
+      val in = fs.open(mp)
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+        .trim.toInt
+      finally in.close()
+    }
+  }
+
+  /** Committed, un-folded delta dirs under `path`, ascending; any delta
+    * caught in the swap crash window is repaired first. */
+  private[graft] def deltaDirs(s: SparkSession, path: String,
+                               sub: String): Seq[String] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) return Nil
+    val folded = foldedThru(fs, path, sub)
+    fs.listStatus(p).toIndexedSeq.map(_.getPath.getName).collect {
+      case n @ DeltaRe(_) => n
+      case t @ _ if t.endsWith(".tmp") && DeltaRe.matches(t.stripSuffix(".tmp")) =>
+        t.stripSuffix(".tmp")
+    }.distinct.sorted
+      .filter { case DeltaRe(id) => id.toInt > folded }
+      .map { n =>
+        repairSwap(s, s"$path/$n")
+        s"$path/$n"
+      }.filter(d => fs.exists(new org.apache.hadoop.fs.Path(d)))
+  }
+
+  /** Base table ∪ committed deltas — one read per root (a multi-root
+    * read trips Spark's common-basePath partition discovery), unioned
+    * by name; the base dir's own interrupted swap is repaired first. */
+  private[graft] def readWithDeltas(s: SparkSession, path: String,
+                                    sub: String): DataFrame = {
+    repairSwap(s, s"$path/$sub")
+    (s"$path/$sub" +: deltaDirs(s, path, sub).map(d => s"$d/$sub"))
+      .map(r => s.read.parquet(r))
+      .reduce(_ unionByName _)
+  }
+
+  /** Land one batch as the next delta (id clears BOTH visible deltas
+    * and the folded watermark — a reused folded id would be invisible
+    * to readers). `write` stages the batch under `$tmp/$sub`. */
+  private[graft] def appendDelta(s: SparkSession, path: String, sub: String)
+                                (write: String => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val next = (deltaDirs(s, path, sub)
+      .map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt + 1)
+      :+ (foldedThru(fs, path, sub) + 1) :+ 0).max
+    swapBuiltDir(s, f"$path/delta_$next%04d") { tmp =>
+      write(s"$tmp/$sub")
+    }
+  }
+
+  /** Fold committed deltas into the base table: `rewrite` stages the
+    * merged frame at the given tmp path, the watermark travels inside
+    * the swapped base dir, spent delta dirs are deleted best-effort. */
+  private[graft] def compactDeltas(s: SparkSession, path: String, sub: String)
+                                  (rewrite: (DataFrame, String) => Unit): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val deltas = deltaDirs(s, path, sub)
+    if (deltas.isEmpty) return
+    val maxId = deltas
+      .map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt).max
+    val merged = readWithDeltas(s, path, sub)
+    swapBuiltDir(s, s"$path/$sub") { tmp =>
+      rewrite(merged, tmp)
+      val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded"), true)
+      try out.write(maxId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+    deltas.foreach { d =>
+      val dp = new org.apache.hadoop.fs.Path(d)
+      if (fs.exists(dp)) { fs.delete(dp, true); () }
+    }
+  }
+
   def list(s: SparkSession, registryPath: String): DataFrame = {
     repairSwap(s, registryPath)
     s.read.parquet(registryPath).orderBy("ksid")

@@ -429,6 +429,27 @@ class LlmSpec extends SparkSpec {
     assert(Similarity.readLists(spark, path).count() == emb.count() + 8)
   }
 
+  test("band index growth: base + delta equals a full rebuild; compaction preserves it") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_band_idx")
+    val grown = root.resolve("grown").toString
+    val whole = root.resolve("whole").toString
+    val corpusA = docs.where(col("doc_id") % 3 =!= 0)
+    val corpusB = docs.where(col("doc_id") % 3 === 0)
+    Dedup.buildBandIndex(spark, corpusA, "doc_id", "text", grown, "t")
+    Dedup.appendBandDelta(spark, corpusB, "doc_id", "text", grown)
+    Dedup.buildBandIndex(spark, docs, "doc_id", "text", whole, "t")
+    def rows(p: String) = Dedup.readBandIndex(spark, p)
+      .orderBy("id", "band", "sig").collect().map(_.toString).toSeq
+    val grownRows = rows(grown)
+    assert(grownRows == rows(whole),
+      "band keys are per-doc independent: grown index must equal a rebuild")
+    // fold the delta; content identical, zero visible deltas
+    Dedup.compactBandDeltas(spark, grown)
+    assert(Dedup.bandDeltaCount(spark, grown) == 0)
+    assert(rows(grown) == grownRows, "compaction must not change the index")
+  }
+
   test("multimodal: decode stub emits one feature row per media row") {
     val feats = Multimodal.features(spark, sf, partitions = 4)
     val n = graft.core.Tables.documents(spark, sf).count()
