@@ -382,9 +382,11 @@ object Dedup {
     }
 
   /** The stored band index = base table ∪ committed deltas (the Keysets
-    * delta-dir lifecycle shared with the ANN index). */
+    * delta-dir lifecycle shared with the ANN index), minus tombstoned
+    * doc ids — probes never see a deleted doc's signatures. */
   def readBandIndex(s: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    graft.tsdb.Keysets.readWithDeltas(s, path, "bands")
+    graft.tsdb.Keysets.dropTombstoned(
+      graft.tsdb.Keysets.readWithDeltas(s, path, "bands"), "id")
 
   /** Grow the stored band index by one corpus batch WITHOUT a rebuild:
     * O(batch) signature computation landed as an atomic delta dir —
@@ -399,11 +401,28 @@ object Dedup {
     graft.tsdb.Keysets.appendDelta(s, path, "bands")(tmp => sigs.write.parquet(tmp))
   }
 
+  /** Tombstone-delete docs from the stored band index — the takedown
+    * shape, mirroring [[graft.llm.Similarity.deleteFromIvfIndex]]: the
+    * marker rows (id, tomb) land as one atomic delta (band/sig
+    * null-fill on read and are never consulted), [[readBandIndex]]
+    * hides the doc's signatures immediately, compaction purges them
+    * physically. Doc ids must never be reused. */
+  def deleteFromBandIndex(s: org.apache.spark.sql.SparkSession, ids: DataFrame,
+                          path: String): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val doomed = ids.toDF("id").select(col("id"), lit(true).as("tomb"))
+    if (doomed.isEmpty) return // an empty write would land a schema-less dir
+    graft.tsdb.Keysets.appendDelta(s, path, "bands")(tmp => doomed.write.parquet(tmp))
+  }
+
   /** Fold committed band deltas into the base table (bounded file
-    * counts for the probe side); watermark contract in Keysets. */
+    * counts for the probe side); watermark contract in Keysets.
+    * Tombstones are applied during the fold — deferred deletes become
+    * physical here. */
   def compactBandDeltas(s: org.apache.spark.sql.SparkSession, path: String): Unit =
     graft.tsdb.Keysets.compactDeltas(s, path, "bands")(
-      (merged, tmp) => merged.write.parquet(tmp))
+      (merged, tmp) => graft.tsdb.Keysets.dropTombstoned(merged, "id")
+        .write.parquet(tmp))
 
   def bandDeltaCount(s: org.apache.spark.sql.SparkSession, path: String): Int =
     graft.tsdb.Keysets.deltaDirs(s, path, "bands").size

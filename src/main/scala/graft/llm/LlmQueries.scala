@@ -36,6 +36,12 @@ object LlmQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_app").toString
 
+  /** Separate artifact for the takedown lifecycle query — built
+    * whole-corpus, then a slice tombstoned. */
+  private def annDeletePath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_del").toString
+
   /** Stored corpus band index for llm_dedup_incremental (same per-sfDir
     * scratch contract as [[annIndexPath]]). */
   private def bandIndexPath(dir: String): String =
@@ -43,6 +49,14 @@ object LlmQueries {
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands").toString
   private def bandFingerprint(dir: String): String =
     s"bands-v2|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7"
+
+  /** Separate band artifact for the takedown query — built on the full
+    * non-batch corpus, then a slice tombstoned. */
+  private def bandDeletePath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands_del").toString
+  private def bandDeleteFingerprint(dir: String): String =
+    s"bands-del-v2|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7"
 
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) =>
@@ -127,6 +141,27 @@ object LlmQueries {
         Dedup.buildBandIndex(s, docs.where(m10 =!= 7 && m10 =!= 9),
           "doc_id", "text", path, fp)
         Dedup.appendBandDelta(s, docs.where(m10 === 9), "doc_id", "text", path)
+      }
+      Dedup.incrementalNearDups(s, docs.where(pmod(col("doc_id"), lit(10)) === 7),
+        docs, path)
+    }),
+
+    // takedown from the stored band index: built on the full non-batch
+    // corpus, then the % 10 == 3 slice tombstone-deleted — the
+    // steady-state probe must stop matching against deleted docs
+    // immediately (no index rewrite until compaction). Oracle = the
+    // shared band CTEs with the deleted slice excluded from the corpus
+    // side — deleted docs were never indexed, as far as probes can tell.
+    "llm_dedup_index_delete" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = bandDeletePath(dir)
+      val fp = bandDeleteFingerprint(dir)
+      if (!(Dedup.bandIndexCurrent(s, path, fp) &&
+            Dedup.bandDeltaCount(s, path) > 0)) {
+        val m10 = pmod(col("doc_id"), lit(10))
+        Dedup.buildBandIndex(s, docs.where(m10 =!= 7), "doc_id", "text", path, fp)
+        Dedup.deleteFromBandIndex(s,
+          docs.where(m10 === 3).select("doc_id"), path)
       }
       Dedup.incrementalNearDups(s, docs.where(pmod(col("doc_id"), lit(10)) === 7),
         docs, path)
@@ -247,6 +282,27 @@ object LlmQueries {
         Similarity.buildIvfIndex(s, emb.where(pmod(col("vec_id"), lit(7)) =!= 3),
           path, fp)
         Similarity.appendIvfDelta(s, emb.where(pmod(col("vec_id"), lit(7)) === 3), path)
+      }
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
+    }),
+
+    // takedown from a stored index: built whole-corpus, then the
+    // vec_id % 11 == 5 slice tombstone-deleted (one atomic delta — no
+    // list rewrite); the probe must behave as if the deleted vectors
+    // were never indexed, while the quantizer keeps its full-corpus
+    // training. Oracle = the whole-corpus Lloyd CTEs with only the
+    // candidate set filtered — exactly that semantic.
+    "llm_sim_ivf_deleted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annDeletePath(dir)
+      val fp = annFingerprint(dir) + "|deleted=mod11eq5"
+      if (!(Similarity.ivfIndexCurrent(s, path, fp) &&
+            Similarity.ivfDeltaCount(s, path) > 0)) {
+        Similarity.buildIvfIndex(s, emb, path, fp)
+        Similarity.deleteFromIvfIndex(s,
+          emb.where(pmod(col("vec_id"), lit(11)) === 5).select("vec_id"), path)
       }
       val qs = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -740,8 +796,11 @@ object LlmQueries {
     * ranks partitioned by query_id. ONE text for llm_sim_ivf_batch AND
     * llm_sim_ivf_stored — the stored probe must equal the inline one;
     * `ctes` picks the clustering (whole-corpus, or train-restricted for
-    * the appended-index mirror). */
-  private def ivfBatchOracleWith(ctes: String): String =
+    * the appended-index mirror); `candFilter` prunes the candidate set
+    * (the tombstone-deletion mirror: the quantizer keeps its training,
+    * only candidates disappear). */
+  private def ivfBatchOracleWith(ctes: String,
+                                 candFilter: String = "TRUE"): String =
     s"""WITH $ctes,
           qdist AS (SELECT d.vec_id AS query_id, cs.cid,
                       sq.sq + cs.sq - 2.0 * d.dot AS dist
@@ -753,7 +812,8 @@ object LlmQueries {
                               row_number() OVER (PARTITION BY query_id ORDER BY dist, cid) AS rn
                        FROM qdist) WHERE rn <= 2),
           cand AS (SELECT p.query_id, a.vec_id
-                   FROM a3 a JOIN probes p ON p.cid = a.cid),
+                   FROM a3 a JOIN probes p ON p.cid = a.cid
+                   WHERE $candFilter),
           qdot AS (SELECT c.query_id, c.vec_id,
                      CAST(SUM(CAST(ev.x * eq.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
                    FROM cand c
@@ -942,6 +1002,11 @@ object LlmQueries {
     // the append-without-retrain semantics recomputed from scratch
     "llm_sim_ivf_appended" -> ivfBatchOracleWith(ivfCtes("vec_id % 7 <> 3")),
 
+    // takedown mirror: whole-corpus training, candidates minus the
+    // tombstoned slice — a deleted vector can never be returned
+    "llm_sim_ivf_deleted" ->
+      ivfBatchOracleWith(IvfCtes, "a.vec_id % 11 <> 5"),
+
     // same Lloyd unroll as IvfOracle, generalized to a query SET: probe
     // selection (rn <= nprobe per query) and the per-query top-k both
     // become window ranks partitioned by query_id
@@ -998,6 +1063,14 @@ object LlmQueries {
     // band machinery — the from-scratch mirror of the stored-index probe
     "llm_dedup_incremental" ->
       s"""WITH ${nearDupPairCtesWith("a.id % 10 <> 7 AND b.id % 10 = 7")}
+         SELECT b_id AS new_id, a_id AS corpus_id, jaccard FROM ver
+         WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
+
+    // takedown mirror: the deleted slice vanishes from the corpus side
+    // of the candidate pairing — as if it were never indexed
+    "llm_dedup_index_delete" ->
+      s"""WITH ${nearDupPairCtesWith(
+             "a.id % 10 <> 7 AND a.id % 10 <> 3 AND b.id % 10 = 7")}
          SELECT b_id AS new_id, a_id AS corpus_id, jaccard FROM ver
          WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
 

@@ -570,10 +570,13 @@ object Similarity {
     graft.tsdb.Keysets.deltaDirs(s, path, "lists").size
 
   /** The stored corpus = base inverted lists ∪ committed deltas (the
-    * Keysets delta-dir lifecycle); every root keeps its own centroid_id
-    * partitioning, so partition pruning holds per scan. */
+    * Keysets delta-dir lifecycle), minus tombstoned ids; every root
+    * keeps its own centroid_id partitioning, so partition pruning holds
+    * per scan, and every stored probe flows through here — deletions
+    * are invisible to probes the moment the tombstone delta commits. */
   def readLists(s: SparkSession, path: String): DataFrame =
-    graft.tsdb.Keysets.readWithDeltas(s, path, "lists")
+    graft.tsdb.Keysets.dropTombstoned(
+      graft.tsdb.Keysets.readWithDeltas(s, path, "lists"), "vec_id")
 
   /** Append `newVectors` as the next delta — assignment + PQ codes from
     * the STORED quantizer (zero training; the only jobs are the k-row
@@ -591,13 +594,39 @@ object Similarity {
       tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
   }
 
+  /** Tombstone-delete vectors from the stored index WITHOUT rewriting
+    * the lists — the takedown / right-to-be-forgotten shape. The
+    * deletion lands as a normal delta whose rows carry only (vec_id,
+    * centroid_id, tomb = true): commit is the same atomic delta swap as
+    * an append, [[readLists]] drops tombstoned ids behind a broadcast
+    * anti-join, and the next [[compactIvfDeltas]] physically purges
+    * both the markers and the rows they shadow — deferred deletion in
+    * the LSM/Lucene style, sized to the takedown (rewriting a 100 TB
+    * index per takedown would be the wrong cost). The quantizer
+    * (centroids/codebooks) keeps its training — the standard IVF trade;
+    * vec_ids must never be reused. The centroid lookup is one semi-join
+    * over the lists so the markers land in their vectors' partitions. */
+  def deleteFromIvfIndex(s: SparkSession, ids: DataFrame, path: String): Unit = {
+    val doomed = readLists(s, path)
+      .join(ids.toDF("vec_id"), Seq("vec_id"), "left_semi")
+      .select(col("vec_id"), col("centroid_id"), lit(true).as("tomb"))
+    // already-deleted / never-indexed ids leave nothing to shadow — and
+    // an empty partitioned write would land a schema-less delta dir
+    if (doomed.isEmpty) return
+    graft.tsdb.Keysets.appendDelta(s, path, "lists")(
+      tmp => doomed.write.partitionBy("centroid_id").parquet(tmp))
+  }
+
   /** Fold committed deltas back into the base inverted lists — the
     * maintenance pass that keeps probe-side file counts bounded as
     * batches accumulate (the [[graft.stream.Ingest.compactPoints]]
-    * analog); see Keysets.compactDeltas for the watermark contract. */
+    * analog); see Keysets.compactDeltas for the watermark contract.
+    * Tombstones are applied during the fold: compaction is where
+    * deferred deletes become physical. */
   def compactIvfDeltas(s: SparkSession, path: String): Unit =
     graft.tsdb.Keysets.compactDeltas(s, path, "lists")(
-      (merged, tmp) => merged.write.partitionBy("centroid_id").parquet(tmp))
+      (merged, tmp) => graft.tsdb.Keysets.dropTombstoned(merged, "vec_id")
+        .write.partitionBy("centroid_id").parquet(tmp))
 
   /** PQ/ADC top-k off a STORED index: codes and codebooks come off
     * parquet (one m×k-row collect), scoring is the same chained-CASE

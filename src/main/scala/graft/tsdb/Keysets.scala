@@ -146,14 +146,29 @@ object Keysets {
 
   /** Base table ∪ committed deltas — one read per root (a multi-root
     * read trips Spark's common-basePath partition discovery), unioned
-    * by name; the base dir's own interrupted swap is repaired first. */
+    * by name; the base dir's own interrupted swap is repaired first.
+    * Missing columns null-fill: tombstone deltas carry only (id, tomb)
+    * and live rows never carry `tomb`. */
   private[graft] def readWithDeltas(s: SparkSession, path: String,
                                     sub: String): DataFrame = {
     repairSwap(s, s"$path/$sub")
     (s"$path/$sub" +: deltaDirs(s, path, sub).map(d => s"$d/$sub"))
       .map(r => s.read.parquet(r))
-      .reduce(_ unionByName _)
+      .reduce(_.unionByName(_, allowMissingColumns = true))
   }
+
+  /** Apply tombstone deltas to a [[readWithDeltas]] union: a row with
+    * `tomb = true` shadows EVERY row of its id (ids are never reused —
+    * the LSM/Lucene deferred-delete contract), and the marker rows
+    * themselves vanish. Tombstone sets are takedown-sized, never
+    * corpus-sized, so the anti-join broadcasts. A frame with no `tomb`
+    * column (never-deleted index, or freshly compacted base) passes
+    * through untouched. */
+  private[graft] def dropTombstoned(df: DataFrame, idCol: String): DataFrame =
+    if (!df.columns.contains("tomb")) df
+    else df.where(col("tomb").isNull)
+      .join(broadcast(df.where(col("tomb")).select(idCol)), Seq(idCol), "left_anti")
+      .drop("tomb")
 
   /** Land one batch as the next delta (id clears BOTH visible deltas
     * and the folded watermark — a reused folded id would be invisible

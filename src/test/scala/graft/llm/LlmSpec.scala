@@ -429,6 +429,39 @@ class LlmSpec extends SparkSpec {
     assert(Similarity.readLists(spark, path).count() == emb.count() + 8)
   }
 
+  test("ivf takedown: tombstoned ids vanish from probes; compaction purges physically") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_llmspec_del").resolve("ann").toString
+    Similarity.buildIvfIndex(spark, emb, path, "llmspec-del")
+    val doomed = emb.where(col("vec_id") % 5 === 2).select("vec_id")
+    val nDoomed = doomed.count()
+    Similarity.deleteFromIvfIndex(spark, doomed, path)
+    assert(Similarity.ivfDeltaCount(spark, path) == 1,
+      "a takedown is one atomic delta commit")
+    assert(Similarity.readLists(spark, path).count() == emb.count() - nDoomed)
+    val qs = emb.where(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val doomedSet = doomed.collect().map(_.getLong(0)).toSet
+    val pre = Similarity.ivfTopKStored(spark, qs, path, 5, nprobe = 2).collect()
+    assert(pre.nonEmpty)
+    assert(!pre.exists(r => doomedSet.contains(r.getAs[Long]("vec_id"))),
+      "a deleted vector must never be returned by a probe")
+    // deleting an already-deleted id is a harmless no-op delta
+    Similarity.deleteFromIvfIndex(spark, doomed.limit(3), path)
+    assert(Similarity.readLists(spark, path).count() == emb.count() - nDoomed)
+    // compaction makes the deletes physical: no tomb column survives,
+    // counts and probe results are unchanged
+    Similarity.compactIvfDeltas(spark, path)
+    assert(Similarity.ivfDeltaCount(spark, path) == 0)
+    val base = Similarity.readLists(spark, path)
+    assert(!base.columns.contains("tomb"), "compaction purges tombstones")
+    assert(base.count() == emb.count() - nDoomed)
+    assert(Similarity.ivfTopKStored(spark, qs, path, 5, nprobe = 2)
+      .collect().map(_.toString).toSeq == pre.map(_.toString).toSeq,
+      "probe results identical across the physical purge")
+  }
+
   test("band index growth: base + delta equals a full rebuild; compaction preserves it") {
     val docs = graft.core.Tables.documents(spark, sf)
     val root = java.nio.file.Files.createTempDirectory("graft_band_idx")
@@ -448,6 +481,18 @@ class LlmSpec extends SparkSpec {
     Dedup.compactBandDeltas(spark, grown)
     assert(Dedup.bandDeltaCount(spark, grown) == 0)
     assert(rows(grown) == grownRows, "compaction must not change the index")
+    // takedown: tombstone a slice — its signatures vanish from reads
+    // immediately, and compaction makes the delete physical
+    val dead = docs.where(col("doc_id") % 7 === 1).select("doc_id")
+    Dedup.deleteFromBandIndex(spark, dead, grown)
+    val live = Dedup.readBandIndex(spark, grown)
+    assert(live.join(dead.toDF("id"), Seq("id"), "left_semi").count() == 0,
+      "a deleted doc's signatures must never be visible")
+    val liveRows = rows(grown)
+    assert(liveRows.nonEmpty && liveRows.size < grownRows.size)
+    Dedup.compactBandDeltas(spark, grown)
+    assert(!Dedup.readBandIndex(spark, grown).columns.contains("tomb"))
+    assert(rows(grown) == liveRows, "physical purge preserves live content")
   }
 
   test("multimodal: decode stub emits one feature row per media row") {
