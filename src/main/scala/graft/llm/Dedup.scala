@@ -401,6 +401,37 @@ object Dedup {
     graft.tsdb.Keysets.appendDelta(s, path, "bands")(tmp => sigs.write.parquet(tmp))
   }
 
+  /** Batch-scoped delta append for streaming sinks: the delta id is the
+    * micro-batch id, so a replayed batch overwrites its own delta and a
+    * replay after compaction is ignored by the folded watermark — see
+    * [[graft.tsdb.Keysets.appendDeltaAt]]. */
+  def appendBandDeltaAt(s: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                        idCol: String, textCol: String, path: String,
+                        batchId: Long, k: Int = 32, r: Int = 4,
+                        shingleN: Int = 3): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val sigs = bandSigsPortable(newDocs, idCol, textCol, k, r, shingleN)
+    graft.tsdb.Keysets.appendDeltaAt(s, path, "bands", batchId)(
+      tmp => sigs.write.parquet(tmp))
+  }
+
+  /** Bootstrap for a stream-grown index: an empty schema-bearing base
+    * table (the corpus then accumulates purely as micro-batch deltas
+    * until [[compactBandDeltas]] folds it). repartition(1) forces one
+    * write task — a zero-task empty write would land a schema-less dir
+    * no reader can open. No-op when the base already exists. */
+  def ensureEmptyBandBase(s: org.apache.spark.sql.SparkSession, path: String): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, s"$path/bands")
+    val base = new org.apache.hadoop.fs.Path(s"$path/bands")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) return
+    import s.implicits._
+    val empty = bandSigsPortable(
+      Seq.empty[(Long, String)].toDF("id", "text"), "id", "text", 32, 4, 3)
+    graft.tsdb.Keysets.swapBuiltDir(s, s"$path/bands")(
+      tmp => empty.repartition(1).write.parquet(tmp))
+  }
+
   /** Tombstone-delete docs from the stored band index — the takedown
     * shape, mirroring [[graft.llm.Similarity.deleteFromIvfIndex]]: the
     * marker rows (id, tomb) land as one atomic delta (band/sig

@@ -267,6 +267,37 @@ object Ingest {
         min(col("pmin")).as("pmin"), max(col("pmax")).as("pmax"))
   }
 
+  /** EP2': steady-state dedup-index maintenance from a DOCUMENT stream —
+    * the missing half of the `llm_dedup_incremental` story: that query
+    * probes a stored band index; this sink is what keeps the index
+    * growing as the crawl arrives. Each micro-batch's band signatures
+    * land as a BATCH-SCOPED delta (delta id = batchId): a replayed
+    * batch overwrites its own delta (exactly-once without markers, the
+    * points-landing contract) and a replay arriving after compaction
+    * folded that id is ignored by the watermark — both crash windows
+    * are no-ops by layout. Band keys are per-doc independent, so the
+    * stream-grown index ≡ a batch rebuild over the same docs regardless
+    * of batch boundaries (StreamSpec-asserted). Bootstrap is an empty
+    * schema-bearing base; [[graft.llm.Dedup.compactBandDeltas]] is the
+    * read-side maintenance pass, never a correctness requirement. */
+  def maintainBandIndex(s: SparkSession, docsStream: DataFrame,
+                        indexPath: String, checkpoint: String,
+                        idCol: String = "doc_id",
+                        textCol: String = "text"): Unit = {
+    graft.llm.Dedup.ensureEmptyBandBase(s, indexPath)
+    val q = docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Dedup.appendBandDeltaAt(batch.sparkSession, batch,
+          idCol, textCol, indexPath, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Fold the per-micro-batch point landing directories into ONE
     * compacted, query-optimized layout: partitioned by metric, rows
     * sorted by (ts, value) within partitions — the §4.2 row-group

@@ -185,6 +185,18 @@ object Keysets {
     }
   }
 
+  /** Land one batch at a CALLER-CHOSEN delta id — the streaming-sink
+    * variant of [[appendDelta]]: keyed by the micro-batch id, a
+    * replayed batch overwrites its own delta (exactly-once without
+    * markers, the points-landing contract), and a replay arriving
+    * AFTER compaction folded that id is ignored by the watermark —
+    * both failure windows collapse to no-ops by layout. */
+  private[graft] def appendDeltaAt(s: SparkSession, path: String, sub: String,
+                                   id: Long)(write: String => Unit): Unit =
+    swapBuiltDir(s, f"$path/delta_$id%04d") { tmp =>
+      write(s"$tmp/$sub")
+    }
+
   /** Fold committed deltas into the base table: `rewrite` stages the
     * merged frame at the given tmp path, the watermark travels inside
     * the swapped base dir, spent delta dirs are deleted best-effort. */

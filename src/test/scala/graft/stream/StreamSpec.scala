@@ -268,4 +268,37 @@ class StreamSpec extends SparkSpec {
     Catalog.upsertCatalog(spark, Catalog.fromPoints(more), base)
     assert(Catalog.readCatalog(spark, base).get.count() == total + 1)
   }
+
+  test("stream-grown band index equals a batch rebuild; restart and post-compaction replay are no-ops") {
+    import graft.llm.Dedup
+    val docs = graft.core.Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_sbi_")
+    // several source files → several micro-batches (one file per trigger)
+    val srcDir = root.resolve("docs").toString
+    docs.repartition(3).write.parquet(srcDir)
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val idx = root.resolve("bandidx").toString
+    val cp = root.resolve("cp").toString
+    Ingest.maintainBandIndex(spark, stream(), idx, cp)
+    assert(Dedup.bandDeltaCount(spark, idx) == 3,
+      "one batch-scoped delta per micro-batch")
+    val whole = root.resolve("whole").toString
+    Dedup.buildBandIndex(spark, docs, "doc_id", "text", whole, "t")
+    def rows(p: String) = Dedup.readBandIndex(spark, p)
+      .orderBy("id", "band", "sig").collect().map(_.toString).toSeq
+    val expected = rows(whole)
+    assert(rows(idx) == expected,
+      "stream-grown index must equal a batch rebuild — batch boundaries can't matter")
+    // restart on the same checkpoint: no new files, no new batches
+    Ingest.maintainBandIndex(spark, stream(), idx, cp)
+    assert(Dedup.bandDeltaCount(spark, idx) == 3 && rows(idx) == expected)
+    // compaction folds the batches; a late replay of batch 0 lands at
+    // delta_0000 which the folded watermark now ignores
+    Dedup.compactBandDeltas(spark, idx)
+    assert(rows(idx) == expected)
+    Dedup.appendBandDeltaAt(spark, docs.limit(7), "doc_id", "text", idx, 0L)
+    assert(rows(idx) == expected,
+      "a replayed batch below the watermark must be invisible")
+  }
 }
