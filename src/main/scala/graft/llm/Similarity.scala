@@ -578,19 +578,36 @@ object Similarity {
     graft.tsdb.Keysets.dropTombstoned(
       graft.tsdb.Keysets.readWithDeltas(s, path, "lists"), "vec_id")
 
-  /** Append `newVectors` as the next delta — assignment + PQ codes from
-    * the STORED quantizer (zero training; the only jobs are the k-row
+  /** The delta payload for `newVectors`: assignment + PQ codes from the
+    * STORED quantizer (zero training; the only jobs are the k-row
     * centroid read, the m×k codebook read, and the batch write). */
-  def appendIvfDelta(s: SparkSession, newVectors: DataFrame, path: String,
-                     p: IndexParams = IndexParams()): Unit = {
+  private def deltaRows(s: SparkSession, newVectors: DataFrame, path: String,
+                        p: IndexParams): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
     val perSub = readPqCodebooks(s, path)
-    val rows = assignByLiterals(newVectors, cs)
+    assignByLiterals(newVectors, cs)
       .withColumn("nrm", normExpr("embedding"))
       .select(newVectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, p.dim): _*)
+  }
+
+  /** Append `newVectors` as the next delta (see [[deltaRows]]). */
+  def appendIvfDelta(s: SparkSession, newVectors: DataFrame, path: String,
+                     p: IndexParams = IndexParams()): Unit = {
+    val rows = deltaRows(s, newVectors, path, p)
     graft.tsdb.Keysets.appendDelta(s, path, "lists")(
+      tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
+  }
+
+  /** Batch-scoped append for streaming sinks — the delta id is the
+    * micro-batch id, so a replayed batch overwrites its own delta and a
+    * replay after compaction is ignored by the folded watermark (see
+    * [[graft.tsdb.Keysets.appendDeltaAt]]). */
+  def appendIvfDeltaAt(s: SparkSession, newVectors: DataFrame, path: String,
+                       batchId: Long, p: IndexParams = IndexParams()): Unit = {
+    val rows = deltaRows(s, newVectors, path, p)
+    graft.tsdb.Keysets.appendDeltaAt(s, path, "lists", batchId)(
       tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
   }
 

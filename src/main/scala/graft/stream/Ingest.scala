@@ -298,6 +298,37 @@ object Ingest {
     q.awaitTermination()
   }
 
+  /** EP2'': steady-state ANN-index maintenance from an EMBEDDING stream —
+    * the IVF analog of [[maintainBandIndex]], same batch-scoped-delta
+    * idempotence. One deliberate asymmetry: there is NO
+    * bootstrap-from-stream — the quantizer (centroids + PQ codebooks)
+    * must already exist at `indexPath` ([[graft.llm.Similarity
+    * .buildIvfIndex]], the offline training pass), because training it
+    * on whatever the first micro-batch happens to hold would bake the
+    * batch boundary into every later assignment. Appends are O(batch):
+    * assignment + codes from the stored quantizer, zero training —
+    * quantizer drift until the next offline rebuild is the standard
+    * IVF trade. */
+  def maintainIvfIndex(s: SparkSession, vecStream: DataFrame,
+                       indexPath: String, checkpoint: String): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, indexPath)
+    val centroids = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
+    require(centroids.getFileSystem(s.sparkContext.hadoopConfiguration)
+      .exists(centroids),
+      s"maintainIvfIndex needs a trained quantizer at $indexPath — run buildIvfIndex first")
+    val q = vecStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.llm.Similarity.appendIvfDeltaAt(batch.sparkSession, batch,
+          indexPath, batchId)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
   /** Fold the per-micro-batch point landing directories into ONE
     * compacted, query-optimized layout: partitioned by metric, rows
     * sorted by (ts, value) within partitions — the §4.2 row-group

@@ -301,4 +301,40 @@ class StreamSpec extends SparkSpec {
     assert(rows(idx) == expected,
       "a replayed batch below the watermark must be invisible")
   }
+
+  test("stream-appended ivf index: probes equal the batch-appended index; no quantizer, no stream") {
+    import graft.llm.Similarity
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_sivf_")
+    val corpus = emb.where(col("vec_id") % 4 =!= 1)
+    val arrivals = emb.where(col("vec_id") % 4 === 1)
+    val srcDir = root.resolve("vecs").toString
+    arrivals.repartition(2).write.parquet(srcDir)
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val idx = root.resolve("ivf").toString
+    val cp = root.resolve("cp").toString
+    // no trained quantizer yet: the sink must refuse, not train on batch 0
+    intercept[IllegalArgumentException] {
+      Ingest.maintainIvfIndex(spark, stream(), idx, cp)
+    }
+    Similarity.buildIvfIndex(spark, corpus, idx, "streamspec")
+    Ingest.maintainIvfIndex(spark, stream(), idx, cp)
+    assert(Similarity.ivfDeltaCount(spark, idx) == 2,
+      "one batch-scoped delta per micro-batch")
+    assert(Similarity.readLists(spark, idx).count() == emb.count())
+    // probe equality vs the same index grown by one batch append
+    val ref = root.resolve("ref").toString
+    Similarity.buildIvfIndex(spark, corpus, ref, "streamspec")
+    Similarity.appendIvfDelta(spark, arrivals, ref)
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def probe(p: String) = Similarity.ivfTopKStored(spark, qs, p, 5, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(probe(idx) == probe(ref),
+      "batch boundaries must not change what a probe returns")
+    // restart on the same checkpoint: no new batches, nothing changes
+    Ingest.maintainIvfIndex(spark, stream(), idx, cp)
+    assert(Similarity.ivfDeltaCount(spark, idx) == 2)
+  }
 }
