@@ -109,6 +109,10 @@ object Keysets {
   // back into the base behind a `_folded` watermark INSIDE the swapped
   // base dir, so the fold is atomic for readers and deleting spent
   // delta dirs is best-effort cleanup, never a correctness event.
+  // Concurrency: readers are safe against any single writer at every
+  // point (each commit is one atomic rename); appends and compaction
+  // are mutually single-writer — the same maintenance-window contract
+  // as stream/Ingest.compactPoints.
 
   private val DeltaRe = "delta_(\\d+)".r
 
