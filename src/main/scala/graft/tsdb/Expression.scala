@@ -36,15 +36,20 @@ object Expression {
   /** Numeric literal operand (`div(merge(...), 3600)` — unit scaling);
     * evaluated map-side, never a join. Cannot be a whole expression. */
   final case class ScalarNode(v: Double) extends ExprNode
+  /** Unary point-wise function (`abs(sub(a, b))` — OpenTSDB's
+    * absolute()); pure map-side projection over the evaluated inner. */
+  final case class UnOpNode(op: String, inner: ExprNode) extends ExprNode
 
   /** The supported point-wise combinators. */
   val BinOps: Set[String] = Set("add", "sub", "mul", "div")
+  val UnOps: Set[String] = Set("abs")
 
   def parse(input: String, nowMs: Long): TsdbQuery = new P(input, nowMs).top()
 
   /** Full expression grammar:
-    * `expr := merge(...) | add|sub|mul|div(expr, expr)` — each merge
-    * leaf is a complete pipeline with its own query(...) time range. */
+    * `expr := merge(...) | add|sub|mul|div(expr, expr) | abs(expr) |
+    * <number>` — each merge leaf is a complete pipeline with its own
+    * query(...) time range. */
   def parseExpr(input: String, nowMs: Long): ExprNode =
     new P(input, nowMs).topExpr()
 
@@ -92,6 +97,9 @@ object Expression {
         expect('('); val l = exprNode()
         expect(','); val r = exprNode(); expect(')')
         BinOpNode(f, l, r)
+      } else if (UnOps(f)) {
+        expect('('); val e = exprNode(); expect(')')
+        UnOpNode(f, e)
       } else {
         i = save // mergeExpr re-reads its own leading identifier
         QueryNode(mergeExpr())

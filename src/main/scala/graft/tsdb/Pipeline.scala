@@ -116,6 +116,14 @@ object Pipeline {
     case Expression.ScalarNode(v) =>
       throw new IllegalArgumentException(
         s"a bare scalar ($v) has no series shape; scalars are binop operands")
+    case Expression.UnOpNode(op, inner) =>
+      // pure map-side projection; -0.0 can't survive abs, so no extra
+      // normalization beyond the inner's own 4dp quantization
+      val in = runExpr(spark, points, inner)
+      op match {
+        case "abs" => in.withColumn("value", abs(col("value")))
+        case other => throw new IllegalArgumentException(s"unknown unop: $other")
+      }
     case Expression.BinOpNode(op, Expression.ScalarNode(a), r) =>
       // scalar ⊕ series: pure map-side projection over the evaluated
       // side — order and shape preserved, no join

@@ -52,6 +52,15 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // OpenTSDB-style top-N: the 5 highest-averaging user series per
+    // metric — downsample, fold to one row per series, rank within the
+    // metric (window over series-cardinality rows, never points)
+    "tsdb_topn" -> ((s, dir) => {
+      val down = Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
+      TopN(down, Seq("event_type"), Seq("user_id"), 5)
+        .orderBy("event_type", "rnk")
+    }),
+
     // OpenTSDB-faithful interpolating merge: series lerped to the
     // union of the group's timestamps before the cross-series sum
     // (the engine's default merge is bucket-aligned — SURVEY §0 flags
@@ -191,6 +200,17 @@ object TsdbQueries {
       Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
     }),
 
+    // unary expression function: |click − view| per user — OpenTSDB's
+    // absolute(), a map-side projection over the evaluated difference
+    // (the sub produces genuine negatives, so abs is non-vacuous)
+    "tsdb_expression_abs" -> ((s, dir) => {
+      val n = Expression.parseExpr(
+        "abs(sub(merge(sum, downsample(1h, avg, zero, query(click, {user=*}, 7d)))," +
+          " merge(sum, downsample(1h, avg, zero, query(view, {user=*}, 7d)))))",
+        Tables.NowMs)
+      Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
+    }),
+
     // EP3' scalar operand: hourly sums ÷ 3600 = per-second rate — unit
     // scaling, the other canonical expression-arithmetic use; evaluated
     // map-side (no join) since one operand is a literal
@@ -323,6 +343,20 @@ object TsdbQueries {
       s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
           ${D.oAvgDec("value")} AS value
           FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "tsdb_topn" ->
+      s"""WITH ds AS (
+            SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2, 3),
+          sc AS (SELECT event_type, user_id, ${D.oAvgDec("value")} AS score
+                 FROM ds GROUP BY 1, 2),
+          r AS (SELECT event_type, user_id, score,
+                  CAST(row_number() OVER (
+                    PARTITION BY event_type ORDER BY score DESC, user_id) AS BIGINT) AS rnk
+                FROM sc)
+          SELECT event_type, user_id, score, rnk FROM r
+          WHERE rnk <= 5 ORDER BY event_type, rnk""",
 
     "tsdb_downsample_fill" ->
       s"""WITH ds AS (
@@ -617,6 +651,34 @@ object TsdbQueries {
           ${leaf("view", "v")}
           SELECT c.tag_user, c.bucket_ms,
                  ${D.oR4("c.value / NULLIF(v.value, 0)")} AS value
+          FROM m_c c JOIN m_v v ON v.tag_user = c.tag_user AND v.bucket_ms = c.bucket_ms
+          ORDER BY 1, 2"""
+    },
+
+    // same grid CTEs as the ratio; ABS applied AFTER the 4dp-rounded
+    // difference — the exact expression shape runExpr evaluates
+    "tsdb_expression_abs" -> {
+      def leaf(metric: String, name: String) =
+        s"""ds_$name AS (
+              SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                     ${D.oAvgDec("value")} AS value
+              FROM events
+              WHERE event_type = '$metric'
+                AND epoch_ns(ts) // 1000000 >= ${T1 - 7L * Day}
+                AND epoch_ns(ts) // 1000000 < $T1
+              GROUP BY 1, 2),
+            series_$name AS (SELECT DISTINCT tag_user FROM ds_$name),
+            grid_$name AS (SELECT s.tag_user, p.bucket_ms, COALESCE(d.value, 0.0) AS value
+                     FROM series_$name s CROSS JOIN spine p
+                     LEFT JOIN ds_$name d ON d.tag_user = s.tag_user
+                                         AND d.bucket_ms = p.bucket_ms),
+            m_$name AS (SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+                  FROM grid_$name GROUP BY 1, 2)"""
+      s"""WITH spine AS (SELECT range AS bucket_ms FROM range(${T1 - 7L * Day}, $T1, $H)),
+          ${leaf("click", "c")},
+          ${leaf("view", "v")}
+          SELECT c.tag_user, c.bucket_ms,
+                 ABS(${D.oR4("c.value - v.value")}) AS value
           FROM m_c c JOIN m_v v ON v.tag_user = c.tag_user AND v.bucket_ms = c.bucket_ms
           ORDER BY 1, 2"""
     },

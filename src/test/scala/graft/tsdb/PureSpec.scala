@@ -114,5 +114,17 @@ class PureSpec extends AnyFunSuite {
       case _ => false
     })
     intercept[Expression.ParseError](parseExpr("div(merge(sum, query(a, {}, 1h)), -)", Now))
+    // unary abs: wraps any expr, composes with binops
+    assert(parseExpr("abs(merge(sum, query(a, {}, 1h)))", Now) match {
+      case UnOpNode("abs", QueryNode(q)) => q.queries.head.metric == "a"
+      case _ => false
+    })
+    assert(parseExpr(
+      "abs(sub(merge(sum, query(a, {}, 1h)), merge(sum, query(b, {}, 1h))))", Now) match {
+      case UnOpNode("abs", BinOpNode("sub", QueryNode(_), QueryNode(_))) => true
+      case _ => false
+    })
+    intercept[Expression.ParseError]( // abs is unary, not a binop
+      parseExpr("abs(merge(sum, query(a, {}, 1h)), merge(sum, query(b, {}, 1h)))", Now))
   }
 }
