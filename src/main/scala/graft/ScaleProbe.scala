@@ -109,6 +109,18 @@ object ScaleProbe {
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       llm.Similarity.ivfTopKStored(spark, qs, idxPath(dir), 5, nprobe = 2).count()
     }
+    // takedown split: DELETE (one atomic tombstone delta — cost is the
+    // centroid-lookup semi-join over the lists plus a marker write) vs
+    // the PROBE AFTER deletion (steady state — the broadcast anti-join
+    // over takedown-sized markers is the only extra plan node, so this
+    // row should track ivf_stored_probe, not the corpus)
+    def ivfDelete(dir: String): Long = {
+      llm.Similarity.deleteFromIvfIndex(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet")
+          .where(pmod(col("vec_id"), lit(101)) === 5).select("vec_id"),
+        idxPath(dir))
+      1L
+    }
     def minhashSigOnly(dir: String): Long =
       // aggregate a lane, don't count(): column pruning under count()
       // drops the signature expression entirely and the probe would time
@@ -123,6 +135,7 @@ object ScaleProbe {
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
     clusters(sf); ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
+    ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
@@ -136,8 +149,13 @@ object ScaleProbe {
       // closure cost tracks the edge count, not rounds × corpus
       ("neardup_clusters", time(clusters(sf)), time(clusters(big))),
       ("ivf_batch_topk", time(ivfBatch(sf)), time(ivfBatch(big))),
+      // the timed builds rebuild from scratch, clearing the warmup's
+      // tombstones — stored_probe times the clean index, deleted_probe
+      // the post-takedown one
       ("ivf_stored_build", time(ivfStoredBuild(sf)), time(ivfStoredBuild(big))),
-      ("ivf_stored_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))))
+      ("ivf_stored_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))),
+      ("ivf_takedown_delete", time(ivfDelete(sf)), time(ivfDelete(big))),
+      ("ivf_deleted_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()
