@@ -458,14 +458,6 @@ object Dedup {
   def bandDeltaCount(s: org.apache.spark.sql.SparkSession, path: String): Int =
     graft.tsdb.Keysets.deltaDirs(s, path, "bands").size
 
-  /** [[buildBandIndex]] only when the stored index isn't current. */
-  def ensureBandIndex(s: org.apache.spark.sql.SparkSession, corpus: DataFrame,
-                      idCol: String, textCol: String, path: String,
-                      fingerprint: String, k: Int = 32, r: Int = 4,
-                      shingleN: Int = 3): Unit =
-    if (!bandIndexCurrent(s, path, fingerprint))
-      buildBandIndex(s, corpus, idCol, textCol, path, fingerprint, k, r, shingleN)
-
   /** Near-dup-check a NEW batch against the STORED corpus band index:
     * O(batch) signatures, bucket join on (band, sig), exact-Jaccard
     * verification of candidates against `allDocs` (the corpus store —
