@@ -57,6 +57,26 @@ object Downsample {
       .agg(aggExpr(aggregator, col(valueCol), col(tsMsCol)).as("value"))
   }
 
+  /** Calendar-aligned downsample (OpenTSDB 2.3 `1dc`/`1wc`/`1nc`-style
+    * intervals): buckets snap to calendar boundaries — weeks start
+    * Monday, months on the 1st — instead of fixed epoch-relative
+    * spans, which is what dashboards mean by "weekly". `unit` is a
+    * Spark/DuckDB `date_trunc` field (`day`/`week`/`month`/`year`);
+    * the session timezone is pinned UTC (D5), so both engines truncate
+    * identically. Same partial-agg plan shape as [[apply]] — the
+    * bucket expression is the only change. */
+  def calendar(points: DataFrame, seriesCols: Seq[String], unit: String,
+               aggregator: String, tsMsCol: String = "ts_ms",
+               valueCol: String = "value"): DataFrame = {
+    require(Set("day", "week", "month", "year")(unit),
+      s"unknown calendar unit '$unit'")
+    val bucket = unix_millis(date_trunc(unit, timestamp_millis(col(tsMsCol))))
+      .as("bucket_ms")
+    points
+      .groupBy((seriesCols.map(col) :+ bucket): _*)
+      .agg(aggExpr(aggregator, col(valueCol), col(tsMsCol)).as("value"))
+  }
+
   /** Time-weighted average per (series, bucket) — the right mean for
     * IRREGULARLY sampled series (a value holds until the next sample;
     * plain avg over-weights bursts). Weight of sample i = time until the

@@ -61,6 +61,22 @@ object TsdbQueries {
         .orderBy("event_type", "rnk")
     }),
 
+    // highestCurrent ordering: rank by the series' MOST RECENT bucket
+    // value instead of its average — "who is loudest right now"
+    "tsdb_topn_current" -> ((s, dir) => {
+      val down = Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
+      TopN(down, Seq("event_type"), Seq("user_id"), 5, "last")
+        .orderBy("event_type", "rnk")
+    }),
+
+    // calendar-aligned weekly buckets (weeks start Monday, not at
+    // epoch-relative 7d offsets — the OpenTSDB `1wc` interval)
+    "tsdb_downsample_calendar" -> ((s, dir) => {
+      Downsample.calendar(Tables.events(s, dir), Seq("event_type", "user_id"),
+        "week", "avg")
+        .orderBy("event_type", "user_id", "bucket_ms")
+    }),
+
     // OpenTSDB-faithful interpolating merge: series lerped to the
     // union of the group's timestamps before the cross-series sum
     // (the engine's default merge is bucket-aligned — SURVEY §0 flags
@@ -357,6 +373,26 @@ object TsdbQueries {
                 FROM sc)
           SELECT event_type, user_id, score, rnk FROM r
           WHERE rnk <= 5 ORDER BY event_type, rnk""",
+
+    "tsdb_topn_current" ->
+      s"""WITH ds AS (
+            SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2, 3),
+          sc AS (SELECT event_type, user_id, arg_max(value, bucket_ms) AS score
+                 FROM ds GROUP BY 1, 2),
+          r AS (SELECT event_type, user_id, score,
+                  CAST(row_number() OVER (
+                    PARTITION BY event_type ORDER BY score DESC, user_id) AS BIGINT) AS rnk
+                FROM sc)
+          SELECT event_type, user_id, score, rnk FROM r
+          WHERE rnk <= 5 ORDER BY event_type, rnk""",
+
+    "tsdb_downsample_calendar" ->
+      s"""SELECT event_type, user_id,
+            epoch_ns(date_trunc('week', ts)) // 1000000 AS bucket_ms,
+            ${D.oAvgDec("value")} AS value
+          FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "tsdb_downsample_fill" ->
       s"""WITH ds AS (

@@ -29,6 +29,10 @@ object TopN {
       case "sum" => D.sumDec(col("value"))
       case "max" => max(col("value"))
       case "min" => min(col("value"))
+      // OpenTSDB highestCurrent: rank by the series' most recent
+      // bucket value (bucket_ms is unique per series post-downsample,
+      // so max_by is deterministic and partial-agg mergeable)
+      case "last" => max_by(col("value"), col("bucket_ms"))
       case other => throw new IllegalArgumentException(
         s"unknown topn score aggregator '$other'")
     }
