@@ -39,6 +39,23 @@ object Expression {
   /** Unary point-wise function (`abs(sub(a, b))` — OpenTSDB's
     * absolute()); pure map-side projection over the evaluated inner. */
   final case class UnOpNode(op: String, inner: ExprNode) extends ExprNode
+  /** Time shift (OpenTSDB's timeShift): evaluate the inner expression
+    * `deltaMs` earlier and relabel its buckets forward by the same
+    * amount, so last week's series aligns point-wise with this week's —
+    * `sub(a, shift(a, 7d))` is the canonical week-over-week delta.
+    * The delta must be a multiple of the inner downsample interval or
+    * the relabeled buckets won't land on the unshifted grid. */
+  final case class ShiftNode(deltaMs: Long, inner: ExprNode) extends ExprNode
+
+  /** Shift every leaf query's absolute range back by `d` — how a
+    * ShiftNode re-aims its subtree before evaluation. */
+  def shiftRanges(n: ExprNode, d: Long): ExprNode = n match {
+    case QueryNode(q) => QueryNode(q.copy(startMs = q.startMs - d, endMs = q.endMs - d))
+    case BinOpNode(op, l, r) => BinOpNode(op, shiftRanges(l, d), shiftRanges(r, d))
+    case UnOpNode(op, e) => UnOpNode(op, shiftRanges(e, d))
+    case ShiftNode(dd, e) => ShiftNode(dd, shiftRanges(e, d))
+    case s: ScalarNode => s
+  }
 
   /** The supported point-wise combinators. */
   val BinOps: Set[String] = Set("add", "sub", "mul", "div")
@@ -48,8 +65,8 @@ object Expression {
 
   /** Full expression grammar:
     * `expr := merge(...) | add|sub|mul|div(expr, expr) | abs(expr) |
-    * <number>` — each merge leaf is a complete pipeline with its own
-    * query(...) time range. */
+    * shift(expr, <dur>) | <number>` — each merge leaf is a complete
+    * pipeline with its own query(...) time range. */
   def parseExpr(input: String, nowMs: Long): ExprNode =
     new P(input, nowMs).topExpr()
 
@@ -100,6 +117,10 @@ object Expression {
       } else if (UnOps(f)) {
         expect('('); val e = exprNode(); expect(')')
         UnOpNode(f, e)
+      } else if (f == "shift") {
+        expect('('); val e = exprNode()
+        expect(','); val d = ident(); expect(')')
+        ShiftNode(TimeParse.durationMs(d), e)
       } else {
         i = save // mergeExpr re-reads its own leading identifier
         QueryNode(mergeExpr())

@@ -116,6 +116,14 @@ object Pipeline {
     case Expression.ScalarNode(v) =>
       throw new IllegalArgumentException(
         s"a bare scalar ($v) has no series shape; scalars are binop operands")
+    case Expression.ShiftNode(d, inner) =>
+      // re-aim the subtree d earlier, evaluate, relabel buckets forward
+      // — a map-side projection; the binop join then aligns shifted and
+      // unshifted operands on the same (tags, bucket) grid
+      val shifted = runExpr(spark, points, Expression.shiftRanges(inner, d))
+      require(shifted.columns.contains("bucket_ms"),
+        "shift needs a bucketed (downsampled) inner expression")
+      shifted.withColumn("bucket_ms", (col("bucket_ms") + lit(d)).cast("long"))
     case Expression.UnOpNode(op, inner) =>
       // pure map-side projection; -0.0 can't survive abs, so no extra
       // normalization beyond the inner's own 4dp quantization

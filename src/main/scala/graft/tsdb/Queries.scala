@@ -216,6 +216,16 @@ object TsdbQueries {
       Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
     }),
 
+    // timeShift: this week's clicks minus LAST week's, per user — the
+    // canonical week-over-week delta. The shifted leaf queries
+    // [now-14d, now-7d) and relabels buckets +7d, so both operands
+    // land on the same (user, bucket) grid before the point-wise sub
+    "tsdb_expression_wow" -> ((s, dir) => {
+      val leaf = "merge(sum, downsample(1h, avg, zero, query(click, {user=*}, 7d)))"
+      val n = Expression.parseExpr(s"sub($leaf, shift($leaf, 7d))", Tables.NowMs)
+      Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
+    }),
+
     // unary expression function: |click − view| per user — OpenTSDB's
     // absolute(), a map-side projection over the evaluated difference
     // (the sub produces genuine negatives, so abs is non-vacuous)
@@ -688,6 +698,36 @@ object TsdbQueries {
           SELECT c.tag_user, c.bucket_ms,
                  ${D.oR4("c.value / NULLIF(v.value, 0)")} AS value
           FROM m_c c JOIN m_v v ON v.tag_user = c.tag_user AND v.bucket_ms = c.bucket_ms
+          ORDER BY 1, 2"""
+    },
+
+    // two week-grids: the previous week's merge relabeled +7d onto the
+    // current spine, then the 4dp-rounded point-wise difference
+    "tsdb_expression_wow" -> {
+      def leaf(lo: Long, hi: Long, name: String, spine: String) =
+        s"""ds_$name AS (
+              SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                     ${D.oAvgDec("value")} AS value
+              FROM events
+              WHERE event_type = 'click'
+                AND epoch_ns(ts) // 1000000 >= $lo
+                AND epoch_ns(ts) // 1000000 < $hi
+              GROUP BY 1, 2),
+            series_$name AS (SELECT DISTINCT tag_user FROM ds_$name),
+            grid_$name AS (SELECT s.tag_user, p.bucket_ms, COALESCE(d.value, 0.0) AS value
+                     FROM series_$name s CROSS JOIN $spine p
+                     LEFT JOIN ds_$name d ON d.tag_user = s.tag_user
+                                         AND d.bucket_ms = p.bucket_ms),
+            m_$name AS (SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+                  FROM grid_$name GROUP BY 1, 2)"""
+      s"""WITH spine_c AS (SELECT range AS bucket_ms FROM range(${T1 - 7L * Day}, $T1, $H)),
+          spine_p AS (SELECT range AS bucket_ms FROM range(${T1 - 14L * Day}, ${T1 - 7L * Day}, $H)),
+          ${leaf(T1 - 7L * Day, T1, "c", "spine_c")},
+          ${leaf(T1 - 14L * Day, T1 - 7L * Day, "p0", "spine_p")},
+          m_p AS (SELECT tag_user, bucket_ms + ${7L * Day} AS bucket_ms, value FROM m_p0)
+          SELECT c.tag_user, c.bucket_ms,
+                 ${D.oR4("c.value - p.value")} AS value
+          FROM m_c c JOIN m_p p ON p.tag_user = c.tag_user AND p.bucket_ms = c.bucket_ms
           ORDER BY 1, 2"""
     },
 

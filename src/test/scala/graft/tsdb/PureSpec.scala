@@ -126,5 +126,19 @@ class PureSpec extends AnyFunSuite {
     })
     intercept[Expression.ParseError]( // abs is unary, not a binop
       parseExpr("abs(merge(sum, query(a, {}, 1h)), merge(sum, query(b, {}, 1h)))", Now))
+    // shift: parses a duration arg; shiftRanges re-aims every leaf
+    parseExpr("shift(merge(sum, query(a, {}, 7d)), 7d)", Now) match {
+      case ShiftNode(d, QueryNode(q)) =>
+        assert(d == 7 * 86400000L)
+        assert(q.startMs == Now - 7 * 86400000L && q.endMs == Now)
+        Expression.shiftRanges(QueryNode(q), d) match {
+          case QueryNode(p) =>
+            assert(p.startMs == Now - 14 * 86400000L && p.endMs == Now - 7 * 86400000L)
+          case other => fail(s"unexpected: $other")
+        }
+      case other => fail(s"unexpected tree: $other")
+    }
+    intercept[Expression.ParseError]( // shift needs its duration
+      parseExpr("shift(merge(sum, query(a, {}, 7d)))", Now))
   }
 }
