@@ -69,6 +69,18 @@ object TsdbQueries {
         .orderBy("event_type", "rnk")
     }),
 
+    // histogram metrics: per-series (bin, count) vectors at ingest,
+    // cross-series merge = vector add, p95 = cumulative walk over
+    // ≤ 20 bins per (metric, hour) — exact integer arithmetic end to
+    // end, the only percentile shape that stays cheap at 100 TB
+    "tsdb_histogram_pct" -> ((s, dir) => {
+      val h = Histogram.build(Tables.events(s, dir),
+        Seq("event_type", "user_id"), H, binWidth = 25.0, nBins = 20)
+      val m = Histogram.merge(h, Seq("event_type"))
+      Histogram.percentile(m, Seq("event_type"), 95, binWidth = 25.0)
+        .orderBy("event_type", "bucket_ms")
+    }),
+
     // calendar-aligned weekly buckets (weeks start Monday, not at
     // epoch-relative 7d offsets — the OpenTSDB `1wc` interval)
     "tsdb_downsample_calendar" -> ((s, dir) => {
@@ -397,6 +409,25 @@ object TsdbQueries {
                 FROM sc)
           SELECT event_type, user_id, score, rnk FROM r
           WHERE rnk <= 5 ORDER BY event_type, rnk""",
+
+    // integer thresholds throughout (cum * 100 >= 95 * total) — no
+    // float comparisons to diverge on
+    "tsdb_histogram_pct" ->
+      s"""WITH h AS (
+            SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
+                   LEAST(CAST(FLOOR(value / 25.0) AS BIGINT), 19) AS bin,
+                   COUNT(*) AS cnt
+            FROM events GROUP BY 1, 2, 3, 4),
+          m AS (SELECT event_type, bucket_ms, bin, CAST(SUM(cnt) AS BIGINT) AS cnt
+                FROM h GROUP BY 1, 2, 3),
+          c AS (SELECT event_type, bucket_ms, bin, cnt,
+                  SUM(cnt) OVER (PARTITION BY event_type, bucket_ms
+                                 ORDER BY bin) AS cum,
+                  SUM(cnt) OVER (PARTITION BY event_type, bucket_ms) AS total
+                FROM m)
+          SELECT event_type, bucket_ms, MIN(bin) * 25.0 AS p95
+          FROM c WHERE cum * 100 >= 95 * total
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "tsdb_downsample_calendar" ->
       s"""SELECT event_type, user_id,
