@@ -20,7 +20,8 @@ object Bench {
     "llm_sim_ivf_batch", "llm_sim_ivf_stored", "llm_semdedup",
     "llm_knn_join", "llm_tfidf", "llm_corpus_curate",
     "llm_sim_pq", "llm_dedup_substring", "tsdb_merge_interp",
-    "llm_sim_ivfpq_stored", "llm_dedup_incremental")
+    "llm_sim_ivfpq_stored", "llm_dedup_incremental",
+    "tsdb_expression_abs", "tsdb_expression_wow", "tsdb_histogram_pct")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the
