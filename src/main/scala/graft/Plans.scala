@@ -16,7 +16,8 @@ object Plans {
     "llm_dedup_substring", "agg_approx_distinct_hll",
     "llm_fingerprint", "llm_corpus_curate", "tsdb_multi_subquery",
     "llm_sim_ivf_stored", "llm_sim_ivfpq_stored", "llm_dedup_incremental",
-    "tsdb_expression_ratio", "llm_sim_ivf_deleted", "tsdb_topn")
+    "tsdb_expression_ratio", "llm_sim_ivf_deleted", "tsdb_topn",
+    "tsdb_histogram_pct", "tsdb_expression_wow")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
