@@ -36,6 +36,12 @@ object LlmQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_app").toString
 
+  /** Separate artifact for the incremental semantic-dedup query —
+    * trained on the accumulated corpus WITHOUT the probe batch. */
+  private def annIncPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_inc").toString
+
   /** Separate artifact for the takedown lifecycle query — built
     * whole-corpus, then a slice tombstoned. */
   private def annDeletePath(dir: String): String =
@@ -286,6 +292,22 @@ object LlmQueries {
       val qs = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
+    }),
+
+    // semantic dedup-against-index — the embedding analog of
+    // llm_dedup_incremental: the new batch (vec_id % 9 == 4) is
+    // assigned to the stored quantizer map-side and cosine-verified
+    // only against its own cluster's stored vectors. Oracle = the
+    // train-restricted Lloyd CTEs with batch × corpus same-cluster
+    // pairs — stored-index probe ≡ from-scratch recomputation.
+    "llm_semdedup_incremental" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIncPath(dir)
+      val fp = annFingerprint(dir) + "|train=mod9ne4"
+      Similarity.ensureIvfIndex(s,
+        emb.where(pmod(col("vec_id"), lit(9)) =!= 4), path, fp)
+      Similarity.nearDupsAgainstIndex(s,
+        emb.where(pmod(col("vec_id"), lit(9)) === 4), path, 0.35)
     }),
 
     // takedown from a stored index: built whole-corpus, then the
@@ -1006,6 +1028,27 @@ object LlmQueries {
     // tombstoned slice — a deleted vector can never be returned
     "llm_sim_ivf_deleted" ->
       ivfBatchOracleWith(IvfCtes, "a.vec_id % 11 <> 5"),
+
+    // incremental semantic dedup: train on the corpus slice, pair the
+    // batch with same-cluster corpus vectors, verified cosine ≥ τ
+    "llm_semdedup_incremental" ->
+      s"""WITH ${ivfCtes("vec_id % 9 <> 4")},
+          pr AS (SELECT nb.vec_id AS new_id, cc.vec_id AS corpus_id
+                 FROM a3 nb JOIN a3 cc ON cc.cid = nb.cid
+                 WHERE nb.vec_id % 9 = 4 AND cc.vec_id % 9 <> 4),
+          d AS (SELECT p.new_id, p.corpus_id,
+                  CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                FROM pr p
+                JOIN el ea ON ea.vec_id = p.new_id
+                JOIN el eb ON eb.vec_id = p.corpus_id AND eb.pos = ea.pos
+                GROUP BY 1, 2),
+          sm AS (SELECT d.new_id, d.corpus_id,
+                   ROUND((d.dot / (SQRT(sa.sq) * SQRT(sb.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                 FROM d
+                 JOIN sq sa ON sa.vec_id = d.new_id
+                 JOIN sq sb ON sb.vec_id = d.corpus_id)
+          SELECT new_id, corpus_id, sim FROM sm
+          WHERE sim >= 0.35 ORDER BY new_id, corpus_id""",
 
     // same Lloyd unroll as IvfOracle, generalized to a query SET: probe
     // selection (rn <= nprobe per query) and the per-query top-k both

@@ -645,6 +645,38 @@ object Similarity {
       (merged, tmp) => graft.tsdb.Keysets.dropTombstoned(merged, "vec_id")
         .write.partitionBy("centroid_id").parquet(tmp))
 
+  /** Semantic dedup-against-index — the embedding analog of
+    * [[graft.llm.Dedup.incrementalNearDups]]: a NEW batch is assigned
+    * to the STORED quantizer's centroids map-side (k driver literals,
+    * zero training) and cosine-verified only against its own cluster's
+    * stored vectors — partition-pruned lists read, precomputed stored
+    * norms. Cost: O(batch) assignment + Σ_c (batch_c × cluster_c)
+    * verified cosines; the stored index never shuffles (the batch side
+    * broadcasts, gated on a bounded count — an unconditional hint
+    * would OOM on a corpus-sized "batch"). */
+  def nearDupsAgainstIndex(s: SparkSession, batch: DataFrame, path: String,
+                           threshold: Double,
+                           maxBroadcastRows: Long = 1000000L): DataFrame = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
+    val nb = assignByLiterals(batch, cs)
+      .withColumn("a_nrm", normExpr("embedding"))
+      .select(col("centroid_id"), col("vec_id").as("new_id"),
+        col("embedding").as("av"), col("a_nrm"))
+    val probe = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+    val batchSide =
+      if (nb.limit(probe).count() <= maxBroadcastRows) broadcast(nb)
+      else nb.hint("shuffle_hash")
+    readLists(s, path)
+      .select(col("centroid_id"), col("vec_id").as("corpus_id"),
+        col("embedding").as("bv"), col("nrm").as("b_nrm"))
+      .join(batchSide, Seq("centroid_id"))
+      .withColumn("sim", cosineFrom(dotExpr("av", "bv"), col("a_nrm"), col("b_nrm")))
+      .where(col("sim") >= threshold)
+      .select("new_id", "corpus_id", "sim")
+      .orderBy("new_id", "corpus_id")
+  }
+
   /** PQ/ADC top-k off a STORED index: codes and codebooks come off
     * parquet (one m×k-row collect), scoring is the same chained-CASE
     * over driver-literal dots as [[pqTopK]] — no training, no join, no
