@@ -173,4 +173,60 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("histogram percentile matches an independent driver-side computation") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        val width = 100.0
+        val nBins = 25
+        val h = Histogram.build(df, Seq("user"), 3600000L, width, nBins)
+        val m = Histogram.merge(h, Nil)
+        val got = Histogram.percentile(m, Nil, 95, width)
+          .select("bucket_ms", "p95")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        // independent re-computation: raw scala, no Spark machinery
+        val expected = pts.groupBy { case (_, ts, _) => ts - ts % 3600000L }
+          .map { case (bucket, rows) =>
+            val bins = rows.map { case (_, _, v) =>
+              math.min(math.floor(v / width).toLong, nBins - 1L) }.sorted
+            val total = bins.size
+            val cum = scala.collection.mutable.LinkedHashMap[Long, Int]()
+            bins.foreach(b => cum(b) = cum.getOrElse(b, 0) + 1)
+            var running = 0
+            val p = cum.collectFirst { case (b, c)
+              if { running += c; running * 100 >= 95 * total } => b }.get
+            bucket -> p * width
+          }
+        got == expected
+      }
+    })
+  }
+
+  test("topn(avg) equals sort-by-score selection; every score is the series mean") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value").withColumn("g", lit("m"))
+        val down = Downsample(df, Seq("g", "user"), 3600000L, "avg")
+        val n = 2
+        val got = TopN(down, Seq("g"), Seq("user"), n)
+          .select("user", "score", "rnk")
+          .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2))).toList
+        // independent selection over the collected per-series means —
+        // decimal sum + shortest-repr HALF_UP, the exact D.avgDec shape
+        // (math.round would diverge on negative half-boundaries)
+        def r4(x: Double): Double =
+          BigDecimal(x * 10000.0)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0 + 0.0
+        val scores = down.collect()
+          .map(r => (r.getAs[Long]("user"), r.getAs[Double]("value")))
+          .groupBy(_._1).map { case (u, vs) =>
+            (u, r4(vs.map(x => BigDecimal(x._2)).sum.toDouble / vs.size))
+          }.toList
+        val expected = scores.sortBy { case (u, s) => (-s, u) }.take(n)
+          .zipWithIndex.map { case ((u, s), i) => (u, s, (i + 1).toLong) }
+        got.sortBy(_._3) == expected
+      }
+    })
+  }
 }
