@@ -137,6 +137,32 @@ object Ingest {
     runToMemory(s, joined, "append").orderBy("event_id")
   }
 
+  /** Stream-STREAM interval join: clicks joined to the same user's
+    * views within (c_ts, c_ts + 5min] — both sides watermarked so the
+    * join state is BOUNDED (rows past watermark + interval are
+    * evicted; an unbounded stream-join state is the first thing that
+    * kills a long-running job at real ingest rates). Event time is
+    * truncated to ms BEFORE the watermark so the time predicate
+    * evaluates on exact ms values — bit-identical to the batch/DuckDB
+    * ms mirror (raw ts carries sub-ms parts that would straddle the
+    * boundary). */
+  def streamStreamJoin(s: SparkSession, dir: String): DataFrame = {
+    def side(tpe: String, prefix: String) = eventsStream(s, dir)
+      .where(col("event_type") === tpe)
+      .select(col("user_id").as(s"${prefix}_user"),
+        col("event_id").as(s"${prefix}_id"),
+        timestamp_millis(col("ts_ms")).as(s"${prefix}_ts"))
+      .withWatermark(s"${prefix}_ts", "30 minutes")
+    val joined = side("click", "c").join(side("view", "v"),
+      col("c_user") === col("v_user") &&
+        col("v_ts") > col("c_ts") &&
+        col("v_ts") <= col("c_ts") + expr("INTERVAL 5 MINUTES"))
+      .select(col("c_id"), col("v_id"), col("c_user").as("user_id"),
+        unix_millis(col("c_ts")).as("c_ts_ms"),
+        unix_millis(col("v_ts")).as("v_ts_ms"))
+    runToMemory(s, joined, "append").orderBy("c_id", "v_id")
+  }
+
   /** Counter-reset detection with explicit state (rate building block):
     * keeps (lastTs, lastValue) per series, emits deltas; negative delta =
     * counter reset → null delta (mycenae rate semantics). */

@@ -15,6 +15,7 @@ object StreamQueries {
     "stream_session" -> ((s, dir) => Ingest.session(s, dir)),
     "stream_dedup" -> ((s, dir) => Ingest.dedup(s, dir)),
     "stream_static_join" -> ((s, dir) => Ingest.staticJoin(s, dir)),
+    "stream_stream_join" -> ((s, dir) => Ingest.streamStreamJoin(s, dir)),
     "stream_stateful_counter" -> ((s, dir) => Ingest.statefulCounter(s, dir)),
     "stream_foreachbatch_sink" -> ((s, dir) => {
       // stable scratch dir, WIPED before each run: catalog upserts are
@@ -104,6 +105,18 @@ object StreamQueries {
       """SELECT e.event_id, e.user_id, c.c_name
          FROM events e JOIN customer c ON e.user_id = c.c_custkey
          ORDER BY e.event_id""",
+
+    // the stream side truncates event time to ms before watermarking,
+    // so this ms-granular batch join is the exact mirror
+    "stream_stream_join" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                      epoch_ns(ts) // 1000000 AS ts_ms FROM events)
+         SELECT c.event_id AS c_id, v.event_id AS v_id, c.user_id,
+                c.ts_ms AS c_ts_ms, v.ts_ms AS v_ts_ms
+         FROM e c JOIN e v ON v.user_id = c.user_id
+           AND c.event_type = 'click' AND v.event_type = 'view'
+           AND v.ts_ms > c.ts_ms AND v.ts_ms <= c.ts_ms + 300000
+         ORDER BY c_id, v_id""",
 
     "stream_foreachbatch_sink" ->
       """SELECT DISTINCT event_type AS metric, 'user=' || user_id AS tags_canonical
