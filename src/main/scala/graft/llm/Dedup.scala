@@ -401,17 +401,19 @@ object Dedup {
     graft.tsdb.Keysets.appendDelta(s, path, "bands")(tmp => sigs.write.parquet(tmp))
   }
 
-  /** Batch-scoped delta append for streaming sinks: the delta id is the
-    * micro-batch id, so a replayed batch overwrites its own delta and a
-    * replay after compaction is ignored by the folded watermark — see
-    * [[graft.tsdb.Keysets.appendDeltaAt]]. */
-  def appendBandDeltaAt(s: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
-                        idCol: String, textCol: String, path: String,
-                        batchId: Long, k: Int = 32, r: Int = 4,
-                        shingleN: Int = 3): Unit = {
+  /** Exactly-once streaming append: lands the batch's signatures as
+    * the next auto-id delta UNLESS `streamId` already committed
+    * `batchId` (the Delta Lake txn pattern — see
+    * [[graft.tsdb.Keysets.appendDeltaTxn]]); auto-allocated ids mean a
+    * replayed batch can never overwrite a takedown tombstone or any
+    * other writer's delta. Returns whether anything landed. */
+  def appendBandDeltaTxn(s: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                         idCol: String, textCol: String, path: String,
+                         streamId: String, batchId: Long, k: Int = 32,
+                         r: Int = 4, shingleN: Int = 3): Boolean = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val sigs = bandSigsPortable(newDocs, idCol, textCol, k, r, shingleN)
-    graft.tsdb.Keysets.appendDeltaAt(s, path, "bands", batchId)(
+    graft.tsdb.Keysets.appendDeltaTxn(s, path, "bands", streamId, batchId)(
       tmp => sigs.write.parquet(tmp))
   }
 

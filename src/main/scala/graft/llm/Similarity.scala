@@ -600,16 +600,18 @@ object Similarity {
       tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
   }
 
-  /** Batch-scoped append for streaming sinks — the delta id is the
-    * micro-batch id, so a replayed batch overwrites its own delta and a
-    * replay after compaction is ignored by the folded watermark (see
-    * [[graft.tsdb.Keysets.appendDeltaAt]]). */
-  def appendIvfDeltaAt(s: SparkSession, newVectors: DataFrame, path: String,
-                       batchId: Long, p: IndexParams = IndexParams()): Unit = {
-    val rows = deltaRows(s, newVectors, path, p)
-    graft.tsdb.Keysets.appendDeltaAt(s, path, "lists", batchId)(
-      tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
-  }
+  /** Exactly-once streaming append — the Delta Lake txn pattern (see
+    * [[graft.tsdb.Keysets.appendDeltaTxn]]): skipped when `streamId`
+    * already committed `batchId`; auto-allocated delta ids mean a
+    * replayed batch can never overwrite a takedown tombstone or any
+    * other writer's delta. Returns whether anything landed. */
+  def appendIvfDeltaTxn(s: SparkSession, newVectors: DataFrame, path: String,
+                        streamId: String, batchId: Long,
+                        p: IndexParams = IndexParams()): Boolean =
+    // payload built inside the callback: a replay-skip costs zero jobs
+    graft.tsdb.Keysets.appendDeltaTxn(s, path, "lists", streamId, batchId)(
+      tmp => deltaRows(s, newVectors, path, p)
+        .write.partitionBy("centroid_id").parquet(tmp))
 
   /** Tombstone-delete vectors from the stored index WITHOUT rewriting
     * the lists — the takedown / right-to-be-forgotten shape. The

@@ -297,15 +297,18 @@ object Ingest {
     * the missing half of the `llm_dedup_incremental` story: that query
     * probes a stored band index; this sink is what keeps the index
     * growing as the crawl arrives. Each micro-batch's band signatures
-    * land as a BATCH-SCOPED delta (delta id = batchId): a replayed
-    * batch overwrites its own delta (exactly-once without markers, the
-    * points-landing contract) and a replay arriving after compaction
-    * folded that id is ignored by the watermark — both crash windows
-    * are no-ops by layout. Band keys are per-doc independent, so the
-    * stream-grown index ≡ a batch rebuild over the same docs regardless
-    * of batch boundaries (StreamSpec-asserted). Bootstrap is an empty
-    * schema-bearing base; [[graft.llm.Dedup.compactBandDeltas]] is the
-    * read-side maintenance pass, never a correctness requirement. */
+    * land as the next auto-id delta, exactly once via the Delta Lake
+    * txn pattern: the stream (identified by its checkpoint path)
+    * records the highest batch it committed in `_txn` markers that
+    * travel with the deltas and survive compaction, so a replayed
+    * batch lands NOTHING — and because delta ids auto-allocate, a
+    * replay can never overwrite a takedown tombstone or any other
+    * writer's delta (id-reuse schemes break exactly there). Band keys
+    * are per-doc independent, so the stream-grown index ≡ a batch
+    * rebuild over the same docs regardless of batch boundaries
+    * (StreamSpec-asserted). Bootstrap is an empty schema-bearing base;
+    * [[graft.llm.Dedup.compactBandDeltas]] is the read-side
+    * maintenance pass, never a correctness requirement. */
   def maintainBandIndex(s: SparkSession, docsStream: DataFrame,
                         indexPath: String, checkpoint: String,
                         idCol: String = "doc_id",
@@ -316,8 +319,8 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.Dedup.appendBandDeltaAt(batch.sparkSession, batch,
-          idCol, textCol, indexPath, batchId)
+        graft.llm.Dedup.appendBandDeltaTxn(batch.sparkSession, batch,
+          idCol, textCol, indexPath, streamId = checkpoint, batchId = batchId)
         ()
       }
       .start()
@@ -325,8 +328,8 @@ object Ingest {
   }
 
   /** EP2'': steady-state ANN-index maintenance from an EMBEDDING stream —
-    * the IVF analog of [[maintainBandIndex]], same batch-scoped-delta
-    * idempotence. One deliberate asymmetry: there is NO
+    * the IVF analog of [[maintainBandIndex]], same txn-marker
+    * exactly-once contract. One deliberate asymmetry: there is NO
     * bootstrap-from-stream — the quantizer (centroids + PQ codebooks)
     * must already exist at `indexPath` ([[graft.llm.Similarity
     * .buildIvfIndex]], the offline training pass), because training it
@@ -347,8 +350,8 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.Similarity.appendIvfDeltaAt(batch.sparkSession, batch,
-          indexPath, batchId)
+        graft.llm.Similarity.appendIvfDeltaTxn(batch.sparkSession, batch,
+          indexPath, streamId = checkpoint, batchId = batchId)
         ()
       }
       .start()

@@ -189,21 +189,79 @@ object Keysets {
     }
   }
 
-  /** Land one batch at a CALLER-CHOSEN delta id — the streaming-sink
-    * variant of [[appendDelta]]: keyed by the micro-batch id, a
-    * replayed batch overwrites its own delta (exactly-once without
-    * markers, the points-landing contract), and a replay arriving
-    * AFTER compaction folded that id is ignored by the watermark —
-    * both failure windows collapse to no-ops by layout. */
-  private[graft] def appendDeltaAt(s: SparkSession, path: String, sub: String,
-                                   id: Long)(write: String => Unit): Unit =
-    swapBuiltDir(s, f"$path/delta_$id%04d") { tmp =>
-      write(s"$tmp/$sub")
+  // Streaming-sink replay idempotence — the Delta Lake txnAppId /
+  // txnVersion pattern, NOT id-reuse: every delta auto-allocates the
+  // next id (so stream batches, takedown tombstones, and manual
+  // appends NEVER collide on a delta dir), and each stream records the
+  // highest batch it committed in `_txn` files ("streamId=batchId"
+  // lines) that travel with the commits — inside each delta dir, and
+  // merged into the base table's `_txn` by compaction so the record
+  // survives folding. A replayed micro-batch compares its id against
+  // the committed watermark and lands nothing.
+
+  private def parseTxn(fs: org.apache.hadoop.fs.FileSystem,
+                       dir: String): Map[String, Long] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dir/_txn")
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val txt = try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8) finally in.close()
+      txt.linesIterator.filter(_.contains("=")).map { l =>
+        val i = l.lastIndexOf('=')
+        l.substring(0, i) -> l.substring(i + 1).trim.toLong
+      }.toMap
     }
+  }
+
+  private def writeTxn(fs: org.apache.hadoop.fs.FileSystem, dir: String,
+                       txn: Map[String, Long]): Unit = {
+    if (txn.isEmpty) return
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/_txn"), true)
+    try out.write(txn.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }
+      .mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Highest batch id `streamId` has committed to this artifact:
+    * max over the base table's merged `_txn` and every visible
+    * delta's `_txn`; -1 when the stream has never written. */
+  private[graft] def committedBatch(s: SparkSession, path: String, sub: String,
+                                    streamId: String): Long = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    repairSwap(s, s"$path/$sub")
+    val dirs = s"$path/$sub" +: deltaDirs(s, path, sub)
+    dirs.flatMap(d => parseTxn(fs, d).get(streamId)).foldLeft(-1L)(math.max)
+  }
+
+  /** Land one micro-batch exactly once: skipped (returns false) when
+    * `streamId` already committed `batchId` — whether the original
+    * delta is still visible or long since folded into the base. The
+    * delta id itself auto-allocates, so concurrent-regime writers
+    * (takedowns, manual appends) can never be overwritten by a
+    * replayed stream batch. */
+  private[graft] def appendDeltaTxn(s: SparkSession, path: String, sub: String,
+                                    streamId: String, batchId: Long)
+                                   (write: String => Unit): Boolean = {
+    if (committedBatch(s, path, sub, streamId) >= batchId) return false
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    appendDelta(s, path, sub) { tmp =>
+      write(tmp)
+      // tmp is "$delta.tmp/$sub"-shaped only for the payload; the txn
+      // marker sits at the delta ROOT so readers of any sub see it
+      writeTxn(fs, new org.apache.hadoop.fs.Path(tmp).getParent.toString,
+        Map(streamId -> batchId))
+    }
+    true
+  }
 
   /** Fold committed deltas into the base table: `rewrite` stages the
-    * merged frame at the given tmp path, the watermark travels inside
-    * the swapped base dir, spent delta dirs are deleted best-effort. */
+    * merged frame at the given tmp path; the watermark AND the merged
+    * per-stream txn records travel inside the swapped base dir, so
+    * both survive the fold and spent delta dirs are deleted
+    * best-effort. */
   private[graft] def compactDeltas(s: SparkSession, path: String, sub: String)
                                   (rewrite: (DataFrame, String) => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -212,12 +270,18 @@ object Keysets {
     if (deltas.isEmpty) return
     val maxId = deltas
       .map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt).max
+    val txn = (s"$path/$sub" +: deltas)
+      .map(d => parseTxn(fs, d))
+      .foldLeft(Map.empty[String, Long]) { (acc, m) =>
+        m.foldLeft(acc) { case (a, (k, v)) => a.updated(k, math.max(v, a.getOrElse(k, -1L))) }
+      }
     val merged = readWithDeltas(s, path, sub)
     swapBuiltDir(s, s"$path/$sub") { tmp =>
       rewrite(merged, tmp)
       val out = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_folded"), true)
       try out.write(maxId.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      writeTxn(fs, tmp, txn)
     }
     deltas.foreach { d =>
       val dp = new org.apache.hadoop.fs.Path(d)

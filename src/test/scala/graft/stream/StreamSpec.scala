@@ -293,13 +293,30 @@ class StreamSpec extends SparkSpec {
     // restart on the same checkpoint: no new files, no new batches
     Ingest.maintainBandIndex(spark, stream(), idx, cp)
     assert(Dedup.bandDeltaCount(spark, idx) == 3 && rows(idx) == expected)
-    // compaction folds the batches; a late replay of batch 0 lands at
-    // delta_0000 which the folded watermark now ignores
+    // a takedown lands its tombstone as the next auto-id delta; a
+    // late replay of stream batch 0 must be SKIPPED by the txn
+    // watermark — under id-reuse it would overwrite the tombstone
+    // and resurrect the deleted docs
+    val dead = docs.where(col("doc_id") % 11 === 0).select("doc_id")
+    Dedup.deleteFromBandIndex(spark, dead, idx)
+    val afterDelete = rows(idx)
+    assert(afterDelete.size < expected.size)
+    assert(!Dedup.appendBandDeltaTxn(spark, docs.limit(7), "doc_id", "text",
+      idx, streamId = cp, batchId = 0L),
+      "a replayed batch must land nothing")
+    assert(rows(idx) == afterDelete,
+      "the replay must not resurrect tombstoned docs")
+    // compaction folds batches + tombstones and carries the txn
+    // record into the base — the replay stays skipped afterwards
     Dedup.compactBandDeltas(spark, idx)
-    assert(rows(idx) == expected)
-    Dedup.appendBandDeltaAt(spark, docs.limit(7), "doc_id", "text", idx, 0L)
-    assert(rows(idx) == expected,
-      "a replayed batch below the watermark must be invisible")
+    assert(rows(idx) == afterDelete)
+    assert(!Dedup.appendBandDeltaTxn(spark, docs.limit(7), "doc_id", "text",
+      idx, streamId = cp, batchId = 2L),
+      "txn watermark must survive compaction")
+    // a genuinely NEW batch id still lands
+    assert(Dedup.appendBandDeltaTxn(spark,
+      docs.where(col("doc_id") % 13 === 0), "doc_id", "text",
+      idx, streamId = cp, batchId = 3L))
   }
 
   test("stream-appended ivf index: probes equal the batch-appended index; no quantizer, no stream") {
