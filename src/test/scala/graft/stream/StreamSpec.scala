@@ -282,7 +282,7 @@ class StreamSpec extends SparkSpec {
     val cp = root.resolve("cp").toString
     Ingest.maintainBandIndex(spark, stream(), idx, cp)
     assert(Dedup.bandDeltaCount(spark, idx) == 3,
-      "one batch-scoped delta per micro-batch")
+      "one delta per micro-batch")
     val whole = root.resolve("whole").toString
     Dedup.buildBandIndex(spark, docs, "doc_id", "text", whole, "t")
     def rows(p: String) = Dedup.readBandIndex(spark, p)
@@ -338,7 +338,7 @@ class StreamSpec extends SparkSpec {
     Similarity.buildIvfIndex(spark, corpus, idx, "streamspec")
     Ingest.maintainIvfIndex(spark, stream(), idx, cp)
     assert(Similarity.ivfDeltaCount(spark, idx) == 2,
-      "one batch-scoped delta per micro-batch")
+      "one delta per micro-batch")
     assert(Similarity.readLists(spark, idx).count() == emb.count())
     // probe equality vs the same index grown by one batch append
     val ref = root.resolve("ref").toString
