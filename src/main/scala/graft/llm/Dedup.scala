@@ -453,9 +453,13 @@ object Dedup {
     * Tombstones are applied during the fold — deferred deletes become
     * physical here. */
   def compactBandDeltas(s: org.apache.spark.sql.SparkSession, path: String): Unit =
-    graft.tsdb.Keysets.compactDeltas(s, path, "bands")(
-      (merged, tmp) => graft.tsdb.Keysets.dropTombstoned(merged, "id")
-        .write.parquet(tmp))
+    graft.tsdb.Keysets.compactDeltas(s, path, "bands") { (merged, tmp) =>
+      val live = graft.tsdb.Keysets.dropTombstoned(merged, "id")
+      // fully-tombstoned → still land a schema-bearing (empty) base:
+      // an empty frame can plan zero tasks and write zero files
+      if (live.isEmpty) live.repartition(1).write.parquet(tmp)
+      else live.write.parquet(tmp)
+    }
 
   def bandDeltaCount(s: org.apache.spark.sql.SparkSession, path: String): Int =
     graft.tsdb.Keysets.deltaDirs(s, path, "bands").size

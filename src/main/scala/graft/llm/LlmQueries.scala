@@ -26,8 +26,14 @@ object LlmQueries {
 
   /** Build fingerprint: corpus tag + the default [[Similarity.IndexParams]]
     * — a param or fixture change invalidates the stored artifact. */
-  private def annFingerprint(dir: String): String =
-    Similarity.IndexParams().fingerprint(dir)
+  /** Pins params AND corpus row count: a regenerated fixture at the
+    * same path must invalidate the stored /tmp artifact, or stale
+    * centroids would silently serve every stored-index query (the
+    * count is a parquet-footer read — cheap insurance). */
+  private def annFingerprint(s: org.apache.spark.sql.SparkSession,
+                             dir: String): String =
+    Similarity.IndexParams().fingerprint(dir) +
+      s"|n=${Tables.embeddings(s, dir).count()}"
 
   /** Separate artifact for the build-then-append lifecycle query — the
     * main [[annIndexPath]] index must stay whole-corpus-trained for the
@@ -53,16 +59,20 @@ object LlmQueries {
   private def bandIndexPath(dir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands").toString
-  private def bandFingerprint(dir: String): String =
-    s"bands-v2|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7"
+  private def bandFingerprint(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    s"bands-v2|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7" +
+      s"|n=${Tables.documents(s, dir).count()}"
 
   /** Separate band artifact for the takedown query — built on the full
     * non-batch corpus, then a slice tombstoned. */
   private def bandDeletePath(dir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands_del").toString
-  private def bandDeleteFingerprint(dir: String): String =
-    s"bands-del-v2|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7"
+  private def bandDeleteFingerprint(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    s"bands-del-v2|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7" +
+      s"|n=${Tables.documents(s, dir).count()}"
 
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) =>
@@ -140,7 +150,7 @@ object LlmQueries {
     "llm_dedup_incremental" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = bandIndexPath(dir)
-      val fp = bandFingerprint(dir)
+      val fp = bandFingerprint(s, dir)
       if (!(Dedup.bandIndexCurrent(s, path, fp) &&
             Dedup.bandDeltaCount(s, path) > 0)) {
         val m10 = pmod(col("doc_id"), lit(10))
@@ -161,7 +171,7 @@ object LlmQueries {
     "llm_dedup_index_delete" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = bandDeletePath(dir)
-      val fp = bandDeleteFingerprint(dir)
+      val fp = bandDeleteFingerprint(s, dir)
       if (!(Dedup.bandIndexCurrent(s, path, fp) &&
             Dedup.bandDeltaCount(s, path) > 0)) {
         val m10 = pmod(col("doc_id"), lit(10))
@@ -256,7 +266,7 @@ object LlmQueries {
     "llm_sim_ivf_stored" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = annIndexPath(dir)
-      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(dir))
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
       val qs = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
@@ -268,7 +278,7 @@ object LlmQueries {
     "llm_sim_pq_stored" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = annIndexPath(dir)
-      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(dir))
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       Similarity.pqTopKStored(s, qv, path, 64, 10)
     }),
@@ -282,7 +292,7 @@ object LlmQueries {
     "llm_sim_ivf_appended" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = annAppendPath(dir)
-      val fp = annFingerprint(dir) + "|train=mod7ne3"
+      val fp = annFingerprint(s, dir) + "|train=mod7ne3"
       if (!(Similarity.ivfIndexCurrent(s, path, fp) &&
             Similarity.ivfDeltaCount(s, path) > 0)) {
         Similarity.buildIvfIndex(s, emb.where(pmod(col("vec_id"), lit(7)) =!= 3),
@@ -303,7 +313,7 @@ object LlmQueries {
     "llm_semdedup_incremental" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = annIncPath(dir)
-      val fp = annFingerprint(dir) + "|train=mod9ne4"
+      val fp = annFingerprint(s, dir) + "|train=mod9ne4"
       Similarity.ensureIvfIndex(s,
         emb.where(pmod(col("vec_id"), lit(9)) =!= 4), path, fp)
       Similarity.nearDupsAgainstIndex(s,
@@ -319,7 +329,7 @@ object LlmQueries {
     "llm_sim_ivf_deleted" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = annDeletePath(dir)
-      val fp = annFingerprint(dir) + "|deleted=mod11eq5"
+      val fp = annFingerprint(s, dir) + "|deleted=mod11eq5"
       if (!(Similarity.ivfIndexCurrent(s, path, fp) &&
             Similarity.ivfDeltaCount(s, path) > 0)) {
         Similarity.buildIvfIndex(s, emb, path, fp)
@@ -339,7 +349,7 @@ object LlmQueries {
     "llm_sim_ivfpq_stored" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val path = annIndexPath(dir)
-      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(dir))
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       Similarity.ivfPqTopKStored(s, qv, path, 64, 10, nprobe = 2)
     }),
@@ -390,7 +400,7 @@ object LlmQueries {
       // stays exercised by llm_sim_ivf / llm_sim_ivf_batch.
       val emb = Tables.embeddings(s, dir)
       val path = annIndexPath(dir)
-      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(dir))
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
       val assigned = Similarity.readLists(s, path)
         .select("vec_id", "embedding", "nrm", "centroid_id")
       // materialized once: the label closure and the per-doc max-sim

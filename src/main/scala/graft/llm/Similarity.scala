@@ -580,22 +580,25 @@ object Similarity {
 
   /** The delta payload for `newVectors`: assignment + PQ codes from the
     * STORED quantizer (zero training; the only jobs are the k-row
-    * centroid read, the m×k codebook read, and the batch write). */
-  private def deltaRows(s: SparkSession, newVectors: DataFrame, path: String,
-                        p: IndexParams): DataFrame = {
+    * centroid read, the m×k codebook read, and the batch write). The
+    * PQ geometry (m, dim) comes from the STORED codebooks — trusting a
+    * caller-supplied IndexParams here would silently encode garbage
+    * codes whenever it disagreed with what the index was built with. */
+  private def deltaRows(s: SparkSession, newVectors: DataFrame,
+                        path: String): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
     val perSub = readPqCodebooks(s, path)
+    val dim = perSub.map(_.head._2.size).sum // Σ subspace widths
     assignByLiterals(newVectors, cs)
       .withColumn("nrm", normExpr("embedding"))
       .select(newVectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
-        ++ pqCodeCols(perSub, p.dim): _*)
+        ++ pqCodeCols(perSub, dim): _*)
   }
 
   /** Append `newVectors` as the next delta (see [[deltaRows]]). */
-  def appendIvfDelta(s: SparkSession, newVectors: DataFrame, path: String,
-                     p: IndexParams = IndexParams()): Unit = {
-    val rows = deltaRows(s, newVectors, path, p)
+  def appendIvfDelta(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
+    val rows = deltaRows(s, newVectors, path)
     graft.tsdb.Keysets.appendDelta(s, path, "lists")(
       tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
   }
@@ -606,11 +609,10 @@ object Similarity {
     * replayed batch can never overwrite a takedown tombstone or any
     * other writer's delta. Returns whether anything landed. */
   def appendIvfDeltaTxn(s: SparkSession, newVectors: DataFrame, path: String,
-                        streamId: String, batchId: Long,
-                        p: IndexParams = IndexParams()): Boolean =
+                        streamId: String, batchId: Long): Boolean =
     // payload built inside the callback: a replay-skip costs zero jobs
     graft.tsdb.Keysets.appendDeltaTxn(s, path, "lists", streamId, batchId)(
-      tmp => deltaRows(s, newVectors, path, p)
+      tmp => deltaRows(s, newVectors, path)
         .write.partitionBy("centroid_id").parquet(tmp))
 
   /** Tombstone-delete vectors from the stored index WITHOUT rewriting
@@ -626,14 +628,19 @@ object Similarity {
     * vec_ids must never be reused. The centroid lookup is one semi-join
     * over the lists so the markers land in their vectors' partitions. */
   def deleteFromIvfIndex(s: SparkSession, ids: DataFrame, path: String): Unit = {
+    // persisted: the emptiness probe and the delta write must not each
+    // pay the full lists scan + semi-join
     val doomed = readLists(s, path)
       .join(ids.toDF("vec_id"), Seq("vec_id"), "left_semi")
       .select(col("vec_id"), col("centroid_id"), lit(true).as("tomb"))
-    // already-deleted / never-indexed ids leave nothing to shadow — and
-    // an empty partitioned write would land a schema-less delta dir
-    if (doomed.isEmpty) return
-    graft.tsdb.Keysets.appendDelta(s, path, "lists")(
-      tmp => doomed.write.partitionBy("centroid_id").parquet(tmp))
+      .persist()
+    try {
+      // already-deleted / never-indexed ids leave nothing to shadow —
+      // and an empty partitioned write would land a schema-less dir
+      if (doomed.isEmpty) return
+      graft.tsdb.Keysets.appendDelta(s, path, "lists")(
+        tmp => doomed.write.partitionBy("centroid_id").parquet(tmp))
+    } finally { doomed.unpersist(); () }
   }
 
   /** Fold committed deltas back into the base inverted lists — the
@@ -643,9 +650,14 @@ object Similarity {
     * Tombstones are applied during the fold: compaction is where
     * deferred deletes become physical. */
   def compactIvfDeltas(s: SparkSession, path: String): Unit =
-    graft.tsdb.Keysets.compactDeltas(s, path, "lists")(
-      (merged, tmp) => graft.tsdb.Keysets.dropTombstoned(merged, "vec_id")
-        .write.partitionBy("centroid_id").parquet(tmp))
+    graft.tsdb.Keysets.compactDeltas(s, path, "lists") { (merged, tmp) =>
+      val live = graft.tsdb.Keysets.dropTombstoned(merged, "vec_id")
+      // a fully-tombstoned corpus must still land a schema-bearing
+      // base: an empty dynamic-partition write creates zero files and
+      // every later read would fail on schema inference
+      if (live.isEmpty) live.repartition(1).write.parquet(tmp)
+      else live.write.partitionBy("centroid_id").parquet(tmp)
+    }
 
   /** Semantic dedup-against-index — the embedding analog of
     * [[graft.llm.Dedup.incrementalNearDups]]: a NEW batch is assigned

@@ -311,16 +311,20 @@ object Ingest {
     * maintenance pass, never a correctness requirement. */
   def maintainBandIndex(s: SparkSession, docsStream: DataFrame,
                         indexPath: String, checkpoint: String,
-                        idCol: String = "doc_id",
-                        textCol: String = "text"): Unit = {
+                        idCol: String = "doc_id", textCol: String = "text",
+                        k: Int = 32, r: Int = 4, shingleN: Int = 3): Unit = {
     graft.llm.Dedup.ensureEmptyBandBase(s, indexPath)
     val q = docsStream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // band params must match what probes of this artifact use —
+        // they ride the sink signature because the band index (unlike
+        // the IVF quantizer) stores no geometry to derive them from
         graft.llm.Dedup.appendBandDeltaTxn(batch.sparkSession, batch,
-          idCol, textCol, indexPath, streamId = checkpoint, batchId = batchId)
+          idCol, textCol, indexPath, streamId = checkpoint, batchId = batchId,
+          k = k, r = r, shingleN = shingleN)
         ()
       }
       .start()

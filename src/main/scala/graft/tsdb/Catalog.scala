@@ -191,9 +191,13 @@ object Catalog {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     readCatalog(s, catalogPath).foreach { cat =>
       val ex = cat.withColumn("b", bucketId).persist()
+      // persisted: the dead-bucket probe AND the survivors write both
+      // consume the live series set — without this the full points
+      // scan + distinct shuffle runs twice per vacuum
+      val live = livePoints
+        .select(col("metric"), canonicalTags.as("tags_canonical")).distinct()
+        .persist()
       try {
-        val live = livePoints
-          .select(col("metric"), canonicalTags.as("tags_canonical")).distinct()
         val dead = ex.join(live, Seq("metric", "tags_canonical"), "left_anti")
         // affected buckets: ≤ CatalogBuckets rows — config-sized collect
         val affected = dead.select("b").distinct()
@@ -208,7 +212,7 @@ object Catalog {
           val stagingP = new org.apache.hadoop.fs.Path(staging)
           if (fs.exists(stagingP)) { fs.delete(stagingP, true); () }
         }
-      } finally { ex.unpersist(); () }
+      } finally { ex.unpersist(); live.unpersist(); () }
     }
   }
 

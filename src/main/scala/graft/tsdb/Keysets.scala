@@ -164,15 +164,33 @@ object Keysets {
   /** Apply tombstone deltas to a [[readWithDeltas]] union: a row with
     * `tomb = true` shadows EVERY row of its id (ids are never reused —
     * the LSM/Lucene deferred-delete contract), and the marker rows
-    * themselves vanish. Tombstone sets are takedown-sized, never
-    * corpus-sized, so the anti-join broadcasts. A frame with no `tomb`
-    * column (never-deleted index, or freshly compacted base) passes
-    * through untouched. */
-  private[graft] def dropTombstoned(df: DataFrame, idCol: String): DataFrame =
+    * themselves vanish. Tombstone sets are usually takedown-sized, so
+    * the anti-join broadcasts — but GATED on a bounded count (a bulk
+    * GDPR-scale delete between compactions must degrade to a shuffle
+    * anti-join, not hit the broadcast limit and fail every probe until
+    * compaction). A frame with no `tomb` column (never-deleted index,
+    * or freshly compacted base) passes through untouched. */
+  private[graft] def dropTombstoned(df: DataFrame, idCol: String,
+                                    maxBroadcastRows: Long = 4000000L): DataFrame =
     if (!df.columns.contains("tomb")) df
-    else df.where(col("tomb").isNull)
-      .join(broadcast(df.where(col("tomb")).select(idCol)), Seq(idCol), "left_anti")
-      .drop("tomb")
+    else {
+      val tombs = df.where(col("tomb")).select(idCol)
+      val probe = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
+      val tombSide =
+        if (tombs.limit(probe).count() <= maxBroadcastRows) broadcast(tombs)
+        else tombs.hint("shuffle_hash")
+      df.where(col("tomb").isNull)
+        .join(tombSide, Seq(idCol), "left_anti")
+        .drop("tomb")
+    }
+
+  /** The numeric id of a delta dir, parsed from its BASENAME — parsing
+    * the full path would misread an artifact that happens to live
+    * under a `delta_N`-named parent directory. */
+  private def deltaId(dir: String): Int = {
+    val name = new org.apache.hadoop.fs.Path(dir).getName
+    DeltaRe.findFirstMatchIn(name).get.group(1).toInt
+  }
 
   /** Land one batch as the next delta (id clears BOTH visible deltas
     * and the folded watermark — a reused folded id would be invisible
@@ -181,8 +199,7 @@ object Keysets {
                                 (write: String => Unit): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
       .getFileSystem(s.sparkContext.hadoopConfiguration)
-    val next = (deltaDirs(s, path, sub)
-      .map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt + 1)
+    val next = (deltaDirs(s, path, sub).map(deltaId(_) + 1)
       :+ (foldedThru(fs, path, sub) + 1) :+ 0).max
     swapBuiltDir(s, f"$path/delta_$next%04d") { tmp =>
       write(s"$tmp/$sub")
@@ -268,8 +285,7 @@ object Keysets {
       .getFileSystem(s.sparkContext.hadoopConfiguration)
     val deltas = deltaDirs(s, path, sub)
     if (deltas.isEmpty) return
-    val maxId = deltas
-      .map(d => DeltaRe.findFirstMatchIn(d).get.group(1).toInt).max
+    val maxId = deltas.map(deltaId).max
     val txn = (s"$path/$sub" +: deltas)
       .map(d => parseTxn(fs, d))
       .foldLeft(Map.empty[String, Long]) { (acc, m) =>
