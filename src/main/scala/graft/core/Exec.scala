@@ -35,12 +35,27 @@ object Exec {
   def materialize(df: DataFrame): DataFrame =
     if (reliableMode) {
       val sc = df.sparkSession.sparkContext
-      if (sc.getCheckpointDir.isEmpty)
-        sc.setCheckpointDir(java.nio.file.Files.createDirectories(
+      if (sc.getCheckpointDir.isEmpty) {
+        // falling back to the DRIVER-LOCAL tmpdir keeps local[n] runs
+        // and tests working, but on a multi-node cluster a non-shared
+        // checkpoint dir defeats the executor-loss durability reliable
+        // mode exists for — warn loudly (once) so a deployment that
+        // forgot sc.setCheckpointDir(<HDFS/object-store path>) sees it
+        val fallback = java.nio.file.Files.createDirectories(
           java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_ckpt"))
-          .toString)
+          .toString
+        if (!warnedLocalCkpt.getAndSet(true))
+          System.err.println(
+            s"[graft] WARNING: reliable mode is on but no checkpoint dir " +
+              s"is configured; falling back to driver-local $fallback. On a " +
+              "multi-node cluster set SparkContext.setCheckpointDir to a " +
+              "SHARED path or checkpoints will NOT survive executor loss.")
+        sc.setCheckpointDir(fallback)
+      }
       df.checkpoint(eager = true)
     } else df.localCheckpoint(eager = true)
+
+  private val warnedLocalCkpt = new java.util.concurrent.atomic.AtomicBoolean(false)
 
   /** Force FULL-ROW evaluation of a query result. A bare `count()` lets
     * Catalyst prune every column — the projection being benchmarked is

@@ -24,16 +24,28 @@ object LlmQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann").toString
 
+  /** Order-independent content checksum of a fixture frame: bit_xor of
+    * per-row xxhash64 over every column — row order and partitioning
+    * cannot change it, any single-row content change (almost surely)
+    * does. Replaces the former row-COUNT pin, which provably served
+    * stale centroids/codes/norms when a fixture was regenerated with
+    * the same cardinality (VERDICT r7). Fixture-harness cost only —
+    * one cheap agg scan at these scales; the production API takes a
+    * caller-supplied corpus tag instead
+    * ([[Similarity.IndexParams.fingerprint]]). */
+  private[llm] def contentChecksum(df: org.apache.spark.sql.DataFrame): Long = {
+    val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      .agg(expr("bit_xor(h)")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
   /** Build fingerprint: corpus tag + the default [[Similarity.IndexParams]]
-    * — a param or fixture change invalidates the stored artifact. */
-  /** Pins params AND corpus row count: a regenerated fixture at the
-    * same path must invalidate the stored /tmp artifact, or stale
-    * centroids would silently serve every stored-index query (the
-    * count is a parquet-footer read — cheap insurance). */
+    * + a content checksum — a param, fixture, or CONTENT change (same
+    * row count included) invalidates the stored /tmp artifact. */
   private def annFingerprint(s: org.apache.spark.sql.SparkSession,
                              dir: String): String =
     Similarity.IndexParams().fingerprint(dir) +
-      s"|n=${Tables.embeddings(s, dir).count()}"
+      s"|x=${contentChecksum(Tables.embeddings(s, dir))}"
 
   /** Separate artifact for the build-then-append lifecycle query — the
     * main [[annIndexPath]] index must stay whole-corpus-trained for the
@@ -62,7 +74,7 @@ object LlmQueries {
   private def bandFingerprint(s: org.apache.spark.sql.SparkSession,
                               dir: String): String =
     s"bands-v2|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7" +
-      s"|n=${Tables.documents(s, dir).count()}"
+      s"|x=${contentChecksum(Tables.documents(s, dir))}"
 
   /** Separate band artifact for the takedown query — built on the full
     * non-batch corpus, then a slice tombstoned. */
@@ -72,7 +84,7 @@ object LlmQueries {
   private def bandDeleteFingerprint(s: org.apache.spark.sql.SparkSession,
                                     dir: String): String =
     s"bands-del-v2|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7" +
-      s"|n=${Tables.documents(s, dir).count()}"
+      s"|x=${contentChecksum(Tables.documents(s, dir))}"
 
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) =>
@@ -270,6 +282,22 @@ object LlmQueries {
       val qs = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
+    }),
+
+    // hybrid search: the stored-index probe with a metadata predicate
+    // (label < 5) pushed INTO the inverted-lists scan — post-filtering
+    // the top-k would break recall, so the candidate fetch itself is
+    // filtered (PushedFilters + DPP, both plan-asserted in PlanSpec)
+    // and the per-query ranking is exact over the qualifying rows of
+    // the probed clusters. Oracle = the batch-probe SQL with the same
+    // predicate on the candidate set.
+    "llm_sim_ivf_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopKStoredFiltered(s, qs, path, col("label") < 5, 5, nprobe = 2)
     }),
 
     // PQ/ADC scoring off the SAME stored artifact: codes + codebooks
@@ -1065,6 +1093,12 @@ object LlmQueries {
     // become window ranks partitioned by query_id
     "llm_sim_ivf_batch" -> IvfBatchOracle,
     "llm_sim_ivf_stored" -> IvfBatchOracle,
+
+    // hybrid-search mirror: same whole-corpus clustering and probe
+    // selection, candidate set filtered by the metadata predicate —
+    // the ranking is exact over qualifying rows of the probed clusters
+    "llm_sim_ivf_filtered" -> ivfBatchOracleWith(IvfCtes,
+      "a.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 5)"),
 
     // min-label closure over the τ-pair graph (same recursive
     // reachability shape as the llm_dedup_clusters oracle): kept_id =

@@ -405,15 +405,28 @@ object Similarity {
     probeJoinTopK(assigned, queries, cs, k, nprobe, maxBroadcastQueries)
   }
 
+  /** Broadcast `df` only when a bounded count probe of `gate` says it
+    * holds at most `maxRows` rows; degrade to a shuffle-hash join
+    * otherwise. The ONE gating helper every probe/batch broadcast here
+    * goes through (limit-N+1 probe, same pattern as
+    * Dedup.decontaminate) — an unconditionally hinted broadcast would
+    * drive executors toward OOM on a corpus-sized frame instead of
+    * degrading to a shuffle (ADVICE r6/r7). Costs one bounded Spark
+    * job per call; serving paths that probe in a tight loop should
+    * pass their own known batch size as the gate frame's limit. */
+  private def gatedBroadcast(df: DataFrame, gate: DataFrame,
+                             maxRows: Long): DataFrame = {
+    val probe = math.min(maxRows + 1, Int.MaxValue.toLong).toInt
+    if (gate.limit(probe).count() <= maxRows) broadcast(df)
+    else df.hint("shuffle_hash")
+  }
+
   /** Probe side of the batched IVF search, shared by the inline
     * ([[ivfTopKBatch]]) and stored-index ([[ivfTopKStored]]) paths:
     * map-side nprobe pick against the k centroid literals, join the
     * pre-assigned corpus on centroid_id, per-query top-k window. The
     * broadcast of the exploded probe set is GATED on a bounded count of
-    * the query frame (limit-N+1 probe, same pattern as
-    * Dedup.decontaminate) — an unconditionally hinted broadcast would
-    * drive executors toward OOM on a corpus-sized query batch instead
-    * of degrading to a shuffle-hash join (ADVICE r6). */
+    * the query frame — see [[gatedBroadcast]]. */
   private def probeJoinTopK(assigned: DataFrame, queries: DataFrame,
                             cs: Array[(Int, Seq[Float], Double)],
                             k: Int, nprobe: Int,
@@ -433,10 +446,7 @@ object Similarity {
       .select(col("query_id"), col("qv"),
         col("p").getField("centroid_id").as("centroid_id"))
       .withColumn("qnrm", normExpr("qv"))
-    val cnt = math.min(maxBroadcastQueries + 1, Int.MaxValue.toLong).toInt
-    val probeSide =
-      if (queries.limit(cnt).count() <= maxBroadcastQueries) broadcast(probes)
-      else probes.hint("shuffle_hash")
+    val probeSide = gatedBroadcast(probes, queries, maxBroadcastQueries)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     val joined = assigned.join(probeSide, Seq("centroid_id"))
@@ -552,6 +562,28 @@ object Similarity {
     probeJoinTopK(readLists(s, path), queries, cs, k, nprobe, maxBroadcastQueries)
   }
 
+  /** [[ivfTopKStored]] with a metadata predicate pushed INTO the
+    * inverted-lists scan — hybrid search ("nearest docs *in lang='pt'*
+    * / *after date X*"), the shape almost every real retrieval query
+    * has. Post-filtering a top-k breaks recall (all k survivors of the
+    * unfiltered ranking may fail the predicate); filtering the
+    * candidate fetch instead keeps the per-query ranking exact over
+    * the qualifying rows of the probed clusters, and because the
+    * stored lists carry the full corpus columns the predicate reaches
+    * the parquet scan (PushedFilters — plan-asserted), so candidate IO
+    * shrinks with the filter's selectivity while dynamic partition
+    * pruning to the probed clusters is retained. Result ≡
+    * [[ivfTopKBatch]] over the pre-filtered corpus with the same
+    * whole-corpus-trained quantizer — exactly what the oracle checks. */
+  def ivfTopKStoredFiltered(s: SparkSession, queries: DataFrame, path: String,
+                            pred: Column, k: Int, nprobe: Int,
+                            maxBroadcastQueries: Long = 50000L): DataFrame = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
+    probeJoinTopK(readLists(s, path).where(pred), queries, cs, k, nprobe,
+      maxBroadcastQueries)
+  }
+
   // ---- incremental growth: append deltas without retraining
   //
   // A 100 TB corpus grows daily; rebuilding the quantizer per batch
@@ -559,8 +591,11 @@ object Similarity {
   // vectors with the STORED centroids and encodes them with the STORED
   // codebooks — O(batch) map-only work — and lands them as an atomic
   // `delta_N` dir next to `lists/` (each delta its own swap, so a
-  // crashed append never corrupts the served index and a replay
-  // overwrites the same delta id idempotently). Readers union
+  // crashed append never corrupts the served index). Delta ids
+  // AUTO-ALLOCATE, so a replayed plain [[appendIvfDelta]] lands a
+  // DUPLICATE delta (double-counted vectors) — it is NOT
+  // replay-idempotent; callers that can replay (streaming sinks,
+  // retried jobs) must go through [[appendIvfDeltaTxn]]. Readers union
   // lists + deltas; the same partition layout keeps every probe's
   // partition pruning. The quantizer drifts as the corpus grows — the
   // standard IVF trade — until the next full [[buildIvfIndex]] folds
@@ -568,6 +603,42 @@ object Similarity {
 
   def ivfDeltaCount(s: SparkSession, path: String): Int =
     graft.tsdb.Keysets.deltaDirs(s, path, "lists").size
+
+  /** Quantizer-drift signal for the append-without-retrain trade: the
+    * fraction of the served corpus the stored quantizer never trained
+    * on — appended delta rows / base-list rows. Row counts come off
+    * parquet footers (count-only scans, no data columns); tombstone
+    * MARKER rows are excluded from the delta mass (a takedown is not
+    * drift — the quantizer trained on those vectors), which costs a
+    * tomb-column scan only on deltas that actually carry one.
+    * Policy, not mechanism: [[needsRetrain]] applies the documented
+    * default threshold; at 100 TB steady-state ingest a maintenance
+    * job checks this per index and schedules [[buildIvfIndex]] +
+    * [[compactIvfDeltas]] when it trips — without it the index rots
+    * silently as recall decays (see PropertySpec's measured recall-vs-
+    * appended-mass curve and PERF.md). */
+  def deltaFraction(s: SparkSession, path: String): Double = {
+    graft.tsdb.Keysets.repairSwap(s, s"$path/lists")
+    val base = s.read.parquet(s"$path/lists").count()
+    require(base > 0, s"deltaFraction: empty base lists at $path")
+    val appended = graft.tsdb.Keysets.deltaDirs(s, path, "lists").map { d =>
+      val df = s.read.parquet(s"$d/lists")
+      if (df.columns.contains("tomb")) df.where(col("tomb").isNull).count()
+      else df.count()
+    }.sum
+    appended.toDouble / base.toDouble
+  }
+
+  /** Default retrain trigger: 30% untrained mass. The measured recall
+    * curve (PropertySpec, PERF.md r8) stays ≥ ~0.9 of a fresh rebuild
+    * up to roughly this point at fixture scale; past it the stored
+    * centroids increasingly mis-route new-regime vectors and nprobe
+    * would have to grow to compensate — retraining is the cheaper fix. */
+  val RetrainThreshold: Double = 0.30
+
+  def needsRetrain(s: SparkSession, path: String,
+                   threshold: Double = RetrainThreshold): Boolean =
+    deltaFraction(s, path) >= threshold
 
   /** The stored corpus = base inverted lists ∪ committed deltas (the
     * Keysets delta-dir lifecycle), minus tombstoned ids; every root
@@ -677,10 +748,7 @@ object Similarity {
       .withColumn("a_nrm", normExpr("embedding"))
       .select(col("centroid_id"), col("vec_id").as("new_id"),
         col("embedding").as("av"), col("a_nrm"))
-    val probe = math.min(maxBroadcastRows + 1, Int.MaxValue.toLong).toInt
-    val batchSide =
-      if (nb.limit(probe).count() <= maxBroadcastRows) broadcast(nb)
-      else nb.hint("shuffle_hash")
+    val batchSide = gatedBroadcast(nb, nb, maxBroadcastRows)
     readLists(s, path)
       .select(col("centroid_id"), col("vec_id").as("corpus_id"),
         col("embedding").as("bv"), col("nrm").as("b_nrm"))
@@ -727,7 +795,8 @@ object Similarity {
     * float32). Approximate on both axes by construction; the score
     * math is engine-exact, so the whole probe is oracle-checkable. */
   def ivfPqTopKStored(s: SparkSession, queryVec: DataFrame, path: String,
-                      dim: Int, topK: Int, nprobe: Int): DataFrame = {
+                      dim: Int, topK: Int, nprobe: Int,
+                      maxBroadcastQueries: Long = 50000L): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
     val perSub = readPqCodebooks(s, path)
@@ -746,7 +815,10 @@ object Similarity {
     val lists = readLists(s, path)
       .select(col("vec_id") +: col("centroid_id")
         +: (0 until m).map(i => col(s"code_$i")): _*)
-    lists.join(broadcast(probes), Seq("centroid_id"))
+    // same count-gated broadcast as every other probe join here — a
+    // corpus-sized queryVec must degrade to a shuffle, not OOM (ADVICE r7)
+    lists.join(gatedBroadcast(probes, queryVec, maxBroadcastQueries),
+        Seq("centroid_id"))
       .select(col("vec_id"),
         graft.core.D.r4s(pqScoreCol(perSub, dim)).as("score"))
       .orderBy(col("score").desc, col("vec_id"))

@@ -46,6 +46,14 @@ object Expression {
     * The delta must be a multiple of the inner downsample interval or
     * the relabeled buckets won't land on the unshifted grid. */
   final case class ShiftNode(deltaMs: Long, inner: ExprNode) extends ExprNode
+  /** Series top-N (OpenTSDB's topN): rank the inner expression's series
+    * — its groupBy-tag combinations — by `agg` of their bucket values
+    * and keep the n best. `topn(5, avg, merge(...))` = "the 5 series
+    * with the highest average", the dashboard ask the plain
+    * merge/downsample surface can't express. Evaluated by
+    * [[TopN.apply]] over the merged frame: one series-cardinality
+    * aggregate + a rank window, never a points-sized sort. */
+  final case class TopNNode(n: Int, agg: String, inner: ExprNode) extends ExprNode
 
   /** Shift every leaf query's absolute range back by `d` — how a
     * ShiftNode re-aims its subtree before evaluation. */
@@ -54,6 +62,7 @@ object Expression {
     case BinOpNode(op, l, r) => BinOpNode(op, shiftRanges(l, d), shiftRanges(r, d))
     case UnOpNode(op, e) => UnOpNode(op, shiftRanges(e, d))
     case ShiftNode(dd, e) => ShiftNode(dd, shiftRanges(e, d))
+    case TopNNode(n, a, e) => TopNNode(n, a, shiftRanges(e, d))
     case s: ScalarNode => s
   }
 
@@ -65,8 +74,9 @@ object Expression {
 
   /** Full expression grammar:
     * `expr := merge(...) | add|sub|mul|div(expr, expr) | abs(expr) |
-    * shift(expr, <dur>) | <number>` — each merge leaf is a complete
-    * pipeline with its own query(...) time range. */
+    * shift(expr, <dur>) | topn(<n>, <agg>, expr) | <number>` — each
+    * merge leaf is a complete pipeline with its own query(...) time
+    * range. */
   def parseExpr(input: String, nowMs: Long): ExprNode =
     new P(input, nowMs).topExpr()
 
@@ -121,6 +131,16 @@ object Expression {
         expect('('); val e = exprNode()
         expect(','); val d = ident(); expect(')')
         ShiftNode(TimeParse.durationMs(d), e)
+      } else if (f == "topn") {
+        // topn(<n>, <agg>, <expr>) — n must be a positive integer; the
+        // aggregator set is TopN's (avg|sum|max|min|last), validated at
+        // evaluation so the parser stays Spark-free
+        expect('('); val nv = number()
+        if (nv <= 0 || nv != math.floor(nv))
+          throw ParseError(s"topn needs a positive integer n, got $nv", i)
+        expect(','); val agg = ident()
+        expect(','); val e = exprNode(); expect(')')
+        TopNNode(nv.toInt, agg, e)
       } else {
         i = save // mergeExpr re-reads its own leading identifier
         QueryNode(mergeExpr())

@@ -140,8 +140,11 @@ object Keysets {
       case n @ DeltaRe(_) => n
       case t @ _ if t.endsWith(".tmp") && DeltaRe.matches(t.stripSuffix(".tmp")) =>
         t.stripSuffix(".tmp")
-    }.distinct.sorted
+    }.distinct
       .filter { case DeltaRe(id) => id.toInt > folded }
+      // numeric, not lexical: "delta_10000" sorts before "delta_9999"
+      // as a string, which would break the documented ascending order
+      .sortBy { case DeltaRe(id) => id.toInt }
       .map { n =>
         repairSwap(s, s"$path/$n")
         s"$path/$n"

@@ -38,6 +38,16 @@ object Pipeline {
     * the filters marked groupBy=true, everything else becomes an
     * aggregateTag (dropped by the merge). */
   def run(spark: SparkSession, points: DataFrame, q: TsdbQuery): DataFrame = {
+    val (out, order) = runUnsorted(spark, points, q)
+    out.orderBy(order: _*)
+  }
+
+  /** [[run]] without the final boundary sort, plus the D1 sort order it
+    * would apply — the form expression evaluation composes ([[runExpr]]
+    * sorts ONCE at its own boundary; a leaf sorted under a join/agg is
+    * wasted work even when Catalyst's EliminateSorts catches it). */
+  private def runUnsorted(spark: SparkSession, points: DataFrame,
+                          q: TsdbQuery): (DataFrame, Seq[org.apache.spark.sql.Column]) = {
     require(q.queries.size == 1,
       s"run executes exactly one SubQuery (got ${q.queries.size}); " +
         "execute multi-subquery requests one run() per SubQuery")
@@ -71,7 +81,7 @@ object Pipeline {
     val out =
       if (sub.rate) MergeRate.rate(merged, groupTags.map(k => s"tag_$k"), sub.rateOptions)
       else merged
-    out.orderBy((groupTags.map(k => col(s"tag_$k")) :+ col("bucket_ms")): _*)
+    (out, groupTags.map(k => col(s"tag_$k")) :+ col("bucket_ms"))
   }
 
   /** Multi-subquery form of the OpenTSDB request: one result frame per
@@ -98,6 +108,81 @@ object Pipeline {
     q.queries.map(sub => run(spark, shared, q.copy(queries = Seq(sub))))
   }
 
+  /** Request guardrails — the mycenae maxDataPoints / maxTimeseries
+    * caps [PK-M, SURVEY §4.1 "result caps"]: multi-tenant safety
+    * against the one pathological query (tiny interval × huge range ×
+    * high-cardinality group) that would otherwise materialize unbounded
+    * output through a shared cluster. */
+  final case class Caps(maxDataPoints: Long = Long.MaxValue,
+                        maxTimeseries: Long = Long.MaxValue) {
+    require(maxDataPoints > 0 && maxTimeseries > 0, "caps must be positive")
+  }
+
+  /** A request exceeded a hard cap — the multi-tenant 4xx, not a bug. */
+  final class CapExceededException(msg: String)
+    extends IllegalArgumentException(msg)
+
+  /** The series the request would touch — the catalog-resolve phase of
+    * the two-phase read (tsdb_catalog_prune shape), run BEFORE the
+    * heavy pipeline: one filtered distinct-count over the series key,
+    * reduced map-side by partial aggregation. */
+  def resolveSeriesCount(points: DataFrame, q: TsdbQuery): Long = {
+    val sub = q.queries.head
+    var df = points
+      .where(col("metric") === sub.metric)
+      .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs)
+    sub.filters.foreach { f => df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
+    df.select(Catalog.canonicalTags.as("series_key")).distinct().count()
+  }
+
+  /** [[run]] behind the request caps: over `maxTimeseries` resolved
+    * series → hard [[CapExceededException]] (the mycenae behavior);
+    * over `maxDataPoints` on the downsample grid → COARSEN the bucket
+    * interval by the smallest integer factor that fits under the cap
+    * (the estimate n_series × n_buckets upper-bounds the per-series
+    * grid the downsample/fill stages materialize — conservative by
+    * construction, since the later merge can only reduce it). A raw
+    * (no-downsample) request has no grid to coarsen, so its point cap
+    * is a hard error on the actual matching-row count. Costs one
+    * catalog-resolve count job up front — the price of refusing work
+    * instead of doing it. */
+  def runCapped(spark: SparkSession, points: DataFrame, q: TsdbQuery,
+                caps: Caps): DataFrame = {
+    require(q.queries.size == 1, "runCapped executes exactly one SubQuery")
+    val sub = q.queries.head
+    val nSeries = resolveSeriesCount(points, q)
+    if (nSeries > caps.maxTimeseries)
+      throw new CapExceededException(
+        s"query resolves $nSeries series, over maxTimeseries=${caps.maxTimeseries}")
+    val capped = sub.downsample match {
+      case Some(ds) =>
+        val buckets = math.max(1L,
+          (q.endMs - q.startMs + ds.intervalMs - 1) / ds.intervalMs)
+        val est = nSeries * buckets
+        if (est <= caps.maxDataPoints) q
+        else {
+          val factor = (est + caps.maxDataPoints - 1) / caps.maxDataPoints
+          q.copy(queries = Seq(sub.copy(downsample =
+            Some(ds.copy(intervalMs = ds.intervalMs * factor)))))
+        }
+      case None =>
+        if (caps.maxDataPoints < Long.MaxValue) {
+          var df = points
+            .where(col("metric") === sub.metric)
+            .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs)
+          sub.filters.foreach { f =>
+            df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
+          val n = df.count()
+          if (n > caps.maxDataPoints)
+            throw new CapExceededException(
+              s"raw query matches $n points, over maxDataPoints=" +
+                s"${caps.maxDataPoints}; add a downsample to let the cap coarsen")
+        }
+        q
+    }
+    run(spark, points, capped)
+  }
+
   /** Evaluate a parsed expression tree ([[Expression.parseExpr]]):
     * leaves run through [[run]]; a binop joins its two sides point-wise
     * on (group tags, bucket_ms) — both sides must group by the SAME
@@ -111,8 +196,22 @@ object Pipeline {
     * shuffled by, so AQE/exchange reuse keeps it one extra small join
     * over REDUCED (series × bucket) frames, never raw points. */
   def runExpr(spark: SparkSession, points: DataFrame,
-              node: Expression.ExprNode): DataFrame = node match {
-    case Expression.QueryNode(q) => run(spark, points, q)
+              node: Expression.ExprNode): DataFrame = {
+    val out = evalExpr(spark, points, node)
+    // ONE boundary sort for the whole tree (D1's total order is a
+    // property of the RESULT; interior Sorts per node were pure waste
+    // — VERDICT r7): topn output orders by rank, everything else by
+    // its (tags, bucket) key columns
+    val order =
+      if (out.columns.contains("rnk")) Seq(col("rnk"))
+      else out.columns.filter(_ != "value").map(col).toSeq
+    out.orderBy(order: _*)
+  }
+
+  /** Sort-free recursive evaluator behind [[runExpr]]. */
+  private def evalExpr(spark: SparkSession, points: DataFrame,
+                       node: Expression.ExprNode): DataFrame = node match {
+    case Expression.QueryNode(q) => runUnsorted(spark, points, q)._1
     case Expression.ScalarNode(v) =>
       throw new IllegalArgumentException(
         s"a bare scalar ($v) has no series shape; scalars are binop operands")
@@ -120,29 +219,40 @@ object Pipeline {
       // re-aim the subtree d earlier, evaluate, relabel buckets forward
       // — a map-side projection; the binop join then aligns shifted and
       // unshifted operands on the same (tags, bucket) grid
-      val shifted = runExpr(spark, points, Expression.shiftRanges(inner, d))
+      val shifted = evalExpr(spark, points, Expression.shiftRanges(inner, d))
       require(shifted.columns.contains("bucket_ms"),
         "shift needs a bucketed (downsampled) inner expression")
       shifted.withColumn("bucket_ms", (col("bucket_ms") + lit(d)).cast("long"))
     case Expression.UnOpNode(op, inner) =>
       // pure map-side projection; -0.0 can't survive abs, so no extra
       // normalization beyond the inner's own 4dp quantization
-      val in = runExpr(spark, points, inner)
+      val in = evalExpr(spark, points, inner)
       op match {
         case "abs" => in.withColumn("value", abs(col("value")))
         case other => throw new IllegalArgumentException(s"unknown unop: $other")
       }
+    case Expression.TopNNode(n, agg, inner) =>
+      // rank the inner's series (its groupBy-tag combos) by `agg` of
+      // their bucket values; one series-cardinality aggregate + rank
+      // window — never a points-sized sort (TopN's scale contract)
+      val in = evalExpr(spark, points, inner)
+      require(in.columns.contains("bucket_ms"),
+        "topn needs a bucketed (downsampled) inner expression")
+      val seriesCols = in.columns.filter(c => c != "value" && c != "bucket_ms").toSeq
+      require(seriesCols.nonEmpty,
+        "topn needs at least one groupBy tag (e.g. {user=*}) to rank series")
+      TopN(in, Nil, seriesCols, n, agg)
     case Expression.BinOpNode(op, Expression.ScalarNode(a), r) =>
       // scalar ⊕ series: pure map-side projection over the evaluated
       // side — order and shape preserved, no join
-      val rd = runExpr(spark, points, r)
+      val rd = evalExpr(spark, points, r)
       rd.withColumn("value", applyOp(op, lit(a), col("value")))
     case Expression.BinOpNode(op, l, Expression.ScalarNode(b)) =>
-      val ld = runExpr(spark, points, l)
+      val ld = evalExpr(spark, points, l)
       ld.withColumn("value", applyOp(op, col("value"), lit(b)))
     case Expression.BinOpNode(op, l, r) =>
-      val ld = runExpr(spark, points, l)
-      val rd = runExpr(spark, points, r)
+      val ld = evalExpr(spark, points, l)
+      val rd = evalExpr(spark, points, r)
       val keys = ld.columns.filter(_ != "value").toSeq
       require(rd.columns.filter(_ != "value").toSeq == keys,
         s"binop '$op' needs both sides grouped by the same tags " +
@@ -151,7 +261,6 @@ object Pipeline {
         .join(rd.select(keys.map(col) :+ col("value").as("rv"): _*), keys)
         .withColumn("value", applyOp(op, col("lv"), col("rv")))
         .select((keys :+ "value").map(col): _*)
-        .orderBy(keys.map(col): _*)
   }
 
   /** Point-wise combinator (4dp-quantized, D3); div → null on a zero

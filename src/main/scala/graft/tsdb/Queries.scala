@@ -259,6 +259,34 @@ object TsdbQueries {
       Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
     }),
 
+    // EP3' topn: the expression language's series top-N — rank the
+    // merged series by avg of their zero-filled 7d/1h buckets, keep 5.
+    // The query-API reachability row: a dashboard driving EP3' can now
+    // ask for topN without leaving the expression string (VERDICT r7).
+    "tsdb_expression_topn" -> ((s, dir) => {
+      val n = Expression.parseExpr(
+        "topn(5, avg, merge(sum, downsample(1h, avg, zero, query(click, {user=*}, 7d))))",
+        Tables.NowMs)
+      Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
+    }),
+
+    // request caps (mycenae maxDataPoints/maxTimeseries [PK-M]): the
+    // resolved 20-series × 720-bucket grid (14400 points) exceeds
+    // maxDataPoints=4000, so the 1h interval coarsens by the minimal
+    // integer factor (4 → 4h buckets) instead of materializing the
+    // over-cap result; the oracle mirrors the COARSENED grid directly.
+    // The hard-error side (maxTimeseries, raw-points overflow) is
+    // unit-tested in TsdbSpec.
+    "tsdb_query_capped" -> ((s, dir) => {
+      val q = TsdbQuery(T0, T1, Seq(
+        SubQuery("click", "sum",
+          downsample = Some(DownsampleSpec(H, "avg")),
+          filters = Seq(TagFilterSpec("literal_or", "user",
+            (0 until 20).mkString("|"), groupBy = true)))))
+      Pipeline.runCapped(s, Pipeline.eventsAsPoints(s, dir), q,
+        Pipeline.Caps(maxDataPoints = 4000))
+    }),
+
     // EP2' multi-subquery request over the SHARED scan (Pipeline.runAll
     // materializes one filtered points slice for both subqueries —
     // plan-asserted in PlanSpec): click/sum and view/max grouped by the
@@ -655,6 +683,46 @@ object TsdbQueries {
             FROM events
             WHERE event_type = 'click'
               AND epoch_ns(ts) // 1000000 >= ${T1 - 30L * 86400000}
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2)
+          SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the tsdb_expression_rate grid CTEs (zero-filled 7d/1h merge) +
+    // the tsdb_topn score/rank shape over the merged series
+    "tsdb_expression_topn" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click'
+              AND epoch_ns(ts) // 1000000 >= ${T1 - 7L * Day}
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2),
+          spine AS (SELECT range AS bucket_ms FROM range(${T1 - 7L * Day}, $T1, $H)),
+          series AS (SELECT DISTINCT tag_user FROM ds),
+          grid AS (SELECT s.tag_user, p.bucket_ms, COALESCE(d.value, 0.0) AS value
+                   FROM series s CROSS JOIN spine p
+                   LEFT JOIN ds d ON d.tag_user = s.tag_user
+                                 AND d.bucket_ms = p.bucket_ms),
+          m AS (SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+                FROM grid GROUP BY 1, 2),
+          sc AS (SELECT tag_user, ${D.oAvgDec("value")} AS score FROM m GROUP BY 1),
+          r AS (SELECT tag_user, score,
+                  CAST(row_number() OVER (ORDER BY score DESC, tag_user) AS BIGINT) AS rnk
+                FROM sc)
+          SELECT tag_user, score, rnk FROM r WHERE rnk <= 5 ORDER BY rnk""",
+
+    // the COARSENED grid, mirrored directly: 20 series × 720 hourly
+    // buckets breaches maxDataPoints=4000, so runCapped multiplies the
+    // interval by ceil(14400/4000) = 4 → 4h buckets
+    "tsdb_query_capped" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(4 * H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click' AND user_id IN (${(0 until 20).mkString(", ")})
+              AND epoch_ns(ts) // 1000000 >= $T0
               AND epoch_ns(ts) // 1000000 < $T1
             GROUP BY 1, 2)
           SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
