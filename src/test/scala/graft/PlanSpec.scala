@@ -215,6 +215,40 @@ class PlanSpec extends SparkSpec {
       "stored probe must equal the inline ivfTopKBatch")
   }
 
+  test("filtered probe pushes the predicate into the lists scan, not post-top-k") {
+    val p = plan("llm_sim_ivf_filtered")
+    // the label predicate must reach the stored-lists parquet scan —
+    // a post-top-k Filter would silently break recall instead
+    assert(p.contains("PushedFilters") && p.contains("LessThan(label,5)"),
+      s"label predicate must be pushed into the lists scan:\n$p")
+    // filtering must not cost the probed-cluster partition pruning
+    assert(p.contains("dynamicpruning"),
+      s"filtered probe must keep DPP on the probed centroids:\n$p")
+    // and still no quantizer work at probe time (the stored-index
+    // contract; the probe-side window agg is a HashAggregate-free path)
+    assert(!p.contains("posexplode"),
+      s"filtered probe must not retrain the quantizer:\n$p")
+  }
+
+  test("nested expression evaluates with exactly ONE boundary sort") {
+    import graft.tsdb._
+    val n = Expression.parseExpr(
+      "div(sub(merge(sum, downsample(1h, avg, zero, query(click, {user=*}, 7d)))," +
+        " merge(sum, downsample(1h, avg, zero, query(view, {user=*}, 7d))))," +
+        " merge(sum, downsample(1h, avg, zero, query(view, {user=*}, 7d))))",
+      graft.core.Tables.NowMs)
+    val df = Pipeline.runExpr(spark, Pipeline.eventsAsPoints(spark, sf), n)
+    val sorts = df.queryExecution.optimizedPlan.collect {
+      case s: org.apache.spark.sql.catalyst.plans.logical.Sort if s.global => s
+    }
+    // D1's total order is a property of the RESULT: one Sort at the
+    // runExpr boundary; interior per-node orderBys are pure waste
+    assert(sorts.length == 1,
+      s"expected exactly one boundary Sort, got ${sorts.length}:\n" +
+        df.queryExecution.optimizedPlan.toString)
+    assert(df.count() > 0)
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator

@@ -284,6 +284,80 @@ class LlmSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("content checksum: order-invariant; same-count change invalidates the index") {
+    val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "t")
+    val perm = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "t")
+    val changed = Seq((1L, "x"), (2L, "Y"), (3L, "z")).toDF("id", "t")
+    assert(LlmQueries.contentChecksum(a) == LlmQueries.contentChecksum(perm),
+      "row order must not change the checksum")
+    assert(LlmQueries.contentChecksum(a.repartition(4)) == LlmQueries.contentChecksum(a),
+      "partitioning must not change the checksum")
+    assert(LlmQueries.contentChecksum(a) != LlmQueries.contentChecksum(changed),
+      "a single-cell change must change the checksum")
+    // lifecycle: a regenerated fixture with the SAME row count must
+    // invalidate a stored index (the r7 count()-pin served stale data)
+    val dim = 4
+    def emb(seed: Float) = (0L until 8L)
+      .map(i => (i, Array.tabulate(dim)(d => seed + i + d)))
+      .toDF("vec_id", "embedding")
+    val e1 = emb(0.0f)
+    val e2 = emb(0.5f) // same cardinality, every vector shifted
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_fp_idx").resolve("ann").toString
+    val p = Similarity.IndexParams(k = 2, iters = 1, pqM = 2, pqK = 2,
+      pqIters = 1, dim = dim)
+    def fp(df: org.apache.spark.sql.DataFrame) =
+      p.fingerprint("t") + s"|x=${LlmQueries.contentChecksum(df)}"
+    Similarity.buildIvfIndex(spark, e1, path, fp(e1), p)
+    assert(Similarity.ivfIndexCurrent(spark, path, fp(e1)))
+    assert(!Similarity.ivfIndexCurrent(spark, path, fp(e2)),
+      "same-count content change must trigger a rebuild")
+  }
+
+  test("drift metric tracks appended mass; drifted-index recall vs fresh rebuild") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_drift_idx").resolve("ann").toString
+    // train on ~70%, append the rest — ~43% of the base, past the 30%
+    // retrain threshold by construction
+    val base = emb.where(pmod(col("vec_id"), lit(10)) < 7)
+    val delta = emb.where(pmod(col("vec_id"), lit(10)) >= 7)
+    Similarity.buildIvfIndex(spark, base, path, "drift-base")
+    assert(Similarity.deltaFraction(spark, path) == 0.0)
+    assert(!Similarity.needsRetrain(spark, path))
+    Similarity.appendIvfDelta(spark, delta, path)
+    val frac = Similarity.deltaFraction(spark, path)
+    val expected = delta.count().toDouble / base.count()
+    assert(math.abs(frac - expected) < 1e-9,
+      s"deltaFraction $frac must equal appended/base $expected")
+    assert(Similarity.needsRetrain(spark, path),
+      s"$frac appended mass must trip the ${Similarity.RetrainThreshold} trigger")
+    // recall of the DRIFTED index (stale quantizer serving the full
+    // corpus) against a fresh whole-corpus rebuild — what the retrain
+    // trigger protects; measured value recorded in PERF.md r8
+    val freshPath = java.nio.file.Files
+      .createTempDirectory("graft_drift_fresh").resolve("ann").toString
+    Similarity.buildIvfIndex(spark, emb, freshPath, "drift-fresh")
+    val qs = emb.where(col("vec_id") < 16)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def topSets(p: String) =
+      Similarity.ivfTopKStored(spark, qs, p, 5, nprobe = 2).collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    val drifted = topSets(path)
+    val fresh = topSets(freshPath)
+    val recalls = fresh.map { case (q, f) =>
+      drifted.getOrElse(q, Set.empty[Long]).intersect(f).size.toDouble / f.size }
+    val mean = recalls.sum / recalls.size
+    info(f"drifted-index recall@5 vs fresh rebuild at $frac%.2f drift: $mean%.3f")
+    assert(mean >= 0.5,
+      f"drifted recall collapsed to $mean%.3f — quantizer staleness worse than modeled")
+    // tombstone markers are takedowns, NOT drift
+    Similarity.deleteFromIvfIndex(spark,
+      emb.where(col("vec_id") === 1).select("vec_id"), path)
+    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 1e-9,
+      "tombstone markers must not count as appended mass")
+  }
+
   test("IVF: deterministic centroids, total assignment, query found in its probe") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val c1 = Similarity.ivfCentroids(emb, 8, iters = 2)

@@ -141,4 +141,33 @@ class PureSpec extends AnyFunSuite {
     intercept[Expression.ParseError]( // shift needs its duration
       parseExpr("shift(merge(sum, query(a, {}, 7d)))", Now))
   }
+
+  test("expression parser: topn node") {
+    import Expression._
+    parseExpr("topn(5, avg, merge(sum, query(a, {u=*}, 7d)))", Now) match {
+      case TopNNode(5, "avg", QueryNode(q)) =>
+        assert(q.queries.head.metric == "a")
+      case other => fail(s"unexpected tree: $other")
+    }
+    // composes over arbitrary inner expressions
+    parseExpr("topn(3, max, div(merge(sum, query(a, {u=*}, 1h))," +
+      " merge(sum, query(b, {u=*}, 1h))))", Now) match {
+      case TopNNode(3, "max", BinOpNode("div", QueryNode(_), QueryNode(_))) =>
+      case other => fail(s"unexpected tree: $other")
+    }
+    // n must be a positive integer literal
+    intercept[Expression.ParseError](
+      parseExpr("topn(0, avg, merge(sum, query(a, {u=*}, 1h)))", Now))
+    intercept[Expression.ParseError](
+      parseExpr("topn(2.5, avg, merge(sum, query(a, {u=*}, 1h)))", Now))
+    intercept[Expression.ParseError](
+      parseExpr("topn(-1, avg, merge(sum, query(a, {u=*}, 1h)))", Now))
+    // shiftRanges recurses through topn
+    shiftRanges(parseExpr("topn(2, sum, merge(sum, query(a, {u=*}, 1h)))", Now),
+      3600000L) match {
+      case TopNNode(2, "sum", QueryNode(q)) =>
+        assert(q.endMs == Now - 3600000L)
+      case other => fail(s"unexpected tree: $other")
+    }
+  }
 }

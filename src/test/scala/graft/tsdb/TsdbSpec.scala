@@ -25,6 +25,61 @@ class TsdbSpec extends SparkSpec {
     assert(cnt.map(_.getAs[Long]("value")).toSeq == Seq(2L, 1L))
   }
 
+  test("request caps: series hard error, grid coarsening, raw-point error") {
+    // 10 series × 24 hourly points on the canonical schema
+    val points = (0 until 10).flatMap { u =>
+      (0 until 24).map(h => ("m", Map("user" -> u.toString), h * 3600000L, u.toDouble))
+    }.toDF("metric", "tags", "ts_ms", "value")
+    val base = TsdbQuery(0L, 24 * 3600000L, Seq(
+      SubQuery("m", "sum", downsample = Some(DownsampleSpec(3600000L, "avg")),
+        filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true)))))
+    // under both caps → byte-identical to the uncapped run
+    assert(Pipeline.runCapped(spark, points, base, Pipeline.Caps())
+      .collect().toSeq == Pipeline.run(spark, points, base).collect().toSeq)
+    // 10 resolved series over a 5-series cap → hard error, no pipeline run
+    intercept[Pipeline.CapExceededException](
+      Pipeline.runCapped(spark, points, base, Pipeline.Caps(maxTimeseries = 5)))
+    assert(Pipeline.resolveSeriesCount(points, base) == 10L)
+    // grid estimate 10 × 24 = 240 over a 100-point cap → interval
+    // coarsens by ceil(240/100) = 3 → 3h buckets, 8 per series
+    val coarse = Pipeline.runCapped(spark, points, base,
+      Pipeline.Caps(maxDataPoints = 100))
+    val buckets = coarse.select("bucket_ms").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
+    assert(buckets == (0 until 8).map(_ * 3 * 3600000L))
+    assert(coarse.count() == 80 && coarse.count() <= 100)
+    // a raw (no-downsample) request has no grid to coarsen: over-cap
+    // matching rows → hard error; under cap → passes through
+    val raw = TsdbQuery(0L, 24 * 3600000L, Seq(
+      SubQuery("m", "sum",
+        filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true)))))
+    intercept[Pipeline.CapExceededException](
+      Pipeline.runCapped(spark, points, raw, Pipeline.Caps(maxDataPoints = 100)))
+    assert(Pipeline.runCapped(spark, points, raw,
+      Pipeline.Caps(maxDataPoints = 1000)).count() == 240)
+  }
+
+  test("expression topn ranks the merged series and keeps n") {
+    val points = (0 until 6).flatMap { u =>
+      (0 until 4).map(h => ("m", Map("user" -> u.toString), h * 3600000L, u * 10.0))
+    }.toDF("metric", "tags", "ts_ms", "value")
+    val leaf = TsdbQuery(0L, 4 * 3600000L, Seq(
+      SubQuery("m", "sum", downsample = Some(DownsampleSpec(3600000L, "avg")),
+        filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true)))))
+    val out = Pipeline.runExpr(spark, points,
+      Expression.TopNNode(3, "avg", Expression.QueryNode(leaf))).collect()
+    // series value ≡ 10u → avg score 10u → top-3 = users 5, 4, 3
+    assert(out.map(r => (r.getAs[String]("tag_user"),
+      r.getAs[Double]("score"), r.getAs[Long]("rnk"))).toSeq ==
+      Seq(("5", 50.0, 1L), ("4", 40.0, 2L), ("3", 30.0, 3L)))
+    // a topn over an ungrouped inner has no series to rank
+    val ungrouped = TsdbQuery(0L, 4 * 3600000L, Seq(
+      SubQuery("m", "sum", downsample = Some(DownsampleSpec(3600000L, "avg")))))
+    intercept[IllegalArgumentException](
+      Pipeline.runExpr(spark, points,
+        Expression.TopNNode(3, "avg", Expression.QueryNode(ungrouped))))
+  }
+
   test("linear fill interpolates interior gaps, leaves edges null") {
     // series values 2.0 @ bucket1 and 8.0 @ bucket4 over spine [0,6):
     // buckets 2,3 lerp to 4.0,6.0; buckets 0 and 5 have one-sided
