@@ -17,7 +17,9 @@ object Plans {
     "llm_fingerprint", "llm_corpus_curate", "tsdb_multi_subquery",
     "llm_sim_ivf_stored", "llm_sim_ivfpq_stored", "llm_dedup_incremental",
     "tsdb_expression_ratio", "llm_sim_ivf_deleted", "tsdb_topn",
-    "tsdb_histogram_pct", "tsdb_expression_wow")
+    "tsdb_histogram_pct", "tsdb_expression_wow", "tsdb_topn_current",
+    "tsdb_downsample_calendar", "llm_sim_ivf_filtered",
+    "tsdb_expression_topn", "tsdb_query_capped")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -114,6 +114,16 @@ object ScaleProbe {
     // the PROBE AFTER deletion (steady state — the broadcast anti-join
     // over takedown-sized markers is the only extra plan node, so this
     // row should track ivf_stored_probe, not the corpus)
+    // hybrid search: the same stored probe with a metadata predicate
+    // pushed into the lists scan — should track (or beat) the plain
+    // stored probe, since the filter only SHRINKS the candidate fetch
+    def ivfFilteredProbe(dir: String): Long = {
+      val qs = spark.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      llm.Similarity.ivfTopKStoredFiltered(spark, qs, idxPath(dir),
+        col("label") < 5, 5, nprobe = 2).count()
+    }
     def ivfDelete(dir: String): Long = {
       llm.Similarity.deleteFromIvfIndex(spark,
         spark.read.parquet(s"$dir/embeddings.parquet")
@@ -135,6 +145,7 @@ object ScaleProbe {
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
     clusters(sf); ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
+    ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
@@ -154,6 +165,7 @@ object ScaleProbe {
       // the post-takedown one
       ("ivf_stored_build", time(ivfStoredBuild(sf)), time(ivfStoredBuild(big))),
       ("ivf_stored_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))),
+      ("ivf_filtered_probe", time(ivfFilteredProbe(sf)), time(ivfFilteredProbe(big))),
       ("ivf_takedown_delete", time(ivfDelete(sf)), time(ivfDelete(big))),
       ("ivf_deleted_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")

@@ -43,7 +43,13 @@ object Downsample {
     case p if p.matches("p(50|75|90|95|99|999)") =>
       val digits = p.drop(1)
       val q = digits.toDouble / math.pow(10, digits.length)
-      call_function("percentile", value, lit(q))
+      // 4dp-quantized AT the aggregate (D3, r8): the interpolated
+      // percentile is the one aggExpr output whose raw double depends
+      // on engine interpolation arithmetic, and the expression-language
+      // path (tsdb_expression_pct) consumes it with no later rounding
+      // hook. r4s is idempotent, so callers that also round (the
+      // original tsdb_downsample_pct select) are unchanged.
+      D.r4s(call_function("percentile", value, lit(q)))
     case other   => throw new IllegalArgumentException(s"unknown aggregator: $other")
   }
 

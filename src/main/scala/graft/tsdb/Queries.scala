@@ -259,6 +259,17 @@ object TsdbQueries {
       Pipeline.runExpr(s, Pipeline.eventsAsPoints(s, dir), n)
     }),
 
+    // EP3' percentile downsampling: p95 reachable FROM the expression
+    // string (closes the second half of r7 missing #3 — the grammar's
+    // aggregator ident flows straight into Downsample.aggExpr, which
+    // 4dp-quantizes the interpolated percentile at the aggregate)
+    "tsdb_expression_pct" -> ((s, dir) => {
+      val q = Expression.parse(
+        "merge(max, downsample(1h, p95, none, query(click, {user=*}, 7d)))",
+        Tables.NowMs)
+      Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
+    }),
+
     // EP3' topn: the expression language's series top-N — rank the
     // merged series by avg of their zero-filled 7d/1h buckets, keep 5.
     // The query-API reachability row: a dashboard driving EP3' can now
@@ -686,6 +697,21 @@ object TsdbQueries {
               AND epoch_ns(ts) // 1000000 < $T1
             GROUP BY 1, 2)
           SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // the tsdb_downsample_pct quantile mirror (4dp at the aggregate)
+    // under the expression pipeline's time range + groupBy-tag shape;
+    // merge(max) over single-series groups is the identity re-aggregate
+    "tsdb_expression_pct" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ROUND(quantile_cont(value, 0.95) * 10000.0, 0) / 10000.0 + 0.0 AS value
+            FROM events
+            WHERE event_type = 'click'
+              AND epoch_ns(ts) // 1000000 >= ${T1 - 7L * Day}
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2)
+          SELECT tag_user, bucket_ms, MAX(value) AS value
           FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // the tsdb_expression_rate grid CTEs (zero-filled 7d/1h merge) +
