@@ -125,7 +125,10 @@ object Pipeline {
   /** The series the request would touch — the catalog-resolve phase of
     * the two-phase read (tsdb_catalog_prune shape), run BEFORE the
     * heavy pipeline: one filtered distinct-count over the series key,
-    * reduced map-side by partial aggregation. */
+    * reduced map-side by partial aggregation. This points-side overload
+    * is the fixture/bootstrap path; at 100 TB use
+    * [[resolveSeriesCountFromCatalog]] — the cap check must hit the
+    * reduced series catalog, never a full points scan. */
   def resolveSeriesCount(points: DataFrame, q: TsdbQuery): Long = {
     val sub = q.queries.head
     var df = points
@@ -133,6 +136,21 @@ object Pipeline {
       .where(col("ts_ms") >= q.startMs && col("ts_ms") < q.endMs)
     sub.filters.foreach { f => df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
     df.select(Catalog.canonicalTags.as("series_key")).distinct().count()
+  }
+
+  /** [[resolveSeriesCount]] off a prebuilt series catalog
+    * ([[Catalog.fromPoints]] schema) — one filtered count over
+    * series-cardinality rows, the ES-resolve analog and the form the
+    * cap check takes on a real cluster. Time-range pruning is the
+    * catalog's granularity trade (a catalog row says the series
+    * exists, not when), so this count upper-bounds the points-side
+    * resolve — conservative in exactly the direction a guardrail
+    * wants. */
+  def resolveSeriesCountFromCatalog(catalog: DataFrame, q: TsdbQuery): Long = {
+    val sub = q.queries.head
+    var df = catalog.where(col("metric") === sub.metric)
+    sub.filters.foreach { f => df = df.where(TagFilters.toMapPredicate(col("tags"), f)) }
+    df.count()
   }
 
   /** [[run]] behind the request caps: over `maxTimeseries` resolved

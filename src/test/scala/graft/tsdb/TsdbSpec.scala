@@ -40,6 +40,9 @@ class TsdbSpec extends SparkSpec {
     intercept[Pipeline.CapExceededException](
       Pipeline.runCapped(spark, points, base, Pipeline.Caps(maxTimeseries = 5)))
     assert(Pipeline.resolveSeriesCount(points, base) == 10L)
+    // the 100 TB form resolves off the reduced catalog, same answer
+    assert(Pipeline.resolveSeriesCountFromCatalog(
+      Catalog.fromPoints(points), base) == 10L)
     // grid estimate 10 × 24 = 240 over a 100-point cap → interval
     // coarsens by ceil(240/100) = 3 → 3h buckets, 8 per series
     val coarse = Pipeline.runCapped(spark, points, base,
