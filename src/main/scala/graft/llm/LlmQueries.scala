@@ -382,6 +382,20 @@ object LlmQueries {
       Similarity.ivfPqTopKStored(s, qv, path, 64, 10, nprobe = 2)
     }),
 
+    // hybrid search on the codes-only serving path: the IVFPQ probe
+    // with the metadata predicate applied at the lists read — the
+    // filter rides the same scan that fetches the codes, so candidate
+    // bytes stay m codes/vector AND shrink with the filter's
+    // selectivity; post-filtering the top-k would break recall
+    "llm_sim_ivfpq_filtered" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Similarity.ivfPqTopKStoredFiltered(s, qv, path, col("label") < 5,
+        64, 10, nprobe = 2)
+    }),
+
     // product quantization (ADC / inner-product): 4 subspaces × 8-entry
     // codebooks over the sliced vectors (same deterministic Lloyd as
     // IVF), corpus stored as 4 codes per vector (~64× smaller than
@@ -1023,6 +1037,11 @@ object LlmQueries {
     * llm_sim_ivf candidate set), the PQ unrolls supply the ADC score;
     * the probe scores ONLY candidates. */
   private val IvfPqOracle: String =
+    ivfPqOracleWith("TRUE")
+
+  /** [[IvfPqOracle]] with the candidate set filtered — the hybrid-search
+    * mirror (the ranking is exact over qualifying candidates). */
+  private def ivfPqOracleWith(candFilter: String): String =
     s"""WITH $IvfCtes,
        $PqSubAndQdCtes,
        qdist AS (SELECT cs.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
@@ -1032,7 +1051,8 @@ object LlmQueries {
        probes AS (SELECT cid FROM (
                     SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qdist)
                   WHERE rn <= 2),
-       cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid),
+       cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid
+                WHERE $candFilter),
        ${pqScoreSelect("JOIN cand cd ON cd.vec_id = x0.vec_id")}"""
 
   /** Shared winnowed-fingerprint CTE chain ending at `fp` (doc_id, mh)
@@ -1058,6 +1078,10 @@ object LlmQueries {
     // (assignment, codes, norms) fails the hash compare
     "llm_sim_pq_stored" -> PqOracle,
     "llm_sim_ivfpq_stored" -> IvfPqOracle,
+    // hybrid-search mirror on the codes path: candidate set filtered,
+    // ranking exact over qualifying candidates
+    "llm_sim_ivfpq_filtered" -> ivfPqOracleWith(
+      "a.vec_id IN (SELECT vec_id FROM embeddings WHERE label < 5)"),
     // clustering trained on the corpus slice, every vector assigned —
     // the append-without-retrain semantics recomputed from scratch
     "llm_sim_ivf_appended" -> ivfBatchOracleWith(ivfCtes("vec_id % 7 <> 3")),

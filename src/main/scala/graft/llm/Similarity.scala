@@ -537,7 +537,33 @@ object Similarity {
       val out = fs.create(metaPath(tmp), true)
       try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+      // pin the TRAINED corpus size with the artifact (footer-count of
+      // the freshly written lists): [[deltaFraction]] measures drift
+      // against this number, so the signal survives delta compaction —
+      // folding appended rows into the base bounds file counts but
+      // does NOT retrain the quantizer, and a drift metric that reset
+      // to zero on fold would let the index rot behind the maintenance
+      // pass that is supposed to protect it
+      val tout = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_trained"), true)
+      try tout.write(s.read.parquet(s"$tmp/lists").count().toString
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally tout.close()
     }
+  }
+
+  /** The corpus size the stored quantizer TRAINED on — the `_trained`
+    * marker [[buildIvfIndex]] pins with the artifact; pre-marker
+    * indexes fall back to the base-lists footer count (correct until
+    * their first compaction folds deltas in). */
+  private def trainedCount(s: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/_trained")
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      try new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
+      finally in.close()
+    } else s.read.parquet(s"$path/lists").count()
   }
 
   /** [[buildIvfIndex]] only when the stored index isn't current — the
@@ -606,27 +632,27 @@ object Similarity {
 
   /** Quantizer-drift signal for the append-without-retrain trade: the
     * fraction of the served corpus the stored quantizer never trained
-    * on — appended delta rows / base-list rows. Row counts come off
-    * parquet footers (count-only scans, no data columns); tombstone
-    * MARKER rows are excluded from the delta mass (a takedown is not
-    * drift — the quantizer trained on those vectors), which costs a
-    * tomb-column scan only on deltas that actually carry one.
-    * Policy, not mechanism: [[needsRetrain]] applies the documented
-    * default threshold; at 100 TB steady-state ingest a maintenance
-    * job checks this per index and schedules [[buildIvfIndex]] +
-    * [[compactIvfDeltas]] when it trips — without it the index rots
-    * silently as recall decays (see PropertySpec's measured recall-vs-
-    * appended-mass curve and PERF.md). */
+    * on — `max(0, live − trained) / trained`, where `trained` is the
+    * `_trained` count pinned at build time and `live` is the served
+    * row count ([[readLists]]: base ∪ deltas, tombstones applied).
+    * Measuring against the PINNED training size (not the current base)
+    * makes the signal survive [[compactIvfDeltas]] — folding deltas
+    * bounds file counts but does not retrain, so post-fold drift must
+    * still read high. Tombstoned rows subtract from `live`, so
+    * takedowns perturb the signal by at most their own (takedown-
+    * sized) mass — noise, not drift. Policy, not mechanism:
+    * [[needsRetrain]] applies the documented default threshold; at
+    * 100 TB steady-state ingest a maintenance job checks this per
+    * index and schedules [[buildIvfIndex]] (which re-pins `_trained`)
+    * when it trips — without it the index rots silently as recall
+    * decays (see LlmSpec's measured recall-vs-appended-mass point and
+    * PERF.md). */
   def deltaFraction(s: SparkSession, path: String): Double = {
-    graft.tsdb.Keysets.repairSwap(s, s"$path/lists")
-    val base = s.read.parquet(s"$path/lists").count()
-    require(base > 0, s"deltaFraction: empty base lists at $path")
-    val appended = graft.tsdb.Keysets.deltaDirs(s, path, "lists").map { d =>
-      val df = s.read.parquet(s"$d/lists")
-      if (df.columns.contains("tomb")) df.where(col("tomb").isNull).count()
-      else df.count()
-    }.sum
-    appended.toDouble / base.toDouble
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val trained = trainedCount(s, path)
+    require(trained > 0, s"deltaFraction: empty trained base at $path")
+    val live = readLists(s, path).count()
+    math.max(0L, live - trained).toDouble / trained.toDouble
   }
 
   /** Default retrain trigger: 30% untrained mass. The measured recall
@@ -796,7 +822,24 @@ object Similarity {
     * math is engine-exact, so the whole probe is oracle-checkable. */
   def ivfPqTopKStored(s: SparkSession, queryVec: DataFrame, path: String,
                       dim: Int, topK: Int, nprobe: Int,
-                      maxBroadcastQueries: Long = 50000L): DataFrame = {
+                      maxBroadcastQueries: Long = 50000L): DataFrame =
+    ivfPqStored(s, queryVec, path, None, dim, topK, nprobe, maxBroadcastQueries)
+
+  /** Hybrid search on the IVFPQ serving path: [[ivfPqTopKStored]] with
+    * a metadata predicate applied at the lists READ — same recall
+    * argument as [[ivfTopKStoredFiltered]] (post-filtering the top-k
+    * would break recall), same pushdown (the lists carry the corpus
+    * columns; only (vec_id, codes) survive to the scoring join, so the
+    * probe still never touches a stored float vector). */
+  def ivfPqTopKStoredFiltered(s: SparkSession, queryVec: DataFrame, path: String,
+                              pred: Column, dim: Int, topK: Int, nprobe: Int,
+                              maxBroadcastQueries: Long = 50000L): DataFrame =
+    ivfPqStored(s, queryVec, path, Some(pred), dim, topK, nprobe,
+      maxBroadcastQueries)
+
+  private def ivfPqStored(s: SparkSession, queryVec: DataFrame, path: String,
+                          pred: Option[Column], dim: Int, topK: Int, nprobe: Int,
+                          maxBroadcastQueries: Long): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
     val perSub = readPqCodebooks(s, path)
@@ -812,7 +855,7 @@ object Similarity {
       .withColumn("p",
         explode(slice(array_sort(array(dists.toIndexedSeq: _*)), 1, nprobe)))
       .select(col("qv"), col("p").getField("centroid_id").as("centroid_id"))
-    val lists = readLists(s, path)
+    val lists = pred.foldLeft(readLists(s, path))(_.where(_))
       .select(col("vec_id") +: col("centroid_id")
         +: (0 until m).map(i => col(s"code_$i")): _*)
     // same count-gated broadcast as every other probe join here — a

@@ -312,7 +312,8 @@ object Ingest {
   def maintainBandIndex(s: SparkSession, docsStream: DataFrame,
                         indexPath: String, checkpoint: String,
                         idCol: String = "doc_id", textCol: String = "text",
-                        k: Int = 32, r: Int = 4, shingleN: Int = 3): Unit = {
+                        k: Int = 32, r: Int = 4, shingleN: Int = 3,
+                        maxDeltasBeforeCompact: Int = Int.MaxValue): Unit = {
     graft.llm.Dedup.ensureEmptyBandBase(s, indexPath)
     val q = docsStream.writeStream
       .outputMode("append")
@@ -322,9 +323,18 @@ object Ingest {
         // band params must match what probes of this artifact use —
         // they ride the sink signature because the band index (unlike
         // the IVF quantizer) stores no geometry to derive them from
-        graft.llm.Dedup.appendBandDeltaTxn(batch.sparkSession, batch,
+        val landed = graft.llm.Dedup.appendBandDeltaTxn(batch.sparkSession, batch,
           idCol, textCol, indexPath, streamId = checkpoint, batchId = batchId,
           k = k, r = r, shingleN = shingleN)
+        // inline maintenance: fold deltas once they pile past the
+        // threshold, keeping probe-side file counts bounded under
+        // continuous ingest (compaction here stays inside the stream's
+        // own single-writer window — see the Keysets contract; replay
+        // batches land nothing and so never trigger a fold)
+        if (landed && maxDeltasBeforeCompact != Int.MaxValue &&
+            graft.llm.Dedup.bandDeltaCount(batch.sparkSession, indexPath)
+              >= maxDeltasBeforeCompact)
+          graft.llm.Dedup.compactBandDeltas(batch.sparkSession, indexPath)
         ()
       }
       .start()
@@ -343,7 +353,8 @@ object Ingest {
     * quantizer drift until the next offline rebuild is the standard
     * IVF trade. */
   def maintainIvfIndex(s: SparkSession, vecStream: DataFrame,
-                       indexPath: String, checkpoint: String): Unit = {
+                       indexPath: String, checkpoint: String,
+                       maxDeltasBeforeCompact: Int = Int.MaxValue): Unit = {
     graft.tsdb.Keysets.repairSwap(s, indexPath)
     val centroids = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
     require(centroids.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -354,8 +365,20 @@ object Ingest {
       .option("checkpointLocation", checkpoint)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        graft.llm.Similarity.appendIvfDeltaTxn(batch.sparkSession, batch,
-          indexPath, streamId = checkpoint, batchId = batchId)
+        val landed = graft.llm.Similarity.appendIvfDeltaTxn(batch.sparkSession,
+          batch, indexPath, streamId = checkpoint, batchId = batchId)
+        // fold deltas past the threshold (see maintainBandIndex): file
+        // counts stay bounded under continuous ingest; compaction rides
+        // the stream's single-writer window, and the txn markers merge
+        // into the base so replay-skip survives the fold. Folding does
+        // NOT retrain the quantizer — Similarity.deltaFraction measures
+        // drift against the _trained count pinned at build time, so the
+        // retrain signal SURVIVES the fold; this threshold is purely an
+        // IO guardrail, orthogonal to the drift trigger.
+        if (landed && maxDeltasBeforeCompact != Int.MaxValue &&
+            graft.llm.Similarity.ivfDeltaCount(batch.sparkSession, indexPath)
+              >= maxDeltasBeforeCompact)
+          graft.llm.Similarity.compactIvfDeltas(batch.sparkSession, indexPath)
         ()
       }
       .start()

@@ -351,11 +351,23 @@ class LlmSpec extends SparkSpec {
     info(f"drifted-index recall@5 vs fresh rebuild at $frac%.2f drift: $mean%.3f")
     assert(mean >= 0.5,
       f"drifted recall collapsed to $mean%.3f — quantizer staleness worse than modeled")
-    // tombstone markers are takedowns, NOT drift
+    // a takedown perturbs the signal by at most its own (takedown-
+    // sized) mass — noise, never a reset
     Similarity.deleteFromIvfIndex(spark,
       emb.where(col("vec_id") === 1).select("vec_id"), path)
-    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 1e-9,
-      "tombstone markers must not count as appended mass")
+    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 0.01,
+      "a takedown-sized delete must barely move the drift signal")
+    // the critical property: drift SURVIVES compaction — folding
+    // deltas into the base bounds file counts but does not retrain,
+    // so a post-fold index must still read as needing retrain
+    Similarity.compactIvfDeltas(spark, path)
+    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 0.01,
+      "compaction must not reset the drift signal (quantizer unchanged)")
+    assert(Similarity.needsRetrain(spark, path))
+    // ...and a REBUILD (the actual retrain) re-pins it to zero
+    Similarity.buildIvfIndex(spark, Similarity.readLists(spark, path)
+      .select("vec_id", "embedding", "label"), path, "drift-retrained")
+    assert(Similarity.deltaFraction(spark, path) == 0.0)
   }
 
   test("IVF: deterministic centroids, total assignment, query found in its probe") {

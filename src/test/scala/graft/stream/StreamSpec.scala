@@ -354,4 +354,46 @@ class StreamSpec extends SparkSpec {
     Ingest.maintainIvfIndex(spark, stream(), idx, cp)
     assert(Similarity.ivfDeltaCount(spark, idx) == 2)
   }
+
+  test("stream ivf sink auto-compacts past the delta threshold; probes and drift unchanged") {
+    import graft.llm.Similarity
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_sivfc_")
+    val corpus = emb.where(col("vec_id") % 4 =!= 1)
+    val arrivals = emb.where(col("vec_id") % 4 === 1)
+    val srcDir = root.resolve("vecs").toString
+    arrivals.repartition(2).write.parquet(srcDir)
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val idx = root.resolve("ivf").toString
+    Similarity.buildIvfIndex(spark, corpus, idx, "streamspec-compact")
+    // threshold 2: the second micro-batch's append trips the fold, so
+    // the run ends with ZERO visible deltas — file counts stay bounded
+    // under continuous ingest without a separate maintenance window
+    Ingest.maintainIvfIndex(spark, stream(), idx, root.resolve("cp").toString,
+      maxDeltasBeforeCompact = 2)
+    assert(Similarity.ivfDeltaCount(spark, idx) == 0,
+      "threshold fold must leave no visible deltas")
+    assert(Similarity.readLists(spark, idx).count() == emb.count())
+    // the fold must not change what a probe returns…
+    val ref = root.resolve("ref").toString
+    Similarity.buildIvfIndex(spark, corpus, ref, "streamspec-compact")
+    Similarity.appendIvfDelta(spark, arrivals, ref)
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def probe(p: String) = Similarity.ivfTopKStored(spark, qs, p, 5, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(probe(idx) == probe(ref),
+      "auto-compaction must not change probe results")
+    // …and must not reset the drift signal (quantizer never retrained)
+    val expected = arrivals.count().toDouble / corpus.count()
+    assert(math.abs(Similarity.deltaFraction(spark, idx) - expected) < 1e-9,
+      "drift must survive the in-stream fold")
+    // restart on the same checkpoint after the fold: the txn markers
+    // merged into the base, so the replayed stream re-lands nothing
+    Ingest.maintainIvfIndex(spark, stream(), idx, root.resolve("cp").toString,
+      maxDeltasBeforeCompact = 2)
+    assert(Similarity.ivfDeltaCount(spark, idx) == 0)
+    assert(Similarity.readLists(spark, idx).count() == emb.count())
+  }
 }
