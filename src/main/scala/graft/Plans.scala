@@ -19,7 +19,8 @@ object Plans {
     "tsdb_expression_ratio", "llm_sim_ivf_deleted", "tsdb_topn",
     "tsdb_histogram_pct", "tsdb_expression_wow", "tsdb_topn_current",
     "tsdb_downsample_calendar", "llm_sim_ivf_filtered",
-    "tsdb_expression_topn", "tsdb_query_capped")
+    "tsdb_expression_topn", "tsdb_query_capped",
+    "llm_sim_ivfpq_filtered", "tsdb_expression_pct")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

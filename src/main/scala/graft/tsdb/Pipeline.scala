@@ -201,6 +201,45 @@ object Pipeline {
     run(spark, points, capped)
   }
 
+  /** [[runExpr]] behind the request caps: every LEAF pipeline must fit
+    * before anything evaluates. Unlike [[runCapped]] this never
+    * coarsens — a binop joins its operands point-wise on the bucket
+    * grid, so coarsening one leaf and not another would silently
+    * desynchronize the join (and coarsening both changes the question
+    * being asked); an over-cap expression is a hard error and the
+    * caller picks a coarser interval in the expression text. Shift
+    * subtrees are checked over the RE-AIMED ranges they will actually
+    * scan. */
+  def runExprCapped(spark: SparkSession, points: DataFrame,
+                    node: Expression.ExprNode, caps: Caps): DataFrame = {
+    def leaves(n: Expression.ExprNode): Seq[TsdbQuery] = n match {
+      case Expression.QueryNode(q) => Seq(q)
+      case Expression.BinOpNode(_, l, r) => leaves(l) ++ leaves(r)
+      case Expression.UnOpNode(_, e) => leaves(e)
+      case Expression.ShiftNode(d, e) => leaves(Expression.shiftRanges(e, d))
+      case Expression.TopNNode(_, _, e) => leaves(e)
+      case _: Expression.ScalarNode => Nil
+    }
+    leaves(node).foreach { q =>
+      val sub = q.queries.head
+      val n = resolveSeriesCount(points, q)
+      if (n > caps.maxTimeseries)
+        throw new CapExceededException(
+          s"expression leaf '${sub.metric}' resolves $n series, over " +
+            s"maxTimeseries=${caps.maxTimeseries}")
+      sub.downsample.foreach { ds =>
+        val buckets = math.max(1L,
+          (q.endMs - q.startMs + ds.intervalMs - 1) / ds.intervalMs)
+        if (n * buckets > caps.maxDataPoints)
+          throw new CapExceededException(
+            s"expression leaf '${sub.metric}' grid is ${n * buckets} points, " +
+              s"over maxDataPoints=${caps.maxDataPoints}; coarsen the " +
+              "downsample interval in the expression")
+      }
+    }
+    runExpr(spark, points, node)
+  }
+
   /** Evaluate a parsed expression tree ([[Expression.parseExpr]]):
     * leaves run through [[run]]; a binop joins its two sides point-wise
     * on (group tags, bucket_ms) — both sides must group by the SAME

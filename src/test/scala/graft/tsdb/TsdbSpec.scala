@@ -83,6 +83,28 @@ class TsdbSpec extends SparkSpec {
         Expression.TopNNode(3, "avg", Expression.QueryNode(ungrouped))))
   }
 
+  test("expression caps: any over-cap leaf hard-errors before evaluation") {
+    val points = (0 until 6).flatMap { u =>
+      (0 until 24).map(h => ("m", Map("user" -> u.toString), h * 3600000L, 1.0))
+    }.toDF("metric", "tags", "ts_ms", "value")
+    val leaf = TsdbQuery(0L, 24 * 3600000L, Seq(
+      SubQuery("m", "sum", downsample = Some(DownsampleSpec(3600000L, "avg")),
+        filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true)))))
+    val node = Expression.BinOpNode("sub",
+      Expression.QueryNode(leaf), Expression.QueryNode(leaf))
+    // 6 series over a 4-series cap → error from the leaf walk
+    intercept[Pipeline.CapExceededException](
+      Pipeline.runExprCapped(spark, points, node, Pipeline.Caps(maxTimeseries = 4)))
+    // 6 × 24 = 144 grid points over a 100-point cap → error, NO
+    // coarsening (coarsening one binop leaf would desync the join grid)
+    intercept[Pipeline.CapExceededException](
+      Pipeline.runExprCapped(spark, points, node, Pipeline.Caps(maxDataPoints = 100)))
+    // under both caps: identical to the uncapped evaluation
+    assert(Pipeline.runExprCapped(spark, points, node, Pipeline.Caps())
+      .collect().toSeq ==
+      Pipeline.runExpr(spark, points, node).collect().toSeq)
+  }
+
   test("linear fill interpolates interior gaps, leaves edges null") {
     // series values 2.0 @ bucket1 and 8.0 @ bucket4 over spine [0,6):
     // buckets 2,3 lerp to 4.0,6.0; buckets 0 and 5 have one-sided
