@@ -167,21 +167,39 @@ object Pipeline {
   def runCapped(spark: SparkSession, points: DataFrame, q: TsdbQuery,
                 caps: Caps): DataFrame = {
     require(q.queries.size == 1, "runCapped executes exactly one SubQuery")
-    val sub = q.queries.head
-    val nSeries = resolveSeriesCount(points, q)
+    run(spark, points,
+      q.copy(queries = Seq(cappedSubQuery(points, q, q.queries.head, caps))))
+  }
+
+  /** Multi-subquery form: each subquery is capped INDEPENDENTLY (their
+    * results never join, so per-subquery coarsening is safe — unlike
+    * [[runExprCapped]]'s leaves), then the whole request runs over the
+    * one shared scan [[runAll]] materializes. */
+  def runAllCapped(spark: SparkSession, points: DataFrame, q: TsdbQuery,
+                   caps: Caps): Seq[DataFrame] =
+    runAll(spark, points, q.copy(queries =
+      q.queries.map(sub => cappedSubQuery(points, q, sub, caps))))
+
+  /** The per-subquery cap decision: hard error on the series cap, grid
+    * coarsening on the point cap, raw-row hard error when there is no
+    * grid — shared by [[runCapped]] and [[runAllCapped]]. */
+  private def cappedSubQuery(points: DataFrame, q: TsdbQuery, sub: SubQuery,
+                             caps: Caps): SubQuery = {
+    val q1 = q.copy(queries = Seq(sub))
+    val nSeries = resolveSeriesCount(points, q1)
     if (nSeries > caps.maxTimeseries)
       throw new CapExceededException(
-        s"query resolves $nSeries series, over maxTimeseries=${caps.maxTimeseries}")
-    val capped = sub.downsample match {
+        s"subquery '${sub.metric}' resolves $nSeries series, over " +
+          s"maxTimeseries=${caps.maxTimeseries}")
+    sub.downsample match {
       case Some(ds) =>
         val buckets = math.max(1L,
           (q.endMs - q.startMs + ds.intervalMs - 1) / ds.intervalMs)
         val est = nSeries * buckets
-        if (est <= caps.maxDataPoints) q
+        if (est <= caps.maxDataPoints) sub
         else {
           val factor = (est + caps.maxDataPoints - 1) / caps.maxDataPoints
-          q.copy(queries = Seq(sub.copy(downsample =
-            Some(ds.copy(intervalMs = ds.intervalMs * factor)))))
+          sub.copy(downsample = Some(ds.copy(intervalMs = ds.intervalMs * factor)))
         }
       case None =>
         if (caps.maxDataPoints < Long.MaxValue) {
@@ -193,12 +211,12 @@ object Pipeline {
           val n = df.count()
           if (n > caps.maxDataPoints)
             throw new CapExceededException(
-              s"raw query matches $n points, over maxDataPoints=" +
-                s"${caps.maxDataPoints}; add a downsample to let the cap coarsen")
+              s"raw subquery '${sub.metric}' matches $n points, over " +
+                s"maxDataPoints=${caps.maxDataPoints}; add a downsample to " +
+                "let the cap coarsen")
         }
-        q
+        sub
     }
-    run(spark, points, capped)
   }
 
   /** [[runExpr]] behind the request caps: every LEAF pipeline must fit

@@ -83,6 +83,30 @@ class TsdbSpec extends SparkSpec {
         Expression.TopNNode(3, "avg", Expression.QueryNode(ungrouped))))
   }
 
+  test("multi-subquery caps: each subquery capped independently over the shared scan") {
+    val points = (0 until 10).flatMap { u =>
+      (0 until 24).map(h => ("m", Map("user" -> u.toString), h * 3600000L, 1.0))
+    }.toDF("metric", "tags", "ts_ms", "value")
+      .unionByName((0 until 2).flatMap { u =>
+        (0 until 24).map(h => ("k", Map("user" -> u.toString), h * 3600000L, 2.0))
+      }.toDF("metric", "tags", "ts_ms", "value"))
+    val wild = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true))
+    val q = TsdbQuery(0L, 24 * 3600000L, Seq(
+      SubQuery("m", "sum", downsample = Some(DownsampleSpec(3600000L, "avg")),
+        filters = wild),
+      SubQuery("k", "sum", downsample = Some(DownsampleSpec(3600000L, "avg")),
+        filters = wild)))
+    // 'm' (10 × 24 = 240 grid points) coarsens to 3h; 'k' (2 × 24 = 48)
+    // stays hourly — independent results, independent decisions
+    val parts = Pipeline.runAllCapped(spark, points, q,
+      Pipeline.Caps(maxDataPoints = 100))
+    assert(parts(0).select("bucket_ms").distinct().count() == 8)
+    assert(parts(1).select("bucket_ms").distinct().count() == 24)
+    // the series cap reads per subquery: 'm' resolves 10 > 5 → error
+    intercept[Pipeline.CapExceededException](
+      Pipeline.runAllCapped(spark, points, q, Pipeline.Caps(maxTimeseries = 5)))
+  }
+
   test("expression caps: any over-cap leaf hard-errors before evaluation") {
     val points = (0 until 6).flatMap { u =>
       (0 until 24).map(h => ("m", Map("user" -> u.toString), h * 3600000L, 1.0))
