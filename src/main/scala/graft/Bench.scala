@@ -61,21 +61,30 @@ object Bench {
     // stable name order: HashMap iteration order reshuffles whenever the
     // query surface grows, which makes per-query timings absorb each
     // other's GC/cache state and breaks round-over-round comparison
+    // ONE timing body for first passes and reruns — two copies would
+    // silently diverge. Returns (elapsed, succeeded): the failure flag
+    // matters to the rerun path, which must never let a fast FAILURE
+    // masquerade as a fast run.
+    def timeOnce(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Boolean) = {
+      var dt = 0.0
+      var ok = true
+      // blocks pinned by this query's eager localCheckpoints are released
+      // right after its timing stops (async, excluded from the time);
+      // blocks that existed before it stay untouched
+      graft.core.Exec.releasingNewBlocks(spark.sparkContext) {
+        val t0 = System.nanoTime()
+        // full-row evaluation — count() would let Catalyst prune the very
+        // projections being benchmarked (graft.core.Exec.forceRows)
+        try { graft.core.Exec.forceRows(fn(spark, sfDir)); () }
+        catch { case _: Throwable => ok = false }
+        dt = (System.nanoTime() - t0) / 1e9
+      }
+      (dt, ok)
+    }
     val perRep = (1 to reps).map { _ =>
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        var dt = 0.0
-        // blocks pinned by this query's eager localCheckpoints are released
-        // right after its timing stops (async, excluded from the time);
-        // blocks that existed before it stay untouched
-        graft.core.Exec.releasingNewBlocks(spark.sparkContext) {
-          val t0 = System.nanoTime()
-          // full-row evaluation — count() would let Catalyst prune the very
-          // projections being benchmarked (graft.core.Exec.forceRows)
-          try { graft.core.Exec.forceRows(fn(spark, sfDir)) }
-          catch { case _: Throwable => -1L }
-          dt = (System.nanoTime() - t0) / 1e9
-        }
-        name -> dt
+        name -> timeOnce(fn)._1
       }
     }
     val firstPass = perRep.transpose.map(ts => ts.head._1 -> ts.map(_._2).min)
@@ -99,14 +108,10 @@ object Bench {
     val results = firstPass.map { case (name, t) =>
       if (t <= rerunThreshold) name -> t
       else {
-        var dt = t
-        graft.core.Exec.releasingNewBlocks(spark.sparkContext) {
-          val t0 = System.nanoTime()
-          try { graft.core.Exec.forceRows(selected(name)(spark, sfDir)) }
-          catch { case _: Throwable => -1L }
-          dt = (System.nanoTime() - t0) / 1e9
-        }
-        name -> math.min(t, dt)
+        // a rerun that FAILED must not replace the first-pass time — a
+        // 0.3 s exception would otherwise publish as a phantom speedup
+        val (dt, ok) = timeOnce(selected(name))
+        name -> (if (ok) math.min(t, dt) else t)
       }
     }
     val reruns = firstPass.count(_._2 > rerunThreshold)

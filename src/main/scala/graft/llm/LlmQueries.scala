@@ -24,28 +24,36 @@ object LlmQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann").toString
 
-  /** Order-independent content checksum of a fixture frame: bit_xor of
-    * per-row xxhash64 over every column — row order and partitioning
-    * cannot change it, any single-row content change (almost surely)
-    * does. Replaces the former row-COUNT pin, which provably served
-    * stale centroids/codes/norms when a fixture was regenerated with
-    * the same cardinality (VERDICT r7). Fixture-harness cost only —
-    * one cheap agg scan at these scales; the production API takes a
-    * caller-supplied corpus tag instead
+  /** Order-independent content tag of a fixture frame: ONE agg pass
+    * returning BOTH the row count and the bit_xor of per-row xxhash64
+    * over every column. Either alone has a blind spot — the count
+    * misses same-cardinality edits (the r7 staleness bug), the xor
+    * cancels on even-multiplicity changes (a duplicated row pair added
+    * or removed) — together they pin cardinality AND content, and row
+    * order / partitioning cannot change either. Memoized per cache key
+    * for the JVM's lifetime: fixtures are immutable within a run (the
+    * driver regenerates them only between JVMs), and the stored-index
+    * registrations would otherwise re-scan the corpus once per
+    * invocation inside the timed region. Fixture-harness cost only —
+    * the production API takes a caller-supplied corpus tag instead
     * ([[Similarity.IndexParams.fingerprint]]). */
-  private[llm] def contentChecksum(df: org.apache.spark.sql.DataFrame): Long = {
-    val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
-      .agg(expr("bit_xor(h)")).head()
-    if (r.isNullAt(0)) 0L else r.getLong(0)
-  }
+  private val tagCache =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  private[llm] def contentTag(df: org.apache.spark.sql.DataFrame,
+                              cacheKey: String): String =
+    tagCache.computeIfAbsent(cacheKey, _ => {
+      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+        .agg(count(lit(1)), expr("bit_xor(h)")).head()
+      s"n=${r.getLong(0)},x=${if (r.isNullAt(1)) 0L else r.getLong(1)}"
+    })
 
   /** Build fingerprint: corpus tag + the default [[Similarity.IndexParams]]
-    * + a content checksum — a param, fixture, or CONTENT change (same
+    * + the content tag — a param, fixture, or CONTENT change (same
     * row count included) invalidates the stored /tmp artifact. */
   private def annFingerprint(s: org.apache.spark.sql.SparkSession,
                              dir: String): String =
     Similarity.IndexParams().fingerprint(dir) +
-      s"|x=${contentChecksum(Tables.embeddings(s, dir))}"
+      s"|${contentTag(Tables.embeddings(s, dir), s"emb|$dir")}"
 
   /** Separate artifact for the build-then-append lifecycle query — the
     * main [[annIndexPath]] index must stay whole-corpus-trained for the
@@ -74,7 +82,7 @@ object LlmQueries {
   private def bandFingerprint(s: org.apache.spark.sql.SparkSession,
                               dir: String): String =
     s"bands-v2|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7" +
-      s"|x=${contentChecksum(Tables.documents(s, dir))}"
+      s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
 
   /** Separate band artifact for the takedown query — built on the full
     * non-batch corpus, then a slice tombstoned. */
@@ -84,7 +92,7 @@ object LlmQueries {
   private def bandDeleteFingerprint(s: org.apache.spark.sql.SparkSession,
                                     dir: String): String =
     s"bands-del-v2|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7" +
-      s"|x=${contentChecksum(Tables.documents(s, dir))}"
+      s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
 
   val queries: Map[String, Q] = Map(
     "llm_dedup_exact" -> ((s, dir) =>

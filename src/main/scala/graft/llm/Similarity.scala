@@ -544,27 +544,46 @@ object Similarity {
       // does NOT retrain the quantizer, and a drift metric that reset
       // to zero on fold would let the index rot behind the maintenance
       // pass that is supposed to protect it
-      val tout = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/_trained"), true)
-      try tout.write(s.read.parquet(s"$tmp/lists").count().toString
-        .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-      finally tout.close()
+      writeLongMarker(fs, s"$tmp/_trained",
+        s.read.parquet(s"$tmp/lists").count())
+      // cumulative appended mass folded into the base so far: starts
+      // at 0, advanced by compaction (the marker lives INSIDE lists/
+      // to ride its atomic swap); underscore files are invisible to
+      // the parquet reader, like _folded
+      writeLongMarker(fs, s"$tmp/lists/_appended", 0L)
+    }
+  }
+
+  private def writeLongMarker(fs: org.apache.hadoop.fs.FileSystem,
+                              p: String, v: Long): Unit = {
+    val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
+    try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  private def readLongMarker(s: SparkSession, p: String): Option[Long] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    val fs = hp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toLong)
+      finally in.close()
     }
   }
 
   /** The corpus size the stored quantizer TRAINED on — the `_trained`
     * marker [[buildIvfIndex]] pins with the artifact; pre-marker
     * indexes fall back to the base-lists footer count (correct until
-    * their first compaction folds deltas in). */
-  private def trainedCount(s: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(s"$path/_trained")
-    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      try new String(in.readAllBytes(),
-        java.nio.charset.StandardCharsets.UTF_8).trim.toLong
-      finally in.close()
-    } else s.read.parquet(s"$path/lists").count()
-  }
+    * their first compaction folds deltas in). The fallback repairs an
+    * interrupted compaction swap of the lists subdir first — the same
+    * recovery every other lists reader performs. */
+  private def trainedCount(s: SparkSession, path: String): Long =
+    readLongMarker(s, s"$path/_trained").getOrElse {
+      graft.tsdb.Keysets.repairSwap(s, s"$path/lists")
+      s.read.parquet(s"$path/lists").count()
+    }
 
   /** [[buildIvfIndex]] only when the stored index isn't current — the
     * build-once/probe-many entry point query registrations use. */
@@ -632,27 +651,47 @@ object Similarity {
 
   /** Quantizer-drift signal for the append-without-retrain trade: the
     * fraction of the served corpus the stored quantizer never trained
-    * on — `max(0, live − trained) / trained`, where `trained` is the
-    * `_trained` count pinned at build time and `live` is the served
-    * row count ([[readLists]]: base ∪ deltas, tombstones applied).
-    * Measuring against the PINNED training size (not the current base)
-    * makes the signal survive [[compactIvfDeltas]] — folding deltas
-    * bounds file counts but does not retrain, so post-fold drift must
-    * still read high. Tombstoned rows subtract from `live`, so
-    * takedowns perturb the signal by at most their own (takedown-
-    * sized) mass — noise, not drift. Policy, not mechanism:
-    * [[needsRetrain]] applies the documented default threshold; at
-    * 100 TB steady-state ingest a maintenance job checks this per
-    * index and schedules [[buildIvfIndex]] (which re-pins `_trained`)
-    * when it trips — without it the index rots silently as recall
-    * decays (see LlmSpec's measured recall-vs-appended-mass point and
-    * PERF.md). */
+    * on — cumulative APPENDED mass / `_trained` count pinned at build
+    * time. Appended mass = the `_appended` marker (advanced by
+    * [[compactIvfDeltas]] as it folds deltas into the base — the
+    * marker rides the lists swap, so the signal SURVIVES compaction)
+    * plus the live rows of still-visible deltas (tombstone markers
+    * contribute zero). Counting appends directly — rather than
+    * `live − trained` — keeps the signal honest under CHURN: a stream
+    * that appends 30% new-regime vectors while takedowns delete 30%
+    * of the trained ones serves an unchanged row count but 30%
+    * untrained mass, exactly the silent rot the metric exists to
+    * catch. Policy, not mechanism: [[needsRetrain]] applies the
+    * documented default threshold; at 100 TB steady-state ingest a
+    * maintenance job checks this per index and schedules
+    * [[buildIvfIndex]] (which re-pins both markers) when it trips
+    * (see LlmSpec's measured recall-vs-appended-mass point and
+    * PERF.md). Pre-marker (legacy) bases fall back to
+    * `max(0, base − trained)`. */
   def deltaFraction(s: SparkSession, path: String): Double = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val trained = trainedCount(s, path)
     require(trained > 0, s"deltaFraction: empty trained base at $path")
-    val live = readLists(s, path).count()
-    math.max(0L, live - trained).toDouble / trained.toDouble
+    appendedMass(s, path).toDouble / trained.toDouble
+  }
+
+  /** Cumulative appended (quantizer-untrained) rows: folded marker +
+    * live rows of visible deltas. */
+  private def appendedMass(s: SparkSession, path: String): Long = {
+    graft.tsdb.Keysets.repairSwap(s, s"$path/lists")
+    val foldedIn = readLongMarker(s, s"$path/lists/_appended").getOrElse {
+      // legacy base without the marker: whatever exceeds the trained
+      // count must have been folded in by a pre-marker compaction
+      math.max(0L, s.read.parquet(s"$path/lists").count() -
+        readLongMarker(s, s"$path/_trained")
+          .getOrElse(s.read.parquet(s"$path/lists").count()))
+    }
+    val visible = graft.tsdb.Keysets.deltaDirs(s, path, "lists").map { d =>
+      val df = s.read.parquet(s"$d/lists")
+      if (df.columns.contains("tomb")) df.where(col("tomb").isNull).count()
+      else df.count()
+    }.sum
+    foldedIn + visible
   }
 
   /** Default retrain trigger: 30% untrained mass. The measured recall
@@ -746,7 +785,13 @@ object Similarity {
     * analog); see Keysets.compactDeltas for the watermark contract.
     * Tombstones are applied during the fold: compaction is where
     * deferred deletes become physical. */
-  def compactIvfDeltas(s: SparkSession, path: String): Unit =
+  def compactIvfDeltas(s: SparkSession, path: String): Unit = {
+    // pinned BEFORE the fold (the maintenance window is single-writer,
+    // so the delta set cannot change underneath): the folded deltas'
+    // appended mass advances the marker, which rides the lists swap —
+    // so [[deltaFraction]] reads the same drift after the fold as
+    // before it
+    val appended = appendedMass(s, path)
     graft.tsdb.Keysets.compactDeltas(s, path, "lists") { (merged, tmp) =>
       val live = graft.tsdb.Keysets.dropTombstoned(merged, "vec_id")
       // a fully-tombstoned corpus must still land a schema-bearing
@@ -754,7 +799,11 @@ object Similarity {
       // every later read would fail on schema inference
       if (live.isEmpty) live.repartition(1).write.parquet(tmp)
       else live.write.partitionBy("centroid_id").parquet(tmp)
+      writeLongMarker(new org.apache.hadoop.fs.Path(tmp)
+        .getFileSystem(s.sparkContext.hadoopConfiguration),
+        s"$tmp/_appended", appended)
     }
+  }
 
   /** Semantic dedup-against-index — the embedding analog of
     * [[graft.llm.Dedup.incrementalNearDups]]: a NEW batch is assigned

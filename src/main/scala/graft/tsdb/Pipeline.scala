@@ -193,14 +193,27 @@ object Pipeline {
           s"maxTimeseries=${caps.maxTimeseries}")
     sub.downsample match {
       case Some(ds) =>
-        val buckets = math.max(1L,
-          (q.endMs - q.startMs + ds.intervalMs - 1) / ds.intervalMs)
-        val est = nSeries * buckets
-        if (est <= caps.maxDataPoints) sub
-        else {
-          val factor = (est + caps.maxDataPoints - 1) / caps.maxDataPoints
-          sub.copy(downsample = Some(ds.copy(intervalMs = ds.intervalMs * factor)))
+        // iterate: one ceil-factor step can still land over the cap
+        // (ceil(range/newInterval) rounds UP — 3 buckets coarsened by
+        // factor 2 leaves 2 buckets, not 1.5), so re-check after each
+        // multiply; the factor is ≥2 per step, so this converges in
+        // O(log) steps to either a fitting interval or one bucket per
+        // series — and if ONE bucket per series still breaches the cap,
+        // no interval can help: hard error, like the raw case
+        def bucketsAt(intervalMs: Long): Long = math.max(1L,
+          (q.endMs - q.startMs + intervalMs - 1) / intervalMs)
+        var dsNow = ds
+        while (nSeries * bucketsAt(dsNow.intervalMs) > caps.maxDataPoints &&
+               bucketsAt(dsNow.intervalMs) > 1L) {
+          val est = nSeries * bucketsAt(dsNow.intervalMs)
+          val factor = math.max(2L, (est + caps.maxDataPoints - 1) / caps.maxDataPoints)
+          dsNow = dsNow.copy(intervalMs = dsNow.intervalMs * factor)
         }
+        if (nSeries * bucketsAt(dsNow.intervalMs) > caps.maxDataPoints)
+          throw new CapExceededException(
+            s"subquery '${sub.metric}': even one bucket per series is " +
+              s"$nSeries points, over maxDataPoints=${caps.maxDataPoints}")
+        if (dsNow eq ds) sub else sub.copy(downsample = Some(dsNow))
       case None =>
         if (caps.maxDataPoints < Long.MaxValue) {
           var df = points

@@ -284,16 +284,25 @@ class LlmSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
-  test("content checksum: order-invariant; same-count change invalidates the index") {
+  test("content tag: order-invariant; same-count change invalidates the index") {
+    def tag(df: org.apache.spark.sql.DataFrame) =
+      LlmQueries.contentTag(df, s"llmspec-${System.nanoTime()}")
     val a = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("id", "t")
     val perm = Seq((3L, "z"), (1L, "x"), (2L, "y")).toDF("id", "t")
     val changed = Seq((1L, "x"), (2L, "Y"), (3L, "z")).toDF("id", "t")
-    assert(LlmQueries.contentChecksum(a) == LlmQueries.contentChecksum(perm),
-      "row order must not change the checksum")
-    assert(LlmQueries.contentChecksum(a.repartition(4)) == LlmQueries.contentChecksum(a),
-      "partitioning must not change the checksum")
-    assert(LlmQueries.contentChecksum(a) != LlmQueries.contentChecksum(changed),
-      "a single-cell change must change the checksum")
+    assert(tag(a) == tag(perm), "row order must not change the tag")
+    assert(tag(a.repartition(4)) == tag(a), "partitioning must not change the tag")
+    assert(tag(a) != tag(changed), "a single-cell change must change the tag")
+    // the count component covers the xor's even-multiplicity blind
+    // spot: appending a duplicated row PAIR leaves the xor unchanged
+    // (h ⊕ h = 0) but moves the count
+    val dupPair = a.unionAll(Seq((4L, "w"), (4L, "w")).toDF("id", "t"))
+    assert(tag(a) != tag(dupPair),
+      "an even-multiplicity change must still change the tag")
+    // memoization: the same key returns the cached tag without rescanning
+    assert(LlmQueries.contentTag(a, "llmspec-memo") ==
+      LlmQueries.contentTag(changed, "llmspec-memo"),
+      "same cache key must serve the memo (fixtures are immutable per JVM)")
     // lifecycle: a regenerated fixture with the SAME row count must
     // invalidate a stored index (the r7 count()-pin served stale data)
     val dim = 4
@@ -307,7 +316,8 @@ class LlmSpec extends SparkSpec {
     val p = Similarity.IndexParams(k = 2, iters = 1, pqM = 2, pqK = 2,
       pqIters = 1, dim = dim)
     def fp(df: org.apache.spark.sql.DataFrame) =
-      p.fingerprint("t") + s"|x=${LlmQueries.contentChecksum(df)}"
+      p.fingerprint("t") +
+        s"|${LlmQueries.contentTag(df, s"llmspec-fp-${System.nanoTime()}")}"
     Similarity.buildIvfIndex(spark, e1, path, fp(e1), p)
     assert(Similarity.ivfIndexCurrent(spark, path, fp(e1)))
     assert(!Similarity.ivfIndexCurrent(spark, path, fp(e2)),
@@ -351,17 +361,19 @@ class LlmSpec extends SparkSpec {
     info(f"drifted-index recall@5 vs fresh rebuild at $frac%.2f drift: $mean%.3f")
     assert(mean >= 0.5,
       f"drifted recall collapsed to $mean%.3f — quantizer staleness worse than modeled")
-    // a takedown perturbs the signal by at most its own (takedown-
-    // sized) mass — noise, never a reset
+    // appends are counted DIRECTLY, so a takedown cannot net against
+    // them: deleting a trained vector leaves the signal exactly where
+    // it was (churn-proof — a corpus that appends 30% and deletes 30%
+    // still reads 30% untrained)
     Similarity.deleteFromIvfIndex(spark,
       emb.where(col("vec_id") === 1).select("vec_id"), path)
-    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 0.01,
-      "a takedown-sized delete must barely move the drift signal")
+    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 1e-9,
+      "a takedown must not move the drift signal")
     // the critical property: drift SURVIVES compaction — folding
     // deltas into the base bounds file counts but does not retrain,
     // so a post-fold index must still read as needing retrain
     Similarity.compactIvfDeltas(spark, path)
-    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 0.01,
+    assert(math.abs(Similarity.deltaFraction(spark, path) - expected) < 1e-9,
       "compaction must not reset the drift signal (quantizer unchanged)")
     assert(Similarity.needsRetrain(spark, path))
     // ...and a REBUILD (the actual retrain) re-pins it to zero

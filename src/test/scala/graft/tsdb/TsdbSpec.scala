@@ -51,6 +51,21 @@ class TsdbSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted.toSeq
     assert(buckets == (0 until 8).map(_ * 3 * 3600000L))
     assert(coarse.count() == 80 && coarse.count() <= 100)
+    // one ceil-step is not always enough: 10 series × 3 hourly buckets
+    // (range 3h) under a 16-point cap: est 30 → factor 2 → 2h leaves
+    // ceil(3/2) = 2 buckets = 20 points, STILL over → second step → 4h
+    // = 1 bucket = 10 points. The loop must land under the cap.
+    val short = TsdbQuery(0L, 3 * 3600000L, Seq(
+      SubQuery("m", "sum", downsample = Some(DownsampleSpec(3600000L, "avg")),
+        filters = Seq(TagFilterSpec("wildcard", "user", "*", groupBy = true)))))
+    val c2 = Pipeline.runCapped(spark, points, short,
+      Pipeline.Caps(maxDataPoints = 16))
+    assert(c2.count() <= 16, "iterated coarsening must actually satisfy the cap")
+    assert(c2.select("bucket_ms").distinct().count() == 1)
+    // ...and when ONE bucket per series still breaches the cap, no
+    // interval can help: hard error, not a silently over-cap result
+    intercept[Pipeline.CapExceededException](
+      Pipeline.runCapped(spark, points, short, Pipeline.Caps(maxDataPoints = 8)))
     // a raw (no-downsample) request has no grid to coarsen: over-cap
     // matching rows → hard error; under cap → passes through
     val raw = TsdbQuery(0L, 24 * 3600000L, Seq(
