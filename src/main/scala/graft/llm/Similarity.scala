@@ -694,11 +694,13 @@ object Similarity {
     foldedIn + visible
   }
 
-  /** Default retrain trigger: 30% untrained mass. The measured recall
-    * curve (PropertySpec, PERF.md r8) stays ≥ ~0.9 of a fresh rebuild
-    * up to roughly this point at fixture scale; past it the stored
-    * centroids increasingly mis-route new-regime vectors and nprobe
-    * would have to grow to compensate — retraining is the cheaper fix. */
+  /** Default retrain trigger: 30% untrained mass. The measured curve
+    * (graft.tools.DriftCurve, PERF.md r8: recall@5 vs a fresh rebuild
+    * 0.84 → 0.75 → 0.69 at 0.05 / 0.25 / 1.0 appended mass) shows
+    * gradual decay, not a cliff — the stored centroids increasingly
+    * mis-route new-regime vectors and nprobe would have to grow to
+    * compensate; past ~30% retraining is the cheaper fix. A policy
+    * default, tuned per corpus in deployment. */
   val RetrainThreshold: Double = 0.30
 
   def needsRetrain(s: SparkSession, path: String,
