@@ -180,6 +180,27 @@ object Pipeline {
     runAll(spark, points, q.copy(queries =
       q.queries.map(sub => cappedSubQuery(points, q, sub, caps))))
 
+  /** Pure coarsening decision behind the point cap (property-tested in
+    * PropertySpec): the smallest integer-factor multiple of
+    * `intervalMs` whose grid estimate `nSeries × ceil(range/interval)`
+    * fits under `maxDataPoints`; `None` when even one bucket per
+    * series breaches the cap (no interval can help — hard error).
+    * Iterates because ONE ceil-factor step can still land over the cap
+    * — `ceil(range/newInterval)` rounds UP (3 buckets coarsened by
+    * factor 2 leaves 2 buckets, not 1.5); the factor is ≥2 per step,
+    * so it converges in O(log) steps. */
+  private[tsdb] def coarsenedIntervalMs(nSeries: Long, rangeMs: Long,
+                                        intervalMs: Long,
+                                        maxDataPoints: Long): Option[Long] = {
+    def bucketsAt(i: Long): Long = math.max(1L, (rangeMs + i - 1) / i)
+    var now = intervalMs
+    while (nSeries * bucketsAt(now) > maxDataPoints && bucketsAt(now) > 1L) {
+      val est = nSeries * bucketsAt(now)
+      now *= math.max(2L, (est + maxDataPoints - 1) / maxDataPoints)
+    }
+    if (nSeries * bucketsAt(now) > maxDataPoints) None else Some(now)
+  }
+
   /** The per-subquery cap decision: hard error on the series cap, grid
     * coarsening on the point cap, raw-row hard error when there is no
     * grid — shared by [[runCapped]] and [[runAllCapped]]. */
@@ -193,27 +214,15 @@ object Pipeline {
           s"maxTimeseries=${caps.maxTimeseries}")
     sub.downsample match {
       case Some(ds) =>
-        // iterate: one ceil-factor step can still land over the cap
-        // (ceil(range/newInterval) rounds UP — 3 buckets coarsened by
-        // factor 2 leaves 2 buckets, not 1.5), so re-check after each
-        // multiply; the factor is ≥2 per step, so this converges in
-        // O(log) steps to either a fitting interval or one bucket per
-        // series — and if ONE bucket per series still breaches the cap,
-        // no interval can help: hard error, like the raw case
-        def bucketsAt(intervalMs: Long): Long = math.max(1L,
-          (q.endMs - q.startMs + intervalMs - 1) / intervalMs)
-        var dsNow = ds
-        while (nSeries * bucketsAt(dsNow.intervalMs) > caps.maxDataPoints &&
-               bucketsAt(dsNow.intervalMs) > 1L) {
-          val est = nSeries * bucketsAt(dsNow.intervalMs)
-          val factor = math.max(2L, (est + caps.maxDataPoints - 1) / caps.maxDataPoints)
-          dsNow = dsNow.copy(intervalMs = dsNow.intervalMs * factor)
+        coarsenedIntervalMs(nSeries, q.endMs - q.startMs, ds.intervalMs,
+          caps.maxDataPoints) match {
+          case None =>
+            throw new CapExceededException(
+              s"subquery '${sub.metric}': even one bucket per series is " +
+                s"$nSeries points, over maxDataPoints=${caps.maxDataPoints}")
+          case Some(i) if i == ds.intervalMs => sub
+          case Some(i) => sub.copy(downsample = Some(ds.copy(intervalMs = i)))
         }
-        if (nSeries * bucketsAt(dsNow.intervalMs) > caps.maxDataPoints)
-          throw new CapExceededException(
-            s"subquery '${sub.metric}': even one bucket per series is " +
-              s"$nSeries points, over maxDataPoints=${caps.maxDataPoints}")
-        if (dsNow eq ds) sub else sub.copy(downsample = Some(dsNow))
       case None =>
         if (caps.maxDataPoints < Long.MaxValue) {
           var df = points

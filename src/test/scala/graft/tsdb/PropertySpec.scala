@@ -229,4 +229,31 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("cap coarsening always lands under the cap; impossible iff one bucket per series is over") {
+    // pure-math property behind Pipeline.runCapped's point cap — the
+    // single-step version of this logic provably violated the cap
+    // (ceil(range/interval) rounds up), so the invariant is pinned
+    // over random shapes, not just the two hand-picked cases
+    val gen = for {
+      nSeries <- Gen.choose(1L, 10000L)
+      rangeMs <- Gen.choose(1L, 1000000000L)
+      intervalMs <- Gen.choose(1L, 100000000L)
+      cap <- Gen.choose(1L, 100000L)
+    } yield (nSeries, rangeMs, intervalMs, cap)
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(2000),
+      Prop.forAll(gen) { case (n, r, i, cap) =>
+        def bucketsAt(iv: Long): Long = math.max(1L, (r + iv - 1) / iv)
+        Pipeline.coarsenedIntervalMs(n, r, i, cap) match {
+          // a returned interval is an integer multiple of the request's
+          // (buckets stay aligned to the original grid) and FITS
+          case Some(iv) => iv >= i && iv % i == 0 && n * bucketsAt(iv) <= cap
+          // refusal exactly when no interval can help: one bucket per
+          // series already exceeds the cap
+          case None => n > cap
+        }
+      })
+    assert(res.passed, res.status.toString)
+  }
 }
