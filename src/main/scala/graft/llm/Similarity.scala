@@ -707,6 +707,27 @@ object Similarity {
                    threshold: Double = RetrainThreshold): Boolean =
     deltaFraction(s, path) >= threshold
 
+  /** Mean recall@k of one stored index's probe against another's over
+    * the same query set: per query, |candidate ∩ reference| / k-set
+    * size, averaged. Driver-side over two collected top-k frames —
+    * O(queries × k), probe-sized by construction. The SINGLE
+    * definition of the drift-recall experiment, shared by the LlmSpec
+    * regression floor and the graft.tools.DriftCurve measurement so
+    * the two can never silently diverge. */
+  def storedProbeRecall(s: SparkSession, queries: DataFrame,
+                        referencePath: String, candidatePath: String,
+                        k: Int, nprobe: Int): Double = {
+    def topSets(p: String): Map[Long, Set[Long]] =
+      ivfTopKStored(s, queries, p, k, nprobe).collect()
+        .groupBy(_.getAs[Long]("query_id"))
+        .view.mapValues(_.map(_.getAs[Long]("vec_id")).toSet).toMap
+    val ref = topSets(referencePath)
+    val cand = topSets(candidatePath)
+    val recalls = ref.map { case (q, f) =>
+      cand.getOrElse(q, Set.empty[Long]).intersect(f).size.toDouble / f.size }
+    if (recalls.isEmpty) 0.0 else recalls.sum / recalls.size
+  }
+
   /** The stored corpus = base inverted lists ∪ committed deltas (the
     * Keysets delta-dir lifecycle), minus tombstoned ids; every root
     * keeps its own centroid_id partitioning, so partition pruning holds

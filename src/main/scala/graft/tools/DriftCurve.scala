@@ -27,11 +27,6 @@ object DriftCurve {
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
     val freshPath = root.resolve("fresh").toString
     graft.llm.Similarity.buildIvfIndex(spark, emb, freshPath, "fresh")
-    def topSets(p: String) =
-      graft.llm.Similarity.ivfTopKStored(spark, qs, p, 5, nprobe = 2)
-        .collect().groupBy(_.getLong(0))
-        .view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val fresh = topSets(freshPath)
     println("train_pct,delta_fraction,recall_at_5")
     Seq(95, 90, 80, 70, 50).foreach { pct =>
       val path = root.resolve(s"t$pct").toString
@@ -40,10 +35,11 @@ object DriftCurve {
       graft.llm.Similarity.appendIvfDelta(spark,
         emb.where(pmod(col("vec_id"), lit(100)) >= pct), path)
       val frac = graft.llm.Similarity.deltaFraction(spark, path)
-      val drifted = topSets(path)
-      val recalls = fresh.map { case (q, f) =>
-        drifted.getOrElse(q, Set.empty[Long]).intersect(f).size.toDouble / f.size }
-      println(f"$pct,$frac%.3f,${recalls.sum / recalls.size}%.3f")
+      // the shared experiment definition — same helper LlmSpec's
+      // regression floor asserts against
+      val recall = graft.llm.Similarity.storedProbeRecall(spark, qs,
+        referencePath = freshPath, candidatePath = path, k = 5, nprobe = 2)
+      println(f"$pct,$frac%.3f,$recall%.3f")
     }
     spark.stop()
   }

@@ -183,22 +183,56 @@ object Pipeline {
   /** Pure coarsening decision behind the point cap (property-tested in
     * PropertySpec): the smallest integer-factor multiple of
     * `intervalMs` whose grid estimate `nSeries × ceil(range/interval)`
-    * fits under `maxDataPoints`; `None` when even one bucket per
-    * series breaches the cap (no interval can help — hard error).
+    * fits under `maxDataPoints`; `None` when no interval can help —
+    * even one bucket per series breaches the cap, or no multiple of
+    * the request interval that fits is representable in a Long.
+    * All arithmetic fails CLOSED: estimates saturate instead of
+    * wrapping, so an adversarial range (Long.MaxValue-scale) is
+    * refused, never admitted.
     * Iterates because ONE ceil-factor step can still land over the cap
     * — `ceil(range/newInterval)` rounds UP (3 buckets coarsened by
     * factor 2 leaves 2 buckets, not 1.5); the factor is ≥2 per step,
     * so it converges in O(log) steps. */
+  private def satMul(a: Long, b: Long): Long =
+    try math.multiplyExact(a, b)
+    catch { case _: ArithmeticException => Long.MaxValue }
+
+  private def ceilDiv(a: Long, b: Long): Long =
+    a / b + (if (a % b != 0L) 1L else 0L)
+
+  /** Buckets on the downsample grid: ceil(range/interval), min 1 —
+    * computed as div+remainder, not `(range + interval - 1) / interval`,
+    * whose addition wraps negative near Long.MaxValue ranges. */
+  private[tsdb] def gridBuckets(rangeMs: Long, intervalMs: Long): Long =
+    if (rangeMs <= 0L) 1L else ceilDiv(rangeMs, intervalMs)
+
+  /** Grid estimate `nSeries × buckets`, SATURATING at Long.MaxValue: a
+    * cap comparison must fail CLOSED when the true size overflows a
+    * Long — a wrapped-negative estimate would sail under any cap and
+    * admit exactly the pathological request the cap exists to refuse.
+    * Single source for [[coarsenedIntervalMs]] and [[runExprCapped]]. */
+  private[tsdb] def gridEstimate(nSeries: Long, rangeMs: Long,
+                                 intervalMs: Long): Long =
+    satMul(nSeries, gridBuckets(rangeMs, intervalMs))
+
   private[tsdb] def coarsenedIntervalMs(nSeries: Long, rangeMs: Long,
                                         intervalMs: Long,
                                         maxDataPoints: Long): Option[Long] = {
-    def bucketsAt(i: Long): Long = math.max(1L, (rangeMs + i - 1) / i)
     var now = intervalMs
-    while (nSeries * bucketsAt(now) > maxDataPoints && bucketsAt(now) > 1L) {
-      val est = nSeries * bucketsAt(now)
-      now *= math.max(2L, (est + maxDataPoints - 1) / maxDataPoints)
+    while (gridEstimate(nSeries, rangeMs, now) > maxDataPoints &&
+           gridBuckets(rangeMs, now) > 1L) {
+      val est = gridEstimate(nSeries, rangeMs, now)
+      val factor = math.max(2L, ceilDiv(est, maxDataPoints))
+      // Growing past Long.MaxValue means no representable multiple of
+      // the request interval can fit: REFUSE rather than wrap. (May
+      // conservatively refuse when the range is within ~2× of
+      // Long.MaxValue ms — hundreds of millions of years — where
+      // fail-closed is exactly the cap's job.)
+      if (now > Long.MaxValue / factor) return None
+      now *= factor
     }
-    if (nSeries * bucketsAt(now) > maxDataPoints) None else Some(now)
+    if (gridEstimate(nSeries, rangeMs, now) > maxDataPoints) None
+    else Some(now)
   }
 
   /** The per-subquery cap decision: hard error on the series cap, grid
@@ -268,11 +302,10 @@ object Pipeline {
           s"expression leaf '${sub.metric}' resolves $n series, over " +
             s"maxTimeseries=${caps.maxTimeseries}")
       sub.downsample.foreach { ds =>
-        val buckets = math.max(1L,
-          (q.endMs - q.startMs + ds.intervalMs - 1) / ds.intervalMs)
-        if (n * buckets > caps.maxDataPoints)
+        val est = gridEstimate(n, q.endMs - q.startMs, ds.intervalMs)
+        if (est > caps.maxDataPoints)
           throw new CapExceededException(
-            s"expression leaf '${sub.metric}' grid is ${n * buckets} points, " +
+            s"expression leaf '${sub.metric}' grid is $est points, " +
               s"over maxDataPoints=${caps.maxDataPoints}; coarsen the " +
               "downsample interval in the expression")
       }

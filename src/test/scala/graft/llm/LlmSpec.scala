@@ -350,14 +350,8 @@ class LlmSpec extends SparkSpec {
     Similarity.buildIvfIndex(spark, emb, freshPath, "drift-fresh")
     val qs = emb.where(col("vec_id") < 16)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
-    def topSets(p: String) =
-      Similarity.ivfTopKStored(spark, qs, p, 5, nprobe = 2).collect()
-        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
-    val drifted = topSets(path)
-    val fresh = topSets(freshPath)
-    val recalls = fresh.map { case (q, f) =>
-      drifted.getOrElse(q, Set.empty[Long]).intersect(f).size.toDouble / f.size }
-    val mean = recalls.sum / recalls.size
+    val mean = Similarity.storedProbeRecall(spark, qs,
+      referencePath = freshPath, candidatePath = path, k = 5, nprobe = 2)
     info(f"drifted-index recall@5 vs fresh rebuild at $frac%.2f drift: $mean%.3f")
     assert(mean >= 0.5,
       f"drifted recall collapsed to $mean%.3f — quantizer staleness worse than modeled")

@@ -19,8 +19,9 @@ class PropertySpec extends SparkSpec {
     } yield (user, ts, v))
   } yield pts
 
-  private def run(prop: Prop): Unit = {
-    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(30), prop)
+  private def run(prop: Prop, minTests: Int = 30): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(minTests), prop)
     assert(res.passed, res.status.toString)
   }
 
@@ -230,6 +231,11 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  // independent BigInt re-computation of the grid estimate — immune to
+  // the Long-overflow the implementation must guard against
+  private def bigEstimate(n: Long, r: Long, iv: Long): BigInt =
+    BigInt(n) * (if (r <= 0) BigInt(1) else (BigInt(r) + iv - 1) / iv).max(1)
+
   test("cap coarsening always lands under the cap; impossible iff one bucket per series is over") {
     // pure-math property behind Pipeline.runCapped's point cap — the
     // single-step version of this logic provably violated the cap
@@ -241,19 +247,44 @@ class PropertySpec extends SparkSpec {
       intervalMs <- Gen.choose(1L, 100000000L)
       cap <- Gen.choose(1L, 100000L)
     } yield (nSeries, rangeMs, intervalMs, cap)
-    val res = SCTest.check(
-      SCTest.Parameters.default.withMinSuccessfulTests(2000),
-      Prop.forAll(gen) { case (n, r, i, cap) =>
-        def bucketsAt(iv: Long): Long = math.max(1L, (r + iv - 1) / iv)
-        Pipeline.coarsenedIntervalMs(n, r, i, cap) match {
-          // a returned interval is an integer multiple of the request's
-          // (buckets stay aligned to the original grid) and FITS
-          case Some(iv) => iv >= i && iv % i == 0 && n * bucketsAt(iv) <= cap
-          // refusal exactly when no interval can help: one bucket per
-          // series already exceeds the cap
-          case None => n > cap
-        }
-      })
-    assert(res.passed, res.status.toString)
+    run(Prop.forAll(gen) { case (n, r, i, cap) =>
+      Pipeline.coarsenedIntervalMs(n, r, i, cap) match {
+        // a returned interval is an integer multiple of the request's
+        // (buckets stay aligned to the original grid) and FITS
+        case Some(iv) => iv >= i && iv % i == 0 && bigEstimate(n, r, iv) <= cap
+        // refusal exactly when no interval can help: one bucket per
+        // series already exceeds the cap (ranges here are small enough
+        // that a fitting multiple always exists within a Long)
+        case None => n > cap
+      }
+    }, minTests = 2000)
+  }
+
+  test("cap coarsening NEVER fails open under Long-overflow adversarial inputs") {
+    // the attack the cap exists for: raw unvalidated Long ranges where
+    // nSeries × buckets wraps negative in naive arithmetic and sails
+    // under the cap — every Some must genuinely fit (BigInt-verified);
+    // None is always a legal (fail-closed) answer in this corner
+    val gen = for {
+      nSeries <- Gen.oneOf(Gen.choose(1L, 10000L),
+        Gen.choose(Long.MaxValue / 4, Long.MaxValue))
+      rangeMs <- Gen.oneOf(Gen.choose(1L, 1000000000L),
+        Gen.choose(Long.MaxValue / 4, Long.MaxValue))
+      intervalMs <- Gen.oneOf(Gen.const(1L), Gen.choose(1L, 100000000L),
+        Gen.choose(Long.MaxValue / 4, Long.MaxValue))
+      cap <- Gen.choose(1L, 1000000L)
+    } yield (nSeries, rangeMs, intervalMs, cap)
+    run(Prop.forAll(gen) { case (n, r, i, cap) =>
+      Pipeline.coarsenedIntervalMs(n, r, i, cap) match {
+        case Some(iv) => iv >= i && iv % i == 0 && bigEstimate(n, r, iv) <= cap
+        case None => true
+      }
+    }, minTests = 2000)
+    // the review's concrete exploit: 2 series × ~9.2e18 buckets wrapped
+    // to -2 and returned Some(1) — must refuse or genuinely coarsen
+    Pipeline.coarsenedIntervalMs(2L, Long.MaxValue, 1L, 1000L) match {
+      case Some(iv) => assert(bigEstimate(2L, Long.MaxValue, iv) <= 1000L)
+      case None => ()
+    }
   }
 }
