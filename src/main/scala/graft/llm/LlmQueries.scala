@@ -68,6 +68,13 @@ object LlmQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_inc").toString
 
+  /** Separate artifact for the grow-then-retrain lifecycle query —
+    * built STALE on half the corpus, appended past the drift
+    * threshold, then retrained on the full served corpus. */
+  private def annRetrainPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_ret").toString
+
   /** Separate artifact for the takedown lifecycle query — built
     * whole-corpus, then a slice tombstoned. */
   private def annDeletePath(dir: String): String =
@@ -334,6 +341,34 @@ object LlmQueries {
         Similarity.buildIvfIndex(s, emb.where(pmod(col("vec_id"), lit(7)) =!= 3),
           path, fp)
         Similarity.appendIvfDelta(s, emb.where(pmod(col("vec_id"), lit(7)) === 3), path)
+      }
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
+    }),
+
+    // the retrain mechanism the drift trigger fires: index built STALE
+    // on half the corpus, the other half appended as deltas
+    // (deltaFraction 1.0 — far past the 30% trigger), then
+    // retrainIvfIndex folds the deltas and retrains on the full served
+    // corpus. The deterministic Lloyd is order-insensitive, so the
+    // retrained quantizer is bit-identical to a whole-corpus build —
+    // the oracle is the SAME whole-corpus batch SQL as
+    // llm_sim_ivf_stored, and matching it proves the retrain actually
+    // replaced the stale centroids (a probe still ranking with
+    // half-corpus training would not hash-match).
+    "llm_sim_ivf_retrained" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annRetrainPath(dir)
+      val fp = annFingerprint(s, dir) + "|retrained"
+      if (!Similarity.ivfIndexCurrent(s, path, fp)) {
+        Similarity.buildIvfIndex(s,
+          emb.where(pmod(col("vec_id"), lit(2)) === 0), path, fp + "|stale")
+        Similarity.appendIvfDelta(s,
+          emb.where(pmod(col("vec_id"), lit(2)) === 1), path)
+        require(Similarity.needsRetrain(s, path),
+          "retrain fixture must sit past the drift trigger")
+        Similarity.retrainIvfIndex(s, path, fp)
       }
       val qs = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -614,6 +649,74 @@ object LlmQueries {
         .select(expr("CAST(n_chars DIV 100 AS BIGINT) * 100").as("bucket_lo"))
         .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
         .orderBy("bucket_lo")),
+
+    // token-window chunking with overlap — the step between curation
+    // and tokenization in a training-data pipeline: every document
+    // splits into 64-token windows on a 48-token stride (16 tokens of
+    // overlap, so no boundary context is lost). Map-side generate +
+    // explode, no shuffle until the final presentation sort; chunk
+    // identity is (doc_id, chunk_id) and the md5 pins content without
+    // carrying the text. At 100 TB the shuffle unit stays a document
+    // row → its own chunk rows — embarrassingly parallel.
+    "llm_chunk_overlap" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        // sequence(a, b) runs DESCENDING when a > b, so the upper bound
+        // must never drop below 0 — size >= 1 always holds here (split
+        // of a non-empty string), giving starts {0, 48, ...} < n
+        .withColumn("start",
+          explode(sequence(lit(0), size(col("toks")) - 1, lit(48))))
+        .withColumn("chunk", slice(col("toks"), col("start") + 1, lit(64)))
+        .select(col("doc_id"),
+          (col("start") / 48).cast("long").as("chunk_id"),
+          size(col("chunk")).cast("long").as("n_toks"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // Gopher-style quality-rule bundle — the FILTER companion to
+    // llm_quality_score's numeric score: each rule is a named boolean,
+    // keep = AND of all. Every threshold is evaluated in exact integer
+    // arithmetic (mean word length in [2,12] becomes 2·nw ≤ chars ≤
+    // 12·nw), so the flags are engine-exact — no float rounding to
+    // diverge on. One map-side pass; quantitatively: wc ∈ [5,10000],
+    // mean word length ∈ [2,12], ≥ 2 stopwords, ≤ 50% 1–2-char words.
+    "llm_quality_filter" -> ((s, dir) => {
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')",
+        Seq("the", "a", "of", "and"))
+      val shorts = expr(
+        "CAST(size(filter(split(text, ' '), x -> length(x) <= 2)) AS BIGINT)")
+      val wordChars = col("n_chars") - (nw - 1) // chars excluding separators
+      val d = Tables.documents(s, dir).select(
+        col("doc_id"), nw.as("n_words"),
+        nw.between(5, 10000).as("wc_ok"),
+        (wordChars >= nw * 2 && wordChars <= nw * 12).as("awl_ok"),
+        (stops >= 2).as("stop_ok"),
+        (shorts * 2 <= nw).as("short_ok"))
+      d.withColumn("keep",
+        col("wc_ok") && col("awl_ok") && col("stop_ok") && col("short_ok"))
+        .orderBy("doc_id")
+    }),
+
+    // corpus bigram statistics — the n-gram LM / contamination-probe
+    // primitive: per-doc adjacent word pairs (map-side transform over
+    // the token array — no self-join), one global count, deterministic
+    // top-100 by (count desc, bigram). The only shuffle moves (bigram,
+    // partial count) pairs — partial aggregation bounds it by distinct
+    // bigrams per partition, and TakeOrderedAndProject bounds the
+    // result; at 100 TB this is the word-count shape, the thing Spark
+    // is best at.
+    "llm_ngram_counts" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 2) // sequence(1, 0) would DESCEND
+        .select(explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+          .as("bg"))
+        .groupBy("bg").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bg"))
+        .limit(100)),
 
     // winnowing fingerprints over md5 8-char grams: per-doc window min of
     // 16 consecutive gram hashes, distinct mins = the fingerprint set.
@@ -1125,6 +1228,9 @@ object LlmQueries {
     // become window ranks partitioned by query_id
     "llm_sim_ivf_batch" -> IvfBatchOracle,
     "llm_sim_ivf_stored" -> IvfBatchOracle,
+    // retrained-on-full-corpus probe ≡ whole-corpus-trained batch probe
+    // (see the registration comment: the match IS the retrain check)
+    "llm_sim_ivf_retrained" -> IvfBatchOracle,
 
     // hybrid-search mirror: same whole-corpus clustering and probe
     // selection, candidate set filtered by the metadata predicate —
@@ -1440,6 +1546,42 @@ object LlmQueries {
     "llm_doc_len_hist" ->
       """SELECT (n_chars // 100) * 100 AS bucket_lo, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // range(0, n, 48) = sequence(0, n-1, 48): end-exclusive vs
+    // inclusive-on-smaller-bound, same start set; list_slice clamps at
+    // the list end exactly like Spark's slice length cap
+    "llm_chunk_overlap" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         s AS (SELECT doc_id, toks, unnest(range(0, len(toks), 48)) AS start FROM t)
+         SELECT doc_id, CAST(start // 48 AS BIGINT) AS chunk_id,
+            CAST(len(list_slice(toks, start + 1, start + 64)) AS BIGINT) AS n_toks,
+            md5(array_to_string(list_slice(toks, start + 1, start + 64), ' ')) AS chunk_md5
+         FROM s ORDER BY doc_id, chunk_id""",
+
+    "llm_quality_filter" ->
+      """WITH b AS (SELECT doc_id, n_chars,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS nw,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops,
+            CAST(len(list_filter(string_split(text, ' '),
+                 x -> len(x) <= 2)) AS BIGINT) AS shorts
+          FROM documents),
+         r AS (SELECT doc_id, nw AS n_words,
+            nw BETWEEN 5 AND 10000 AS wc_ok,
+            (n_chars - (nw - 1)) >= nw * 2 AND (n_chars - (nw - 1)) <= nw * 12 AS awl_ok,
+            stops >= 2 AS stop_ok,
+            shorts * 2 <= nw AS short_ok
+          FROM b)
+         SELECT doc_id, n_words, wc_ok, awl_ok, stop_ok, short_ok,
+            wc_ok AND awl_ok AND stop_ok AND short_ok AS keep
+         FROM r ORDER BY doc_id""",
+
+    "llm_ngram_counts" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+         i AS (SELECT toks, unnest(range(1, len(toks))) AS k FROM t),
+         b AS (SELECT toks[k] || ' ' || toks[k + 1] AS bg FROM i)
+         SELECT bg, count(*) AS n FROM b
+         GROUP BY bg ORDER BY n DESC, bg LIMIT 100""",
 
     "llm_multimodal_join" ->
       s"""WITH $NormCte

@@ -498,17 +498,25 @@ object Similarity {
 
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_meta")
 
-  /** True iff a committed index at `path` carries `fingerprint`. */
-  def ivfIndexCurrent(s: SparkSession, path: String, fingerprint: String): Boolean = {
+  /** The committed build fingerprint at `path`, None when no index has
+    * been committed there. Public so maintenance code (the streaming
+    * auto-retrain sink) can derive the retrained artifact's tag from
+    * the one it replaces. */
+  def indexFingerprint(s: SparkSession, path: String): Option[String] = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val mp = metaPath(path)
     val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
-    fs.exists(mp) && {
+    if (!fs.exists(mp)) None
+    else {
       val in = fs.open(mp)
-      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8) == fingerprint
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
       finally in.close()
     }
   }
+
+  /** True iff a committed index at `path` carries `fingerprint`. */
+  def ivfIndexCurrent(s: SparkSession, path: String, fingerprint: String): Boolean =
+    indexFingerprint(s, path).contains(fingerprint)
 
   /** Build the persisted ANN index (IVF inverted lists + PQ codes) for
     * `vectors` at `path`. EAGER by nature (this IS the training run);
@@ -516,7 +524,19 @@ object Similarity {
     * index. All build stages are the deterministic machinery above —
     * a rebuilt index is bit-identical for identical input. */
   def buildIvfIndex(s: SparkSession, vectors: DataFrame, path: String,
-                    fingerprint: String, p: IndexParams = IndexParams()): Unit = {
+                    fingerprint: String, p: IndexParams = IndexParams()): Unit =
+    buildIvfIndexCarrying(s, vectors, path, fingerprint, p, Map.empty)
+
+  /** [[buildIvfIndex]] plus small marker files to land inside the new
+    * artifact's lists dir within the SAME atomic swap — how a retrain
+    * carries the per-stream replay-skip `_txn` record and the delta-id
+    * `_folded` watermark across the rebuild. Writing them after the
+    * swap instead would open a crash window in which a retrained index
+    * serves without its replay guard. */
+  private def buildIvfIndexCarrying(s: SparkSession, vectors: DataFrame,
+                                    path: String, fingerprint: String,
+                                    p: IndexParams,
+                                    carryListsFiles: Map[String, Array[Byte]]): Unit = {
     import s.implicits._
     val cs = collectCentroids(ivfCentroids(vectors, p.k, p.iters))
     val perSub = pqCodebooks(vectors, p.pqM, p.pqK, p.pqIters, p.dim).map(collectCentroids)
@@ -551,6 +571,10 @@ object Similarity {
       // to ride its atomic swap); underscore files are invisible to
       // the parquet reader, like _folded
       writeLongMarker(fs, s"$tmp/lists/_appended", 0L)
+      carryListsFiles.foreach { case (name, bytes) =>
+        val out2 = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/lists/$name"), true)
+        try out2.write(bytes) finally out2.close()
+      }
     }
   }
 
@@ -559,6 +583,16 @@ object Similarity {
     val out = fs.create(new org.apache.hadoop.fs.Path(p), true)
     try out.write(v.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
+  }
+
+  private def readBytesMarker(fs: org.apache.hadoop.fs.FileSystem,
+                              p: String): Option[Array[Byte]] = {
+    val hp = new org.apache.hadoop.fs.Path(p)
+    if (!fs.exists(hp)) None
+    else {
+      val in = fs.open(hp)
+      try Some(in.readAllBytes()) finally in.close()
+    }
   }
 
   private def readLongMarker(s: SparkSession, p: String): Option[Long] = {
@@ -706,6 +740,49 @@ object Similarity {
   def needsRetrain(s: SparkSession, path: String,
                    threshold: Double = RetrainThreshold): Boolean =
     deltaFraction(s, path) >= threshold
+
+  /** The mechanism [[needsRetrain]]'s policy triggers: retrain the
+    * stored quantizer on the corpus the index currently SERVES.
+    * Outstanding deltas are folded first (takedowns become physical,
+    * per-stream txn records merge into the base), then fresh centroids
+    * and PQ codebooks are trained on the served rows and the rebuilt
+    * artifact swaps in atomically — probes never see a half-retrained
+    * index. The replay-skip `_txn` record and the delta-id `_folded`
+    * watermark are carried INTO the new artifact inside the same swap:
+    * without them, a replayed stream micro-batch would double-append
+    * vectors the retrain just folded into the trained base, and a
+    * fresh delta could reuse a spent id (invisible to readers).
+    * `_trained` re-pins to the full served count and `_appended` to
+    * zero, so [[deltaFraction]] reads 0.0 after a retrain. The
+    * deterministic Lloyd is order-insensitive (sorted seed ids,
+    * decimal means), so a retrained index is bit-identical to
+    * [[buildIvfIndex]] run fresh over the same served rows — which is
+    * exactly what the llm_sim_ivf_retrained oracle checks. Cost: one
+    * full training run over the served corpus — O(corpus), the price
+    * each O(batch) [[appendIvfDelta]] deferred; at 100 TB this runs in
+    * a maintenance window when the drift trigger trips. `p` rebuilds
+    * with the given geometry (growing k as the corpus grows is a
+    * legitimate retrain-time change); everything downstream (codes,
+    * lists partitioning) is rewritten consistently. */
+  def retrainIvfIndex(s: SparkSession, path: String, fingerprint: String,
+                      p: IndexParams = IndexParams()): Unit = {
+    compactIvfDeltas(s, path)
+    graft.tsdb.Keysets.repairSwap(s, s"$path/lists")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val carried = Seq("_txn", "_folded")
+      .flatMap(n => readBytesMarker(fs, s"$path/lists/$n").map(n -> _)).toMap
+    val served = s.read.parquet(s"$path/lists")
+    // the served rows stripped back to input columns — nrm, codes and
+    // the assignment are all functions of the quantizer being replaced
+    val corpus = served.select(served.columns.filterNot(c =>
+      c == "nrm" || c == "centroid_id" || c.startsWith("code_")).map(col): _*)
+    // training collects run BEFORE the swap (reading the old artifact,
+    // still intact) and the new lists write streams off it inside the
+    // build callback — the old path is deleted only after the .tmp is
+    // fully committed, the swapBuiltDir contract
+    buildIvfIndexCarrying(s, corpus, path, fingerprint, p, carried)
+  }
 
   /** Mean recall@k of one stored index's probe against another's over
     * the same query set: per query, |candidate ∩ reference| / k-set

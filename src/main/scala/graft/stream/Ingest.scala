@@ -350,11 +350,28 @@ object Ingest {
     * on whatever the first micro-batch happens to hold would bake the
     * batch boundary into every later assignment. Appends are O(batch):
     * assignment + codes from the stored quantizer, zero training —
-    * quantizer drift until the next offline rebuild is the standard
-    * IVF trade. */
+    * quantizer drift until the next rebuild is the standard IVF trade.
+    *
+    * With `retrainOnDrift` on, the sink CLOSES that trade's loop: after
+    * a batch lands, if [[graft.llm.Similarity.needsRetrain]] trips (at
+    * `retrainThreshold` untrained mass), [[graft.llm.Similarity
+    * .retrainIvfIndex]] runs inside the stream's own single-writer
+    * window — fold, whole-served-corpus training, atomic swap; the
+    * carried txn record keeps replays landing nothing afterwards. The
+    * retrain is O(served corpus) where every append is O(batch), so
+    * the threshold amortizes it over ~threshold×corpus of appends; a
+    * replayed batch never lands and so can never re-trigger one.
+    * `retrainParams` sets the rebuilt geometry — it defaults to the
+    * default build geometry, so a quantizer built with custom
+    * IndexParams needs them passed here too. */
   def maintainIvfIndex(s: SparkSession, vecStream: DataFrame,
                        indexPath: String, checkpoint: String,
-                       maxDeltasBeforeCompact: Int = Int.MaxValue): Unit = {
+                       maxDeltasBeforeCompact: Int = Int.MaxValue,
+                       retrainOnDrift: Boolean = false,
+                       retrainThreshold: Double =
+                         graft.llm.Similarity.RetrainThreshold,
+                       retrainParams: graft.llm.Similarity.IndexParams =
+                         graft.llm.Similarity.IndexParams()): Unit = {
     graft.tsdb.Keysets.repairSwap(s, indexPath)
     val centroids = new org.apache.hadoop.fs.Path(s"$indexPath/centroids")
     require(centroids.getFileSystem(s.sparkContext.hadoopConfiguration)
@@ -379,6 +396,22 @@ object Ingest {
             graft.llm.Similarity.ivfDeltaCount(batch.sparkSession, indexPath)
               >= maxDeltasBeforeCompact)
           graft.llm.Similarity.compactIvfDeltas(batch.sparkSession, indexPath)
+        // drift-triggered retrain: policy (the threshold) and mechanism
+        // (fold + retrain + atomic swap) both inside the single-writer
+        // window. Gated on `landed` so a replayed batch — which appends
+        // nothing — can never pay a redundant O(corpus) training run.
+        if (landed && retrainOnDrift &&
+            graft.llm.Similarity.needsRetrain(batch.sparkSession, indexPath,
+              retrainThreshold)) {
+          // tag derives from the fingerprint being replaced; the
+          // retrained@ suffix is replaced, not stacked, so repeated
+          // retrains keep the tag bounded
+          val base = graft.llm.Similarity
+            .indexFingerprint(batch.sparkSession, indexPath)
+            .getOrElse("ivf").replaceAll("\\|retrained@.*$", "")
+          graft.llm.Similarity.retrainIvfIndex(batch.sparkSession, indexPath,
+            s"$base|retrained@$checkpoint:$batchId", retrainParams)
+        }
         ()
       }
       .start()

@@ -376,6 +376,59 @@ class LlmSpec extends SparkSpec {
     assert(Similarity.deltaFraction(spark, path) == 0.0)
   }
 
+  test("retrainIvfIndex: probe ≡ fresh build on served corpus; drift resets; replay-skip and takedowns survive") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_retrain_")
+    val path = root.resolve("ann").toString
+    val base = emb.where(pmod(col("vec_id"), lit(3)) =!= 2)
+    val arrivals = emb.where(pmod(col("vec_id"), lit(3)) === 2)
+    Similarity.buildIvfIndex(spark, base, path, "retrain-base")
+    // stream-shaped (txn-marked) append past the trigger, plus a
+    // takedown of a TRAINED vector (7 % 3 == 1 → base member)
+    assert(Similarity.appendIvfDeltaTxn(spark, arrivals, path,
+      streamId = "st", batchId = 0L))
+    Similarity.deleteFromIvfIndex(spark,
+      emb.where(col("vec_id") === 7).select("vec_id"), path)
+    assert(Similarity.needsRetrain(spark, path))
+    Similarity.retrainIvfIndex(spark, path, "retrained")
+    // drift re-pins to zero, deltas are folded, the meta is the new tag
+    assert(Similarity.deltaFraction(spark, path) == 0.0)
+    assert(!Similarity.needsRetrain(spark, path))
+    assert(Similarity.ivfDeltaCount(spark, path) == 0)
+    assert(Similarity.ivfIndexCurrent(spark, path, "retrained"))
+    // the takedown became physical during the fold and must NOT be
+    // resurrected by the rebuild
+    assert(Similarity.readLists(spark, path)
+      .where(col("vec_id") === 7).isEmpty,
+      "retrain must not resurrect a tombstoned vector")
+    assert(Similarity.readLists(spark, path).count() == emb.count() - 1)
+    // order-insensitive deterministic Lloyd: the retrained artifact
+    // serves EXACTLY what a fresh build over the same rows serves
+    val freshPath = root.resolve("fresh").toString
+    Similarity.buildIvfIndex(spark, emb.where(col("vec_id") =!= 7),
+      freshPath, "fresh")
+    val qs = emb.where(col("vec_id") < 4)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def probe(p: String) = Similarity.ivfTopKStored(spark, qs, p, 5, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(probe(path) == probe(freshPath),
+      "retrained probe must equal a fresh build on the served corpus")
+    // the replay guard SURVIVED the rebuild: the same (stream, batch)
+    // lands nothing — without the carried _txn record a replay would
+    // double-append the arrivals the retrain just folded in
+    assert(!Similarity.appendIvfDeltaTxn(spark, arrivals, path,
+      streamId = "st", batchId = 0L),
+      "replayed batch must skip after a retrain")
+    assert(Similarity.readLists(spark, path).count() == emb.count() - 1)
+    // a genuinely NEW batch (fresh ids — never reuse a deleted one)
+    // still lands against the retrained index
+    assert(Similarity.appendIvfDeltaTxn(spark,
+      emb.where(col("vec_id") === 3)
+        .withColumn("vec_id", col("vec_id") + 1000000L),
+      path, streamId = "st", batchId = 1L))
+    assert(Similarity.readLists(spark, path).count() == emb.count())
+  }
+
   test("IVF: deterministic centroids, total assignment, query found in its probe") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val c1 = Similarity.ivfCentroids(emb, 8, iters = 2)
@@ -585,6 +638,37 @@ class LlmSpec extends SparkSpec {
     Dedup.compactBandDeltas(spark, grown)
     assert(!Dedup.readBandIndex(spark, grown).columns.contains("tomb"))
     assert(rows(grown) == liveRows, "physical purge preserves live content")
+  }
+
+  test("chunking: full token coverage, stride-sized overlap, windows capped at 64") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val chunks = LlmQueries.queries("llm_chunk_overlap")(spark, sf)
+    val perDoc = chunks.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"), sum("n_toks").as("tok_sum"),
+        max("n_toks").as("max_toks"))
+    val joined = perDoc.join(
+      docs.select(col("doc_id"),
+        graft.llm.Text.nWords(col("text")).as("nw")), Seq("doc_id"))
+      .select(col("doc_id"), col("n_chunks"), col("tok_sum"),
+        col("max_toks"), col("nw")).collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val (nChunks, tokSum, maxToks, nw) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(maxToks <= 64, s"doc ${r.getLong(0)}: window over 64")
+      // starts at 0,48,96… so the chunk count is ceil(nw/48); windows
+      // cover [start, start+64) ⊇ [start, start+48) — every token lands
+      // in at least one chunk, and the summed lengths exceed nw by
+      // exactly the double-covered overlap regions
+      assert(nChunks == (nw + 47) / 48,
+        s"doc ${r.getLong(0)}: $nChunks chunks for $nw tokens")
+      assert(tokSum >= nw, s"doc ${r.getLong(0)}: tokens lost")
+      val fullOverlaps = (0 until nChunks.toInt)
+        .map(i => math.max(0L, math.min(48L * i + 64, nw) - 48L * (i + 1)))
+        .map(o => math.max(0L, o)).sum
+      assert(tokSum == nw + fullOverlaps,
+        s"doc ${r.getLong(0)}: overlap accounting off")
+    }
   }
 
   test("multimodal: decode stub emits one feature row per media row") {

@@ -396,4 +396,48 @@ class StreamSpec extends SparkSpec {
     assert(Similarity.ivfDeltaCount(spark, idx) == 0)
     assert(Similarity.readLists(spark, idx).count() == emb.count())
   }
+
+  test("stream ivf sink retrains on drift: stale quantizer replaced inside the stream's window") {
+    import graft.llm.Similarity
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_sivfr_")
+    val corpus = emb.where(col("vec_id") % 4 =!= 1)
+    val arrivals = emb.where(col("vec_id") % 4 === 1)
+    val srcDir = root.resolve("vecs").toString
+    arrivals.repartition(2).write.parquet(srcDir)
+    def stream() = spark.readStream.schema(emb.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val idx = root.resolve("ivf").toString
+    val cp = root.resolve("cp").toString
+    Similarity.buildIvfIndex(spark, corpus, idx, "streamspec-retrain")
+    // threshold 0.05: each landing micro-batch (~17% of the trained
+    // base) trips the trigger, so the run ends fully retrained —
+    // zero deltas, zero drift, whole-corpus-trained quantizer
+    Ingest.maintainIvfIndex(spark, stream(), idx, cp,
+      retrainOnDrift = true, retrainThreshold = 0.05)
+    assert(Similarity.ivfDeltaCount(spark, idx) == 0,
+      "drift retrain must fold every delta")
+    assert(Similarity.deltaFraction(spark, idx) == 0.0,
+      "a retrained index reads zero drift")
+    assert(Similarity.indexFingerprint(spark, idx).get.contains("|retrained@"),
+      "the swapped artifact must carry the retrain tag")
+    // the last retrain trained on every served vector, so the probe
+    // must equal a fresh whole-corpus build bit-for-bit
+    val ref = root.resolve("ref").toString
+    Similarity.buildIvfIndex(spark, emb, ref, "streamspec-retrain-ref")
+    val qs = emb.where(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    def probe(p: String) = Similarity.ivfTopKStored(spark, qs, p, 5, nprobe = 2)
+      .collect().map(_.toString).toSeq
+    assert(probe(idx) == probe(ref),
+      "post-retrain probe must equal a fresh whole-corpus build")
+    // restart on the same checkpoint: replays land nothing, so no
+    // retrain re-fires (the carried txn record is what guards this)
+    val fpBefore = Similarity.indexFingerprint(spark, idx)
+    Ingest.maintainIvfIndex(spark, stream(), idx, cp,
+      retrainOnDrift = true, retrainThreshold = 0.05)
+    assert(Similarity.indexFingerprint(spark, idx) == fpBefore,
+      "a replayed stream must not trigger a redundant retrain")
+    assert(Similarity.readLists(spark, idx).count() == emb.count())
+  }
 }
