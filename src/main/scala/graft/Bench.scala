@@ -22,7 +22,8 @@ object Bench {
     "llm_sim_pq", "llm_dedup_substring", "tsdb_merge_interp",
     "llm_sim_ivfpq_stored", "llm_dedup_incremental",
     "tsdb_expression_abs", "tsdb_expression_wow", "tsdb_histogram_pct",
-    "llm_sim_ivf_filtered", "tsdb_expression_topn", "tsdb_query_capped")
+    "llm_sim_ivf_filtered", "tsdb_expression_topn", "tsdb_query_capped",
+    "llm_sim_ivf_retrained", "llm_chunk_overlap", "llm_ngram_counts")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

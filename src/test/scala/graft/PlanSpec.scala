@@ -249,6 +249,23 @@ class PlanSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("chunking is map-side: generate + slice, the only exchange is the presentation sort") {
+    val p = plan("llm_chunk_overlap")
+    assert(p.contains("Generate explode"), s"chunking must explode window starts:\n$p")
+    // one rangepartitioning exchange for the final ORDER BY and nothing
+    // else — chunk production itself must never shuffle a document
+    val exchanges = "Exchange [a-z]+partitioning".r.findAllIn(p).toSeq
+    assert(exchanges.size == 1 && exchanges.head.contains("rangepartitioning"),
+      s"chunking must shuffle only for the presentation sort, saw $exchanges")
+  }
+
+  test("bigram counts do partial aggregation and a bounded top-k") {
+    val p = plan("llm_ngram_counts")
+    assert(p.contains("partial_count"), "bigram count must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-100 must not globally sort the bigram space")
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
