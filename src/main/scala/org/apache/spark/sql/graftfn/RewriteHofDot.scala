@@ -67,7 +67,7 @@ object RewriteHofDot extends Rule[LogicalPlan] {
         Cast(Multiply(
           Cast(xr: NamedLambdaVariable, DoubleType, _, _),
           Cast(yr: NamedLambdaVariable, DoubleType, _, _), _),
-          DecimalType(18, 4), _, _),
+          DecimalType.Fixed(18, 4), _, _),
         tenK, _), LongType, _, _) =>
       xr.exprId == x.exprId && yr.exprId == y.exprId && foldsTo(tenK, 10000.0)
     case _ => false
