@@ -19,9 +19,11 @@ import org.apache.spark.sql.types._
   */
 object Ingest {
 
-  /** events.parquet physical schema under nanosAsLong (ts = BIGINT ns). */
+  /** events.parquet physical schema (round-9 fixtures: ts =
+    * TIMESTAMP(MICROS) → TIMESTAMP_NTZ; earlier nanos fixtures needed
+    * BIGINT under nanosAsLong — see graft.core.Tables). */
   val eventsSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("event_id", LongType), StructField("ts", TimestampNTZType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
@@ -46,6 +48,7 @@ object Ingest {
     * shared with the batch reader (one definition in Tables.deriveTs). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     graft.core.Tables.deriveTs(
       s.readStream.schema(eventsSchema).parquet(stagedEventsDir(dir)))
   }
