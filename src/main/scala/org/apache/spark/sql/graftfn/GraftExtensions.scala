@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   private def intLit(e: Expression, what: String): Int = intLitPublic(e, what)
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectOptimizerRule(_ => RewriteHofDot)
     ext.injectFunction((
       new FunctionIdentifier("dot4"),
       new ExpressionInfo(classOf[Dot4].getName, "dot4"),
@@ -50,6 +51,10 @@ object GraftExtensions {
     * config — e.g. the driver-owned Verify/Bench sessions). Same
     * validation as the extensions path. */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
+    if (!spark.experimental.extraOptimizations.contains(RewriteHofDot)) {
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ RewriteHofDot
+    }
     val reg: FunctionRegistry = spark.sessionState.functionRegistry
     reg.createOrReplaceTempFunction("dot4",
       (children: Seq[Expression]) => {
