@@ -17,6 +17,13 @@ object LlmQueries {
              AS DECIMAL(18,4))) AS d2
        FROM embeddings e, range(1, 65) r(i) GROUP BY 1)"""
 
+  /** BM25 fixture query: two common terms + one rare ("dup", df≈25/500)
+    * so idf actually separates ranks. Constants are interpolated into
+    * the oracle SQL from THESE values — the two sides cannot drift. */
+  private val Bm25Terms = Seq("spark", "merge", "dup")
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+
   /** Stable per-fixture location for the persisted ANN index (stored
     * OUTSIDE the fixture dir — /root/testdata is read-only). One path
     * per sfDir: sf0.01 and sf0.1 runs never clobber each other. */
@@ -718,6 +725,33 @@ object LlmQueries {
         .orderBy(col("n").desc, col("bg"))
         .limit(100)),
 
+    // BM25 ranked retrieval — the lexical-search half of RAG-corpus
+    // tooling: per-doc term frequencies as literal map-side filter
+    // columns (no explode, no (doc,term) shuffle), ONE single-row
+    // corpus-stats aggregate broadcast back, scored map pass into
+    // TakeOrderedAndProject. Two corpus scans, zero wide shuffles
+    // (plan-asserted in LlmSpec).
+    "llm_bm25_topk" -> ((s, dir) =>
+      Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms, 10)),
+
+    // hybrid retrieval: BM25 pool ∪ brute-force-cosine pool fused by
+    // reciprocal rank (1/(60+rank)). Each pool is a top-20 (bounded);
+    // the fusion windows/joins touch ≤ 2×20 rows regardless of corpus
+    // size — the expensive parts are exactly the two pool queries,
+    // each already scale-shaped (and the vector pool swaps for a
+    // stored-IVF probe in production; brute force here keeps the
+    // oracle exact).
+    "llm_hybrid_rrf" -> ((s, dir) => {
+      val bmPool = Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id",
+        "text", Bm25Terms, 20).withColumnRenamed("doc_id", "id")
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val vPool = Similarity.cosineTopK(emb, qv, 20)
+        .withColumnRenamed("vec_id", "id")
+      Retrieval.rrfFuse(bmPool, "bm25", vPool, "sim", "id", 60, 10)
+    }),
+
     // winnowing fingerprints over md5 8-char grams: per-doc window min of
     // 16 consecutive gram hashes, distinct mins = the fingerprint set.
     // Winnowing fingerprints, evaluated natively in one pass per doc
@@ -1181,7 +1215,65 @@ object LlmQueries {
               FROM g),
        fp AS (SELECT DISTINCT doc_id, mh FROM wm WHERE j <= ng - 15)"""
 
+  /** BM25 CTEs mirroring [[Retrieval.bm25]] step for step; every
+    * constant is interpolated from the SAME Scala doubles the DataFrame
+    * side uses (Double.toString round-trips exactly), and every literal
+    * is CAST to DOUBLE because DuckDB parses bare decimal literals as
+    * DECIMAL, which would change the arithmetic. */
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf$i" }.mkString(", ")
+    val dfCols = terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(", ")
+    val score = terms.indices.map { i =>
+      s"ln(CAST(1 AS DOUBLE) + (n_docs - df$i + 0.5) / (df$i + 0.5))" +
+        s" * (tf$i * CAST(${Bm25K1 + 1.0} AS DOUBLE))" +
+        s" / (tf$i + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)" +
+        s" + CAST($Bm25B AS DOUBLE) * dl / avgdl))"
+    }.mkString(" + ")
+    s"""wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+                FROM documents),
+        dtf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols FROM wsx),
+        bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM dtf),
+        bscore AS (SELECT doc_id, ${graft.core.D.oR4(score)} AS bm25
+                   FROM dtf CROSS JOIN bstats)"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "llm_bm25_topk" ->
+      s"""WITH ${bm25Ctes(Bm25Terms)}
+          SELECT doc_id, bm25 FROM bscore WHERE bm25 > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    "llm_hybrid_rrf" ->
+      s"""WITH ${bm25Ctes(Bm25Terms)},
+          bpool AS (SELECT doc_id AS id, bm25 FROM bscore WHERE bm25 > 0
+                    ORDER BY bm25 DESC, id LIMIT 20),
+          br AS (SELECT id, CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank_b
+                 FROM bpool),
+          q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          $NormCte,
+          nq AS (SELECT SUM(CAST(CAST(q.qv[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                     AS DECIMAL(18,4))) AS d2 FROM q, range(1, 65) r(i)),
+          p AS (SELECT e.vec_id,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings e, q, range(1, 65) r(i) GROUP BY 1),
+          vpool AS (SELECT p.vec_id AS id,
+                  ROUND((CAST(p.dot AS DOUBLE) /
+                        (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                FROM p JOIN n ON n.vec_id = p.vec_id CROSS JOIN nq
+                ORDER BY sim DESC, id LIMIT 20),
+          vr AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank_v
+                 FROM vpool)
+          SELECT COALESCE(br.id, vr.id) AS id, br.rank_b, vr.rank_v,
+                 ${graft.core.D.oR4(
+                   "COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_b), CAST(0 AS DOUBLE))" +
+                   " + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_v), CAST(0 AS DOUBLE))")} AS rrf
+          FROM br FULL OUTER JOIN vr ON br.id = vr.id
+          ORDER BY rrf DESC, id LIMIT 10""",
+
     "llm_sim_ivf" -> IvfOracle,
     "llm_sim_pq" -> PqOracle,
     // stored-index probes must EQUAL their inline counterparts — same

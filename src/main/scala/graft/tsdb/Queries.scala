@@ -152,6 +152,21 @@ object TsdbQueries {
         "tagv", "1", 20)
     }),
 
+    // OpenTSDB /api/query/last analog [PK-M]: newest datapoint per
+    // series. ONE series-keyed aggregate with max(struct(ts, value)) —
+    // partial aggregation folds each partition to one row per local
+    // series, the shuffle moves one row per series (never points), and
+    // ties at the same timestamp break deterministically to the larger
+    // value (the struct order). At 100 TB this is the cheapest possible
+    // shape: no join-back, no window over points.
+    "tsdb_query_last" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type", "user_id")
+        .agg(max(struct(col("ts_ms"), col("value"))).as("m"))
+        .select(col("event_type"), col("user_id"),
+          col("m.ts_ms").as("last_ms"), D.r4s(col("m.value")).as("last_value"))
+        .orderBy("event_type", "user_id")),
+
     "tsdb_lookup" -> ((s, dir) => {
       Tables.events(s, dir)
         .where(TagFilters.toPredicate(col("event_type"),
@@ -612,6 +627,19 @@ object TsdbQueries {
     "tsdb_suggest" ->
       """SELECT DISTINCT CAST(user_id AS VARCHAR) AS tagv FROM events
          WHERE CAST(user_id AS VARCHAR) LIKE '1%' ORDER BY 1 LIMIT 20""",
+
+    // join-back formulation ≡ max(struct): max ts_ms per series, then
+    // the max value among rows tied at that timestamp
+    "tsdb_query_last" ->
+      """WITH e AS (SELECT event_type, user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+                    FROM events),
+          last AS (SELECT event_type, user_id, max(ts_ms) AS last_ms
+                   FROM e GROUP BY 1, 2)
+          SELECT l.event_type, l.user_id, l.last_ms,
+                 ROUND(max(e.value) * 10000.0, 0) / 10000.0 + 0.0 AS last_value
+          FROM last l JOIN e ON e.event_type = l.event_type
+           AND e.user_id = l.user_id AND e.ts_ms = l.last_ms
+          GROUP BY 1, 2, 3 ORDER BY 1, 2""",
 
     "tsdb_lookup" ->
       """SELECT DISTINCT event_type, user_id FROM events

@@ -34,6 +34,43 @@ class LlmSpec extends SparkSpec {
     assert(!pairs.exists(p => p._2 == 4L || p._2 == 5L))
   }
 
+  test("bm25: rare term dominates, absent-term docs score 0, plan is map+1-row-agg") {
+    val corpus = Seq(
+      (1L, "spark merge spark merge spark"),     // common terms only, short
+      (2L, "dup spark padding padding padding padding padding padding"), // rare term
+      (3L, "padding words only nothing relevant here at all"),
+      (4L, "dup dup dup"),                       // rare term, high tf, tiny dl
+      (5L, "spark padding padding padding padding padding padding padding")
+    ).toDF("doc_id", "text")
+    val hits = Retrieval.bm25TopK(corpus, "doc_id", "text",
+      Seq("spark", "merge", "dup"), 5)
+      .as[(Long, Double)].collect()
+    val rank = hits.map(_._1).toSeq
+    assert(!rank.contains(3L), "doc sharing no query term must not be a hit")
+    assert(hits.forall(_._2 > 0))
+    // docs carrying the rare term ("dup": df 2/5) outrank common-term-only
+    assert(rank.indexOf(4L) < rank.indexOf(5L))
+    // scale shape: no wide shuffle — only the single-row stats aggregate
+    // exchanges (plus nothing for TakeOrderedAndProject)
+    val p = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), 5)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"BM25 must not shuffle the corpus:\n$p")
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("rrf fusion: both pools contribute, both-list docs outrank single-list peers") {
+    val lex = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("id", "s1")
+    val vec = Seq((20L, 0.9), (40L, 0.8), (30L, 0.7)).toDF("id", "s2")
+    val fused = Retrieval.rrfFuse(lex, "s1", vec, "s2", "id", 60, 10)
+      .select("id", "rrf").as[(Long, Double)].collect()
+    assert(fused.head._1 == 20L, "doc ranked in BOTH lists must fuse highest")
+    assert(fused.map(_._1).toSet == Set(10L, 20L, 30L, 40L))
+    // 20: rank 2 lex + rank 1 vec = 1/62 + 1/61; 30: 1/63 + 1/63
+    val expect20 = math.round((1.0 / 62 + 1.0 / 61) * 10000.0) / 10000.0
+    assert(math.abs(fused.head._2 - expect20) < 1e-9)
+  }
+
   test("native md5 minhash equals the relational md5 formulation, lane by lane") {
     // the native expression must stay in bit-lockstep with the SQL shape
     // the DuckDB oracle evaluates — over the real fixture corpus, not
@@ -505,6 +542,12 @@ class LlmSpec extends SparkSpec {
   }
 
   test("native Dot4 expression equals the higher-order decimal formulation") {
+    // The cross-check is only meaningful if the HOF side stays HOF: the
+    // RewriteHofDot optimizer rule (registered session-wide by
+    // GraftExtensions.register in other suites) would otherwise turn
+    // this into Dot4-vs-Dot4.
+    spark.conf.set(org.apache.spark.sql.graftfn.RewriteHofDot.ConfKey, "false")
+    try {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val pair = emb.select(col("vec_id"), col("embedding").as("a"))
       .crossJoin(emb.where(col("vec_id") === 7).select(col("embedding").as("b")))
@@ -513,6 +556,9 @@ class LlmSpec extends SparkSpec {
       Similarity.dotExprHof("a", "b").as("hof"))
       .as[(Double, Double)].collect()
     assert(rows.nonEmpty && rows.forall { case (n, h) => n == h })
+    } finally {
+      spark.conf.unset(org.apache.spark.sql.graftfn.RewriteHofDot.ConfKey)
+    }
   }
 
   test("hll estimate within 10% of exact") {

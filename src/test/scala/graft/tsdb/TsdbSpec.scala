@@ -12,6 +12,20 @@ class TsdbSpec extends SparkSpec {
   private def pts(rows: (String, Long, Long, Double)*) =
     rows.toDF("metric", "user", "ts_ms", "value")
 
+  test("query_last: one row per series; ties at the max timestamp take the larger value") {
+    // the exact agg shape tsdb_query_last registers (max over the
+    // (ts_ms, value) struct — lexicographic, so the ts tie breaks to
+    // the larger value, matching the oracle's join-back + max(value))
+    val last = pts(("click", 1L, 100L, 1.0), ("click", 1L, 100L, 2.5),
+        ("click", 1L, 50L, 9.9), ("view", 2L, 10L, 7.0))
+      .groupBy("metric", "user")
+      .agg(max(struct(col("ts_ms"), col("value"))).as("m"))
+      .select(col("metric"), col("user"),
+        col("m.ts_ms").as("last_ms"), col("m.value").as("last_value"))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(last == Set(("click", 1L, 100L, 2.5), ("view", 2L, 10L, 7.0)))
+  }
+
   test("downsample aggregators per series") {
     val df = pts(("m", 1L, 0L, 1.0), ("m", 1L, 1000L, 3.0), ("m", 1L, 61000L, 10.0))
     val out = Downsample(df, Seq("metric", "user"), 60000L, "avg")
