@@ -62,6 +62,17 @@ object LlmQueries {
     Similarity.IndexParams().fingerprint(dir) +
       s"|${contentTag(Tables.embeddings(s, dir), s"emb|$dir")}"
 
+  /** Persisted inverted-text-index artifact (one per fixture dir, same
+    * tmp-root contract as [[annIndexPath]]); fingerprint pins the
+    * documents content so a fixture regeneration rebuilds. */
+  private def textIndexPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "text").toString
+
+  private def textFingerprint(s: org.apache.spark.sql.SparkSession,
+                              dir: String): String =
+    s"text-v1|b=16|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
+
   /** Separate artifact for the build-then-append lifecycle query — the
     * main [[annIndexPath]] index must stay whole-corpus-trained for the
     * stored ≡ inline oracles. */
@@ -735,6 +746,21 @@ object LlmQueries {
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Terms, 10)),
 
+    // BM25 off the PERSISTED inverted index — the serving shape: probe
+    // partition-prunes postings to the query terms' hash buckets,
+    // derives df with tiny aggregates over the pruned slice, scores
+    // posting rows map-side and sums per doc. Corpus size drops out of
+    // the probe cost entirely (only Σ df(term) candidate rows move).
+    // Per-term contributions are 4dp-decimal-quantized before the
+    // order-independent sum; the oracle mirrors THIS formulation.
+    "llm_bm25_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", path,
+        textFingerprint(s, dir))
+      Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
+    }),
+
     // hybrid retrieval: BM25 pool ∪ brute-force-cosine pool fused by
     // reciprocal rank (1/(60+rank)). Each pool is a top-20 (bounded);
     // the fusion windows/joins touch ≤ 2×20 rows regardless of corpus
@@ -1220,22 +1246,31 @@ object LlmQueries {
     * side uses (Double.toString round-trips exactly), and every literal
     * is CAST to DOUBLE because DuckDB parses bare decimal literals as
     * DECIMAL, which would change the arithmetic. */
-  private def bm25Ctes(terms: Seq[String]): String = {
+  /** The double-arithmetic BM25 contribution of term i, shared by the
+    * scan-side oracle (plain sum) and the indexed oracle (per-term
+    * decimal quantize then sum). */
+  private def bm25ScoreFrag(i: Int): String =
+    s"ln(CAST(1 AS DOUBLE) + (n_docs - df$i + 0.5) / (df$i + 0.5))" +
+      s" * (tf$i * CAST(${Bm25K1 + 1.0} AS DOUBLE))" +
+      s" / (tf$i + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)" +
+      s" + CAST($Bm25B AS DOUBLE) * dl / avgdl))"
+
+  /** Tokenize/tf/df/stats CTEs shared by every BM25 oracle. */
+  private def bm25BaseCtes(terms: Seq[String]): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf$i" }.mkString(", ")
     val dfCols = terms.indices.map(i =>
       s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
       .mkString(", ")
-    val score = terms.indices.map { i =>
-      s"ln(CAST(1 AS DOUBLE) + (n_docs - df$i + 0.5) / (df$i + 0.5))" +
-        s" * (tf$i * CAST(${Bm25K1 + 1.0} AS DOUBLE))" +
-        s" / (tf$i + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)" +
-        s" + CAST($Bm25B AS DOUBLE) * dl / avgdl))"
-    }.mkString(" + ")
     s"""wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
                 FROM documents),
         dtf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols FROM wsx),
-        bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM dtf),
+        bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM dtf)"""
+  }
+
+  private def bm25Ctes(terms: Seq[String]): String = {
+    val score = terms.indices.map(bm25ScoreFrag).mkString(" + ")
+    s"""${bm25BaseCtes(terms)},
         bscore AS (SELECT doc_id, ${graft.core.D.oR4(score)} AS bm25
                    FROM dtf CROSS JOIN bstats)"""
   }
@@ -1245,6 +1280,23 @@ object LlmQueries {
       s"""WITH ${bm25Ctes(Bm25Terms)}
           SELECT doc_id, bm25 FROM bscore WHERE bm25 > 0
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // the indexed formulation: only docs holding ≥1 query term exist as
+    // posting rows, and each term's contribution is quantized to
+    // DECIMAL(18,4) before the order-independent sum (mirrors
+    // Retrieval.bm25TopKStored exactly — NOT the scan-side full-double
+    // sum, which can differ in the last decimal)
+    "llm_bm25_indexed" -> {
+      val qsum = Bm25Terms.indices.map(i =>
+        s"(CASE WHEN tf$i > 0 THEN CAST(${bm25ScoreFrag(i)} AS DECIMAL(18,4))" +
+          s" ELSE CAST(0 AS DECIMAL(18,4)) END)").mkString(" + ")
+      val anyTerm = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""WITH ${bm25BaseCtes(Bm25Terms)}
+          SELECT * FROM (
+            SELECT doc_id, ROUND(CAST($qsum AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS bm25
+            FROM dtf CROSS JOIN bstats WHERE $anyTerm)
+          WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
+    },
 
     "llm_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(Bm25Terms)},

@@ -65,6 +65,118 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  // ----------------------- persisted text index (build once, probe many)
+  //
+  // The scan-side BM25 above reads the whole corpus twice per query —
+  // right for one-off analytics, wrong for a serving path. The stored
+  // index is the inverted-file analog of the ANN artifact: postings
+  // (term, doc_id, tf, dl) PARTITIONED by a term-hash bucket so a probe
+  // partition-prunes to the query terms' buckets, plus a single-row
+  // corpus-stats table (N, avgdl). Same Keysets swap contract as the
+  // ANN index: build commits atomically, readers never see half an
+  // index. Per-term df is NOT materialized — it is a count over the
+  // already-pruned postings at probe time (t tiny aggregates), so
+  // appends would only touch postings+stats.
+
+  private def textMetaPath(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path/_meta")
+
+  /** The committed build fingerprint at `path` (None = no index). */
+  def textIndexFingerprint(s: org.apache.spark.sql.SparkSession,
+                           path: String): Option[String] = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val mp = textMetaPath(path)
+    val fs = mp.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (!fs.exists(mp)) None
+    else {
+      val in = fs.open(mp)
+      try Some(new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8))
+      finally in.close()
+    }
+  }
+
+  /** Build the persisted inverted index for `docs` at `path`. Linear in
+    * corpus size (the explode→(term,doc) aggregate is the word-count
+    * shape); the posting rows carry dl so scoring never joins back to
+    * the corpus. */
+  def buildTextIndex(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                     idCol: String, textCol: String, path: String,
+                     fingerprint: String, buckets: Int = 16): Unit = {
+    val ws = docs
+      .withColumn("ws", filter(Dedup.words(col(textCol)), w => w =!= lit("")))
+      .withColumn("dl", size(col("ws")).cast("double"))
+    val postings = ws
+      .select(col(idCol).as("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy("term", "doc_id", "dl")
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
+    val stats = ws.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+      .withColumn("buckets", lit(buckets)) // probe must hash with the build's modulus
+    graft.tsdb.Keysets.swapBuiltDir(s, path) { tmp =>
+      postings.write.partitionBy("tb").parquet(s"$tmp/postings")
+      stats.coalesce(1).write.parquet(s"$tmp/stats")
+      val fs = textMetaPath(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
+      val out = fs.create(textMetaPath(tmp), true)
+      try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    }
+  }
+
+  /** Build only when the committed fingerprint differs (the ensure
+    * pattern every stored-artifact registration uses). */
+  def ensureTextIndex(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                      idCol: String, textCol: String, path: String,
+                      fingerprint: String, buckets: Int = 16): Unit =
+    if (!textIndexFingerprint(s, path).contains(fingerprint))
+      buildTextIndex(s, docs, idCol, textCol, path, fingerprint, buckets)
+
+  /** BM25 top-k off the STORED index: reads the query terms' hash-bucket
+    * partitions only (partition filter from driver-side term hashes —
+    * the engine's own xxhash64, evaluated in one terms-sized local job),
+    * derives per-term df with tiny aggregates over the pruned postings,
+    * scores posting rows map-side, and sums per document. The only data
+    * that moves is Σ df(term) candidate rows — corpus size is out of the
+    * cost entirely.
+    *
+    * Determinism note: the scan-side [[bm25]] sums term contributions in
+    * fixed column order (pure doubles); here rows arrive in shuffle
+    * order, so each contribution is 4dp-DECIMAL-quantized before the
+    * order-independent decimal sum. Scores can therefore differ from the
+    * scan side in the last decimal — the oracle mirrors THIS
+    * formulation, and the spec pins hit-set equality against the scan
+    * side. */
+  def bm25TopKStored(s: org.apache.spark.sql.SparkSession, path: String,
+                     terms: Seq[String], k: Int,
+                     k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty, "bm25 needs at least one query term")
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val st = s.read.parquet(s"$path/stats").collect().head
+    val n = st.getAs[Double]("n_docs")
+    val avgdl = st.getAs[Double]("avgdl")
+    val nBuckets = st.getAs[Int]("buckets")
+    // bucket ids via the engine's own hash (a terms-sized local job —
+    // a driver-side reimplementation of xxhash64 could silently drift)
+    import s.implicits._
+    val buckets = terms.toDF("term")
+      .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("tb"))
+      .collect().map(_.getInt(0)).distinct.toSeq
+    val post = s.read.parquet(s"$path/postings")
+      .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = post.join(broadcast(dfs), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib", graft.core.D.dec(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))))
+    scored.groupBy("doc_id")
+      .agg(graft.core.D.r4s(sum(col("contrib")).cast("double")).as("bm25"))
+      .where(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Dense rank positions of an ALREADY-SMALL ranked pool (a top-k
     * result, k rows). The unpartitioned window is deliberate — it runs
     * over k rows post-limit, never the corpus. Ranks off the 4dp-rounded

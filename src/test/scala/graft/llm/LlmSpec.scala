@@ -59,6 +59,36 @@ class LlmSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("stored text index: probe matches scan-side hits; postings scan partition-prunes") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_llmspec_text").resolve("text").toString
+    Retrieval.buildTextIndex(spark, corpus, "doc_id", "text", path, "spec-v1")
+    val terms = Seq("spark", "merge", "dup")
+    val stored = Retrieval.bm25TopKStored(spark, path, terms, 10)
+      .as[(Long, Double)].collect()
+    val scan = Retrieval.bm25TopK(corpus, "doc_id", "text", terms, 10)
+      .as[(Long, Double)].collect()
+    // same hit set; scores agree to the quantization boundary (the
+    // stored path sums 4dp-quantized per-term contributions)
+    assert(stored.map(_._1).toSet == scan.map(_._1).toSet,
+      s"stored=${stored.toSeq} scan=${scan.toSeq}")
+    val scanById = scan.toMap
+    stored.foreach { case (id, s0) =>
+      assert(math.abs(s0 - scanById(id)) <= 2e-4, s"doc $id: $s0 vs ${scanById(id)}")
+    }
+    // the probe must reach only the query terms' hash-bucket partitions
+    val p = Retrieval.bm25TopKStored(spark, path, terms, 10)
+      .queryExecution.executedPlan.toString
+    val pf = p.split("PartitionFilters:")
+    assert(pf.length >= 2 && pf(1).takeWhile(_ != ']').contains("tb"),
+      s"postings scan must partition-prune on the term bucket:\n$p")
+    // rebuild with the same fingerprint is a no-op (the ensure pattern)
+    val before = new java.io.File(s"$path/_meta").lastModified()
+    Retrieval.ensureTextIndex(spark, corpus, "doc_id", "text", path, "spec-v1")
+    assert(new java.io.File(s"$path/_meta").lastModified() == before)
+  }
+
   test("rrf fusion: both pools contribute, both-list docs outrank single-list peers") {
     val lex = Seq((10L, 5.0), (20L, 4.0), (30L, 3.0)).toDF("id", "s1")
     val vec = Seq((20L, 0.9), (40L, 0.8), (30L, 0.7)).toDF("id", "s2")
