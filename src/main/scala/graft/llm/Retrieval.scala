@@ -95,13 +95,13 @@ object Retrieval {
     }
   }
 
-  /** Build the persisted inverted index for `docs` at `path`. Linear in
-    * corpus size (the explode→(term,doc) aggregate is the word-count
-    * shape); the posting rows carry dl so scoring never joins back to
-    * the corpus. */
-  def buildTextIndex(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
-                     idCol: String, textCol: String, path: String,
-                     fingerprint: String, buckets: Int = 16): Unit = {
+  /** Tokenized posting rows + the matching single-row stats for one doc
+    * batch — THE shared definition between build and append (a drifted
+    * append-side tokenizer would silently corrupt df/tf). Stats carry
+    * exact-integer sums (n_docs, sum_dl) so batches COMBINE exactly:
+    * Σ over stats rows ≡ the stats of one whole-corpus build. */
+  private def postingRows(docs: DataFrame, idCol: String, textCol: String,
+                          buckets: Int): (DataFrame, DataFrame) = {
     val ws = docs
       .withColumn("ws", filter(Dedup.words(col(textCol)), w => w =!= lit("")))
       .withColumn("dl", size(col("ws")).cast("double"))
@@ -111,15 +111,101 @@ object Retrieval {
       .agg(count(lit(1)).cast("double").as("tf"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
     val stats = ws.agg(count(lit(1)).cast("double").as("n_docs"),
-      avg(col("dl")).as("avgdl"))
-      .withColumn("buckets", lit(buckets)) // probe must hash with the build's modulus
+      sum(col("dl")).as("sum_dl"))
+      .withColumn("buckets", lit(buckets)) // probes must hash with the build's modulus
+    (postings, stats)
+  }
+
+  /** Build the persisted inverted index for `docs` at `path`. Linear in
+    * corpus size (the explode→(term,doc) aggregate is the word-count
+    * shape); the posting rows carry dl so scoring never joins back to
+    * the corpus. Layout note: the stats table lives at
+    * `postings/_stats` — underscore paths are invisible to parquet
+    * data discovery, so the postings scan never sees it, while build,
+    * append, and compaction each commit postings AND their stats in
+    * ONE atomic swap (a sibling stats dir would open a crash window
+    * where the two disagree). */
+  def buildTextIndex(s: org.apache.spark.sql.SparkSession, docs: DataFrame,
+                     idCol: String, textCol: String, path: String,
+                     fingerprint: String, buckets: Int = 16): Unit = {
+    val (postings, stats) = postingRows(docs, idCol, textCol, buckets)
     graft.tsdb.Keysets.swapBuiltDir(s, path) { tmp =>
       postings.write.partitionBy("tb").parquet(s"$tmp/postings")
-      stats.coalesce(1).write.parquet(s"$tmp/stats")
+      stats.coalesce(1).write.parquet(s"$tmp/postings/_stats")
       val fs = textMetaPath(tmp).getFileSystem(s.sparkContext.hadoopConfiguration)
       val out = fs.create(textMetaPath(tmp), true)
       try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
+    }
+  }
+
+  /** Stats rows of the base index plus every committed delta (each root
+    * read explicitly — `_stats` is hidden from data discovery). */
+  private def readTextStats(s: org.apache.spark.sql.SparkSession,
+                            path: String): Seq[org.apache.spark.sql.Row] = {
+    graft.tsdb.Keysets.repairSwap(s, s"$path/postings")
+    val roots = s"$path/postings/_stats" +:
+      graft.tsdb.Keysets.deltaDirs(s, path, "postings")
+        .map(d => s"$d/postings/_stats")
+    roots.map(r => s.read.parquet(r))
+      .reduce(_.unionByName(_)).collect().toIndexedSeq
+  }
+
+  /** O(batch) index growth: tokenize the new docs with the STORED
+    * bucket modulus and commit them as one atomic delta dir (postings +
+    * the batch's stats in the same swap — the Keysets delta contract).
+    * df needs no maintenance (it is derived at probe time), and corpus
+    * stats combine exactly because they are stored as integer-exact
+    * sums. Doc ids must be new — the index never rewrites on append. */
+  def appendTextDelta(s: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                      idCol: String, textCol: String, path: String): Unit = {
+    val buckets = readTextStats(s, path).head.getAs[Int]("buckets")
+    val (postings, stats) = postingRows(newDocs, idCol, textCol, buckets)
+    graft.tsdb.Keysets.appendDelta(s, path, "postings") { tmp =>
+      postings.write.partitionBy("tb").parquet(tmp)
+      stats.coalesce(1).write.parquet(s"$tmp/_stats")
+    }
+  }
+
+  /** Tombstone-delete documents WITHOUT rewriting postings — the
+    * takedown shape, same contract as the ANN index: the markers land
+    * as a normal atomic delta, probes drop shadowed ids behind the
+    * gated anti-join, and the next compaction purges physically. One
+    * marker per (doc_id, term-bucket) the doc actually posts into, so
+    * a bucket-pruned probe ALWAYS reads the marker alongside the rows
+    * it shadows. Corpus stats keep counting deleted docs until
+    * compaction (bounded staleness — the BM25 twin of the ANN
+    * quantizer-drift trade, and exactly as documented there). */
+  def deleteFromTextIndex(s: org.apache.spark.sql.SparkSession,
+                          ids: DataFrame, path: String): Unit = {
+    val doomed = graft.core.Exec.materialize(
+      graft.tsdb.Keysets.readWithDeltas(s, path, "postings")
+        .join(ids.toDF("doc_id"), Seq("doc_id"), "left_semi")
+        .select("doc_id", "tb").distinct()
+        .withColumn("tomb", lit(true)))
+    if (!doomed.isEmpty) {
+      graft.tsdb.Keysets.appendDelta(s, path, "postings")(
+        tmp => doomed.write.partitionBy("tb").parquet(tmp))
+    }
+  }
+
+  /** Fold committed deltas into the base postings (tombstoned docs
+    * become physically absent) and RECOMPUTE stats from the folded
+    * rows — one distinct (doc_id, dl) pass, so post-compaction corpus
+    * stats are exact again after takedowns. One atomic swap via the
+    * shared Keysets fold (readers never see a half-fold; the `_folded`
+    * watermark keeps late-listed delta dirs from replaying). */
+  def compactTextDeltas(s: org.apache.spark.sql.SparkSession,
+                        path: String): Unit = {
+    val buckets = readTextStats(s, path).head.getAs[Int]("buckets")
+    graft.tsdb.Keysets.compactDeltas(s, path, "postings") { (merged, tmp) =>
+      val live = graft.core.Exec.materialize(
+        graft.tsdb.Keysets.dropTombstoned(merged, "doc_id"))
+      live.write.partitionBy("tb").parquet(tmp)
+      live.select("doc_id", "dl").distinct()
+        .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).as("sum_dl"))
+        .withColumn("buckets", lit(buckets))
+        .coalesce(1).write.parquet(s"$tmp/_stats")
     }
   }
 
