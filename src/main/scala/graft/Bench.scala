@@ -23,7 +23,8 @@ object Bench {
     "llm_sim_ivfpq_stored", "llm_dedup_incremental",
     "tsdb_expression_abs", "tsdb_expression_wow", "tsdb_histogram_pct",
     "llm_sim_ivf_filtered", "tsdb_expression_topn", "tsdb_query_capped",
-    "llm_sim_ivf_retrained", "llm_chunk_overlap", "llm_ngram_counts")
+    "llm_sim_ivf_retrained", "llm_chunk_overlap", "llm_ngram_counts",
+    "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the
@@ -85,10 +86,15 @@ object Bench {
     }
     val perRep = (1 to reps).map { _ =>
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
-        name -> timeOnce(fn)._1
+        name -> timeOnce(fn)
       }
     }
-    val firstPass = perRep.transpose.map(ts => ts.head._1 -> ts.map(_._2).min)
+    // (name, best time, succeeded-at-least-once) per query — the ok
+    // flag flows all the way to the JSON line: a broken query must be
+    // IMPOSSIBLE to miss, not a silently-timed exception inside a
+    // healthy-looking rc=0 total (the r9 llm_bm25_indexed lesson)
+    val firstPass = perRep.transpose.map(ts =>
+      (ts.head._1, ts.map(_._2._1).min, ts.exists(_._2._2)))
     // Self-defending outlier rerun (always on, even in the driver's
     // single-pass run): ambient machine load has twice inflated driver
     // timings 4-12× in time-contiguous windows (r6: three queries; r7:
@@ -106,16 +112,17 @@ object Bench {
     val median =
       if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.size / 2)
     val rerunThreshold = math.max(2.0, 3.0 * median)
-    val results = firstPass.map { case (name, t) =>
-      if (t <= rerunThreshold) name -> t
+    val results = firstPass.map { case (name, t, ok0) =>
+      if (t <= rerunThreshold) (name, t, ok0)
       else {
         // a rerun that FAILED must not replace the first-pass time — a
         // 0.3 s exception would otherwise publish as a phantom speedup
         val (dt, ok) = timeOnce(selected(name))
-        name -> (if (ok) math.min(t, dt) else t)
+        (name, if (ok) math.min(t, dt) else t, ok0 || ok)
       }
     }
     val reruns = firstPass.count(_._2 > rerunThreshold)
+    val failed = results.filter(!_._3).map(_._1).sorted
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // emit "1,234" and corrupt the JSON line
     def r3(v: Double): String =
@@ -124,9 +131,10 @@ object Bench {
     // stays bounded for the driver's capture window)
     sys.env.get("SPARK_GRAFT_TIMINGS_FILE").foreach { f =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(f),
-        results.map { case (n, t) => s"$n\t$t" }.mkString("", "\n", "\n"))
+        results.map { case (n, t, ok) =>
+          s"$n\t$t${if (ok) "" else "\tFAILED"}" }.mkString("", "\n", "\n"))
     }
-    val byName = results.toMap
+    val byName = results.map(r => r._1 -> r._2).toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
@@ -136,7 +144,11 @@ object Bench {
     val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r
       .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     spark.stop()
-    // keep the JSON line LAST on stdout (after Spark shutdown chatter)
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sf,"n_queries":${results.size},"outlier_reruns":$reruns}""")
+    // keep the JSON line LAST on stdout (after Spark shutdown chatter);
+    // `failed` is bounded (normally empty) and a nonzero exit makes a
+    // broken query fail the run itself, not just annotate it
+    val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","queries":$qs,"sf":$sf,"n_queries":${results.size},"outlier_reruns":$reruns,"failed":$failedJson}""")
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

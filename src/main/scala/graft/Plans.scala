@@ -20,7 +20,9 @@ object Plans {
     "tsdb_histogram_pct", "tsdb_expression_wow", "tsdb_topn_current",
     "tsdb_downsample_calendar", "llm_sim_ivf_filtered",
     "tsdb_expression_topn", "tsdb_query_capped",
-    "llm_sim_ivfpq_filtered", "tsdb_expression_pct")
+    "llm_sim_ivfpq_filtered", "tsdb_expression_pct",
+    "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored",
+    "tsdb_query_last")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -352,6 +352,13 @@ object Dedup {
   // bucket join against the index + Jaccard verification of the
   // candidates — corpus work only on the candidate fetch.
 
+  /** On-disk layout version of the band-index artifact — leads every
+    * ensure fingerprint so a layout refactor forces a rebuild instead
+    * of silently serving an old-layout artifact to new probe code.
+    * Bump rule: increment whenever the `bands/` layout or stored
+    * schema changes. */
+  val BandLayoutVersion = "bands-v2"
+
   private def bandMetaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_meta")
 
   /** True iff a committed band index at `path` carries `fingerprint`. */

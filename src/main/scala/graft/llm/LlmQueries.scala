@@ -71,7 +71,28 @@ object LlmQueries {
 
   private def textFingerprint(s: org.apache.spark.sql.SparkSession,
                               dir: String): String =
-    s"text-v1|b=16|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
+    s"${Retrieval.TextLayoutVersion}|b=16|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
+
+  /** Separate text-index artifact for the build-then-append lifecycle
+    * query (the main [[textIndexPath]] index must stay whole-corpus for
+    * the stored ≡ inline oracle). */
+  private def textAppendPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "text_app").toString
+  private def textAppendFingerprint(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    s"${Retrieval.TextLayoutVersion}|app|b=16|built=mod10ne7|appended=mod10eq7" +
+      s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
+
+  /** Separate text-index artifact for the takedown lifecycle query —
+    * built whole-corpus, then a slice tombstoned. */
+  private def textDeletePath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "text_del").toString
+  private def textDeleteFingerprint(s: org.apache.spark.sql.SparkSession,
+                                    dir: String): String =
+    s"${Retrieval.TextLayoutVersion}|del|b=16|deleted=mod11eq5" +
+      s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
 
   /** Separate artifact for the build-then-append lifecycle query — the
     * main [[annIndexPath]] index must stay whole-corpus-trained for the
@@ -106,7 +127,7 @@ object LlmQueries {
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands").toString
   private def bandFingerprint(s: org.apache.spark.sql.SparkSession,
                               dir: String): String =
-    s"bands-v2|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7" +
+    s"${Dedup.BandLayoutVersion}|$dir|k=32,r=4,n=3|built=mod10notin79|appended=mod10eq9|batch=mod10eq7" +
       s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
 
   /** Separate band artifact for the takedown query — built on the full
@@ -116,7 +137,7 @@ object LlmQueries {
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "bands_del").toString
   private def bandDeleteFingerprint(s: org.apache.spark.sql.SparkSession,
                                     dir: String): String =
-    s"bands-del-v2|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7" +
+    s"${Dedup.BandLayoutVersion}|del|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7" +
       s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
 
   val queries: Map[String, Q] = Map(
@@ -761,6 +782,47 @@ object LlmQueries {
       Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
     }),
 
+    // incremental corpus growth on the TEXT index: built on the
+    // doc_id % 10 != 7 slice, the rest appended as one O(batch) atomic
+    // delta (postings + the batch's integer-exact stats in the same
+    // swap), then probed as one corpus. Per-term df derives at probe
+    // time and the stats sums combine exactly, so append ≡ rebuild —
+    // the oracle is the whole-corpus indexed formulation verbatim.
+    "llm_bm25_appended" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = textAppendPath(dir)
+      val fp = textAppendFingerprint(s, dir)
+      if (!(Retrieval.textIndexFingerprint(s, path).contains(fp) &&
+            Retrieval.textDeltaCount(s, path) > 0)) {
+        Retrieval.buildTextIndex(s,
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 7), "doc_id", "text",
+          path, fp)
+        Retrieval.appendTextDelta(s,
+          docs.where(pmod(col("doc_id"), lit(10)) === 7), "doc_id", "text", path)
+      }
+      Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
+    }),
+
+    // takedown from the text index: built whole-corpus, then the
+    // doc_id % 11 == 5 slice tombstoned (marker-sized delta, no
+    // postings rewrite). The probe drops the deleted docs' postings
+    // immediately (candidates AND df), while corpus stats (N, avgdl)
+    // keep counting them until compaction — the documented
+    // bounded-staleness trade, which the oracle mirrors exactly:
+    // stats over ALL docs, df + candidates over the live slice.
+    "llm_bm25_deleted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = textDeletePath(dir)
+      val fp = textDeleteFingerprint(s, dir)
+      if (!(Retrieval.textIndexFingerprint(s, path).contains(fp) &&
+            Retrieval.textDeltaCount(s, path) > 0)) {
+        Retrieval.buildTextIndex(s, docs, "doc_id", "text", path, fp)
+        Retrieval.deleteFromTextIndex(s,
+          docs.where(pmod(col("doc_id"), lit(11)) === 5).select("doc_id"), path)
+      }
+      Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
+    }),
+
     // hybrid retrieval: BM25 pool ∪ brute-force-cosine pool fused by
     // reciprocal rank (1/(60+rank)). Each pool is a top-20 (bounded);
     // the fusion windows/joins touch ≤ 2×20 rows regardless of corpus
@@ -775,6 +837,30 @@ object LlmQueries {
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       val vPool = Similarity.cosineTopK(emb, qv, 20)
         .withColumnRenamed("vec_id", "id")
+      Retrieval.rrfFuse(bmPool, "bm25", vPool, "sim", "id", 60, 10)
+    }),
+
+    // the SERVING-shaped hybrid: BOTH pools come off persisted
+    // indexes — BM25 top-20 from the term-hash-bucketed text index
+    // (partition-pruned probe) ∪ cosine top-20 from the stored IVF
+    // lists (DPP to the probed clusters) — fused by reciprocal rank.
+    // Neither pool scans the corpus; the only corpus-shaped reads are
+    // the two index probes, each candidate-row-sized. Oracle = the
+    // indexed-BM25 formulation + the whole-corpus Lloyd probe CTEs.
+    "llm_hybrid_rrf_stored" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tpath = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", tpath,
+        textFingerprint(s, dir))
+      val bmPool = Retrieval.bm25TopKStored(s, tpath, Bm25Terms, 20)
+        .withColumnRenamed("doc_id", "id")
+      val emb = Tables.embeddings(s, dir)
+      val apath = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, apath, annFingerprint(s, dir))
+      val qs = emb.where(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val vPool = Similarity.ivfTopKStored(s, qs, apath, 20, nprobe = 2)
+        .select(col("vec_id").as("id"), col("sim"))
       Retrieval.rrfFuse(bmPool, "bm25", vPool, "sim", "id", 60, 10)
     }),
 
@@ -1255,8 +1341,13 @@ object LlmQueries {
       s" / (tf$i + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)" +
       s" + CAST($Bm25B AS DOUBLE) * dl / avgdl))"
 
-  /** Tokenize/tf/df/stats CTEs shared by every BM25 oracle. */
-  private def bm25BaseCtes(terms: Seq[String]): String = {
+  /** Tokenize/tf/df/stats CTEs shared by every BM25 oracle. Corpus
+    * stats (n_docs/avgdl) always cover ALL docs; per-term df covers
+    * the `liveFilter` slice — mirroring the stored index's takedown
+    * semantics, where tombstoned docs vanish from df and candidates
+    * immediately but stats stay whole-corpus until compaction. */
+  private def bm25BaseCtes(terms: Seq[String],
+                           liveFilter: String = "TRUE"): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf$i" }.mkString(", ")
     val dfCols = terms.indices.map(i =>
@@ -1265,15 +1356,38 @@ object LlmQueries {
     s"""wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
                 FROM documents),
         dtf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols FROM wsx),
-        bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM dtf)"""
+        bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dtf),
+        bdf AS (SELECT $dfCols FROM dtf WHERE $liveFilter)"""
   }
 
   private def bm25Ctes(terms: Seq[String]): String = {
     val score = terms.indices.map(bm25ScoreFrag).mkString(" + ")
     s"""${bm25BaseCtes(terms)},
         bscore AS (SELECT doc_id, ${graft.core.D.oR4(score)} AS bm25
-                   FROM dtf CROSS JOIN bstats)"""
+                   FROM dtf CROSS JOIN bstats CROSS JOIN bdf)"""
   }
+
+  /** The indexed-BM25 formulation: only docs holding ≥1 query term
+    * exist as posting rows, each term's contribution is quantized to
+    * DECIMAL(18,4) before the order-independent sum (mirrors
+    * Retrieval.bm25TopKStored exactly — NOT the scan-side full-double
+    * sum, which can differ in the last decimal), and `liveFilter`
+    * restricts df + candidates to the un-tombstoned slice. */
+  private def bm25IndexedSelect(terms: Seq[String],
+                                liveFilter: String = "TRUE"): String = {
+    val qsum = terms.indices.map(i =>
+      s"(CASE WHEN tf$i > 0 THEN CAST(${bm25ScoreFrag(i)} AS DECIMAL(18,4))" +
+        s" ELSE CAST(0 AS DECIMAL(18,4)) END)").mkString(" + ")
+    val anyTerm = terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+    s"""SELECT doc_id, ROUND(CAST($qsum AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS bm25
+        FROM dtf CROSS JOIN bstats CROSS JOIN bdf
+        WHERE ($anyTerm) AND ($liveFilter)"""
+  }
+
+  private def bm25IndexedOracle(liveFilter: String): String =
+    s"""WITH ${bm25BaseCtes(Bm25Terms, liveFilter)}
+        SELECT * FROM (${bm25IndexedSelect(Bm25Terms, liveFilter)})
+        WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
 
   val oracleSql: Map[String, String] = Map(
     "llm_bm25_topk" ->
@@ -1281,22 +1395,17 @@ object LlmQueries {
           SELECT doc_id, bm25 FROM bscore WHERE bm25 > 0
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
 
-    // the indexed formulation: only docs holding ≥1 query term exist as
-    // posting rows, and each term's contribution is quantized to
-    // DECIMAL(18,4) before the order-independent sum (mirrors
-    // Retrieval.bm25TopKStored exactly — NOT the scan-side full-double
-    // sum, which can differ in the last decimal)
-    "llm_bm25_indexed" -> {
-      val qsum = Bm25Terms.indices.map(i =>
-        s"(CASE WHEN tf$i > 0 THEN CAST(${bm25ScoreFrag(i)} AS DECIMAL(18,4))" +
-          s" ELSE CAST(0 AS DECIMAL(18,4)) END)").mkString(" + ")
-      val anyTerm = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
-      s"""WITH ${bm25BaseCtes(Bm25Terms)}
-          SELECT * FROM (
-            SELECT doc_id, ROUND(CAST($qsum AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS bm25
-            FROM dtf CROSS JOIN bstats WHERE $anyTerm)
-          WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
-    },
+    "llm_bm25_indexed" -> bm25IndexedOracle("TRUE"),
+
+    // append ≡ rebuild for the text index (stats sums combine exactly,
+    // df derives at probe time) — the oracle IS the whole-corpus
+    // indexed formulation; matching it proves batch boundaries and the
+    // delta union change nothing
+    "llm_bm25_appended" -> bm25IndexedOracle("TRUE"),
+
+    // takedown mirror: df + candidates over the live slice, corpus
+    // stats still whole-corpus (bounded staleness until compaction)
+    "llm_bm25_deleted" -> bm25IndexedOracle("doc_id % 11 <> 5"),
 
     "llm_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(Bm25Terms)},
@@ -1317,6 +1426,45 @@ object LlmQueries {
                         (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
                 FROM p JOIN n ON n.vec_id = p.vec_id CROSS JOIN nq
                 ORDER BY sim DESC, id LIMIT 20),
+          vr AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank_v
+                 FROM vpool)
+          SELECT COALESCE(br.id, vr.id) AS id, br.rank_b, vr.rank_v,
+                 ${graft.core.D.oR4(
+                   "COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_b), CAST(0 AS DOUBLE))" +
+                   " + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_v), CAST(0 AS DOUBLE))")} AS rrf
+          FROM br FULL OUTER JOIN vr ON br.id = vr.id
+          ORDER BY rrf DESC, id LIMIT 10""",
+
+    // both pools index-backed: BM25 pool = the indexed (quantized)
+    // formulation, vector pool = the whole-corpus Lloyd probe CTEs
+    // (nprobe=2, query vec_id=0) — stored-stored hybrid ≡ these
+    // recomputed-from-scratch pools IS the check
+    "llm_hybrid_rrf_stored" ->
+      s"""WITH ${bm25BaseCtes(Bm25Terms)},
+          bq AS (${bm25IndexedSelect(Bm25Terms)}),
+          bpool AS (SELECT doc_id AS id, bm25 FROM bq WHERE bm25 > 0
+                    ORDER BY bm25 DESC, id LIMIT 20),
+          br AS (SELECT id, CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank_b
+                 FROM bpool),
+          $IvfCtes,
+          qdist AS (SELECT cs.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
+                    FROM csq_3 cs
+                    JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id = 0
+                    JOIN sq ON sq.vec_id = 0),
+          probes AS (SELECT cid FROM (
+                       SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qdist)
+                     WHERE rn <= 2),
+          cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid),
+          qdot AS (SELECT el.vec_id, CAST(SUM(CAST(el.x * q.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                   FROM el JOIN (SELECT pos, x FROM el WHERE vec_id = 0) q ON q.pos = el.pos
+                   GROUP BY 1),
+          vpool AS (SELECT d.vec_id AS id,
+                      ROUND((d.dot / (SQRT(sq.sq) * SQRT(qs.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                    FROM qdot d
+                    JOIN cand c ON c.vec_id = d.vec_id
+                    JOIN sq ON sq.vec_id = d.vec_id
+                    CROSS JOIN (SELECT sq FROM sq WHERE vec_id = 0) qs
+                    ORDER BY sim DESC, id LIMIT 20),
           vr AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank_v
                  FROM vpool)
           SELECT COALESCE(br.id, vr.id) AS id, br.rank_b, vr.rank_v,

@@ -78,6 +78,15 @@ object Retrieval {
   // already-pruned postings at probe time (t tiny aggregates), so
   // appends would only touch postings+stats.
 
+  /** On-disk layout version of the text-index artifact — part of every
+    * ensure fingerprint, so a LAYOUT refactor (not just a data change)
+    * forces a rebuild instead of silently serving an old-layout
+    * artifact to new probe code. Bump rule: increment whenever the
+    * directory layout or any stored schema changes (v2: stats moved to
+    * `postings/_stats` carrying integer-exact `sum_dl` instead of a
+    * sibling `stats` dir with `avgdl`). */
+  val TextLayoutVersion = "text-v2"
+
   private def textMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
 
@@ -140,16 +149,27 @@ object Retrieval {
   }
 
   /** Stats rows of the base index plus every committed delta (each root
-    * read explicitly — `_stats` is hidden from data discovery). */
+    * read explicitly — `_stats` is hidden from data discovery). Roots
+    * with no `_stats` table are skipped: tombstone deltas carry only
+    * marker rows, and corpus stats deliberately keep counting deleted
+    * docs until compaction recomputes them. */
   private def readTextStats(s: org.apache.spark.sql.SparkSession,
                             path: String): Seq[org.apache.spark.sql.Row] = {
     graft.tsdb.Keysets.repairSwap(s, s"$path/postings")
     val roots = s"$path/postings/_stats" +:
       graft.tsdb.Keysets.deltaDirs(s, path, "postings")
         .map(d => s"$d/postings/_stats")
-    roots.map(r => s.read.parquet(r))
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    roots.filter(r => fs.exists(new org.apache.hadoop.fs.Path(r)))
+      .map(r => s.read.parquet(r))
       .reduce(_.unionByName(_)).collect().toIndexedSeq
   }
+
+  /** Visible (un-folded) delta dirs of the text index — the
+    * did-the-lifecycle-actually-run guard the registrations use. */
+  def textDeltaCount(s: org.apache.spark.sql.SparkSession, path: String): Int =
+    graft.tsdb.Keysets.deltaDirs(s, path, "postings").size
 
   /** O(batch) index growth: tokenize the new docs with the STORED
     * bucket modulus and commit them as one atomic delta dir (postings +
@@ -163,6 +183,46 @@ object Retrieval {
     val (postings, stats) = postingRows(newDocs, idCol, textCol, buckets)
     graft.tsdb.Keysets.appendDelta(s, path, "postings") { tmp =>
       postings.write.partitionBy("tb").parquet(tmp)
+      stats.coalesce(1).write.parquet(s"$tmp/_stats")
+    }
+  }
+
+  /** Exactly-once streaming append — [[appendTextDelta]] under the
+    * Keysets txn watermark (the Delta Lake txnAppId pattern shared
+    * with the band and IVF sinks): a replayed micro-batch lands
+    * NOTHING, and auto-allocated delta ids mean a replay can never
+    * overwrite a takedown tombstone or any other writer's delta.
+    * Returns whether anything landed. */
+  def appendTextDeltaTxn(s: org.apache.spark.sql.SparkSession, newDocs: DataFrame,
+                         idCol: String, textCol: String, path: String,
+                         streamId: String, batchId: Long): Boolean = {
+    val buckets = readTextStats(s, path).head.getAs[Int]("buckets")
+    val (postings, stats) = postingRows(newDocs, idCol, textCol, buckets)
+    graft.tsdb.Keysets.appendDeltaTxn(s, path, "postings", streamId, batchId) { tmp =>
+      postings.write.partitionBy("tb").parquet(tmp)
+      stats.coalesce(1).write.parquet(s"$tmp/_stats")
+    }
+  }
+
+  /** Bootstrap for a stream-grown text index: an empty schema-bearing
+    * postings base plus a zero-stats row pinning the bucket modulus
+    * (the corpus then accumulates purely as micro-batch deltas until
+    * [[compactTextDeltas]] folds it). The empty base is written
+    * UN-partitioned with one forced task — a zero-row partitionBy
+    * write lands a schema-less dir no reader can open; `tb` rides as a
+    * data column, which unions by name with the partitioned deltas and
+    * still bucket-prunes them. No-op when the base already exists. */
+  def ensureEmptyTextBase(s: org.apache.spark.sql.SparkSession, path: String,
+                          buckets: Int = 16): Unit = {
+    graft.tsdb.Keysets.repairSwap(s, s"$path/postings")
+    val base = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = base.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(base)) return
+    import s.implicits._
+    val (postings, stats) = postingRows(
+      Seq.empty[(Long, String)].toDF("doc_id", "text"), "doc_id", "text", buckets)
+    graft.tsdb.Keysets.swapBuiltDir(s, s"$path/postings") { tmp =>
+      postings.repartition(1).write.parquet(tmp)
       stats.coalesce(1).write.parquet(s"$tmp/_stats")
     }
   }
@@ -201,7 +261,10 @@ object Retrieval {
     graft.tsdb.Keysets.compactDeltas(s, path, "postings") { (merged, tmp) =>
       val live = graft.core.Exec.materialize(
         graft.tsdb.Keysets.dropTombstoned(merged, "doc_id"))
-      live.write.partitionBy("tb").parquet(tmp)
+      // fully-tombstoned → still land a schema-bearing (empty) base:
+      // a zero-row partitionBy write plans no tasks and no files
+      if (live.isEmpty) live.repartition(1).write.parquet(tmp)
+      else live.write.partitionBy("tb").parquet(tmp)
       live.select("doc_id", "dl").distinct()
         .agg(count(lit(1)).cast("double").as("n_docs"), sum(col("dl")).as("sum_dl"))
         .withColumn("buckets", lit(buckets))
@@ -219,11 +282,15 @@ object Retrieval {
 
   /** BM25 top-k off the STORED index: reads the query terms' hash-bucket
     * partitions only (partition filter from driver-side term hashes —
-    * the engine's own xxhash64, evaluated in one terms-sized local job),
-    * derives per-term df with tiny aggregates over the pruned postings,
-    * scores posting rows map-side, and sums per document. The only data
-    * that moves is Σ df(term) candidate rows — corpus size is out of the
-    * cost entirely.
+    * the engine's own xxhash64, evaluated in one terms-sized local job)
+    * across the base table AND every committed delta, minus tombstoned
+    * docs; derives per-term df with tiny aggregates over the pruned live
+    * postings, scores posting rows map-side, and sums per document. The
+    * only data that moves is Σ df(term) candidate rows — corpus size is
+    * out of the cost entirely. Corpus stats (N, avgdl) combine exactly
+    * across base + deltas (integer-exact sums); after a takedown they
+    * keep counting deleted docs until compaction recomputes them — the
+    * documented bounded-staleness trade, mirrored by the oracle.
     *
     * Determinism note: the scan-side [[bm25]] sums term contributions in
     * fixed column order (pure doubles); here rows arrive in shuffle
@@ -237,18 +304,30 @@ object Retrieval {
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     graft.tsdb.Keysets.repairSwap(s, path)
-    val st = s.read.parquet(s"$path/stats").collect().head
-    val n = st.getAs[Double]("n_docs")
-    val avgdl = st.getAs[Double]("avgdl")
-    val nBuckets = st.getAs[Int]("buckets")
+    // corpus stats = Σ over base + delta stats rows (integer-exact
+    // sums, so the combined avgdl is bit-identical to a whole-corpus
+    // build's); a bootstrap-empty base contributes n=0 / null sum_dl
+    val statRows = readTextStats(s, path)
+    val n = statRows.map(_.getAs[Double]("n_docs")).sum
+    val avgdl = statRows.map(r =>
+      if (r.isNullAt(r.fieldIndex("sum_dl"))) 0.0
+      else r.getAs[Double]("sum_dl")).sum / n
+    val nBuckets = statRows.head.getAs[Int]("buckets")
     // bucket ids via the engine's own hash (a terms-sized local job —
     // a driver-side reimplementation of xxhash64 could silently drift)
     import s.implicits._
     val buckets = terms.toDF("term")
       .select(pmod(xxhash64(col("term")), lit(nBuckets)).cast("int").as("tb"))
       .collect().map(_.getInt(0)).distinct.toSeq
-    val post = s.read.parquet(s"$path/postings")
-      .where(col("tb").isin(buckets: _*) && col("term").isin(terms: _*))
+    // bucket-prune FIRST (tombstone markers are written per (doc_id,
+    // tb), so the pruned slice always carries the markers shadowing
+    // its rows), drop tombstoned docs BEFORE the term filter (marker
+    // rows have a null term and would otherwise be filtered away),
+    // THEN narrow to the query terms
+    val post = graft.tsdb.Keysets.dropTombstoned(
+        graft.tsdb.Keysets.readWithDeltas(s, path, "postings")
+          .where(col("tb").isin(buckets: _*)), "doc_id")
+      .where(col("term").isin(terms: _*))
     val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
     val scored = post.join(broadcast(dfs), "term")
       .withColumn("idf", log(lit(1.0) +

@@ -488,12 +488,20 @@ object Similarity {
   //   _meta       build fingerprint ([[ensureIvfIndex]] no-ops when
   //               the stored index is current)
 
-  /** Parameters of a persisted index build; the fingerprint pins them
-    * plus the caller-supplied corpus tag, so any change rebuilds. */
+  /** On-disk layout version of the ANN artifact — leads every ensure
+    * fingerprint so a layout refactor forces a rebuild instead of
+    * silently serving an old-layout artifact to new probe code. Bump
+    * rule: increment whenever the directory layout above or any stored
+    * schema changes. */
+  val AnnLayoutVersion = "ivf-v1"
+
+  /** Parameters of a persisted index build; the fingerprint pins the
+    * ARTIFACT LAYOUT version, them, and the caller-supplied corpus
+    * tag, so any change rebuilds. */
   final case class IndexParams(k: Int = 8, iters: Int = 2, pqM: Int = 4,
                                pqK: Int = 8, pqIters: Int = 1, dim: Int = 64) {
     def fingerprint(corpusTag: String): String =
-      s"ivf-v1|$corpusTag|k=$k,i=$iters|pq=${pqM}x$pqK,i=$pqIters|dim=$dim"
+      s"$AnnLayoutVersion|$corpusTag|k=$k,i=$iters|pq=${pqM}x$pqK,i=$pqIters|dim=$dim"
   }
 
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_meta")

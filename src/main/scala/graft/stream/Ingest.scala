@@ -45,9 +45,11 @@ object Ingest {
     })
 
   /** Streaming view of the events fixture (file source); ts derivations
-    * shared with the batch reader (one definition in Tables.deriveTs). */
+    * shared with the batch reader (one definition in Tables.deriveTs).
+    * The explicit micros schema above means only round-9+ fixture
+    * generations stream (the retired nanos fixtures were only ever
+    * read batch-side, where Tables still branches on the footer). */
   def eventsStream(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.conf.set("spark.sql.session.timeZone", "UTC")
     graft.core.Tables.deriveTs(
       s.readStream.schema(eventsSchema).parquet(stagedEventsDir(dir)))
@@ -338,6 +340,46 @@ object Ingest {
             graft.llm.Dedup.bandDeltaCount(batch.sparkSession, indexPath)
               >= maxDeltasBeforeCompact)
           graft.llm.Dedup.compactBandDeltas(batch.sparkSession, indexPath)
+        ()
+      }
+      .start()
+    q.awaitTermination()
+  }
+
+  /** Steady-state TEXT-index maintenance from a document stream — the
+    * inverted-file twin of [[maintainBandIndex]], same txn-marker
+    * exactly-once contract: each micro-batch's postings land as the
+    * next auto-id delta WITH the batch's integer-exact corpus stats in
+    * the same atomic swap, so probes always see matching postings and
+    * stats. Because per-term df derives at probe time and the stats
+    * sums combine exactly, the stream-grown index ≡ a batch rebuild
+    * over the same docs regardless of batch boundaries
+    * (StreamSpec-asserted). Bootstrap is an empty schema-bearing base
+    * pinning the bucket modulus; [[graft.llm.Retrieval
+    * .compactTextDeltas]] is the read-side maintenance pass, never a
+    * correctness requirement. */
+  def maintainTextIndex(s: SparkSession, docsStream: DataFrame,
+                        indexPath: String, checkpoint: String,
+                        idCol: String = "doc_id", textCol: String = "text",
+                        buckets: Int = 16,
+                        maxDeltasBeforeCompact: Int = Int.MaxValue): Unit = {
+    graft.llm.Retrieval.ensureEmptyTextBase(s, indexPath, buckets)
+    val q = docsStream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val landed = graft.llm.Retrieval.appendTextDeltaTxn(batch.sparkSession,
+          batch, idCol, textCol, indexPath,
+          streamId = checkpoint, batchId = batchId)
+        // inline maintenance: fold deltas past the threshold (see
+        // maintainBandIndex — compaction rides the stream's own
+        // single-writer window, and replayed batches land nothing so
+        // they can never trigger a fold)
+        if (landed && maxDeltasBeforeCompact != Int.MaxValue &&
+            graft.llm.Retrieval.textDeltaCount(batch.sparkSession, indexPath)
+              >= maxDeltasBeforeCompact)
+          graft.llm.Retrieval.compactTextDeltas(batch.sparkSession, indexPath)
         ()
       }
       .start()

@@ -51,8 +51,10 @@ class LlmSpec extends SparkSpec {
     // docs carrying the rare term ("dup": df 2/5) outrank common-term-only
     assert(rank.indexOf(4L) < rank.indexOf(5L))
     // scale shape: no wide shuffle — only the single-row stats aggregate
-    // exchanges (plus nothing for TakeOrderedAndProject)
-    val p = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), 5)
+    // exchanges (plus nothing for TakeOrderedAndProject). k must be
+    // SMALLER than the corpus here: a limit ≥ the child's maxRows is
+    // removed by EliminateLimits, and with it TakeOrderedAndProject
+    val p = Retrieval.bm25TopK(corpus, "doc_id", "text", Seq("spark"), 3)
       .queryExecution.executedPlan.toString
     assert(!p.contains("Exchange hashpartitioning"),
       s"BM25 must not shuffle the corpus:\n$p")
@@ -87,6 +89,69 @@ class LlmSpec extends SparkSpec {
     val before = new java.io.File(s"$path/_meta").lastModified()
     Retrieval.ensureTextIndex(spark, corpus, "doc_id", "text", path, "spec-v1")
     assert(new java.io.File(s"$path/_meta").lastModified() == before)
+  }
+
+  test("text index lifecycle: append ≡ rebuild, takedown immediate, compaction recomputes stats") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val terms = Seq("spark", "merge", "dup")
+    def probe(p: String) = Retrieval.bm25TopKStored(spark, p, terms, 10)
+      .as[(Long, Double)].collect().toSeq
+    val root = java.nio.file.Files.createTempDirectory("graft_llmspec_tlc")
+    // append ≡ rebuild: the batch's integer-exact stats combine with the
+    // base's, per-term df derives at probe time — batch boundaries can't
+    // change what a probe returns
+    val grown = root.resolve("grown").toString
+    Retrieval.buildTextIndex(spark,
+      corpus.where(col("doc_id") % 10 =!= 7), "doc_id", "text", grown, "t")
+    Retrieval.appendTextDelta(spark,
+      corpus.where(col("doc_id") % 10 === 7), "doc_id", "text", grown)
+    assert(Retrieval.textDeltaCount(spark, grown) == 1)
+    val whole = root.resolve("whole").toString
+    Retrieval.buildTextIndex(spark, corpus, "doc_id", "text", whole, "t")
+    assert(probe(grown) == probe(whole),
+      "an appended index must equal a whole-corpus rebuild")
+    // takedown: the deleted doc vanishes from hits (and df) immediately,
+    // before any compaction
+    val hitsBefore = probe(whole).map(_._1).toSet
+    assert(hitsBefore.nonEmpty)
+    val top = probe(whole).head._1
+    Retrieval.deleteFromTextIndex(spark, Seq(top).toDF("doc_id"), whole)
+    val afterDel = probe(whole)
+    assert(!afterDel.map(_._1).contains(top),
+      "a takedown must be invisible to probes immediately")
+    // the top-10 limit backfills: every surviving prior hit stays, and
+    // the freed slot may admit the former rank-11 doc
+    assert((hitsBefore - top).subsetOf(afterDel.map(_._1).toSet),
+      "only the tombstoned doc may disappear")
+    // compaction folds deltas, purges tombstoned postings physically,
+    // and RECOMPUTES corpus stats — the folded index must equal a fresh
+    // build over the surviving corpus exactly (scores included: the
+    // pre-compaction probe still priced the deleted doc into N/avgdl)
+    Retrieval.compactTextDeltas(spark, whole)
+    assert(Retrieval.textDeltaCount(spark, whole) == 0)
+    val fresh = root.resolve("fresh").toString
+    Retrieval.buildTextIndex(spark,
+      corpus.where(col("doc_id") =!= top), "doc_id", "text", fresh, "t")
+    assert(probe(whole) == probe(fresh),
+      "compaction must leave exactly the live-corpus rebuild")
+  }
+
+  test("layout version rides the fingerprint: a layout bump rebuilds with unchanged data") {
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_llmspec_lv").resolve("text").toString
+    def fp(v: String) = s"$v|b=16|content-unchanged"
+    Retrieval.ensureTextIndex(spark, docs, "doc_id", "text", path,
+      fp(Retrieval.TextLayoutVersion))
+    val before = new java.io.File(s"$path/_meta").lastModified()
+    Retrieval.ensureTextIndex(spark, docs, "doc_id", "text", path,
+      fp(Retrieval.TextLayoutVersion))
+    assert(new java.io.File(s"$path/_meta").lastModified() == before,
+      "same layout + same content must not rebuild")
+    Retrieval.ensureTextIndex(spark, docs, "doc_id", "text", path,
+      fp(Retrieval.TextLayoutVersion + ".next"))
+    assert(Retrieval.textIndexFingerprint(spark, path)
+      .contains(fp(Retrieval.TextLayoutVersion + ".next")),
+      "a layout-version bump with unchanged data must rebuild the artifact")
   }
 
   test("rrf fusion: both pools contribute, both-list docs outrank single-list peers") {

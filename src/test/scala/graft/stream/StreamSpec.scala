@@ -319,6 +319,63 @@ class StreamSpec extends SparkSpec {
       idx, streamId = cp, batchId = 3L))
   }
 
+  test("stream-grown text index equals a batch rebuild; restart and post-compaction replay are no-ops") {
+    import graft.llm.Retrieval
+    val docs = graft.core.Tables.documents(spark, sf)
+    val root = java.nio.file.Files.createTempDirectory("graft_sti_")
+    // several source files → several micro-batches (one file per trigger)
+    val srcDir = root.resolve("docs").toString
+    docs.repartition(3).write.parquet(srcDir)
+    def stream() = spark.readStream.schema(docs.schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val idx = root.resolve("textidx").toString
+    val cp = root.resolve("cp").toString
+    Ingest.maintainTextIndex(spark, stream(), idx, cp)
+    assert(Retrieval.textDeltaCount(spark, idx) == 3,
+      "one delta per micro-batch")
+    val terms = Seq("spark", "merge", "dup")
+    def hits(p: String) = Retrieval.bm25TopKStored(spark, p, terms, 10)
+      .as[(Long, Double)].collect().toSeq
+    val whole = root.resolve("whole").toString
+    Retrieval.buildTextIndex(spark, docs, "doc_id", "text", whole, "t")
+    val expected = hits(whole)
+    assert(hits(idx) == expected,
+      "stream-grown index must equal a batch rebuild — batch boundaries " +
+        "can't matter (stats sums combine exactly, df derives at probe)")
+    // restart on the same checkpoint: no new files, no new batches
+    Ingest.maintainTextIndex(spark, stream(), idx, cp)
+    assert(Retrieval.textDeltaCount(spark, idx) == 3 && hits(idx) == expected)
+    // a takedown lands its tombstone as the next auto-id delta; a late
+    // replay of stream batch 0 must be SKIPPED by the txn watermark —
+    // under id-reuse it would overwrite the tombstone and resurrect
+    // the deleted doc
+    val top = expected.head._1
+    Retrieval.deleteFromTextIndex(spark, Seq(top).toDF("doc_id"), idx)
+    val afterDelete = hits(idx)
+    assert(!afterDelete.map(_._1).contains(top),
+      "a takedown must be invisible to probes immediately")
+    assert(!Retrieval.appendTextDeltaTxn(spark, docs.limit(7), "doc_id", "text",
+      idx, streamId = cp, batchId = 0L),
+      "a replayed batch must land nothing")
+    assert(hits(idx) == afterDelete,
+      "the replay must not resurrect the tombstoned doc")
+    // compaction folds batches + tombstones, RECOMPUTES exact stats,
+    // and carries the txn record into the base
+    Retrieval.compactTextDeltas(spark, idx)
+    val fresh = root.resolve("fresh").toString
+    Retrieval.buildTextIndex(spark,
+      docs.where(col("doc_id") =!= top), "doc_id", "text", fresh, "t")
+    assert(hits(idx) == hits(fresh),
+      "post-compaction index must equal the live-corpus rebuild")
+    assert(!Retrieval.appendTextDeltaTxn(spark, docs.limit(7), "doc_id", "text",
+      idx, streamId = cp, batchId = 2L),
+      "txn watermark must survive compaction")
+    // a genuinely NEW batch id still lands
+    assert(Retrieval.appendTextDeltaTxn(spark,
+      docs.where(col("doc_id") % 13 === 0), "doc_id", "text",
+      idx, streamId = cp, batchId = 3L))
+  }
+
   test("stream-appended ivf index: probes equal the batch-appended index; no quantizer, no stream") {
     import graft.llm.Similarity
     val emb = graft.core.Tables.embeddings(spark, sf)

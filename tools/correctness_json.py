@@ -10,10 +10,6 @@ Usage: correctness_json.py <sfdir> <verify-outdir> <out.json> [provenance]
 """
 import sys, json, glob, os
 
-sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
-import importlib.util
-spec = importlib.util.spec_from_loader("checkmod", loader=None)
-
 import duckdb, numpy as np, pandas as pd
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
