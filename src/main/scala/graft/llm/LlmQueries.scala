@@ -94,6 +94,25 @@ object LlmQueries {
     s"${Retrieval.TextLayoutVersion}|del|b=16|deleted=mod11eq5" +
       s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
 
+  /** Separate text-index artifact for the delete-then-compact lifecycle
+    * query — after the fold, corpus stats are recomputed from the live
+    * rows, so the oracle's stats ALSO cover only the live slice (unlike
+    * [[textDeletePath]]'s bounded-staleness oracle). */
+  private def textCompactPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "text_cmp").toString
+  private def textCompactFingerprint(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): String =
+    s"${Retrieval.TextLayoutVersion}|cmp|b=16|deleted=mod11eq5|compacted" +
+      s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
+
+  /** Separate ANN artifact for the delete-then-compact lifecycle query
+    * (physical purge of tombstoned vectors; probe results must stay
+    * identical to the pre-fold tombstone view). */
+  private def annCompactPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_cmp").toString
+
   /** Separate artifact for the build-then-append lifecycle query — the
     * main [[annIndexPath]] index must stay whole-corpus-trained for the
     * stored ≡ inline oracles. */
@@ -445,6 +464,31 @@ object LlmQueries {
         Similarity.buildIvfIndex(s, emb, path, fp)
         Similarity.deleteFromIvfIndex(s,
           emb.where(pmod(col("vec_id"), lit(11)) === 5).select("vec_id"), path)
+      }
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
+    }),
+
+    // the ANN maintenance pass through the gate: build whole-corpus,
+    // tombstone the vec_id % 11 == 5 slice, then COMPACT — the fold
+    // physically purges both the markers and the rows they shadow,
+    // while the quantizer keeps its training. Probe results must be
+    // IDENTICAL to the pre-fold tombstone view (same oracle as
+    // llm_sim_ivf_deleted) — a fold that corrupted lists, dropped a
+    // live row, or resurrected a tombstoned one breaks the hash here.
+    // Guard = the `_folded` watermark (post-fold delta count is 0,
+    // indistinguishable from a fresh build without it).
+    "llm_sim_ivf_compacted" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annCompactPath(dir)
+      val fp = annFingerprint(s, dir) + "|deleted=mod11eq5|compacted"
+      if (!(Similarity.ivfIndexCurrent(s, path, fp) &&
+            Similarity.ivfFoldedThru(s, path) >= 0)) {
+        Similarity.buildIvfIndex(s, emb, path, fp)
+        Similarity.deleteFromIvfIndex(s,
+          emb.where(pmod(col("vec_id"), lit(11)) === 5).select("vec_id"), path)
+        Similarity.compactIvfDeltas(s, path)
       }
       val qs = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -819,6 +863,30 @@ object LlmQueries {
         Retrieval.buildTextIndex(s, docs, "doc_id", "text", path, fp)
         Retrieval.deleteFromTextIndex(s,
           docs.where(pmod(col("doc_id"), lit(11)) === 5).select("doc_id"), path)
+      }
+      Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
+    }),
+
+    // the maintenance pass through the gate: whole-corpus build, the
+    // doc_id % 11 == 5 slice tombstoned, then COMPACTED — deltas fold
+    // into the base, tombstoned postings become physically absent, and
+    // corpus stats are RECOMPUTED from the live rows. The oracle is
+    // therefore the live-slice formulation on EVERY axis (stats AND df
+    // AND candidates) — a different SQL than llm_bm25_deleted's
+    // bounded-staleness mirror, so the gate distinguishes "fold ran
+    // and recomputed stats" from "tombstones still pending". The
+    // `_folded` watermark is the rebuild guard: post-fold the delta
+    // count is 0 again, indistinguishable from a fresh build without it.
+    "llm_bm25_compacted" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = textCompactPath(dir)
+      val fp = textCompactFingerprint(s, dir)
+      if (!(Retrieval.textIndexFingerprint(s, path).contains(fp) &&
+            Retrieval.textFoldedThru(s, path) >= 0)) {
+        Retrieval.buildTextIndex(s, docs, "doc_id", "text", path, fp)
+        Retrieval.deleteFromTextIndex(s,
+          docs.where(pmod(col("doc_id"), lit(11)) === 5).select("doc_id"), path)
+        Retrieval.compactTextDeltas(s, path)
       }
       Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
     }),
@@ -1342,12 +1410,14 @@ object LlmQueries {
       s" + CAST($Bm25B AS DOUBLE) * dl / avgdl))"
 
   /** Tokenize/tf/df/stats CTEs shared by every BM25 oracle. Corpus
-    * stats (n_docs/avgdl) always cover ALL docs; per-term df covers
-    * the `liveFilter` slice — mirroring the stored index's takedown
-    * semantics, where tombstoned docs vanish from df and candidates
-    * immediately but stats stay whole-corpus until compaction. */
+    * stats (n_docs/avgdl) cover the `statsFilter` slice — ALL docs by
+    * default, mirroring the stored index's takedown semantics where
+    * tombstoned docs vanish from df and candidates immediately but
+    * stats stay whole-corpus until compaction; the compacted oracle
+    * passes the live filter here too (the fold recomputes stats). */
   private def bm25BaseCtes(terms: Seq[String],
-                           liveFilter: String = "TRUE"): String = {
+                           liveFilter: String = "TRUE",
+                           statsFilter: String = "TRUE"): String = {
     val tfCols = terms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf$i" }.mkString(", ")
     val dfCols = terms.indices.map(i =>
@@ -1356,7 +1426,7 @@ object LlmQueries {
     s"""wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
                 FROM documents),
         dtf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols FROM wsx),
-        bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dtf),
+        bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dtf WHERE $statsFilter),
         bdf AS (SELECT $dfCols FROM dtf WHERE $liveFilter)"""
   }
 
@@ -1389,6 +1459,14 @@ object LlmQueries {
         SELECT * FROM (${bm25IndexedSelect(Bm25Terms, liveFilter)})
         WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
 
+  /** Post-compaction mirror: the fold physically purged the deleted
+    * slice AND recomputed corpus stats from the live rows, so every
+    * axis — stats, df, candidates — filters to the live slice. */
+  private def bm25CompactedOracle(liveFilter: String): String =
+    s"""WITH ${bm25BaseCtes(Bm25Terms, liveFilter, liveFilter)}
+        SELECT * FROM (${bm25IndexedSelect(Bm25Terms, liveFilter)})
+        WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
+
   val oracleSql: Map[String, String] = Map(
     "llm_bm25_topk" ->
       s"""WITH ${bm25Ctes(Bm25Terms)}
@@ -1406,6 +1484,12 @@ object LlmQueries {
     // takedown mirror: df + candidates over the live slice, corpus
     // stats still whole-corpus (bounded staleness until compaction)
     "llm_bm25_deleted" -> bm25IndexedOracle("doc_id % 11 <> 5"),
+
+    // compaction mirror: the fold recomputed stats from the live rows,
+    // so stats AND df AND candidates all cover the live slice — a
+    // different oracle than llm_bm25_deleted's, which is exactly the
+    // point (the gate verifies the fold's stats recomputation)
+    "llm_bm25_compacted" -> bm25CompactedOracle("doc_id % 11 <> 5"),
 
     "llm_hybrid_rrf" ->
       s"""WITH ${bm25Ctes(Bm25Terms)},
@@ -1492,6 +1576,14 @@ object LlmQueries {
     // takedown mirror: whole-corpus training, candidates minus the
     // tombstoned slice — a deleted vector can never be returned
     "llm_sim_ivf_deleted" ->
+      ivfBatchOracleWith(IvfCtes, "a.vec_id % 11 <> 5"),
+
+    // compaction is purely physical for the ANN index (the quantizer
+    // keeps its training; stats play no role in ranking), so the
+    // post-fold probe must EQUAL the tombstone view — same oracle as
+    // llm_sim_ivf_deleted; a fold that dropped a live row or
+    // resurrected a deleted one breaks the hash
+    "llm_sim_ivf_compacted" ->
       ivfBatchOracleWith(IvfCtes, "a.vec_id % 11 <> 5"),
 
     // incremental semantic dedup: train on the corpus slice, pair the

@@ -171,6 +171,16 @@ object Retrieval {
   def textDeltaCount(s: org.apache.spark.sql.SparkSession, path: String): Int =
     graft.tsdb.Keysets.deltaDirs(s, path, "postings").size
 
+  /** Highest delta id folded into the base postings (-1 = never
+    * compacted) — the did-compaction-actually-run guard: after a fold,
+    * delta count drops back to 0, so the watermark is the only durable
+    * evidence distinguishing a compacted index from a fresh build. */
+  def textFoldedThru(s: org.apache.spark.sql.SparkSession, path: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.tsdb.Keysets.foldedThru(fs, path, "postings")
+  }
+
   /** O(batch) index growth: tokenize the new docs with the STORED
     * bucket modulus and commit them as one atomic delta dir (postings +
     * the batch's stats in the same swap — the Keysets delta contract).

@@ -691,6 +691,16 @@ object Similarity {
   def ivfDeltaCount(s: SparkSession, path: String): Int =
     graft.tsdb.Keysets.deltaDirs(s, path, "lists").size
 
+  /** Highest delta id folded into the base lists (-1 = never
+    * compacted) — after a fold the delta count is 0 again, so this
+    * watermark is the only durable did-compaction-run evidence (the
+    * text-index twin is [[Retrieval.textFoldedThru]]). */
+  def ivfFoldedThru(s: SparkSession, path: String): Int = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    graft.tsdb.Keysets.foldedThru(fs, path, "lists")
+  }
+
   /** Quantizer-drift signal for the append-without-retrain trade: the
     * fraction of the served corpus the stored quantizer never trained
     * on — cumulative APPENDED mass / `_trained` count pinned at build

@@ -136,6 +136,41 @@ class LlmSpec extends SparkSpec {
       "compaction must leave exactly the live-corpus rebuild")
   }
 
+  test("compacted registrations: fold ran, guard holds, semantics match") {
+    // llm_bm25_compacted: delete-then-compact ≡ a fresh build over the
+    // live slice (stats recomputed — the thing its oracle checks)
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val bm = graft.SparkEntry.queries("llm_bm25_compacted")(spark, sf)
+      .as[(Long, Double)].collect().toSeq
+    val live = java.nio.file.Files.createTempDirectory("graft_llmspec_cmp")
+      .resolve("live").toString
+    Retrieval.buildTextIndex(spark,
+      corpus.where(col("doc_id") % 11 =!= 5), "doc_id", "text", live, "t")
+    assert(bm == Retrieval.bm25TopKStored(spark, live,
+      Seq("spark", "merge", "dup"), 10).as[(Long, Double)].collect().toSeq,
+      "compacted registration must equal a live-slice rebuild probe")
+    // llm_sim_ivf_compacted: physical purge only — must equal the
+    // tombstone view the deleted registration serves
+    val iv = graft.SparkEntry.queries("llm_sim_ivf_compacted")(spark, sf).collect()
+    val dl = graft.SparkEntry.queries("llm_sim_ivf_deleted")(spark, sf).collect()
+    assert(iv.sameElements(dl),
+      "post-fold ANN probe must equal the pre-fold tombstone view")
+    // both ensure guards: the fold left a watermark and no visible
+    // deltas, and a re-run reuses the artifact (no rebuild)
+    def tmpIdx(sub: String) = java.nio.file.Paths
+      .get(sys.props("java.io.tmpdir"), "graft_idx",
+        sf.replaceAll("[^A-Za-z0-9._-]", "_"), sub).toString
+    assert(Retrieval.textFoldedThru(spark, tmpIdx("text_cmp")) >= 0)
+    assert(Retrieval.textDeltaCount(spark, tmpIdx("text_cmp")) == 0)
+    assert(Similarity.ivfFoldedThru(spark, tmpIdx("ann_cmp")) >= 0)
+    assert(Similarity.ivfDeltaCount(spark, tmpIdx("ann_cmp")) == 0)
+    val meta = new java.io.File(s"${tmpIdx("text_cmp")}/_meta")
+    val before = meta.lastModified()
+    graft.SparkEntry.queries("llm_bm25_compacted")(spark, sf).collect()
+    assert(meta.lastModified() == before,
+      "a second run must reuse the compacted artifact, not rebuild")
+  }
+
   test("layout version rides the fingerprint: a layout bump rebuilds with unchanged data") {
     val path = java.nio.file.Files
       .createTempDirectory("graft_llmspec_lv").resolve("text").toString
