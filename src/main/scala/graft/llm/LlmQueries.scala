@@ -867,6 +867,36 @@ object LlmQueries {
       Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
     }),
 
+    // metadata-filtered lexical retrieval — the BM25 twin of
+    // llm_sim_ivf_filtered: only lang='en' docs may rank, while df /
+    // N / avgdl keep corpus-level values (a filter narrows WHO can
+    // match, not how terms weigh — the Lucene semantics). Join order
+    // keeps everything candidate-sized: pruned-postings doc_ids
+    // broadcast into the documents scan (lang predicate pushed down
+    // there), survivors broadcast back against the postings.
+    "llm_bm25_filtered" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", path,
+        textFingerprint(s, dir))
+      Retrieval.bm25TopKStoredFiltered(s, path, Bm25Terms,
+        docs.where(col("lang") === "en").select("doc_id"), 10)
+    }),
+
+    // the stored text index DESCRIBE'd from its own artifact: doc
+    // count and avgdl off the committed stats rows, vocabulary size
+    // and posting-row count off one aggregate over the live postings.
+    // Matching the recomputed-from-documents oracle proves the
+    // artifact's bookkeeping (build wrote every posting exactly once,
+    // stats match the corpus) — not just the probe path.
+    "llm_text_index_stats" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", path,
+        textFingerprint(s, dir))
+      Retrieval.textIndexStats(s, path)
+    }),
+
     // the maintenance pass through the gate: whole-corpus build, the
     // doc_id % 11 == 5 slice tombstoned, then COMPACTED — deltas fold
     // into the base, tombstoned postings become physically absent, and
@@ -1484,6 +1514,27 @@ object LlmQueries {
     // takedown mirror: df + candidates over the live slice, corpus
     // stats still whole-corpus (bounded staleness until compaction)
     "llm_bm25_deleted" -> bm25IndexedOracle("doc_id % 11 <> 5"),
+
+    // filtered mirror: candidates restricted to the metadata slice,
+    // df/stats corpus-level — only the WHERE narrows, the math doesn't
+    "llm_bm25_filtered" ->
+      s"""WITH ${bm25BaseCtes(Bm25Terms)}
+          SELECT * FROM (${bm25IndexedSelect(Bm25Terms,
+            "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")})
+          WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // index bookkeeping vs a from-scratch recomputation: doc count,
+    // 4dp avgdl, vocabulary size, distinct (term, doc) posting rows
+    "llm_text_index_stats" ->
+      """WITH wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+                      FROM documents),
+          dtf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM wsx),
+          ex AS (SELECT DISTINCT doc_id, unnest(ws) AS term FROM wsx)
+          SELECT (SELECT CAST(count(*) AS BIGINT) FROM dtf) AS n_docs,
+                 (SELECT ROUND(avg(dl) * 10000.0, 0) / 10000.0 + 0.0 FROM dtf) AS avgdl,
+                 CAST(count(DISTINCT term) AS BIGINT) AS n_terms,
+                 CAST(count(*) AS BIGINT) AS n_postings
+          FROM ex""",
 
     // compaction mirror: the fold recomputed stats from the live rows,
     // so stats AND df AND candidates all cover the live slice — a

@@ -312,6 +312,14 @@ object Retrieval {
   def bm25TopKStored(s: org.apache.spark.sql.SparkSession, path: String,
                      terms: Seq[String], k: Int,
                      k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (post, n, avgdl) = storedProbe(s, path, terms)
+    rankStoredCandidates(post, post, n, avgdl, k, k1, b)
+  }
+
+  /** The shared stored-probe core: pruned LIVE posting rows of the
+    * query terms plus the combined corpus stats (N, avgdl). */
+  private def storedProbe(s: org.apache.spark.sql.SparkSession, path: String,
+                          terms: Seq[String]): (DataFrame, Double, Double) = {
     require(terms.nonEmpty, "bm25 needs at least one query term")
     graft.tsdb.Keysets.repairSwap(s, path)
     // corpus stats = Σ over base + delta stats rows (integer-exact
@@ -338,8 +346,20 @@ object Retrieval {
         graft.tsdb.Keysets.readWithDeltas(s, path, "postings")
           .where(col("tb").isin(buckets: _*)), "doc_id")
       .where(col("term").isin(terms: _*))
+    (post, n, avgdl)
+  }
+
+  /** Score `candidates` (a subset of `post`'s rows) against per-term df
+    * derived from the FULL live posting slice `post` — df is a
+    * term-rarity prior of the corpus, so a metadata filter narrows the
+    * candidate set without re-weighting terms (the Lucene semantics;
+    * `llm_sim_ivf_filtered` makes the same call for ANN: candidates
+    * filtered, ranking math unchanged). */
+  private def rankStoredCandidates(post: DataFrame, candidates: DataFrame,
+                                   n: Double, avgdl: Double, k: Int,
+                                   k1: Double, b: Double): DataFrame = {
     val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
-    val scored = post.join(broadcast(dfs), "term")
+    val scored = candidates.join(broadcast(dfs), "term")
       .withColumn("idf", log(lit(1.0) +
         (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
       .withColumn("contrib", graft.core.D.dec(
@@ -350,6 +370,53 @@ object Retrieval {
       .where(col("bm25") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** Metadata-filtered BM25 off the stored index — the lexical twin of
+    * the filtered ANN probes: only documents in `keepIds` may rank,
+    * while df / N / avgdl keep their corpus-level values (a filter
+    * narrows WHO can match, not how terms weigh). `keepIds` is the
+    * caller's predicate-filtered (doc_id) frame; the join order keeps
+    * every moving set candidate-sized: the pruned postings' distinct
+    * doc_ids broadcast INTO the metadata scan (so its own pushed-down
+    * predicate plus this semi-join bound what it returns), and the
+    * surviving ids broadcast back against the postings — the corpus
+    * never shuffles, and the metadata table is read once with both
+    * filters applied. */
+  def bm25TopKStoredFiltered(s: org.apache.spark.sql.SparkSession, path: String,
+                             terms: Seq[String], keepIds: DataFrame, k: Int,
+                             k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val (post, n, avgdl) = storedProbe(s, path, terms)
+    val candIds = post.select("doc_id").distinct()
+    val keep = keepIds.toDF("doc_id")
+      .join(broadcast(candIds), Seq("doc_id"), "left_semi")
+    val candidates = post.join(broadcast(keep), Seq("doc_id"), "left_semi")
+    rankStoredCandidates(post, candidates, n, avgdl, k, k1, b)
+  }
+
+  /** One-row DESCRIBE of the stored text index — the operational
+    * health check (doc count, average doc length, vocabulary size,
+    * posting rows) served FROM the artifact: stats from the committed
+    * base+delta stats rows, vocabulary/postings from one aggregate
+    * over the live posting rows (all buckets — a maintenance query, so
+    * no term pruning applies; still postings-sized, never
+    * corpus-text-sized). Matching the recomputed-from-documents oracle
+    * proves the artifact's bookkeeping, not just its probe path. */
+  def textIndexStats(s: org.apache.spark.sql.SparkSession,
+                     path: String): DataFrame = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val statRows = readTextStats(s, path)
+    val n = statRows.map(_.getAs[Double]("n_docs")).sum
+    val avgdl = statRows.map(r =>
+      if (r.isNullAt(r.fieldIndex("sum_dl"))) 0.0
+      else r.getAs[Double]("sum_dl")).sum / n
+    graft.tsdb.Keysets.dropTombstoned(
+        graft.tsdb.Keysets.readWithDeltas(s, path, "postings"), "doc_id")
+      .agg(count_distinct(col("term")).as("n_terms"),
+        count(lit(1)).as("n_postings"))
+      .select(lit(n.toLong).as("n_docs"),
+        lit(math.round(avgdl * 10000.0) / 10000.0 + 0.0).as("avgdl"),
+        col("n_terms"), col("n_postings"))
   }
 
   /** Dense rank positions of an ALREADY-SMALL ranked pool (a top-k

@@ -136,6 +136,36 @@ class LlmSpec extends SparkSpec {
       "compaction must leave exactly the live-corpus rebuild")
   }
 
+  test("filtered stored BM25: candidates narrow, term weights don't, filter pushes down") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val path = java.nio.file.Files.createTempDirectory("graft_llmspec_fbm")
+      .resolve("text").toString
+    Retrieval.buildTextIndex(spark, corpus, "doc_id", "text", path, "t")
+    val terms = Seq("spark", "merge", "dup")
+    val en = corpus.where(col("lang") === "en").select("doc_id")
+    val filtered = Retrieval.bm25TopKStoredFiltered(spark, path, terms, en, 10)
+    // semantics: the filtered top-10 IS the unfiltered ranking
+    // restricted to qualifying docs — per-doc scores unchanged (df and
+    // stats stay corpus-level), only non-qualifying docs drop out
+    val enIds = en.as[Long].collect().toSet
+    val unfiltered = Retrieval.bm25TopKStored(spark, path, terms, 100000)
+      .as[(Long, Double)].collect().toSeq
+    assert(filtered.as[(Long, Double)].collect().toSeq ==
+      unfiltered.filter(h => enIds(h._1)).take(10),
+      "filtered ranking must equal the unfiltered ranking restricted to the slice")
+    // plan: the lang predicate reaches the documents scan, both semi
+    // joins broadcast, and no exchange ever carries posting rows on a
+    // non-aggregate path (the only hash exchange is the per-doc sum)
+    val p = filtered.queryExecution.executedPlan.toString
+    assert(p.contains("EqualTo(lang,en)"),
+      s"lang filter must push into the documents scan:\n$p")
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(p).size == 2,
+      s"both id semi-joins must broadcast:\n$p")
+    // candidate-distinct, per-term df, per-doc sum — all candidate-sized
+    assert("Exchange hashpartitioning".r.findAllIn(p).size <= 3,
+      s"only candidate-sized aggregates may exchange:\n$p")
+  }
+
   test("compacted registrations: fold ran, guard holds, semantics match") {
     // llm_bm25_compacted: delete-then-compact ≡ a fresh build over the
     // live slice (stats recomputed — the thing its oracle checks)
