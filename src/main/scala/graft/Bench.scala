@@ -24,7 +24,8 @@ object Bench {
     "tsdb_expression_abs", "tsdb_expression_wow", "tsdb_histogram_pct",
     "llm_sim_ivf_filtered", "tsdb_expression_topn", "tsdb_query_capped",
     "llm_sim_ivf_retrained", "llm_chunk_overlap", "llm_ngram_counts",
-    "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored")
+    "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored",
+    "llm_hybrid_rrf_filtered")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

@@ -962,6 +962,33 @@ object LlmQueries {
       Retrieval.rrfFuse(bmPool, "bm25", vPool, "sim", "id", 60, 10)
     }),
 
+    // the COMPLETE production RAG probe: filtered hybrid search over
+    // stored indexes — one shard/tenant predicate (id % 2 = 0) applied
+    // to BOTH pools at their index reads (text probe: keep-ids
+    // broadcast semi-join; IVF probe: predicate into the pruned lists
+    // scan), then RRF-fused. Every constraint of the serving path at
+    // once: no corpus scan, candidate-sized data movement, recall-safe
+    // filtering (filter BEFORE top-k on both sides — post-filtering a
+    // top-k would under-fill the pools).
+    "llm_hybrid_rrf_filtered" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val tpath = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", tpath,
+        textFingerprint(s, dir))
+      val bmPool = Retrieval.bm25TopKStoredFiltered(s, tpath, Bm25Terms,
+        docs.where(pmod(col("doc_id"), lit(2)) === 0).select("doc_id"), 20)
+        .withColumnRenamed("doc_id", "id")
+      val emb = Tables.embeddings(s, dir)
+      val apath = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, apath, annFingerprint(s, dir))
+      val qs = emb.where(col("vec_id") === 0)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      val vPool = Similarity.ivfTopKStoredFiltered(s, qs, apath,
+        pmod(col("vec_id"), lit(2)) === 0, 20, nprobe = 2)
+        .select(col("vec_id").as("id"), col("sim"))
+      Retrieval.rrfFuse(bmPool, "bm25", vPool, "sim", "id", 60, 10)
+    }),
+
     // winnowing fingerprints over md5 8-char grams: per-doc window min of
     // 16 consecutive gram hashes, distinct mins = the fingerprint set.
     // Winnowing fingerprints, evaluated natively in one pass per doc
@@ -1590,6 +1617,46 @@ object LlmQueries {
                        SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qdist)
                      WHERE rn <= 2),
           cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid),
+          qdot AS (SELECT el.vec_id, CAST(SUM(CAST(el.x * q.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                   FROM el JOIN (SELECT pos, x FROM el WHERE vec_id = 0) q ON q.pos = el.pos
+                   GROUP BY 1),
+          vpool AS (SELECT d.vec_id AS id,
+                      ROUND((d.dot / (SQRT(sq.sq) * SQRT(qs.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                    FROM qdot d
+                    JOIN cand c ON c.vec_id = d.vec_id
+                    JOIN sq ON sq.vec_id = d.vec_id
+                    CROSS JOIN (SELECT sq FROM sq WHERE vec_id = 0) qs
+                    ORDER BY sim DESC, id LIMIT 20),
+          vr AS (SELECT id, CAST(row_number() OVER (ORDER BY sim DESC, id) AS BIGINT) AS rank_v
+                 FROM vpool)
+          SELECT COALESCE(br.id, vr.id) AS id, br.rank_b, vr.rank_v,
+                 ${graft.core.D.oR4(
+                   "COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_b), CAST(0 AS DOUBLE))" +
+                   " + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_v), CAST(0 AS DOUBLE))")} AS rrf
+          FROM br FULL OUTER JOIN vr ON br.id = vr.id
+          ORDER BY rrf DESC, id LIMIT 10""",
+
+    // the filtered stored-stored hybrid: the same pool CTEs with the
+    // shard predicate applied pre-top-k on BOTH sides (bq's candidate
+    // WHERE; cand's a3 filter) — mirror of the recall-safe filter
+    // placement the Spark side plan-asserts
+    "llm_hybrid_rrf_filtered" ->
+      s"""WITH ${bm25BaseCtes(Bm25Terms)},
+          bq AS (${bm25IndexedSelect(Bm25Terms, "doc_id % 2 = 0")}),
+          bpool AS (SELECT doc_id AS id, bm25 FROM bq WHERE bm25 > 0
+                    ORDER BY bm25 DESC, id LIMIT 20),
+          br AS (SELECT id, CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS BIGINT) AS rank_b
+                 FROM bpool),
+          $IvfCtes,
+          qdist AS (SELECT cs.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
+                    FROM csq_3 cs
+                    JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id = 0
+                    JOIN sq ON sq.vec_id = 0),
+          probes AS (SELECT cid FROM (
+                       SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qdist)
+                     WHERE rn <= 2),
+          cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid
+                   WHERE a.vec_id % 2 = 0),
           qdot AS (SELECT el.vec_id, CAST(SUM(CAST(el.x * q.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
                    FROM el JOIN (SELECT pos, x FROM el WHERE vec_id = 0) q ON q.pos = el.pos
                    GROUP BY 1),
