@@ -470,6 +470,23 @@ object LlmQueries {
       Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
     }),
 
+    // the ANN artifact DESCRIBE'd from its own lists — the cluster
+    // histogram (centroid_id, vector count), the operational signal
+    // for probe cost and skew (a lopsided histogram means one probed
+    // cluster dominates candidate size). Matching the
+    // recomputed-from-scratch Lloyd assignment proves the stored
+    // lists hold exactly the vectors the quantizer assigns — the ANN
+    // twin of llm_text_index_stats' bookkeeping check.
+    "llm_ann_index_stats" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      Similarity.readLists(s, path)
+        .groupBy(col("centroid_id").cast("long").as("centroid_id"))
+        .agg(count(lit(1)).as("n_vectors"))
+        .orderBy("centroid_id")
+    }),
+
     // the ANN maintenance pass through the gate: build whole-corpus,
     // tombstone the vec_id % 11 == 5 slice, then COMPACT — the fold
     // physically purges both the markers and the rows they shadow,
@@ -1675,6 +1692,14 @@ object LlmQueries {
                    " + COALESCE(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + rank_v), CAST(0 AS DOUBLE))")} AS rrf
           FROM br FULL OUTER JOIN vr ON br.id = vr.id
           ORDER BY rrf DESC, id LIMIT 10""",
+
+    // stored lists vs the from-scratch Lloyd assignment, grouped —
+    // artifact bookkeeping, not probe math
+    "llm_ann_index_stats" ->
+      s"""WITH $IvfCtes
+          SELECT CAST(cid AS BIGINT) AS centroid_id,
+                 CAST(count(*) AS BIGINT) AS n_vectors
+          FROM a3 GROUP BY 1 ORDER BY 1""",
 
     "llm_sim_ivf" -> IvfOracle,
     "llm_sim_pq" -> PqOracle,
