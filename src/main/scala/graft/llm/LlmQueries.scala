@@ -24,6 +24,11 @@ object LlmQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** Phrase fixture query: "key agg" hits ~6% of sf0.01 docs, with a
+    * few docs containing it twice — so pf ranks AND tie-breaks are
+    * both exercised. Interpolated into the oracle SQL from here. */
+  private val PhraseTerms = Seq("key", "agg")
+
   /** Stable per-fixture location for the persisted ANN index (stored
     * OUTSIDE the fixture dir — /root/testdata is read-only). One path
     * per sfDir: sf0.01 and sf0.1 runs never clobber each other. */
@@ -900,6 +905,29 @@ object LlmQueries {
         docs.where(col("lang") === "en").select("doc_id"), 10)
     }),
 
+    // exact-phrase search, scan-side: consecutive-token match counted
+    // per doc with a codegen'd sequence+filter (same map-only shape as
+    // llm_bm25_topk — no explode, no (doc,term) shuffle, one
+    // TakeOrderedAndProject); pf is an exact integer so ranks are
+    // engine-portable with no quantization
+    "llm_phrase_match" -> ((s, dir) =>
+      Retrieval.phraseTopK(Tables.documents(s, dir), "doc_id", "text",
+        PhraseTerms, 10)),
+
+    // exact-phrase search off the PERSISTED positional index (layout
+    // v3: posting rows carry sorted 0-based offset arrays): probe
+    // prunes postings to the phrase terms' hash buckets, then chains
+    // per-term position intersections doc-by-doc — Σ df(term) posting
+    // rows move, the corpus never rescans. Oracle recomputes from raw
+    // text, so a green row proves the STORED offsets are faithful.
+    "llm_phrase_indexed" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val path = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", path,
+        textFingerprint(s, dir))
+      Retrieval.phraseTopKStored(s, path, PhraseTerms, 10)
+    }),
+
     // the stored text index DESCRIBE'd from its own artifact: doc
     // count and avgdl off the committed stats rows, vocabulary size
     // and posting-row count off one aggregate over the live postings.
@@ -1528,6 +1556,24 @@ object LlmQueries {
         WHERE ($anyTerm) AND ($liveFilter)"""
   }
 
+  /** Phrase-frequency oracle recomputed from RAW TEXT (1-based DuckDB
+    * list indexing; `range` end is exclusive, so a doc shorter than
+    * the phrase yields an empty candidate list). Serving both
+    * llm_phrase_match AND llm_phrase_indexed this SQL proves the
+    * stored positional arrays are faithful to the corpus, not merely
+    * self-consistent. */
+  private def phraseOracle: String = {
+    val n = PhraseTerms.size
+    val cond = PhraseTerms.zipWithIndex
+      .map { case (t, j) => s"ws[i + $j] = '$t'" }.mkString(" AND ")
+    s"""WITH wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+                     FROM documents),
+        pfx AS (SELECT doc_id,
+                  CAST(len(list_filter(range(1, len(ws) - ${n - 2}), i -> $cond)) AS BIGINT) AS pf
+                FROM wsx)
+        SELECT doc_id, pf FROM pfx WHERE pf > 0 ORDER BY pf DESC, doc_id LIMIT 10"""
+  }
+
   private def bm25IndexedOracle(liveFilter: String): String =
     s"""WITH ${bm25BaseCtes(Bm25Terms, liveFilter)}
         SELECT * FROM (${bm25IndexedSelect(Bm25Terms, liveFilter)})
@@ -1566,6 +1612,12 @@ object LlmQueries {
           SELECT * FROM (${bm25IndexedSelect(Bm25Terms,
             "doc_id IN (SELECT doc_id FROM documents WHERE lang = 'en')")})
           WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // both phrase paths share ONE raw-text oracle: green rows prove
+    // the scan-side sequence+filter AND the stored positional arrays
+    // agree with a from-scratch consecutive-token recount
+    "llm_phrase_match" -> phraseOracle,
+    "llm_phrase_indexed" -> phraseOracle,
 
     // index bookkeeping vs a from-scratch recomputation: doc count,
     // 4dp avgdl, vocabulary size, distinct (term, doc) posting rows

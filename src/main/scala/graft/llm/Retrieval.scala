@@ -65,12 +65,38 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Top-k exact-phrase hits, scan-side: pf = number of token offsets
+    * where the phrase's terms appear CONSECUTIVELY. Same map-only
+    * shape as [[bm25]] — the candidate starts are a per-row
+    * `sequence`, the consecutive-match test a codegen'd array
+    * `filter`; no explode, no (doc, term) shuffle, one
+    * TakeOrderedAndProject. Deterministic: pf is an exact integer. */
+  def phraseTopK(docs: DataFrame, idCol: String, textCol: String,
+                 phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val ws = docs
+      .withColumn("ws", filter(Dedup.words(col(textCol)), w => w =!= lit("")))
+    // 1-based candidate start offsets (element_at is 1-based); a doc
+    // shorter than the phrase has no candidates at all
+    val starts = when(size(col("ws")) >= phrase.size,
+      sequence(lit(1), size(col("ws")) - lit(phrase.size - 1)))
+      .otherwise(array().cast("array<int>"))
+    val hitAt = (i: Column) => phrase.zipWithIndex.map { case (t, j) =>
+      element_at(col("ws"), (i + lit(j)).cast("int")) === lit(t)
+    }.reduce(_ && _)
+    ws.select(col(idCol).as("doc_id"),
+        size(filter(starts, hitAt)).cast("long").as("pf"))
+      .where(col("pf") > 0)
+      .orderBy(col("pf").desc, col("doc_id"))
+      .limit(k)
+  }
+
   // ----------------------- persisted text index (build once, probe many)
   //
   // The scan-side BM25 above reads the whole corpus twice per query —
   // right for one-off analytics, wrong for a serving path. The stored
   // index is the inverted-file analog of the ANN artifact: postings
-  // (term, doc_id, tf, dl) PARTITIONED by a term-hash bucket so a probe
+  // (term, doc_id, tf, dl, positions) PARTITIONED by a term-hash bucket so a probe
   // partition-prunes to the query terms' buckets, plus a single-row
   // corpus-stats table (N, avgdl). Same Keysets swap contract as the
   // ANN index: build commits atomically, readers never see half an
@@ -84,8 +110,10 @@ object Retrieval {
     * artifact to new probe code. Bump rule: increment whenever the
     * directory layout or any stored schema changes (v2: stats moved to
     * `postings/_stats` carrying integer-exact `sum_dl` instead of a
-    * sibling `stats` dir with `avgdl`). */
-  val TextLayoutVersion = "text-v2"
+    * sibling `stats` dir with `avgdl`; v3: posting rows gained a
+    * sorted 0-based `positions` int array so phrase probes serve from
+    * the index). */
+  val TextLayoutVersion = "text-v3"
 
   private def textMetaPath(path: String) =
     new org.apache.hadoop.fs.Path(s"$path/_meta")
@@ -115,9 +143,14 @@ object Retrieval {
       .withColumn("ws", filter(Dedup.words(col(textCol)), w => w =!= lit("")))
       .withColumn("dl", size(col("ws")).cast("double"))
     val postings = ws
-      .select(col(idCol).as("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .select(col(idCol).as("doc_id"), col("dl"),
+        posexplode(col("ws")).as(Seq("pos", "term")))
       .groupBy("term", "doc_id", "dl")
-      .agg(count(lit(1)).cast("double").as("tf"))
+      .agg(count(lit(1)).cast("double").as("tf"),
+        // 0-based token offsets, sorted so the stored array is
+        // deterministic regardless of shuffle order — the payload
+        // phrase probes intersect (BM25 probes never read it)
+        sort_array(collect_list(col("pos"))).as("positions"))
       .withColumn("tb", pmod(xxhash64(col("term")), lit(buckets)).cast("int"))
     val stats = ws.agg(count(lit(1)).cast("double").as("n_docs"),
       sum(col("dl")).as("sum_dl"))
@@ -392,6 +425,38 @@ object Retrieval {
       .join(broadcast(candIds), Seq("doc_id"), "left_semi")
     val candidates = post.join(broadcast(keep), Seq("doc_id"), "left_semi")
     rankStoredCandidates(post, candidates, n, avgdl, k, k1, b)
+  }
+
+  /** Top-k exact-phrase hits off the STORED positional index — the
+    * serving twin of [[phraseTopK]]: prune postings to the phrase
+    * terms' hash buckets (base + deltas, minus tombstones — the same
+    * [[storedProbe]] choke point as BM25), then chain per-term
+    * position-array intersections: starting from the first term's
+    * stored offsets, each later term keeps only the starts whose
+    * `start + j` offset it posts. Every join is per-doc on df-sized
+    * posting rows — Σ df(term) candidate rows move, corpus size drops
+    * out entirely (at 100 TB a sort-merge join on doc_id over two
+    * df-sized sides, never a corpus scan). pf = surviving starts,
+    * exact integer, so stored ≡ scan-side bit-for-bit. */
+  def phraseTopKStored(s: org.apache.spark.sql.SparkSession, path: String,
+                       phrase: Seq[String], k: Int): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two terms")
+    val (post, _, _) = storedProbe(s, path, phrase.distinct)
+    val first = post.where(col("term") === phrase.head)
+      .select(col("doc_id"), col("positions").as("starts"))
+    val chained = phrase.tail.zipWithIndex.foldLeft(first) {
+      case (acc, (t, j)) =>
+        val nxt = post.where(col("term") === t)
+          .select(col("doc_id"), col("positions").as("nxt"))
+        acc.join(nxt, "doc_id")
+          .select(col("doc_id"),
+            filter(col("starts"),
+              p => array_contains(col("nxt"), p + lit(j + 1))).as("starts"))
+    }
+    chained.select(col("doc_id"), size(col("starts")).cast("long").as("pf"))
+      .where(col("pf") > 0)
+      .orderBy(col("pf").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** One-row DESCRIBE of the stored text index — the operational

@@ -181,4 +181,18 @@ object Downsample {
           pv + (nv - pv) * (col("bucket_ms") - pb) / (nb - pb))
         .otherwise(lit(null).cast("double")))
   }
+
+  /** Last-observation-carried-forward gap fill over the null-filled
+    * grid (the step-function fill TSDB dashboards default to for
+    * gauge series; extension beyond the OpenTSDB policy set like
+    * [[fillLinear]]). Leading gaps stay null — there is nothing to
+    * carry. Copies already-quantized bucket values verbatim, so no
+    * new float math enters the result. Same scale shape as the other
+    * fills: one window per series over its own grid rows. */
+  def fillPrevious(gridded: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy("bucket_ms")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gridded.withColumn("value", last(col("value"), ignoreNulls = true).over(w))
+  }
 }

@@ -45,6 +45,18 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // last-observation-carried-forward gap fill (step-function fill
+    // for gauge series); leading gaps stay null, copied values are the
+    // grid's already-quantized bucket averages verbatim
+    "tsdb_downsample_fill_prev" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      val grid = Downsample.withFill(s, ds, Seq("user_id"), Day, T0, T1, "null")
+      Downsample.fillPrevious(grid, Seq("user_id"))
+        .select("user_id", "bucket_ms", "value")
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     "tsdb_merge" -> ((s, dir) => {
       val down = Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
       MergeRate.merge(down, Seq("event_type"), "sum")
@@ -500,6 +512,24 @@ object TsdbQueries {
           FROM series s CROSS JOIN spine p
           LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms
           ORDER BY 1, 2""",
+
+    // mirror of Downsample.fillPrevious: LOCF via the IGNORE NULLS
+    // running-last window over the same null-filled grid
+    "tsdb_downsample_fill_prev" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          spine AS (SELECT range AS bucket_ms FROM range($T0, $T1, $Day)),
+          series AS (SELECT DISTINCT user_id FROM ds),
+          grid AS (SELECT s.user_id, p.bucket_ms, d.value
+                   FROM series s CROSS JOIN spine p
+                   LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms)
+          SELECT user_id, bucket_ms,
+            last_value(value IGNORE NULLS) OVER
+              (PARTITION BY user_id ORDER BY bucket_ms
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value
+          FROM grid ORDER BY 1, 2""",
 
     // mirror of Downsample.fillLinear: nearest real anchors per side via
     // IGNORE NULLS windows, identical lerp expression shape (left-assoc

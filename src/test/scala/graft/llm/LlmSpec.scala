@@ -166,6 +166,41 @@ class LlmSpec extends SparkSpec {
       s"only candidate-sized aggregates may exchange:\n$p")
   }
 
+  test("phrase search: stored positional probe ≡ scan recount, survives append, prunes buckets") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val phrase = Seq("key", "agg")
+    val scan = Retrieval.phraseTopK(corpus, "doc_id", "text", phrase, 10)
+      .as[(Long, Long)].collect().toSeq
+    assert(scan.nonEmpty && scan.forall(_._2 > 0))
+    // hand-recount the top hit with plain Scala — pins the sequence+
+    // filter formulation itself, independent of any engine
+    val (topId, topPf) = scan.head
+    val ws = corpus.where(col("doc_id") === topId)
+      .select("text").as[String].head().toLowerCase.split(" ").filter(_.nonEmpty)
+    assert((0 until ws.length - 1)
+      .count(i => ws(i) == "key" && ws(i + 1) == "agg").toLong == topPf)
+    // stored probe is BIT-equal to the scan side (pf is an exact
+    // integer — no quantization boundary like BM25 scores)
+    val root = java.nio.file.Files.createTempDirectory("graft_llmspec_phr")
+    val path = root.resolve("text").toString
+    Retrieval.buildTextIndex(spark, corpus, "doc_id", "text", path, "t")
+    val stored = Retrieval.phraseTopKStored(spark, path, phrase, 10)
+    assert(stored.as[(Long, Long)].collect().toSeq == scan)
+    // positions ride the delta lifecycle: slice-build + append ≡ whole
+    val grown = root.resolve("grown").toString
+    Retrieval.buildTextIndex(spark,
+      corpus.where(col("doc_id") % 10 =!= 7), "doc_id", "text", grown, "t")
+    Retrieval.appendTextDelta(spark,
+      corpus.where(col("doc_id") % 10 === 7), "doc_id", "text", grown)
+    assert(Retrieval.phraseTopKStored(spark, grown, phrase, 10)
+      .as[(Long, Long)].collect().toSeq == scan)
+    // probe reads only the phrase terms' hash-bucket partitions
+    val p = stored.queryExecution.executedPlan.toString
+    val pf = p.split("PartitionFilters:")
+    assert(pf.length >= 2 && pf(1).takeWhile(_ != ']').contains("tb"),
+      s"phrase probe must partition-prune on the term bucket:\n$p")
+  }
+
   test("compacted registrations: fold ran, guard holds, semantics match") {
     // llm_bm25_compacted: delete-then-compact ≡ a fresh build over the
     // live slice (stats recomputed — the thing its oracle checks)
