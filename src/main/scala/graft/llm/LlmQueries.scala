@@ -24,6 +24,17 @@ object LlmQueries {
   private val Bm25K1 = 1.2
   private val Bm25B = 0.75
 
+  /** MMR rerank constants — λ AND 1−λ are interpolated into the oracle
+    * SQL from these Scala doubles (a 1−λ that isn't binary-exact would
+    * drift the quantized argmax if written as a literal on one side
+    * only). λ=0.5 chosen because the fixture's diversified selection
+    * DIFFERS from plain top-5 there (at 0.7 they coincide — an oracle
+    * that can't see a broken penalty term proves nothing). */
+  private val MmrLambda = 0.5
+  private val MmrMu = 1.0 - MmrLambda
+  private val MmrPoolK = 20
+  private val MmrK = 5
+
   /** Phrase fixture query: "key agg" hits ~6% of sf0.01 docs, with a
     * few docs containing it twice — so pf ranks AND tie-breaks are
     * both exercised. Interpolated into the oracle SQL from here. */
@@ -1034,6 +1045,19 @@ object LlmQueries {
       Retrieval.rrfFuse(bmPool, "bm25", vPool, "sim", "id", 60, 10)
     }),
 
+    // MMR diversified rerank (Carbonell & Goldstein): greedily pick 5
+    // of the query's 20 nearest vectors, each step maximizing
+    // λ·relevance − (1−λ)·max-similarity-to-picked. Cost = the pool
+    // query + a poolK²-bounded pairwise pass; the greedy argmax runs
+    // driver-side over ≤20 rows (a k-sized collect, never the corpus).
+    // The oracle REPLAYS the greedy trace as a recursive CTE — every
+    // argmax step is verified, not just the final set.
+    "llm_mmr_rerank" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      Retrieval.mmrRerank(s, emb, qv, MmrPoolK, MmrK, MmrLambda)
+    }),
+
     // winnowing fingerprints over md5 8-char grams: per-doc window min of
     // 16 consecutive gram hashes, distinct mins = the fingerprint set.
     // Winnowing fingerprints, evaluated natively in one pass per doc
@@ -1709,6 +1733,59 @@ object LlmQueries {
     // shard predicate applied pre-top-k on BOTH sides (bq's candidate
     // WHERE; cand's a3 filter) — mirror of the recall-safe filter
     // placement the Spark side plan-asserts
+    // the greedy MMR trace replayed as a recursive CTE: the anchor is
+    // the pure-relevance first pick; every recursive step re-derives
+    // the argmax of the 4dp-quantized objective over the un-picked
+    // pool (correlated max over sims to the picked list) with the same
+    // id tie-break — so a green row certifies each SELECTION STEP, not
+    // just the final membership. λ and 1−λ come from the same Scala
+    // doubles the engine's greedy uses.
+    "llm_mmr_rerank" ->
+      s"""WITH RECURSIVE q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+          $NormCte,
+          nq AS (SELECT SUM(CAST(CAST(q.qv[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                     AS DECIMAL(18,4))) AS d2 FROM q, range(1, 65) r(i)),
+          p AS (SELECT e.vec_id,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings e, q, range(1, 65) r(i) GROUP BY 1),
+          pool AS (SELECT p.vec_id,
+                     ROUND((CAST(p.dot AS DOUBLE) /
+                           (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS rel
+                   FROM p JOIN n ON n.vec_id = p.vec_id CROSS JOIN nq
+                   ORDER BY rel DESC, p.vec_id LIMIT $MmrPoolK),
+          pd AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                   SUM(CAST(CAST(ea.embedding[r.i] AS DOUBLE) * CAST(eb.embedding[r.i] AS DOUBLE)
+                       AS DECIMAL(18,4))) AS dot
+                 FROM pool a JOIN pool b ON a.vec_id < b.vec_id
+                 JOIN embeddings ea ON ea.vec_id = a.vec_id
+                 JOIN embeddings eb ON eb.vec_id = b.vec_id, range(1, 65) r(i)
+                 GROUP BY 1, 2),
+          sims0 AS (SELECT pd.a, pd.b,
+                   ROUND((CAST(pd.dot AS DOUBLE) /
+                         (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                 FROM pd JOIN n na ON na.vec_id = pd.a JOIN n nb ON nb.vec_id = pd.b),
+          sims AS (SELECT a, b, sim FROM sims0 UNION ALL SELECT b, a, sim FROM sims0),
+          sel AS (
+            SELECT CAST(1 AS BIGINT) AS sel_rank,
+                   (SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT 1) AS vec_id,
+                   [(SELECT vec_id FROM pool ORDER BY rel DESC, vec_id LIMIT 1)] AS picked
+            UNION ALL
+            SELECT sel.sel_rank + 1, np.vec_id, list_append(sel.picked, np.vec_id)
+            FROM sel, LATERAL (
+              SELECT pl.vec_id
+              FROM pool pl
+              WHERE NOT list_contains(sel.picked, pl.vec_id)
+              ORDER BY ROUND((CAST($MmrLambda AS DOUBLE) * pl.rel -
+                         CAST($MmrMu AS DOUBLE) * (SELECT MAX(s.sim) FROM sims s
+                           WHERE s.a = pl.vec_id AND list_contains(sel.picked, s.b))) * 10000.0, 0) / 10000.0 DESC,
+                       pl.vec_id
+              LIMIT 1
+            ) np
+            WHERE sel.sel_rank < $MmrK
+          )
+          SELECT sel_rank, vec_id FROM sel ORDER BY sel_rank""",
+
     "llm_hybrid_rrf_filtered" ->
       s"""WITH ${bm25BaseCtes(Bm25Terms)},
           bq AS (${bm25IndexedSelect(Bm25Terms, "doc_id % 2 = 0")}),

@@ -494,6 +494,52 @@ object Retrieval {
       row_number().over(Window.orderBy(col(scoreCol).desc, col(idCol)))
         .cast("long").as(rankCol))
 
+  /** Maximal-marginal-relevance rerank (Carbonell & Goldstein 1998):
+    * greedily pick `k` of the query's `poolK` nearest vectors, each
+    * step maximizing `λ·rel(c) − (1−λ)·max_{s∈picked} sim(c, s)` — the
+    * standard diversification pass over a retrieved pool (first pick =
+    * highest relevance; the empty-set penalty is 0).
+    *
+    * Scale shape: the expensive part is the POOL query (brute force
+    * here for oracle exactness; the stored-IVF probe is the production
+    * swap — MMR only sees (id, rel) rows). Pairwise candidate cosines
+    * are a poolK²-bounded broadcast self-join, and the greedy argmax
+    * itself runs driver-side over ≤ poolK rows — a k-sized collect
+    * like the centroid/stats reads, NOT a corpus collect; the corpus
+    * is never touched after the pool query. Determinism: rel and sim
+    * are the engine's 4dp cosines, the MMR objective is 4dp-quantized
+    * before each argmax, ties break by id — so the greedy trace is
+    * engine-portable (the oracle replays it as a recursive CTE). */
+  def mmrRerank(s: org.apache.spark.sql.SparkSession,
+                vectors: DataFrame, queryVec: DataFrame,
+                poolK: Int, k: Int, lambda: Double): DataFrame = {
+    val pool = Similarity.cosineTopK(vectors, queryVec, poolK)
+    val poolVecs = vectors
+      .join(broadcast(pool.select("vec_id")), Seq("vec_id"))
+      .withColumn("mmr_blk", lit(1))
+    val rel = pool.collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val sims = Similarity.blockedPairCosines(poolVecs, "mmr_blk", ordered = true)
+      .collect().flatMap { r =>
+        val (a, b, v) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        Seq((a, b) -> v, (b, a) -> v)
+      }.toMap
+    val mu = 1.0 - lambda
+    def q4(x: Double) = math.round(x * 10000.0) / 10000.0 + 0.0
+    val ids = rel.keys.toSeq
+    val picked = scala.collection.mutable.ArrayBuffer(
+      ids.minBy(id => (-rel(id), id)))
+    while (picked.size < math.min(k, ids.size)) {
+      picked += ids.filterNot(picked.contains).minBy { c =>
+        (-q4(lambda * rel(c) - mu * picked.map(p => sims((c, p))).max), c)
+      }
+    }
+    import s.implicits._
+    picked.toSeq.zipWithIndex
+      .map { case (id, i) => ((i + 1).toLong, id) }
+      .toDF("sel_rank", "vec_id")
+  }
+
   /** Reciprocal-rank fusion of a lexical pool and a vector pool
     * (Cormack et al.: score = Σ 1/(rrfK + rank)); a document absent
     * from one list contributes 0 for it. Emits

@@ -201,6 +201,31 @@ class LlmSpec extends SparkSpec {
       s"phrase probe must partition-prune on the term bucket:\n$p")
   }
 
+  test("MMR rerank: λ=1 degenerates to pure top-k, λ=0.5 diversifies, invariants hold") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+    val topRel = Similarity.cosineTopK(emb, qv, 5)
+      .as[(Long, Double)].collect().map(_._1).toSeq
+    // λ=1: zero diversity penalty — the greedy trace IS relevance order
+    val pure = Retrieval.mmrRerank(spark, emb, qv, 20, 5, lambda = 1.0)
+      .as[(Long, Long)].collect().toSeq.map(_._2)
+    assert(pure == topRel, s"λ=1 must equal top-k: $pure vs $topRel")
+    // λ=0.5: penalty bites — selection diverges from pure relevance
+    // (fixture-pinned: at λ=0.7 they coincide, which is why the
+    // registration uses 0.5)
+    val div = Retrieval.mmrRerank(spark, emb, qv, 20, 5, lambda = 0.5)
+      .as[(Long, Long)].collect().toSeq
+    assert(div.map(_._2) != topRel, "λ=0.5 must diversify on this fixture")
+    // invariants: ranks 1..5, distinct picks, all from the pool, and
+    // the first pick is always the nearest neighbor regardless of λ
+    val pool = Similarity.cosineTopK(emb, qv, 20)
+      .as[(Long, Double)].collect().map(_._1).toSet
+    assert(div.map(_._1) == (1L to 5L))
+    assert(div.map(_._2).distinct.size == 5)
+    assert(div.map(_._2).forall(pool))
+    assert(div.head._2 == topRel.head)
+  }
+
   test("compacted registrations: fold ran, guard holds, semantics match") {
     // llm_bm25_compacted: delete-then-compact ≡ a fresh build over the
     // live slice (stats recomputed — the thing its oracle checks)
