@@ -182,6 +182,35 @@ object Downsample {
         .otherwise(lit(null).cast("double")))
   }
 
+  /** Per-series exponentially-weighted moving average over downsampled
+    * buckets: `ewma_1 = v_1; ewma_t = α·v_t + (1−α)·ewma_{t−1}` — the
+    * classic dashboard smoothing pass. The recurrence is inherently
+    * sequential per series, so each series' (bounded, query-range-
+    * sized) bucket list is collected into ONE array and every prefix
+    * folded with the `aggregate` HOF — identical left-to-right double
+    * association on any engine, which is what makes the result
+    * hash-portable (a window-sum reformulation would re-associate).
+    * O(n²) per series in HOF steps with n = buckets in the queried
+    * range (never corpus-sized); the shuffle unit is one series.
+    * Emits (seriesCols..., bucket_ms, ewma 4dp). */
+  def ewma(downsampled: DataFrame, seriesCols: Seq[String],
+           alpha: Double): DataFrame = {
+    val a = lit(alpha)
+    val b = lit(1.0 - alpha)
+    val arr = downsampled.groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+        .as("pts"))
+    val vals = transform(col("pts"), p => p.getField("value"))
+    val folded = transform(col("pts"), (p, i) =>
+      struct(p.getField("bucket_ms").as("bucket_ms"),
+        graft.core.D.r4s(aggregate(
+          slice(vals, lit(2), i), element_at(vals, lit(1)),
+          (acc, x) => a * x + b * acc)).as("ewma")))
+    arr.select(seriesCols.map(col) :+ explode(folded).as("e"): _*)
+      .select(seriesCols.map(col) :+ col("e.bucket_ms").as("bucket_ms") :+
+        col("e.ewma").as("ewma"): _*)
+  }
+
   /** Last-observation-carried-forward gap fill over the null-filled
     * grid (the step-function fill TSDB dashboards default to for
     * gauge series; extension beyond the OpenTSDB policy set like

@@ -57,6 +57,18 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // per-series EWMA smoothing (α=0.5 — binary-exact, so α and 1−α
+    // introduce no literal drift): the sequential recurrence is folded
+    // per prefix with the aggregate HOF — identical left-to-right
+    // association on both engines, which is what makes a recurrence
+    // hash-portable where a window re-association would not be
+    "tsdb_ewma" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Downsample.ewma(ds, Seq("user_id"), alpha = 0.5)
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     "tsdb_merge" -> ((s, dir) => {
       val down = Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
       MergeRate.merge(down, Seq("event_type"), "sum")
@@ -512,6 +524,24 @@ object TsdbQueries {
           FROM series s CROSS JOIN spine p
           LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms
           ORDER BY 1, 2""",
+
+    // mirror of Downsample.ewma: the same per-prefix left fold via
+    // list_reduce over the bucket-sorted value list (list_reduce seeds
+    // with the first element, exactly like aggregate's explicit init)
+    "tsdb_ewma" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id,
+                    list(value ORDER BY bucket_ms) AS vs,
+                    list(bucket_ms ORDER BY bucket_ms) AS bs
+                  FROM ds GROUP BY 1),
+          idx AS (SELECT user_id, vs, bs, UNNEST(range(1, len(vs) + 1)) AS i FROM arr)
+          SELECT user_id, bs[i] AS bucket_ms,
+            ${D.oR4("""list_reduce(list_slice(vs, 1, i),
+              (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc)""")} AS ewma
+          FROM idx ORDER BY 1, 2""",
 
     // mirror of Downsample.fillPrevious: LOCF via the IGNORE NULLS
     // running-last window over the same null-filled grid

@@ -25,6 +25,25 @@ class PropertySpec extends SparkSpec {
     assert(res.passed, res.status.toString)
   }
 
+  test("ewma: α=1 is the identity; any α preserves the first value and row count") {
+    val prop = Prop.forAll(genPoints) { pts =>
+      val ds = Downsample(pts.toDF("user_id", "ts_ms", "value"),
+        Seq("user_id"), 3600000L, "avg")
+      val base = ds.select("user_id", "bucket_ms", "value")
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // α=1: ewma_t = v_t at every bucket
+      val id1 = Downsample.ewma(ds, Seq("user_id"), alpha = 1.0)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      // any α: the first bucket per series is v_1 and nothing is lost
+      val half = Downsample.ewma(ds, Seq("user_id"), alpha = 0.5)
+        .as[(Long, Long, Double)].collect().sortBy(r => (r._1, r._2)).toSeq
+      val firsts = base.groupBy(_._1).map { case (u, rs) => u -> rs.head }
+      id1 == base && half.size == base.size &&
+        firsts.forall { case (u, f) => half.find(_._1 == u).contains(f) }
+    }
+    run(prop)
+  }
+
   test("interpolating merge equals aligned merge on fully aligned series") {
     // when every series has a value at every bucket of the group there
     // is nothing to interpolate — the two merges must coincide exactly
