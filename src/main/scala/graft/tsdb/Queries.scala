@@ -69,6 +69,52 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // Holt level+trend smoothing (α=β=0.5, binary-exact) — the same
+    // per-prefix portable fold as tsdb_ewma, with two-field struct state
+    "tsdb_holt" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.holt(ds, Seq("user_id"), alpha = 0.5, beta = 0.5)
+        .orderBy("user_id", "bucket_ms")
+    }),
+
+    // largest two-segment level shift per daily series (prefix-exact
+    // candidate means, per-series arg-max — "when did this metric move")
+    "tsdb_changepoint" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "view")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.changepoint(ds, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // trapezoidal area under each daily series (value·hours) — the
+    // "total exposure" rollup; one lag window per series, then ONE
+    // decimal-exact aggregate, so the shuffle moves a row per series
+    "tsdb_integral" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.integral(ds, Seq("user_id"))
+        .orderBy("user_id")
+    }),
+
+    // per-series least-squares trend + 7-days-ahead forecast from
+    // integer/decimal-exact sufficient statistics (see Trend.linearFit)
+    "tsdb_forecast_linear" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "view")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.linearFit(ds, Seq("user_id"), Day, horizon = 7)
+        .orderBy("user_id")
+    }),
+
+    // trailing-7-bucket exact median per daily series (robust smoother;
+    // window state bounded by the 7-row frame, never the series)
+    "tsdb_moving_median" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.movingMedian(ds, Seq("user_id"), window = 7)
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     "tsdb_merge" -> ((s, dir) => {
       val down = Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
       MergeRate.merge(down, Seq("event_type"), "sum")
@@ -542,6 +588,132 @@ object TsdbQueries {
             ${D.oR4("""list_reduce(list_slice(vs, 1, i),
               (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc)""")} AS ewma
           FROM idx ORDER BY 1, 2""",
+
+    // mirror of Trend.holt: the two-state left fold via list_reduce
+    // over per-prefix slices — state carried as a [level, trend]
+    // DOUBLE pair (DuckDB 1.0's list_reduce mis-evaluates STRUCT
+    // accumulators past two elements; a list state folds correctly
+    // and the arithmetic is identical), seed = [x₁, 0], the lᵢ
+    // expression duplicated inside the trend term exactly as the
+    // engine writes it
+    "tsdb_holt" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id,
+                    list(value ORDER BY bucket_ms) AS vs,
+                    list(bucket_ms ORDER BY bucket_ms) AS bs
+                  FROM ds GROUP BY 1),
+          idx AS (SELECT user_id, vs, bs, UNNEST(range(1, len(vs) + 1)) AS i FROM arr),
+          st AS (SELECT user_id, bs[i] AS bucket_ms,
+                   list_reduce(
+                     list_transform(list_slice(vs, 1, i), x -> [x, CAST(0.0 AS DOUBLE)]),
+                     (acc, x) -> [
+                       CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                       CAST(0.5 AS DOUBLE) * (CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+                            + CAST(0.5 AS DOUBLE) * acc[2]]) AS s
+                 FROM idx)
+          SELECT user_id, bucket_ms,
+            ${D.oR4("s[1]")} AS level, ${D.oR4("s[2]")} AS trend
+          FROM st ORDER BY 1, 2""",
+
+    // mirror of Trend.changepoint: identical prefix-decimal windows,
+    // raw-mean gap, arg-max per series (gap desc, earlier bucket)
+    "tsdb_changepoint" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          pre AS (SELECT user_id, bucket_ms,
+                    CAST(row_number() OVER (PARTITION BY user_id ORDER BY bucket_ms) AS DOUBLE) AS idx,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                      (PARTITION BY user_id ORDER BY bucket_ms
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS cum,
+                    CAST(COUNT(*) OVER (PARTITION BY user_id) AS DOUBLE) AS n,
+                    CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                      (PARTITION BY user_id) AS DOUBLE) AS tot
+                  FROM ds),
+          cand AS (SELECT user_id, bucket_ms, idx, n,
+                     ${D.oR4("cum / idx")} AS mean_left,
+                     ${D.oR4("(tot - cum) / (n - idx)")} AS mean_right,
+                     ${D.oR4("abs(cum / idx - (tot - cum) / (n - idx))")} AS gap
+                   FROM pre WHERE idx < n),
+          best AS (SELECT *, row_number() OVER (PARTITION BY user_id
+                     ORDER BY gap DESC, bucket_ms) AS rn FROM cand)
+          SELECT user_id, bucket_ms AS split_ms,
+                 CAST(idx AS BIGINT) AS n_left, CAST(n - idx AS BIGINT) AS n_right,
+                 mean_left, mean_right, gap
+          FROM best WHERE rn = 1 ORDER BY user_id""",
+
+    // mirror of Trend.integral: same lag window, identical trapezoid
+    // expression shape, terms quantized to DECIMAL(18,4) BEFORE the
+    // order-independent sum (D3)
+    "tsdb_integral" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          lagd AS (SELECT user_id, bucket_ms, value,
+                     lag(value) OVER (PARTITION BY user_id ORDER BY bucket_ms) AS pv,
+                     lag(bucket_ms) OVER (PARTITION BY user_id ORDER BY bucket_ms) AS pb
+                   FROM ds)
+          SELECT user_id,
+            COALESCE(${D.oR4("""CAST(SUM(CAST(
+                (pv + value) / 2.0 * (CAST(bucket_ms - pb AS DOUBLE) / 3600000.0)
+              AS DECIMAL(18,4))) AS DOUBLE)""")}, 0.0) AS auc,
+            COUNT(pb) AS n_traps
+          FROM lagd GROUP BY 1 ORDER BY 1""",
+
+    // mirror of Trend.linearFit: x = exact BIGINT day index, y =
+    // DECIMAL(18,4), so all four sufficient sums are exact on both
+    // engines; slope/intercept/forecast divide once per series in
+    // DOUBLE with the identical association order
+    "tsdb_forecast_linear" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          xy AS (SELECT user_id,
+                   CAST((bucket_ms - MIN(bucket_ms) OVER (PARTITION BY user_id))
+                        / $Day AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(18,4)) AS y
+                 FROM ds),
+          fit AS (SELECT user_id,
+                    CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(x) AS DOUBLE) AS sx,
+                    CAST(SUM(y) AS DOUBLE) AS sy,
+                    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                    CAST(MAX(x) AS DOUBLE) AS xmax
+                  FROM xy GROUP BY 1 HAVING COUNT(*) >= 2),
+          s1 AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM fit),
+          s2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM s1)
+          SELECT user_id, CAST(n AS BIGINT) AS n_buckets,
+            ${D.oR4("slope")} AS slope,
+            ${D.oR4("intercept")} AS intercept,
+            ${D.oR4("intercept + slope * (xmax + 7.0)")} AS forecast
+          FROM s2 ORDER BY user_id""",
+
+    // mirror of Trend.movingMedian: sorted list over the same 7-row
+    // frame, explicit middle-element formula (DuckDB `//` floors like
+    // Spark's truncating int cast — indexes are positive)
+    "tsdb_moving_median" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+          win AS (SELECT user_id, bucket_ms, value,
+                    list_sort(list(value) OVER (
+                      PARTITION BY user_id ORDER BY bucket_ms
+                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)) AS vs
+                  FROM ds)
+          SELECT user_id, bucket_ms, value,
+            ${D.oR4("""CASE WHEN len(vs) % 2 = 1
+                 THEN vs[(len(vs) + 1) // 2]
+                 ELSE (vs[(len(vs) + 1) // 2] + vs[len(vs) // 2 + 1]) / 2.0
+               END""")} AS median
+          FROM win ORDER BY 1, 2""",
 
     // mirror of Downsample.fillPrevious: LOCF via the IGNORE NULLS
     // running-last window over the same null-filled grid

@@ -1,0 +1,186 @@
+package graft.tsdb
+
+import graft.core.D
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Trend analytics over downsampled series: trapezoidal integration,
+  * least-squares trend / forecast, sliding-window median. All three are
+  * per-series computations — each shape is either one aggregate per
+  * series (integral, fit: the shuffle moves one row per series, never
+  * points) or one window over a series' own buckets (median: state is
+  * the window frame, bounded by the window length). Nothing here joins
+  * back to raw points or sorts globally, so every operator scales with
+  * series cardinality, not corpus size.
+  */
+object Trend {
+
+  /** Trapezoidal area under each series' (bucket_ms, value) polyline,
+    * expressed in value·hours: Σ (vᵢ₋₁ + vᵢ)/2 · Δtᵢ over consecutive
+    * buckets. One lag window per series (frame = 1 row) feeding a
+    * decimal-exact sum — the trapezoid terms are quantized to 4dp
+    * decimals BEFORE the sum, so the total is shuffle-order-independent
+    * (the [[D.dec]] contract; a double sum here would hash-differ run
+    * to run). Series with a single bucket integrate to 0 area but are
+    * still emitted (n_traps = 0) — silence and "no data" must stay
+    * distinguishable in a dashboard. */
+  def integral(downsampled: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy("bucket_ms")
+    val pv = lag(col("value"), 1).over(w)
+    val pb = lag(col("bucket_ms"), 1).over(w)
+    val hours = (col("bucket_ms") - pb).cast("double") / lit(3600000.0)
+    val trap = (pv + col("value")) / lit(2.0) * hours
+    downsampled
+      .withColumn("trap", when(pb.isNotNull, D.dec(trap)))
+      .groupBy(seriesCols.map(col): _*)
+      .agg(sum(col("trap")).cast("double").as("auc_raw"),
+        count(col("trap")).as("n_traps"))
+      .select(seriesCols.map(col) ++ Seq(
+        coalesce(D.r4s(col("auc_raw")), lit(0.0)).as("auc"),
+        col("n_traps")): _*)
+  }
+
+  /** Per-series ordinary-least-squares trend over (x = bucket index in
+    * `unitMs` units from the series' first bucket, y = value), plus the
+    * fitted value `horizon` units past the last bucket — the
+    * dashboard "where is this metric heading" query.
+    *
+    * slope = (nΣxy − ΣxΣy) / (nΣx² − (Σx)²), intercept = ȳ − slope·x̄,
+    * from sufficient statistics only: x stays an exact LONG bucket
+    * index (so Σx, Σx² are integer-exact) and y a DECIMAL(18,4) (so Σy
+    * and Σxy — a decimal×long product — are decimal-exact), making the
+    * aggregate shuffle-order-independent with no wide-decimal precision
+    * games; the division happens once per series in double,
+    * 4dp-rounded. Series need ≥ 2 distinct buckets (which guarantees
+    * positive x-variance) — singletons are dropped, a line through one
+    * point is noise. */
+  def linearFit(downsampled: DataFrame, seriesCols: Seq[String],
+                unitMs: Long, horizon: Int): DataFrame = {
+    val wMin = Window.partitionBy(seriesCols.map(col): _*)
+    val x = ((col("bucket_ms") - min(col("bucket_ms")).over(wMin)) / lit(unitMs))
+      .cast("long")
+    val y = col("value").cast(DecimalType(18, 4))
+    val fit = downsampled
+      .select(seriesCols.map(col) ++ Seq(x.as("x"), y.as("y")): _*)
+      .groupBy(seriesCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).cast("double").as("sx"),
+        sum(col("y")).cast("double").as("sy"),
+        sum(col("x") * col("y")).cast("double").as("sxy"),
+        sum(col("x") * col("x")).cast("double").as("sxx"),
+        max(col("x")).cast("double").as("xmax"))
+      .where(col("n") >= 2)
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    val intercept = (col("sy") - slope * col("sx")) / col("n")
+    fit.select(seriesCols.map(col) ++ Seq(
+      col("n").cast("long").as("n_buckets"),
+      D.r4s(slope).as("slope"),
+      D.r4s(intercept).as("intercept"),
+      D.r4s(intercept + slope * (col("xmax") + lit(horizon.toDouble)))
+        .as("forecast")): _*)
+  }
+
+  /** Holt double-exponential smoothing (level + linear trend) per
+    * series: l₁ = x₁, b₁ = 0; lᵢ = α·xᵢ + (1−α)(lᵢ₋₁ + bᵢ₋₁),
+    * bᵢ = β(lᵢ − lᵢ₋₁) + (1−β)bᵢ₋₁. Like [[Downsample.ewma]], the
+    * sequential recurrence is folded PER PREFIX with the aggregate
+    * HOF so both engines associate left-to-right over an identically
+    * sorted list — that, not a window re-association, is what makes a
+    * two-state recurrence hash-portable. α and β should be
+    * binary-exact (0.5, 0.25…) so the literals carry no decimal
+    * drift; the lᵢ expression is deliberately written out twice in
+    * the bᵢ term (fold lambdas bind no local names — both engines
+    * evaluate the duplicate identically). Emits per-bucket 4dp level
+    * and trend. Quadratic in each series' bucket count like ewma —
+    * the bucket list is a downsampled grid (bounded), never raw
+    * points. */
+  def holt(downsampled: DataFrame, seriesCols: Seq[String],
+           alpha: Double, beta: Double): DataFrame = {
+    val a = lit(alpha); val a1 = lit(1.0 - alpha)
+    val bb = lit(beta); val b1 = lit(1.0 - beta)
+    val arr = downsampled.groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+        .as("pts"))
+    val vals = transform(col("pts"), p => p.getField("value"))
+    def lNew(acc: Column, x: Column) =
+      a * x + a1 * (acc.getField("l") + acc.getField("b"))
+    val folded = transform(col("pts"), (p, i) =>
+      struct(p.getField("bucket_ms").as("bucket_ms"),
+        aggregate(
+          slice(vals, lit(2), i),
+          struct(element_at(vals, lit(1)).as("l"), lit(0.0).as("b")),
+          (acc, x) => struct(
+            lNew(acc, x).as("l"),
+            (bb * (lNew(acc, x) - acc.getField("l")) + b1 * acc.getField("b")).as("b")),
+          acc => struct(graft.core.D.r4s(acc.getField("l")).as("l"),
+            graft.core.D.r4s(acc.getField("b")).as("b"))).as("st")))
+    arr.select(seriesCols.map(col) :+ explode(folded).as("e"): _*)
+      .select(seriesCols.map(col) ++ Seq(col("e.bucket_ms").as("bucket_ms"),
+        col("e.st.l").as("level"), col("e.st.b").as("trend")): _*)
+  }
+
+  /** Largest level shift per series (two-segment changepoint): the
+    * split index maximizing |mean(left) − mean(right)| over the
+    * series' buckets — the "when did this metric move" query. Prefix
+    * decimal sums via one window pass make every candidate split's
+    * two means exact-arithmetic; the per-series arg-max is a second
+    * window over bucket-count rows (gap desc, then EARLIER bucket on
+    * ties). Series need ≥ 2 buckets. Emits the last left-segment
+    * bucket as `split_ms` plus both 4dp means and segment sizes. */
+  def changepoint(downsampled: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    val wOrd = Window.partitionBy(seriesCols.map(col): _*).orderBy("bucket_ms")
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val pre = downsampled
+      .withColumn("idx", row_number().over(wOrd).cast("double"))
+      .withColumn("cum", sum(D.dec(col("value")))
+        .over(wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"))
+      .withColumn("n", count(lit(1)).over(wAll).cast("double"))
+      .withColumn("tot", sum(D.dec(col("value"))).over(wAll).cast("double"))
+      .where(col("idx") < col("n"))
+    val meanL = col("cum") / col("idx")
+    val meanR = (col("tot") - col("cum")) / (col("n") - col("idx"))
+    val cand = pre.select(seriesCols.map(col) ++ Seq(
+      col("bucket_ms"), col("idx"), col("n"),
+      D.r4s(meanL).as("mean_left"), D.r4s(meanR).as("mean_right"),
+      D.r4s(abs(meanL - meanR)).as("gap")): _*)
+    val wBest = Window.partitionBy(seriesCols.map(col): _*)
+      .orderBy(col("gap").desc, col("bucket_ms"))
+    cand.withColumn("rn", row_number().over(wBest))
+      .where(col("rn") === 1)
+      .select(seriesCols.map(col) ++ Seq(col("bucket_ms").as("split_ms"),
+        col("idx").cast("long").as("n_left"),
+        (col("n") - col("idx")).cast("long").as("n_right"),
+        col("mean_left"), col("mean_right"), col("gap")): _*)
+  }
+
+  /** Exact sliding-window median per series: the median of the trailing
+    * `window` buckets (current row inclusive; ramp-up rows use however
+    * many buckets exist). Implemented as a sorted collect_list over the
+    * row frame — the buffer is bounded by `window` (a dashboard-sized
+    * constant), so per-row state is O(window), never O(series). The
+    * median is picked with the same explicit element formula on both
+    * engines (odd n → middle element; even n → mean of the two middle
+    * elements, 4dp-rounded) — no reliance on either engine's builtin
+    * median interpolation flavor. */
+  def movingMedian(downsampled: DataFrame, seriesCols: Seq[String],
+                   window: Int): DataFrame = {
+    require(window >= 1, "window must be at least one bucket")
+    val w = Window.partitionBy(seriesCols.map(col): _*).orderBy("bucket_ms")
+      .rowsBetween(-(window - 1), 0)
+    val vs = sort_array(collect_list(col("value")).over(w))
+    val n = size(vs)
+    // int/int `/` is true division in Spark — cast back to int indexes
+    // (operands are positive, so the truncating cast is a floor, the
+    // exact mirror of the oracle's `//`)
+    val mid = element_at(vs, ((n + lit(1)) / lit(2)).cast("int")).cast("double")
+    val midHi = element_at(vs, (n / lit(2) + lit(1)).cast("int")).cast("double")
+    val med = when(pmod(n, lit(2)) === 1, mid)
+      .otherwise((mid + midHi) / lit(2.0))
+    downsampled.select(seriesCols.map(col) ++ Seq(
+      col("bucket_ms"), col("value"), D.r4s(med).as("median")): _*)
+  }
+}

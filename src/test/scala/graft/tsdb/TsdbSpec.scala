@@ -374,4 +374,51 @@ class TsdbSpec extends SparkSpec {
       .select("value").as[Double].head()
     assert(first == 1.0 && last == 9.0)
   }
+
+  test("trend: trapezoidal integral, OLS fit/forecast, moving median") {
+    val H = 3600000L
+    // integral: two trapezoids over hourly buckets —
+    // (1+3)/2·1h + (3+5)/2·1h = 6.0; a singleton series emits auc=0
+    val ds = Seq(("a", 0L, 1.0), ("a", H, 3.0), ("a", 2 * H, 5.0),
+        ("b", 0L, 7.0))
+      .toDF("series", "bucket_ms", "value")
+    val auc = Trend.integral(ds, Seq("series"))
+      .orderBy("series").as[(String, Double, Long)].collect().toSeq
+    assert(auc == Seq(("a", 6.0, 2L), ("b", 0.0, 0L)))
+
+    // an exact line y = 2x + 1 is recovered exactly; forecast at
+    // xmax + 7 continues it; the singleton series is dropped
+    val line = Seq(("a", 0L, 1.0), ("a", H, 3.0), ("a", 2 * H, 5.0),
+        ("a", 3 * H, 7.0), ("b", 0L, 4.0))
+      .toDF("series", "bucket_ms", "value")
+    val fit = Trend.linearFit(line, Seq("series"), H, horizon = 7)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(fit == Seq(("a", 4L, 2.0, 1.0, 2.0 * 10 + 1)))
+
+    // moving median window=3: ramp-up rows use what exists (1-row
+    // median, then even 2-row mean, then full odd window)
+    val mm = Seq(("s", 0L, 5.0), ("s", H, 1.0), ("s", 2 * H, 9.0),
+        ("s", 3 * H, 3.0)).toDF("series", "bucket_ms", "value")
+    val med = Trend.movingMedian(mm, Seq("series"), window = 3)
+      .orderBy("bucket_ms").select("median").as[Double].collect().toSeq
+    assert(med == Seq(5.0, 3.0, 5.0, 3.0))
+  }
+
+  test("trend: holt recurrence trace and changepoint split") {
+    val H = 3600000L
+    // hand-checked α=β=0.5 trace over [3.1, 7.2, 31.1]
+    val hs = Seq(("s", 0L, 3.1), ("s", H, 7.2), ("s", 2 * H, 31.1))
+      .toDF("series", "bucket_ms", "value")
+    val holt = Trend.holt(hs, Seq("series"), alpha = 0.5, beta = 0.5)
+      .orderBy("bucket_ms").select("level", "trend")
+      .as[(Double, Double)].collect().toSeq
+    assert(holt == Seq((3.1, 0.0), (5.15, 1.025), (18.6375, 7.2563)))
+
+    // an obvious level shift: [1, 1, 1, 9, 9] splits after bucket 3
+    val cs = Seq(("s", 0L, 1.0), ("s", H, 1.0), ("s", 2 * H, 1.0),
+      ("s", 3 * H, 9.0), ("s", 4 * H, 9.0)).toDF("series", "bucket_ms", "value")
+    val cp = Trend.changepoint(cs, Seq("series"))
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(cp == Seq(("s", 2 * H, 3L, 2L, 1.0, 9.0, 8.0)))
+  }
 }
