@@ -115,6 +115,27 @@ object Windows {
         .orderBy("user_id", "session_id")
     }),
 
+    // gaps-and-islands longest streak: each user's distinct active-day
+    // set; day − row_number is constant within a consecutive run, so
+    // one groupBy per (user, run) then an arg-max per user (ties break
+    // to the LATER start via the lexicographic struct max — mirrored by
+    // the oracle's ORDER BY len DESC, start_day DESC). Both windows
+    // partition by user over day-cardinality rows, never raw events.
+    "win_streak" -> ((s, dir) => {
+      val days = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+        .distinct()
+      val w = Window.partitionBy("user_id").orderBy("day")
+      days.withColumn("grp", col("day") - row_number().over(w))
+        .groupBy("user_id", "grp")
+        .agg(count(lit(1)).as("len"), min(col("day")).as("start_day"))
+        .groupBy("user_id")
+        .agg(max(struct(col("len"), col("start_day"))).as("m"))
+        .select(col("user_id"), col("m.len").as("streak_days"),
+          col("m.start_day").as("start_day"))
+        .orderBy("user_id")
+    }),
+
     "win_percent_rank_cume" -> ((s, dir) => {
       val w = Window.partitionBy("c_mktsegment").orderBy("c_acctbal", "c_custkey")
       Tables.customer(s, dir)
@@ -238,6 +259,27 @@ object Windows {
          SELECT user_id, session_id, count(1) AS n_events,
                 min(ts_ms) AS session_start, max(ts_ms) AS session_end
          FROM sid GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of win_streak: identical islands construction; the Spark
+    // side's max(struct(len, start_day)) ≡ this rn=1 arg-max
+    "win_streak" ->
+      """WITH days AS (
+           SELECT DISTINCT user_id, (epoch_ns(ts) // 1000000) // 86400000 AS day
+           FROM events),
+         isl AS (
+           SELECT user_id, day,
+                  day - row_number() OVER (PARTITION BY user_id ORDER BY day) AS grp
+           FROM days),
+         runs AS (
+           SELECT user_id, grp, count(1) AS len, min(day) AS start_day
+           FROM isl GROUP BY 1, 2),
+         best AS (
+           SELECT user_id, len, start_day,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY len DESC, start_day DESC) AS rn
+           FROM runs)
+         SELECT user_id, len AS streak_days, start_day
+         FROM best WHERE rn = 1 ORDER BY user_id""",
 
     "win_percent_rank_cume" ->
       """SELECT c_mktsegment, c_custkey,
