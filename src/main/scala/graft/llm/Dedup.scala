@@ -506,4 +506,48 @@ object Dedup {
       .select("new_id", "corpus_id", "jaccard")
       .orderBy("new_id", "corpus_id")
   }
+
+  /** Asymmetric shingle-containment near-dup: for candidate pairs
+    * sharing a RARE shingle, C(A→B) = |sh(A) ∩ sh(B)| / |sh(A)| — the
+    * quote/excerpt detector Jaccard misses (a short doc embedded in a
+    * long one has low Jaccard but high containment). Emits pairs whose
+    * larger-side containment clears `threshold`, with both directions'
+    * 4dp scores.
+    *
+    * Scale shape: candidates come ONLY from shingles with document
+    * frequency ≤ `maxDf` (pair volume bounded by Σ df² over rare
+    * shingles — the blocked-pair-generation rule every dedup operator
+    * here follows; a ubiquitous boilerplate shingle generates no
+    * pairs). The intersection recount then joins shingle postings
+    * against the candidate-pair list, so only candidate docs'
+    * postings move — never all-pairs, never the corpus text. */
+  def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int, maxDf: Int, threshold: Double): DataFrame = {
+    val sh = docs
+      .withColumn("w", words(col(textCol)))
+      .select(col(idCol).as("doc_id"),
+        explode(array_distinct(shingles("w", n))).as("s"))
+    val rareS = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
+      .where(col("sdf") <= maxDf).select("s")
+    val rare = sh.join(rareS, "s")
+    val pairs = rare.as("a")
+      .join(rare.as("b"),
+        col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("b.doc_id").as("b_id"))
+      .distinct()
+    val sz = sh.groupBy("doc_id").agg(count(lit(1)).as("nsh"))
+    val inter = sh.as("x")
+      .join(pairs, col("x.doc_id") === col("a_id"))
+      .join(sh.as("y"),
+        col("y.doc_id") === col("b_id") && col("y.s") === col("x.s"))
+      .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("doc_id").as("a_id"), col("nsh").as("na")), "a_id")
+      .join(sz.select(col("doc_id").as("b_id"), col("nsh").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"), col("na"), col("nb"), col("inter"),
+        graft.core.D.r4s(col("inter").cast("double") / col("na")).as("c_a"),
+        graft.core.D.r4s(col("inter").cast("double") / col("nb")).as("c_b"))
+      .where(greatest(col("c_a"), col("c_b")) >= threshold)
+      .orderBy("a_id", "b_id")
+  }
 }

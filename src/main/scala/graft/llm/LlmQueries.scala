@@ -322,10 +322,27 @@ object LlmQueries {
         .orderBy("a_id")
     }),
 
+    // asymmetric 5-shingle containment (|A∩B|/|A|) over rare-shingle
+    // blocked pairs — catches excerpt/quote duplication Jaccard misses
+    "llm_dedup_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(Tables.documents(s, dir), "doc_id", "text",
+        n = 5, maxDf = 20, threshold = 0.6)),
+
     "llm_sim_cosine_topk" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       Similarity.cosineTopK(emb, qv, 10)
+    }),
+
+    // contrastive-training hard negatives: per query vector, the 5
+    // nearest corpus vectors of a DIFFERENT label (broadcast query
+    // batch, one corpus scan, per-query window — no corpus shuffle)
+    "llm_hard_negatives" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      Similarity.hardNegatives(emb, q, 5)
     }),
 
     // LSH-bucketed ANN — md5-derived hyperplane signs, so bucket
@@ -844,6 +861,14 @@ object LlmQueries {
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Terms, 10)),
 
+    // pseudo-relevance-feedback expansion: BM25 top-5 pool → 2 most
+    // frequent feedback terms (≥4 chars, originals excluded) → rescore
+    // with the expanded term set. The expansion terms stay a DataFrame
+    // broadcast into the posting-row rescore — no driver round-trip
+    "llm_prf_expansion" -> ((s, dir) =>
+      Retrieval.prfExpandTopK(s, Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms, fbK = 5, expand = 2, k = 10)),
+
     // BM25 off the PERSISTED inverted index — the serving shape: probe
     // partition-prunes postings to the query terms' hash buckets,
     // derives df with tiny aggregates over the pruned slice, scores
@@ -857,6 +882,21 @@ object LlmQueries {
       Retrieval.ensureTextIndex(s, docs, "doc_id", "text", path,
         textFingerprint(s, dir))
       Retrieval.bm25TopKStored(s, path, Bm25Terms, 10)
+    }),
+
+    // BATCH retrieval off the same stored index: three queries share
+    // ONE bucket-pruned probe (df derived once per term, the query
+    // table broadcast into the pruned postings), top-3 per query — the
+    // mining-a-query-table shape, priced at one probe for the batch
+    "llm_bm25_batch" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val path = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", path,
+        textFingerprint(s, dir))
+      val batch = Seq(1 -> "spark", 1 -> "merge", 2 -> "dup", 2 -> "spark",
+        3 -> "merge", 3 -> "dup").toDF("query_id", "term")
+      Retrieval.bm25TopKStoredBatch(s, path, batch, k = 3)
     }),
 
     // incremental corpus growth on the TEXT index: built on the
@@ -1617,7 +1657,76 @@ object LlmQueries {
           SELECT doc_id, bm25 FROM bscore WHERE bm25 > 0
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
 
+    // mirror of Retrieval.prfExpandTopK: pool = the scan-side bm25
+    // CTEs verbatim; expansion terms mined from the pool docs' tokens;
+    // rescore in the posting-row formulation (term as data, per-term
+    // contribution DECIMAL(18,4)-quantized before the per-doc sum)
+    "llm_prf_expansion" -> {
+      val orig = Bm25Terms.map(t => s"'$t'").mkString(", ")
+      s"""WITH ${bm25Ctes(Bm25Terms)},
+          pool AS (SELECT doc_id FROM bscore WHERE bm25 > 0
+                   ORDER BY bm25 DESC, doc_id LIMIT 5),
+          fb AS (SELECT term, count(*) AS cnt FROM (
+                   SELECT unnest(ws) AS term FROM wsx JOIN pool USING (doc_id)) t
+                 WHERE term NOT IN ($orig) AND length(term) >= 4 GROUP BY 1),
+          expq AS (SELECT term FROM fb ORDER BY cnt DESC, term LIMIT 2),
+          qterms AS (SELECT term FROM expq
+                     UNION ALL SELECT unnest([$orig]) AS term),
+          post AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+                     SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS term
+                     FROM wsx) x GROUP BY 1, 2, 3),
+          cand AS (SELECT p.doc_id, p.dl, p.term, p.tf
+                   FROM post p JOIN qterms q USING (term)),
+          dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df FROM cand GROUP BY 1),
+          sc AS (SELECT doc_id, CAST(
+                   ln(CAST(1 AS DOUBLE) + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * CAST(${Bm25K1 + 1.0} AS DOUBLE))
+                   / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
+                      + CAST($Bm25B AS DOUBLE) * dl / avgdl))
+                 AS DECIMAL(18,4)) AS contrib
+                 FROM cand JOIN dfq USING (term) CROSS JOIN bstats),
+          prf AS (SELECT doc_id,
+                    ROUND(CAST(SUM(contrib) AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS bm25
+                  FROM sc GROUP BY 1)
+          SELECT doc_id, bm25 FROM prf WHERE bm25 > 0
+          ORDER BY bm25 DESC, doc_id LIMIT 10"""
+    },
+
     "llm_bm25_indexed" -> bm25IndexedOracle("TRUE"),
+
+    // mirror of Retrieval.bm25TopKStoredBatch: posting-row rescore per
+    // (query, doc) with corpus-level df/stats, DECIMAL(18,4)-quantized
+    // contributions, top-3 window per query
+    "llm_bm25_batch" ->
+      s"""WITH wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+                       FROM documents),
+          post AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+                     SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS term
+                     FROM wsx) x GROUP BY 1, 2, 3),
+          bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                     FROM (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM wsx) d),
+          qt(query_id, term) AS (VALUES (1, 'spark'), (1, 'merge'), (2, 'dup'),
+                                        (2, 'spark'), (3, 'merge'), (3, 'dup')),
+          dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                  FROM post JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+                  GROUP BY 1),
+          sc AS (SELECT q.query_id, p.doc_id, CAST(
+                   ln(CAST(1 AS DOUBLE) + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * CAST(${Bm25K1 + 1.0} AS DOUBLE))
+                   / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
+                      + CAST($Bm25B AS DOUBLE) * dl / avgdl))
+                 AS DECIMAL(18,4)) AS contrib
+                 FROM post p JOIN qt q USING (term) JOIN dfq USING (term)
+                 CROSS JOIN bstats),
+          agg AS (SELECT query_id, doc_id,
+                    ROUND(CAST(SUM(contrib) AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS bm25
+                  FROM sc GROUP BY 1, 2),
+          rk AS (SELECT query_id, doc_id, bm25,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn
+                 FROM agg WHERE bm25 > 0)
+          SELECT query_id, rn, doc_id, bm25 FROM rk WHERE rn <= 3
+          ORDER BY query_id, rn""",
 
     // append ≡ rebuild for the text index (stats sums combine exactly,
     // df derives at probe time) — the oracle IS the whole-corpus
@@ -2056,6 +2165,58 @@ object LlmQueries {
          JOIN sz sa ON sa.doc_id = i.a_id
          JOIN sz sb ON sb.doc_id = i.a_id + 1
          ORDER BY i.a_id""",
+
+    // mirror of Dedup.containmentPairs: same 5-shingle construction
+    // (DuckDB's exclusive-stop range ≡ Spark's inclusive sequence),
+    // rare-shingle (df ≤ 20) pair blocking, intersection recount,
+    // 4dp-rounded directional scores thresholded on the rounded max
+    "llm_dedup_containment" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         sh AS (SELECT doc_id, unnest(list_distinct(list_transform(range(0, len(ws) - 4),
+                  i -> array_to_string(ws[i+1:i+5], ' ')))) AS s FROM w),
+         dfc AS (SELECT s, count(*) AS sdf FROM sh GROUP BY 1),
+         rare AS (SELECT sh.doc_id, sh.s FROM sh JOIN dfc USING (s) WHERE sdf <= 20),
+         pairs AS (SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+                   FROM rare a JOIN rare b ON a.s = b.s AND a.doc_id < b.doc_id),
+         sz AS (SELECT doc_id, count(*) AS nsh FROM sh GROUP BY 1),
+         inter AS (SELECT p.a_id, p.b_id, count(*) AS inter
+                   FROM pairs p JOIN sh x ON x.doc_id = p.a_id
+                   JOIN sh y ON y.doc_id = p.b_id AND y.s = x.s GROUP BY 1, 2),
+         sc AS (SELECT i.a_id, i.b_id, sa.nsh AS na, sb.nsh AS nb, i.inter,
+                  ROUND((CAST(i.inter AS DOUBLE) / sa.nsh) * 10000.0, 0) / 10000.0 + 0.0 AS c_a,
+                  ROUND((CAST(i.inter AS DOUBLE) / sb.nsh) * 10000.0, 0) / 10000.0 + 0.0 AS c_b
+                FROM inter i JOIN sz sa ON sa.doc_id = i.a_id
+                JOIN sz sb ON sb.doc_id = i.b_id)
+         SELECT a_id, b_id, na, nb, inter, c_a, c_b
+         FROM sc WHERE GREATEST(c_a, c_b) >= 0.6 ORDER BY a_id, b_id""",
+
+    // mirror of Similarity.hardNegatives: per-element-decimal dots
+    // against each query vector, label-mismatch filter, top-5 window
+    "llm_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+                     FROM embeddings WHERE vec_id < 5),
+          $NormCte,
+          nq AS (SELECT q.query_id,
+                   SUM(CAST(CAST(q.qv[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                       AS DECIMAL(18,4))) AS d2
+                 FROM q, range(1, 65) r(i) GROUP BY 1),
+          p AS (SELECT q.query_id, e.vec_id, e.label,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings e, q, range(1, 65) r(i)
+                WHERE e.label <> q.q_label
+                GROUP BY 1, 2, 3),
+          sc AS (SELECT p.query_id, p.vec_id, p.label,
+                   ROUND((CAST(p.dot AS DOUBLE) /
+                         (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                 FROM p JOIN n ON n.vec_id = p.vec_id
+                 JOIN nq ON nq.query_id = p.query_id),
+          rk AS (SELECT query_id, vec_id, label, sim,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
+                 FROM sc)
+          SELECT query_id, rn, vec_id, label, sim FROM rk WHERE rn <= 5
+          ORDER BY query_id, rn""",
 
     "llm_sim_cosine_topk" ->
       s"""WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),

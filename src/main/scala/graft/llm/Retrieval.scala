@@ -405,6 +405,50 @@ object Retrieval {
       .limit(k)
   }
 
+  /** BATCH BM25 off the stored index: score MANY queries in one probe —
+    * the training-data-mining shape (a query table joined against the
+    * index, not a per-query loop). `queries` is (query_id, term) rows;
+    * emits (query_id, rn, doc_id, bm25), top `k` per query.
+    *
+    * One probe serves the whole batch: the postings are bucket-pruned
+    * once to the UNION of the batch's terms (terms-sized driver list,
+    * same k-sized collect contract as the single-query probe), df is
+    * derived once per term — it is a corpus property, shared across
+    * queries — and the query table broadcasts into the pruned posting
+    * rows, fanning each (doc, term) row out only to the queries that
+    * contain the term. Per-(query, doc) scores then sum decimal-
+    * quantized contributions, and the top-k window runs per query.
+    * Data moved: Σ_q Σ_t df(t) candidate rows — corpus size is out of
+    * the cost, and Q queries cost ONE index probe, not Q. (A batch too
+    * large to enumerate buckets for would skip pruning and sort-merge
+    * join postings on term — same math, no driver list; this entry
+    * point is the bounded-batch serving shape.) */
+  def bm25TopKStoredBatch(s: org.apache.spark.sql.SparkSession, path: String,
+                          queries: DataFrame, k: Int,
+                          k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val qt = queries.select("query_id", "term").distinct()
+    val terms = qt.select("term").distinct()
+      .collect().map(_.getString(0)).toSeq
+    val (post, n, avgdl) = storedProbe(s, path, terms)
+    val dfs = post.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = post.join(broadcast(dfs), "term")
+      .join(broadcast(qt), "term")
+      .withColumn("idf", log(lit(1.0) +
+        (lit(n) - col("df") + lit(0.5)) / (col("df") + lit(0.5))))
+      .withColumn("contrib", graft.core.D.dec(
+        col("idf") * (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))))
+      .groupBy("query_id", "doc_id")
+      .agg(graft.core.D.r4s(sum(col("contrib")).cast("double")).as("bm25"))
+      .where(col("bm25") > 0)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select("query_id", "rn", "doc_id", "bm25")
+      .orderBy("query_id", "rn")
+  }
+
   /** Metadata-filtered BM25 off the stored index — the lexical twin of
     * the filtered ANN probes: only documents in `keepIds` may rank,
     * while df / N / avgdl keep their corpus-level values (a filter
@@ -538,6 +582,63 @@ object Retrieval {
     picked.toSeq.zipWithIndex
       .map { case (id, i) => ((i + 1).toLong, id) }
       .toDF("sel_rank", "vec_id")
+  }
+
+  /** Pseudo-relevance-feedback query expansion (the Rocchio/RM
+    * family's deterministic core): run BM25 with the original `terms`,
+    * take the top `fbK` hits as feedback docs, pick the `expand` most
+    * frequent feedback-doc terms (≥ `minLen` chars, originals
+    * excluded; ties break lexicographically) as expansion terms, then
+    * re-score the corpus with the UNION of original + expansion terms
+    * and return the top `k`.
+    *
+    * Scale shape: the feedback pool is fbK rows; expansion-term mining
+    * is one word-count aggregate over fbK docs (broadcast semi-join
+    * into the corpus scan). The rescore pass uses the posting-row
+    * formulation — (doc, term, tf) rows word-count-shaped, the tiny
+    * query-term set broadcast into them — because the expanded term
+    * set is DATA (a DataFrame), not compile-time literals; per-term
+    * contributions are 4dp-decimal-quantized before the
+    * order-independent per-doc sum, exactly like [[bm25TopKStored]]
+    * (and the oracle mirrors THIS formulation). No driver round-trip
+    * anywhere: the expansion terms never leave the cluster. */
+  def prfExpandTopK(s: org.apache.spark.sql.SparkSession,
+                    docs: DataFrame, idCol: String, textCol: String,
+                    terms: Seq[String], fbK: Int, expand: Int, k: Int,
+                    minLen: Int = 4, k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    import s.implicits._
+    val ws = docs
+      .withColumn("ws", filter(Dedup.words(col(textCol)), w => w =!= lit("")))
+      .withColumn("dl", size(col("ws")).cast("double"))
+    val pool = bm25TopK(docs, idCol, textCol, terms, fbK)
+      .select(col(idCol).as("doc_id"))
+    val fbTerms = ws.select(col(idCol).as("doc_id"), col("ws"))
+      .join(broadcast(pool), "doc_id")
+      .select(explode(col("ws")).as("term"))
+      .where(!col("term").isin(terms: _*) && length(col("term")) >= minLen)
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("term")).limit(expand)
+      .select("term")
+    val qterms = fbTerms.union(terms.toDF("term"))
+    val stats = ws.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val post = ws
+      .select(col(idCol).as("doc_id"), col("dl"), explode(col("ws")).as("term"))
+      .groupBy("doc_id", "dl", "term")
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val cand = post.join(broadcast(qterms), "term")
+    val dfs = cand.groupBy("term").agg(count(lit(1)).cast("double").as("df"))
+    val scored = cand.join(broadcast(dfs), "term").crossJoin(broadcast(stats))
+      .withColumn("contrib", graft.core.D.dec(
+        log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+          (col("tf") * lit(k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))))
+    scored.groupBy("doc_id")
+      .agg(graft.core.D.r4s(sum(col("contrib")).cast("double")).as("bm25"))
+      .where(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
   }
 
   /** Reciprocal-rank fusion of a lexical pool and a vector pool

@@ -61,6 +61,33 @@ object Similarity {
       .limit(k)
   }
 
+  /** Hard-negative mining for contrastive training: for each query
+    * vector, the `k` nearest corpus vectors by cosine whose `label`
+    * DIFFERS from the query's — the "similar but wrong class" examples
+    * a contrastive loss needs. Emits (query_id, rn, vec_id, label,
+    * sim), rn 1..k per query, deterministic (sim desc, vec_id).
+    *
+    * Scale shape: `queries` is a mining batch (bounded), broadcast
+    * into ONE corpus scan — Q×N scored rows but zero corpus shuffles;
+    * the per-query window runs over each query's scored rows. The
+    * 100 TB swap is the same as every other brute-force baseline here:
+    * route candidate generation through the stored IVF probe
+    * ([[ivfTopKStored]]) and keep only this method's label-mismatch
+    * filter + window — the scoring math is shared either way. */
+  def hardNegatives(vectors: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.withColumn("qnrm", normExpr("qv")))
+    val scored = vectors.withColumn("nrm", normExpr("embedding"))
+      .join(q, col("label") =!= col("q_label"))
+      .select(col("query_id"), col("vec_id"), col("label"),
+        cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")).as("sim"))
+    val w = Window.partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .where(col("rn") <= k)
+      .select("query_id", "rn", "vec_id", "label", "sim")
+      .orderBy("query_id", "rn")
+  }
+
   /** Shared scaffold for blocked pairwise cosines: norms computed ONCE
     * per vector, pairs generated only within a blocking key (Σ bucket²,
     * never corpus²). `ordered = true` keeps only a_id < b_id (symmetric

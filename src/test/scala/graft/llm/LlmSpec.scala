@@ -91,6 +91,40 @@ class LlmSpec extends SparkSpec {
     assert(new java.io.File(s"$path/_meta").lastModified() == before)
   }
 
+  test("batch BM25: one shared probe matches per-query stored probes exactly") {
+    val corpus = graft.core.Tables.documents(spark, sf)
+    val path = java.nio.file.Files
+      .createTempDirectory("graft_llmspec_batch").resolve("text").toString
+    Retrieval.buildTextIndex(spark, corpus, "doc_id", "text", path, "spec-v1")
+    val batch = Seq(1 -> "spark", 1 -> "merge", 2 -> "dup", 2 -> "spark")
+      .toDF("query_id", "term")
+    val out = Retrieval.bm25TopKStoredBatch(spark, path, batch, k = 3)
+      .as[(Int, Long, Long, Double)].collect()
+    // each query's slice of the batch result ≡ its own single probe
+    for ((qid, terms) <- Seq(1 -> Seq("spark", "merge"), 2 -> Seq("dup", "spark"))) {
+      val single = Retrieval.bm25TopKStored(spark, path, terms, 3)
+        .as[(Long, Double)].collect().toSeq
+      val slice = out.filter(_._1 == qid).sortBy(_._2).map(r => (r._3, r._4)).toSeq
+      assert(slice == single, s"query $qid: batch=$slice single=$single")
+    }
+  }
+
+  test("hard negatives: never same-label, never self, ranked by cosine") {
+    val vecs = Seq(
+      (1L, Array(1f, 0f, 0f, 0f), 0), (2L, Array(0.9f, 0.1f, 0f, 0f), 0),
+      (3L, Array(0.8f, 0.2f, 0f, 0f), 1), (4L, Array(0f, 1f, 0f, 0f), 1),
+      (5L, Array(0f, 0f, 1f, 0f), 2)).toDF("vec_id", "embedding", "label")
+    val q = vecs.where($"vec_id" === 1)
+      .select($"vec_id".as("query_id"), $"embedding".as("qv"), $"label".as("q_label"))
+    val out = Similarity.hardNegatives(vecs, q, 2)
+      .as[(Long, Long, Long, Int, Double)].collect().toSeq
+    // label-0 vectors (the query's own class, incl. itself) are excluded;
+    // vec 3 (cos≈0.97) outranks vec 4 (0) and vec 5 (0)
+    assert(out.map(_._3).toSet.intersect(Set(1L, 2L)).isEmpty)
+    assert(out.map(r => (r._2, r._3)) == Seq((1L, 3L), (2L, 4L)))
+    assert(out.head._5 > 0.9)
+  }
+
   test("text index lifecycle: append ≡ rebuild, takedown immediate, compaction recomputes stats") {
     val corpus = graft.core.Tables.documents(spark, sf)
     val terms = Seq("spark", "merge", "dup")
