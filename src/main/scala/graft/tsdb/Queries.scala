@@ -87,6 +87,15 @@ object TsdbQueries {
         .orderBy("user_id")
     }),
 
+    // day-of-week seasonal profile + residual (one window per
+    // series×weekday over the series' own daily grid)
+    "tsdb_seasonal_dow" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.seasonalDow(ds, Seq("user_id"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // trapezoidal area under each daily series (value·hours) — the
     // "total exposure" rollup; one lag window per series, then ONE
     // decimal-exact aggregate, so the shuffle moves a row per series
@@ -588,6 +597,25 @@ object TsdbQueries {
             ${D.oR4("""list_reduce(list_slice(vs, 1, i),
               (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc)""")} AS ewma
           FROM idx ORDER BY 1, 2""",
+
+    // mirror of Trend.seasonalDow: same epoch-day weekday derivation,
+    // same decimal-mean window per (series, weekday)
+    "tsdb_seasonal_dow" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          d AS (SELECT user_id, bucket_ms, value,
+                  CAST((bucket_ms // 86400000 + 4) % 7 AS INT) AS dow
+                FROM ds),
+          m AS (SELECT user_id, bucket_ms, value, dow,
+                  ${D.oR4("""CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                      (PARTITION BY user_id, dow) AS DOUBLE) /
+                    COUNT(*) OVER (PARTITION BY user_id, dow)""")} AS dow_mean
+                FROM d)
+          SELECT user_id, bucket_ms, value, dow, dow_mean,
+                 ${D.oR4("value - dow_mean")} AS resid
+          FROM m ORDER BY 1, 2""",
 
     // mirror of Trend.holt: the two-state left fold via list_reduce
     // over per-prefix slices — state carried as a [level, trend]

@@ -157,6 +157,27 @@ object Trend {
         col("mean_left"), col("mean_right"), col("gap")): _*)
   }
 
+  /** Day-of-week seasonal profile + deseasonalized residual per series:
+    * dow_mean is the series' average over same-weekday buckets (decimal
+    * sums, 4dp), resid = value − dow_mean — the "is Monday always like
+    * this" decomposition dashboards overlay before flagging anomalies.
+    * One window per (series, weekday) partition over the series' own
+    * grid rows — no join-back, no global pass; dow derives from the
+    * epoch-day index (1970-01-01 was a Thursday; the +4 shift lands
+    * Sunday on 0, Monday on 1, …). */
+  def seasonalDow(downsampled: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    val withDow = downsampled.withColumn("dow",
+      expr("CAST((bucket_ms DIV 86400000 + 4) % 7 AS INT)"))
+    val w = Window.partitionBy((seriesCols :+ "dow").map(col): _*)
+    val dowMean = D.r4s(sum(D.dec(col("value"))).over(w).cast("double") /
+      count(lit(1)).over(w))
+    withDow
+      .withColumn("dow_mean", dowMean)
+      .select(seriesCols.map(col) ++ Seq(col("bucket_ms"), col("value"),
+        col("dow"), col("dow_mean"),
+        D.r4s(col("value") - col("dow_mean")).as("resid")): _*)
+  }
+
   /** Exact sliding-window median per series: the median of the trailing
     * `window` buckets (current row inclusive; ramp-up rows use however
     * many buckets exist). Implemented as a sorted collect_list over the

@@ -414,6 +414,18 @@ class TsdbSpec extends SparkSpec {
       .as[(Double, Double)].collect().toSeq
     assert(holt == Seq((3.1, 0.0), (5.15, 1.025), (18.6375, 7.2563)))
 
+    // seasonal dow: 2024-01-01 (epoch day 19723) is a Monday → dow=1
+    // under the +4 shift (Sunday=0); same-weekday buckets share the
+    // profile mean, residuals decompose around it
+    val D = 86400000L
+    val t0 = 19723L * D
+    val sd = Seq(("s", t0, 2.0), ("s", t0 + D, 5.0), ("s", t0 + 7 * D, 4.0))
+      .toDF("series", "bucket_ms", "value")
+    val prof = Trend.seasonalDow(sd, Seq("series"))
+      .orderBy("bucket_ms")
+      .select("dow", "dow_mean", "resid").as[(Int, Double, Double)].collect().toSeq
+    assert(prof == Seq((1, 3.0, -1.0), (2, 5.0, 0.0), (1, 3.0, 1.0)))
+
     // an obvious level shift: [1, 1, 1, 9, 9] splits after bucket 3
     val cs = Seq(("s", 0L, 1.0), ("s", H, 1.0), ("s", 2 * H, 1.0),
       ("s", 3 * H, 9.0), ("s", 4 * H, 9.0)).toDF("series", "bucket_ms", "value")
