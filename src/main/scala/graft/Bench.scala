@@ -25,7 +25,8 @@ object Bench {
     "llm_sim_ivf_filtered", "tsdb_expression_topn", "tsdb_query_capped",
     "llm_sim_ivf_retrained", "llm_chunk_overlap", "llm_ngram_counts",
     "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored",
-    "llm_hybrid_rrf_filtered")
+    "llm_hybrid_rrf_filtered", "llm_bm25_batch", "llm_prf_expansion",
+    "llm_dedup_containment", "llm_hard_negatives", "tsdb_forecast_linear")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

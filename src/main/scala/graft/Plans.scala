@@ -22,7 +22,9 @@ object Plans {
     "tsdb_expression_topn", "tsdb_query_capped",
     "llm_sim_ivfpq_filtered", "tsdb_expression_pct",
     "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored",
-    "tsdb_query_last")
+    "tsdb_query_last", "llm_bm25_batch", "llm_prf_expansion",
+    "llm_dedup_containment", "llm_hard_negatives",
+    "tsdb_forecast_linear", "tsdb_changepoint", "win_streak")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

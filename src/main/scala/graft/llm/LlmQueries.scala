@@ -1,6 +1,6 @@
 package graft.llm
 
-import graft.core.Tables
+import graft.core.{D, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -332,6 +332,67 @@ object LlmQueries {
       val emb = Tables.embeddings(s, dir)
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
       Similarity.cosineTopK(emb, qv, 10)
+    }),
+
+    // tokenizer-vocabulary coverage: per-doc OOV rate against the
+    // corpus top-1000 vocabulary (deterministic count-desc/term cut).
+    // Word-count-shaped vocab mining + a BOUNDED (1000-row) broadcast
+    // anti join — the "will this corpus tokenize well" health check
+    "llm_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val ws = filter(Dedup.words(col("text")), w => w =!= lit(""))
+      val toks = docs.select(col("doc_id"), explode(ws).as("term"))
+      val vocab = toks.groupBy("term").agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("term")).limit(1000).select("term")
+      val oov = toks.join(broadcast(vocab), Seq("term"), "left_anti")
+        .groupBy("doc_id").agg(count(lit(1)).as("n_oov"))
+      docs.select(col("doc_id"), size(ws).cast("long").as("n_tokens"))
+        .join(oov, Seq("doc_id"), "left")
+        .where(col("n_tokens") > 0)
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+          graft.core.D.r4s(coalesce(col("n_oov"), lit(0L)).cast("double")
+            / col("n_tokens")).as("oov_rate"))
+        .orderBy("doc_id")
+    }),
+
+    // per-source distinctive terms ("domain signature"): rank each
+    // source's terms by cnt·ln(1 + n_sources/source_df) — terms common
+    // here but rare across sources. Word-count shapes + a term-keyed
+    // reduced join; the final window runs over source vocab rows
+    "llm_source_signature" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val toks = docs.select(col("source"),
+        explode(filter(Dedup.words(col("text")), w => w =!= lit(""))).as("term"))
+      val bySrc = toks.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val dfSrc = bySrc.groupBy("term").agg(count(lit(1)).cast("double").as("src_df"))
+      val nSrc = docs.agg(countDistinct(col("source")).cast("double").as("n_src"))
+      val scored = bySrc.join(dfSrc, "term").crossJoin(broadcast(nSrc))
+        .withColumn("score", graft.core.D.r4s(col("cnt").cast("double") *
+          log(lit(1.0) + col("n_src") / col("src_df"))))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("source")
+        .orderBy(col("score").desc, col("term"))
+      scored.withColumn("rn", row_number().over(w).cast("long"))
+        .where(col("rn") <= 3)
+        .select("source", "rn", "term", "cnt", "score")
+        .orderBy("source", "rn")
+    }),
+
+    // embedding-space health per label: vector count, mean L2 norm,
+    // and mean intra-label pairwise cosine (pairs bounded by Σ label²
+    // via the shared blocked-pair scaffold) — collapsed or drifting
+    // clusters show up as cohesion outliers before training does
+    "llm_embed_label_cohesion" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+        .withColumn("nrm", Similarity.normExpr("embedding"))
+      val ns = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"),
+        graft.core.D.avgDec(col("nrm")).as("avg_norm"))
+      val pc = Similarity.blockedPairCosines(emb, "label", ordered = true)
+        .join(emb.select(col("vec_id").as("a_id"), col("label")), "a_id")
+        .groupBy("label").agg(count(lit(1)).as("n_pairs"),
+          graft.core.D.avgDec(col("sim")).as("avg_pair_cos"))
+      ns.join(pc, "label").orderBy("label")
+        .select("label", "n_vecs", "avg_norm", "n_pairs", "avg_pair_cos")
     }),
 
     // contrastive-training hard negatives: per query vector, the 5
@@ -2189,6 +2250,66 @@ object LlmQueries {
                 JOIN sz sb ON sb.doc_id = i.b_id)
          SELECT a_id, b_id, na, nb, inter, c_a, c_b
          FROM sc WHERE GREATEST(c_a, c_b) >= 0.6 ORDER BY a_id, b_id""",
+
+    // mirror of llm_vocab_coverage: identical top-1000 vocabulary cut
+    // (count desc, term), anti-join OOV recount, zero-filled left join
+    "llm_vocab_coverage" ->
+      """WITH wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+                      FROM documents),
+         toks AS (SELECT doc_id, unnest(ws) AS term FROM wsx),
+         vocab AS (SELECT term FROM (SELECT term, count(*) AS cnt FROM toks GROUP BY 1)
+                   ORDER BY cnt DESC, term LIMIT 1000),
+         oov AS (SELECT doc_id, count(*) AS n_oov
+                 FROM toks ANTI JOIN vocab USING (term) GROUP BY 1),
+         base AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n_tokens FROM wsx)
+         SELECT b.doc_id, b.n_tokens,
+                COALESCE(o.n_oov, 0) AS n_oov,
+                ROUND((CAST(COALESCE(o.n_oov, 0) AS DOUBLE) / b.n_tokens) * 10000.0, 0) / 10000.0 + 0.0 AS oov_rate
+         FROM base b LEFT JOIN oov o USING (doc_id)
+         WHERE b.n_tokens > 0 ORDER BY b.doc_id""",
+
+    // mirror of llm_source_signature: same count·ln(1 + n_src/src_df)
+    // score, same (score desc, term) top-3 window per source
+    "llm_source_signature" ->
+      """WITH toks AS (SELECT source, unnest(list_filter(string_split(lower(text), ' '), x -> x <> '')) AS term
+                       FROM documents),
+         by_src AS (SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         df_src AS (SELECT term, CAST(count(*) AS DOUBLE) AS src_df FROM by_src GROUP BY 1),
+         n_s AS (SELECT CAST(count(DISTINCT source) AS DOUBLE) AS n_src FROM documents),
+         sc AS (SELECT b.source, b.term, b.cnt,
+                  ROUND((CAST(b.cnt AS DOUBLE) * ln(CAST(1 AS DOUBLE) + n_src / src_df)) * 10000.0, 0) / 10000.0 + 0.0 AS score
+                FROM by_src b JOIN df_src USING (term) CROSS JOIN n_s),
+         rk AS (SELECT source, term, cnt, score,
+                  CAST(row_number() OVER (PARTITION BY source
+                       ORDER BY score DESC, term) AS BIGINT) AS rn
+                FROM sc)
+         SELECT source, rn, term, cnt, score FROM rk WHERE rn <= 3
+         ORDER BY source, rn""",
+
+    // mirror of llm_embed_label_cohesion: per-element-decimal norms and
+    // intra-label pair dots, decimal means rounded 4dp
+    "llm_embed_label_cohesion" ->
+      s"""WITH $NormCte,
+          nrm AS (SELECT e.vec_id, e.label, SQRT(CAST(n.d2 AS DOUBLE)) AS nrm
+                  FROM embeddings e JOIN n USING (vec_id)),
+          ns AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
+                   ${D.oAvgDec("nrm")} AS avg_norm
+                 FROM nrm GROUP BY 1),
+          p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
+                  SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings a, embeddings b, range(1, 65) r(i)
+                WHERE a.label = b.label AND a.vec_id < b.vec_id
+                GROUP BY 1, 2, 3),
+          sim AS (SELECT p.label,
+                    ROUND((CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm)) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                  FROM p JOIN nrm na ON na.vec_id = p.a_id
+                  JOIN nrm nb ON nb.vec_id = p.b_id),
+          pc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
+                   ${D.oAvgDec("sim")} AS avg_pair_cos
+                 FROM sim GROUP BY 1)
+          SELECT ns.label, ns.n_vecs, ns.avg_norm, pc.n_pairs, pc.avg_pair_cos
+          FROM ns JOIN pc USING (label) ORDER BY ns.label""",
 
     // mirror of Similarity.hardNegatives: per-element-decimal dots
     // against each query vector, label-mismatch filter, top-5 window
