@@ -912,6 +912,26 @@ object LlmQueries {
         .orderBy(col("n").desc, col("bg"))
         .limit(100)),
 
+    // one BPE-merge iteration — the tokenizer-training inner loop:
+    // corpus word frequencies first (vocab-sized after the groupBy),
+    // then every adjacent character pair weighted by its word's corpus
+    // count; the top pairs are the next merge candidates. The pair
+    // explode runs over the REDUCED vocab, so cost is
+    // vocab × word-length, independent of corpus row count.
+    "llm_bpe_merge" -> ((s, dir) => {
+      val words = Tables.documents(s, dir)
+        .select(explode(filter(Dedup.words(col("text")),
+          w => length(w) >= 2)).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("cnt"))
+      words
+        .select(explode(expr(
+          "transform(sequence(1, length(word) - 1), i -> substring(word, i, 2))"))
+          .as("pair"), col("cnt"))
+        .groupBy("pair").agg(sum(col("cnt")).as("n"))
+        .orderBy(col("n").desc, col("pair"))
+        .limit(20)
+    }),
+
     // BM25 ranked retrieval — the lexical-search half of RAG-corpus
     // tooling: per-doc term frequencies as literal map-side filter
     // columns (no explode, no (doc,term) shuffle), ONE single-row
@@ -2520,6 +2540,19 @@ object LlmQueries {
          b AS (SELECT toks[k] || ' ' || toks[k + 1] AS bg FROM i)
          SELECT bg, count(*) AS n FROM b
          GROUP BY bg ORDER BY n DESC, bg LIMIT 100""",
+
+    // mirror of llm_bpe_merge: same vocab cut (len ≥ 2 words), same
+    // adjacent-char-pair expansion weighted by word count
+    "llm_bpe_merge" ->
+      """WITH w AS (SELECT unnest(list_filter(string_split(lower(text), ' '),
+                                  x -> len(x) >= 2)) AS word FROM documents),
+         wc AS (SELECT word, count(*) AS cnt FROM w GROUP BY 1),
+         p AS (SELECT unnest(list_transform(range(1, length(word)),
+                               i -> substr(word, CAST(i AS INT), 2))) AS pair,
+                      cnt
+               FROM wc)
+         SELECT pair, CAST(SUM(cnt) AS BIGINT) AS n FROM p
+         GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""",
 
     "llm_multimodal_join" ->
       s"""WITH $NormCte

@@ -235,6 +235,43 @@ object Aggs {
                                             / COUNT(1)) * 10000.0, 0) / 10000.0 + 0.0
                               FROM ord_sub i WHERE i.o_custkey = o.o_custkey)
         ORDER BY o_orderkey""")
+    }),
+
+    // EXISTS / NOT EXISTS correlated subqueries (Catalyst rewrites to
+    // semi/anti joins on the correlation key — one shuffle per subquery,
+    // customer-count-sized): customers with at least one urgent order
+    // but no filled ('F') order
+    "sub_exists" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_sub")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_sub")
+      s.sql("""
+        SELECT c_custkey, c_name, c_mktsegment
+        FROM cust_sub c
+        WHERE EXISTS (SELECT 1 FROM ord_sub o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+          AND NOT EXISTS (SELECT 1 FROM ord_sub o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        ORDER BY c_custkey""")
+    }),
+
+    // IN / NOT IN subqueries: IN plans as a left-semi join; NOT IN is
+    // the null-aware anti join (both subquery columns are non-nullable
+    // here, so Catalyst's null-aware machinery reduces to a plain anti
+    // join — no per-row whole-table null probe at scale)
+    "sub_in" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_sub")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_sub")
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_sub")
+      s.sql("""
+        SELECT o_orderkey, o_custkey, o_totalprice
+        FROM ord_sub
+        WHERE o_custkey IN (SELECT c_custkey FROM cust_sub
+                            WHERE c_mktsegment = 'BUILDING')
+          AND o_orderkey NOT IN (SELECT l_orderkey FROM li_sub
+                                 WHERE l_discount > 0.08)
+        ORDER BY o_orderkey""")
     })
   )
 
@@ -395,6 +432,26 @@ object Aggs {
          WHERE o_totalprice > (SELECT ROUND((CAST(SUM(CAST(i.o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
                                              / COUNT(1)) * 10000.0, 0) / 10000.0 + 0.0
                                FROM orders i WHERE i.o_custkey = o.o_custkey)
+         ORDER BY o_orderkey""",
+
+    "sub_exists" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_orderpriority = '1-URGENT')
+           AND NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey
+                             AND o.o_orderstatus = 'F')
+         ORDER BY c_custkey""",
+
+    "sub_in" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice
+         FROM orders
+         WHERE o_custkey IN (SELECT c_custkey FROM customer
+                             WHERE c_mktsegment = 'BUILDING')
+           AND o_orderkey NOT IN (SELECT l_orderkey FROM lineitem
+                                  WHERE l_discount > 0.08)
          ORDER BY o_orderkey""",
 
     "agg_custom_typed" ->

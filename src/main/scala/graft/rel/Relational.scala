@@ -8,9 +8,9 @@ object Relational {
 
   val queries: Map[String, Q] =
     ScanFilter.queries ++ Joins.queries ++ Aggs.queries ++
-      Windows.queries ++ SetsFns.queries
+      Windows.queries ++ SetsFns.queries ++ Behavior.queries
 
   val oracleSql: Map[String, String] =
     ScanFilter.oracleSql ++ Joins.oracleSql ++ Aggs.oracleSql ++
-      Windows.oracleSql ++ SetsFns.oracleSql
+      Windows.oracleSql ++ SetsFns.oracleSql ++ Behavior.oracleSql
 }

@@ -171,7 +171,20 @@ object Windows {
       Tables.orders(s, dir)
         .where(substring(md5(col("o_orderkey").cast("string").cast("binary")), 1, 2) <= "19")
         .select("o_orderkey", "o_custkey", "o_totalprice")
-        .orderBy("o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // rolling distinct count: Spark has no DISTINCT aggregates over
+    // window frames, so the canonical form is size(collect_set) — the
+    // set is bounded by the frame (5 rows) so per-row state is O(frame),
+    // never O(partition); DuckDB's count(DISTINCT) OVER mirrors it
+    "win_rolling_distinct" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(-4, 0)
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("event_type"),
+          size(collect_set(col("event_type")).over(w)).cast("long").as("n_types"))
+        .orderBy("user_id", "event_id")
+    })
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -305,6 +318,15 @@ object Windows {
     "limit_sample" ->
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
-         ORDER BY o_orderkey"""
+         ORDER BY o_orderkey""",
+
+    "win_rolling_distinct" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events)
+         SELECT user_id, event_id, event_type,
+                count(DISTINCT event_type)
+                  OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                        ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS n_types
+         FROM e ORDER BY user_id, event_id"""
   )
 }

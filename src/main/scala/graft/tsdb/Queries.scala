@@ -268,6 +268,67 @@ object TsdbQueries {
         .orderBy("a_key", "b_key")
     }),
 
+    // per-series autocorrelation (ACF at lags 1..2 over the daily grid):
+    // the series self-joined against itself shifted by lag×Day — the
+    // join is co-partitioned on the series key, so pair volume is
+    // series × buckets × lags, never quadratic; Pearson r from the same
+    // exact-decimal sufficient statistics as tsdb_series_corr
+    "tsdb_autocorr" -> ((s, dir) => {
+      import s.implicits._
+      // all event types: the per-user daily series is then near-dense
+      // (every active day has points), so lag-aligned pairs clear the
+      // min-overlap cut — a click-only slice at small SF does not
+      val ev = Tables.events(s, dir)
+      val ds = graft.core.Exec.materialize(
+        Downsample(ev, Seq("user_id"), Day, "avg"))
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val lags = Seq(1L, 2L).toDF("lag_d")
+      val a = ds.select(col("user_id"), col("bucket_ms"), col("value").as("av"))
+      val b = ds.select(col("user_id"), col("bucket_ms").as("b_bucket"),
+        col("value").as("bv"))
+      val joined = a.crossJoin(broadcast(lags))
+        .join(b, b("user_id") === a("user_id") &&
+          col("b_bucket") === col("bucket_ms") + col("lag_d") * lit(Day))
+      val stats = joined.groupBy(a("user_id"), col("lag_d")).agg(
+        count(lit(1)).as("n"),
+        sum(D.dec(col("av"))).cast("double").as("sx"),
+        sum(D.dec(col("bv"))).cast("double").as("sy"),
+        sum(col("av").cast(d18) * col("bv").cast(d18)).cast("double").as("sxy"),
+        sum(col("av").cast(d18) * col("av").cast(d18)).cast("double").as("sxx"),
+        sum(col("bv").cast(d18) * col("bv").cast(d18)).cast("double").as("syy"))
+      val n = col("n").cast("double")
+      val varX = n * col("sxx") - col("sx") * col("sx")
+      val varY = n * col("syy") - col("sy") * col("sy")
+      stats.where(col("n") >= 10 && varX > 0 && varY > 0)
+        .select(col("user_id"), col("lag_d"), col("n"),
+          D.r4s((n * col("sxy") - col("sx") * col("sy")) / sqrt(varX * varY)).as("r"))
+        .orderBy("user_id", "lag_d")
+    }),
+
+    // Bollinger bands: trailing-24h mean ± 2σ envelope per hourly
+    // series, from exact-decimal window sums (same frame machinery as
+    // tsdb_anomaly_zscore, but band emission instead of flagging)
+    "tsdb_bollinger" -> ((s, dir) => {
+      val ds = Downsample(Tables.events(s, dir), Seq("event_type"), H, "avg")
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy("bucket_ms").rowsBetween(-23, 0)
+      val nC = count(col("value")).over(w).cast("double")
+      val sxC = sum(D.dec(col("value"))).over(w).cast("double")
+      val sxxC = sum(D.dec(col("value")) * D.dec(col("value"))).over(w).cast("double")
+      val withStats = ds.select(col("event_type"), col("bucket_ms"), col("value"),
+        nC.as("n"), sxC.as("sx"), sxxC.as("sxx"))
+      val n = col("n"); val sx = col("sx"); val sxx = col("sxx")
+      val mid = sx / n
+      val sd = sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))
+      withStats
+        .where(n >= 12 && n * sxx - sx * sx > 0)
+        .select(col("event_type"), col("bucket_ms"), col("value"),
+          D.r4s(mid).as("mid"),
+          D.r4s(mid + lit(2.0) * sd).as("upper"),
+          D.r4s(mid - lit(2.0) * sd).as("lower"))
+        .orderBy("event_type", "bucket_ms")
+    }),
+
     // OpenTSDB 2.4 percentile downsampler (p95 per series-hour); exact
     // percentile — buffers are bounded by points-per-bucket, see
     // Downsample.aggExpr
@@ -933,6 +994,54 @@ object TsdbQueries {
           WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
             AND CAST(n AS DOUBLE) * syy - sy * sy > 0
           ORDER BY a_key, b_key""",
+
+    "tsdb_autocorr" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2),
+          p AS (
+            SELECT a.user_id, CAST(l.lag_d AS BIGINT) AS lag_d, count(*) AS n,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS syy
+            FROM ds a
+            CROSS JOIN (VALUES (1), (2)) l(lag_d)
+            JOIN ds b ON b.user_id = a.user_id
+                     AND b.bucket_ms = a.bucket_ms + l.lag_d * $Day
+            GROUP BY 1, 2)
+          SELECT user_id, lag_d, n,
+                 ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                        / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                             * (CAST(n AS DOUBLE) * syy - sy * sy))) * 10000.0, 0) / 10000.0 + 0.0 AS r
+          FROM p
+          WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+            AND CAST(n AS DOUBLE) * syy - sy * sy > 0
+          ORDER BY user_id, lag_d""",
+
+    "tsdb_bollinger" ->
+      s"""WITH ds AS (
+            SELECT event_type, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2),
+          st AS (
+            SELECT event_type, bucket_ms, value,
+                   CAST(count(value) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))
+                          * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx
+            FROM ds
+            WINDOW w AS (PARTITION BY event_type ORDER BY bucket_ms
+                         ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+          SELECT event_type, bucket_ms, value,
+                 ${D.oR4("sx / n")} AS mid,
+                 ${D.oR4("sx / n + 2.0 * sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))")} AS upper,
+                 ${D.oR4("sx / n - 2.0 * sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))")} AS lower
+          FROM st
+          WHERE n >= 12 AND n * sxx - sx * sx > 0
+          ORDER BY 1, 2""",
 
     "tsdb_downsample_pct" ->
       s"""SELECT event_type, ${oBucket(H)} AS bucket_ms,

@@ -1,0 +1,75 @@
+package graft.rel
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Invariant tests for the round-10 additions: behavioral analytics
+  * (funnel, cohort retention), subquery forms, rolling distinct,
+  * autocorrelation, Bollinger bands, and the BPE-merge step. The exact
+  * values are covered by the DuckDB oracle gate; these pin structural
+  * invariants that hold at any SF.
+  */
+class BehaviorSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def run(name: String) = SparkEntry.queries(name)(spark, sf)
+
+  test("funnel stages are monotone non-increasing and correctly ordered") {
+    val rows = run("evt_funnel").as[(String, Long)].collect().toSeq
+    assert(rows.map(_._1) == Seq("1_view", "2_click", "3_purchase"))
+    val counts = rows.map(_._2)
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+    assert(counts.head > 0)
+  }
+
+  test("cohort retention: offset-0 cell equals the cohort's user count") {
+    val cells = run("evt_retention_cohort")
+      .as[(Long, Long, Long)].collect().toSeq
+    val zero = cells.filter(_._2 == 0L).map(c => c._1 -> c._3).toMap
+    // every cohort has an offset-0 cell (each user is active in their
+    // own first week by construction)
+    assert(cells.map(_._1).distinct.forall(zero.contains))
+    // no later cell exceeds its cohort size
+    assert(cells.forall(c => c._3 <= zero(c._1)))
+  }
+
+  test("sub_exists matches the equivalent semi/anti join composition") {
+    val c = graft.core.Tables.customer(spark, sf)
+    val o = graft.core.Tables.orders(spark, sf)
+    val urgent = o.where(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val filled = o.where(col("o_orderstatus") === "F").select("o_custkey")
+    val expected = c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(filled, c("c_custkey") === filled("o_custkey"), "left_anti")
+      .select("c_custkey").as[Long].collect().toSet
+    val got = run("sub_exists").select("c_custkey").as[Long].collect().toSet
+    assert(got == expected)
+  }
+
+  test("rolling distinct count is bounded by frame size and type count") {
+    val bad = run("win_rolling_distinct")
+      .where(col("n_types") < 1 || col("n_types") > 5).count()
+    assert(bad == 0L)
+  }
+
+  test("autocorrelation r stays in [-1, 1] and lags are 1 or 2") {
+    val rows = SparkEntry.queries("tsdb_autocorr")(spark, sf)
+      .select("lag_d", "r").as[(Long, Double)].collect().toSeq
+    assert(rows.forall { case (l, r) => (l == 1L || l == 2L) && r >= -1.0001 && r <= 1.0001 })
+  }
+
+  test("bollinger bands order as lower <= mid <= upper") {
+    val bad = SparkEntry.queries("tsdb_bollinger")(spark, sf)
+      .where(col("lower") > col("mid") || col("mid") > col("upper")).count()
+    assert(bad == 0L)
+  }
+
+  test("bpe merge emits 2-char pairs with positive weight") {
+    val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
+      .as[(String, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 20)
+    assert(rows.forall { case (p, n) => p.length == 2 && n > 0 })
+    // presentation order: weight-descending
+    val ns = rows.map(_._2)
+    assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
+  }
+}
