@@ -767,6 +767,33 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // URL canonicalization + URL-level exact dedup — the web-corpus
+    // front-door op. A deterministic raw URL is synthesized per doc
+    // (the non-vacuous trick llm_pii_scrub / llm_html_strip use:
+    // mixed-case scheme+host, www prefix, utm_* tracking params), then
+    // normalized with portable regexps (lowercase scheme+host, strip
+    // `www.` and tracking params, keep the id param) and deduped on
+    // the canonical form: keep = min doc_id per canonical URL. Pure
+    // map-side except ONE canonical-URL-keyed window whose partitions
+    // are duplicate-group-sized.
+    "llm_url_dedup" -> ((s, dir) => {
+      val raw = concat(lit("HTTPS://WWW."), col("source"), lit(".Example.COM/"),
+        col("lang"), lit("/p"), (col("doc_id") % 50).cast("string"),
+        lit("?utm_source=feed&id="), (col("doc_id") % 50).cast("string"),
+        lit("&utm_campaign=c"))
+      val schemeHost = regexp_replace(
+        lower(regexp_extract(col("url"), "^[^/?]*//[^/?]*", 0)),
+        "://www\\.", "://")
+      val path = regexp_extract(col("url"), "^[A-Za-z]+://[^/?]*(/[^?]*)", 1)
+      val idParam = regexp_extract(col("url"), "[?&](id=[0-9]+)", 1)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("norm_url")
+      Tables.documents(s, dir).withColumn("url", raw)
+        .withColumn("norm_url", concat(schemeHost, path, lit("?"), idParam))
+        .select(col("doc_id"), col("norm_url"),
+          (col("doc_id") === min(col("doc_id")).over(w)).as("keep"))
+        .orderBy("doc_id")
+    }),
+
     // unigram corpus-familiarity score: mean corpus frequency (ppm) of a
     // doc's tokens — the LM-free analog of a unigram-logprob quality
     // filter (rare-token gibberish scores low). Deliberately log-free:
@@ -2540,6 +2567,28 @@ object LlmQueries {
          b AS (SELECT toks[k] || ' ' || toks[k + 1] AS bg FROM i)
          SELECT bg, count(*) AS n FROM b
          GROUP BY bg ORDER BY n DESC, bg LIMIT 100""",
+
+    // mirror of llm_url_dedup: same synthesized URL, same normalize
+    // regexps (DuckDB regexp_extract group arg ≡ Spark's idx), same
+    // min-per-canonical keep rule
+    "llm_url_dedup" ->
+      """WITH u AS (
+           SELECT doc_id,
+                  'HTTPS://WWW.' || source || '.Example.COM/' || lang || '/p'
+                  || CAST(doc_id % 50 AS VARCHAR)
+                  || '?utm_source=feed&id=' || CAST(doc_id % 50 AS VARCHAR)
+                  || '&utm_campaign=c' AS url
+           FROM documents),
+         n AS (
+           SELECT doc_id,
+                  regexp_replace(lower(regexp_extract(url, '^[^/?]*//[^/?]*')),
+                                 '://www\.', '://')
+                  || regexp_extract(url, '^[A-Za-z]+://[^/?]*(/[^?]*)', 1)
+                  || '?' || regexp_extract(url, '[?&](id=[0-9]+)', 1) AS norm_url
+           FROM u)
+         SELECT doc_id, norm_url,
+                doc_id = min(doc_id) OVER (PARTITION BY norm_url) AS keep
+         FROM n ORDER BY doc_id""",
 
     // mirror of llm_bpe_merge: same vocab cut (len ≥ 2 words), same
     // adjacent-char-pair expansion weighted by word count

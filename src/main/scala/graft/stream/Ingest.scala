@@ -108,6 +108,26 @@ object Ingest {
       .orderBy("event_type", "start_ms")
   }
 
+  /** Windowed top-k: tumbling 1h counts per event_type from the stream,
+    * then the per-window top-3 ranked AFTER finalization — ranking is
+    * not expressible inside a streaming aggregate, so the standard
+    * pattern is stream-aggregate → finalized windows → batch rank over
+    * the (window × type)-sized result, never the raw stream. */
+  def windowedTopK(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val fin = runToMemory(s, agg, "complete")
+      .select((unix_timestamp(col("window.start")) * 1000).as("bucket_ms"),
+        col("event_type"), col("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket_ms").orderBy(col("n").desc, col("event_type"))
+    fin.withColumn("rnk", row_number().over(w).cast("long"))
+      .where(col("rnk") <= 3)
+      .orderBy("bucket_ms", "rnk")
+  }
+
   /** Gap-based session windows (30 min) per user. */
   def session(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)

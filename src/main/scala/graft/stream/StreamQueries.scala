@@ -13,6 +13,7 @@ object StreamQueries {
     "stream_tumbling" -> ((s, dir) => Ingest.tumbling(s, dir)),
     "stream_sliding" -> ((s, dir) => Ingest.sliding(s, dir)),
     "stream_session" -> ((s, dir) => Ingest.session(s, dir)),
+    "stream_windowed_topk" -> ((s, dir) => Ingest.windowedTopK(s, dir)),
     "stream_dedup" -> ((s, dir) => Ingest.dedup(s, dir)),
     "stream_static_join" -> ((s, dir) => Ingest.staticJoin(s, dir)),
     "stream_stream_join" -> ((s, dir) => Ingest.streamStreamJoin(s, dir)),
@@ -59,6 +60,19 @@ object StreamQueries {
       s"""SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600000 AS bucket_ms,
             count(*) AS n, ${D.oSumDec("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of Ingest.windowedTopK: tumbling counts then the same
+    // (n desc, event_type) per-window rank
+    "stream_windowed_topk" ->
+      """WITH c AS (SELECT (epoch_ns(ts) // 3600000000000) * 3600000 AS bucket_ms,
+                           event_type, count(*) AS n
+                    FROM events GROUP BY 1, 2),
+         r AS (SELECT bucket_ms, event_type, n,
+                      row_number() OVER (PARTITION BY bucket_ms
+                                         ORDER BY n DESC, event_type) AS rnk
+               FROM c)
+         SELECT bucket_ms, event_type, n, rnk FROM r
+         WHERE rnk <= 3 ORDER BY bucket_ms, rnk""",
 
     "stream_sliding" ->
       """WITH w AS (SELECT event_type,

@@ -329,6 +329,55 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // SAX symbolic discretization (Lin et al. 2003): each daily series
+    // z-normalized against its own mean/σ (exact decimal sufficient
+    // stats over a per-series window), mapped to a 4-letter alphabet at
+    // the gaussian quartile breakpoints ±0.6745, emitted as ONE symbol
+    // string per series — the time-series analog of tokenization
+    // (motif mining / similarity hashing over streams). z is
+    // 4dp-quantized BEFORE the breakpoint compare so letter assignment
+    // is engine-exact; constant series (zero variance) are excluded.
+    "tsdb_sax" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+      val n = count(col("value")).over(w).cast("double")
+      val sx = sum(D.dec(col("value"))).over(w).cast("double")
+      val sxx = sum(D.dec(col("value")) * D.dec(col("value"))).over(w).cast("double")
+      val z = D.r4s((col("value") - sx / n)
+        / sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0)))))
+      val letter = when(z < -0.6745, "a").when(z < 0.0, "b")
+        .when(z < 0.6745, "c").otherwise("d")
+      Downsample(Tables.events(s, dir), Seq("user_id"), Day, "avg")
+        .select(col("user_id"), col("bucket_ms"), col("value"),
+          n.as("n"), (n * sxx - sx * sx).as("v"), letter.as("letter"))
+        .where(col("n") >= 10 && col("v") > 0)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_buckets"),
+          expr("array_join(transform(array_sort(collect_list(struct(bucket_ms, letter))), x -> x.letter), '')")
+            .as("sax"))
+        .orderBy("user_id")
+    }),
+
+    // MAD outliers: per-series median + median-absolute-deviation over
+    // the daily grid — the robust alternative to z-scores (one spike
+    // inflates σ but not the median); flag |v − med| > 3·MAD. Exact
+    // interpolated percentiles (state bounded by the series' bucket
+    // count); med/MAD 4dp-quantized before the flag compare.
+    "tsdb_outlier_mad" -> ((s, dir) => {
+      val ds = graft.core.Exec.materialize(
+        Downsample(Tables.events(s, dir).where(col("event_type") === "click"),
+          Seq("user_id"), Day, "avg"))
+      val med = ds.groupBy("user_id")
+        .agg(D.r4s(expr("percentile(value, 0.5)")).as("med"))
+      val withMed = ds.join(med, "user_id")
+      val mad = withMed.groupBy("user_id")
+        .agg(D.r4s(expr("percentile(abs(value - med), 0.5)")).as("mad"))
+      withMed.join(mad, "user_id")
+        .where(abs(col("value") - col("med")) > lit(3.0) * col("mad"))
+        .select(col("user_id"), col("bucket_ms"), col("value"),
+          col("med"), col("mad"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // OpenTSDB 2.4 percentile downsampler (p95 per series-hour); exact
     // percentile — buffers are bounded by points-per-bucket, see
     // Downsample.aggExpr
@@ -1047,6 +1096,55 @@ object TsdbQueries {
       s"""SELECT event_type, ${oBucket(H)} AS bucket_ms,
             ROUND(quantile_cont(value, 0.95) * 10000.0, 0) / 10000.0 + 0.0 AS value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of tsdb_sax: same window stats, same 4dp-quantized z,
+    // same quartile breakpoints, string assembled in bucket order
+    "tsdb_sax" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2),
+          st AS (
+            SELECT user_id, bucket_ms, value,
+                   CAST(count(value) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))
+                          * CAST(value AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx
+            FROM ds
+            WINDOW w AS (PARTITION BY user_id)),
+          z AS (
+            SELECT user_id, bucket_ms, n, n * sxx - sx * sx AS v,
+                   ${D.oR4("(value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))")} AS zq
+            FROM st),
+          l AS (
+            SELECT user_id, bucket_ms,
+                   CASE WHEN zq < -0.6745 THEN 'a' WHEN zq < 0.0 THEN 'b'
+                        WHEN zq < 0.6745 THEN 'c' ELSE 'd' END AS letter
+            FROM z WHERE n >= 10 AND v > 0)
+          SELECT user_id, count(*) AS n_buckets,
+                 string_agg(letter, '' ORDER BY bucket_ms) AS sax
+          FROM l GROUP BY 1 ORDER BY 1""",
+
+    // mirror of tsdb_outlier_mad: same quantized median/MAD, same
+    // 3·MAD flag predicate
+    "tsdb_outlier_mad" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          med AS (
+            SELECT user_id,
+                   ROUND(quantile_cont(value, 0.5) * 10000.0, 0) / 10000.0 + 0.0 AS med
+            FROM ds GROUP BY 1),
+          mad AS (
+            SELECT d.user_id,
+                   ROUND(quantile_cont(abs(d.value - m.med), 0.5) * 10000.0, 0) / 10000.0 + 0.0 AS mad
+            FROM ds d JOIN med m ON d.user_id = m.user_id GROUP BY 1)
+          SELECT d.user_id, d.bucket_ms, d.value, m.med, a.mad
+          FROM ds d JOIN med m ON d.user_id = m.user_id
+                    JOIN mad a ON d.user_id = a.user_id
+          WHERE abs(d.value - m.med) > 3.0 * a.mad
+          ORDER BY 1, 2""",
 
     "tsdb_anomaly_zscore" ->
       s"""WITH ds AS (

@@ -63,6 +63,39 @@ class BehaviorSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("url dedup: exactly one kept doc per canonical url") {
+    val df = SparkEntry.queries("llm_url_dedup")(spark, sf)
+    val perUrl = df.groupBy("norm_url")
+      .agg(sum(when(col("keep"), 1L).otherwise(0L)).as("kept"))
+    assert(perUrl.where(col("kept") =!= 1L).count() == 0L)
+    // normalization actually canonicalized: scheme+host lowercased, www
+    // and utm params gone
+    val bad = df.where(col("norm_url").rlike("WWW|HTTPS|utm_")).count()
+    assert(bad == 0L)
+  }
+
+  test("sax: strings are a-d only and length matches the bucket count") {
+    val rows = SparkEntry.queries("tsdb_sax")(spark, sf)
+      .as[(Long, Long, String)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, n, s) =>
+      s.length == n && s.forall(c => c >= 'a' && c <= 'd') })
+  }
+
+  test("mad outliers all exceed the 3-MAD fence") {
+    val bad = SparkEntry.queries("tsdb_outlier_mad")(spark, sf)
+      .where(abs(col("value") - col("med")) <= lit(3.0) * col("mad")).count()
+    assert(bad == 0L)
+  }
+
+  test("windowed topk keeps at most 3 ranked types per window") {
+    val df = SparkEntry.queries("stream_windowed_topk")(spark, sf)
+    assert(df.where(col("rnk") > 3).count() == 0L)
+    val over = df.groupBy("bucket_ms").agg(count(lit(1)).as("k"))
+      .where(col("k") > 3).count()
+    assert(over == 0L)
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
