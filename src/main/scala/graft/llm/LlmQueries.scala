@@ -1350,7 +1350,24 @@ object LlmQueries {
           when(pmod(col("doc_id"), lit(100)) < 90, "train").otherwise("val"))
         .groupBy("lang", "split")
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
-        .orderBy("lang", "split"))
+        .orderBy("lang", "split")),
+
+    // deterministic training-shard assignment — the export step of the
+    // pipeline: shard = md5(doc_id) first nibble mod 8. Content-stable
+    // hashing (not row_number) means resharding survives filtering and
+    // reordering; per-shard doc/char/token budgets size the writers.
+    // One map-side pass + an 8-group aggregate.
+    "llm_shard_assign" -> ((s, dir) => {
+      val nib = expr(
+        "instr('0123456789abcdef', substring(md5(cast(cast(doc_id as string) as binary)), 1, 1)) - 1")
+      Tables.documents(s, dir)
+        .withColumn("shard", pmod(nib, lit(8)).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("chars"),
+          sum(size(filter(Dedup.words(col("text")), w => w =!= lit("")))
+            .cast("long")).as("tokens"))
+        .orderBy("shard")
+    })
   )
 
   /** DuckDB mirror of [[Dedup.simhashPortable]] — the 16 per-bit sums are
@@ -2647,6 +2664,15 @@ object LlmQueries {
             CAST((cum - toks) // 512 AS BIGINT) AS win_first,
             CAST((cum - 1) // 512 AS BIGINT) AS win_last
          FROM c ORDER BY lang, doc_id""",
+
+    // mirror of llm_shard_assign: same md5-nibble shard, same token count
+    "llm_shard_assign" ->
+      """SELECT (instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard,
+                count(*) AS n_docs, SUM(n_chars) AS chars,
+                CAST(SUM(len(list_filter(string_split(lower(text), ' '),
+                                         x -> x <> ''))) AS BIGINT) AS tokens
+         FROM documents GROUP BY 1 ORDER BY 1""",
 
     "llm_train_val_split" ->
       """SELECT lang, CASE WHEN doc_id % 100 < 90 THEN 'train' ELSE 'val' END AS split,

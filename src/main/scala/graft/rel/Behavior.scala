@@ -53,6 +53,46 @@ object Behavior {
     // The distinct (user, week) frame is built once (user×week-sized),
     // the cohort frame is its min-week aggregate, and the cell counts
     // come from one co-partitioned join + groupBy.
+    // last-touch attribution: each purchase credited to the user's most
+    // recent click/view in the preceding 7 days (ties at the same ms
+    // take 'view' over 'click' via the lexicographic struct max; no
+    // touch → 'none'). The touch join is co-partitioned on user_id, so
+    // the range predicate only compares a user's own events.
+    "evt_attribution" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_ms").as("p_ts"))
+      val t = e.where(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ts_ms").as("t_ts"),
+          col("event_type").as("channel"))
+      p.join(t, col("user_id") === col("t_user") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - lit(7L * 86400000L), "left")
+        .groupBy("purchase_id", "user_id", "p_ts")
+        .agg(max(when(col("t_ts").isNotNull,
+          struct(col("t_ts"), col("channel")))).as("m"))
+        .select(col("purchase_id"), col("user_id"), col("p_ts"),
+          coalesce(col("m.channel"), lit("none")).as("channel"),
+          col("m.t_ts").as("touch_ts"))
+        .orderBy("purchase_id")
+    }),
+
+    // rolling 7-day active users per day (the WAU dashboard staple):
+    // day grid × distinct (user, day) range join — work is
+    // days × active-(user,day) rows, never raw events
+    "evt_wau_rolling" -> ((s, dir) => {
+      val days = graft.core.Exec.materialize(Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+        .distinct())
+      val grid = days.select(col("day").as("d")).distinct()
+      grid.join(days, col("day").between(col("d") - 6, col("d")))
+        .groupBy("d")
+        .agg(countDistinct("user_id").as("wau"))
+        .select(col("d").as("day"), col("wau"))
+        .orderBy("day")
+    }),
+
     "evt_retention_cohort" -> ((s, dir) => {
       val weeks = graft.core.Exec.materialize(Tables.events(s, dir)
         .select(col("user_id"), expr(s"ts_ms DIV $WeekMs").as("week"))
@@ -81,6 +121,35 @@ object Behavior {
            UNION ALL SELECT '2_click', count(*) FROM c
            UNION ALL SELECT '3_purchase', count(*) FROM p)
          ORDER BY stage""",
+
+    // mirror of evt_attribution: the struct max ≡ the
+    // (t_ts DESC, channel DESC) rn=1 arg-max
+    "evt_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, ts_ms AS p_ts
+               FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT user_id AS t_user, ts_ms AS t_ts, event_type AS channel
+               FROM e WHERE event_type IN ('click', 'view')),
+         j AS (SELECT p.purchase_id, p.user_id, p.p_ts, t.t_ts, t.channel
+               FROM p LEFT JOIN t ON t.t_user = p.user_id
+                 AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - 604800000),
+         a AS (SELECT purchase_id, user_id, p_ts, t_ts, channel,
+                      row_number() OVER (PARTITION BY purchase_id
+                        ORDER BY t_ts DESC NULLS LAST, channel DESC) AS rn
+               FROM j)
+         SELECT purchase_id, user_id, p_ts,
+                COALESCE(channel, 'none') AS channel, t_ts AS touch_ts
+         FROM a WHERE rn = 1 ORDER BY purchase_id""",
+
+    "evt_wau_rolling" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                              (epoch_ns(ts) // 1000000) // 86400000 AS day
+                       FROM events),
+         grid AS (SELECT DISTINCT day AS d FROM days)
+         SELECT g.d AS day, count(DISTINCT dy.user_id) AS wau
+         FROM grid g JOIN days dy ON dy.day BETWEEN g.d - 6 AND g.d
+         GROUP BY 1 ORDER BY 1""",
 
     "evt_retention_cohort" ->
       s"""WITH weeks AS (

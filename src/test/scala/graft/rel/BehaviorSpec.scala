@@ -63,6 +63,37 @@ class BehaviorSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("attribution: touches precede the purchase within 7 days; none iff no touch") {
+    val df = SparkEntry.queries("evt_attribution")(spark, sf)
+    val badWindow = df.where(col("touch_ts").isNotNull &&
+      (col("touch_ts") > col("p_ts") ||
+       col("touch_ts") <= col("p_ts") - lit(7L * 86400000L))).count()
+    assert(badWindow == 0L)
+    val badNone = df.where(
+      (col("channel") === "none") =!= col("touch_ts").isNull).count()
+    assert(badNone == 0L)
+  }
+
+  test("rolling WAU is at least the day's DAU and no more than total users") {
+    val e = graft.core.Tables.events(spark, sf)
+    val dau = e.select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+      .distinct().groupBy("day").agg(countDistinct("user_id").as("dau"))
+    val total = e.select("user_id").distinct().count()
+    val wau = SparkEntry.queries("evt_wau_rolling")(spark, sf)
+    val bad = wau.join(dau, "day")
+      .where(col("wau") < col("dau") || col("wau") > total).count()
+    assert(bad == 0L)
+  }
+
+  test("shard assignment partitions the whole corpus across 8 shards") {
+    val df = SparkEntry.queries("llm_shard_assign")(spark, sf)
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(df.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(df.map(_._2).sum == total)
+    assert(df.forall(r => r._3 > 0 && r._4 > 0))
+  }
+
   test("url dedup: exactly one kept doc per canonical url") {
     val df = SparkEntry.queries("llm_url_dedup")(spark, sf)
     val perUrl = df.groupBy("norm_url")
