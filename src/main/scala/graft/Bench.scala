@@ -26,7 +26,8 @@ object Bench {
     "llm_sim_ivf_retrained", "llm_chunk_overlap", "llm_ngram_counts",
     "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored",
     "llm_hybrid_rrf_filtered", "llm_bm25_batch", "llm_prf_expansion",
-    "llm_dedup_containment", "llm_hard_negatives", "tsdb_forecast_linear")
+    "llm_dedup_containment", "llm_hard_negatives", "tsdb_forecast_linear",
+    "evt_funnel", "evt_attribution", "tsdb_autocorr", "llm_url_dedup")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the
