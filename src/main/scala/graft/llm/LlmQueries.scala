@@ -1352,6 +1352,48 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("lang", "split")),
 
+    // 5th dedup modality: character edit distance on prefix-blocked
+    // pairs. Levenshtein is an integer DP — bit-identical on both
+    // engines — but O(|a|·|b|) per pair, so candidates are blocked on
+    // (exact 40-char prefix, length bucket): Σ bucket² is a few hundred
+    // pairs at sf0.1, and the distance runs on the 200-char prefix
+    // (the documented cap; full-text distance on arbitrary pairs would
+    // be quadratic in doc length with no blocking to save it).
+    "llm_dedup_edit_distance" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(col("doc_id"),
+        substring(col("text"), 1, 40).as("pfx"),
+        expr("n_chars DIV 50").as("lb"),
+        substring(col("text"), 1, 200).as("t200"))
+      val a = d.select(col("doc_id").as("a_id"), col("pfx"), col("lb"),
+        col("t200").as("a_t"))
+      val b = d.select(col("doc_id").as("b_id"), col("pfx"), col("lb"),
+        col("t200").as("b_t"))
+      a.join(b, Seq("pfx", "lb")).where(col("a_id") < col("b_id"))
+        .select(col("a_id"), col("b_id"),
+          levenshtein(col("a_t"), col("b_t")).cast("long").as("dist"))
+        .where(col("dist") <= 20)
+        .orderBy("a_id", "b_id")
+    }),
+
+    // temperature-flattened mixture weights (T=2): w_s ∝ sqrt(share_s),
+    // renormalized — the standard multi-source sampling flattener.
+    // sqrt is IEEE-correctly-rounded (engine-exact), where a pow(x,1/T)
+    // would hostage the hash compare to libm; both the raw weights and
+    // the renormalizing sum are 4dp-decimal-quantized (D3).
+    "llm_mixture_temperature" -> ((s, dir) => {
+      val counts = Tables.documents(s, dir)
+        .groupBy("source").agg(count(lit(1)).as("n"))
+      val withTot = counts.crossJoin(broadcast(
+        counts.agg(sum(col("n")).as("tot"))))
+      val w2 = withTot.withColumn("wq",
+        D.r4s(sqrt(col("n").cast("double") / col("tot").cast("double"))))
+      val sw = w2.agg(sum(D.dec(col("wq"))).cast("double").as("sw"))
+      w2.crossJoin(broadcast(sw))
+        .select(col("source"), col("n"),
+          D.r4s(col("wq") / col("sw")).as("weight"))
+        .orderBy("source")
+    }),
+
     // deterministic training-shard assignment — the export step of the
     // pipeline: shard = md5(doc_id) first nibble mod 8. Content-stable
     // hashing (not row_number) means resharding survives filtering and
@@ -2664,6 +2706,33 @@ object LlmQueries {
             CAST((cum - toks) // 512 AS BIGINT) AS win_first,
             CAST((cum - 1) // 512 AS BIGINT) AS win_last
          FROM c ORDER BY lang, doc_id""",
+
+    // mirror of llm_dedup_edit_distance: same blocking, same 200-char
+    // cap — levenshtein is the same integer DP on both engines
+    "llm_dedup_edit_distance" ->
+      """WITH d AS (SELECT doc_id, substr(text, 1, 40) AS pfx,
+                           n_chars // 50 AS lb, substr(text, 1, 200) AS t200
+                    FROM documents)
+         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+                CAST(levenshtein(a.t200, b.t200) AS BIGINT) AS dist
+         FROM d a JOIN d b ON a.pfx = b.pfx AND a.lb = b.lb
+                          AND a.doc_id < b.doc_id
+         WHERE levenshtein(a.t200, b.t200) <= 20
+         ORDER BY 1, 2""",
+
+    // mirror of llm_mixture_temperature: same sqrt(share) weights, same
+    // 4dp quantization points
+    "llm_mixture_temperature" ->
+      """WITH c AS (SELECT source, count(*) AS n FROM documents GROUP BY 1),
+         t AS (SELECT SUM(n) AS tot FROM c),
+         w AS (SELECT source, n,
+                      ROUND(sqrt(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE)) * 10000.0, 0)
+                        / 10000.0 + 0.0 AS wq
+               FROM c, t),
+         s AS (SELECT CAST(SUM(CAST(wq AS DECIMAL(18,4))) AS DOUBLE) AS sw FROM w)
+         SELECT source, n,
+                ROUND((wq / sw) * 10000.0, 0) / 10000.0 + 0.0 AS weight
+         FROM w, s ORDER BY source""",
 
     // mirror of llm_shard_assign: same md5-nibble shard, same token count
     "llm_shard_assign" ->

@@ -188,6 +188,23 @@ object Joins {
         .groupBy("n_name")
         .agg(D.sumDec(rev).as("revenue"))
         .orderBy("n_name")
+    }),
+
+    // LATERAL correlated subquery join (SQL:1999; Spark 3.2+): top-2
+    // orders per customer expressed as a per-row dependent subquery —
+    // Catalyst decorrelates the ORDER BY/LIMIT into a rank window over
+    // the co-partitioned join, so the executed plan is the
+    // win_topk_pergroup shape, never a per-customer loop
+    "join_lateral" -> ((s, dir) => {
+      Tables.customer(s, dir).createOrReplaceTempView("cust_lat")
+      Tables.orders(s, dir).createOrReplaceTempView("ord_lat")
+      s.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM cust_lat c,
+        LATERAL (SELECT o_orderkey, o_totalprice FROM ord_lat o
+                 WHERE o.o_custkey = c.c_custkey
+                 ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c_custkey, o_orderkey""")
     })
   )
 
@@ -273,6 +290,14 @@ object Joins {
           JOIN nation ON s_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           WHERE r_name = 'ASIA'
-          GROUP BY n_name ORDER BY n_name"""
+          GROUP BY n_name ORDER BY n_name""",
+
+    "join_lateral" ->
+      """SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+         FROM customer c,
+         LATERAL (SELECT o_orderkey, o_totalprice FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+         ORDER BY c_custkey, o_orderkey"""
   )
 }

@@ -329,6 +329,26 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // OHLC candles: open/high/low/close per series-day — the financial
+    // downsample shape (also the compact preview tile dashboards want).
+    // One partial-agg-mergeable aggregate over raw points; open/close
+    // are deterministic struct-extrema (ts ties break to the smaller /
+    // larger value respectively, the tsdb_query_last convention), and
+    // every output is a raw input value — no float arithmetic at all.
+    "tsdb_ohlc" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("event_type") === "click")
+        .select(col("user_id"),
+          expr("ts_ms DIV 86400000 * 86400000").as("bucket_ms"),
+          col("ts_ms"), col("value"))
+        .groupBy("user_id", "bucket_ms")
+        .agg(
+          min(struct(col("ts_ms"), col("value"))).getField("value").as("open"),
+          max(col("value")).as("high"), min(col("value")).as("low"),
+          max(struct(col("ts_ms"), col("value"))).getField("value").as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // SAX symbolic discretization (Lin et al. 2003): each daily series
     // z-normalized against its own mean/σ (exact decimal sufficient
     // stats over a per-series window), mapped to a 4-letter alphabet at
@@ -1096,6 +1116,31 @@ object TsdbQueries {
       s"""SELECT event_type, ${oBucket(H)} AS bucket_ms,
             ROUND(quantile_cont(value, 0.95) * 10000.0, 0) / 10000.0 + 0.0 AS value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of tsdb_ohlc: the struct extrema ≡ the (ts, value) /
+    // (ts DESC, value DESC) rn=1 arg-extrema
+    "tsdb_ohlc" ->
+      """WITH b AS (SELECT user_id,
+                           (epoch_ns(ts) // 1000000) // 86400000 * 86400000 AS bucket_ms,
+                           epoch_ns(ts) // 1000000 AS ts_ms, value
+                    FROM events WHERE event_type = 'click'),
+         o AS (SELECT user_id, bucket_ms, value,
+                      row_number() OVER (PARTITION BY user_id, bucket_ms
+                                         ORDER BY ts_ms, value) AS rn_o,
+                      row_number() OVER (PARTITION BY user_id, bucket_ms
+                                         ORDER BY ts_ms DESC, value DESC) AS rn_c
+               FROM b),
+         g AS (SELECT user_id, bucket_ms, max(value) AS high, min(value) AS low,
+                      count(*) AS n
+               FROM b GROUP BY 1, 2)
+         SELECT g.user_id, g.bucket_ms, oo.value AS open, g.high, g.low,
+                cc.value AS close, g.n
+         FROM g
+         JOIN o oo ON oo.user_id = g.user_id AND oo.bucket_ms = g.bucket_ms
+                  AND oo.rn_o = 1
+         JOIN o cc ON cc.user_id = g.user_id AND cc.bucket_ms = g.bucket_ms
+                  AND cc.rn_c = 1
+         ORDER BY 1, 2""",
 
     // mirror of tsdb_sax: same window stats, same 4dp-quantized z,
     // same quartile breakpoints, string assembled in bucket order

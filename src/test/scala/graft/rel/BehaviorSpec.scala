@@ -127,6 +127,34 @@ class BehaviorSpec extends SparkSpec {
     assert(over == 0L)
   }
 
+  test("edit-distance dedup finds the exact-dup pairs at distance 0") {
+    val df = SparkEntry.queries("llm_dedup_edit_distance")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(df.forall { case (a, b, d) => a < b && d >= 0 && d <= 20 })
+    assert(df.exists(_._3 == 0L))
+  }
+
+  test("temperature mixture weights are a distribution") {
+    val rows = SparkEntry.queries("llm_mixture_temperature")(spark, sf)
+      .select("weight").as[Double].collect().toSeq
+    assert(rows.forall(w => w > 0.0 && w < 1.0))
+    assert(math.abs(rows.sum - 1.0) < 0.01)
+  }
+
+  test("ohlc candles bound open and close inside [low, high]") {
+    val bad = SparkEntry.queries("tsdb_ohlc")(spark, sf)
+      .where(col("open") < col("low") || col("open") > col("high") ||
+        col("close") < col("low") || col("close") > col("high")).count()
+    assert(bad == 0L)
+  }
+
+  test("lateral join keeps at most 2 orders per customer") {
+    val over = SparkEntry.queries("join_lateral")(spark, sf)
+      .groupBy("c_custkey").agg(count(lit(1)).as("k"))
+      .where(col("k") > 2).count()
+    assert(over == 0L)
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
