@@ -131,6 +131,13 @@ object ScaleProbe {
         idxPath(dir))
       1L
     }
+    // behavioral analytics: stages are user-keyed aggregates over the
+    // filtered event scan — 10× events per user should cost ~the scan,
+    // with the post-aggregate frames (user-sized) unchanged
+    def funnel(dir: String): Long =
+      SparkEntry.queries("evt_funnel")(spark, dir).count()
+    def wau(dir: String): Long =
+      SparkEntry.queries("evt_wau_rolling")(spark, dir).count()
     def minhashSigOnly(dir: String): Long =
       // aggregate a lane, don't count(): column pruning under count()
       // drops the signature expression entirely and the probe would time
@@ -144,6 +151,7 @@ object ScaleProbe {
     // run; timing it against 1× would flatter the 10× ratio)
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
+    funnel(sf); wau(sf)
     clusters(sf); ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
@@ -154,6 +162,8 @@ object ScaleProbe {
       ("sessionize", time(sessionize(sf)), time(sessionize(big))),
       ("minhash_neardup", time(minhash(sf)), time(minhash(big))),
       ("minhash_sig_only", time(minhashSigOnly(sf)), time(minhashSigOnly(big))),
+      ("evt_funnel", time(funnel(sf)), time(funnel(big))),
+      ("evt_wau_rolling", time(wau(sf)), time(wau(big))),
       // the 10× corpus has the same per-replica dup structure (disjoint
       // shingle spaces), so cluster count scales 10× while diameter —
       // and hence the round count — stays flat: the probe checks the

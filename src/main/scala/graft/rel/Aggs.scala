@@ -237,6 +237,22 @@ object Aggs {
         ORDER BY o_orderkey""")
     }),
 
+    // filtered aggregates (SQL FILTER clause): per-group conditional
+    // metrics in ONE aggregate pass — the dashboard staple that
+    // otherwise becomes n self-joins; each FILTER is a per-row
+    // predicate inside the same partial/final hash aggregate
+    "agg_filtered" -> ((s, dir) => {
+      Tables.lineitem(s, dir).createOrReplaceTempView("li_f")
+      s.sql("""
+        SELECT l_returnflag,
+          COUNT(*) AS n_all,
+          COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+          CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+               FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed,
+          COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00') AS n_recent
+        FROM li_f GROUP BY 1 ORDER BY 1""")
+    }),
+
     // EXISTS / NOT EXISTS correlated subqueries (Catalyst rewrites to
     // semi/anti joins on the correlation key — one shuffle per subquery,
     // customer-count-sized): customers with at least one urgent order
@@ -433,6 +449,15 @@ object Aggs {
                                              / COUNT(1)) * 10000.0, 0) / 10000.0 + 0.0
                                FROM orders i WHERE i.o_custkey = o.o_custkey)
          ORDER BY o_orderkey""",
+
+    "agg_filtered" ->
+      """SELECT l_returnflag,
+           COUNT(*) AS n_all,
+           COUNT(*) FILTER (WHERE l_discount > 0.05) AS n_disc,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,4)))
+                FILTER (WHERE l_tax > 0.04) AS DOUBLE) AS qty_taxed,
+           COUNT(*) FILTER (WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00') AS n_recent
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     "sub_exists" ->
       """SELECT c_custkey, c_name, c_mktsegment

@@ -173,6 +173,18 @@ object Windows {
         .select("o_orderkey", "o_custkey", "o_totalprice")
         .orderBy("o_orderkey")),
 
+    // nth_value over the full partition frame (the "second purchase"
+    // shape; null for 1-order customers on both engines)
+    "win_nth_value" -> ((s, dir) => {
+      val w = Window.partitionBy("o_custkey")
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.orders(s, dir)
+        .select(col("o_custkey"), col("o_orderkey"),
+          nth_value(col("o_totalprice"), 2).over(w).as("second_price"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
     // rolling distinct count: Spark has no DISTINCT aggregates over
     // window frames, so the canonical form is size(collect_set) — the
     // set is bounded by the frame (5 rows) so per-row state is O(frame),
@@ -319,6 +331,14 @@ object Windows {
       """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
          WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 2) <= '19'
          ORDER BY o_orderkey""",
+
+    "win_nth_value" ->
+      """SELECT o_custkey, o_orderkey,
+            nth_value(o_totalprice, 2)
+              OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+              AS second_price
+         FROM orders ORDER BY o_custkey, o_orderkey""",
 
     "win_rolling_distinct" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

@@ -128,6 +128,26 @@ object Ingest {
       .orderBy("bucket_ms", "rnk")
   }
 
+  /** Streaming OHLC candles: tumbling 1h open/high/low/close per
+    * event_type — open/close are the same deterministic struct extrema
+    * as the batch `tsdb_ohlc` (ts ties break to smaller/larger value),
+    * so the streaming state is four scalars + a count per window-key. */
+  def ohlc(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts_ts", "10 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(
+        min(struct(col("ts_ms"), col("value"))).getField("value").as("open"),
+        max(col("value")).as("high"), min(col("value")).as("low"),
+        max(struct(col("ts_ms"), col("value"))).getField("value").as("close"),
+        count(lit(1)).as("n"))
+    runToMemory(s, agg, "complete")
+      .select(col("event_type"),
+        (unix_timestamp(col("window.start")) * 1000).as("bucket_ms"),
+        col("open"), col("high"), col("low"), col("close"), col("n"))
+      .orderBy("event_type", "bucket_ms")
+  }
+
   /** Gap-based session windows (30 min) per user. */
   def session(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)

@@ -14,6 +14,7 @@ object StreamQueries {
     "stream_sliding" -> ((s, dir) => Ingest.sliding(s, dir)),
     "stream_session" -> ((s, dir) => Ingest.session(s, dir)),
     "stream_windowed_topk" -> ((s, dir) => Ingest.windowedTopK(s, dir)),
+    "stream_ohlc" -> ((s, dir) => Ingest.ohlc(s, dir)),
     "stream_dedup" -> ((s, dir) => Ingest.dedup(s, dir)),
     "stream_static_join" -> ((s, dir) => Ingest.staticJoin(s, dir)),
     "stream_stream_join" -> ((s, dir) => Ingest.streamStreamJoin(s, dir)),
@@ -60,6 +61,31 @@ object StreamQueries {
       s"""SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600000 AS bucket_ms,
             count(*) AS n, ${D.oSumDec("value")} AS sum_value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of Ingest.ohlc ≡ the tsdb_ohlc oracle shape at the
+    // (event_type, hour) grain
+    "stream_ohlc" ->
+      """WITH b AS (SELECT event_type,
+                           (epoch_ns(ts) // 3600000000000) * 3600000 AS bucket_ms,
+                           epoch_ns(ts) // 1000000 AS ts_ms, value
+                    FROM events),
+         o AS (SELECT event_type, bucket_ms, value,
+                      row_number() OVER (PARTITION BY event_type, bucket_ms
+                                         ORDER BY ts_ms, value) AS rn_o,
+                      row_number() OVER (PARTITION BY event_type, bucket_ms
+                                         ORDER BY ts_ms DESC, value DESC) AS rn_c
+               FROM b),
+         g AS (SELECT event_type, bucket_ms, max(value) AS high,
+                      min(value) AS low, count(*) AS n
+               FROM b GROUP BY 1, 2)
+         SELECT g.event_type, g.bucket_ms, oo.value AS open, g.high, g.low,
+                cc.value AS close, g.n
+         FROM g
+         JOIN o oo ON oo.event_type = g.event_type
+                  AND oo.bucket_ms = g.bucket_ms AND oo.rn_o = 1
+         JOIN o cc ON cc.event_type = g.event_type
+                  AND cc.bucket_ms = g.bucket_ms AND cc.rn_c = 1
+         ORDER BY 1, 2""",
 
     // mirror of Ingest.windowedTopK: tumbling counts then the same
     // (n desc, event_type) per-window rank

@@ -155,6 +155,30 @@ class BehaviorSpec extends SparkSpec {
     assert(over == 0L)
   }
 
+  test("filtered aggregates never exceed the unfiltered count") {
+    val bad = SparkEntry.queries("agg_filtered")(spark, sf)
+      .where(col("n_disc") > col("n_all") || col("n_recent") > col("n_all"))
+      .count()
+    assert(bad == 0L)
+  }
+
+  test("nth_value is null exactly for single-order customers") {
+    val df = SparkEntry.queries("win_nth_value")(spark, sf)
+    val sizes = df.groupBy("o_custkey").agg(count(lit(1)).as("k"),
+      sum(when(col("second_price").isNull, 1L).otherwise(0L)).as("nulls"))
+    val bad = sizes.where(
+      (col("k") === 1L && col("nulls") =!= 1L) ||
+      (col("k") > 1L && col("nulls") =!= 0L)).count()
+    assert(bad == 0L)
+  }
+
+  test("streaming ohlc candles bound open/close inside [low, high]") {
+    val bad = SparkEntry.queries("stream_ohlc")(spark, sf)
+      .where(col("open") < col("low") || col("open") > col("high") ||
+        col("close") < col("low") || col("close") > col("high")).count()
+    assert(bad == 0L)
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
