@@ -2,6 +2,7 @@ package graft.rel
 
 import graft.core.Tables
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Behavioral event analytics over the `events` stream: ordered funnels
@@ -93,6 +94,21 @@ object Behavior {
         .orderBy("day")
     }),
 
+    // first-order Markov transition matrix over event types: consecutive
+    // pairs per user from ONE lag window (per-user partitions), counted
+    // per (prev, next) — the session-flow analytics shape; output is
+    // |types|²-sized regardless of event volume
+    "evt_markov_transitions" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      Tables.events(s, dir)
+        .select(col("event_type").as("next_type"),
+          lag(col("event_type"), 1).over(w).as("prev_type"))
+        .where(col("prev_type").isNotNull)
+        .groupBy("prev_type", "next_type")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }),
+
     "evt_retention_cohort" -> ((s, dir) => {
       val weeks = graft.core.Exec.materialize(Tables.events(s, dir)
         .select(col("user_id"), expr(s"ts_ms DIV $WeekMs").as("week"))
@@ -150,6 +166,17 @@ object Behavior {
          SELECT g.d AS day, count(DISTINCT dy.user_id) AS wau
          FROM grid g JOIN days dy ON dy.day BETWEEN g.d - 6 AND g.d
          GROUP BY 1 ORDER BY 1""",
+
+    "evt_markov_transitions" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         l AS (SELECT event_type AS next_type,
+                      lag(event_type) OVER (PARTITION BY user_id
+                                            ORDER BY ts_ms, event_id) AS prev_type
+               FROM e)
+         SELECT prev_type, next_type, count(*) AS n
+         FROM l WHERE prev_type IS NOT NULL
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "evt_retention_cohort" ->
       s"""WITH weeks AS (

@@ -329,6 +329,58 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // value-distribution heatmap: (hour, value-decile) counts for one
+    // metric — the dashboard heatmap tile; two integer-exact bucketings
+    // + one count aggregate, fully partial-agg mergeable, output is
+    // grid-sized (hours × deciles) regardless of point volume
+    "tsdb_heatmap" -> ((s, dir) => {
+      Tables.events(s, dir).where(col("event_type") === "view")
+        .select(expr(s"ts_ms DIV $H * $H").as("bucket_ms"),
+          floor(col("value") / lit(10.0)).cast("long").as("vbucket"))
+        .groupBy("bucket_ms", "vbucket").agg(count(lit(1)).as("n"))
+        .orderBy("bucket_ms", "vbucket")
+    }),
+
+    // SLO burn rate: short-window (1h) error rate over the trailing-24h
+    // rate — the multi-window alerting shape. Hourly error/total counts
+    // first (the only point-sized pass), then a rows-frame window over
+    // the GRID (time-range-bounded, never event-sized); the final ratio
+    // uses exact integer cross-products with ONE division so the
+    // comparison never nests float divides
+    "tsdb_burn_rate" -> ((s, dir) => {
+      val hr = Tables.events(s, dir)
+        .groupBy(expr(s"ts_ms DIV $H * $H").as("bucket_ms"))
+        .agg(count(lit(1)).as("tot"),
+          count(when(col("event_type") === "error", 1)).as("err"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy("bucket_ms").rowsBetween(-23, 0)
+      hr.select(col("bucket_ms"), col("tot"), col("err"),
+          sum(col("tot")).over(w).as("tot24"),
+          sum(col("err")).over(w).as("err24"))
+        .where(col("err24") > 0)
+        .select(col("bucket_ms"), col("tot"), col("err"),
+          D.r4s((col("err") * col("tot24")).cast("double")
+            / (col("tot") * col("err24")).cast("double")).as("burn"))
+        .orderBy("bucket_ms")
+    }),
+
+    // per-series sampling-gap diagnostics (staleness / data-quality):
+    // successive-point deltas from one per-series lag window → gap
+    // count, max, integer-exact mean, and stale count (> 10 min)
+    "tsdb_gap_stats" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts_ms", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          (col("ts_ms") - lag(col("ts_ms"), 1).over(w)).as("gap"))
+        .where(col("gap").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_gaps"), max(col("gap")).as("max_gap_ms"),
+          expr("sum(gap) DIV count(1)").as("avg_gap_ms"),
+          count(when(col("gap") > 600000L, 1)).as("n_stale"))
+        .orderBy("user_id")
+    }),
+
     // OHLC candles: open/high/low/close per series-day — the financial
     // downsample shape (also the compact preview tile dashboards want).
     // One partial-agg-mergeable aggregate over raw points; open/close
@@ -1116,6 +1168,41 @@ object TsdbQueries {
       s"""SELECT event_type, ${oBucket(H)} AS bucket_ms,
             ROUND(quantile_cont(value, 0.95) * 10000.0, 0) / 10000.0 + 0.0 AS value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "tsdb_heatmap" ->
+      s"""SELECT ${oBucket(H)} AS bucket_ms,
+                 CAST(floor(value / 10.0) AS BIGINT) AS vbucket, count(*) AS n
+          FROM events WHERE event_type = 'view'
+          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of tsdb_burn_rate: same integer cross-products, one divide
+    "tsdb_burn_rate" ->
+      s"""WITH hr AS (
+            SELECT ${oBucket(H)} AS bucket_ms, count(*) AS tot,
+                   count(*) FILTER (event_type = 'error') AS err
+            FROM events GROUP BY 1),
+          w AS (
+            SELECT bucket_ms, tot, err,
+                   SUM(tot) OVER win AS tot24, SUM(err) OVER win AS err24
+            FROM hr
+            WINDOW win AS (ORDER BY bucket_ms
+                           ROWS BETWEEN 23 PRECEDING AND CURRENT ROW))
+          SELECT bucket_ms, tot, err,
+                 ${D.oR4("CAST(err * tot24 AS DOUBLE) / CAST(tot * err24 AS DOUBLE)")} AS burn
+          FROM w WHERE err24 > 0 ORDER BY bucket_ms""",
+
+    "tsdb_gap_stats" ->
+      """WITH e AS (SELECT user_id, event_id,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         g AS (SELECT user_id,
+                      ts_ms - lag(ts_ms) OVER (PARTITION BY user_id
+                                               ORDER BY ts_ms, event_id) AS gap
+               FROM e)
+         SELECT user_id, count(*) AS n_gaps, max(gap) AS max_gap_ms,
+                CAST(SUM(gap) // count(*) AS BIGINT) AS avg_gap_ms,
+                count(*) FILTER (gap > 600000) AS n_stale
+         FROM g WHERE gap IS NOT NULL
+         GROUP BY 1 ORDER BY 1""",
 
     // mirror of tsdb_ohlc: the struct extrema ≡ the (ts, value) /
     // (ts DESC, value DESC) rn=1 arg-extrema

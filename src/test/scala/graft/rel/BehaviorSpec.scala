@@ -179,6 +179,36 @@ class BehaviorSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("markov transitions count one edge per consecutive pair") {
+    val df = SparkEntry.queries("evt_markov_transitions")(spark, sf)
+    val totalEdges = df.agg(sum("n")).as[Long].head()
+    val e = graft.core.Tables.events(spark, sf)
+    val events = e.count()
+    val users = e.select("user_id").distinct().count()
+    assert(totalEdges == events - users) // n-1 edges per user chain
+  }
+
+  test("burn rate stays positive and the 24h sums dominate the hour") {
+    val bad = SparkEntry.queries("tsdb_burn_rate")(spark, sf)
+      .where(col("burn") < 0.0 || col("err") > col("tot")).count()
+    assert(bad == 0L)
+  }
+
+  test("gap stats: avg <= max and stale counts bounded by gap count") {
+    val bad = SparkEntry.queries("tsdb_gap_stats")(spark, sf)
+      .where(col("avg_gap_ms") > col("max_gap_ms") ||
+        col("n_stale") > col("n_gaps")).count()
+    assert(bad == 0L)
+  }
+
+  test("heatmap cell counts sum to the filtered event count") {
+    val cells = SparkEntry.queries("tsdb_heatmap")(spark, sf)
+      .agg(sum("n")).as[Long].head()
+    val views = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "view").count()
+    assert(cells == views)
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
