@@ -237,6 +237,40 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // capstone EXPORT manifest: the full curate chain (exact dedup →
+    // near-dup cluster representatives → quality gate) ended with the
+    // content-stable shard assignment instead of per-lang stats —
+    // per-shard doc/token budgets are exactly what the 100 TB writer
+    // job needs to size its output files. Every stage is the
+    // llm_corpus_curate plan; the only addition is one map-side md5
+    // nibble and the 8-group aggregate.
+    "llm_corpus_export" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val exactKeep = docs.groupBy("text")
+        .agg(min("doc_id").as("doc_id")).select("doc_id")
+      val nonRep = Dedup.clusterLabels(
+          Dedup.nearDupPairsPortable(docs, "doc_id", "text",
+            k = 32, r = 4, shingleN = 3, threshold = 0.5))
+        .where(col("node") =!= col("label")).select(col("node").as("doc_id"))
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')",
+        Seq("the", "a", "of", "and"))
+      val nib = expr(
+        "instr('0123456789abcdef', substring(md5(cast(cast(doc_id as string) as binary)), 1, 1)) - 1")
+      docs
+        .join(exactKeep, Seq("doc_id"), "left_semi")
+        .join(broadcast(nonRep), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("n_chars"), nw.as("n_words"),
+          qualityCol(nw, stops).as("quality"))
+        .where(col("n_words") >= 20 && col("quality") >= 0.25)
+        .withColumn("shard", pmod(nib, lit(8)).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(Text.bpeApprox(col("n_chars"))).as("n_tokens"),
+          min("doc_id").as("min_id"), max("doc_id").as("max_id"))
+        .orderBy("shard")
+    }),
+
     "llm_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPortable(Tables.documents(s, dir), "doc_id", "text")),
 
@@ -2265,6 +2299,31 @@ object LlmQueries {
                        / count(quality)) * 10000.0, 0) / 10000.0 + 0.0 AS avg_quality
          FROM q WHERE n_words >= 20 AND quality >= 0.25
          GROUP BY lang ORDER BY lang""",
+
+    // mirror of llm_corpus_export: the llm_corpus_curate CTE chain with
+    // the shard projection instead of the per-lang grouping
+    "llm_corpus_export" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+         $MinLabelClosureCtes,
+         nonrep AS (SELECT node AS doc_id FROM lab WHERE node <> cluster_id),
+         keepx AS (SELECT min(doc_id) AS doc_id FROM documents GROUP BY text),
+         b AS (SELECT d.doc_id, d.n_chars,
+                 CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_words,
+                 CAST(len(list_filter(string_split(lower(d.text), ' '),
+                      x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
+               FROM documents d
+               JOIN keepx k ON k.doc_id = d.doc_id
+               WHERE d.doc_id NOT IN (SELECT doc_id FROM nonrep)),
+         q AS (SELECT doc_id, n_chars, n_words, $QualitySqlExpr AS quality
+               FROM b),
+         kept AS (SELECT doc_id, n_chars FROM q
+                  WHERE n_words >= 20 AND quality >= 0.25)
+         SELECT (instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 8 AS shard,
+                count(*) AS n_docs,
+                CAST(SUM(CAST(ceil(n_chars / 4.0) AS BIGINT)) AS BIGINT) AS n_tokens,
+                min(doc_id) AS min_id, max(doc_id) AS max_id
+         FROM kept GROUP BY 1 ORDER BY 1""",
 
     "llm_decontaminate" ->
       """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),

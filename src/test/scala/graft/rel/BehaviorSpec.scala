@@ -209,6 +209,16 @@ class BehaviorSpec extends SparkSpec {
     assert(cells == views)
   }
 
+  test("corpus export manifest covers fewer docs than the raw corpus") {
+    val df = SparkEntry.queries("llm_corpus_export")(spark, sf)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(df.nonEmpty && df.map(_._1).toSet.subsetOf((0L until 8L).toSet))
+    val kept = df.map(_._2).sum
+    val total = graft.core.Tables.documents(spark, sf).count()
+    assert(kept > 0 && kept < total) // the curate gates drop something
+    assert(df.forall(r => r._4 <= r._5)) // min_id <= max_id
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
