@@ -266,6 +266,37 @@ class PlanSpec extends SparkSpec {
       "top-100 must not globally sort the bigram space")
   }
 
+  test("subquery forms plan as hash semi/anti joins, never nested loops") {
+    val pe = plan("sub_exists")
+    assert(pe.contains("LeftSemi") && pe.contains("LeftAnti"), pe.take(400))
+    val pi = plan("sub_in")
+    assert(pi.contains("LeftSemi") && pi.contains("LeftAnti"))
+    assert(!pe.contains("BroadcastNestedLoopJoin") &&
+      !pi.contains("BroadcastNestedLoopJoin"),
+      "subqueries must decorrelate to hash joins")
+  }
+
+  test("LATERAL decorrelates to a pruned rank window, not a per-row loop") {
+    val p = plan("join_lateral")
+    assert(p.contains("WindowGroupLimit"),
+      s"ORDER BY/LIMIT lateral must become WindowGroupLimit:\n${p.take(400)}")
+    assert(!p.contains("CartesianProduct"))
+  }
+
+  test("bpe merge aggregates partial and bounds the top-k") {
+    val p = plan("llm_bpe_merge")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      "pair counts must combine map-side")
+    assert(p.contains("TakeOrderedAndProject"),
+      "top-20 must not globally sort the pair space")
+  }
+
+  test("funnel stages broadcast the user-sized frames and push stage filters") {
+    val p = plan("evt_funnel")
+    assert(p.contains("PushedFilters"), "stage event_type filters must reach the scan")
+    assert(!p.contains("CartesianProduct"))
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
