@@ -1386,6 +1386,54 @@ object LlmQueries {
         .agg(count(lit(1)).as("n"), sum(col("n_chars")).as("chars"))
         .orderBy("lang", "split")),
 
+    // vocabulary concentration per source (Gini coefficient of the
+    // word-frequency distribution): high Gini = a few words dominate
+    // (template/boilerplate smell), low = diverse prose. The classic
+    // sorted-rank formula G = (2·Σ(i·fᵢ) − (n+1)·Σf) / (n·Σf) stays
+    // ALL-INTEGER until one final division — no libm entropy needed.
+    // Word-count shapes + one per-source rank window over vocab rows.
+    "llm_vocab_gini" -> ((s, dir) => {
+      val toks = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(filter(Dedup.words(col("text")), w => w =!= lit(""))).as("term"))
+      val counts = toks.groupBy("source", "term").agg(count(lit(1)).as("cnt"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("cnt"), col("term"))
+      counts.withColumn("i", row_number().over(w).cast("long"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_terms"), sum(col("cnt")).as("n_tokens"),
+          sum(col("i") * col("cnt")).as("si"))
+        .select(col("source"), col("n_terms"), col("n_tokens"),
+          D.r4s((lit(2L) * col("si") - (col("n_terms") + lit(1L)) * col("n_tokens"))
+            .cast("double") / (col("n_terms") * col("n_tokens")).cast("double"))
+            .as("gini"))
+        .orderBy("source")
+    }),
+
+    // per-doc n-gram novelty: the fraction of a doc's DISTINCT bigrams
+    // appearing nowhere else in the corpus (df = 1) — high novelty is
+    // fresh content, low is boilerplate/duplication. One (doc, bigram)
+    // dedupe + a bigram-keyed df aggregate + one reduced join.
+    "llm_ngram_novelty" -> ((s, dir) => {
+      val bg = Tables.documents(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .where(size(col("toks")) >= 2)
+        .select(col("doc_id"), explode(expr(
+          """transform(sequence(1, size(toks) - 1),
+             i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))"""))
+          .as("bg"))
+        .distinct()
+      val df = bg.groupBy("bg").agg(count(lit(1)).as("df"))
+      bg.join(df, "bg")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          count(when(col("df") === 1L, 1)).as("n_novel"))
+        .select(col("doc_id"), col("n_bigrams"), col("n_novel"),
+          D.r4s(col("n_novel").cast("double") / col("n_bigrams").cast("double"))
+            .as("novelty"))
+        .orderBy("doc_id")
+    }),
+
     // 5th dedup modality: character edit distance on prefix-blocked
     // pairs. Levenshtein is an integer DP — bit-identical on both
     // engines — but O(|a|·|b|) per pair, so candidates are blocked on
@@ -2765,6 +2813,43 @@ object LlmQueries {
             CAST((cum - toks) // 512 AS BIGINT) AS win_first,
             CAST((cum - 1) // 512 AS BIGINT) AS win_last
          FROM c ORDER BY lang, doc_id""",
+
+    // mirror of llm_vocab_gini: same (cnt, term) rank, same all-integer
+    // Gini numerator/denominator
+    "llm_vocab_gini" ->
+      """WITH toks AS (SELECT source,
+                              unnest(list_filter(string_split(lower(text), ' '),
+                                                 x -> x <> '')) AS term
+                       FROM documents),
+         c AS (SELECT source, term, count(*) AS cnt FROM toks GROUP BY 1, 2),
+         r AS (SELECT source, cnt,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY cnt, term) AS i
+               FROM c),
+         g AS (SELECT source, count(*) AS n_terms,
+                      CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+                      CAST(SUM(i * cnt) AS BIGINT) AS si
+               FROM r GROUP BY 1)
+         SELECT source, n_terms, n_tokens,
+                ROUND((CAST(2 * si - (n_terms + 1) * n_tokens AS DOUBLE)
+                       / CAST(n_terms * n_tokens AS DOUBLE)) * 10000.0, 0)
+                  / 10000.0 + 0.0 AS gini
+         FROM g ORDER BY source""",
+
+    // mirror of llm_ngram_novelty: same distinct bigrams, df=1 recount
+    "llm_ngram_novelty" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+         i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS k FROM t
+               WHERE len(toks) >= 2),
+         b0 AS (SELECT doc_id, toks[k] || ' ' || toks[k + 1] AS bg FROM i),
+         bg AS (SELECT DISTINCT doc_id, bg FROM b0),
+         df AS (SELECT bg, count(*) AS df FROM bg GROUP BY 1)
+         SELECT b.doc_id, count(*) AS n_bigrams,
+                count(*) FILTER (d.df = 1) AS n_novel,
+                ROUND((CAST(count(*) FILTER (d.df = 1) AS DOUBLE)
+                       / count(*)) * 10000.0, 0) / 10000.0 + 0.0 AS novelty
+         FROM bg b JOIN df d ON b.bg = d.bg
+         GROUP BY 1 ORDER BY 1""",
 
     // mirror of llm_dedup_edit_distance: same blocking, same 200-char
     // cap — levenshtein is the same integer DP on both engines

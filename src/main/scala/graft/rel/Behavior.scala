@@ -49,6 +49,24 @@ object Behavior {
         .orderBy("stage")
     }),
 
+    // stickiness (DAU/MAU per day): the engagement-ratio staple. Same
+    // day-grid range join as evt_wau_rolling at the 30-day window; the
+    // ratio is ONE division over exact integer counts
+    "evt_stickiness" -> ((s, dir) => {
+      val days = graft.core.Exec.materialize(Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+        .distinct())
+      val dau = days.groupBy("day").agg(count(lit(1)).as("dau"))
+      val grid = days.select(col("day").as("d")).distinct()
+      val mau = grid.join(days, col("day").between(col("d") - 29, col("d")))
+        .groupBy("d").agg(countDistinct("user_id").as("mau"))
+      dau.join(mau, col("day") === col("d"))
+        .select(col("day"), col("dau"), col("mau"),
+          graft.core.D.r4s(col("dau").cast("double") / col("mau").cast("double"))
+            .as("stickiness"))
+        .orderBy("day")
+    }),
+
     // weekly cohort retention: cohort = a user's first active epoch-week;
     // a (cohort, offset) cell counts users active in cohort_week+offset.
     // The distinct (user, week) frame is built once (user×week-sized),
@@ -177,6 +195,21 @@ object Behavior {
          SELECT prev_type, next_type, count(*) AS n
          FROM l WHERE prev_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "evt_stickiness" ->
+      """WITH days AS (SELECT DISTINCT user_id,
+                              (epoch_ns(ts) // 1000000) // 86400000 AS day
+                       FROM events),
+         dau AS (SELECT day, count(*) AS dau FROM days GROUP BY 1),
+         grid AS (SELECT DISTINCT day AS d FROM days),
+         mau AS (SELECT g.d, count(DISTINCT dy.user_id) AS mau
+                 FROM grid g JOIN days dy ON dy.day BETWEEN g.d - 29 AND g.d
+                 GROUP BY 1)
+         SELECT a.day, a.dau, m.mau,
+                ROUND((CAST(a.dau AS DOUBLE) / CAST(m.mau AS DOUBLE)) * 10000.0, 0)
+                  / 10000.0 + 0.0 AS stickiness
+         FROM dau a JOIN mau m ON a.day = m.d
+         ORDER BY a.day""",
 
     "evt_retention_cohort" ->
       s"""WITH weeks AS (

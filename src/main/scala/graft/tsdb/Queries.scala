@@ -329,6 +329,45 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // cross-series percentile band: p10/p50/p90 of the per-series
+    // hourly averages AT each bucket — "what does a typical series do
+    // right now" (the fleet-overview band chart). Exact interpolated
+    // percentiles over series-count values per bucket, off the reduced
+    // downsample grid
+    "tsdb_percentile_band" -> ((s, dir) => {
+      Downsample(Tables.events(s, dir), Seq("user_id"), H, "avg")
+        .groupBy("bucket_ms")
+        .agg(count(lit(1)).as("n_series"),
+          D.r4s(expr("percentile(value, 0.1)")).as("p10"),
+          D.r4s(expr("percentile(value, 0.5)")).as("p50"),
+          D.r4s(expr("percentile(value, 0.9)")).as("p90"))
+        .orderBy("bucket_ms")
+    }),
+
+    // Theil–Sen robust slope per daily series: the median of all
+    // pairwise slopes — outlier-immune trend where OLS
+    // (tsdb_forecast_linear) is not. Pairs are per-series over its OWN
+    // buckets (C(≤31,2) ≈ 465 max per series — bounded by the time
+    // range, not the corpus); slopes 4dp-quantized before the exact
+    // median
+    "tsdb_theil_sen" -> ((s, dir) => {
+      val ds = graft.core.Exec.materialize(
+        Downsample(Tables.events(s, dir).where(col("event_type") === "click"),
+          Seq("user_id"), Day, "avg"))
+      val a = ds.select(col("user_id"), col("bucket_ms").as("ab"),
+        col("value").as("av"))
+      val b = ds.select(col("user_id").as("b_user"),
+        col("bucket_ms").as("bb"), col("value").as("bv"))
+      a.join(b, col("user_id") === col("b_user") && col("ab") < col("bb"))
+        .select(col("user_id"),
+          D.r4s((col("bv") - col("av"))
+            / ((col("bb") - col("ab")) / lit(Day)).cast("double")).as("slope"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_pairs"),
+          D.r4s(expr("percentile(slope, 0.5)")).as("slope_per_day"))
+        .orderBy("user_id")
+    }),
+
     // value-distribution heatmap: (hour, value-decile) counts for one
     // metric — the dashboard heatmap tile; two integer-exact bucketings
     // + one count aggregate, fully partial-agg mergeable, output is
@@ -1168,6 +1207,33 @@ object TsdbQueries {
       s"""SELECT event_type, ${oBucket(H)} AS bucket_ms,
             ROUND(quantile_cont(value, 0.95) * 10000.0, 0) / 10000.0 + 0.0 AS value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "tsdb_percentile_band" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2)
+          SELECT bucket_ms, count(*) AS n_series,
+                 ${D.oR4("quantile_cont(value, 0.1)")} AS p10,
+                 ${D.oR4("quantile_cont(value, 0.5)")} AS p50,
+                 ${D.oR4("quantile_cont(value, 0.9)")} AS p90
+          FROM ds GROUP BY 1 ORDER BY 1""",
+
+    // mirror of tsdb_theil_sen: same quantized pairwise slopes, same
+    // exact interpolated median
+    "tsdb_theil_sen" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          p AS (
+            SELECT a.user_id,
+                   ${D.oR4(s"(b.value - a.value) / ((b.bucket_ms - a.bucket_ms) / CAST($Day AS DOUBLE))")} AS slope
+            FROM ds a JOIN ds b ON b.user_id = a.user_id
+                              AND a.bucket_ms < b.bucket_ms)
+          SELECT user_id, count(*) AS n_pairs,
+                 ${D.oR4("quantile_cont(slope, 0.5)")} AS slope_per_day
+          FROM p GROUP BY 1 ORDER BY 1""",
 
     "tsdb_heatmap" ->
       s"""SELECT ${oBucket(H)} AS bucket_ms,

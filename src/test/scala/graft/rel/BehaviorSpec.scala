@@ -219,6 +219,38 @@ class BehaviorSpec extends SparkSpec {
     assert(df.forall(r => r._4 <= r._5)) // min_id <= max_id
   }
 
+  test("stickiness stays in (0, 1] and MAU dominates DAU") {
+    val bad = SparkEntry.queries("evt_stickiness")(spark, sf)
+      .where(col("stickiness") <= 0.0 || col("stickiness") > 1.0 ||
+        col("dau") > col("mau")).count()
+    assert(bad == 0L)
+  }
+
+  test("percentile band orders p10 <= p50 <= p90") {
+    val bad = SparkEntry.queries("tsdb_percentile_band")(spark, sf)
+      .where(col("p10") > col("p50") || col("p50") > col("p90")).count()
+    assert(bad == 0L)
+  }
+
+  test("theil-sen pair counts are C(buckets, 2) per series") {
+    val rows = SparkEntry.queries("tsdb_theil_sen")(spark, sf)
+      .select("n_pairs").as[Long].collect().toSeq
+    assert(rows.nonEmpty && rows.forall(n => n >= 1L && n <= 31L * 30L / 2L))
+  }
+
+  test("vocab gini lies in [0, 1)") {
+    val bad = SparkEntry.queries("llm_vocab_gini")(spark, sf)
+      .where(col("gini") < 0.0 || col("gini") >= 1.0).count()
+    assert(bad == 0L)
+  }
+
+  test("ngram novelty is a fraction of the doc's distinct bigrams") {
+    val bad = SparkEntry.queries("llm_ngram_novelty")(spark, sf)
+      .where(col("n_novel") > col("n_bigrams") ||
+        col("novelty") < 0.0 || col("novelty") > 1.0).count()
+    assert(bad == 0L)
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
