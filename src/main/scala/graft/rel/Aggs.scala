@@ -65,6 +65,41 @@ object Aggs {
           count(lit(1)).as("n"))
         .orderBy("event_type")),
 
+    // HLL register MERGE across groups: the property that makes sketches
+    // the 100 TB distinct-count answer — per-group sketches combine by
+    // register max into the UNION's sketch, no re-scan. Built from the
+    // same md5 register derivation as agg_approx_distinct_hll: per-type
+    // registers → bucket-wise max → one global estimate, compared to the
+    // exact global distinct.
+    "agg_hll_merge" -> ((s, dir) => {
+      def nib(k: Int) = s"(instr('0123456789abcdef', substr(hx, $k, 1)) - 1)"
+      val ev = Tables.events(s, dir).select(col("event_type"), col("user_id"))
+      val regsIn = ev
+        .withColumn("hx", md5(col("user_id").cast("string").cast("binary")))
+        .withColumn("bucket", expr(s"${nib(1)} * 16 + ${nib(2)}"))
+        .withColumn("t", expr("trim(LEADING '0' FROM substr(hx, 3, 12))"))
+        .withColumn("rho", expr(
+          """CASE WHEN t = '' THEN 49
+             ELSE (12 - length(t)) * 4 +
+                  CASE WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 8 THEN 0
+                       WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 4 THEN 1
+                       WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 2 THEN 2
+                       ELSE 3 END + 1 END"""))
+      val perGroup = regsIn.groupBy("event_type", "bucket").agg(max(col("rho")).as("m"))
+      val merged = perGroup.groupBy("bucket").agg(max(col("m")).as("m"))
+      val est = merged
+        .agg(sum(expr("shiftleft(CAST(1 AS BIGINT), 49 - m)")).as("s_present"),
+          count(lit(1)).as("nb"))
+        .withColumn("v", lit(256) - col("nb"))
+        .withColumn("s_all", col("s_present") + col("v") * lit(562949953421312L))
+        .withColumn("e_raw", expr(
+          "(0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0 / CAST(s_all AS DOUBLE)"))
+        .withColumn("approx_users", graft.core.D.r4s(expr(
+          "CASE WHEN e_raw <= 640.0 AND v > 0 THEN 256.0 * ln(256.0 / v) ELSE e_raw END")))
+      val exact = ev.agg(countDistinct(col("user_id")).as("exact_users"))
+      est.crossJoin(exact).select("approx_users", "exact_users")
+    }),
+
     // Explicit distributed HyperLogLog (m=256 registers, md5-derived
     // hash): per-value (bucket, rho) → per-group register MAX → harmonic
     // estimate with linear-counting correction. Two map-side-combinable
@@ -362,6 +397,42 @@ object Aggs {
       s"""SELECT l_returnflag, ${D.oStddevSampDec("l_extendedprice")} AS sd,
             ${D.oVarSampDec("l_extendedprice")} AS vr
           FROM lineitem GROUP BY 1 ORDER BY 1""",
+
+    // mirror of agg_hll_merge: same register derivation, merged by
+    // bucket-wise max before ONE global estimate
+    "agg_hll_merge" ->
+      """WITH h AS (SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),
+         b AS (SELECT event_type,
+                 (instr('0123456789abcdef', substr(hx, 1, 1)) - 1) * 16 +
+                 (instr('0123456789abcdef', substr(hx, 2, 1)) - 1) AS bucket,
+                 ltrim(substr(hx, 3, 12), '0') AS t
+               FROM h),
+         r AS (SELECT event_type, bucket,
+                 CASE WHEN t = '' THEN 49
+                      ELSE (12 - length(t)) * 4 +
+                           CASE WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 8 THEN 0
+                                WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 4 THEN 1
+                                WHEN instr('0123456789abcdef', substr(t, 1, 1)) - 1 >= 2 THEN 2
+                                ELSE 3 END + 1 END AS rho
+               FROM b),
+         pg AS (SELECT event_type, bucket, max(rho) AS m FROM r GROUP BY 1, 2),
+         regs AS (SELECT bucket, max(m) AS m FROM pg GROUP BY 1),
+         est AS (SELECT SUM(CAST(1 AS BIGINT) << (49 - m)) AS s_present,
+                        COUNT(*) AS nb
+                 FROM regs),
+         fin AS (SELECT s_present + (256 - nb) * CAST(562949953421312 AS BIGINT) AS s_all,
+                        256 - nb AS v
+                 FROM est),
+         er AS (SELECT v,
+                  (0.7213 / (1.0 + 1.079 / 256.0)) * 65536.0 * 562949953421312.0
+                    / CAST(s_all AS DOUBLE) AS e_raw
+                FROM fin),
+         ex AS (SELECT count(DISTINCT user_id) AS exact_users FROM events)
+         SELECT ROUND((CASE WHEN er.e_raw <= 640.0 AND er.v > 0
+                            THEN 256.0 * ln(256.0 / er.v) ELSE er.e_raw END)
+                      * 10000.0, 0) / 10000.0 + 0.0 AS approx_users,
+                ex.exact_users
+         FROM er, ex""",
 
     "agg_approx_distinct_hll" ->
       """WITH h AS (SELECT event_type, user_id, md5(CAST(user_id AS VARCHAR)) AS hx FROM events),

@@ -67,6 +67,48 @@ object Behavior {
         .orderBy("day")
     }),
 
+    // time-to-convert distribution: for users whose first purchase
+    // follows their first view, the view→purchase delay quartiles —
+    // one global row off user-sized frames (exact interpolated
+    // percentiles, state bounded by converted-user count)
+    "evt_conversion_time" -> ((s, dir) => {
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts_ms")
+      val v = e.where(col("event_type") === "view")
+        .groupBy("user_id").agg(min("ts_ms").as("t_view"))
+      val p = e.where(col("event_type") === "purchase")
+        .join(v, "user_id").where(col("ts_ms") >= col("t_view"))
+        .groupBy("user_id").agg(min("ts_ms").as("t_purchase"),
+          min("t_view").as("t_view"))
+      p.select((col("t_purchase") - col("t_view")).as("delta_ms"))
+        .agg(count(lit(1)).as("n_converted"),
+          graft.core.D.r4s(expr("percentile(delta_ms, 0.25)")).as("p25_ms"),
+          graft.core.D.r4s(expr("percentile(delta_ms, 0.5)")).as("p50_ms"),
+          graft.core.D.r4s(expr("percentile(delta_ms, 0.9)")).as("p90_ms"))
+    }),
+
+    // forward as-of: each signup joined to the user's NEXT purchase
+    // (time-to-first-action). DuckDB's ASOF JOIN is backward-only, so
+    // both engines express the forward probe as a min-over-future
+    // struct aggregate on the co-partitioned user join
+    "join_asof_forward" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val sgn = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts_ms").as("s_ts"))
+      val pur = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_ms").as("p_ts"),
+          col("event_id").as("p_id"))
+      sgn.join(pur, col("user_id") === col("p_user") &&
+          col("p_ts") >= col("s_ts"), "left")
+        .groupBy("signup_id", "user_id", "s_ts")
+        .agg(min(when(col("p_ts").isNotNull,
+          struct(col("p_ts"), col("p_id")))).as("m"))
+        .select(col("signup_id"), col("user_id"), col("s_ts"),
+          col("m.p_ts").as("next_purchase_ts"),
+          col("m.p_id").as("next_purchase_id"))
+        .orderBy("signup_id")
+    }),
+
     // weekly cohort retention: cohort = a user's first active epoch-week;
     // a (cohort, offset) cell counts users active in cohort_week+offset.
     // The distinct (user, week) frame is built once (user×week-sized),
@@ -195,6 +237,40 @@ object Behavior {
          SELECT prev_type, next_type, count(*) AS n
          FROM l WHERE prev_type IS NOT NULL
          GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "evt_conversion_time" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         v AS (SELECT user_id, min(ts_ms) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts_ms) AS t_purchase, min(v.t_view) AS t_view
+               FROM e JOIN v ON e.user_id = v.user_id AND e.ts_ms >= v.t_view
+               WHERE e.event_type = 'purchase' GROUP BY 1),
+         d AS (SELECT t_purchase - t_view AS delta_ms FROM p)
+         SELECT count(*) AS n_converted,
+                ROUND(quantile_cont(delta_ms, 0.25) * 10000.0, 0) / 10000.0 + 0.0 AS p25_ms,
+                ROUND(quantile_cont(delta_ms, 0.5) * 10000.0, 0) / 10000.0 + 0.0 AS p50_ms,
+                ROUND(quantile_cont(delta_ms, 0.9) * 10000.0, 0) / 10000.0 + 0.0 AS p90_ms
+         FROM d""",
+
+    // mirror of join_asof_forward: the struct min ≡ the
+    // (p_ts ASC, p_id ASC) NULLS LAST rn=1 arg-min
+    "join_asof_forward" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         sgn AS (SELECT event_id AS signup_id, user_id, ts_ms AS s_ts
+                 FROM e WHERE event_type = 'signup'),
+         pur AS (SELECT user_id AS p_user, ts_ms AS p_ts, event_id AS p_id
+                 FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT s.signup_id, s.user_id, s.s_ts, p.p_ts, p.p_id
+               FROM sgn s LEFT JOIN pur p ON p.p_user = s.user_id
+                 AND p.p_ts >= s.s_ts),
+         a AS (SELECT signup_id, user_id, s_ts, p_ts, p_id,
+                      row_number() OVER (PARTITION BY signup_id
+                        ORDER BY p_ts ASC NULLS LAST, p_id ASC NULLS LAST) AS rn
+               FROM j)
+         SELECT signup_id, user_id, s_ts,
+                p_ts AS next_purchase_ts, p_id AS next_purchase_id
+         FROM a WHERE rn = 1 ORDER BY signup_id""",
 
     "evt_stickiness" ->
       """WITH days AS (SELECT DISTINCT user_id,

@@ -184,6 +184,25 @@ object SetsFns {
         .orderBy("p_partkey")
     }),
 
+    // error-tolerant casting (ANSI-mode safety valve): TRY_CAST yields
+    // null instead of failing the job on malformed input — a
+    // deterministic third of the strings are corrupted, and the parse /
+    // reject counts plus the exact sum of parsed values are oracled.
+    // Integer-only strings: double→string formatting is NOT
+    // engine-portable, BIGINT→string is.
+    "fn_try_cast" -> ((s, dir) => {
+      Tables.events(s, dir)
+        .withColumn("sv", expr(
+          "CASE WHEN event_id % 3 = 0 THEN concat('u', CAST(user_id AS STRING)) " +
+          "ELSE CAST(user_id AS STRING) END"))
+        .withColumn("parsed", expr("try_cast(sv AS BIGINT)"))
+        .groupBy("event_type")
+        .agg(count(col("parsed")).as("n_parsed"),
+          count(when(col("parsed").isNull, 1)).as("n_rejected"),
+          sum(col("parsed")).as("sum_parsed"))
+        .orderBy("event_type")
+    }),
+
     // portable digests (md5/sha256 are bit-identical across engines →
     // full DuckDB oracle)
     "fn_hash" -> ((s, dir) =>
@@ -326,6 +345,18 @@ object SetsFns {
                  ELSE '{"k":' || json_extract_string(props, '$.k') || '}'
             END AS rebuilt
          FROM events ORDER BY event_id""",
+
+    "fn_try_cast" ->
+      """WITH s AS (SELECT event_type,
+                           CASE WHEN event_id % 3 = 0
+                                THEN 'u' || CAST(user_id AS VARCHAR)
+                                ELSE CAST(user_id AS VARCHAR) END AS sv
+                    FROM events),
+         p AS (SELECT event_type, TRY_CAST(sv AS BIGINT) AS parsed FROM s)
+         SELECT event_type, count(parsed) AS n_parsed,
+                count(*) FILTER (parsed IS NULL) AS n_rejected,
+                CAST(SUM(parsed) AS BIGINT) AS sum_parsed
+         FROM p GROUP BY 1 ORDER BY 1""",
 
     "fn_hash" ->
       """SELECT p_partkey, md5(p_name) AS m5, sha256(p_name) AS s2

@@ -251,6 +251,35 @@ class BehaviorSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("merged HLL estimate tracks the exact global distinct") {
+    val (est, exact) = SparkEntry.queries("agg_hll_merge")(spark, sf)
+      .as[(Double, Long)].head()
+    assert(math.abs(est - exact) / exact.toDouble < 0.15)
+  }
+
+  test("conversion-time quartiles order p25 <= p50 <= p90") {
+    val r = SparkEntry.queries("evt_conversion_time")(spark, sf)
+      .as[(Long, Double, Double, Double)].head()
+    assert(r._1 > 0 && r._2 <= r._3 && r._3 <= r._4 && r._2 >= 0.0)
+  }
+
+  test("forward asof next purchase is never before the signup") {
+    val df = SparkEntry.queries("join_asof_forward")(spark, sf)
+    val bad = df.where(col("next_purchase_ts").isNotNull &&
+      col("next_purchase_ts") < col("s_ts")).count()
+    assert(bad == 0L)
+    // one row per signup
+    val signups = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "signup").count()
+    assert(df.count() == signups)
+  }
+
+  test("try_cast rejects exactly the corrupted third") {
+    val bad = SparkEntry.queries("fn_try_cast")(spark, sf)
+      .where(col("n_rejected") === 0L || col("n_parsed") === 0L).count()
+    assert(bad == 0L)
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
