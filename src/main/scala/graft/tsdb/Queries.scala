@@ -329,6 +329,42 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // alert hysteresis (enter above hi=60, exit below lo=30 — the
+    // flapping-proof alert state machine every monitoring system
+    // implements): the state is inherently sequential, so each series'
+    // bucket list folds once with the `aggregate` HOF carrying a
+    // [inAlert, nAlert, nEpisodes] list state (integer-valued doubles —
+    // exact). DuckDB's list_reduce has no init value and mis-evaluates
+    // STRUCT accumulators (the tsdb_holt finding), so the oracle
+    // prepends a [0,0,0] sentinel element and folds the same 3-list
+    // state. O(n) per series, shuffle unit = one series.
+    "tsdb_alert_hysteresis" -> ((s, dir) => {
+      val (hi, lo) = (60.0, 30.0)
+      val ds = Downsample(Tables.events(s, dir)
+        .where(col("event_type") === "view"), Seq("user_id"), Day, "avg")
+      val arr = ds.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+          .as("pts"))
+      val vals = transform(col("pts"), p => p.getField("value"))
+      val folded = aggregate(vals,
+        array(lit(0.0), lit(0.0), lit(0.0)),
+        (st, x) => {
+          val prevIn = element_at(st, 1)
+          val newIn = when(prevIn === 1.0, (x > lit(lo)).cast("double"))
+            .otherwise((x > lit(hi)).cast("double"))
+          array(newIn,
+            element_at(st, 2) + newIn,
+            element_at(st, 3) +
+              when(newIn === 1.0 && prevIn === 0.0, 1.0).otherwise(0.0))
+        })
+      arr.select(col("user_id"), size(col("pts")).cast("long").as("n_buckets"),
+          folded.as("st"))
+        .select(col("user_id"), col("n_buckets"),
+          element_at(col("st"), 2).cast("long").as("n_alert"),
+          element_at(col("st"), 3).cast("long").as("n_episodes"))
+        .orderBy("user_id")
+    }),
+
     // cross-series percentile band: p10/p50/p90 of the per-series
     // hourly averages AT each bucket — "what does a typical series do
     // right now" (the fleet-overview band chart). Exact interpolated
@@ -1207,6 +1243,31 @@ object TsdbQueries {
       s"""SELECT event_type, ${oBucket(H)} AS bucket_ms,
             ROUND(quantile_cont(value, 0.95) * 10000.0, 0) / 10000.0 + 0.0 AS value
           FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of tsdb_alert_hysteresis: the [0,0,0]-sentinel list fold
+    "tsdb_alert_hysteresis" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          arr AS (SELECT user_id, list(value ORDER BY bucket_ms) AS vals
+                  FROM ds GROUP BY 1),
+          f AS (SELECT user_id, len(vals) AS n_buckets,
+                  list_reduce([[0.0, 0.0, 0.0]] || list_transform(vals, x -> [x, 0.0, 0.0]),
+                    (acc, e) -> [
+                      CASE WHEN acc[1] = 1.0 THEN CAST(e[1] > 30.0 AS DOUBLE)
+                           ELSE CAST(e[1] > 60.0 AS DOUBLE) END,
+                      acc[2] + CASE WHEN acc[1] = 1.0 THEN CAST(e[1] > 30.0 AS DOUBLE)
+                                    ELSE CAST(e[1] > 60.0 AS DOUBLE) END,
+                      acc[3] + CASE WHEN (CASE WHEN acc[1] = 1.0 THEN e[1] > 30.0
+                                               ELSE e[1] > 60.0 END)
+                                         AND acc[1] = 0.0 THEN 1.0 ELSE 0.0 END
+                    ]) AS st
+                FROM arr)
+          SELECT user_id, CAST(n_buckets AS BIGINT) AS n_buckets,
+                 CAST(st[2] AS BIGINT) AS n_alert,
+                 CAST(st[3] AS BIGINT) AS n_episodes
+          FROM f ORDER BY user_id""",
 
     "tsdb_percentile_band" ->
       s"""WITH ds AS (

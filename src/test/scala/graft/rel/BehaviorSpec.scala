@@ -280,6 +280,17 @@ class BehaviorSpec extends SparkSpec {
     assert(bad == 0L)
   }
 
+  test("hysteresis invariants: alerts bounded by buckets, episodes by alerts") {
+    val bad = SparkEntry.queries("tsdb_alert_hysteresis")(spark, sf)
+      .where(col("n_alert") > col("n_buckets") ||
+        col("n_episodes") > col("n_alert")).count()
+    assert(bad == 0L)
+    // non-vacuous: some series actually alert at these thresholds
+    val alerting = SparkEntry.queries("tsdb_alert_hysteresis")(spark, sf)
+      .where(col("n_episodes") > 0L).count()
+    assert(alerting > 0L)
+  }
+
   test("bpe merge emits 2-char pairs with positive weight") {
     val rows = SparkEntry.queries("llm_bpe_merge")(spark, sf)
       .as[(String, Long)].collect().toSeq
