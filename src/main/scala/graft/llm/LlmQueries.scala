@@ -1003,6 +1003,13 @@ object LlmQueries {
       Retrieval.bm25TopK(Tables.documents(s, dir), "doc_id", "text",
         Bm25Terms, 10)),
 
+    // Dirichlet query-likelihood — the language-model alternative to
+    // BM25 over the same terms (same map-only scan shape, one
+    // single-row stats broadcast; see Retrieval.queryLikelihoodTopK)
+    "llm_query_likelihood" -> ((s, dir) =>
+      Retrieval.queryLikelihoodTopK(Tables.documents(s, dir), "doc_id", "text",
+        Bm25Terms, 10)),
+
     // pseudo-relevance-feedback expansion: BM25 top-5 pool → 2 most
     // frequent feedback terms (≥4 chars, originals excluded) → rescore
     // with the expanded term set. The expansion terms stay a DataFrame
@@ -1905,6 +1912,26 @@ object LlmQueries {
       s"""WITH ${bm25Ctes(Bm25Terms)}
           SELECT doc_id, bm25 FROM bscore WHERE bm25 > 0
           ORDER BY bm25 DESC, doc_id LIMIT 10""",
+
+    // mirror of Retrieval.queryLikelihoodTopK: identical expression
+    // shape and term-order association; stats sums are integer-exact
+    "llm_query_likelihood" -> {
+      val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(ws, x -> x = '$t')) AS DOUBLE) AS tf$i" }
+        .mkString(", ")
+      val cfCols = Bm25Terms.indices.map(i => s"SUM(tf$i) AS cf$i").mkString(", ")
+      val score = Bm25Terms.indices.map(i =>
+        s"ln((tf$i + 2000.0 * cf$i / ctot) / (dl + 2000.0))").mkString(" + ")
+      val anyTf = Bm25Terms.indices.map(i => s"tf$i > 0").mkString(" OR ")
+      s"""WITH wsx AS (SELECT doc_id,
+                 list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+               FROM documents),
+          dtf AS (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, $tfCols FROM wsx),
+          st AS (SELECT SUM(dl) AS ctot, $cfCols FROM dtf)
+          SELECT doc_id, ${graft.core.D.oR4(score)} AS ql
+          FROM dtf CROSS JOIN st WHERE $anyTf
+          ORDER BY ql DESC, doc_id LIMIT 10"""
+    },
 
     // mirror of Retrieval.prfExpandTopK: pool = the scan-side bm25
     // CTEs verbatim; expansion terms mined from the pool docs' tokens;

@@ -65,6 +65,42 @@ object Retrieval {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Dirichlet-smoothed query-likelihood retrieval (the Zhai–Lafferty
+    * LM alternative to BM25): score(q,d) = Σ_t ln((tf_td + μ·cf_t/|C|)
+    * / (dl + μ)). Same scan-side map-only shape as [[bm25]]: per-term
+    * tf columns (no explode, no (doc,term) shuffle), corpus stats
+    * (total token count |C| + per-term collection frequency cf_t) ONE
+    * single-row broadcast aggregate — all integer-exact sums in double
+    * — and scoring a second map-only pass into TakeOrderedAndProject.
+    * Only docs sharing ≥1 query term rank (scores are negative
+    * log-probabilities; the all-background score of a no-term doc is
+    * meaningless for ranking). Fixed term-order double sum, mirrored
+    * literally by the oracle. */
+  def queryLikelihoodTopK(docs: DataFrame, idCol: String, textCol: String,
+                          terms: Seq[String], k: Int,
+                          mu: Double = 2000.0): DataFrame = {
+    require(terms.nonEmpty, "query likelihood needs at least one term")
+    val ws = docs
+      .withColumn("ws", filter(Dedup.words(col(textCol)), w => w =!= lit("")))
+      .withColumn("dl", size(col("ws")).cast("double"))
+    val tf = terms.zipWithIndex.foldLeft(ws) { case (df, (t, i)) =>
+      df.withColumn(s"tf$i",
+        size(filter(col("ws"), w => w === lit(t))).cast("double"))
+    }.select(col(idCol) +: col("dl") +: terms.indices.map(i => col(s"tf$i")): _*)
+    val stats = tf.agg(sum(col("dl")).as("ctot"),
+      terms.indices.map(i => sum(col(s"tf$i")).as(s"cf$i")): _*)
+    val scored = tf.crossJoin(broadcast(stats))
+    val score = terms.indices.map { i =>
+      log((col(s"tf$i") + lit(mu) * col(s"cf$i") / col("ctot")) /
+        (col("dl") + lit(mu)))
+    }.reduce(_ + _)
+    val anyTf = terms.indices.map(i => col(s"tf$i") > 0).reduce(_ || _)
+    scored.where(anyTf)
+      .select(col(idCol), graft.core.D.r4s(score).as("ql"))
+      .orderBy(col("ql").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Top-k exact-phrase hits, scan-side: pf = number of token offsets
     * where the phrase's terms appear CONSECUTIVELY. Same map-only
     * shape as [[bm25]] — the candidate starts are a per-row

@@ -2,7 +2,7 @@ package graft.rel
 
 import graft.core.{D, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.expressions.{Aggregator, Window}
 import org.apache.spark.sql.functions._
 
 /** §2.D aggregation surface. All double aggregation goes through
@@ -35,6 +35,34 @@ object Aggs {
   }
 
   val queries: Map[String, Q] = Map(
+    // revenue concentration (the 80/20 curve): customers ranked by
+    // exact-decimal revenue into deciles, each decile's share and the
+    // cumulative share. Windows run over the REDUCED customer frame
+    // (orders collapses first), decile sums are exact decimals, and
+    // only the two final shares divide — the whole query moves
+    // customer-count rows once and 10 rows after that. The ntile
+    // tie-break (revenue desc, custkey) keeps decile edges
+    // engine-portable.
+    "agg_revenue_pareto" -> ((s, dir) => {
+      val rev = Tables.orders(s, dir).groupBy("o_custkey")
+        .agg(sum(D.dec(col("o_totalprice"))).as("rev"))
+      val dec = rev.withColumn("decile",
+        ntile(10).over(Window.orderBy(col("rev").desc, col("o_custkey"))))
+      val per = dec.groupBy("decile")
+        .agg(count(lit(1)).as("n_customers"), sum(col("rev")).as("drev"))
+      val tot = per.agg(sum(col("drev")).as("trev"))
+      val cum = sum(col("drev")).over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0))
+      per.crossJoin(broadcast(tot))
+        .select(col("decile"), col("n_customers"),
+          D.r4s(col("drev").cast("double")).as("revenue"),
+          D.r4s(col("drev").cast("double") / col("trev").cast("double"))
+            .as("share"),
+          D.r4s(cum.cast("double") / col("trev").cast("double"))
+            .as("cum_share"))
+        .orderBy("decile")
+    }),
+
     // TPC-H Q1 shape
     "agg_hash_groupby" -> ((s, dir) => {
       val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -327,6 +355,24 @@ object Aggs {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "agg_revenue_pareto" ->
+      s"""WITH rev AS (SELECT o_custkey,
+                        SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev
+                      FROM orders GROUP BY 1),
+          d AS (SELECT o_custkey, rev,
+                  ntile(10) OVER (ORDER BY rev DESC, o_custkey) AS decile
+                FROM rev),
+          per AS (SELECT decile, count(*) AS n_customers, SUM(rev) AS drev
+                  FROM d GROUP BY 1),
+          t AS (SELECT SUM(drev) AS trev FROM per),
+          c AS (SELECT decile, n_customers, drev,
+                  SUM(drev) OVER (ORDER BY decile ROWS UNBOUNDED PRECEDING) AS crev
+                FROM per)
+          SELECT decile, n_customers,
+                 ${D.oR4("CAST(drev AS DOUBLE)")} AS revenue,
+                 ${D.oR4("CAST(drev AS DOUBLE) / CAST(trev AS DOUBLE)")} AS share,
+                 ${D.oR4("CAST(crev AS DOUBLE) / CAST(trev AS DOUBLE)")} AS cum_share
+          FROM c CROSS JOIN t ORDER BY decile""",
     "agg_hash_groupby" ->
       s"""SELECT l_returnflag, l_linestatus,
             ${D.oSumDec("l_quantity")} AS sum_qty,

@@ -20,8 +20,62 @@ object Behavior {
   type Q = (SparkSession, String) => DataFrame
 
   private val WeekMs = 7L * 86400000L
+  private val DayMs = 86400000L
 
   val queries: Map[String, Q] = Map(
+    // RFM segmentation (recency / frequency / monetary) — the classic
+    // customer-scoring rollup. All window work runs over the REDUCED
+    // per-user frame (one row per purchaser), never events; scores are
+    // ntile(4) with a user_id tie-break — all-integer quartile logic,
+    // engine-portable where interpolated thresholds would not be. (At
+    // extreme user counts the unpartitioned ntile is a single-reducer
+    // sort; the drop-in scale fix is scoring against three broadcast
+    // quantile thresholds — same labels, no global window.)
+    "evt_rfm" -> ((s, dir) => {
+      val e = Tables.events(s, dir).where(col("event_type") === "purchase")
+      val u = e.groupBy("user_id")
+        .agg(max("ts_ms").as("t_last"),
+          count(lit(1)).as("frequency"),
+          graft.core.D.r4s(sum(graft.core.D.dec(col("value"))).cast("double"))
+            .as("monetary"))
+        .withColumn("recency_d",
+          expr(s"(${Tables.NowMs} - t_last) DIV $DayMs"))
+      val rs = ntile(4).over(Window.orderBy(col("recency_d"), col("user_id")))
+      val fs = ntile(4).over(Window.orderBy(col("frequency").desc, col("user_id")))
+      val ms = ntile(4).over(Window.orderBy(col("monetary").desc, col("user_id")))
+      u.select(col("user_id"), col("recency_d"), col("frequency"), col("monetary"),
+          rs.as("r_score"), fs.as("f_score"), ms.as("m_score"))
+        .withColumn("segment", concat(col("r_score").cast("string"),
+          col("f_score").cast("string"), col("m_score").cast("string")))
+        .orderBy("user_id")
+    }),
+
+    // week-over-week churn: of week-w actives, who has NO week-w+1
+    // activity. One distinct aggregate + one self-join co-partitioned
+    // on user_id; every frame is user×week-sized. Weeks without a
+    // successor week in the data are excluded (their churn is
+    // right-censored, not 100%).
+    "evt_churn_weekly" -> ((s, dir) => {
+      val weeks = graft.core.Exec.materialize(Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ms DIV $WeekMs").as("week"))
+        .distinct())
+      val act = weeks.groupBy("week").agg(count(lit(1)).as("n_active"))
+      val nxt = weeks.select(col("user_id"), (col("week") - 1).as("week"))
+      val ret = weeks.join(nxt, Seq("user_id", "week")).groupBy("week")
+        .agg(count(lit(1)).as("n_retained"))
+      val grid = weeks.select("week").distinct()
+      val hasNext = grid.join(grid.select((col("week") - 1).as("week")),
+        Seq("week"), "left_semi")
+      val retained = coalesce(col("n_retained"), lit(0L))
+      act.join(hasNext, Seq("week"), "left_semi")
+        .join(ret, Seq("week"), "left")
+        .select(col("week"), col("n_active"),
+          retained.as("n_retained"),
+          (col("n_active") - retained).as("n_churned"),
+          graft.core.D.r4s((col("n_active") - retained).cast("double") /
+            col("n_active").cast("double")).as("churn_rate"))
+        .orderBy("week")
+    }),
     // ordered conversion funnel view → click → purchase: a user counts
     // for stage k only if the stage-k event happens AT OR AFTER their
     // first stage-(k−1) event. Each stage is min-ts per user over a
@@ -182,6 +236,45 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "evt_rfm" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
+                     FROM events WHERE event_type = 'purchase'),
+          u AS (SELECT user_id,
+                  (${Tables.NowMs} - max(ts_ms)) // $DayMs AS recency_d,
+                  count(*) AS frequency,
+                  ${graft.core.D.oR4(graft.core.D.oSumDec("value"))} AS monetary
+                FROM e GROUP BY 1),
+          sc AS (SELECT user_id, recency_d, frequency, monetary,
+                   ntile(4) OVER (ORDER BY recency_d, user_id) AS r_score,
+                   ntile(4) OVER (ORDER BY frequency DESC, user_id) AS f_score,
+                   ntile(4) OVER (ORDER BY monetary DESC, user_id) AS m_score
+                 FROM u)
+          SELECT user_id, recency_d, frequency, monetary,
+                 r_score, f_score, m_score,
+                 CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
+                   || CAST(m_score AS VARCHAR) AS segment
+          FROM sc ORDER BY user_id""",
+
+    "evt_churn_weekly" ->
+      s"""WITH weeks AS (SELECT DISTINCT user_id,
+                                (epoch_ns(ts) // 1000000) // $WeekMs AS week
+                         FROM events),
+          act AS (SELECT week, count(*) AS n_active FROM weeks GROUP BY 1),
+          ret AS (SELECT w.week, count(*) AS n_retained
+                  FROM weeks w JOIN weeks n ON n.user_id = w.user_id
+                    AND n.week = w.week + 1
+                  GROUP BY 1),
+          grid AS (SELECT DISTINCT week FROM weeks),
+          g2 AS (SELECT week FROM grid WHERE week + 1 IN (SELECT week FROM grid))
+          SELECT a.week, a.n_active,
+                 COALESCE(r.n_retained, 0) AS n_retained,
+                 a.n_active - COALESCE(r.n_retained, 0) AS n_churned,
+                 ${graft.core.D.oR4(
+                   "CAST(a.n_active - COALESCE(r.n_retained, 0) AS DOUBLE)" +
+                   " / CAST(a.n_active AS DOUBLE)")} AS churn_rate
+          FROM act a JOIN g2 ON g2.week = a.week
+          LEFT JOIN ret r ON r.week = a.week
+          ORDER BY a.week""",
     "evt_funnel" ->
       """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
          v AS (SELECT user_id, min(ts_ms) AS t_view FROM e

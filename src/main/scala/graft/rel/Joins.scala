@@ -150,6 +150,35 @@ object Joins {
         .orderBy("a_id", "b_id")
     }),
 
+    // interval × interval overlap join (activity spans × incident
+    // windows): the A side is the per-user-day activity span, the B
+    // side a small synthesized incident table EXPLODED to the day
+    // buckets it covers — so the overlap test runs as an equi join on
+    // the day bucket plus a residual range predicate, never a cross
+    // product. A spans stay within one day by construction, so each
+    // overlapping pair matches in exactly one bucket (no dedupe pass).
+    // The tiny incident side broadcasts here; the bucketing is what
+    // keeps the plan an equi join when BOTH interval sets are large.
+    "join_interval_overlap" -> ((s, dir) => {
+      import s.implicits._
+      val day = 86400000L
+      val spans = Tables.events(s, dir)
+        .groupBy(col("user_id"), expr(s"ts_ms DIV $day").as("day"))
+        .agg(min("ts_ms").as("a_start"), max("ts_ms").as("a_end"))
+      val incidents = (0L until 20L).map { k =>
+        val st = 1704067200000L + k * 129600000L  // every 36h from T0
+        (k, st, st + 21600000L)                   // 6h long
+      }.toDF("incident_id", "i_start", "i_end")
+        .withColumn("day", explode(expr(s"sequence(i_start DIV $day, i_end DIV $day)")))
+      spans.join(broadcast(incidents),
+          spans("day") === incidents("day") &&
+            col("a_start") <= col("i_end") && col("i_start") <= col("a_end"))
+        .select(col("user_id"), col("incident_id"), col("a_start"), col("a_end"),
+          (least(col("a_end"), col("i_end")) -
+            greatest(col("a_start"), col("i_start"))).as("overlap_ms"))
+        .orderBy("user_id", "incident_id", "a_start")
+    }),
+
     // As-of: for each purchase, the latest click of the same user at or
     // before it (ms granularity). Union + running last(ignoreNulls) —
     // single shuffle on user_id, no join. Clicks deduped to one per
@@ -214,6 +243,22 @@ object Joins {
        ORDER BY o_orderkey, l_linenumber, l_extendedprice"""
 
   val oracleSql: Map[String, String] = Map(
+    // plain inequality join — the bucketing is a physical strategy,
+    // not a semantic one, so the oracle states only the overlap
+    "join_interval_overlap" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         spans AS (SELECT user_id, ts_ms // 86400000 AS day,
+                          min(ts_ms) AS a_start, max(ts_ms) AS a_end
+                   FROM e GROUP BY 1, 2),
+         inc AS (SELECT k AS incident_id,
+                        1704067200000 + k * 129600000 AS i_start,
+                        1704067200000 + k * 129600000 + 21600000 AS i_end
+                 FROM range(20) t(k))
+         SELECT s.user_id, i.incident_id, s.a_start, s.a_end,
+                least(s.a_end, i.i_end) - greatest(s.a_start, i.i_start) AS overlap_ms
+         FROM spans s JOIN inc i
+           ON s.a_start <= i.i_end AND i.i_start <= s.a_end
+         ORDER BY s.user_id, i.incident_id, s.a_start""",
     "join_broadcast" ->
       """SELECT l_orderkey, l_linenumber, p_name, p_type
          FROM lineitem JOIN part ON l_partkey = p_partkey

@@ -115,6 +115,75 @@ object TsdbQueries {
         .orderBy("user_id")
     }),
 
+    // capacity planning: the OLS fit extrapolated to a threshold
+    // crossing — "days until this metric reaches 75" per series. The
+    // crossing division runs over the fit's ALREADY-4dp slope/forecast
+    // (both engines hash-agree on those), so it adds no new float
+    // portability surface. Growing series only (4dp slope > 0); output
+    // is series-sized, the fit itself one partial-agg pass over the
+    // daily grid.
+    "tsdb_capacity_forecast" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "view")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.linearFit(ds, Seq("user_id"), Day, horizon = 7)
+        .where(col("slope") > 0)
+        .select(col("user_id"), col("n_buckets"), col("slope"), col("forecast"),
+          D.r4s((lit(75.0) - col("forecast")) / col("slope")).as("days_to_75"))
+        .orderBy("user_id")
+    }),
+
+    // counter hygiene: how often each monotonic counter wraps/resets and
+    // how much count the drops lose — the diagnostic behind
+    // rate(counter=true)'s correction. Same synthesized wrapping counter
+    // as tsdb_rate_counter; one lag window over the hourly last-value
+    // grid, then ONE series-sized aggregate (drop magnitudes summed as
+    // exact decimals).
+    "tsdb_counter_resets" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "purchase")
+      val wRun = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val ctr = ev.withColumn("counter",
+        pmod(sum(D.dec(col("value"))).over(wRun), lit(1000)).cast("double"))
+      val wLast = Window.partitionBy(col("user_id"), Downsample.bucketMs(col("ts_ms"), H))
+        .orderBy(col("ts_ms").desc, col("event_id").desc)
+      val ds = ctr.withColumn("rn", row_number().over(wLast))
+        .where(col("rn") === 1)
+        .select(col("user_id"), Downsample.bucketMs(col("ts_ms"), H).as("bucket_ms"),
+          col("counter").as("value"))
+      val wS = Window.partitionBy("user_id").orderBy("bucket_ms")
+      ds.withColumn("prev", lag("value", 1).over(wS))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_buckets"),
+          sum(when(col("value") < col("prev"), 1).otherwise(0)).as("n_resets"),
+          D.r4s(coalesce(
+            sum(when(col("value") < col("prev"), D.dec(col("prev")) - D.dec(col("value")))),
+            lit(0)).cast("double")).as("drop_total"))
+        .orderBy("user_id")
+    }),
+
+    // seasonal-aware anomaly fence: a raw z-score fence false-alarms
+    // every weekend on a weekday-shaped series, so remove the
+    // day-of-week profile first (Trend.seasonalDow) and fence on the
+    // RESIDUAL's per-series 2σ. σ from the same exact-decimal
+    // sufficient statistics as tsdb_anomaly_zscore, quantized before
+    // the comparison so both engines fence on identical numbers;
+    // series-keyed windows throughout, flagged rows only.
+    "tsdb_anomaly_seasonal" -> ((s, dir) => {
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val ev = Tables.events(s, dir).where(col("event_type") === "view")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      val sd = Trend.seasonalDow(ds, Seq("user_id"))
+      val w = Window.partitionBy("user_id")
+      val n = count(lit(1)).over(w).cast("double")
+      val sx = sum(D.dec(col("resid"))).over(w).cast("double")
+      val sxx = sum(col("resid").cast(d18) * col("resid").cast(d18))
+        .over(w).cast("double")
+      sd.withColumn("n", n)
+        .withColumn("sigma", D.r4s(sqrt((sxx - sx * sx / n) / (n - lit(1.0)))))
+        .where(col("n") >= 10 && abs(col("resid")) > lit(2.0) * col("sigma"))
+        .select("user_id", "bucket_ms", "value", "dow_mean", "resid", "sigma")
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // trailing-7-bucket exact median per daily series (robust smoother;
     // window state bounded by the 7-row frame, never the series)
     "tsdb_moving_median" -> ((s, dir) => {
@@ -979,6 +1048,92 @@ object TsdbQueries {
             ${D.oR4("intercept")} AS intercept,
             ${D.oR4("intercept + slope * (xmax + 7.0)")} AS forecast
           FROM s2 ORDER BY user_id""",
+
+    // capacity crossing off the SAME fit CTEs, the division running on
+    // the already-4dp slope/forecast (mirrors the Spark formulation)
+    "tsdb_capacity_forecast" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          xy AS (SELECT user_id,
+                   CAST((bucket_ms - MIN(bucket_ms) OVER (PARTITION BY user_id))
+                        / $Day AS BIGINT) AS x,
+                   CAST(value AS DECIMAL(18,4)) AS y
+                 FROM ds),
+          fit AS (SELECT user_id,
+                    CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(x) AS DOUBLE) AS sx,
+                    CAST(SUM(y) AS DOUBLE) AS sy,
+                    CAST(SUM(x * y) AS DOUBLE) AS sxy,
+                    CAST(SUM(x * x) AS DOUBLE) AS sxx,
+                    CAST(MAX(x) AS DOUBLE) AS xmax
+                  FROM xy GROUP BY 1 HAVING COUNT(*) >= 2),
+          s1 AS (SELECT *, (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope FROM fit),
+          s2 AS (SELECT *, (sy - slope * sx) / n AS intercept FROM s1),
+          s3 AS (SELECT user_id, CAST(n AS BIGINT) AS n_buckets,
+                   ${D.oR4("slope")} AS slope,
+                   ${D.oR4("intercept + slope * (xmax + 7.0)")} AS forecast
+                 FROM s2)
+          SELECT user_id, n_buckets, slope, forecast,
+                 ${D.oR4("(75.0 - forecast) / slope")} AS days_to_75
+          FROM s3 WHERE slope > 0 ORDER BY user_id""",
+
+    // same synthesized wrapping counter + hourly last-value grid as
+    // tsdb_rate_counter; reset = value < lag(value)
+    "tsdb_counter_resets" ->
+      s"""WITH c AS (
+            SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                   CAST(((SUM(CAST(value AS DECIMAL(18,4)))
+                        OVER (PARTITION BY user_id ORDER BY epoch_ns(ts), event_id)
+                        % 1000) + 1000) % 1000 AS DOUBLE) AS counter
+            FROM events WHERE event_type = 'purchase'),
+          lastv AS (
+            SELECT user_id, (ts_ms // 3600000) * 3600000 AS bucket_ms, counter,
+                   row_number() OVER (PARTITION BY user_id, ts_ms // 3600000
+                                      ORDER BY ts_ms DESC, event_id DESC) AS rn
+            FROM c),
+          ds AS (SELECT user_id, bucket_ms, counter AS value FROM lastv WHERE rn = 1),
+          d AS (SELECT user_id, value,
+                  lag(value) OVER (PARTITION BY user_id ORDER BY bucket_ms) AS prev
+                FROM ds)
+          SELECT user_id, count(*) AS n_buckets,
+                 SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS n_resets,
+                 ${D.oR4("""CAST(COALESCE(SUM(CASE WHEN value < prev
+                     THEN CAST(prev AS DECIMAL(18,4)) - CAST(value AS DECIMAL(18,4))
+                     END), 0) AS DOUBLE)""")} AS drop_total
+          FROM d GROUP BY 1 ORDER BY 1""",
+
+    // the seasonal_dow CTEs + a windowed exact-decimal stddev of the
+    // residual; fence on the 4dp-quantized σ (mirrors Spark exactly)
+    "tsdb_anomaly_seasonal" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+          d AS (SELECT user_id, bucket_ms, value,
+                  CAST((bucket_ms // 86400000 + 4) % 7 AS INT) AS dow
+                FROM ds),
+          m AS (SELECT user_id, bucket_ms, value, dow,
+                  ${D.oR4("""CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER
+                      (PARTITION BY user_id, dow) AS DOUBLE) /
+                    COUNT(*) OVER (PARTITION BY user_id, dow)""")} AS dow_mean
+                FROM d),
+          r AS (SELECT user_id, bucket_ms, value, dow_mean,
+                  ${D.oR4("value - dow_mean")} AS resid
+                FROM m),
+          st AS (SELECT user_id, bucket_ms, value, dow_mean, resid,
+                   CAST(COUNT(*) OVER w AS DOUBLE) AS n,
+                   CAST(SUM(CAST(resid AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(resid AS DECIMAL(18,4))
+                          * CAST(resid AS DECIMAL(18,4))) OVER w AS DOUBLE) AS sxx
+                 FROM r WINDOW w AS (PARTITION BY user_id)),
+          f AS (SELECT user_id, bucket_ms, value, dow_mean, resid, n,
+                  ${D.oR4("SQRT((sxx - sx * sx / n) / (n - 1.0))")} AS sigma
+                FROM st)
+          SELECT user_id, bucket_ms, value, dow_mean, resid, sigma
+          FROM f WHERE n >= 10 AND abs(resid) > 2.0 * sigma
+          ORDER BY 1, 2""",
 
     // mirror of Trend.movingMedian: sorted list over the same 7-row
     // frame, explicit middle-element formula (DuckDB `//` floors like
