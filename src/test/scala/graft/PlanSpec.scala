@@ -297,6 +297,31 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"))
   }
 
+  test("interval-overlap join is a bucketed equi join, never a product") {
+    val p = plan("join_interval_overlap")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"interval overlap degenerated to a product:\n$p")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin") ||
+      p.contains("ShuffledHashJoin"), s"expected an equi join on the day bucket:\n$p")
+  }
+
+  test("query-likelihood keeps the bm25 scan shape: stats broadcast + bounded top-k") {
+    val p = plan("llm_query_likelihood")
+    assert(p.contains("TakeOrderedAndProject"), s"top-k must bound the sort:\n$p")
+    assert(p.contains("BroadcastExchange"), s"1-row stats must broadcast:\n$p")
+    // the corpus itself must never hash-shuffle — only the stats
+    // aggregate's single-row exchange is allowed
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"corpus must not shuffle for scan-side scoring:\n$p")
+  }
+
+  test("revenue pareto windows run over reduced frames (one agg shuffle, 10-row windows)") {
+    val p = plan("agg_revenue_pareto")
+    // partial+final agg collapses orders to customers before any window
+    assert("HashAggregate".r.findAllIn(p).size >= 2, s"no partial agg:\n$p")
+    assert(!p.contains("CartesianProduct"), s"total join must broadcast:\n$p")
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
