@@ -63,6 +63,30 @@ object Aggs {
         .orderBy("decile")
     }),
 
+    // EXACT distinct users per metric via mergeable bitmaps: ids are
+    // bucketed (bitmap_bucket_number), per-(metric, half, bucket)
+    // bitmaps built with bitmap_construct_agg, cross-source merge is
+    // bitmap_or_agg, and the final count is Σ bitmap_count over the id
+    // buckets. This is the sketch-mergeability property agg_hll_merge
+    // buys approximately, bought EXACTLY: at 100 TB the shuffle moves
+    // (groups × id-buckets) fixed-size bitmaps instead of raw ids, and
+    // pre-built per-partition/per-day bitmaps re-aggregate for free.
+    // The deliberate two-source split (event_id parity) exercises the
+    // or-merge the way a per-day rollup table would.
+    "agg_bitmap_distinct" -> ((s, dir) => {
+      val halves = Tables.events(s, dir)
+        .select(col("event_type"), pmod(col("event_id"), lit(2)).as("half"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy("event_type", "half", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+      halves.groupBy("event_type", "bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+        .orderBy("event_type")
+    }),
+
     // TPC-H Q1 shape
     "agg_hash_groupby" -> ((s, dir) => {
       val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -355,6 +379,11 @@ object Aggs {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // the bitmap pipeline must land on the plain exact distinct
+    "agg_bitmap_distinct" ->
+      """SELECT event_type, count(DISTINCT user_id) AS n_users
+         FROM events GROUP BY 1 ORDER BY 1""",
+
     "agg_revenue_pareto" ->
       s"""WITH rev AS (SELECT o_custkey,
                         SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS rev

@@ -50,6 +50,26 @@ object Behavior {
         .orderBy("user_id")
     }),
 
+    // A/B experiment readout: arm = user_id parity (the deterministic
+    // id-hash split every experiment system uses), conversion = the
+    // user has ≥1 purchase. One user-sized aggregate, then ONE row of
+    // conditional counts; the lift divides the two ALREADY-4dp
+    // conversion rates so the ratio adds no new float surface.
+    "evt_ab_lift" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+        .withColumn("arm", pmod(col("user_id"), lit(2)))
+      val cnt = (a: Int) => sum(when(col("arm") === a, 1).otherwise(0))
+      val conv = (a: Int) => sum(when(col("arm") === a, col("conv")).otherwise(0))
+      u.agg(cnt(0).as("n_a"), conv(0).as("conv_a"),
+          cnt(1).as("n_b"), conv(1).as("conv_b"))
+        .select(col("n_a"), col("conv_a"), col("n_b"), col("conv_b"),
+          graft.core.D.r4s(col("conv_a").cast("double") / col("n_a").cast("double")).as("cvr_a"),
+          graft.core.D.r4s(col("conv_b").cast("double") / col("n_b").cast("double")).as("cvr_b"))
+        .withColumn("lift",
+          graft.core.D.r4s(col("cvr_b") / col("cvr_a") - lit(1.0)))
+    }),
+
     // week-over-week churn: of week-w actives, who has NO week-w+1
     // activity. One distinct aggregate + one self-join co-partitioned
     // on user_id; every frame is user×week-sized. Weeks without a
@@ -254,6 +274,27 @@ object Behavior {
                  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                    || CAST(m_score AS VARCHAR) AS segment
           FROM sc ORDER BY user_id""",
+
+    "evt_ab_lift" -> {
+      val r4 = (x: String) => graft.core.D.oR4(x)
+      s"""WITH u AS (SELECT user_id,
+                       max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+                     FROM events GROUP BY 1),
+          a AS (SELECT user_id, conv, user_id % 2 AS arm FROM u),
+          c AS (SELECT
+                  SUM(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS n_a,
+                  SUM(CASE WHEN arm = 0 THEN conv ELSE 0 END) AS conv_a,
+                  SUM(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS n_b,
+                  SUM(CASE WHEN arm = 1 THEN conv ELSE 0 END) AS conv_b
+                FROM a),
+          r AS (SELECT n_a, conv_a, n_b, conv_b,
+                  ${r4("CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)")} AS cvr_a,
+                  ${r4("CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)")} AS cvr_b
+                FROM c)
+          SELECT n_a, conv_a, n_b, conv_b, cvr_a, cvr_b,
+                 ${r4("cvr_b / cvr_a - 1.0")} AS lift
+          FROM r"""
+    },
 
     "evt_churn_weekly" ->
       s"""WITH weeks AS (SELECT DISTINCT user_id,

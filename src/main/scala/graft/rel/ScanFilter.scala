@@ -47,6 +47,28 @@ object ScanFilter {
         .select("l_orderkey", "l_linenumber", "l_quantity")
         .orderBy("l_orderkey", "l_linenumber", "l_quantity")),
 
+    // metadata-only aggregate: COUNT/MIN/MAX answered from parquet
+    // row-group statistics via DSv2 aggregate pushdown — at 100 TB the
+    // difference between reading footers and reading rows. The v2
+    // reader + pushdown confs are scoped: the 1-row plan is EXECUTED
+    // here (collecting one row is the operator's point — no row data
+    // exists to distribute) and both confs restored before returning,
+    // so no other registered query ever plans under them. PlanSpec
+    // pins `PushedAggregation` in the scan.
+    "scan_agg_pushdown" -> ((s, dir) => {
+      val kAgg = "spark.sql.parquet.aggregatePushdown"
+      val kV1 = "spark.sql.sources.useV1SourceList"
+      val saved = (s.conf.get(kAgg, "false"), s.conf.get(kV1))
+      s.conf.set(kAgg, "true"); s.conf.set(kV1, "")
+      try {
+        val agg = s.read.parquet(s"$dir/lineitem.parquet")
+          .agg(count(lit(1)).as("n_rows"),
+            min(col("l_orderkey")).as("min_okey"),
+            max(col("l_orderkey")).as("max_okey"))
+        s.createDataFrame(java.util.Arrays.asList(agg.collect(): _*), agg.schema)
+      } finally { s.conf.set(kAgg, saved._1); s.conf.set(kV1, saved._2) }
+    }),
+
     "ingest_jsonlines" -> ((s, dir) =>
       Tables.events(s, dir)
         .select(col("event_id"),
@@ -211,6 +233,10 @@ object ScanFilter {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "scan_agg_pushdown" ->
+      """SELECT count(*) AS n_rows, min(l_orderkey) AS min_okey,
+                max(l_orderkey) AS max_okey
+         FROM lineitem""",
     "scan_parquet" ->
       """SELECT * FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey,
          l_suppkey, l_quantity, l_extendedprice, l_discount, l_tax,

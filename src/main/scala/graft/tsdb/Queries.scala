@@ -281,6 +281,27 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // instant rate (the PromQL `irate` shape): per series, the rate
+    // between the LAST TWO grid samples — "what is it doing right
+    // now". One row_number window per series, two rows survive, one
+    // division over the already-quantized grid values; output is
+    // series-sized.
+    "tsdb_rate_irate" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), H, "sum")
+      val wd = Window.partitionBy("user_id").orderBy(col("bucket_ms").desc)
+      val last2 = ds.withColumn("rn", row_number().over(wd)).where(col("rn") <= 2)
+      val wl = Window.partitionBy("user_id").orderBy("bucket_ms")
+      last2
+        .withColumn("prev_v", lag("value", 1).over(wl))
+        .withColumn("prev_t", lag("bucket_ms", 1).over(wl))
+        .where(col("prev_v").isNotNull)
+        .select(col("user_id"), col("bucket_ms"),
+          D.r4s((col("value") - col("prev_v")) /
+            ((col("bucket_ms") - col("prev_t")) / lit(1000.0))).as("irate"))
+        .orderBy("user_id")
+    }),
+
     "tsdb_query_pipeline" -> ((s, dir) => Pipeline.flagship(s, dir)),
 
     // materialized-rollup path: 1m partial state re-aggregated to 1h must
@@ -1287,6 +1308,24 @@ object TsdbQueries {
           SELECT user_id, bucket_ms, value,
                  ROUND((CASE WHEN delta < 0 THEN delta + 1000 ELSE delta END / dt) * 10000.0, 0) / 10000.0 + 0.0 AS rate
           FROM d ORDER BY 1, 2""",
+
+    "tsdb_rate_irate" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oSumDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          r AS (SELECT user_id, bucket_ms, value,
+                  row_number() OVER (PARTITION BY user_id
+                                     ORDER BY bucket_ms DESC) AS rn
+                FROM ds),
+          l2 AS (SELECT user_id, bucket_ms, value,
+                   lag(value) OVER w AS prev_v,
+                   lag(bucket_ms) OVER w AS prev_t
+                 FROM r WHERE rn <= 2
+                 WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms))
+          SELECT user_id, bucket_ms,
+                 ${D.oR4("(value - prev_v) / ((bucket_ms - prev_t) / 1000.0)")} AS irate
+          FROM l2 WHERE prev_v IS NOT NULL ORDER BY user_id""",
 
     "tsdb_query_pipeline" ->
       s"""WITH ds AS (

@@ -322,6 +322,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"total join must broadcast:\n$p")
   }
 
+  test("footer-stat aggregate actually pushes COUNT/MIN/MAX into the scan") {
+    val kAgg = "spark.sql.parquet.aggregatePushdown"
+    val kV1 = "spark.sql.sources.useV1SourceList"
+    val saved = (spark.conf.get(kAgg, "false"), spark.conf.get(kV1))
+    spark.conf.set(kAgg, "true"); spark.conf.set(kV1, "")
+    try {
+      import org.apache.spark.sql.functions._
+      val p = spark.read.parquet(s"$sf/lineitem.parquet")
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+        .queryExecution.executedPlan.toString
+      assert(p.contains("PushedAggregation"),
+        s"COUNT/MIN/MAX must come from row-group stats, not rows:\n$p")
+    } finally { spark.conf.set(kAgg, saved._1); spark.conf.set(kV1, saved._2) }
+  }
+
+  test("bitmap distinct builds bitmaps map-side (partial construct, no raw-id re-shuffle)") {
+    val p = plan("agg_bitmap_distinct")
+    assert("HashAggregate".r.findAllIn(p).size >= 2 ||
+      "ObjectHashAggregate".r.findAllIn(p).size >= 2,
+      s"bitmap construct must partial-aggregate:\n$p")
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
