@@ -237,6 +237,36 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // the DATASET CARD: the one-row corpus summary every release
+    // pipeline prints — sizes, language/source spread, token budget,
+    // mean doc length, exact-duplicate rate. One tokenizing corpus
+    // scan feeds the doc-level aggregate; the dup rate is a second
+    // md5-group pass (ids only move); both reduce to single rows and
+    // broadcast-join. At 100 TB: two corpus scans, zero wide shuffles
+    // beyond the md5 groupBy's id-sized exchange.
+    "llm_dataset_card" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("toks",
+          size(filter(Dedup.words(col("text")), w => w =!= lit(""))).cast("long"))
+      val dup = d.select(md5(col("text")).as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+        .agg(coalesce(sum(when(col("c") > 1, col("c"))), lit(0L)).as("n_dup_docs"))
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct("lang").as("n_langs"),
+        countDistinct("source").as("n_sources"),
+        sum("toks").as("total_tokens"),
+        sum("n_chars").as("total_chars"),
+        D.r4s(sum("toks").cast("double") / count(lit(1)).cast("double"))
+          .as("mean_tokens"))
+      base.crossJoin(broadcast(dup))
+        .select(col("n_docs"), col("n_langs"), col("n_sources"),
+          col("total_tokens"), col("total_chars"), col("mean_tokens"),
+          col("n_dup_docs"),
+          D.r4s(col("n_dup_docs").cast("double") / col("n_docs").cast("double"))
+            .as("dup_rate"))
+    }),
+
     // capstone EXPORT manifest: the full curate chain (exact dedup →
     // near-dup cluster representatives → quality gate) ended with the
     // content-stable shard assignment instead of per-lang stats —
@@ -2374,6 +2404,28 @@ object LlmQueries {
                        / count(quality)) * 10000.0, 0) / 10000.0 + 0.0 AS avg_quality
          FROM q WHERE n_words >= 20 AND quality >= 0.25
          GROUP BY lang ORDER BY lang""",
+
+    "llm_dataset_card" ->
+      s"""WITH d AS (SELECT doc_id, lang, source, n_chars,
+                   CAST(len(list_filter(string_split(lower(text), ' '),
+                     x -> x <> '')) AS BIGINT) AS toks,
+                   md5(text) AS h
+                 FROM documents),
+          dup AS (SELECT COALESCE(SUM(CASE WHEN c > 1 THEN c END), 0) AS n_dup_docs
+                  FROM (SELECT h, count(*) AS c FROM d GROUP BY 1) g),
+          base AS (SELECT count(*) AS n_docs,
+                     count(DISTINCT lang) AS n_langs,
+                     count(DISTINCT source) AS n_sources,
+                     SUM(toks) AS total_tokens,
+                     SUM(n_chars) AS total_chars,
+                     ${D.oR4("CAST(SUM(toks) AS DOUBLE) / CAST(count(*) AS DOUBLE)")}
+                       AS mean_tokens
+                   FROM d)
+          SELECT n_docs, n_langs, n_sources, total_tokens, total_chars,
+                 mean_tokens, n_dup_docs,
+                 ${D.oR4("CAST(n_dup_docs AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+                   AS dup_rate
+          FROM base CROSS JOIN dup""",
 
     // mirror of llm_corpus_export: the llm_corpus_curate CTE chain with
     // the shard projection instead of the per-lang grouping

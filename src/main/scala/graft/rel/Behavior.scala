@@ -50,6 +50,32 @@ object Behavior {
         .orderBy("user_id")
     }),
 
+    // session-length distribution: 30-min-gap sessionization (the
+    // win_sessionize islands) collapsed to a session-duration frame,
+    // then ONE reduced row of exact interpolated quartiles — windows
+    // stay user-partitioned, the percentile state is session-count
+    // bounded (far below events).
+    "evt_session_quartiles" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sessions = Tables.events(s, dir)
+        .select("user_id", "event_id", "ts_ms")
+        .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg((max("ts_ms") - min("ts_ms")).as("dur_ms"),
+          count(lit(1)).as("n_events"))
+      sessions.agg(count(lit(1)).as("n_sessions"),
+        graft.core.D.r4s(expr("percentile(dur_ms, 0.25)")).as("p25_ms"),
+        graft.core.D.r4s(expr("percentile(dur_ms, 0.5)")).as("p50_ms"),
+        graft.core.D.r4s(expr("percentile(dur_ms, 0.75)")).as("p75_ms"),
+        graft.core.D.r4s(sum(col("n_events")).cast("double") /
+          count(lit(1)).cast("double")).as("mean_events"))
+    }),
+
     // A/B experiment readout: arm = user_id parity (the deterministic
     // id-hash split every experiment system uses), conversion = the
     // user has ≥1 purchase. One user-sized aggregate, then ONE row of
@@ -274,6 +300,32 @@ object Behavior {
                  CAST(r_score AS VARCHAR) || CAST(f_score AS VARCHAR)
                    || CAST(m_score AS VARCHAR) AS segment
           FROM sc ORDER BY user_id""",
+
+    "evt_session_quartiles" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms
+                    FROM events),
+         l AS (SELECT user_id, event_id, ts_ms,
+                 lag(ts_ms) OVER (PARTITION BY user_id
+                                  ORDER BY ts_ms, event_id) AS prev_ts
+               FROM e),
+         b AS (SELECT user_id, event_id, ts_ms,
+                 CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000
+                      THEN 1 ELSE 0 END AS new_sess
+               FROM l),
+         s AS (SELECT user_id, ts_ms,
+                 SUM(new_sess) OVER (PARTITION BY user_id
+                   ORDER BY ts_ms, event_id ROWS UNBOUNDED PRECEDING) AS session_id
+               FROM b),
+         d AS (SELECT user_id, session_id,
+                 max(ts_ms) - min(ts_ms) AS dur_ms, count(*) AS n_events
+               FROM s GROUP BY 1, 2)
+         SELECT count(*) AS n_sessions,
+                ROUND(quantile_cont(dur_ms, 0.25) * 10000.0, 0) / 10000.0 + 0.0 AS p25_ms,
+                ROUND(quantile_cont(dur_ms, 0.5) * 10000.0, 0) / 10000.0 + 0.0 AS p50_ms,
+                ROUND(quantile_cont(dur_ms, 0.75) * 10000.0, 0) / 10000.0 + 0.0 AS p75_ms,
+                ROUND((CAST(SUM(n_events) AS DOUBLE) / CAST(count(*) AS DOUBLE))
+                  * 10000.0, 0) / 10000.0 + 0.0 AS mean_events
+         FROM d""",
 
     "evt_ab_lift" -> {
       val r4 = (x: String) => graft.core.D.oR4(x)

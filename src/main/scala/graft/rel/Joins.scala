@@ -150,6 +150,32 @@ object Joins {
         .orderBy("a_id", "b_id")
     }),
 
+    // nearest as-of (either direction): each signup matched to the
+    // user's closest purchase in time — completes the backward
+    // (join_asof) / forward (join_asof_forward) pair. One
+    // co-partitioned user join, then a struct-min over (|Δt|, p_ts,
+    // p_id) so equal-distance ties break deterministically to the
+    // EARLIER purchase; per-user candidate sets bound the join, no
+    // window ever touches raw events.
+    "join_asof_nearest" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val sgn = e.where(col("event_type") === "signup")
+        .select(col("event_id").as("signup_id"), col("user_id"),
+          col("ts_ms").as("s_ts"))
+      val pur = e.where(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("ts_ms").as("p_ts"),
+          col("event_id").as("p_id"))
+      sgn.join(pur, col("user_id") === col("p_user"), "left")
+        .groupBy("signup_id", "user_id", "s_ts")
+        .agg(min(when(col("p_ts").isNotNull,
+          struct(abs(col("p_ts") - col("s_ts")).as("d"),
+            col("p_ts"), col("p_id")))).as("m"))
+        .select(col("signup_id"), col("user_id"), col("s_ts"),
+          col("m.p_ts").as("nearest_ts"), col("m.p_id").as("nearest_id"),
+          col("m.d").as("delta_ms"))
+        .orderBy("signup_id")
+    }),
+
     // interval × interval overlap join (activity spans × incident
     // windows): the A side is the per-user-day activity span, the B
     // side a small synthesized incident table EXPLODED to the day
@@ -243,6 +269,27 @@ object Joins {
        ORDER BY o_orderkey, l_linenumber, l_extendedprice"""
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of join_asof_nearest: the struct min ≡ the
+    // (|Δt|, p_ts, p_id) rn=1 arg-min
+    "join_asof_nearest" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         sgn AS (SELECT event_id AS signup_id, user_id, ts_ms AS s_ts
+                 FROM e WHERE event_type = 'signup'),
+         pur AS (SELECT user_id AS p_user, ts_ms AS p_ts, event_id AS p_id
+                 FROM e WHERE event_type = 'purchase'),
+         j AS (SELECT s.signup_id, s.user_id, s.s_ts, p.p_ts, p.p_id,
+                      abs(p.p_ts - s.s_ts) AS d
+               FROM sgn s LEFT JOIN pur p ON p.p_user = s.user_id),
+         a AS (SELECT signup_id, user_id, s_ts, p_ts, p_id, d,
+                      row_number() OVER (PARTITION BY signup_id
+                        ORDER BY d ASC NULLS LAST, p_ts ASC NULLS LAST,
+                                 p_id ASC NULLS LAST) AS rn
+               FROM j)
+         SELECT signup_id, user_id, s_ts,
+                p_ts AS nearest_ts, p_id AS nearest_id, d AS delta_ms
+         FROM a WHERE rn = 1 ORDER BY signup_id""",
+
     // plain inequality join — the bucketing is a physical strategy,
     // not a semantic one, so the oracle states only the overlap
     "join_interval_overlap" ->

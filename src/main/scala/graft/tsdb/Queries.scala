@@ -281,6 +281,25 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // per-metric operational summary ("DESCRIBE metrics"): counts,
+    // series cardinality, time extent, value range, exact-decimal
+    // mean/stddev, exact interpolated p50/p95 — one partial-agg pass
+    // per metric (the percentile state is the only non-constant
+    // buffer; at 100 TB that pair swaps to the t-digest/histogram
+    // path the tsdb_histogram_pct family already serves).
+    "tsdb_summary" -> ((s, dir) => {
+      Tables.events(s, dir).groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        countDistinct("user_id").as("n_series"),
+        min("ts_ms").as("first_ms"), max("ts_ms").as("last_ms"),
+        D.r4s(min("value")).as("vmin"), D.r4s(max("value")).as("vmax"),
+        D.avgDec(col("value")).as("vmean"),
+        D.stddevSampDec(col("value")).as("vstd"),
+        D.r4s(expr("percentile(value, 0.5)")).as("p50"),
+        D.r4s(expr("percentile(value, 0.95)")).as("p95"))
+        .orderBy("event_type")
+    }),
+
     // instant rate (the PromQL `irate` shape): per series, the rate
     // between the LAST TWO grid samples — "what is it doing right
     // now". One row_number window per series, two rows survive, one
@@ -1308,6 +1327,20 @@ object TsdbQueries {
           SELECT user_id, bucket_ms, value,
                  ROUND((CASE WHEN delta < 0 THEN delta + 1000 ELSE delta END / dt) * 10000.0, 0) / 10000.0 + 0.0 AS rate
           FROM d ORDER BY 1, 2""",
+
+    "tsdb_summary" ->
+      s"""WITH e AS (SELECT event_type, user_id,
+                            epoch_ns(ts) // 1000000 AS ts_ms, value
+                     FROM events)
+          SELECT event_type, count(*) AS n,
+                 count(DISTINCT user_id) AS n_series,
+                 min(ts_ms) AS first_ms, max(ts_ms) AS last_ms,
+                 ${D.oR4("min(value)")} AS vmin, ${D.oR4("max(value)")} AS vmax,
+                 ${D.oAvgDec("value")} AS vmean,
+                 ${D.oStddevSampDec("value")} AS vstd,
+                 ${D.oR4("quantile_cont(value, 0.5)")} AS p50,
+                 ${D.oR4("quantile_cont(value, 0.95)")} AS p95
+          FROM e GROUP BY 1 ORDER BY 1""",
 
     "tsdb_rate_irate" ->
       s"""WITH ds AS (
