@@ -27,7 +27,9 @@ object Bench {
     "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored",
     "llm_hybrid_rrf_filtered", "llm_bm25_batch", "llm_prf_expansion",
     "llm_dedup_containment", "llm_hard_negatives", "tsdb_forecast_linear",
-    "evt_funnel", "evt_attribution", "tsdb_autocorr", "llm_url_dedup")
+    "evt_funnel", "evt_attribution", "tsdb_autocorr", "llm_url_dedup",
+    "agg_bitmap_distinct", "join_interval_overlap", "tsdb_summary",
+    "llm_dataset_card", "llm_query_likelihood")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

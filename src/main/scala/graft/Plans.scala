@@ -24,7 +24,25 @@ object Plans {
     "llm_bm25_topk", "llm_bm25_indexed", "llm_hybrid_rrf_stored",
     "tsdb_query_last", "llm_bm25_batch", "llm_prf_expansion",
     "llm_dedup_containment", "llm_hard_negatives",
-    "tsdb_forecast_linear", "tsdb_changepoint", "win_streak")
+    "tsdb_forecast_linear", "tsdb_changepoint", "win_streak",
+    "evt_funnel", "evt_retention_cohort", "sub_exists", "sub_in",
+    "win_rolling_distinct", "tsdb_autocorr", "tsdb_bollinger",
+    "llm_bpe_merge", "llm_url_dedup", "tsdb_sax", "tsdb_outlier_mad",
+    "evt_attribution", "evt_wau_rolling", "llm_shard_assign",
+    "llm_dedup_edit_distance", "llm_mixture_temperature", "tsdb_ohlc",
+    "join_lateral", "agg_filtered", "win_nth_value",
+    "evt_markov_transitions", "tsdb_heatmap", "tsdb_burn_rate",
+    "tsdb_gap_stats", "llm_corpus_export", "evt_stickiness",
+    "tsdb_percentile_band", "tsdb_theil_sen", "llm_vocab_gini",
+    "llm_ngram_novelty", "agg_hll_merge", "evt_conversion_time",
+    "join_asof_forward", "fn_try_cast", "tsdb_alert_hysteresis",
+    "evt_rfm", "evt_churn_weekly", "agg_revenue_pareto",
+    "tsdb_capacity_forecast", "tsdb_counter_resets",
+    "tsdb_anomaly_seasonal", "tsdb_moving_median",
+    "llm_query_likelihood", "join_interval_overlap",
+    "agg_bitmap_distinct", "scan_agg_pushdown", "tsdb_rate_irate",
+    "evt_ab_lift", "join_asof_nearest", "tsdb_summary",
+    "evt_session_quartiles", "llm_dataset_card")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
