@@ -269,6 +269,55 @@ object Behavior {
         .orderBy("prev_type", "next_type")
     }),
 
+    // top-10 most-travelled 3-step event paths (sequence mining's
+    // bread-and-butter): consecutive event-type trigrams per user from
+    // ONE lead window (per-user partitions — a user's path never
+    // crosses executors), counted map-side-partial into a
+    // TakeOrderedAndProject. Output is |types|³-bounded regardless of
+    // event volume; ties break lexicographically on the path string.
+    "evt_path_topk" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("event_id"), col("ts_ms"), col("event_type"))
+        .withColumn("e2", lead(col("event_type"), 1).over(w))
+        .withColumn("e3", lead(col("event_type"), 2).over(w))
+        .where(col("e2").isNotNull && col("e3").isNotNull)
+        .select(concat_ws(">", col("event_type"), col("e2"), col("e3")).as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("path"))
+        .limit(10)
+    }),
+
+    // cohort lifetime value: cumulative purchase revenue per signup
+    // cohort by week offset, absolute and per cohort user. Revenue
+    // cells are decimal-exact sums grouped on (cohort, offset); the
+    // running LTV window then re-sums the ALREADY-4dp cells as
+    // decimals (exact, order-free), so the cumulative column is
+    // portable. Cohort sizes are cohort-count-sized → broadcast.
+    "evt_cohort_ltv" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("week", expr(s"ts_ms DIV $WeekMs"))
+      val cohort = graft.core.Exec.materialize(
+        e.groupBy("user_id").agg(min("week").as("cohort_week")))
+      val sizes = cohort.groupBy("cohort_week").agg(count(lit(1)).as("n_users"))
+      val rev = e.where(col("event_type") === "purchase")
+        .join(cohort, "user_id")
+        .groupBy(col("cohort_week"),
+          (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(graft.core.D.r4s(sum(graft.core.D.dec(col("value"))).cast("double"))
+          .as("rev"))
+      val w = Window.partitionBy("cohort_week").orderBy("week_offset")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      rev.join(broadcast(sizes), "cohort_week")
+        .withColumn("cum_rev",
+          sum(graft.core.D.dec(col("rev"))).over(w).cast("double"))
+        .select(col("cohort_week"), col("week_offset"), col("rev"),
+          col("cum_rev"),
+          graft.core.D.r4s(col("cum_rev") / col("n_users").cast("double"))
+            .as("ltv_per_user"))
+        .orderBy("cohort_week", "week_offset")
+    }),
+
     "evt_retention_cohort" -> ((s, dir) => {
       val weeks = graft.core.Exec.materialize(Tables.events(s, dir)
         .select(col("user_id"), expr(s"ts_ms DIV $WeekMs").as("week"))
@@ -472,6 +521,40 @@ object Behavior {
                   / 10000.0 + 0.0 AS stickiness
          FROM dau a JOIN mau m ON a.day = m.d
          ORDER BY a.day""",
+
+    "evt_path_topk" ->
+      """WITH e AS (SELECT user_id, event_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         l AS (SELECT event_type,
+                      lead(event_type, 1) OVER (PARTITION BY user_id
+                        ORDER BY ts_ms, event_id) AS e2,
+                      lead(event_type, 2) OVER (PARTITION BY user_id
+                        ORDER BY ts_ms, event_id) AS e3
+               FROM e)
+         SELECT event_type || '>' || e2 || '>' || e3 AS path, count(*) AS n
+         FROM l WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+         GROUP BY 1 ORDER BY n DESC, path LIMIT 10""",
+
+    "evt_cohort_ltv" ->
+      s"""WITH e AS (SELECT user_id, event_type, value,
+                            (epoch_ns(ts) // 1000000) // $WeekMs AS week
+                     FROM events),
+          cohort AS (SELECT user_id, min(week) AS cohort_week FROM e GROUP BY 1),
+          sizes AS (SELECT cohort_week, count(*) AS n_users FROM cohort GROUP BY 1),
+          rev AS (SELECT c.cohort_week, e.week - c.cohort_week AS week_offset,
+                    ${graft.core.D.oR4(graft.core.D.oSumDec("e.value"))} AS rev
+                  FROM e JOIN cohort c ON e.user_id = c.user_id
+                  WHERE e.event_type = 'purchase' GROUP BY 1, 2),
+          cum AS (SELECT cohort_week, week_offset, rev,
+                    CAST(SUM(CAST(rev AS DECIMAL(18,4))) OVER
+                      (PARTITION BY cohort_week ORDER BY week_offset
+                       ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS cum_rev
+                  FROM rev)
+          SELECT c.cohort_week, c.week_offset, c.rev, c.cum_rev,
+                 ${graft.core.D.oR4("c.cum_rev / CAST(s.n_users AS DOUBLE)")}
+                   AS ltv_per_user
+          FROM cum c JOIN sizes s ON s.cohort_week = c.cohort_week
+          ORDER BY 1, 2""",
 
     "evt_retention_cohort" ->
       s"""WITH weeks AS (

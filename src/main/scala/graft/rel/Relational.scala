@@ -8,9 +8,10 @@ object Relational {
 
   val queries: Map[String, Q] =
     ScanFilter.queries ++ Joins.queries ++ Aggs.queries ++
-      Windows.queries ++ SetsFns.queries ++ Behavior.queries
+      Windows.queries ++ SetsFns.queries ++ Behavior.queries ++ Graph.queries
 
   val oracleSql: Map[String, String] =
     ScanFilter.oracleSql ++ Joins.oracleSql ++ Aggs.oracleSql ++
-      Windows.oracleSql ++ SetsFns.oracleSql ++ Behavior.oracleSql
+      Windows.oracleSql ++ SetsFns.oracleSql ++ Behavior.oracleSql ++
+      Graph.oracleSql
 }

@@ -78,6 +78,16 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // Page's CUSUM drift alarm per daily series — the control-chart
+    // twin of tsdb_ewma's portable fold (self-scaling μ/4 slack, μ
+    // threshold; see Trend.cusum)
+    "tsdb_cusum" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.cusum(ds, Seq("user_id"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // largest two-segment level shift per daily series (prefix-exact
     // candidate means, per-series arg-max — "when did this metric move")
     "tsdb_changepoint" -> ((s, dir) => {
@@ -1011,6 +1021,33 @@ object TsdbQueries {
           SELECT user_id, bucket_ms,
             ${D.oR4("s[1]")} AS level, ${D.oR4("s[2]")} AS trend
           FROM st ORDER BY 1, 2""",
+
+    // mirror of Trend.cusum: same per-prefix left fold with the 0
+    // seed carried as list_prepend (list_reduce seeds with the first
+    // element, so the prepended 0 IS aggregate's explicit init), μ the
+    // same decimal-exact 4dp mean, lambda written with the identical
+    // `acc + x - mu - mu*0.25` association
+    "tsdb_cusum" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id,
+                    list(value ORDER BY bucket_ms) AS vs,
+                    list(bucket_ms ORDER BY bucket_ms) AS bs,
+                    ${D.oR4(D.oSumDec("value") + " / COUNT(*)")} AS mu
+                  FROM ds GROUP BY 1),
+          idx AS (SELECT user_id, vs, bs, mu,
+                    UNNEST(range(1, len(vs) + 1)) AS i FROM arr),
+          f AS (SELECT user_id, bs[i] AS bucket_ms, mu,
+                  ${D.oR4("""list_reduce(
+                    list_prepend(CAST(0.0 AS DOUBLE), list_slice(vs, 1, i)),
+                    (acc, x) -> greatest(acc + x - mu - mu * 0.25,
+                                         CAST(0.0 AS DOUBLE)))""")} AS cusum
+                FROM idx)
+          SELECT user_id, bucket_ms, cusum,
+                 CASE WHEN cusum > mu THEN 1 ELSE 0 END AS alarm
+          FROM f ORDER BY 1, 2""",
 
     // mirror of Trend.changepoint: identical prefix-decimal windows,
     // raw-mean gap, arg-max per series (gap desc, earlier bucket)

@@ -122,6 +122,40 @@ object Trend {
         col("e.st.l").as("level"), col("e.st.b").as("trend")): _*)
   }
 
+  /** One-sided CUSUM drift detector per series (Page's cumulative-sum
+    * control chart): s₀ = 0; sᵢ = max(0, sᵢ₋₁ + xᵢ − μ − κ), alarm
+    * when sᵢ > h. Self-scaling parameters — μ is the series' own
+    * decimal-exact 4dp mean, the slack κ = μ/4 and the threshold
+    * h = μ — so one query works across metrics of any magnitude.
+    * Portability exactly as [[Downsample.ewma]]: the inherently
+    * sequential recurrence is folded per prefix with the aggregate
+    * HOF (explicit 0 seed; the oracle prepends the same 0 to its
+    * list_reduce), left-to-right over an identically sorted bucket
+    * list. Alarm is emitted as an int (already-4dp cusum vs
+    * already-4dp h — an exact comparison on both engines). Quadratic
+    * in each series' bucket count like ewma — grid-sized, never raw
+    * points. */
+  def cusum(downsampled: DataFrame, seriesCols: Seq[String]): DataFrame = {
+    val arr = downsampled.groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+        .as("pts"),
+        D.r4s(sum(D.dec(col("value"))).cast("double") / count(lit(1)))
+          .as("mu"))
+    val vals = transform(col("pts"), p => p.getField("value"))
+    val folded = transform(col("pts"), (p, i) =>
+      struct(p.getField("bucket_ms").as("bucket_ms"),
+        D.r4s(aggregate(
+          // transform's index is 0-based: prefix length i+1
+          slice(vals, lit(1), i + lit(1)), lit(0.0),
+          (acc, x) => greatest(
+            acc + x - col("mu") - col("mu") * lit(0.25), lit(0.0))))
+          .as("cusum")))
+    arr.select(seriesCols.map(col) ++ Seq(col("mu"), explode(folded).as("e")): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("e.bucket_ms").as("bucket_ms"), col("e.cusum").as("cusum"),
+        when(col("e.cusum") > col("mu"), 1).otherwise(0).as("alarm")): _*)
+  }
+
   /** Largest level shift per series (two-segment changepoint): the
     * split index maximizing |mean(left) − mean(right)| over the
     * series' buckets — the "when did this metric move" query. Prefix

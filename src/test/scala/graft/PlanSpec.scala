@@ -346,6 +346,24 @@ class PlanSpec extends SparkSpec {
       s"bitmap construct must partial-aggregate:\n$p")
   }
 
+  test("pagerank iterations co-partition on the join key and bound the final sort") {
+    val p = plan("graph_pagerank")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort the node set:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"message passing must stay an equi join:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"contribution sums must combine map-side:\n$p")
+  }
+
+  test("path top-k counts trigrams partial-agg and bounds the top-10") {
+    val p = plan("evt_path_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-10 must not globally sort the path space:\n$p")
+    assert("HashAggregate".r.findAllIn(p).size >= 2,
+      s"path counts must combine map-side:\n$p")
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
