@@ -42,7 +42,10 @@ object Plans {
     "llm_query_likelihood", "join_interval_overlap",
     "agg_bitmap_distinct", "scan_agg_pushdown", "tsdb_rate_irate",
     "evt_ab_lift", "join_asof_nearest", "tsdb_summary",
-    "evt_session_quartiles", "llm_dataset_card")
+    "evt_session_quartiles", "llm_dataset_card",
+    "evt_path_topk", "evt_cohort_ltv", "tsdb_cusum", "graph_pagerank",
+    "graph_triangles", "agg_corr_matrix", "fn_regexp", "llm_span_mask",
+    "tsdb_holt_winters")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

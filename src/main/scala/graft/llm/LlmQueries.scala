@@ -935,6 +935,35 @@ object LlmQueries {
         .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
         .orderBy("bucket_lo")),
 
+    // deterministic denoising-objective corruption (the T5/BERT masking
+    // shape, RNG-free so it is replayable and engine-checkable): token
+    // at 0-based position p masks iff (doc_id·31 + p) mod 7 = 0 — a
+    // fixed ~1/7 rate keyed on (doc, position) alone, so a re-run, a
+    // different partitioning, or a different engine masks the identical
+    // positions. Entirely map-side (one projection per doc, no
+    // shuffle); both engines build the masked array by index over the
+    // same range() so no indexed-lambda support is assumed.
+    "llm_span_mask" -> ((s, dir) => {
+      val ws = filter(Dedup.words(col("text")), w => w =!= lit(""))
+      Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) > 0)
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_tokens"),
+          transform(sequence(lit(0), size(col("ws")) - 1), i =>
+            when(pmod(col("doc_id") * lit(31) + i, lit(7)) === 0, lit("<mask>"))
+              .otherwise(element_at(col("ws"), i + lit(1)))).as("mws"))
+        .select(col("doc_id"), col("n_tokens"),
+          size(filter(sequence(lit(0), col("n_tokens").cast("int") - 1),
+            i => pmod(col("doc_id") * lit(31) + i, lit(7)) === 0))
+            .cast("long").as("n_masked"),
+          substring(concat_ws(" ", col("mws")), 1, 100).as("masked_prefix"))
+        .withColumn("mask_ratio",
+          graft.core.D.r4s(col("n_masked").cast("double") /
+            col("n_tokens").cast("double")))
+        .orderBy("doc_id")
+    }),
+
     // token-window chunking with overlap — the step between curation
     // and tokenization in a training-data pipeline: every document
     // splits into 64-token windows on a 48-token stride (16 tokens of
@@ -2776,6 +2805,27 @@ object LlmQueries {
     "llm_doc_len_hist" ->
       """SELECT (n_chars // 100) * 100 AS bucket_lo, count(*) AS n
          FROM documents GROUP BY 1 ORDER BY 1""",
+
+    // mirror of llm_span_mask: same tokenizer, same by-index masked
+    // rebuild over range(0, n) (0-based positions on both engines)
+    "llm_span_mask" ->
+      """WITH t AS (SELECT doc_id,
+                      list_filter(string_split(lower(text), ' '),
+                                  w -> w <> '') AS ws
+                    FROM documents),
+         m AS (SELECT doc_id,
+                 CAST(len(ws) AS BIGINT) AS n_tokens,
+                 list_transform(range(0, len(ws)), i ->
+                   CASE WHEN (doc_id * 31 + i) % 7 = 0 THEN '<mask>'
+                        ELSE ws[i + 1] END) AS mws,
+                 CAST(len(list_filter(range(0, len(ws)), i ->
+                   (doc_id * 31 + i) % 7 = 0)) AS BIGINT) AS n_masked
+               FROM t WHERE len(ws) > 0)
+         SELECT doc_id, n_tokens, n_masked,
+                left(array_to_string(mws, ' '), 100) AS masked_prefix,
+                ROUND((CAST(n_masked AS DOUBLE) / CAST(n_tokens AS DOUBLE))
+                  * 10000.0, 0) / 10000.0 + 0.0 AS mask_ratio
+         FROM m ORDER BY doc_id""",
 
     // range(0, n, 48) = sequence(0, n-1, 48): end-exclusive vs
     // inclusive-on-smaller-bound, same start set; list_slice clamps at

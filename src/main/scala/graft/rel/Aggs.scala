@@ -43,6 +43,43 @@ object Aggs {
     // customer-count rows once and 10 rows after that. The ntile
     // tie-break (revenue desc, custkey) keeps decile edges
     // engine-portable.
+    // pairwise Pearson correlation matrix over lineitem's numeric
+    // measures in ONE pass: all nine sufficient statistics (n, three
+    // sums, three squares, three cross-products) come from a single
+    // partial→final aggregate over the scan — the shuffle moves ONE
+    // row — and the three r values are derived from that row
+    // driver-free as a 3-row union. Same exact-decimal formulation as
+    // tsdb_series_corr ((18,4)² products stay inside DECIMAL(38) on
+    // both engines); adding a measure column grows the stat row, not
+    // the pass count.
+    "agg_corr_matrix" -> ((s, dir) => {
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val p2 = (a: String, b: String) =>
+        sum(col(a).cast(d18) * col(b).cast(d18)).cast("double")
+      val st = li.agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(D.dec(col("l_quantity"))).cast("double").as("sq"),
+        sum(D.dec(col("l_extendedprice"))).cast("double").as("sp"),
+        sum(D.dec(col("l_discount"))).cast("double").as("sd"),
+        p2("l_quantity", "l_quantity").as("sqq"),
+        p2("l_extendedprice", "l_extendedprice").as("spp"),
+        p2("l_discount", "l_discount").as("sdd"),
+        p2("l_quantity", "l_extendedprice").as("sqp"),
+        p2("l_quantity", "l_discount").as("sqd"),
+        p2("l_extendedprice", "l_discount").as("spd"))
+      def r(sx: String, sy: String, sxy: String, sxx: String, syy: String) =
+        D.r4s((col("n") * col(sxy) - col(sx) * col(sy)) /
+          sqrt((col("n") * col(sxx) - col(sx) * col(sx)) *
+               (col("n") * col(syy) - col(sy) * col(sy))))
+      val row = (a: String, b: String, rc: org.apache.spark.sql.Column) =>
+        st.select(lit(a).as("col_a"), lit(b).as("col_b"), rc.as("r"))
+      row("l_quantity", "l_extendedprice", r("sq", "sp", "sqp", "sqq", "spp"))
+        .unionAll(row("l_quantity", "l_discount", r("sq", "sd", "sqd", "sqq", "sdd")))
+        .unionAll(row("l_extendedprice", "l_discount", r("sp", "sd", "spd", "spp", "sdd")))
+        .orderBy("col_a", "col_b")
+    }),
+
     "agg_revenue_pareto" -> ((s, dir) => {
       val rev = Tables.orders(s, dir).groupBy("o_custkey")
         .agg(sum(D.dec(col("o_totalprice"))).as("rev"))
@@ -383,6 +420,41 @@ object Aggs {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // mirror of agg_corr_matrix: identical nine-stat single aggregate,
+    // identical double-derivation of each r. The oracle's product
+    // casts are (19,4) — above 18 digits DuckDB switches to HUGEINT
+    // storage, which the price² magnitudes need; both engines' sums
+    // stay exact integers at 4+4 decimals, so the values are identical
+    // to the Spark side's (18,4)² formulation.
+    "agg_corr_matrix" -> {
+      val q2 = (a: String, b: String) =>
+        s"CAST(SUM(CAST($a AS DECIMAL(19,4)) * CAST($b AS DECIMAL(19,4))) AS DOUBLE)"
+      val r = (sx: String, sy: String, sxy: String, sxx: String, syy: String) =>
+        D.oR4(s"(n * $sxy - $sx * $sy) / " +
+          s"sqrt((n * $sxx - $sx * $sx) * (n * $syy - $sy * $sy))")
+      s"""WITH st AS (SELECT CAST(count(*) AS DOUBLE) AS n,
+            ${D.oSumDec("l_quantity")} AS sq,
+            ${D.oSumDec("l_extendedprice")} AS sp,
+            ${D.oSumDec("l_discount")} AS sd,
+            ${q2("l_quantity", "l_quantity")} AS sqq,
+            ${q2("l_extendedprice", "l_extendedprice")} AS spp,
+            ${q2("l_discount", "l_discount")} AS sdd,
+            ${q2("l_quantity", "l_extendedprice")} AS sqp,
+            ${q2("l_quantity", "l_discount")} AS sqd,
+            ${q2("l_extendedprice", "l_discount")} AS spd
+          FROM lineitem)
+          SELECT col_a, col_b, r FROM (
+            SELECT 'l_quantity' AS col_a, 'l_extendedprice' AS col_b,
+                   ${r("sq", "sp", "sqp", "sqq", "spp")} AS r FROM st
+            UNION ALL
+            SELECT 'l_quantity', 'l_discount',
+                   ${r("sq", "sd", "sqd", "sqq", "sdd")} FROM st
+            UNION ALL
+            SELECT 'l_extendedprice', 'l_discount',
+                   ${r("sp", "sd", "spd", "spp", "sdd")} FROM st)
+          ORDER BY col_a, col_b"""
+    },
 
     "agg_revenue_pareto" ->
       s"""WITH rev AS (SELECT o_custkey,

@@ -58,6 +58,22 @@ object SetsFns {
         array_join(split(col("p_name"), " "), "|").as("words"))
         .orderBy("p_partkey")),
 
+    // regexp surface: extract-all / first-match / replace-all (Spark's
+    // Java regex and DuckDB's RE2 agree on this character-class subset;
+    // fancy constructs — lookarounds, backrefs — deliberately excluded
+    // from the portable surface). All map-side codegen'd string work.
+    "fn_regexp" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      docs.select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit("[a-z]{6,}"), lit(0)))
+          .cast("long").as("n_long"),
+        regexp_extract(col("text"), "([a-z]{6,})", 1).as("first_long"),
+        substring(regexp_replace(col("text"), "[a-z]{6,}", "_"), 1, 80)
+          .as("masked_prefix"))
+        .orderBy("doc_id")
+    }),
+
     "fn_like" -> ((s, dir) =>
       Tables.part(s, dir).select(
         col("p_partkey"),
@@ -256,6 +272,16 @@ object SetsFns {
             concat_ws('|', p_brand, p_type) AS cw,
             array_to_string(string_split(p_name, ' '), '|') AS words
          FROM part ORDER BY p_partkey""",
+
+    // mirror of fn_regexp (DuckDB replace needs the explicit 'g' flag
+    // to match Spark's replace-all default; no-match extract is '' on
+    // both engines)
+    "fn_regexp" ->
+      """SELECT doc_id,
+            CAST(len(regexp_extract_all(text, '[a-z]{6,}')) AS BIGINT) AS n_long,
+            regexp_extract(text, '([a-z]{6,})', 1) AS first_long,
+            left(regexp_replace(text, '[a-z]{6,}', '_', 'g'), 80) AS masked_prefix
+         FROM documents ORDER BY doc_id""",
 
     "fn_like" ->
       """SELECT p_partkey, p_type LIKE 'ECO%' AS is_eco,

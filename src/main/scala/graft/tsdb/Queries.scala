@@ -78,6 +78,16 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // additive Holt–Winters with weekly seasonality per daily series —
+    // the seasonality-aware extension of tsdb_holt (10-slot flat-array
+    // fold state; see Trend.holtWinters)
+    "tsdb_holt_winters" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.holtWinters(ds, Seq("user_id"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // Page's CUSUM drift alarm per daily series — the control-chart
     // twin of tsdb_ewma's portable fold (self-scaling μ/4 slack, μ
     // threshold; see Trend.cusum)
@@ -1021,6 +1031,48 @@ object TsdbQueries {
           SELECT user_id, bucket_ms,
             ${D.oR4("s[1]")} AS level, ${D.oR4("s[2]")} AS trend
           FROM st ORDER BY 1, 2""",
+
+    // mirror of Trend.holtWinters: the 10-slot flat-list fold with the
+    // zero state prepended as list_reduce's seed element, fold inputs
+    // as [x, j] pairs built over range(1, i+1) ((k-1)%7 ≡ the engine's
+    // 0-based k%7), the seasonal slot rebuilt by index over
+    // range(0, 7), and l' written out verbatim inside b'/s' exactly as
+    // the engine's expression tree duplicates it
+    "tsdb_holt_winters" -> {
+      val sj = "acc[CAST(4 + e[2] AS INT)]"
+      val lN = s"0.5 * (e[1] - $sj) + 0.5 * (acc[1] + acc[2])"
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id,
+                    list(value ORDER BY bucket_ms) AS vs,
+                    list(bucket_ms ORDER BY bucket_ms) AS bs
+                  FROM ds GROUP BY 1),
+          idx AS (SELECT user_id, vs, bs,
+                    UNNEST(range(1, len(vs) + 1)) AS i FROM arr),
+          f AS (SELECT user_id, bs[i] AS bucket_ms,
+                  list_reduce(
+                    list_prepend(
+                      [CAST(0.0 AS DOUBLE), 0.0, 0.0, 0.0, 0.0,
+                       0.0, 0.0, 0.0, 0.0, 0.0],
+                      list_transform(range(1, i + 1), k ->
+                        [vs[k], CAST((k - 1) % 7 AS DOUBLE)])),
+                    (acc, e) ->
+                      [$lN,
+                       0.5 * (($lN) - acc[1]) + 0.5 * acc[2],
+                       acc[1] + acc[2] + $sj]
+                      || list_transform(range(0, 7), k ->
+                           CASE WHEN CAST(k AS DOUBLE) = e[2]
+                                THEN 0.5 * (e[1] - ($lN)) + 0.5 * $sj
+                                ELSE acc[CAST(4 + k AS INT)] END)) AS st
+                FROM idx)
+          SELECT user_id, bucket_ms,
+                 ${D.oR4("st[1]")} AS level,
+                 ${D.oR4("st[2]")} AS trend,
+                 ${D.oR4("st[3]")} AS fitted
+          FROM f ORDER BY 1, 2"""
+    },
 
     // mirror of Trend.cusum: same per-prefix left fold with the 0
     // seed carried as list_prepend (list_reduce seeds with the first

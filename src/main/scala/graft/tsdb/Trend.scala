@@ -122,6 +122,58 @@ object Trend {
         col("e.st.l").as("level"), col("e.st.b").as("trend")): _*)
   }
 
+  /** Additive Holt–Winters (level + trend + weekly seasonality,
+    * α=β=γ=0.5 binary-exact, zero-init) per series — the
+    * seasonality-aware smoother/forecaster. `fitted` is the one-step-
+    * ahead prediction BEFORE the bucket's own update (l + b + s_j), so
+    * residuals are honest.
+    *
+    * Portability is the ewma/holt playbook taken to a 10-slot state:
+    * the state rides as a FLAT double array [l, b, fitted, s₀..s₆] and
+    * fold inputs as [x, j] pairs (j = 0-based position mod 7), because
+    * DuckDB's list_reduce mis-evaluates struct accumulators (the
+    * tsdb_holt finding) but folds flat lists exactly; the seasonal
+    * slot update is an INDEX-REBUILT list over range(0,7) on both
+    * engines (no indexed-lambda support assumed), and the lᵢ
+    * expression is duplicated inside bᵢ/sᵢ exactly as written here.
+    * Per-prefix O(n²) like ewma over the (bounded) downsample grid. */
+  def holtWinters(downsampled: DataFrame, seriesCols: Seq[String],
+                  period: Int = 7): DataFrame = {
+    val arr = downsampled.groupBy(seriesCols.map(col): _*)
+      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+        .as("pts"))
+    val zip = transform(col("pts"), (p, k) =>
+      array(p.getField("value"), pmod(k, lit(period)).cast("double")))
+    val init = array_repeat(lit(0.0), period + 3)
+    val folded = transform(col("pts"), (p, i) =>
+      struct(p.getField("bucket_ms").as("bucket_ms"),
+        aggregate(slice(zip, lit(1), i + lit(1)), init,
+          (acc, e) => {
+            val x = element_at(e, 1)
+            val j = element_at(e, 2)
+            val l = element_at(acc, 1)
+            val b = element_at(acc, 2)
+            val sj = element_at(acc, (lit(4.0) + j).cast("int"))
+            val lN = lit(0.5) * (x - sj) + lit(0.5) * (l + b)
+            concat(
+              array(lN,
+                lit(0.5) * (lN - l) + lit(0.5) * b,
+                l + b + sj),
+              transform(sequence(lit(0), lit(period - 1)), k =>
+                when(k.cast("double") === j,
+                  lit(0.5) * (x - lN) + lit(0.5) * sj)
+                  .otherwise(element_at(acc, (lit(4) + k).cast("int")))))
+          },
+          acc => struct(
+            D.r4s(element_at(acc, 1)).as("level"),
+            D.r4s(element_at(acc, 2)).as("trend"),
+            D.r4s(element_at(acc, 3)).as("fitted"))).as("st")))
+    arr.select(seriesCols.map(col) :+ explode(folded).as("e"): _*)
+      .select(seriesCols.map(col) ++ Seq(
+        col("e.bucket_ms").as("bucket_ms"), col("e.st.level").as("level"),
+        col("e.st.trend").as("trend"), col("e.st.fitted").as("fitted")): _*)
+  }
+
   /** One-sided CUSUM drift detector per series (Page's cumulative-sum
     * control chart): s₀ = 0; sᵢ = max(0, sᵢ₋₁ + xᵢ − μ − κ), alarm
     * when sᵢ > h. Self-scaling parameters — μ is the series' own
