@@ -45,7 +45,8 @@ object Plans {
     "evt_session_quartiles", "llm_dataset_card",
     "evt_path_topk", "evt_cohort_ltv", "tsdb_cusum", "graph_pagerank",
     "graph_triangles", "agg_corr_matrix", "fn_regexp", "llm_span_mask",
-    "tsdb_holt_winters")
+    "tsdb_holt_winters", "llm_embed_outliers", "llm_tokenizer_fertility",
+    "fn_bitwise")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -446,6 +446,71 @@ object LlmQueries {
     // and mean intra-label pairwise cosine (pairs bounded by Σ label²
     // via the shared blocked-pair scaffold) — collapsed or drifting
     // clusters show up as cohesion outliers before training does
+    // embedding-space outliers: vectors far from their LABEL CENTROID
+    // (z-score of centroid distance > 2 within the label) — the "this
+    // example is probably mislabeled / garbage" triage query. The
+    // centroid is a per-(label, dim) decimal mean over the posexploded
+    // frame — 64·n rows feeding partial aggregates co-partitioned on
+    // (label, dim), never a vector shuffle — and distances expand as
+    // ‖x‖² − 2⟨x,c⟩ + ‖c‖² so the only join against the centroid is
+    // the (label, dim)-co-partitioned dot pass (‖c‖² broadcasts,
+    // label-count-sized). At 100 TB the production swap is a
+    // vector-native per-dim sum aggregate (one pass, no explode) —
+    // same numbers, fewer rows in flight.
+    "llm_embed_outliers" -> ((s, dir) => {
+      val ex = graft.core.Exec.materialize(Tables.embeddings(s, dir)
+        .select(col("vec_id"), col("label"),
+          posexplode(col("embedding")).as(Seq("p", "xf")))
+        .select(col("vec_id"), col("label"), (col("p") + 1).as("i"),
+          col("xf").cast("double").as("x")))
+      val cent = graft.core.Exec.materialize(
+        ex.groupBy("label", "i").agg(graft.core.D.avgDec(col("x")).as("c")))
+      val sxx = ex.groupBy("vec_id", "label")
+        .agg(sum(graft.core.D.dec(col("x") * col("x"))).cast("double").as("sxx"))
+      val sxc = ex.join(cent, Seq("label", "i"))
+        .groupBy("vec_id", "label")
+        .agg(sum(graft.core.D.dec(col("x") * col("c"))).cast("double").as("sxc"))
+      val scc = cent.groupBy("label")
+        .agg(sum(graft.core.D.dec(col("c") * col("c"))).cast("double").as("scc"))
+      val dist = sxx.join(sxc, Seq("vec_id", "label"))
+        .join(broadcast(scc), "label")
+        .select(col("vec_id"), col("label"),
+          graft.core.D.r4s(sqrt(greatest(
+            col("sxx") - lit(2.0) * col("sxc") + col("scc"), lit(0.0))))
+            .as("dist"))
+      val stats = dist.groupBy("label").agg(
+        graft.core.D.avgDec(col("dist")).as("mean_d"),
+        graft.core.D.stddevSampDec(col("dist")).as("sd_d"))
+      dist.join(broadcast(stats), "label")
+        .where(col("sd_d") > 0)
+        .withColumn("z",
+          graft.core.D.r4s((col("dist") - col("mean_d")) / col("sd_d")))
+        .where(col("z") > 2.0)
+        .select("vec_id", "label", "dist", "z")
+        .orderBy("label", "vec_id")
+    }),
+
+    // tokenizer fertility per language: tokens/doc and chars/token
+    // from integer-exact sums (whitespace tokens vs raw n_chars) — the
+    // "how expensive is this language for my tokenizer" planning
+    // number. One map-side token count, one partial-agg rollup.
+    "llm_tokenizer_fertility" -> ((s, dir) => {
+      val nw = size(filter(Dedup.words(col("text")), w => w =!= lit("")))
+        .cast("long")
+      Tables.documents(s, dir)
+        .select(col("lang"), nw.as("n_tok"), col("n_chars"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tok")).as("tot_tokens"),
+          sum(col("n_chars")).as("tot_chars"))
+        .select(col("lang"), col("n_docs"), col("tot_tokens"),
+          graft.core.D.r4s(col("tot_tokens").cast("double") /
+            col("n_docs").cast("double")).as("tokens_per_doc"),
+          graft.core.D.r4s(col("tot_chars").cast("double") /
+            col("tot_tokens").cast("double")).as("chars_per_token"))
+        .orderBy("lang")
+    }),
+
     "llm_embed_label_cohesion" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nrm", Similarity.normExpr("embedding"))
@@ -2609,6 +2674,52 @@ object LlmQueries {
 
     // mirror of llm_embed_label_cohesion: per-element-decimal norms and
     // intra-label pair dots, decimal means rounded 4dp
+    // mirror of llm_embed_outliers: same posexploded per-dim frame,
+    // same ‖x‖² − 2⟨x,c⟩ + ‖c‖² expansion, same 4dp z fence
+    "llm_embed_outliers" ->
+      s"""WITH ex AS (SELECT e.vec_id, e.label, r.i,
+                        CAST(e.embedding[r.i] AS DOUBLE) AS x
+                      FROM embeddings e, range(1, 65) r(i)),
+          cent AS (SELECT label, i, ${D.oAvgDec("x")} AS c
+                   FROM ex GROUP BY 1, 2),
+          sxx AS (SELECT vec_id, label, ${D.oSumDec("x * x")} AS sxx
+                  FROM ex GROUP BY 1, 2),
+          sxc AS (SELECT ex.vec_id, ex.label, ${D.oSumDec("ex.x * cent.c")} AS sxc
+                  FROM ex JOIN cent ON cent.label = ex.label AND cent.i = ex.i
+                  GROUP BY 1, 2),
+          scc AS (SELECT label, ${D.oSumDec("c * c")} AS scc
+                  FROM cent GROUP BY 1),
+          dist AS (SELECT sxx.vec_id, sxx.label,
+                     ${D.oR4("sqrt(greatest(sxx.sxx - 2.0 * sxc.sxc + scc.scc, 0.0))")} AS dist
+                   FROM sxx
+                   JOIN sxc ON sxc.vec_id = sxx.vec_id AND sxc.label = sxx.label
+                   JOIN scc ON scc.label = sxx.label),
+          st AS (SELECT label, ${D.oAvgDec("dist")} AS mean_d,
+                   ${D.oStddevSampDec("dist")} AS sd_d
+                 FROM dist GROUP BY 1),
+          z AS (SELECT d.vec_id, d.label, d.dist,
+                  ${D.oR4("(d.dist - st.mean_d) / st.sd_d")} AS z
+                FROM dist d JOIN st ON st.label = d.label
+                WHERE st.sd_d > 0)
+          SELECT vec_id, label, dist, z FROM z
+          WHERE z > 2.0 ORDER BY label, vec_id""",
+
+    "llm_tokenizer_fertility" ->
+      s"""WITH t AS (SELECT lang,
+                       CAST(len(list_filter(string_split(lower(text), ' '),
+                                            w -> w <> '')) AS BIGINT) AS n_tok,
+                       n_chars
+                     FROM documents),
+          g AS (SELECT lang, count(*) AS n_docs,
+                  SUM(n_tok) AS tot_tokens, SUM(n_chars) AS tot_chars
+                FROM t GROUP BY 1)
+          SELECT lang, n_docs, tot_tokens,
+                 ${D.oR4("CAST(tot_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE)")}
+                   AS tokens_per_doc,
+                 ${D.oR4("CAST(tot_chars AS DOUBLE) / CAST(tot_tokens AS DOUBLE)")}
+                   AS chars_per_token
+          FROM g ORDER BY lang""",
+
     "llm_embed_label_cohesion" ->
       s"""WITH $NormCte,
           nrm AS (SELECT e.vec_id, e.label, SQRT(CAST(n.d2 AS DOUBLE)) AS nrm

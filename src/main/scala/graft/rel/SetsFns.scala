@@ -58,6 +58,20 @@ object SetsFns {
         array_join(split(col("p_name"), " "), "|").as("words"))
         .orderBy("p_partkey")),
 
+    // bitwise surface: AND/OR/XOR, shifts, popcount — all map-side
+    // integer codegen (hash-partitioner math, flag fields, bitmap
+    // tricks live on these)
+    "fn_bitwise" -> ((s, dir) =>
+      Tables.events(s, dir).select(
+        col("event_id"),
+        expr("user_id & 255").as("band"),
+        expr("user_id | 4096").as("bor"),
+        expr("user_id ^ event_id").as("bxor"),
+        expr("shiftleft(user_id % 16, 3)").cast("long").as("shl"),
+        expr("shiftright(event_id, 2)").as("shr"),
+        bit_count(col("user_id")).cast("long").as("popcnt"))
+        .orderBy("event_id")),
+
     // regexp surface: extract-all / first-match / replace-all (Spark's
     // Java regex and DuckDB's RE2 agree on this character-class subset;
     // fancy constructs — lookarounds, backrefs — deliberately excluded
@@ -272,6 +286,18 @@ object SetsFns {
             concat_ws('|', p_brand, p_type) AS cw,
             array_to_string(string_split(p_name, ' '), '|') AS words
          FROM part ORDER BY p_partkey""",
+
+    // mirror of fn_bitwise (DuckDB's ^ is exponent — xor() is the
+    // function; shifts are << / >>)
+    "fn_bitwise" ->
+      """SELECT event_id,
+            user_id & 255 AS band,
+            user_id | 4096 AS bor,
+            xor(user_id, event_id) AS bxor,
+            CAST((user_id % 16) << 3 AS BIGINT) AS shl,
+            event_id >> 2 AS shr,
+            CAST(bit_count(user_id) AS BIGINT) AS popcnt
+         FROM events ORDER BY event_id""",
 
     // mirror of fn_regexp (DuckDB replace needs the explicit 'g' flag
     // to match Spark's replace-all default; no-match extract is '' on

@@ -208,6 +208,24 @@ object Ingest {
     runToMemory(s, joined, "append").orderBy("c_id", "v_id")
   }
 
+  /** CDC-style latest-per-key snapshot (the streaming materialized-view
+    * / upsert-compaction shape): one stateful aggregation keeping the
+    * arg-max (ts, event_id, value) struct per (user, event_type) key —
+    * state is ONE struct per live key regardless of stream volume, and
+    * the struct max is merge-associative so Spark's partial aggregation
+    * applies even across micro-batches. event_id in the comparison key
+    * makes same-ms updates deterministic. */
+  def cdcLatest(s: SparkSession, dir: String): DataFrame = {
+    val agg = eventsStream(s, dir)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(max(struct(col("ts_ms"), col("event_id"), col("value"))).as("m"))
+    runToMemory(s, agg, "complete")
+      .select(col("user_id"), col("event_type"),
+        col("m.ts_ms").as("ts_ms"), col("m.event_id").as("event_id"),
+        col("m.value").as("value"))
+      .orderBy("user_id", "event_type")
+  }
+
   /** Counter-reset detection with explicit state (rate building block):
     * keeps (lastTs, lastValue) per series, emits deltas; negative delta =
     * counter reset → null delta (mycenae rate semantics). */

@@ -19,6 +19,7 @@ object StreamQueries {
     "stream_static_join" -> ((s, dir) => Ingest.staticJoin(s, dir)),
     "stream_stream_join" -> ((s, dir) => Ingest.streamStreamJoin(s, dir)),
     "stream_stateful_counter" -> ((s, dir) => Ingest.statefulCounter(s, dir)),
+    "stream_cdc_latest" -> ((s, dir) => Ingest.cdcLatest(s, dir)),
     "stream_foreachbatch_sink" -> ((s, dir) => {
       // stable scratch dir, WIPED before each run: catalog upserts are
       // stateful, so leftover state from a previous run would change the
@@ -140,6 +141,18 @@ object StreamQueries {
          SELECT user_id, ts_ms, value,
                 CASE WHEN pv IS NULL OR value < pv THEN NULL ELSE value - pv END AS delta
          FROM l ORDER BY user_id, ts_ms, value""",
+
+    // batch equivalence of the CDC latest-per-key snapshot: the struct
+    // max ≡ the (ts desc, event_id desc, value desc) rn=1 arg-max
+    "stream_cdc_latest" ->
+      """WITH e AS (SELECT user_id, event_type, event_id, value,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         r AS (SELECT user_id, event_type, ts_ms, event_id, value,
+                 row_number() OVER (PARTITION BY user_id, event_type
+                   ORDER BY ts_ms DESC, event_id DESC, value DESC) AS rn
+               FROM e)
+         SELECT user_id, event_type, ts_ms, event_id, value
+         FROM r WHERE rn = 1 ORDER BY user_id, event_type""",
 
     "stream_static_join" ->
       """SELECT e.event_id, e.user_id, c.c_name
