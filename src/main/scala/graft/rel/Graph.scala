@@ -48,14 +48,22 @@ object Graph {
     // edges and are deliberately absent — rank is defined on the
     // graph, not the catalog.
     "graph_pagerank" -> ((s, dir) => {
+      // the edge list is materialized ONCE (the self-join never
+      // re-runs) and every iteration is one pass over it with ALL node
+      // state — degree and current rank, both node-sized — BROADCAST
+      // into the scan; the only exchange per iteration is the
+      // partial-aggregated contribution-sum shuffle. (Billion-node
+      // swap: co-partition pr/deg and edges on src instead of
+      // broadcasting — same plan minus the broadcasts.)
       val es = graft.core.Exec.materialize(edges(s, dir))
-      val deg = es.groupBy("src").agg(count(lit(1)).as("deg"))
+      val deg = graft.core.Exec.materialize(
+        es.groupBy("src").agg(count(lit(1)).as("deg")))
       val step = (prev: Option[DataFrame]) => {
         val msgs = prev match {
-          case None => es.join(deg, "src")
+          case None => es.join(broadcast(deg), "src")
             .select(col("dst"), (lit(1.0) / col("deg")).as("m"))
-          case Some(pr) => es.join(deg, "src")
-            .join(pr.withColumnRenamed("id", "src"), "src")
+          case Some(pr) => es.join(broadcast(deg), "src")
+            .join(broadcast(pr.withColumnRenamed("id", "src")), "src")
             .select(col("dst"), (col("pr") / col("deg")).as("m"))
         }
         msgs.groupBy(col("dst").as("id"))
@@ -69,21 +77,30 @@ object Graph {
     }),
 
     // Whole-graph triangle census plus basic size stats in ONE row.
-    // Triangles enumerate over the id-ORIENTED edge list (src < dst),
-    // so each triangle is counted exactly once: e(a,b) ⋈ e(b,c) ⋈
-    // e(a,c). Cost is Σ out-deg² on the oriented graph; the production
-    // hardening for skewed graphs is degree-ordered orientation
-    // (orient toward the higher-degree endpoint), which bounds
-    // out-degree by √m — same joins, different orientation key.
+    // The id-ORIENTED edge list (src < dst) counts each triangle
+    // exactly once at its two smallest vertices: triangles on edge
+    // (a,b) = |N⁺(a) ∩ N⁺(b)|. Instead of materializing the Σ outdeg²
+    // wedge rows through two shuffled joins (the naive plan — measured
+    // 8 s at sf0.1), the FORWARD adjacency compacts to one sorted
+    // array per node (node-sized, Σ outdeg total payload) and
+    // BROADCASTS into a single edge scan: per-edge array_intersect is
+    // map-side codegen, the count partial-aggregates, and nothing
+    // wedge-sized ever moves. Skew hardening when adjacency outgrows
+    // the broadcast budget: co-partition both joins on the edge
+    // endpoint (same plan minus the broadcasts) and degree-orient the
+    // edges so no hub node owns a giant forward list.
     "graph_triangles" -> ((s, dir) => {
       val es = graft.core.Exec.materialize(edges(s, dir))
       val e0 = es.where(col("src") < col("dst"))
       val nodes = es.select(col("src")).distinct()
-      val wedges = e0.select(col("src").as("a"), col("dst").as("b"))
-        .join(e0.select(col("src").as("b"), col("dst").as("c")), "b")
-      val tri = wedges
-        .join(e0.select(col("src").as("a"), col("dst").as("c")), Seq("a", "c"))
-        .agg(count(lit(1)).as("n_triangles"))
+      val adj = e0.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val tri = e0
+        .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
+        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
+        .select(size(array_intersect(col("na"), col("nb"))).cast("long").as("t"))
+        // inner-join drops edges whose dst has no forward list — those
+        // contribute 0; coalesce covers the triangle-free graph
+        .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
       nodes.agg(count(lit(1)).as("n_nodes"))
         .crossJoin(e0.agg(count(lit(1)).as("n_edges")))
         .crossJoin(tri)
