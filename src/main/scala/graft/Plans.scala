@@ -46,7 +46,8 @@ object Plans {
     "evt_path_topk", "evt_cohort_ltv", "tsdb_cusum", "graph_pagerank",
     "graph_triangles", "agg_corr_matrix", "fn_regexp", "llm_span_mask",
     "tsdb_holt_winters", "llm_embed_outliers", "llm_tokenizer_fertility",
-    "fn_bitwise")
+    "fn_bitwise", "join_asof_tolerance", "evt_attribution_first",
+    "llm_quality_buckets", "tsdb_moving_p90")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

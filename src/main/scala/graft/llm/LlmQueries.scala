@@ -974,6 +974,35 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet-style quality bucketing: per-language head/middle/tail
+    // tertiles over the quality score — the standard "keep head, maybe
+    // middle, drop tail" corpus partition. The ntile runs over the
+    // per-lang (quality, doc_id) order; at 100 TB the swap is two
+    // broadcast quantile cutoffs per language (same labels, no per-lang
+    // global sort), exactly like the evt_rfm note. Output is
+    // langs×3-sized.
+    "llm_quality_buckets" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')",
+        Seq("the", "a", "of", "and"))
+      val q = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        D.r4s(qualityCol(nw, stops)).as("quality"))
+      q.withColumn("tertile", ntile(3).over(
+          Window.partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))))
+        .groupBy("lang", "tertile")
+        .agg(count(lit(1)).as("n_docs"),
+          D.avgDec(col("quality")).as("avg_quality"),
+          min(col("quality")).as("min_quality"),
+          max(col("quality")).as("max_quality"))
+        .withColumn("bucket",
+          when(col("tertile") === 1, "head")
+            .when(col("tertile") === 2, "middle").otherwise("tail"))
+        .select("lang", "bucket", "n_docs", "avg_quality",
+          "min_quality", "max_quality")
+        .orderBy("lang", "bucket")
+    }),
+
     "llm_quality_score" -> ((s, dir) => {
       val nw = Text.nWords(col("text"))
       val stops = Text.markerScore("split(lower(text), ' ')", Seq("the", "a", "of", "and"))
@@ -2893,6 +2922,31 @@ object LlmQueries {
                  WHEN s_fr >= s_zh THEN 'fr'
                  ELSE 'zh' END AS predicted
          FROM sc ORDER BY doc_id""",
+
+    // mirror of llm_quality_buckets: same 4dp quality, same per-lang
+    // (quality desc, doc_id) ntile(3)
+    "llm_quality_buckets" ->
+      s"""WITH b AS (SELECT doc_id, lang, n_chars,
+            CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+            CAST(len(list_filter(string_split(lower(text), ' '),
+                 x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
+          FROM documents),
+          q AS (SELECT doc_id, lang,
+                  ROUND(($QualitySqlExpr) * 10000.0, 0) / 10000.0 + 0.0 AS quality
+                FROM b),
+          t AS (SELECT lang, quality,
+                  ntile(3) OVER (PARTITION BY lang
+                                 ORDER BY quality DESC, doc_id) AS tertile
+                FROM q),
+          g AS (SELECT lang, tertile, count(*) AS n_docs,
+                  ${D.oAvgDec("quality")} AS avg_quality,
+                  min(quality) AS min_quality, max(quality) AS max_quality
+                FROM t GROUP BY 1, 2)
+          SELECT lang,
+                 CASE WHEN tertile = 1 THEN 'head'
+                      WHEN tertile = 2 THEN 'middle' ELSE 'tail' END AS bucket,
+                 n_docs, avg_quality, min_quality, max_quality
+          FROM g ORDER BY lang, bucket""",
 
     "llm_quality_score" ->
       s"""WITH b AS (SELECT doc_id, n_chars,

@@ -239,6 +239,31 @@ object Behavior {
         .orderBy("purchase_id")
     }),
 
+    // first-touch attribution — the complement of evt_attribution's
+    // last-touch: each purchase credited to the EARLIEST click/view in
+    // the preceding 7 days (ties at the same ms take 'click' over
+    // 'view' via the lexicographic struct min). Same co-partitioned
+    // user join; only the arg direction differs.
+    "evt_attribution_first" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_ms").as("p_ts"))
+      val t = e.where(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ts_ms").as("t_ts"),
+          col("event_type").as("channel"))
+      p.join(t, col("user_id") === col("t_user") &&
+          col("t_ts") <= col("p_ts") &&
+          col("t_ts") > col("p_ts") - lit(7L * 86400000L), "left")
+        .groupBy("purchase_id", "user_id", "p_ts")
+        .agg(min(when(col("t_ts").isNotNull,
+          struct(col("t_ts"), col("channel")))).as("m"))
+        .select(col("purchase_id"), col("user_id"), col("p_ts"),
+          coalesce(col("m.channel"), lit("none")).as("channel"),
+          col("m.t_ts").as("touch_ts"))
+        .orderBy("purchase_id")
+    }),
+
     // rolling 7-day active users per day (the WAU dashboard staple):
     // day grid × distinct (user, day) range join — work is
     // days × active-(user,day) rows, never raw events
@@ -448,6 +473,26 @@ object Behavior {
          a AS (SELECT purchase_id, user_id, p_ts, t_ts, channel,
                       row_number() OVER (PARTITION BY purchase_id
                         ORDER BY t_ts DESC NULLS LAST, channel DESC) AS rn
+               FROM j)
+         SELECT purchase_id, user_id, p_ts,
+                COALESCE(channel, 'none') AS channel, t_ts AS touch_ts
+         FROM a WHERE rn = 1 ORDER BY purchase_id""",
+
+    // mirror of evt_attribution_first: the struct min ≡ the
+    // (t_ts ASC, channel ASC) NULLS LAST rn=1 arg-min
+    "evt_attribution_first" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, ts_ms AS p_ts
+               FROM e WHERE event_type = 'purchase'),
+         t AS (SELECT user_id AS t_user, ts_ms AS t_ts, event_type AS channel
+               FROM e WHERE event_type IN ('click', 'view')),
+         j AS (SELECT p.purchase_id, p.user_id, p.p_ts, t.t_ts, t.channel
+               FROM p LEFT JOIN t ON t.t_user = p.user_id
+                 AND t.t_ts <= p.p_ts AND t.t_ts > p.p_ts - 604800000),
+         a AS (SELECT purchase_id, user_id, p_ts, t_ts, channel,
+                      row_number() OVER (PARTITION BY purchase_id
+                        ORDER BY t_ts ASC NULLS LAST, channel ASC NULLS LAST) AS rn
                FROM j)
          SELECT purchase_id, user_id, p_ts,
                 COALESCE(channel, 'none') AS channel, t_ts AS touch_ts

@@ -157,6 +157,32 @@ object Joins {
     // p_id) so equal-distance ties break deterministically to the
     // EARLIER purchase; per-user candidate sets bound the join, no
     // window ever touches raw events.
+    // as-of with a match tolerance — the "stale quote is no quote"
+    // variant every financial/telemetry join needs: each purchase takes
+    // the user's LATEST click, but only within the preceding hour;
+    // outside tolerance the row keeps nulls instead of silently joining
+    // to ancient state. The tolerance predicate also BOUNDS the join
+    // state at scale (only an hour of the right side is ever live per
+    // key). Struct-max arg-max, co-partitioned on user.
+    "join_asof_tolerance" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_ms").as("p_ts"))
+      val c = e.where(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("ts_ms").as("c_ts"),
+          col("event_id").as("c_id"))
+      p.join(c, col("user_id") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") > col("p_ts") - lit(3600000L), "left")
+        .groupBy("purchase_id", "user_id", "p_ts")
+        .agg(max(when(col("c_ts").isNotNull,
+          struct(col("c_ts"), col("c_id")))).as("m"))
+        .select(col("purchase_id"), col("user_id"), col("p_ts"),
+          col("m.c_ts").as("click_ts"), col("m.c_id").as("click_id"))
+        .orderBy("purchase_id")
+    }),
+
     "join_asof_nearest" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val sgn = e.where(col("event_type") === "signup")
@@ -271,6 +297,26 @@ object Joins {
   val oracleSql: Map[String, String] = Map(
     // mirror of join_asof_nearest: the struct min ≡ the
     // (|Δt|, p_ts, p_id) rn=1 arg-min
+    // mirror of join_asof_tolerance: the struct max ≡ the
+    // (c_ts DESC, c_id DESC) NULLS LAST rn=1 arg-max within tolerance
+    "join_asof_tolerance" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+                           epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         p AS (SELECT event_id AS purchase_id, user_id, ts_ms AS p_ts
+               FROM e WHERE event_type = 'purchase'),
+         c AS (SELECT user_id AS c_user, ts_ms AS c_ts, event_id AS c_id
+               FROM e WHERE event_type = 'click'),
+         j AS (SELECT p.purchase_id, p.user_id, p.p_ts, c.c_ts, c.c_id
+               FROM p LEFT JOIN c ON c.c_user = p.user_id
+                 AND c.c_ts <= p.p_ts AND c.c_ts > p.p_ts - 3600000),
+         a AS (SELECT purchase_id, user_id, p_ts, c_ts, c_id,
+                      row_number() OVER (PARTITION BY purchase_id
+                        ORDER BY c_ts DESC NULLS LAST, c_id DESC NULLS LAST) AS rn
+               FROM j)
+         SELECT purchase_id, user_id, p_ts,
+                c_ts AS click_ts, c_id AS click_id
+         FROM a WHERE rn = 1 ORDER BY purchase_id""",
+
     "join_asof_nearest" ->
       """WITH e AS (SELECT event_id, user_id, event_type,
                            epoch_ns(ts) // 1000000 AS ts_ms FROM events),

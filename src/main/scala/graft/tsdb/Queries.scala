@@ -78,6 +78,22 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // trailing-7-bucket p90 envelope per daily series (the tail-latency
+    // dashboard line): the exact interpolated percentile as a FRAMED
+    // window aggregate — state is the 7-row frame per step, shuffle is
+    // the one series partition (percentile ≡ quantile_cont, the
+    // equivalence evt_session_quartiles pins)
+    "tsdb_moving_p90" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      ds.select(col("user_id"), col("bucket_ms"),
+          graft.core.D.r4s(expr(
+            """percentile(value, 0.9) OVER (PARTITION BY user_id
+               ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)"""))
+            .as("p90_7d"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // additive Holt–Winters with weekly seasonality per daily series —
     // the seasonality-aware extension of tsdb_holt (10-slot flat-array
     // fold state; see Trend.holtWinters)
@@ -1031,6 +1047,19 @@ object TsdbQueries {
           SELECT user_id, bucket_ms,
             ${D.oR4("s[1]")} AS level, ${D.oR4("s[2]")} AS trend
           FROM st ORDER BY 1, 2""",
+
+    // mirror of tsdb_moving_p90: quantile_cont over the identical
+    // 7-row frame
+    "tsdb_moving_p90" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2)
+          SELECT user_id, bucket_ms,
+                 ${D.oR4("""quantile_cont(value, 0.9) OVER (PARTITION BY user_id
+                   ORDER BY bucket_ms ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""")}
+                   AS p90_7d
+          FROM ds ORDER BY 1, 2""",
 
     // mirror of Trend.holtWinters: the 10-slot flat-list fold with the
     // zero state prepended as list_reduce's seed element, fold inputs
