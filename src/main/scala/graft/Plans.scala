@@ -47,7 +47,8 @@ object Plans {
     "graph_triangles", "agg_corr_matrix", "fn_regexp", "llm_span_mask",
     "tsdb_holt_winters", "llm_embed_outliers", "llm_tokenizer_fertility",
     "fn_bitwise", "join_asof_tolerance", "evt_attribution_first",
-    "llm_quality_buckets", "tsdb_moving_p90")
+    "llm_quality_buckets", "tsdb_moving_p90", "graph_jaccard_similar",
+    "llm_bigram_surprisal", "ingest_schema_evolution")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -974,6 +974,39 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // bigram-LM surprisal per document (the KenLM-perplexity-filter
+    // shape, exactly computable): train an add-one-smoothed bigram
+    // model ON the corpus itself — P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) —
+    // and score each doc by its mean negative log-probability. High
+    // surprisal = unusual word sequences (gibberish, boilerplate
+    // soup); the signal unigram frequency can't see. All shapes are
+    // word-count shapes: the (doc, bigram) frame is tokens-sized and
+    // every join against the count tables co-partitions on the word
+    // key (vocab size broadcast as one row); each −ln P is
+    // 4dp-decimal-quantized before the order-free per-doc sum.
+    "llm_bigram_surprisal" -> ((s, dir) => {
+      val ws = filter(Dedup.words(col("text")), w => w =!= lit(""))
+      val docs = graft.core.Exec.materialize(Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws")).where(size(col("ws")) >= 2))
+      val bg = graft.core.Exec.materialize(docs.select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2), i =>
+          struct(element_at(col("ws"), i + lit(1)).as("w1"),
+            element_at(col("ws"), i + lit(2)).as("w2")))).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2")))
+      val bgc = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val ugc = docs.select(explode(col("ws")).as("w1"))
+        .groupBy("w1").agg(count(lit(1)).as("c1"))
+      val vocab = ugc.agg(count(lit(1)).as("v"))
+      bg.join(bgc, Seq("w1", "w2")).join(ugc, "w1")
+        .crossJoin(broadcast(vocab))
+        .withColumn("nll", D.dec(-log((col("c2") + 1).cast("double") /
+          (col("c1") + col("v")).cast("double"))))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          D.r4s(sum(col("nll")).cast("double") / count(lit(1))).as("avg_surprisal"))
+        .orderBy("doc_id")
+    }),
+
     // CCNet-style quality bucketing: per-language head/middle/tail
     // tertiles over the quality score — the standard "keep head, maybe
     // middle, drop tail" corpus partition. The ntile runs over the
@@ -2922,6 +2955,32 @@ object LlmQueries {
                  WHEN s_fr >= s_zh THEN 'fr'
                  ELSE 'zh' END AS predicted
          FROM sc ORDER BY doc_id""",
+
+    // mirror of llm_bigram_surprisal: same tokenizer, bigrams over
+    // range(1, len) (ws[i], ws[i+1]), same add-one model and
+    // per-contribution decimal quantization
+    "llm_bigram_surprisal" ->
+      s"""WITH t AS (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   w -> w <> '') AS ws
+                     FROM documents),
+          d AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 2),
+          bgx AS (SELECT doc_id, ws, UNNEST(range(1, len(ws))) AS i FROM d),
+          bg AS (SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2 FROM bgx),
+          bgc AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY 1, 2),
+          ug AS (SELECT UNNEST(ws) AS w1 FROM d),
+          ugc AS (SELECT w1, count(*) AS c1 FROM ug GROUP BY 1),
+          v AS (SELECT count(*) AS v FROM ugc),
+          sc AS (SELECT bg.doc_id,
+                   CAST(-ln(CAST(bgc.c2 + 1 AS DOUBLE) /
+                            CAST(ugc.c1 + v.v AS DOUBLE)) AS DECIMAL(18,4)) AS nll
+                 FROM bg
+                 JOIN bgc ON bgc.w1 = bg.w1 AND bgc.w2 = bg.w2
+                 JOIN ugc ON ugc.w1 = bg.w1
+                 CROSS JOIN v)
+          SELECT doc_id, count(*) AS n_bigrams,
+                 ${D.oR4("CAST(SUM(nll) AS DOUBLE) / count(*)")} AS avg_surprisal
+          FROM sc GROUP BY 1 ORDER BY 1""",
 
     // mirror of llm_quality_buckets: same 4dp quality, same per-lang
     // (quality desc, doc_id) ntile(3)

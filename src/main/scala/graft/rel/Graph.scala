@@ -76,6 +76,30 @@ object Graph {
         .limit(20)
     }),
 
+    // "Customers also bought" node similarity: neighbor-set Jaccard
+    // over pairs that are THEMSELVES co-purchase edges (the candidate
+    // generator every item-item recommender uses — adjacent pairs, not
+    // all pairs), top-20. Same broadcast-adjacency shape as
+    // graph_triangles but over the FULL symmetric neighborhoods:
+    // |N(a)∩N(b)| is a map-side array_intersect, the union size is
+    // |N(a)|+|N(b)|−|∩|, and only edge rows flow — nothing pair² ever
+    // materializes. Jaccard is a ratio of exact integers, 4dp-rounded.
+    "graph_jaccard_similar" -> ((s, dir) => {
+      val es = graft.core.Exec.materialize(edges(s, dir))
+      val adj = es.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val e0 = es.where(col("src") < col("dst"))
+      e0.join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
+        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
+        .select(col("src"), col("dst"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
+          (size(col("na")) + size(col("nb"))).cast("long").as("degsum"))
+        .select(col("src"), col("dst"), col("common"),
+          graft.core.D.r4s(col("common").cast("double") /
+            (col("degsum") - col("common")).cast("double")).as("jaccard"))
+        .orderBy(col("jaccard").desc, col("src"), col("dst"))
+        .limit(20)
+    }),
+
     // Whole-graph triangle census plus basic size stats in ONE row.
     // The id-ORIENTED edge list (src < dst) counts each triangle
     // exactly once at its two smallest vertices: triangles on edge
@@ -129,6 +153,32 @@ object Graph {
                  JOIN p1 p ON p.id = e.src GROUP BY 1)
           SELECT id AS part_id, pr FROM p2
           ORDER BY pr DESC, part_id LIMIT 20""",
+
+    // mirror of graph_jaccard_similar: common neighbors counted via
+    // the two-hop join restricted to candidate edges
+    "graph_jaccard_similar" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                      FROM lineitem),
+          e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+          edges AS (SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+          com AS (SELECT p.src, p.dst, count(*) AS common
+                  FROM e0 p
+                  JOIN edges ea ON ea.src = p.src
+                  JOIN edges eb ON eb.src = p.dst AND eb.dst = ea.dst
+                  GROUP BY 1, 2)
+          SELECT p.src, p.dst, COALESCE(c.common, 0) AS common,
+                 ${graft.core.D.oR4(
+                   "CAST(COALESCE(c.common, 0) AS DOUBLE) / " +
+                   "CAST(da.deg + db.deg - COALESCE(c.common, 0) AS DOUBLE)")}
+                   AS jaccard
+          FROM e0 p
+          JOIN deg da ON da.src = p.src
+          JOIN deg db ON db.src = p.dst
+          LEFT JOIN com c ON c.src = p.src AND c.dst = p.dst
+          ORDER BY jaccard DESC, p.src, p.dst LIMIT 20""",
 
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

@@ -94,6 +94,30 @@ object ScanFilter {
     // is never used here), and hash-compare against the oracle computed
     // straight from parquet. Doubles round-trip exactly (Java shortest
     // decimal rendering parses back to the same bits).
+    // schema evolution across file generations — the ingest reality
+    // every long-lived dataset hits: generation 1 has the original
+    // columns, generation 2 drops one and adds another; a mergeSchema
+    // read serves the UNION schema with nulls where a generation lacks
+    // the column (per-file footer merge at planning, no rewrite of old
+    // data). The per-generation aggregate proves both directions of
+    // the union; the oracle mirrors the construction analytically.
+    "ingest_schema_evolution" -> ((s, dir) => {
+      val out = roundtripDir("schemaevo")
+      val c = Tables.customer(s, dir)
+      c.select("c_custkey", "c_name", "c_nationkey", "c_mktsegment")
+        .write.mode("overwrite").parquet(s"$out/gen=1")
+      c.select(col("c_custkey"), col("c_name"), col("c_nationkey"),
+          pmod(col("c_custkey"), lit(3)).cast("int").as("loyalty_tier"))
+        .write.mode("overwrite").parquet(s"$out/gen=2")
+      s.read.option("mergeSchema", "true").parquet(out)
+        .groupBy("gen")
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("c_mktsegment")).as("n_mktsegment"),
+          count(col("loyalty_tier")).as("n_tier"),
+          sum(col("loyalty_tier")).as("sum_tier"))
+        .orderBy("gen")
+    }),
+
     "ingest_csv_roundtrip" -> ((s, dir) => {
       val out = roundtripDir("csv")
       Tables.part(s, dir)
@@ -261,6 +285,18 @@ object ScanFilter {
                 regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 3)::BIGINT AS val,
                 regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 4)::BIGINT AS user
          FROM lines ORDER BY val""",
+
+    // mirror of ingest_schema_evolution: the construction restated
+    // analytically (gen 1 lacks loyalty_tier, gen 2 lacks mktsegment)
+    "ingest_schema_evolution" ->
+      """SELECT 1 AS gen, count(*) AS n_rows, count(*) AS n_mktsegment,
+                CAST(0 AS BIGINT) AS n_tier, CAST(NULL AS BIGINT) AS sum_tier
+         FROM customer
+         UNION ALL
+         SELECT 2, count(*), CAST(0 AS BIGINT), count(*),
+                CAST(SUM(c_custkey % 3) AS BIGINT)
+         FROM customer
+         ORDER BY gen""",
 
     "ingest_csv_roundtrip" ->
       """SELECT p_partkey, p_name || ', "' || p_brand || '"' AS name_csv,
