@@ -78,6 +78,16 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // LTTB display downsample to 8 visually-faithful points per daily
+    // series (parallel bucket stats + the portable selection fold; see
+    // Trend.lttb)
+    "tsdb_lttb" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Trend.lttb(ds, Seq("user_id"), k = 8)
+        .orderBy("user_id", "sel_idx")
+    }),
+
     // trailing-7-bucket p90 envelope per daily series (the tail-latency
     // dashboard line): the exact interpolated percentile as a FRAMED
     // window aggregate — state is the 7-row frame per step, shuffle is
@@ -1047,6 +1057,79 @@ object TsdbQueries {
           SELECT user_id, bucket_ms,
             ${D.oR4("s[1]")} AS level, ${D.oR4("s[2]")} AS trend
           FROM st ORDER BY 1, 2""",
+
+    // mirror of Trend.lttb: identical bucket assignment / averages /
+    // next anchors as column work, the selection walk as the nested
+    // list_reduce fold (the inner arg-max repeats textually — SQL
+    // lambdas bind no local names — exactly as the engine's expression
+    // tree duplicates it)
+    "tsdb_lttb" -> {
+      // the per-bucket arg-max fold, folded over candidate-pair start
+      // indices [p]; referenced 4× below (best[1..3] = area, ts, val)
+      val area = (p: String) => D.oR4(
+        s"abs((acc[1] - e[1]) * (e[$p + 1] - acc[2]) " +
+        s"- (acc[1] - e[$p]) * (e[2] - acc[2]))")
+      val best = "list_reduce(" +
+        "list_prepend([CAST(-1.0 AS DOUBLE), 0.0, 0.0], " +
+        "list_transform(range(3, CAST(len(e) AS INT) + 1, 2), " +
+        "p -> [CAST(p AS DOUBLE)])), " +
+        s"(b, pp) -> CASE WHEN ${area("CAST(pp[1] AS INT)")} > b[1] " +
+        s"THEN [${area("CAST(pp[1] AS INT)")}, e[CAST(pp[1] AS INT)], " +
+        "e[CAST(pp[1] AS INT) + 1]] ELSE b END)"
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          pts AS (SELECT user_id, bucket_ms, value,
+                    row_number() OVER (PARTITION BY user_id
+                                       ORDER BY bucket_ms) AS i,
+                    count(*) OVER (PARTITION BY user_id) AS n
+                  FROM ds),
+          p2 AS (SELECT * FROM pts WHERE n > 8),
+          ends AS (SELECT user_id,
+                     max(CASE WHEN i = 1 THEN bucket_ms END) AS f_ts,
+                     max(CASE WHEN i = 1 THEN value END) AS f_v,
+                     max(CASE WHEN i = n THEN bucket_ms END) AS l_ts,
+                     max(CASE WHEN i = n THEN value END) AS l_v
+                   FROM p2 GROUP BY 1),
+          mid AS (SELECT user_id, bucket_ms, value,
+                    CAST(((i - 2) * 6) // (n - 2) AS INT) + 1 AS j
+                  FROM p2 WHERE i > 1 AND i < n),
+          b AS (SELECT user_id, j,
+                  ${D.oR4(D.oSumDec("bucket_ms") + " / count(*)")} AS bx,
+                  ${D.oR4(D.oSumDec("value") + " / count(*)")} AS by,
+                  flatten(list([CAST(bucket_ms AS DOUBLE), value]
+                    ORDER BY bucket_ms)) AS flat
+                FROM mid GROUP BY 1, 2),
+          wn AS (SELECT b.user_id, b.j,
+                   COALESCE(lead(bx) OVER (PARTITION BY b.user_id ORDER BY j),
+                            CAST(e.l_ts AS DOUBLE)) AS nx,
+                   COALESCE(lead(by) OVER (PARTITION BY b.user_id ORDER BY j),
+                            e.l_v) AS ny,
+                   b.flat
+                 FROM b JOIN ends e USING (user_id)),
+          arr AS (SELECT user_id,
+                    list([nx, ny] || flat ORDER BY j) AS els
+                  FROM wn GROUP BY 1),
+          f AS (SELECT a.user_id, e.l_ts, e.l_v,
+                  list_reduce(
+                    list_prepend([CAST(e.f_ts AS DOUBLE), e.f_v,
+                                  CAST(e.f_ts AS DOUBLE), e.f_v], a.els),
+                    (acc, e) -> [$best[2], $best[3]]
+                      || list_slice(acc, 3, len(acc))
+                      || [$best[2], $best[3]]) AS st
+                FROM arr a JOIN ends e USING (user_id)),
+          ch AS (SELECT user_id,
+                   list_slice(st, 3, len(st))
+                     || [CAST(l_ts AS DOUBLE), l_v] AS ch
+                 FROM f),
+          o AS (SELECT user_id, UNNEST(range(1, len(ch) // 2 + 1)) AS q, ch
+                FROM ch)
+          SELECT user_id, CAST(q AS BIGINT) AS sel_idx,
+                 CAST(ch[CAST(2 * q - 1 AS INT)] AS BIGINT) AS ts_ms,
+                 ch[CAST(2 * q AS INT)] AS value
+          FROM o ORDER BY user_id, sel_idx"""
+    },
 
     // mirror of tsdb_moving_p90: quantile_cont over the identical
     // 7-row frame

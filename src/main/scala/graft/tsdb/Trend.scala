@@ -122,6 +122,91 @@ object Trend {
         col("e.st.l").as("level"), col("e.st.b").as("trend")): _*)
   }
 
+  /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
+    * THE display-downsample: reduce each series to `k` visually
+    * faithful points (first + last always kept; each of the k−2 middle
+    * buckets contributes the point forming the largest triangle with
+    * the PREVIOUSLY SELECTED point and the NEXT bucket's average).
+    *
+    * The parallel/sequential split is the whole design: bucket
+    * assignment, per-bucket candidate lists, bucket averages, and each
+    * bucket's "next" anchor (lead of the averages; the real last point
+    * for the final bucket) are all PLAIN COLUMN WORK — shuffled once,
+    * co-partitioned per series — and only the selection walk (which
+    * depends on the previous pick) runs as the established portable
+    * fold, over k-sized state. Fold shapes match the oracle exactly:
+    * flat double lists ([nx, ny, ts₁, v₁, ts₂, v₂, …] per bucket;
+    * state = [prev_ts, prev_val, chosen…]), the inner per-bucket
+    * arg-max folds an index sequence over the bucket pairs with the
+    * triangle area 4dp-quantized before the strict-> compare (ties →
+    * earliest candidate). Series shorter than k+1 buckets are excluded
+    * by the mirrored n > k guard. Per-series cost: O(n) column work +
+    * O(k · bucket) fold steps — the grid is bounded, never raw points. */
+  def lttb(downsampled: DataFrame, seriesCols: Seq[String], k: Int): DataFrame = {
+    require(k >= 3, "lttb needs at least first + one middle + last")
+    val sc = seriesCols.map(col)
+    val wOrd = Window.partitionBy(sc: _*).orderBy("bucket_ms")
+    val wAll = Window.partitionBy(sc: _*)
+    val pts = downsampled
+      .withColumn("i", row_number().over(wOrd))
+      .withColumn("n", count(lit(1)).over(wAll))
+      .where(col("n") > k)
+    val ends = pts.groupBy(sc: _*).agg(
+      min(when(col("i") === 1,
+        struct(col("bucket_ms"), col("value")))).as("fp"),
+      min(when(col("i") === col("n"),
+        struct(col("bucket_ms"), col("value")))).as("lp"))
+    val mid = pts.where(col("i") > 1 && col("i") < col("n"))
+      .withColumn("j",
+        expr(s"CAST(((i - 2) * ${k - 2}) DIV (n - 2) AS INT) + 1"))
+    val buckets = mid.groupBy(sc :+ col("j"): _*).agg(
+      D.r4s(sum(D.dec(col("bucket_ms"))).cast("double") / count(lit(1))).as("bx"),
+      D.r4s(sum(D.dec(col("value"))).cast("double") / count(lit(1))).as("by"),
+      flatten(transform(
+        sort_array(collect_list(struct(col("bucket_ms"), col("value")))),
+        p => array(p.getField("bucket_ms").cast("double"),
+          p.getField("value")))).as("flat"))
+    val withNext = buckets
+      .join(ends, seriesCols)
+      .withColumn("nx", coalesce(lead(col("bx"), 1).over(
+        Window.partitionBy(sc: _*).orderBy("j")),
+        col("lp.bucket_ms").cast("double")))
+      .withColumn("ny", coalesce(lead(col("by"), 1).over(
+        Window.partitionBy(sc: _*).orderBy("j")), col("lp.value")))
+      .withColumn("el", concat(array(col("nx"), col("ny")), col("flat")))
+    val arr = withNext.groupBy(sc: _*).agg(
+      min(col("fp")).as("fp"), min(col("lp")).as("lp"),
+      transform(sort_array(collect_list(struct(col("j"), col("el")))),
+        s => s.getField("el")).as("els"))
+    val init = array(col("fp.bucket_ms").cast("double"), col("fp.value"),
+      col("fp.bucket_ms").cast("double"), col("fp.value"))
+    val st = aggregate(col("els"), init, (acc, e) => {
+      val best = aggregate(
+        sequence(lit(3), size(e) - 1, lit(2)),
+        array(lit(-1.0), lit(0.0), lit(0.0)),
+        (b, p) => {
+          val ct = element_at(e, p)
+          val cv = element_at(e, p + lit(1))
+          val area = D.r4s(abs(
+            (element_at(acc, 1) - element_at(e, 1)) * (cv - element_at(acc, 2)) -
+            (element_at(acc, 1) - ct) * (element_at(e, 2) - element_at(acc, 2))))
+          when(area > element_at(b, 1), array(area, ct, cv)).otherwise(b)
+        })
+      concat(array(element_at(best, 2), element_at(best, 3)),
+        slice(acc, lit(3), size(acc) - 2),
+        array(element_at(best, 2), element_at(best, 3)))
+    })
+    val chosen = concat(slice(st, lit(3), size(st) - 2),
+      array(col("lp.bucket_ms").cast("double"), col("lp.value")))
+    arr.withColumn("ch", chosen)
+      .select(sc :+ posexplode(
+        transform(sequence(lit(1), (size(col("ch")) / lit(2)).cast("int")), q =>
+          struct(element_at(col("ch"), q * 2 - 1).as("ts"),
+            element_at(col("ch"), q * 2).as("v")))).as(Seq("p", "s")): _*)
+      .select(sc ++ Seq((col("p") + 1).cast("long").as("sel_idx"),
+        col("s.ts").cast("long").as("ts_ms"), col("s.v").as("value")): _*)
+  }
+
   /** Additive Holt–Winters (level + trend + weekly seasonality,
     * α=β=γ=0.5 binary-exact, zero-init) per series — the
     * seasonality-aware smoother/forecaster. `fitted` is the one-step-
