@@ -48,7 +48,8 @@ object Plans {
     "tsdb_holt_winters", "llm_embed_outliers", "llm_tokenizer_fertility",
     "fn_bitwise", "join_asof_tolerance", "evt_attribution_first",
     "llm_quality_buckets", "tsdb_moving_p90", "graph_jaccard_similar",
-    "llm_bigram_surprisal", "ingest_schema_evolution", "tsdb_lttb")
+    "llm_bigram_surprisal", "ingest_schema_evolution", "tsdb_lttb",
+    "evt_funnel_window", "agg_moments", "set_except_all")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

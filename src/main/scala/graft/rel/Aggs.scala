@@ -43,6 +43,37 @@ object Aggs {
     // customer-count rows once and 10 rows after that. The ntile
     // tie-break (revenue desc, custkey) keeps decile edges
     // engine-portable.
+    // higher distribution moments (skewness + excess kurtosis) per
+    // group from the four exact-decimal raw power sums — native
+    // skewness()/kurtosis() are float-order dependent, the sufficient-
+    // statistic formulation is not. l_quantity's integer values keep
+    // every power exact in double before the decimal quantization; all
+    // central-moment derivation runs in DOUBLE at the end with a fixed
+    // association mirrored by the oracle. ONE partial→final aggregate,
+    // groups-sized shuffle.
+    "agg_moments" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      val x = col("l_quantity")
+      val st = li.groupBy("l_returnflag").agg(
+        count(lit(1)).cast("double").as("n"),
+        sum(D.dec(x)).cast("double").as("s1"),
+        sum(D.dec(x * x)).cast("double").as("s2"),
+        sum(D.dec(x * x * x)).cast("double").as("s3"),
+        sum(D.dec(x * x * x * x)).cast("double").as("s4"))
+      val n = col("n")
+      val mu = col("s1") / n
+      val m2 = col("s2") / n - mu * mu
+      val m3 = col("s3") / n - lit(3.0) * mu * (col("s2") / n) +
+        lit(2.0) * mu * mu * mu
+      val m4 = col("s4") / n - lit(4.0) * mu * (col("s3") / n) +
+        lit(6.0) * mu * mu * (col("s2") / n) - lit(3.0) * mu * mu * mu * mu
+      st.select(col("l_returnflag"), col("n").cast("long").as("n_rows"),
+          D.r4s(mu).as("mean"), D.r4s(m2).as("m2"),
+          D.r4s(m3 / sqrt(m2 * m2 * m2)).as("skewness"),
+          D.r4s(m4 / (m2 * m2) - lit(3.0)).as("kurtosis"))
+        .orderBy("l_returnflag")
+    }),
+
     // pairwise Pearson correlation matrix over lineitem's numeric
     // measures in ONE pass: all nine sufficient statistics (n, three
     // sums, three squares, three cross-products) come from a single
@@ -420,6 +451,28 @@ object Aggs {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // mirror of agg_moments: same raw power sums, same double-end
+    // central-moment association (mu expanded textually everywhere the
+    // engine's expression tree duplicates it)
+    "agg_moments" -> {
+      val mu = "(s1 / n)"
+      val m2 = s"(s2 / n - $mu * $mu)"
+      val m3 = s"(s3 / n - 3.0 * $mu * (s2 / n) + 2.0 * $mu * $mu * $mu)"
+      val m4 = s"(s4 / n - 4.0 * $mu * (s3 / n) + " +
+        s"6.0 * $mu * $mu * (s2 / n) - 3.0 * $mu * $mu * $mu * $mu)"
+      s"""WITH st AS (SELECT l_returnflag, CAST(count(*) AS DOUBLE) AS n,
+            ${D.oSumDec("l_quantity")} AS s1,
+            ${D.oSumDec("l_quantity * l_quantity")} AS s2,
+            ${D.oSumDec("l_quantity * l_quantity * l_quantity")} AS s3,
+            ${D.oSumDec("l_quantity * l_quantity * l_quantity * l_quantity")} AS s4
+          FROM lineitem GROUP BY 1)
+          SELECT l_returnflag, CAST(n AS BIGINT) AS n_rows,
+                 ${D.oR4(mu)} AS mean, ${D.oR4(m2)} AS m2,
+                 ${D.oR4(s"$m3 / sqrt($m2 * $m2 * $m2)")} AS skewness,
+                 ${D.oR4(s"$m4 / ($m2 * $m2) - 3.0")} AS kurtosis
+          FROM st ORDER BY 1"""
+    },
 
     // mirror of agg_corr_matrix: identical nine-stat single aggregate,
     // identical double-derivation of each r. The oracle's product

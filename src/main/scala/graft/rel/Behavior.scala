@@ -149,6 +149,36 @@ object Behavior {
         .orderBy("stage")
     }),
 
+    // windowed conversion funnel — evt_funnel with the constraint real
+    // funnels always carry: each stage must land within 7 days of the
+    // previous stage's first touch (an eventual conversion months later
+    // is NOT attributable). Same user-keyed min-ts-per-stage chain; the
+    // window bound also caps the join range at scale.
+    "evt_funnel_window" -> ((s, dir) => {
+      val wnd = 7L * 86400000L
+      val e = Tables.events(s, dir).select("user_id", "event_type", "ts_ms")
+      val v = graft.core.Exec.materialize(
+        e.where(col("event_type") === "view")
+          .groupBy("user_id").agg(min("ts_ms").as("t_view")))
+      val c = graft.core.Exec.materialize(
+        e.where(col("event_type") === "click")
+          .join(v, "user_id")
+          .where(col("ts_ms") >= col("t_view") &&
+            col("ts_ms") <= col("t_view") + lit(wnd))
+          .groupBy("user_id").agg(min("ts_ms").as("t_click")))
+      val p = e.where(col("event_type") === "purchase")
+        .join(c, "user_id")
+        .where(col("ts_ms") >= col("t_click") &&
+          col("ts_ms") <= col("t_click") + lit(wnd))
+        .groupBy("user_id").agg(min("ts_ms").as("t_purchase"))
+      val stage = (name: String, df: DataFrame) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(name).as("stage"), col("n_users"))
+      stage("1_view", v).unionAll(stage("2_click", c))
+        .unionAll(stage("3_purchase", p))
+        .orderBy("stage")
+    }),
+
     // stickiness (DAU/MAU per day): the engagement-ratio staple. Same
     // day-grid range join as evt_wau_rolling at the 30-day window; the
     // ratio is ONE division over exact integer counts
@@ -551,6 +581,24 @@ object Behavior {
          SELECT signup_id, user_id, s_ts,
                 p_ts AS next_purchase_ts, p_id AS next_purchase_id
          FROM a WHERE rn = 1 ORDER BY signup_id""",
+
+    "evt_funnel_window" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         v AS (SELECT user_id, min(ts_ms) AS t_view FROM e
+               WHERE event_type = 'view' GROUP BY 1),
+         c AS (SELECT e.user_id, min(e.ts_ms) AS t_click FROM e
+               JOIN v ON e.user_id = v.user_id AND e.ts_ms >= v.t_view
+                 AND e.ts_ms <= v.t_view + 604800000
+               WHERE e.event_type = 'click' GROUP BY 1),
+         p AS (SELECT e.user_id, min(e.ts_ms) AS t_purchase FROM e
+               JOIN c ON e.user_id = c.user_id AND e.ts_ms >= c.t_click
+                 AND e.ts_ms <= c.t_click + 604800000
+               WHERE e.event_type = 'purchase' GROUP BY 1)
+         SELECT stage, n_users FROM (
+           SELECT '1_view' AS stage, count(*) AS n_users FROM v
+           UNION ALL SELECT '2_click', count(*) FROM c
+           UNION ALL SELECT '3_purchase', count(*) FROM p)
+         ORDER BY stage""",
 
     "evt_stickiness" ->
       """WITH days AS (SELECT DISTINCT user_id,

@@ -42,6 +42,19 @@ object SetsFns {
       clickUsers(s, dir).except(heavyViewers).orderBy("user_id")
     }),
 
+    // bag difference (EXCEPT ALL): each click occurrence cancels ONE
+    // view occurrence of the same user — multiset semantics where the
+    // distinct EXCEPT would erase multiplicity. Spark plans it as one
+    // co-partitioned count-diff aggregate, not a per-row anti join.
+    "set_except_all" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val views = e.where(col("event_type") === "view").select("user_id")
+      val clicks = e.where(col("event_type") === "click").select("user_id")
+      views.exceptAll(clicks)
+        .groupBy("user_id").agg(count(lit(1)).as("surplus"))
+        .orderBy("user_id")
+    }),
+
     "fn_string" -> ((s, dir) =>
       Tables.part(s, dir).select(
         col("p_partkey"),
@@ -275,6 +288,13 @@ object SetsFns {
          SELECT user_id FROM events WHERE event_type = 'view'
          GROUP BY user_id HAVING count(*) >= 15
          ORDER BY user_id""",
+
+    "set_except_all" ->
+      """WITH d AS (SELECT user_id FROM events WHERE event_type = 'view'
+                    EXCEPT ALL
+                    SELECT user_id FROM events WHERE event_type = 'click')
+         SELECT user_id, count(*) AS surplus
+         FROM d GROUP BY 1 ORDER BY 1""",
 
     "fn_string" ->
       """SELECT p_partkey, upper(p_name) AS up, length(p_name) AS len,
