@@ -49,7 +49,8 @@ object Plans {
     "fn_bitwise", "join_asof_tolerance", "evt_attribution_first",
     "llm_quality_buckets", "tsdb_moving_p90", "graph_jaccard_similar",
     "llm_bigram_surprisal", "ingest_schema_evolution", "tsdb_lttb",
-    "evt_funnel_window", "agg_moments", "set_except_all")
+    "evt_funnel_window", "agg_moments", "set_except_all",
+    "evt_zipf_fit", "tsdb_forecast_eval")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

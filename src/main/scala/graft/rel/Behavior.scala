@@ -309,6 +309,32 @@ object Behavior {
         .orderBy("day")
     }),
 
+    // Zipf/power-law fit of the user-activity distribution: OLS of
+    // ln(count) on ln(rank) over the activity-ranked user frame — the
+    // "how heavy-tailed is my traffic" diagnostic (slope ≈ −s, the
+    // Zipf exponent). Every log is 4dp-decimal-quantized BEFORE the
+    // sufficient-statistic sums so the fit is order-free; the window
+    // ranks the REDUCED user frame. One user-sized pass, one row out.
+    "evt_zipf_fit" -> ((s, dir) => {
+      val u = Tables.events(s, dir).groupBy("user_id")
+        .agg(count(lit(1)).as("n"))
+      val ranked = u.withColumn("r",
+        row_number().over(Window.orderBy(col("n").desc, col("user_id"))))
+        .select(graft.core.D.dec(log(col("r").cast("double"))).as("lx"),
+          graft.core.D.dec(log(col("n").cast("double"))).as("ly"))
+      val st = ranked.agg(count(lit(1)).cast("double").as("m"),
+        sum(col("lx")).cast("double").as("sx"),
+        sum(col("ly")).cast("double").as("sy"),
+        sum(col("lx") * col("lx")).cast("double").as("sxx"),
+        sum(col("lx") * col("ly")).cast("double").as("sxy"))
+      val slope = (col("m") * col("sxy") - col("sx") * col("sy")) /
+        (col("m") * col("sxx") - col("sx") * col("sx"))
+      st.select(col("m").cast("long").as("n_users"),
+        graft.core.D.r4s(slope).as("slope"),
+        graft.core.D.r4s((col("sy") - slope * col("sx")) / col("m"))
+          .as("intercept"))
+    }),
+
     // first-order Markov transition matrix over event types: consecutive
     // pairs per user from ONE lag window (per-user partitions), counted
     // per (prev, next) — the session-flow analytics shape; output is
@@ -536,6 +562,28 @@ object Behavior {
          SELECT g.d AS day, count(DISTINCT dy.user_id) AS wau
          FROM grid g JOIN days dy ON dy.day BETWEEN g.d - 6 AND g.d
          GROUP BY 1 ORDER BY 1""",
+
+    // mirror of evt_zipf_fit: same per-term decimal-quantized logs,
+    // same OLS derivation (slope expanded textually inside intercept)
+    "evt_zipf_fit" -> {
+      val slope = "((m * sxy - sx * sy) / (m * sxx - sx * sx))"
+      s"""WITH u AS (SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+          r AS (SELECT
+                  CAST(ln(CAST(row_number() OVER (ORDER BY n DESC, user_id)
+                    AS DOUBLE)) AS DECIMAL(18,4)) AS lx,
+                  CAST(ln(CAST(n AS DOUBLE)) AS DECIMAL(18,4)) AS ly
+                FROM u),
+          st AS (SELECT CAST(count(*) AS DOUBLE) AS m,
+                   CAST(SUM(lx) AS DOUBLE) AS sx,
+                   CAST(SUM(ly) AS DOUBLE) AS sy,
+                   CAST(SUM(lx * lx) AS DOUBLE) AS sxx,
+                   CAST(SUM(lx * ly) AS DOUBLE) AS sxy
+                 FROM r)
+          SELECT CAST(m AS BIGINT) AS n_users,
+                 ${graft.core.D.oR4(slope)} AS slope,
+                 ${graft.core.D.oR4(s"(sy - $slope * sx) / m")} AS intercept
+          FROM st"""
+    },
 
     "evt_markov_transitions" ->
       """WITH e AS (SELECT user_id, event_id, event_type,

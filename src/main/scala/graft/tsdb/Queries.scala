@@ -78,6 +78,31 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // forecast backtest: one-step-ahead error of the Holt smoother per
+    // series — fitted_i = level_{i−1} + trend_{i−1} (an honest
+    // prediction: state BEFORE the bucket), scored as MAE and weighted
+    // MAPE over the series' own grid. The eval is one lag window +
+    // one aggregate over the (already 4dp) smoother output — model
+    // evaluation priced as a query, not a notebook.
+    "tsdb_forecast_eval" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      val h = Trend.holt(ds, Seq("user_id"), alpha = 0.5, beta = 0.5)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("bucket_ms")
+      h.join(ds, Seq("user_id", "bucket_ms"))
+        .withColumn("fitted",
+          lag(col("level"), 1).over(w) + lag(col("trend"), 1).over(w))
+        .where(col("fitted").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_eval"),
+          graft.core.D.avgDec(abs(col("value") - col("fitted"))).as("mae"),
+          graft.core.D.r4s(
+            sum(graft.core.D.dec(abs(col("value") - col("fitted")))).cast("double") /
+            sum(graft.core.D.dec(abs(col("value")))).cast("double")).as("wmape"))
+        .orderBy("user_id")
+    }),
+
     // LTTB display downsample to 8 visually-faithful points per daily
     // series (parallel bucket stats + the portable selection fold; see
     // Trend.lttb)
@@ -1057,6 +1082,42 @@ object TsdbQueries {
           SELECT user_id, bucket_ms,
             ${D.oR4("s[1]")} AS level, ${D.oR4("s[2]")} AS trend
           FROM st ORDER BY 1, 2""",
+
+    // mirror of tsdb_forecast_eval: the tsdb_holt fold chain, then the
+    // same lag-based one-step-ahead fitted + decimal-exact error rollup
+    "tsdb_forecast_eval" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id,
+                    list(value ORDER BY bucket_ms) AS vs,
+                    list(bucket_ms ORDER BY bucket_ms) AS bs
+                  FROM ds GROUP BY 1),
+          idx AS (SELECT user_id, vs, bs, UNNEST(range(1, len(vs) + 1)) AS i FROM arr),
+          st AS (SELECT user_id, bs[i] AS bucket_ms,
+                   list_reduce(
+                     list_transform(list_slice(vs, 1, i), x -> [x, CAST(0.0 AS DOUBLE)]),
+                     (acc, x) -> [
+                       CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]),
+                       CAST(0.5 AS DOUBLE) * (CAST(0.5 AS DOUBLE) * x[1] + CAST(0.5 AS DOUBLE) * (acc[1] + acc[2]) - acc[1])
+                            + CAST(0.5 AS DOUBLE) * acc[2]]) AS s
+                 FROM idx),
+          h AS (SELECT user_id, bucket_ms,
+                  ${D.oR4("s[1]")} AS level, ${D.oR4("s[2]")} AS trend
+                FROM st),
+          j AS (SELECT h.user_id, h.bucket_ms, d.value,
+                  lag(h.level) OVER (PARTITION BY h.user_id ORDER BY h.bucket_ms)
+                  + lag(h.trend) OVER (PARTITION BY h.user_id ORDER BY h.bucket_ms)
+                    AS fitted
+                FROM h JOIN ds d ON d.user_id = h.user_id
+                  AND d.bucket_ms = h.bucket_ms)
+          SELECT user_id, count(*) AS n_eval,
+                 ${D.oAvgDec("abs(value - fitted)")} AS mae,
+                 ${D.oR4(D.oSumDec("abs(value - fitted)") + " / " +
+                   D.oSumDec("abs(value)"))} AS wmape
+          FROM j WHERE fitted IS NOT NULL
+          GROUP BY 1 ORDER BY 1""",
 
     // mirror of Trend.lttb: identical bucket assignment / averages /
     // next anchors as column work, the selection walk as the nested
