@@ -50,7 +50,8 @@ object Plans {
     "llm_quality_buckets", "tsdb_moving_p90", "graph_jaccard_similar",
     "llm_bigram_surprisal", "ingest_schema_evolution", "tsdb_lttb",
     "evt_funnel_window", "agg_moments", "set_except_all",
-    "evt_zipf_fit", "tsdb_forecast_eval")
+    "evt_zipf_fit", "tsdb_forecast_eval", "tsdb_lead_lag_corr",
+    "llm_repeated_ngram", "agg_grouping_id")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

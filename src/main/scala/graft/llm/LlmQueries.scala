@@ -974,6 +974,33 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // repetition-loop gate: per doc the most-repeated trigram and the
+    // distinct-trigram ratio — the "model-generated loop / boilerplate
+    // chorus" filter n-gram counts alone miss (a doc can have healthy
+    // unigram stats and still chant one phrase). Map-side trigram
+    // build, one (doc, trigram) partial-agg count, one per-doc rollup.
+    "llm_repeated_ngram" -> ((s, dir) => {
+      val ws = filter(Dedup.words(col("text")), w => w =!= lit(""))
+      val tri = Tables.documents(s, dir)
+        .select(col("doc_id"), ws.as("ws"))
+        .where(size(col("ws")) >= 3)
+        .select(col("doc_id"), explode(transform(
+          sequence(lit(0), size(col("ws")) - 3), i =>
+            concat_ws(" ", element_at(col("ws"), i + lit(1)),
+              element_at(col("ws"), i + lit(2)),
+              element_at(col("ws"), i + lit(3))))).as("tri"))
+      tri.groupBy("doc_id", "tri").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_trigrams"),
+          count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_repeat"))
+        .select(col("doc_id"), col("n_trigrams"), col("max_repeat"),
+          graft.core.D.r4s(col("n_distinct").cast("double") /
+            col("n_trigrams").cast("double")).as("uniq_ratio"),
+          when(col("max_repeat") >= 3, 1).otherwise(0).as("is_loopy"))
+        .orderBy("doc_id")
+    }),
+
     // bigram-LM surprisal per document (the KenLM-perplexity-filter
     // shape, exactly computable): train an add-one-smoothed bigram
     // model ON the corpus itself — P(w₂|w₁) = (c(w₁w₂)+1)/(c(w₁)+V) —
@@ -2955,6 +2982,27 @@ object LlmQueries {
                  WHEN s_fr >= s_zh THEN 'fr'
                  ELSE 'zh' END AS predicted
          FROM sc ORDER BY doc_id""",
+
+    // mirror of llm_repeated_ngram: trigrams over range(1, len-1)
+    "llm_repeated_ngram" ->
+      s"""WITH t AS (SELECT doc_id,
+                       list_filter(string_split(lower(text), ' '),
+                                   w -> w <> '') AS ws
+                     FROM documents),
+          d AS (SELECT doc_id, ws FROM t WHERE len(ws) >= 3),
+          tx AS (SELECT doc_id, ws, UNNEST(range(1, len(ws) - 1)) AS i FROM d),
+          tri AS (SELECT doc_id,
+                    ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS tri
+                  FROM tx),
+          c AS (SELECT doc_id, tri, count(*) AS c FROM tri GROUP BY 1, 2),
+          g AS (SELECT doc_id, SUM(c) AS n_trigrams,
+                  count(*) AS n_distinct, max(c) AS max_repeat
+                FROM c GROUP BY 1)
+          SELECT doc_id, n_trigrams, max_repeat,
+                 ${D.oR4("CAST(n_distinct AS DOUBLE) / CAST(n_trigrams AS DOUBLE)")}
+                   AS uniq_ratio,
+                 CASE WHEN max_repeat >= 3 THEN 1 ELSE 0 END AS is_loopy
+          FROM g ORDER BY doc_id""",
 
     // mirror of llm_bigram_surprisal: same tokenizer, bigrams over
     // range(1, len) (ws[i], ws[i+1]), same add-one model and

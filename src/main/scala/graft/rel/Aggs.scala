@@ -43,6 +43,21 @@ object Aggs {
     // customer-count rows once and 10 rows after that. The ntile
     // tie-break (revenue desc, custkey) keeps decile edges
     // engine-portable.
+    // GROUPING() disambiguation on a rollup: a NULL group key from the
+    // data vs a NULL minted by the rollup are different things, and
+    // grouping() is the only honest way to tell them apart (the BI-tool
+    // subtotal-labeling contract). gid = the 2-bit mask derived from
+    // the two flags — identical integers on both engines.
+    "agg_grouping_id" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(grouping(col("l_returnflag")).cast("long").as("g_flag"),
+          grouping(col("l_linestatus")).cast("long").as("g_status"),
+          count(lit(1)).as("n"))
+        .withColumn("gid", col("g_flag") * 2 + col("g_status"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)),
+
     // higher distribution moments (skewness + excess kurtosis) per
     // group from the four exact-decimal raw power sums — native
     // skewness()/kurtosis() are float-order dependent, the sufficient-
@@ -451,6 +466,17 @@ object Aggs {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+            CAST(GROUPING(l_returnflag) AS BIGINT) AS g_flag,
+            CAST(GROUPING(l_linestatus) AS BIGINT) AS g_status,
+            count(*) AS n,
+            CAST(GROUPING(l_returnflag) AS BIGINT) * 2
+              + CAST(GROUPING(l_linestatus) AS BIGINT) AS gid
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+         ORDER BY gid, l_returnflag ASC NULLS FIRST,
+                  l_linestatus ASC NULLS FIRST""",
 
     // mirror of agg_moments: same raw power sums, same double-end
     // central-moment association (mu expanded textually everywhere the

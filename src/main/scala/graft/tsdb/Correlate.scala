@@ -18,6 +18,53 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Correlate {
 
+  /** Lead/lag discovery: for each candidate series pair, the LAG (in
+    * grid steps, −maxLag..+maxLag) whose shifted alignment maximizes
+    * Pearson r — "does A lead B, and by how much". The B side is
+    * fanned out by a broadcast (2·maxLag+1)-row lag table with
+    * `bucket + lag·step` as the join key, so the whole sweep is ONE
+    * co-partitioned bucket join and one sufficient-stats aggregate per
+    * (pair, lag); the per-pair arg-max is a (pairs × lags)-sized
+    * window. Positive best_lag = b's series leads (a at t correlates
+    * with b at t − lag·step). Same exact-decimal stats and bounds as
+    * [[pearsonPairs]]. */
+  def pearsonPairsLagged(downsampled: DataFrame, keyCol: String,
+                         lagStepMs: Long, maxLag: Int,
+                         minBuckets: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val down = graft.core.Exec.materialize(downsampled)
+    import down.sparkSession.implicits._
+    val lagDf = (-maxLag to maxLag).toDF("lag")
+    val a = down.select(col(keyCol).as("a_key"), col("bucket_ms"),
+      col("value").as("av"))
+    val b = down.select(col(keyCol).as("b_key"),
+        col("bucket_ms").as("b_bucket"), col("value").as("bv"))
+      .crossJoin(broadcast(lagDf))
+      .withColumn("bucket_ms", col("b_bucket") + col("lag") * lit(lagStepMs))
+    val d18 = DecimalType(18, 4)
+    val stats = a.join(b, Seq("bucket_ms")).where(col("a_key") < col("b_key"))
+      .groupBy("a_key", "b_key", "lag").agg(
+        count(lit(1)).as("n"),
+        sum(D.dec(col("av"))).cast("double").as("sx"),
+        sum(D.dec(col("bv"))).cast("double").as("sy"),
+        sum((col("av").cast(d18) * col("bv").cast(d18))).cast("double").as("sxy"),
+        sum((col("av").cast(d18) * col("av").cast(d18))).cast("double").as("sxx"),
+        sum((col("bv").cast(d18) * col("bv").cast(d18))).cast("double").as("syy"))
+    val n = col("n").cast("double")
+    val varX = n * col("sxx") - col("sx") * col("sx")
+    val varY = n * col("syy") - col("sy") * col("sy")
+    val scored = stats
+      .where(col("n") >= minBuckets && varX > 0 && varY > 0)
+      .select(col("a_key"), col("b_key"), col("lag"), col("n"),
+        D.r4s((n * col("sxy") - col("sx") * col("sy")) / sqrt(varX * varY)).as("r"))
+    val w = Window.partitionBy("a_key", "b_key")
+      .orderBy(col("r").desc, col("lag"))
+    scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("a_key"), col("b_key"), col("lag").as("best_lag"),
+        col("n"), col("r"))
+  }
+
   /** Pairwise Pearson r over aligned buckets. `minBuckets` drops pairs
     * with too little overlap; degenerate (constant) series are excluded
     * by the positive-variance predicate. Emits (a_key, b_key, n, r). */

@@ -437,6 +437,18 @@ object TsdbQueries {
     }),
 
     // cross-series similarity: Pearson correlation over aligned buckets
+    // lead/lag discovery over a bounded candidate set (same n²-in-
+    // series rationale as tsdb_series_corr): best alignment lag in
+    // ±2 days per pair, via one broadcast-lag-fanned bucket join
+    "tsdb_lead_lag_corr" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+        .where(col("event_type") === "click" && col("user_id") < 60)
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Correlate.pearsonPairsLagged(ds, "user_id", Day, maxLag = 2,
+          minBuckets = 10)
+        .orderBy("a_key", "b_key")
+    }),
+
     "tsdb_series_corr" -> ((s, dir) => {
       // bounded to a user subset: all-pairs correlation is inherently
       // n² in series count — the production pattern is correlating a
@@ -1656,6 +1668,43 @@ object TsdbQueries {
       s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
           ${D.oAvgDec("value")} AS value
           FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // mirror of Correlate.pearsonPairsLagged: lag fan-out via the
+    // range cross join, identical stats, (r desc, lag) rn=1 arg-max
+    "tsdb_lead_lag_corr" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' AND user_id < 60
+            GROUP BY 1, 2),
+          bl AS (SELECT user_id, bucket_ms + l.lag * $Day AS bucket_ms,
+                        CAST(l.lag AS INT) AS lag, value
+                 FROM ds, (SELECT UNNEST(range(-2, 3)) AS lag) l),
+          p AS (
+            SELECT a.user_id AS a_key, b.user_id AS b_key, b.lag,
+                   count(*) AS n,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS syy
+            FROM ds a JOIN bl b ON a.bucket_ms = b.bucket_ms
+              AND a.user_id < b.user_id
+            GROUP BY 1, 2, 3),
+          sc AS (
+            SELECT a_key, b_key, lag, n,
+                   ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n AS DOUBLE) * syy - sy * sy))) * 10000.0, 0) / 10000.0 + 0.0 AS r
+            FROM p
+            WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+              AND CAST(n AS DOUBLE) * syy - sy * sy > 0),
+          rk AS (SELECT a_key, b_key, lag, n, r,
+                   row_number() OVER (PARTITION BY a_key, b_key
+                                      ORDER BY r DESC, lag) AS rn
+                 FROM sc)
+          SELECT a_key, b_key, lag AS best_lag, n, r
+          FROM rk WHERE rn = 1 ORDER BY a_key, b_key""",
 
     "tsdb_series_corr" ->
       s"""WITH ds AS (
