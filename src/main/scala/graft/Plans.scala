@@ -51,7 +51,8 @@ object Plans {
     "llm_bigram_surprisal", "ingest_schema_evolution", "tsdb_lttb",
     "evt_funnel_window", "agg_moments", "set_except_all",
     "evt_zipf_fit", "tsdb_forecast_eval", "tsdb_lead_lag_corr",
-    "llm_repeated_ngram", "agg_grouping_id")
+    "llm_repeated_ngram", "agg_grouping_id", "scan_profile",
+    "llm_contrastive_triplets", "llm_balance_labels")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -524,6 +524,36 @@ object LlmQueries {
         .select("label", "n_vecs", "avg_norm", "n_pairs", "avg_pair_cos")
     }),
 
+    // full contrastive triplets (anchor, positive, negative) with the
+    // learnability margin — see Similarity.contrastiveTriplets
+    "llm_contrastive_triplets" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val q = emb.where(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"),
+          col("label").as("q_label"))
+      Similarity.contrastiveTriplets(emb, q)
+    }),
+
+    // label-balanced downsampling: every label capped to the MINORITY
+    // label's count, members picked by the deterministic md5 order
+    // (the RNG-free shuffle llm_sample_stratified uses) — the
+    // class-imbalance fix for classifier training data. One window
+    // over label partitions + a broadcast 1-row min; emits the kept
+    // rows with their rank so the exact selection is oracle-checked.
+    "llm_balance_labels" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, dir)
+      val nmin = emb.groupBy("label").agg(count(lit(1)).as("n"))
+        .agg(min(col("n")).as("n_min"))
+      emb.withColumn("rk", row_number().over(
+          Window.partitionBy("label")
+            .orderBy(md5(col("vec_id").cast("string")), col("vec_id"))))
+        .crossJoin(broadcast(nmin))
+        .where(col("rk") <= col("n_min"))
+        .select(col("label"), col("vec_id"), col("rk").cast("long").as("rk"))
+        .orderBy("label", "rk")
+    }),
+
     // contrastive-training hard negatives: per query vector, the 5
     // nearest corpus vectors of a DIFFERENT label (broadcast query
     // batch, one corpus scan, per-query window — no corpus shuffle)
@@ -2834,6 +2864,51 @@ object LlmQueries {
 
     // mirror of Similarity.hardNegatives: per-element-decimal dots
     // against each query vector, label-mismatch filter, top-5 window
+    // mirror of Similarity.contrastiveTriplets: one scored frame, the
+    // same (query, same-label?) rn=1 arg-maxes, margin of 4dp sims
+    "llm_contrastive_triplets" ->
+      s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
+                     FROM embeddings WHERE vec_id < 8),
+          $NormCte,
+          nq AS (SELECT q.query_id,
+                   SUM(CAST(CAST(q.qv[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                       AS DECIMAL(18,4))) AS d2
+                 FROM q, range(1, 65) r(i) GROUP BY 1),
+          p AS (SELECT q.query_id, e.vec_id,
+                  CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS is_pos,
+                  SUM(CAST(CAST(e.embedding[r.i] AS DOUBLE) * CAST(q.qv[r.i] AS DOUBLE)
+                      AS DECIMAL(18,4))) AS dot
+                FROM embeddings e, q, range(1, 65) r(i)
+                WHERE e.vec_id <> q.query_id
+                GROUP BY 1, 2, 3),
+          sc AS (SELECT p.query_id, p.vec_id, p.is_pos,
+                   ROUND((CAST(p.dot AS DOUBLE) /
+                         (SQRT(CAST(n.d2 AS DOUBLE)) * SQRT(CAST(nq.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                 FROM p JOIN n ON n.vec_id = p.vec_id
+                 JOIN nq ON nq.query_id = p.query_id),
+          rk AS (SELECT query_id, vec_id, is_pos, sim,
+                   row_number() OVER (PARTITION BY query_id, is_pos
+                        ORDER BY sim DESC, vec_id) AS rn
+                 FROM sc),
+          pos AS (SELECT query_id, vec_id AS pos_id, sim AS pos_sim
+                  FROM rk WHERE rn = 1 AND is_pos = 1),
+          neg AS (SELECT query_id, vec_id AS neg_id, sim AS neg_sim
+                  FROM rk WHERE rn = 1 AND is_pos = 0)
+          SELECT p.query_id, p.pos_id, p.pos_sim, g.neg_id, g.neg_sim,
+                 ${D.oR4("p.pos_sim - g.neg_sim")} AS margin
+          FROM pos p JOIN neg g ON g.query_id = p.query_id
+          ORDER BY p.query_id""",
+
+    "llm_balance_labels" ->
+      """WITH nm AS (SELECT min(n) AS n_min FROM
+                       (SELECT label, count(*) AS n FROM embeddings GROUP BY 1)),
+         r AS (SELECT label, vec_id,
+                 CAST(row_number() OVER (PARTITION BY label
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS BIGINT) AS rk
+               FROM embeddings)
+         SELECT label, vec_id, rk FROM r, nm
+         WHERE rk <= nm.n_min ORDER BY label, rk""",
+
     "llm_hard_negatives" ->
       s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qv, label AS q_label
                      FROM embeddings WHERE vec_id < 5),

@@ -88,6 +88,39 @@ object Similarity {
       .orderBy("query_id", "rn")
   }
 
+  /** Contrastive training triplets: per anchor, the nearest SAME-label
+    * vector (the positive) and the nearest OTHER-label vector (the
+    * hard negative) plus the margin between them — the
+    * (anchor, positive, negative) rows a contrastive/embedding
+    * fine-tune consumes, with the margin column doubling as the
+    * "is this anchor even learnable" triage. ONE corpus scan against
+    * the broadcast anchor batch scores both sides; two windows
+    * partitioned by (anchor, same-label?) pick the arg-maxes. */
+  def contrastiveTriplets(vectors: DataFrame, queries: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val q = broadcast(queries.withColumn("qnrm", normExpr("qv")))
+    val scored = vectors.withColumn("nrm", normExpr("embedding"))
+      .join(q, col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        when(col("label") === col("q_label"), 1).otherwise(0).as("is_pos"),
+        cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")).as("sim"))
+    val w = Window.partitionBy("query_id", "is_pos")
+      .orderBy(col("sim").desc, col("vec_id"))
+    val top = scored.withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+    val pos = top.where(col("is_pos") === 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"),
+        col("sim").as("pos_sim"))
+    val neg = top.where(col("is_pos") === 0)
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        col("sim").as("neg_sim"))
+    pos.join(neg, "query_id")
+      .select(col("query_id"), col("pos_id"), col("pos_sim"),
+        col("neg_id"), col("neg_sim"),
+        graft.core.D.r4s(col("pos_sim") - col("neg_sim")).as("margin"))
+      .orderBy("query_id")
+  }
+
   /** Shared scaffold for blocked pairwise cosines: norms computed ONCE
     * per vector, pairs generated only within a blocking key (Σ bucket²,
     * never corpus²). `ordered = true` keeps only a_id < b_id (symmetric

@@ -94,6 +94,26 @@ object ScanFilter {
     // is never used here), and hash-compare against the oracle computed
     // straight from parquet. Doubles round-trip exactly (Java shortest
     // decimal rendering parses back to the same bits).
+    // table profiling (the catalog/data-ops DESCRIBE): per measure
+    // column — rows, nulls, exact distinct, min/max — as rows of ONE
+    // result. Each column's stats are one partial→final aggregate over
+    // the same scan; at 100 TB the swap is approx_count_distinct for
+    // the cardinality column (documented; exact here for the oracle).
+    "scan_profile" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+      def prof(c: String) = li.agg(
+        count(lit(1)).as("n_rows"),
+        sum(when(col(c).isNull, 1).otherwise(0)).as("n_null"),
+        countDistinct(col(c)).as("n_distinct"),
+        min(col(c)).cast("double").as("min_val"),
+        max(col(c)).cast("double").as("max_val"))
+        .select(lit(c).as("column_name"), col("n_rows"), col("n_null"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+      prof("l_quantity").unionAll(prof("l_extendedprice"))
+        .unionAll(prof("l_discount")).unionAll(prof("l_partkey"))
+        .orderBy("column_name")
+    }),
+
     // schema evolution across file generations — the ingest reality
     // every long-lived dataset hits: generation 1 has the original
     // columns, generation 2 drops one and adds another; a mergeSchema
@@ -285,6 +305,21 @@ object ScanFilter {
                 regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 3)::BIGINT AS val,
                 regexp_extract(line, 'put (\S+) (\d+) (\d+) user=(\d+)', 4)::BIGINT AS user
          FROM lines ORDER BY val""",
+
+    "scan_profile" -> {
+      val prof = (c: String) =>
+        s"""SELECT '$c' AS column_name, count(*) AS n_rows,
+              CAST(SUM(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+              count(DISTINCT $c) AS n_distinct,
+              CAST(min($c) AS DOUBLE) AS min_val,
+              CAST(max($c) AS DOUBLE) AS max_val
+            FROM lineitem"""
+      s"""SELECT * FROM (${prof("l_quantity")}
+          UNION ALL ${prof("l_extendedprice")}
+          UNION ALL ${prof("l_discount")}
+          UNION ALL ${prof("l_partkey")})
+          ORDER BY column_name"""
+    },
 
     // mirror of ingest_schema_evolution: the construction restated
     // analytically (gen 1 lacks loyalty_tier, gen 2 lacks mktsegment)
