@@ -52,7 +52,8 @@ object Plans {
     "evt_funnel_window", "agg_moments", "set_except_all",
     "evt_zipf_fit", "tsdb_forecast_eval", "tsdb_lead_lag_corr",
     "llm_repeated_ngram", "agg_grouping_id", "scan_profile",
-    "llm_contrastive_triplets", "llm_balance_labels")
+    "llm_contrastive_triplets", "llm_balance_labels",
+    "agg_multi_distinct", "join_runtime_filter")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -43,6 +43,20 @@ object Aggs {
     // customer-count rows once and 10 rows after that. The ntile
     // tie-break (revenue desc, custkey) keeps decile edges
     // engine-portable.
+    // MULTIPLE distinct aggregates in one query — Catalyst plans the
+    // n-distinct case with an Expand (one replicated stream per
+    // distinct set, gid-tagged) into a single aggregate tree instead
+    // of n self-joins; mixing in a plain sum exercises the
+    // non-distinct lane of the same Expand.
+    "agg_multi_distinct" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy("event_type")
+        .agg(countDistinct(col("user_id")).as("n_users"),
+          countDistinct(expr("ts_ms DIV 86400000")).as("n_days"),
+          count(lit(1)).as("n_events"),
+          D.r4s(sum(D.dec(col("value"))).cast("double")).as("sum_value"))
+        .orderBy("event_type")),
+
     // GROUPING() disambiguation on a rollup: a NULL group key from the
     // data vs a NULL minted by the rollup are different things, and
     // grouping() is the only honest way to tell them apart (the BI-tool
@@ -466,6 +480,14 @@ object Aggs {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    "agg_multi_distinct" ->
+      s"""SELECT event_type,
+             count(DISTINCT user_id) AS n_users,
+             count(DISTINCT (epoch_ns(ts) // 1000000) // 86400000) AS n_days,
+             count(*) AS n_events,
+             ${D.oR4(D.oSumDec("value"))} AS sum_value
+          FROM events GROUP BY 1 ORDER BY 1""",
 
     "agg_grouping_id" ->
       """SELECT l_returnflag, l_linestatus,

@@ -157,6 +157,40 @@ object Joins {
     // p_id) so equal-distance ties break deterministically to the
     // EARLIER purchase; per-user candidate sets bound the join, no
     // window ever touches raw events.
+    // runtime bloom-filter join (Spark's InjectRuntimeFilter): a
+    // selective filter on the small side turns into a bloom filter
+    // PUSHED INTO the big side's scan at runtime — rows that cannot
+    // join are dropped before the shuffle, the 100 TB win when the dim
+    // filter kills most of the fact table. Broadcast is disabled in
+    // scope so the shuffle join (where the filter matters) is what
+    // runs; confs restored after planning. Plan-pinned in PlanSpec.
+    "join_runtime_filter" -> ((s, dir) => {
+      val kBf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+      // the application side must look big enough to be worth filtering
+      // (default threshold 10GB — far above any fixture)
+      val kTh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+      val kBc = "spark.sql.autoBroadcastJoinThreshold"
+      val saved = (s.conf.get(kBf, "false"), s.conf.get(kTh), s.conf.get(kBc))
+      s.conf.set(kBf, "true"); s.conf.set(kTh, "0"); s.conf.set(kBc, "-1")
+      try {
+        val li = s.read.parquet(s"$dir/lineitem.parquet")
+        val o = s.read.parquet(s"$dir/orders.parquet")
+          .where(col("o_totalprice") > 99000)
+        val j = li.join(o, col("l_orderkey") === col("o_orderkey"))
+          .groupBy("o_orderpriority")
+          .agg(count(lit(1)).as("n"),
+            D.r4s(sum(D.dec(col("l_extendedprice"))).cast("double")).as("rev"))
+          .orderBy("o_orderpriority")
+        // execute UNDER the scoped confs (planning is lazy — a caller's
+        // later action would replan after the finally restores them;
+        // the scan_agg_pushdown localization trick, priority-count rows)
+        s.createDataFrame(java.util.Arrays.asList(j.collect(): _*), j.schema)
+      } finally {
+        s.conf.set(kBf, saved._1); s.conf.set(kTh, saved._2)
+        s.conf.set(kBc, saved._3)
+      }
+    }),
+
     // as-of with a match tolerance — the "stale quote is no quote"
     // variant every financial/telemetry join needs: each purchase takes
     // the user's LATEST click, but only within the preceding hour;
@@ -297,6 +331,15 @@ object Joins {
   val oracleSql: Map[String, String] = Map(
     // mirror of join_asof_nearest: the struct min ≡ the
     // (|Δt|, p_ts, p_id) rn=1 arg-min
+    "join_runtime_filter" -> {
+      val D = graft.core.D
+      s"""SELECT o.o_orderpriority, count(*) AS n,
+             ${D.oR4(D.oSumDec("l.l_extendedprice"))} AS rev
+          FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE o.o_totalprice > 99000
+          GROUP BY 1 ORDER BY 1"""
+    },
+
     // mirror of join_asof_tolerance: the struct max ≡ the
     // (c_ts DESC, c_id DESC) NULLS LAST rn=1 arg-max within tolerance
     "join_asof_tolerance" ->

@@ -208,6 +208,24 @@ object Ingest {
     runToMemory(s, joined, "append").orderBy("c_id", "v_id")
   }
 
+  /** Per-window distinct actives (streaming DAU): exact distinct is
+    * not a streaming aggregate, so the standard decomposition is
+    * streamed dedup on (window, user) — watermark-expiring state, one
+    * row per live (window, user) pair — with the COUNT taken on the
+    * finalized sink (batch side of the lambda-free pipeline). State
+    * never exceeds live windows × active users. */
+  def windowedDau(s: SparkSession, dir: String): DataFrame = {
+    val d = eventsStream(s, dir)
+      .withColumn("bucket_ms", expr("(ts_ms DIV 3600000) * 3600000"))
+      .withWatermark("ts_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("bucket_ms", "user_id")
+      .select("bucket_ms", "user_id")
+    runToMemory(s, d, "append")
+      .groupBy("bucket_ms")
+      .agg(count(lit(1)).as("dau"))
+      .orderBy("bucket_ms")
+  }
+
   /** CDC-style latest-per-key snapshot (the streaming materialized-view
     * / upsert-compaction shape): one stateful aggregation keeping the
     * arg-max (ts, event_id, value) struct per (user, event_type) key —

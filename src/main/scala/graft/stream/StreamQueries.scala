@@ -20,6 +20,7 @@ object StreamQueries {
     "stream_stream_join" -> ((s, dir) => Ingest.streamStreamJoin(s, dir)),
     "stream_stateful_counter" -> ((s, dir) => Ingest.statefulCounter(s, dir)),
     "stream_cdc_latest" -> ((s, dir) => Ingest.cdcLatest(s, dir)),
+    "stream_windowed_dau" -> ((s, dir) => Ingest.windowedDau(s, dir)),
     "stream_foreachbatch_sink" -> ((s, dir) => {
       // stable scratch dir, WIPED before each run: catalog upserts are
       // stateful, so leftover state from a previous run would change the
@@ -141,6 +142,12 @@ object StreamQueries {
          SELECT user_id, ts_ms, value,
                 CASE WHEN pv IS NULL OR value < pv THEN NULL ELSE value - pv END AS delta
          FROM l ORDER BY user_id, ts_ms, value""",
+
+    // batch equivalence of the streamed dedup + finalized count
+    "stream_windowed_dau" ->
+      """SELECT ((epoch_ns(ts) // 1000000) // 3600000) * 3600000 AS bucket_ms,
+                count(DISTINCT user_id) AS dau
+         FROM events GROUP BY 1 ORDER BY 1""",
 
     // batch equivalence of the CDC latest-per-key snapshot: the struct
     // max ≡ the (ts desc, event_id desc, value desc) rn=1 arg-max

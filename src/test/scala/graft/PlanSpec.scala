@@ -346,6 +346,27 @@ class PlanSpec extends SparkSpec {
       s"bitmap construct must partial-aggregate:\n$p")
   }
 
+  test("runtime bloom filter is injected into the fact side of a selective dim join") {
+    val kBf = "spark.sql.optimizer.runtime.bloomFilter.enabled"
+    val kTh = "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    val kBc = "spark.sql.autoBroadcastJoinThreshold"
+    val saved = (spark.conf.get(kBf, "false"), spark.conf.get(kTh), spark.conf.get(kBc))
+    spark.conf.set(kBf, "true"); spark.conf.set(kTh, "0"); spark.conf.set(kBc, "-1")
+    try {
+      import org.apache.spark.sql.functions._
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+      val o = spark.read.parquet(s"$sf/orders.parquet")
+        .where(col("o_totalprice") > 99000)
+      val p = li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .queryExecution.optimizedPlan.toString
+      assert(p.contains("might_contain"),
+        s"runtime bloom filter not injected:\n${p.take(800)}")
+    } finally {
+      spark.conf.set(kBf, saved._1); spark.conf.set(kTh, saved._2)
+      spark.conf.set(kBc, saved._3)
+    }
+  }
+
   test("pagerank iterations co-partition on the join key and bound the final sort") {
     val p = plan("graph_pagerank")
     assert(p.contains("TakeOrderedAndProject"),
