@@ -29,7 +29,9 @@ object Bench {
     "llm_dedup_containment", "llm_hard_negatives", "tsdb_forecast_linear",
     "evt_funnel", "evt_attribution", "tsdb_autocorr", "llm_url_dedup",
     "agg_bitmap_distinct", "join_interval_overlap", "tsdb_summary",
-    "llm_dataset_card", "llm_query_likelihood")
+    "llm_dataset_card", "llm_query_likelihood",
+    "graph_pagerank", "graph_triangles", "tsdb_lttb",
+    "llm_bigram_surprisal", "llm_embed_outliers", "tsdb_holt_winters")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the
