@@ -1064,6 +1064,46 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // DSIR-style importance weights (Xie et al. 2023, "Data Selection
+    // for Language Models via Importance Resampling"): score every raw
+    // document by the log-likelihood ratio between a TARGET-domain
+    // unigram LM (here: the English slice) and the raw-corpus LM, both
+    // add-one smoothed over the raw vocabulary — the standard
+    // train-like-the-target data-selection pass (DSIR proper uses
+    // hashed n-gram features; the estimator shape is identical).
+    // weight(d) = (1/|d|)·Σ_w tf·[ln p_tgt(w) − ln p_raw(w)], top-50.
+    // Scale shape: two word-count aggregates build the LMs (map-side
+    // partial agg, vocab-sized results), per-doc posting rows join the
+    // LMs on the word key (broadcast here; the 100 TB swap is a
+    // sort-merge co-partitioned on the word — vocab grows slowly, the
+    // posting frame is tokens-sized either way), and the three corpus
+    // scalars ride one broadcast row. Each tf·llr contribution is
+    // 4dp-decimal-quantized before the order-free per-doc sum.
+    "llm_dsir_weights" -> ((s, dir) => {
+      val ws = filter(Dedup.words(col("text")), w => w =!= lit(""))
+      val tok = graft.core.Exec.materialize(Tables.documents(s, dir)
+        .select(col("doc_id"), col("lang"), explode(ws).as("w")))
+      val rawc = tok.groupBy("w").agg(count(lit(1)).as("rc"))
+      val tgtc = tok.where(col("lang") === "en")
+        .groupBy("w").agg(count(lit(1)).as("tc"))
+      val tot = rawc.agg(sum(col("rc")).as("tr"), count(lit(1)).as("v"))
+        .crossJoin(tgtc.agg(sum(col("tc")).as("tt")))
+      val post = tok.groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      post.join(broadcast(rawc), "w")
+        .join(broadcast(tgtc), Seq("w"), "left")
+        .crossJoin(broadcast(tot))
+        .withColumn("llr", D.dec(col("tf").cast("double") *
+          (log((coalesce(col("tc"), lit(0L)) + 1).cast("double") /
+               (col("tt") + col("v")).cast("double")) -
+           log((col("rc") + 1).cast("double") /
+               (col("tr") + col("v")).cast("double")))))
+        .groupBy("doc_id")
+        .agg(sum(col("tf")).as("n_tokens"),
+          D.r4s(sum(col("llr")).cast("double") / sum(col("tf"))).as("dsir"))
+        .orderBy(col("dsir").desc, col("doc_id"))
+        .limit(50)
+    }),
+
     // CCNet-style quality bucketing: per-language head/middle/tail
     // tertiles over the quality score — the standard "keep head, maybe
     // middle, drop tail" corpus partition. The ntile runs over the
@@ -3104,6 +3144,35 @@ object LlmQueries {
           SELECT doc_id, count(*) AS n_bigrams,
                  ${D.oR4("CAST(SUM(nll) AS DOUBLE) / count(*)")} AS avg_surprisal
           FROM sc GROUP BY 1 ORDER BY 1""",
+
+    // mirror of llm_dsir_weights: same tokenizer, same add-one LMs over
+    // the raw vocabulary, same per-term decimal quantization
+    "llm_dsir_weights" ->
+      s"""WITH t AS (SELECT doc_id, lang,
+                       list_filter(string_split(lower(text), ' '),
+                                   w -> w <> '') AS ws
+                     FROM documents),
+          tok AS (SELECT doc_id, lang, UNNEST(ws) AS w FROM t),
+          rawc AS (SELECT w, count(*) AS rc FROM tok GROUP BY 1),
+          tgtc AS (SELECT w, count(*) AS tc FROM tok
+                   WHERE lang = 'en' GROUP BY 1),
+          tot AS (SELECT (SELECT SUM(rc) FROM rawc) AS tr,
+                         (SELECT count(*) FROM rawc) AS v,
+                         (SELECT SUM(tc) FROM tgtc) AS tt),
+          post AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+          sc AS (SELECT post.doc_id, post.tf,
+                   CAST(CAST(post.tf AS DOUBLE) *
+                     (ln(CAST(COALESCE(tgtc.tc, 0) + 1 AS DOUBLE) /
+                         CAST(tot.tt + tot.v AS DOUBLE)) -
+                      ln(CAST(rawc.rc + 1 AS DOUBLE) /
+                         CAST(tot.tr + tot.v AS DOUBLE))) AS DECIMAL(18,4)) AS llr
+                 FROM post
+                 JOIN rawc ON rawc.w = post.w
+                 LEFT JOIN tgtc ON tgtc.w = post.w
+                 CROSS JOIN tot)
+          SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS n_tokens,
+                 ${D.oR4("CAST(SUM(llr) AS DOUBLE) / SUM(tf)")} AS dsir
+          FROM sc GROUP BY 1 ORDER BY dsir DESC, doc_id LIMIT 50""",
 
     // mirror of llm_quality_buckets: same 4dp quality, same per-lang
     // (quality desc, doc_id) ntile(3)

@@ -100,6 +100,62 @@ object Graph {
         .limit(20)
     }),
 
+    // Connected components of the co-purchase graph: component id =
+    // min node id reachable (the canonical label), one row per
+    // component with its size. Reuses the dedup min-label closure
+    // (Dedup.clusterLabels): every round is ONE edge ⋈ labels hash
+    // join plus a min-aggregate — edge-sized shuffles, node-sized
+    // state, rounds bounded by component diameter (co-purchase graphs
+    // are shallow: hub parts collapse labels in 2-3 rounds), per-round
+    // lineage cut by localCheckpoint. This is the Hash-Min
+    // "CC in MapReduce" algorithm — at 100 TB the same plan runs with
+    // edges co-partitioned on the join key; nothing node²-sized ever
+    // materializes. Isolated parts (never co-purchased) have no edges
+    // and are deliberately absent — components are defined on the
+    // graph, not the catalog.
+    "graph_components" -> ((s, dir) => {
+      val e0 = edges(s, dir).where(col("src") < col("dst"))
+      val labels = graft.llm.Dedup.clusterLabels(
+        e0.select(col("src").as("a_id"), col("dst").as("b_id")))
+      labels.groupBy(col("label").as("component_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("component_id"))
+        .limit(20)
+    }),
+
+    // Single-source BFS level census: hop distance from the smallest
+    // part id in the graph, capped at 6 hops (the query's radius
+    // parameter), reported as one row per level. Classic iterative
+    // frontier expansion: each round joins the FRONTIER (not the
+    // visited set) against the edge list, anti-joins the visited set,
+    // and checkpoints — per-round cost is frontier-adjacency-sized,
+    // total cost Σ frontier ≤ |V| + |E| like sequential BFS, and the
+    // loop stops early when the frontier drains (small-world graphs:
+    // 2-4 rounds). At 100 TB the frontier join co-partitions with
+    // edges on src; the visited anti-join is node-sized.
+    "graph_bfs_hops" -> ((s, dir) => {
+      import s.implicits._
+      val es = graft.core.Exec.materialize(edges(s, dir))
+      // 1-row collect: the source id (same contract as centroid/stats reads)
+      val src0 = es.agg(min(col("src"))).head.getLong(0)
+      var visited = graft.core.Exec.materialize(
+        Seq((src0, 0L)).toDF("node", "hops"))
+      var frontier = visited
+      var h = 1L
+      while (h <= 6L && !frontier.isEmpty) {
+        val nxt = graft.core.Exec.materialize(
+          es.join(frontier.select(col("node").as("src")), "src")
+            .select(col("dst").as("node")).distinct()
+            .join(visited.select("node"), Seq("node"), "left_anti")
+            .withColumn("hops", lit(h)))
+        visited = graft.core.Exec.materialize(visited.unionAll(nxt))
+        frontier = nxt
+        h += 1
+      }
+      visited.groupBy("hops").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("hops")
+    }),
+
     // Whole-graph triangle census plus basic size stats in ONE row.
     // The id-ORIENTED edge list (src < dst) counts each triangle
     // exactly once at its two smallest vertices: triangles on edge
@@ -179,6 +235,42 @@ object Graph {
           JOIN deg db ON db.src = p.dst
           LEFT JOIN com c ON c.src = p.src AND c.dst = p.dst
           ORDER BY jaccard DESC, p.src, p.dst LIMIT 20""",
+
+    // mirror: min reachable node id per node via a recursive
+    // reachability CTE (UNION dedups (node, seed) pairs, so the
+    // closure is Σ component² rows — fine at oracle scale; the engine
+    // side runs Hash-Min instead, which is the at-scale formulation)
+    "graph_components" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst, src FROM e0),
+         reach(node, r) AS (
+           SELECT DISTINCT src, src FROM edges
+           UNION
+           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
+         comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+         SELECT component_id, count(*) AS n_nodes FROM comp
+         GROUP BY 1 ORDER BY n_nodes DESC, component_id LIMIT 20""",
+
+    // mirror: level-capped recursive BFS; min(hops) per node = first
+    // reach, identical to the engine's frontier/visited discipline
+    "graph_bfs_hops" ->
+      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst, src FROM e0),
+         bfs(node, hops) AS (
+           SELECT (SELECT min(src) FROM edges), CAST(0 AS BIGINT)
+           UNION
+           SELECT e.dst, bfs.hops + 1 FROM bfs
+           JOIN edges e ON e.src = bfs.node WHERE bfs.hops < 6),
+         lv AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY node)
+         SELECT hops, count(*) AS n_nodes FROM lv GROUP BY 1 ORDER BY hops""",
 
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
