@@ -196,6 +196,45 @@ object LlmQueries {
       Dedup.nearDupPairs(Tables.documents(s, dir), "doc_id", "text",
         k = 32, r = 4, shingleN = 3, threshold = 0.5)),
 
+    // MinHash-LSH tuning report: precision / recall / F1 of the band
+    // CANDIDATE pairs (pre-verify — the thing the k/r trade actually
+    // controls) against exact ground truth in the similarity MinHash
+    // estimates: 3-SHINGLE-set Jaccard ≥ 0.5, computed on a BOUNDED
+    // sample (doc_id < 200). Exact all-pairs truth is inherently
+    // sample², so this is an offline index-health check run on a
+    // fixed-size sample, never the corpus — the sample self-join
+    // broadcasts one side; every other shape is the shared band
+    // machinery. F1 = 2·hits/(cand+truth): computed from exact integer
+    // counts, so the 4dp rounding is the only float step.
+    "llm_dedup_eval" -> ((s, dir) => {
+      val sample = Tables.documents(s, dir).where(col("doc_id") < 200)
+      val bandsM = graft.core.Exec.materialize(
+        Dedup.bandSigsPortable(sample, "doc_id", "text", k = 32, r = 4, shingleN = 3))
+      val cand = bandsM.select(col("band"), col("sig"), col("id").as("a_id"))
+        .join(bandsM.select(col("band"), col("sig"), col("id").as("b_id")),
+          Seq("band", "sig"))
+        .where(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct()
+      val wsets = graft.core.Exec.materialize(sample
+        .select(col("doc_id").as("id"), Dedup.words(col("text")).as("ws0"))
+        .where(size(col("ws0")) >= 3)
+        .select(col("id"), array_distinct(Dedup.shingles("ws0", 3)).as("ws")))
+      val truth = wsets.select(col("id").as("a_id"), col("ws").as("a_w"))
+        .join(broadcast(wsets.select(col("id").as("b_id"), col("ws").as("b_w"))),
+          col("a_id") < col("b_id"))
+        .where(Dedup.jaccard(col("a_w"), col("b_w")) >= 0.5)
+        .select("a_id", "b_id")
+      val hits = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+      truth.agg(count(lit(1)).as("n_truth"))
+        .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("n_truth"), col("n_candidates"), col("n_hits"),
+          D.r4s(col("n_hits").cast("double") / col("n_candidates")).as("precision"),
+          D.r4s(col("n_hits").cast("double") / col("n_truth")).as("recall"),
+          D.r4s(lit(2.0) * col("n_hits") /
+            (col("n_candidates") + col("n_truth"))).as("f1"))
+    }),
+
     // connected components over the verified near-dup pairs — the
     // retention unit of a corpus dedup (keep the min-id doc per
     // cluster; pairwise output over-deletes on transitive chains)
@@ -2607,6 +2646,29 @@ object LlmQueries {
     "llm_dedup_near_minhash" ->
       s"""WITH $NearDupPairCtes
          SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
+
+    // mirror of llm_dedup_eval: same band CTEs restricted to the
+    // doc_id < 200 sample, truth = exact 4dp 3-shingle-set Jaccard
+    // ≥ 0.5 over ALL sample pairs, metrics from integer counts
+    "llm_dedup_eval" ->
+      s"""WITH ${nearDupPairCtesWith("a.id < b.id AND a.id < 200 AND b.id < 200")},
+         tw AS (SELECT id, list_distinct(list(s)) AS ws FROM sh
+                WHERE id < 200 GROUP BY id),
+         truth AS (SELECT a.id AS a_id, b.id AS b_id
+                   FROM tw a JOIN tw b ON a.id < b.id
+                   WHERE ROUND((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
+                          / len(list_distinct(a.ws || b.ws))) * 10000.0, 0)
+                           / 10000.0 + 0.0 >= 0.5),
+         hits AS (SELECT c.a_id FROM cand c
+                  JOIN truth t ON t.a_id = c.a_id AND t.b_id = c.b_id),
+         m AS (SELECT (SELECT count(*) FROM truth) AS n_truth,
+                      (SELECT count(*) FROM cand) AS n_candidates,
+                      (SELECT count(*) FROM hits) AS n_hits)
+         SELECT n_truth, n_candidates, n_hits,
+                ${D.oR4("CAST(n_hits AS DOUBLE) / n_candidates")} AS precision,
+                ${D.oR4("CAST(n_hits AS DOUBLE) / n_truth")} AS recall,
+                ${D.oR4("2.0 * n_hits / (n_candidates + n_truth)")} AS f1
+         FROM m""",
 
     // batch (id % 10 = 7) × corpus (the rest) candidates from the SAME
     // band machinery — the from-scratch mirror of the stored-index probe
