@@ -622,6 +622,27 @@ object LlmQueries {
       Similarity.ivfTopK(emb, qv, cents, 10, nprobe = 2)
     }),
 
+    // ANN recall report — the vector twin of llm_dedup_eval: recall@10
+    // of the IVF probe (8 lists, nprobe=2) against brute-force cosine
+    // truth for the same query. Recall is THE health metric an ANN
+    // index is tuned by (nprobe trades it against probe cost); truth
+    // is one brute-force pass for one query — an offline spot check,
+    // not a serving path. Both rankings already exist as operators;
+    // the report is a k-sized semi-join plus one count row.
+    "llm_sim_ivf_recall" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
+      val cents = Similarity.ivfCentroids(emb, 8, iters = 2)
+      val approx = Similarity.ivfTopK(emb, qv, cents, 10, nprobe = 2)
+        .select("vec_id")
+      val exact = Similarity.cosineTopK(emb, qv, 10).select("vec_id")
+      val hits = approx.join(exact, Seq("vec_id"), "left_semi")
+      exact.agg(count(lit(1)).as("k"))
+        .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
+        .select(col("k"), col("n_hits"),
+          D.r4s(col("n_hits").cast("double") / col("k")).as("recall"))
+    }),
+
     // batched ANN: a query FRAME (the 4 lowest-id corpus vectors here)
     // probed in one pass — nprobe clusters per query, top-5 each; the
     // dedup-against-index / retrieval shape a training pipeline runs
@@ -2538,6 +2559,35 @@ object LlmQueries {
           FROM a3 GROUP BY 1 ORDER BY 1""",
 
     "llm_sim_ivf" -> IvfOracle,
+
+    // mirror of llm_sim_ivf_recall: the IvfOracle ranking joined
+    // against the brute-force ranking computed off the SAME sims CTE
+    "llm_sim_ivf_recall" ->
+      s"""WITH $IvfCtes,
+         qdist AS (SELECT cs.cid, sq.sq + cs.sq - 2.0 * d.dot AS dist
+                   FROM csq_3 cs
+                   JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id = 0
+                   JOIN sq ON sq.vec_id = 0),
+         probes AS (SELECT cid FROM (
+                      SELECT cid, row_number() OVER (ORDER BY dist, cid) AS rn FROM qdist)
+                    WHERE rn <= 2),
+         cand AS (SELECT a.vec_id FROM a3 a JOIN probes p ON p.cid = a.cid),
+         qdot AS (SELECT el.vec_id, CAST(SUM(CAST(el.x * q.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                  FROM el JOIN (SELECT pos, x FROM el WHERE vec_id = 0) q ON q.pos = el.pos
+                  GROUP BY 1),
+         sims AS (SELECT d.vec_id,
+                    ROUND((d.dot / (SQRT(sq.sq) * SQRT(qs.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                  FROM qdot d
+                  JOIN sq ON sq.vec_id = d.vec_id
+                  CROSS JOIN (SELECT sq FROM sq WHERE vec_id = 0) qs),
+         approx AS (SELECT s.vec_id FROM sims s JOIN cand c ON c.vec_id = s.vec_id
+                    ORDER BY s.sim DESC, s.vec_id LIMIT 10),
+         exact AS (SELECT vec_id FROM sims ORDER BY sim DESC, vec_id LIMIT 10),
+         hits AS (SELECT a.vec_id FROM approx a JOIN exact e ON e.vec_id = a.vec_id)
+         SELECT (SELECT count(*) FROM exact) AS k,
+                (SELECT count(*) FROM hits) AS n_hits,
+                ${D.oR4("CAST((SELECT count(*) FROM hits) AS DOUBLE) / (SELECT count(*) FROM exact)")} AS recall""",
+
     "llm_sim_pq" -> PqOracle,
     // stored-index probes must EQUAL their inline counterparts — same
     // oracle text, so any drift between artifact and inline machinery
