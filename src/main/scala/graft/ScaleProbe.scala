@@ -45,6 +45,21 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/documents.parquet")
 
+    // lineitem 10× (order/part keys only — the graph probes prune to
+    // these two columns anyway): BOTH keys shift per replica, so the
+    // co-purchase graph becomes 10 disjoint copies — 10× nodes, 10×
+    // edges, per-replica structure (basket sizes, component diameter)
+    // unchanged. That is what corpus growth looks like to a graph op;
+    // sharing part keys across replicas would instead multiply edge
+    // DENSITY and measure basket² blowup, not scaling.
+    val li1 = spark.read.parquet(s"$sf/lineitem.parquet")
+      .select("l_orderkey", "l_partkey")
+    (0 until 10).map(i => li1
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 10000000L)))
+      .reduce(_ unionByName _)
+      .write.mode("overwrite").parquet(s"$big/lineitem.parquet")
+
     // embeddings 10×: shifted ids, vectors unchanged — replica 0 keeps
     // the lowest ids, so the deterministic quantizer picks the SAME
     // seeds at both scales; each replica adds corpus mass inside the
@@ -138,6 +153,17 @@ object ScaleProbe {
       SparkEntry.queries("evt_funnel")(spark, dir).count()
     def wau(dir: String): Long =
       SparkEntry.queries("evt_wau_rolling")(spark, dir).count()
+    // graph family: edge build is the basket-bounded self-join; the
+    // three measures then differ in what they move per edge (pagerank:
+    // two broadcast node-state joins per iteration; triangles:
+    // broadcast forward adjacency; components: closure rounds — flat
+    // round count on the disjoint-replica corpus)
+    def pagerank(dir: String): Long =
+      SparkEntry.queries("graph_pagerank")(spark, dir).count()
+    def triangles(dir: String): Long =
+      SparkEntry.queries("graph_triangles")(spark, dir).count()
+    def components(dir: String): Long =
+      SparkEntry.queries("graph_components")(spark, dir).count()
     def minhashSigOnly(dir: String): Long =
       // aggregate a lane, don't count(): column pruning under count()
       // drops the signature expression entirely and the probe would time
@@ -152,7 +178,8 @@ object ScaleProbe {
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
     funnel(sf); wau(sf)
-    clusters(sf); ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
+    clusters(sf); pagerank(sf); triangles(sf); components(sf)
+    ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
@@ -169,6 +196,9 @@ object ScaleProbe {
       // and hence the round count — stays flat: the probe checks the
       // closure cost tracks the edge count, not rounds × corpus
       ("neardup_clusters", time(clusters(sf)), time(clusters(big))),
+      ("graph_pagerank", time(pagerank(sf)), time(pagerank(big))),
+      ("graph_triangles", time(triangles(sf)), time(triangles(big))),
+      ("graph_components", time(components(sf)), time(components(big))),
       ("ivf_batch_topk", time(ivfBatch(sf)), time(ivfBatch(big))),
       // the timed builds rebuild from scratch, clearing the warmup's
       // tombstones — stored_probe times the clean index, deleted_probe

@@ -385,6 +385,35 @@ class PlanSpec extends SparkSpec {
       s"path counts must combine map-side:\n$p")
   }
 
+  test("dsir joins the LMs broadcast and bounds the top-50") {
+    val p = plan("llm_dsir_weights")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-50 must not globally sort the doc space:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"vocab-sized LM tables must broadcast into the posting frame:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      "the 1-row corpus scalars must ride a broadcast, not a product")
+    assert(p.contains("partial_count"), "LM counts must combine map-side")
+  }
+
+  test("connected components propagate labels through hash joins only") {
+    val p = plan("graph_components")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"label propagation must stay an equi join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 components must not globally sort:\n$p")
+  }
+
+  test("ivf recall report reuses the probe and truth rankings as k-sized frames") {
+    // both rankings end in limit-10 pools; the report must join those
+    // pools, never re-rank the corpus — assert the semi join exists and
+    // nothing quadratic appears
+    val p = plan("llm_sim_ivf_recall")
+    assert(p.contains("LeftSemi"), s"hits must be a semi join of the pools:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"count rows must broadcast (1-row joins), not product:\n$p")
+  }
+
   test("explicit HLL estimate stays within 15% of the exact distinct count") {
     // the DuckDB oracle proves both engines compute the same FORMULA;
     // this asserts the formula is a sane estimator
