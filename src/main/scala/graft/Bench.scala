@@ -31,7 +31,8 @@ object Bench {
     "agg_bitmap_distinct", "join_interval_overlap", "tsdb_summary",
     "llm_dataset_card", "llm_query_likelihood",
     "graph_pagerank", "graph_triangles", "tsdb_lttb",
-    "llm_bigram_surprisal", "llm_embed_outliers", "tsdb_holt_winters")
+    "llm_bigram_surprisal", "llm_embed_outliers", "tsdb_holt_winters",
+    "graph_components", "llm_dsir_weights", "llm_dedup_eval")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

@@ -1666,6 +1666,31 @@ object LlmQueries {
     "llm_multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, dir).orderBy("id")),
 
+    // frame sampling AS ROWS — the video/audio shape that feeds a
+    // vision encoder: each media payload explodes to ≤8 evenly-spaced
+    // frame slices, one row per frame with its offset and content
+    // digest. Pure map-side (sequence + explode + substring + md5, all
+    // codegen); the frame count and slice arithmetic are the stub
+    // decoder's (Multimodal.decodeFeatures) made relational, so the
+    // per-frame rows stay DuckDB-checkable. At 100 TB frames explode
+    // the row count ≤8× but each row carries a digest, not the slice —
+    // the downstream encoder join is what reads bytes, partition-local.
+    "llm_multimodal_frames" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          length(col("text")).cast("long").as("len"))
+        .withColumn("frames",
+          least(lit(8L), expr("CAST(len DIV 64 AS BIGINT) + 1")))
+        .withColumn("flen", expr("CAST(len DIV frames AS BIGINT)"))
+      d.select(col("doc_id"), col("text"), col("flen"),
+          explode(sequence(lit(0L), col("frames") - 1)).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          (col("frame_idx") * col("flen")).as("off"),
+          md5(expr("CAST(substr(text, CAST(frame_idx * flen + 1 AS INT), CAST(flen AS INT)) AS BINARY)"))
+            .as("frame_hash"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
     // deterministic stratified sampling: every 5th doc per language
     // (row_number over doc_id) — reproducible without RNG state
     "llm_sample_stratified" -> ((s, dir) => {
@@ -3587,6 +3612,21 @@ object LlmQueries {
             CAST(length(text) AS BIGINT) AS n_bytes,
             hex(substring(text, 1, 4)) AS header_hex,
             hex(substring(text, 9, 2)) AS probe_hex
-         FROM documents ORDER BY doc_id"""
+         FROM documents ORDER BY doc_id""",
+
+    // mirror of llm_multimodal_frames: same integer slice arithmetic,
+    // md5 over the same UTF-8 slice
+    "llm_multimodal_frames" ->
+      """WITH d AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+                    FROM documents),
+         f AS (SELECT doc_id, text, len,
+                 least(8, len // 64 + 1) AS frames FROM d),
+         x AS (SELECT doc_id, text, len // frames AS flen,
+                 UNNEST(range(0, frames)) AS i FROM f)
+         SELECT doc_id, CAST(i AS BIGINT) AS frame_idx,
+                CAST(i * flen AS BIGINT) AS off,
+                md5(substr(text, CAST(i * flen + 1 AS INT), CAST(flen AS INT)))
+                  AS frame_hash
+         FROM x ORDER BY doc_id, frame_idx"""
   )
 }

@@ -23,6 +23,26 @@ object Behavior {
   private val DayMs = 86400000L
 
   val queries: Map[String, Q] = Map(
+    // Hourly VWAP (volume-weighted average price) per event type, with
+    // the weight parsed out of the JSON props payload — the
+    // weighted-aggregate-over-semi-structured shape (ad pricing, trade
+    // tapes, metered billing). JSON extraction is map-side codegen
+    // (get_json_object), the only exchange is the (type, hour)
+    // partial→final aggregate, and the weighted sum carries decimal
+    // quantization so the ratio is order-independent.
+    "evt_vwap" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .withColumn("w", get_json_object(col("props"), "$.k").cast("long"))
+        .where(col("w").isNotNull && col("w") > 0)
+      e.groupBy(col("event_type"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(3600000L))).as("hour_ms"))
+        .agg(sum(col("w")).as("volume"),
+          graft.core.D.r4s(
+            sum(graft.core.D.dec(col("value") * col("w"))).cast("double") /
+              sum(col("w"))).as("vwap"))
+        .orderBy("event_type", "hour_ms")
+    }),
+
     // RFM segmentation (recency / frequency / monetary) — the classic
     // customer-scoring rollup. All window work runs over the REDUCED
     // per-user frame (one row per purchaser), never events; scores are
@@ -412,6 +432,21 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of evt_vwap: same JSON weight extraction, same decimal
+    // weighted sum; hour bucket via ms modulo (not date_trunc — the two
+    // must share the integer arithmetic)
+    "evt_vwap" ->
+      s"""WITH e AS (SELECT event_type, epoch_ns(ts) // 1000000 AS ts_ms,
+                       value, json_extract_string(props, '$$.k')::BIGINT AS w
+                     FROM events),
+          f AS (SELECT * FROM e WHERE w IS NOT NULL AND w > 0)
+          SELECT event_type, ts_ms - (ts_ms % 3600000) AS hour_ms,
+                 CAST(SUM(w) AS BIGINT) AS volume,
+                 ${graft.core.D.oR4(
+                   "CAST(SUM(CAST(value * w AS DECIMAL(18,4))) AS DOUBLE) / SUM(w)")}
+                   AS vwap
+          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
     "evt_rfm" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
                      FROM events WHERE event_type = 'purchase'),

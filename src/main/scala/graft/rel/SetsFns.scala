@@ -207,6 +207,21 @@ object SetsFns {
         to_json(struct(from_json(col("props"), org.apache.spark.sql.types.DataType.fromDDL("k INT")).getField("k").as("k"))).as("rebuilt"))
         .orderBy("event_id")),
 
+    // URL parsing surface (web-corpus pipelines live on this): native
+    // parse_url over a deterministically assembled URL — scheme-host /
+    // path / one query parameter; all map-side codegen, mirrored by
+    // regexp extraction in the oracle.
+    "fn_url" -> ((s, dir) =>
+      Tables.documents(s, dir).select(col("doc_id"),
+          concat(lit("https://data.example.com/"), col("source"),
+            lit("/doc-"), col("doc_id"), lit("?lang="), col("lang"),
+            lit("&v=2")).as("url"))
+        .select(col("doc_id"), col("url"),
+          expr("parse_url(url, 'HOST')").as("host"),
+          expr("parse_url(url, 'PATH')").as("path"),
+          expr("parse_url(url, 'QUERY', 'lang')").as("q_lang"))
+        .orderBy("doc_id")),
+
     "fn_conditional" -> ((s, dir) =>
       Tables.lineitem(s, dir).select(
         col("l_orderkey"), col("l_linenumber"),
@@ -417,6 +432,18 @@ object SetsFns {
                  ELSE '{"k":' || json_extract_string(props, '$.k') || '}'
             END AS rebuilt
          FROM events ORDER BY event_id""",
+
+    // mirror of fn_url: regexp extraction over the same assembled URL
+    "fn_url" ->
+      """WITH u AS (SELECT doc_id,
+              'https://data.example.com/' || source || '/doc-' || doc_id
+                || '?lang=' || lang || '&v=2' AS url
+            FROM documents)
+         SELECT doc_id, url,
+            regexp_extract(url, '^[a-z]+://([^/]+)', 1) AS host,
+            regexp_extract(url, '^[a-z]+://[^/]+([^?]*)', 1) AS path,
+            regexp_extract(url, '[?&]lang=([^&]*)', 1) AS q_lang
+         FROM u ORDER BY doc_id""",
 
     "fn_try_cast" ->
       """WITH s AS (SELECT event_type,
