@@ -23,6 +23,30 @@ object Behavior {
   private val DayMs = 86400000L
 
   val queries: Map[String, Q] = Map(
+    // Slowly-changing-dimension type-2 history build (the classic
+    // warehouse CDC shape): treat the event stream as a change log of
+    // each user's `k` attribute (parsed from JSON props) and emit one
+    // validity interval per change — valid_from at the change event,
+    // valid_to just before the next change, open interval flagged
+    // current. All work runs in ONE user-partitioned window pass
+    // (lag to detect changes, lead over the filtered change rows for
+    // interval ends) — per-user state, no self-joins; at 100 TB this
+    // is a single hash-partition-by-key sort-within-partitions shape.
+    "cdc_scd2" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val e = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .where(col("k").isNotNull)
+        .select("user_id", "ts_ms", "event_id", "k")
+      e.withColumn("prev_k", lag(col("k"), 1).over(w))
+        .where(col("prev_k").isNull || col("prev_k") =!= col("k"))
+        .withColumn("valid_to", lead(col("ts_ms"), 1).over(w) - 1)
+        .select(col("user_id"), col("event_id"), col("k"),
+          col("ts_ms").as("valid_from"), col("valid_to"),
+          when(col("valid_to").isNull, 1).otherwise(0).as("is_current"))
+        .orderBy("user_id", "valid_from", "event_id")
+    }),
+
     // Hourly VWAP (volume-weighted average price) per event type, with
     // the weight parsed out of the JSON props payload — the
     // weighted-aggregate-over-semi-structured shape (ad pricing, trade
@@ -432,6 +456,25 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of cdc_scd2: same change detection (lag over the full
+    // log) and interval close (lead over the change rows)
+    "cdc_scd2" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_id,
+                       json_extract_string(props, '$$.k')::BIGINT AS k
+                     FROM events
+                     WHERE json_extract_string(props, '$$.k') IS NOT NULL),
+          c AS (SELECT *, lag(k) OVER (PARTITION BY user_id
+                                       ORDER BY ts_ms, event_id) AS prev_k
+                FROM e),
+          ch AS (SELECT * FROM c WHERE prev_k IS NULL OR prev_k <> k),
+          v AS (SELECT user_id, event_id, k, ts_ms AS valid_from,
+                  lead(ts_ms) OVER (PARTITION BY user_id
+                                    ORDER BY ts_ms, event_id) - 1 AS valid_to
+                FROM ch)
+          SELECT user_id, event_id, k, valid_from, valid_to,
+                 CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END AS is_current
+          FROM v ORDER BY user_id, valid_from, event_id""",
+
     // mirror of evt_vwap: same JSON weight extraction, same decimal
     // weighted sum; hour bucket via ms modulo (not date_trunc — the two
     // must share the integer arithmetic)

@@ -100,6 +100,15 @@ object Graph {
         .limit(20)
     }),
 
+    // Degree distribution of the co-purchase graph — the first
+    // operational question about any graph (hub structure, skew-join
+    // risk). Two partial-aggregating groupBys: node degrees (edge-sized
+    // shuffle), then the degree histogram (degree-cardinality-sized).
+    "graph_degree_hist" -> ((s, dir) =>
+      edges(s, dir).groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")),
+
     // Connected components of the co-purchase graph: component id =
     // min node id reachable (the canonical label), one row per
     // component with its size. Reuses the dedup min-label closure
@@ -235,6 +244,16 @@ object Graph {
           JOIN deg db ON db.src = p.dst
           LEFT JOIN com c ON c.src = p.src AND c.dst = p.dst
           ORDER BY jaccard DESC, p.src, p.dst LIMIT 20""",
+
+    "graph_degree_hist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+         SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""",
 
     // mirror: min reachable node id per node via a recursive
     // reachability CTE (UNION dedups (node, seed) pairs, so the
