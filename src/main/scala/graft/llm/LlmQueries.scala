@@ -200,14 +200,21 @@ object LlmQueries {
     // CANDIDATE pairs (pre-verify — the thing the k/r trade actually
     // controls) against exact ground truth in the similarity MinHash
     // estimates: 3-SHINGLE-set Jaccard ≥ 0.5, computed on a BOUNDED
-    // sample (doc_id < 200). Exact all-pairs truth is inherently
-    // sample², so this is an offline index-health check run on a
-    // fixed-size sample, never the corpus — the sample self-join
-    // broadcasts one side; every other shape is the shared band
-    // machinery. F1 = 2·hits/(cand+truth): computed from exact integer
-    // counts, so the 4dp rounding is the only float step.
+    // CONTENT-KEYED sample (md5 of the 16-char text prefix, 4/16
+    // buckets ≈ a quarter of the corpus). Content-keyed — NOT id-keyed
+    // — because duplicate pairs land in the same sample bucket exactly
+    // when they share their prefix (these are ≥0.5-Jaccard dups, so
+    // almost always), the same reason dedup shards by content key; an
+    // id sample would sever every cross-id-range pair and report an
+    // empty truth set. Exact all-pairs truth is inherently sample², so
+    // this is an offline index-health check run on the bounded sample,
+    // never the corpus — the sample self-join broadcasts one side;
+    // every other shape is the shared band machinery. F1 =
+    // 2·hits/(cand+truth): exact integer counts, 4dp at the end.
     "llm_dedup_eval" -> ((s, dir) => {
-      val sample = Tables.documents(s, dir).where(col("doc_id") < 200)
+      val sample = Tables.documents(s, dir).where(
+        substring(md5(substring(col("text"), 1, 16).cast("binary")), 1, 1)
+          .isin("0", "1", "2", "3"))
       val bandsM = graft.core.Exec.materialize(
         Dedup.bandSigsPortable(sample, "doc_id", "text", k = 32, r = 4, shingleN = 3))
       val cand = bandsM.select(col("band"), col("sig"), col("id").as("a_id"))
@@ -225,14 +232,20 @@ object LlmQueries {
         .where(Dedup.jaccard(col("a_w"), col("b_w")) >= 0.5)
         .select("a_id", "b_id")
       val hits = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
+      // empty-denominator convention: a sample with no truth pairs /
+      // no candidates reports 0.0, not a division error (ANSI mode
+      // throws on x/0) — mirrored by the oracle's CASE guards
       truth.agg(count(lit(1)).as("n_truth"))
         .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
         .crossJoin(hits.agg(count(lit(1)).as("n_hits")))
         .select(col("n_truth"), col("n_candidates"), col("n_hits"),
-          D.r4s(col("n_hits").cast("double") / col("n_candidates")).as("precision"),
-          D.r4s(col("n_hits").cast("double") / col("n_truth")).as("recall"),
-          D.r4s(lit(2.0) * col("n_hits") /
-            (col("n_candidates") + col("n_truth"))).as("f1"))
+          when(col("n_candidates") === 0, lit(0.0)).otherwise(
+            D.r4s(col("n_hits").cast("double") / col("n_candidates"))).as("precision"),
+          when(col("n_truth") === 0, lit(0.0)).otherwise(
+            D.r4s(col("n_hits").cast("double") / col("n_truth"))).as("recall"),
+          when(col("n_candidates") + col("n_truth") === 0, lit(0.0)).otherwise(
+            D.r4s(lit(2.0) * col("n_hits") /
+              (col("n_candidates") + col("n_truth")))).as("f1"))
     }),
 
     // connected components over the verified near-dup pairs — the
@@ -2723,12 +2736,15 @@ object LlmQueries {
          SELECT a_id, b_id, jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY a_id, b_id""",
 
     // mirror of llm_dedup_eval: same band CTEs restricted to the
-    // doc_id < 200 sample, truth = exact 4dp 3-shingle-set Jaccard
+    // content-keyed sample, truth = exact 4dp 3-shingle-set Jaccard
     // ≥ 0.5 over ALL sample pairs, metrics from integer counts
     "llm_dedup_eval" ->
-      s"""WITH ${nearDupPairCtesWith("a.id < b.id AND a.id < 200 AND b.id < 200")},
+      s"""WITH smpl AS (SELECT doc_id FROM documents
+                WHERE substr(md5(substr(text, 1, 16)), 1, 1) IN ('0','1','2','3')),
+         ${nearDupPairCtesWith(
+             "a.id < b.id AND a.id IN (SELECT doc_id FROM smpl) AND b.id IN (SELECT doc_id FROM smpl)")},
          tw AS (SELECT id, list_distinct(list(s)) AS ws FROM sh
-                WHERE id < 200 GROUP BY id),
+                WHERE id IN (SELECT doc_id FROM smpl) GROUP BY id),
          truth AS (SELECT a.id AS a_id, b.id AS b_id
                    FROM tw a JOIN tw b ON a.id < b.id
                    WHERE ROUND((CAST(len(list_intersect(a.ws, b.ws)) AS DOUBLE)
@@ -2740,9 +2756,15 @@ object LlmQueries {
                       (SELECT count(*) FROM cand) AS n_candidates,
                       (SELECT count(*) FROM hits) AS n_hits)
          SELECT n_truth, n_candidates, n_hits,
-                ${D.oR4("CAST(n_hits AS DOUBLE) / n_candidates")} AS precision,
-                ${D.oR4("CAST(n_hits AS DOUBLE) / n_truth")} AS recall,
-                ${D.oR4("2.0 * n_hits / (n_candidates + n_truth)")} AS f1
+                CASE WHEN n_candidates = 0 THEN 0.0
+                     ELSE ${D.oR4("CAST(n_hits AS DOUBLE) / n_candidates")}
+                END AS precision,
+                CASE WHEN n_truth = 0 THEN 0.0
+                     ELSE ${D.oR4("CAST(n_hits AS DOUBLE) / n_truth")}
+                END AS recall,
+                CASE WHEN n_candidates + n_truth = 0 THEN 0.0
+                     ELSE ${D.oR4("2.0 * n_hits / (n_candidates + n_truth)")}
+                END AS f1
          FROM m""",
 
     // batch (id % 10 = 7) × corpus (the rest) candidates from the SAME
