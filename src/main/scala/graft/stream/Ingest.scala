@@ -244,6 +244,51 @@ object Ingest {
       .orderBy("user_id", "event_type")
   }
 
+  /** Streaming SCD type-2 (the CDC history twin of [[cdcLatest]] and
+    * the streaming twin of the batch `cdc_scd2`): explicit per-user
+    * state (open interval's start ts, its opening event id, its `k`
+    * attribute); a change event CLOSES the open interval and emits it
+    * as one append-mode row — valid_from at the opening event,
+    * valid_to just before the change. The still-open interval lives in
+    * state (append mode cannot retract, so "current" rows are the
+    * state store's, not the sink's — query them via cdcLatest). Rows
+    * within a batch sort by (ts, event_id); a late row older than the
+    * open interval is ignored (it cannot reopen history). Oracle: the
+    * batch SCD2 restricted to CLOSED intervals. */
+  def streamScd2(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val src = eventsStream(s, dir)
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+      .where(col("k").isNotNull)
+      .select(col("user_id"), col("ts_ms"), col("event_id"), col("k"))
+      .as[(Long, Long, Long, Long)]
+    val out = src.groupByKey(_._1).flatMapGroupsWithState(
+      OutputMode.Append(), GroupStateTimeout.NoTimeout())(
+      (user: Long, rows: Iterator[(Long, Long, Long, Long)],
+       state: GroupState[(Long, Long, Long)]) => {  // (openTs, openEventId, k)
+        val sorted = rows.toSeq.sortBy(r => (r._2, r._3))
+        var open = state.getOption
+        val closed = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Long, Long, Long, Long)]
+        sorted.foreach { case (_, ts, eid, k) =>
+          open match {
+            case Some((ots, _, _)) if ts < ots => // late: cannot reopen history
+            case Some((ots, oeid, ok)) if k != ok =>
+              closed += ((user, oeid, ok, ots, ts - 1))
+              open = Some((ts, eid, k))
+            case Some(_) => // same attribute: interval continues
+            case None => open = Some((ts, eid, k))
+          }
+        }
+        open.foreach(state.update)
+        closed.iterator
+      })
+    runToMemory(s,
+        out.toDF("user_id", "event_id", "k", "valid_from", "valid_to"), "append")
+      .orderBy("user_id", "valid_from", "event_id")
+  }
+
   /** Counter-reset detection with explicit state (rate building block):
     * keeps (lastTs, lastValue) per series, emits deltas; negative delta =
     * counter reset → null delta (mycenae rate semantics). */

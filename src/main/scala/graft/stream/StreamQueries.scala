@@ -20,6 +20,7 @@ object StreamQueries {
     "stream_stream_join" -> ((s, dir) => Ingest.streamStreamJoin(s, dir)),
     "stream_stateful_counter" -> ((s, dir) => Ingest.statefulCounter(s, dir)),
     "stream_cdc_latest" -> ((s, dir) => Ingest.cdcLatest(s, dir)),
+    "stream_scd2" -> ((s, dir) => Ingest.streamScd2(s, dir)),
     "stream_windowed_dau" -> ((s, dir) => Ingest.windowedDau(s, dir)),
     "stream_foreachbatch_sink" -> ((s, dir) => {
       // stable scratch dir, WIPED before each run: catalog upserts are
@@ -142,6 +143,26 @@ object StreamQueries {
          SELECT user_id, ts_ms, value,
                 CASE WHEN pv IS NULL OR value < pv THEN NULL ELSE value - pv END AS delta
          FROM l ORDER BY user_id, ts_ms, value""",
+
+    // batch equivalence of the streamed SCD2: the batch history build
+    // restricted to CLOSED intervals (append mode cannot retract the
+    // open ones — they live in the state store)
+    "stream_scd2" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_id,
+                      json_extract_string(props, '$.k')::BIGINT AS k
+                    FROM events
+                    WHERE json_extract_string(props, '$.k') IS NOT NULL),
+         c AS (SELECT *, lag(k) OVER (PARTITION BY user_id
+                                      ORDER BY ts_ms, event_id) AS prev_k
+               FROM e),
+         ch AS (SELECT * FROM c WHERE prev_k IS NULL OR prev_k <> k),
+         v AS (SELECT user_id, event_id, k, ts_ms AS valid_from,
+                 lead(ts_ms) OVER (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id) - 1 AS valid_to
+               FROM ch)
+         SELECT user_id, event_id, k, valid_from, valid_to
+         FROM v WHERE valid_to IS NOT NULL
+         ORDER BY user_id, valid_from, event_id""",
 
     // batch equivalence of the streamed dedup + finalized count
     "stream_windowed_dau" ->
