@@ -23,6 +23,31 @@ object Behavior {
   private val DayMs = 86400000L
 
   val queries: Map[String, Q] = Map(
+    // As-of dimension enrichment WITHOUT a join — the scalable
+    // alternative to point-in-interval lookups against the SCD2
+    // history: interleave fact and dimension-change rows in ONE
+    // user-partitioned window pass and forward-fill the last change
+    // (last(..., ignoreNulls) over rows-unbounded-preceding). Here
+    // each click event is enriched with the k attribute of the user's
+    // most recent PURCHASE (null before the first one). One sort
+    // shuffle on the user key, zero joins, no per-user interval
+    // blow-up — at 100 TB this wins over the range join whenever facts
+    // and changes share a partitioning key.
+    "evt_asof_enrich" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val e = Tables.events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .where(col("event_type").isin("click", "purchase"))
+        .select("user_id", "ts_ms", "event_id", "event_type", "k")
+      e.withColumn("k_asof",
+          last(when(col("event_type") === "purchase", col("k")),
+            ignoreNulls = true).over(w))
+        .where(col("event_type") === "click")
+        .select("user_id", "event_id", "ts_ms", "k_asof")
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
     // Slowly-changing-dimension type-2 history build (the classic
     // warehouse CDC shape): treat the event stream as a change log of
     // each user's `k` attribute (parsed from JSON props) and emit one
@@ -456,6 +481,25 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of evt_asof_enrich: same interleaved window forward-fill
+    // (IGNORE NULLS last_value over the same (ts, event_id) order)
+    "evt_asof_enrich" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, event_id,
+                       event_type,
+                       json_extract_string(props, '$$.k')::BIGINT AS k
+                     FROM events
+                     WHERE event_type IN ('click', 'purchase')),
+          f AS (SELECT user_id, event_id, ts_ms, event_type,
+                  last_value(CASE WHEN event_type = 'purchase' THEN k END
+                             IGNORE NULLS)
+                    OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS k_asof
+                FROM e)
+          SELECT user_id, event_id, ts_ms, k_asof
+          FROM f WHERE event_type = 'click'
+          ORDER BY user_id, ts_ms, event_id""",
+
     // mirror of cdc_scd2: same change detection (lag over the full
     // log) and interval close (lead over the change rows)
     "cdc_scd2" ->
