@@ -1404,6 +1404,41 @@ object LlmQueries {
       Retrieval.bm25TopKStoredBatch(s, path, batch, k = 3)
     }),
 
+    // Retrieval-quality report — the lexical eval completing the
+    // family (llm_dedup_eval, llm_sim_ivf_recall): self-retrieval
+    // MRR@10 over the STORED text index. Queries = the first three
+    // words of the five lowest-id docs; the relevant doc for each
+    // query is its source doc (it contains those exact words, so a
+    // healthy index ranks it near the top — near-dups may legitimately
+    // outrank it). One batched index probe serves all queries
+    // (bm25TopKStoredBatch: bucket-pruned once for the union of
+    // terms); the report is a k-sized filter + one count row. MRR sums
+    // decimal-quantized reciprocal ranks, 4dp at the end.
+    "llm_retrieval_mrr" -> ((s, dir) => {
+      import s.implicits._
+      val docs = Tables.documents(s, dir)
+      val path = textIndexPath(dir)
+      Retrieval.ensureTextIndex(s, docs, "doc_id", "text", path,
+        textFingerprint(s, dir))
+      val ws = filter(Dedup.words(col("text")), w => w =!= lit(""))
+      val queries = docs.where(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), explode(slice(ws, 1, 3)).as("term"))
+      val hits = Retrieval.bm25TopKStoredBatch(s, path, queries, k = 10)
+        .where(col("doc_id") === col("query_id"))
+        .select(col("query_id"), col("rn"))
+      val m = hits.agg(
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("h1"),
+        count(lit(1)).as("h10"),
+        sum(D.dec(lit(1.0) / col("rn"))).cast("double").as("rrsum"))
+      queries.select("query_id").distinct()
+        .agg(count(lit(1)).as("n_queries"))
+        .crossJoin(m)
+        .select(col("n_queries"),
+          coalesce(col("h1"), lit(0L)).as("hits_at1"),
+          col("h10").as("hits_at10"),
+          D.r4s(coalesce(col("rrsum"), lit(0.0)) / col("n_queries")).as("mrr"))
+    }),
+
     // incremental corpus growth on the TEXT index: built on the
     // doc_id % 10 != 7 slice, the rest appended as one O(batch) atomic
     // delta (postings + the batch's integer-exact stats in the same
@@ -2384,6 +2419,49 @@ object LlmQueries {
                  FROM agg WHERE bm25 > 0)
           SELECT query_id, rn, doc_id, bm25 FROM rk WHERE rn <= 3
           ORDER BY query_id, rn""",
+
+    // mirror of llm_retrieval_mrr: the batch-BM25 CTEs with the query
+    // set built from the same first-3-words slice, then the MRR wrap
+    "llm_retrieval_mrr" ->
+      s"""WITH wsx AS (SELECT doc_id, list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws
+                       FROM documents),
+          post AS (SELECT doc_id, dl, term, CAST(count(*) AS DOUBLE) AS tf FROM (
+                     SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl, unnest(ws) AS term
+                     FROM wsx) x GROUP BY 1, 2, 3),
+          bstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl
+                     FROM (SELECT doc_id, CAST(len(ws) AS DOUBLE) AS dl FROM wsx) d),
+          qt AS (SELECT DISTINCT query_id, term FROM (
+                   SELECT doc_id AS query_id, unnest(ws[1:3]) AS term
+                   FROM wsx WHERE doc_id < 5)),
+          dfq AS (SELECT term, CAST(count(*) AS DOUBLE) AS df
+                  FROM post JOIN (SELECT DISTINCT term FROM qt) q USING (term)
+                  GROUP BY 1),
+          sc AS (SELECT q.query_id, p.doc_id, CAST(
+                   ln(CAST(1 AS DOUBLE) + (n_docs - df + 0.5) / (df + 0.5))
+                   * (tf * CAST(${Bm25K1 + 1.0} AS DOUBLE))
+                   / (tf + CAST($Bm25K1 AS DOUBLE) * (CAST(${1.0 - Bm25B} AS DOUBLE)
+                      + CAST($Bm25B AS DOUBLE) * dl / avgdl))
+                 AS DECIMAL(18,4)) AS contrib
+                 FROM post p JOIN qt q USING (term) JOIN dfq USING (term)
+                 CROSS JOIN bstats),
+          agg AS (SELECT query_id, doc_id,
+                    ROUND(CAST(SUM(contrib) AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS bm25
+                  FROM sc GROUP BY 1, 2),
+          rk AS (SELECT query_id, doc_id,
+                   CAST(row_number() OVER (PARTITION BY query_id
+                        ORDER BY bm25 DESC, doc_id) AS BIGINT) AS rn
+                 FROM agg WHERE bm25 > 0),
+          hits AS (SELECT query_id, rn FROM rk
+                   WHERE rn <= 10 AND doc_id = query_id),
+          m AS (SELECT
+                  (SELECT count(DISTINCT query_id) FROM qt) AS n_queries,
+                  (SELECT count(*) FROM hits WHERE rn = 1) AS hits_at1,
+                  (SELECT count(*) FROM hits) AS hits_at10,
+                  (SELECT CAST(SUM(CAST(1.0 / rn AS DECIMAL(18,4))) AS DOUBLE)
+                   FROM hits) AS rrsum)
+          SELECT n_queries, hits_at1, hits_at10,
+                 ${D.oR4("COALESCE(rrsum, 0.0) / n_queries")} AS mrr
+          FROM m""",
 
     // append ≡ rebuild for the text index (stats sums combine exactly,
     // df derives at probe time) — the oracle IS the whole-corpus
