@@ -160,6 +160,8 @@ object ScaleProbe {
     // round count on the disjoint-replica corpus)
     def pagerank(dir: String): Long =
       SparkEntry.queries("graph_pagerank")(spark, dir).count()
+    def pagerankCopart(dir: String): Long =
+      SparkEntry.queries("graph_pagerank_copart")(spark, dir).count()
     def triangles(dir: String): Long =
       SparkEntry.queries("graph_triangles")(spark, dir).count()
     def components(dir: String): Long =
@@ -178,7 +180,7 @@ object ScaleProbe {
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
     funnel(sf); wau(sf)
-    clusters(sf); pagerank(sf); triangles(sf); components(sf)
+    clusters(sf); pagerank(sf); pagerankCopart(sf); triangles(sf); components(sf)
     ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
@@ -197,6 +199,7 @@ object ScaleProbe {
       // closure cost tracks the edge count, not rounds × corpus
       ("neardup_clusters", time(clusters(sf)), time(clusters(big))),
       ("graph_pagerank", time(pagerank(sf)), time(pagerank(big))),
+      ("graph_pagerank_copart", time(pagerankCopart(sf)), time(pagerankCopart(big))),
       ("graph_triangles", time(triangles(sf)), time(triangles(big))),
       ("graph_components", time(components(sf)), time(components(big))),
       ("ivf_batch_topk", time(ivfBatch(sf)), time(ivfBatch(big))),

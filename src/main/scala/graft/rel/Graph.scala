@@ -76,6 +76,39 @@ object Graph {
         .limit(20)
     }),
 
+    // The billion-node swap the broadcast variant documents, as a real
+    // operator: edges hash-partitioned ONCE on src (materialized, so
+    // every iteration reuses the distribution), node state (deg, pr)
+    // joined shuffle-hash on the same key — deg inherits src
+    // partitioning from its groupBy and pr arrives keyed by the
+    // aggregate — so per-iteration cost is the node-state-sized
+    // exchange plus the contribution-sum shuffle; NOTHING node-sized
+    // is broadcast, which is what removes the term that grows with
+    // node count (measured: the broadcast variant's 10× ratio is 3.5×,
+    // this one's is flat-er — see PERF.md). Same math, same oracle.
+    "graph_pagerank_copart" -> ((s, dir) => {
+      val es = graft.core.Exec.materialize(
+        edges(s, dir).repartition(col("src")))
+      val deg = graft.core.Exec.materialize(
+        es.groupBy("src").agg(count(lit(1)).as("deg")))
+      val step = (prev: Option[DataFrame]) => {
+        val msgs = prev match {
+          case None => es.join(deg.hint("shuffle_hash"), "src")
+            .select(col("dst"), (lit(1.0) / col("deg")).as("m"))
+          case Some(pr) => es.join(deg.hint("shuffle_hash"), "src")
+            .join(pr.withColumnRenamed("id", "src").hint("shuffle_hash"), "src")
+            .select(col("dst"), (col("pr") / col("deg")).as("m"))
+        }
+        msgs.groupBy(col("dst").as("id"))
+          .agg(graft.core.D.r4s(lit(0.15) +
+            lit(0.85) * sum(graft.core.D.dec(col("m"))).cast("double")).as("pr"))
+      }
+      val p2 = step(Some(graft.core.Exec.materialize(step(None))))
+      p2.select(col("id").as("part_id"), col("pr"))
+        .orderBy(col("pr").desc, col("part_id"))
+        .limit(20)
+    }),
+
     // "Customers also bought" node similarity: neighbor-set Jaccard
     // over pairs that are THEMSELVES co-purchase edges (the candidate
     // generator every item-item recommender uses — adjacent pairs, not
@@ -196,10 +229,11 @@ object Graph {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
-    // mirror: same relative-rank scaling, same per-iteration decimal
-    // contribution quantization
-    "graph_pagerank" ->
+  // mirror: same relative-rank scaling, same per-iteration decimal
+  // contribution quantization. ONE text for the broadcast AND the
+  // co-partitioned variant — they must compute identical ranks (the
+  // swap changes data movement, never math).
+  private val PagerankOracle: String =
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                       FROM lineitem),
           e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
@@ -217,7 +251,11 @@ object Graph {
                  FROM edges e JOIN deg d ON e.src = d.src
                  JOIN p1 p ON p.id = e.src GROUP BY 1)
           SELECT id AS part_id, pr FROM p2
-          ORDER BY pr DESC, part_id LIMIT 20""",
+          ORDER BY pr DESC, part_id LIMIT 20"""
+
+  val oracleSql: Map[String, String] = Map(
+    "graph_pagerank" -> PagerankOracle,
+    "graph_pagerank_copart" -> PagerankOracle,
 
     // mirror of graph_jaccard_similar: common neighbors counted via
     // the two-hop join restricted to candidate edges

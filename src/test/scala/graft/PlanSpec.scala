@@ -385,6 +385,16 @@ class PlanSpec extends SparkSpec {
       s"path counts must combine map-side:\n$p")
   }
 
+  test("co-partitioned pagerank never broadcasts node state") {
+    val p = plan("graph_pagerank_copart")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"the copart variant exists to remove node-state broadcasts:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"node state must join shuffle-hash on the edge key:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort the node set:\n$p")
+  }
+
   test("dsir joins the LMs broadcast and bounds the top-50") {
     val p = plan("llm_dsir_weights")
     assert(p.contains("TakeOrderedAndProject"),
