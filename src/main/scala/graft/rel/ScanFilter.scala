@@ -179,6 +179,34 @@ object ScanFilter {
         .orderBy("doc_id")
     }),
 
+    // Backfill by DYNAMIC partition overwrite — the selective-rewrite
+    // technique a 100 TB partitioned table depends on: the corrected
+    // batch rewrites ONLY the partitions it contains (here: purchase),
+    // every other partition's files are untouched. Base load + backfill
+    // + read-back verification in one query; the conf is scoped and
+    // restored. The read-back aggregate proves the merge semantics:
+    // purchase rows carry the corrected (doubled) values, all other
+    // types the originals — exactly what the oracle recomputes from
+    // the source table.
+    "sink_dynamic_overwrite" -> ((s, dir) => {
+      val out = roundtripDir("dyn_overwrite")
+      val e = Tables.events(s, dir)
+        .select("event_id", "event_type", "value")
+      e.write.mode("overwrite").partitionBy("event_type").parquet(out)
+      val prev = s.conf.get("spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try e.where(col("event_type") === "purchase")
+        .withColumn("value", col("value") * 2)
+        .write.mode("overwrite").partitionBy("event_type").parquet(out)
+      finally s.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+      s.read.parquet(out)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n"),
+          graft.core.D.r4s(sum(graft.core.D.dec(col("value"))).cast("double"))
+            .as("sum_value"))
+        .orderBy("event_type")
+    }),
+
     "project_select" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .select(col("l_orderkey"), col("l_linenumber"),
@@ -345,6 +373,16 @@ object ScanFilter {
     "sink_partitioned_roundtrip" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
          WHERE lang = 'en' ORDER BY doc_id""",
+
+    // mirror of sink_dynamic_overwrite: the post-backfill table state
+    // recomputed from the source — purchase values doubled, the rest
+    // untouched
+    "sink_dynamic_overwrite" ->
+      s"""SELECT event_type, count(*) AS n,
+            ${graft.core.D.oR4(graft.core.D.oSumDec(
+              "CASE WHEN event_type = 'purchase' THEN value * 2 ELSE value END"))}
+              AS sum_value
+          FROM events GROUP BY 1 ORDER BY 1""",
 
     "project_select" ->
       """SELECT l_orderkey, l_linenumber, l_extendedprice * (1.0 - l_discount) AS net
