@@ -635,6 +635,39 @@ object LlmQueries {
       Similarity.ivfTopK(emb, qv, cents, 10, nprobe = 2)
     }),
 
+    // Top principal direction of the embedding corpus — distributed
+    // PCA's one-pass shape: the d×d gram matrix accumulates as a
+    // partial-aggregated sum of per-vector outer products (state is
+    // O(d²)=4096 cells, corpus size only affects the scan), then TWO
+    // power-iteration mat-vecs run over the tiny gram frame (64-row
+    // joins), each component 4dp-decimal-quantized so the iteration
+    // trace is engine-portable, final vector unit-normalized. The
+    // loading vector is the axis embedding monitors watch for drift /
+    // anisotropy. (Estimator note: the DECIMAL(18,4) contract
+    // quantizes each x·x term — production would carry more digits;
+    // the point here is the one-pass gram shape and a hash-exact
+    // cross-engine fixpoint.)
+    "llm_embed_pca" -> ((s, dir) => {
+      val el = graft.core.Exec.materialize(Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "xf")))
+        .select(col("vec_id"), col("pos").cast("long").as("pos"),
+          col("xf").cast("double").as("x")))
+      val gram = graft.core.Exec.materialize(
+        el.alias("a").join(el.alias("b"), "vec_id")
+          .groupBy(col("a.pos").as("i"), col("b.pos").as("j"))
+          .agg(sum(D.dec(col("a.x") * col("b.x"))).cast("double").as("g")))
+      val v1 = gram.groupBy(col("i"))
+        .agg(D.r4s(sum(D.dec(col("g") * lit(0.125))).cast("double")).as("v"))
+      val v2 = gram.join(v1.select(col("i").as("j"), col("v")), "j")
+        .groupBy(col("i"))
+        .agg(D.r4s(sum(D.dec(col("g") * col("v"))).cast("double")).as("v"))
+      val nrm = v2.agg(
+        sqrt(sum(D.dec(col("v") * col("v"))).cast("double")).as("n"))
+      v2.crossJoin(broadcast(nrm))
+        .select(col("i").as("pos"), D.r4s(col("v") / col("n")).as("loading"))
+        .orderBy("pos")
+    }),
+
     // ANN recall report — the vector twin of llm_dedup_eval: recall@10
     // of the IVF probe (8 lists, nprobe=2) against brute-force cosine
     // truth for the same query. Recall is THE health metric an ANN
@@ -2675,6 +2708,24 @@ object LlmQueries {
           FROM a3 GROUP BY 1 ORDER BY 1""",
 
     "llm_sim_ivf" -> IvfOracle,
+
+    // mirror of llm_embed_pca: same gram aggregation, same quantized
+    // two-step power iteration, same unit normalization
+    "llm_embed_pca" ->
+      s"""WITH el AS (SELECT e.vec_id, r.i - 1 AS pos,
+                        CAST(e.embedding[r.i] AS DOUBLE) AS x
+                      FROM embeddings e, range(1, 65) r(i)),
+          gram AS (SELECT a.pos AS i, b.pos AS j,
+                     CAST(SUM(CAST(a.x * b.x AS DECIMAL(18,4))) AS DOUBLE) AS g
+                   FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2),
+          v1 AS (SELECT i, ${D.oR4(D.oSumDec("g * 0.125"))} AS v
+                 FROM gram GROUP BY 1),
+          v2 AS (SELECT gram.i, ${D.oR4(D.oSumDec("gram.g * v1.v"))} AS v
+                 FROM gram JOIN v1 ON v1.i = gram.j GROUP BY 1),
+          nrm AS (SELECT SQRT(CAST(SUM(CAST(v * v AS DECIMAL(18,4))) AS DOUBLE)) AS n
+                  FROM v2)
+          SELECT CAST(v2.i AS BIGINT) AS pos, ${D.oR4("v2.v / nrm.n")} AS loading
+          FROM v2 CROSS JOIN nrm ORDER BY pos""",
 
     // mirror of llm_sim_ivf_recall: the IvfOracle ranking joined
     // against the brute-force ranking computed off the SAME sims CTE
