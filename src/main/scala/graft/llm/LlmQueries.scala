@@ -206,10 +206,14 @@ object LlmQueries {
     // when they share their prefix (these are ≥0.5-Jaccard dups, so
     // almost always), the same reason dedup shards by content key; an
     // id sample would sever every cross-id-range pair and report an
-    // empty truth set. Exact all-pairs truth is inherently sample², so
-    // this is an offline index-health check run on the bounded sample,
-    // never the corpus — the sample self-join broadcasts one side;
-    // every other shape is the shared band machinery. F1 =
+    // empty truth set. Truth is EXACT but NOT sample²: a J≥0.5 pair
+    // must share a shingle, so |a∩b| comes from the inverted
+    // (shingle → id) self-join — the word-count shape, Σ df(shingle)²
+    // pairs where near-unique 3-shingles keep df at 1 except among
+    // actual dups — and the threshold is the integer-exact
+    // 3·|a∩b| ≥ |a|+|b| (⟺ Jaccard ≥ 0.5 on exact set sizes; the
+    // oracle states the same algebra over its intersect counts).
+    // Every other shape is the shared band machinery. F1 =
     // 2·hits/(cand+truth): exact integer counts, 4dp at the end.
     "llm_dedup_eval" -> ((s, dir) => {
       val sample = Tables.documents(s, dir).where(
@@ -226,10 +230,15 @@ object LlmQueries {
         .select(col("doc_id").as("id"), Dedup.words(col("text")).as("ws0"))
         .where(size(col("ws0")) >= 3)
         .select(col("id"), array_distinct(Dedup.shingles("ws0", 3)).as("ws")))
-      val truth = wsets.select(col("id").as("a_id"), col("ws").as("a_w"))
-        .join(broadcast(wsets.select(col("id").as("b_id"), col("ws").as("b_w"))),
-          col("a_id") < col("b_id"))
-        .where(Dedup.jaccard(col("a_w"), col("b_w")) >= 0.5)
+      val sizes = wsets.select(col("id"), size(col("ws")).as("nw"))
+      val ex = wsets.select(col("id"), explode(col("ws")).as("sh"))
+      val truth = ex.select(col("sh"), col("id").as("a_id"))
+        .join(ex.select(col("sh"), col("id").as("b_id")), Seq("sh"))
+        .where(col("a_id") < col("b_id"))
+        .groupBy("a_id", "b_id").agg(count(lit(1)).as("inter"))
+        .join(broadcast(sizes.select(col("id").as("a_id"), col("nw").as("na"))), "a_id")
+        .join(broadcast(sizes.select(col("id").as("b_id"), col("nw").as("nb"))), "b_id")
+        .where(col("inter") * 3 >= col("na") + col("nb"))
         .select("a_id", "b_id")
       val hits = cand.join(truth, Seq("a_id", "b_id"), "left_semi")
       // empty-denominator convention: a sample with no truth pairs /
