@@ -37,6 +37,17 @@ object D {
   def r4s(c: Column): Column = round(c * lit(10000.0), 0) / 10000.0 + lit(0.0)
   def oR4(x: String): String = s"ROUND(($x) * 10000.0, 0) / 10000.0 + 0.0"
 
+  /** CAST(x AS DECIMAL(28,10)) — exact order-independent addition for
+    * SMALL per-term contributions (entropy / KL terms are O(p·log p),
+    * down around 1e-6, which DECIMAL(18,4) would crush to zero): ten
+    * fractional digits sit orders below the terms while 18 integer
+    * digits keep billions-of-terms sums overflow-safe. Same ULP-tie
+    * risk class as [[dec]] — both engines quantize the identical
+    * double expression. */
+  def dec10(c: Column): Column = c.cast(DecimalType(28, 10))
+  def oSumDec10(x: String): String =
+    s"CAST(SUM(CAST($x AS DECIMAL(28,10))) AS DOUBLE)"
+
   /** Order-independent sum of a double column, emitted as DOUBLE.
     * Oracle side: `CAST(SUM(CAST(x AS DECIMAL(18,4))) AS DOUBLE)`. */
   def sumDec(c: Column): Column = sum(dec(c)).cast("double")

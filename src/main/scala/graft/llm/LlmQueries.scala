@@ -1274,6 +1274,63 @@ object LlmQueries {
         .groupBy("bucket_lo").agg(count(lit(1)).as("n"))
         .orderBy("bucket_lo")),
 
+    // Character-entropy quality gate (the Gopher/C4-style
+    // repetitiveness heuristic): per-doc Shannon entropy of the
+    // character distribution — repeat-flood/boilerplate pages collapse
+    // toward low bits-per-char while natural text sits near 4. Shape:
+    // ONE (doc, char) word-count aggregate, probabilities off a
+    // doc-partitioned window sum, and the −p·log2 p terms quantized to
+    // DECIMAL(28,10) (4dp would crush O(1e-3) terms) before the
+    // order-independent per-doc sum — shuffle-order-proof, the
+    // bm25-stored convention. Everything that moves is (doc, char)
+    // rows: bounded by doc length × charset, never corpus².
+    "llm_char_entropy" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val cc = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("ch"))
+        .where(col("ch") =!= "")
+        .groupBy("doc_id", "ch").agg(count(lit(1)).cast("double").as("cnt"))
+      val w = Window.partitionBy("doc_id")
+      cc.withColumn("p", col("cnt") / sum(col("cnt")).over(w))
+        .groupBy("doc_id")
+        .agg(D.r4s(sum(D.dec10(-col("p") * log2(col("p")))).cast("double"))
+          .as("entropy"))
+        .withColumn("keep", col("entropy") >= 2.0)
+        .orderBy("doc_id")
+    }),
+
+    // Per-source unigram drift vs the whole corpus: KL(P_src ‖ P_mix)
+    // with add-one smoothing over the corpus vocabulary — the
+    // mixture-health check run before reweighting a training blend.
+    // Shapes: two word-count aggregates ((source, term) and (term)),
+    // then vocab × sources — SOURCES IS A BOUNDED DIMENSION, so the
+    // expansion is vocab-sized per source and absent terms still
+    // contribute their smoothed mass (a join-only formulation silently
+    // drops exactly the terms that signal drift). KL terms are
+    // DECIMAL(28,10)-quantized before the order-independent sum.
+    "llm_unigram_kl" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(filter(Dedup.words(col("text")), w => w =!= lit("")))
+            .as("term"))
+      val st = tok.groupBy("source", "term")
+        .agg(count(lit(1)).cast("double").as("c_st"))
+      val ct = tok.groupBy("term").agg(count(lit(1)).cast("double").as("c_t"))
+      val ns = tok.groupBy("source").agg(count(lit(1)).cast("double").as("n_s"))
+      val tot = tok.agg(count(lit(1)).cast("double").as("n"),
+        count_distinct(col("term")).cast("double").as("v"))
+      val p = (col("c_st") + lit(1.0)) / (col("n_s") + col("v"))
+      val q = (col("c_t") + lit(1.0)) / (col("n") + col("v"))
+      ct.crossJoin(broadcast(ns)).crossJoin(broadcast(tot))
+        .join(st, Seq("source", "term"), "left")
+        .na.fill(0.0, Seq("c_st"))
+        .select(col("source"), col("n_s"), D.dec10(p * log(p / q)).as("kterm"))
+        .groupBy("source")
+        .agg(min(col("n_s")).cast("long").as("n_tokens"),
+          D.r4s(sum(col("kterm")).cast("double")).as("kl"))
+        .orderBy("source")
+    }),
+
     // deterministic denoising-objective corruption (the T5/BERT masking
     // shape, RNG-free so it is replayable and engine-checkable): token
     // at 0-based position p masks iff (doc_id·31 + p) mod 7 = 0 — a
@@ -3054,6 +3111,32 @@ object LlmQueries {
          SELECT doc_id, n_tokens,
                 ROUND((sum_cf * 1000000.0 / (n_tokens * total)) * 10000.0, 0) / 10000.0 + 0.0 AS fam_ppm
          FROM d, tot ORDER BY doc_id""",
+
+    "llm_char_entropy" ->
+      """WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+         cc AS (SELECT doc_id, ch, CAST(count(*) AS DOUBLE) AS cnt
+                FROM ch WHERE ch <> '' GROUP BY 1, 2),
+         pp AS (SELECT doc_id, cnt / sum(cnt) OVER (PARTITION BY doc_id) AS p FROM cc),
+         e AS (SELECT doc_id,
+                 ROUND(CAST(SUM(CAST(-p * log2(p) AS DECIMAL(28,10))) AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS entropy
+               FROM pp GROUP BY 1)
+         SELECT doc_id, entropy, entropy >= 2.0 AS keep FROM e ORDER BY doc_id""",
+
+    "llm_unigram_kl" ->
+      """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+         tt AS (SELECT source, term FROM t WHERE term <> ''),
+         st AS (SELECT source, term, CAST(count(*) AS DOUBLE) AS c_st FROM tt GROUP BY 1, 2),
+         ct AS (SELECT term, CAST(count(*) AS DOUBLE) AS c_t FROM tt GROUP BY 1),
+         ns AS (SELECT source, CAST(count(*) AS DOUBLE) AS n_s FROM tt GROUP BY 1),
+         tot AS (SELECT CAST(count(*) AS DOUBLE) AS n, CAST(count(DISTINCT term) AS DOUBLE) AS v FROM tt),
+         g AS (SELECT ns.source, ns.n_s, ct.c_t, tot.n, tot.v, COALESCE(st.c_st, 0.0) AS c_st
+               FROM ct CROSS JOIN ns CROSS JOIN tot
+               LEFT JOIN st ON st.source = ns.source AND st.term = ct.term)
+         SELECT source, CAST(MIN(n_s) AS BIGINT) AS n_tokens,
+                ROUND(CAST(SUM(CAST(((c_st + 1.0) / (n_s + v)) *
+                      ln(((c_st + 1.0) / (n_s + v)) / ((c_t + 1.0) / (n + v)))
+                      AS DECIMAL(28,10))) AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS kl
+         FROM g GROUP BY source ORDER BY source""",
 
     "llm_dedup_ngram_jaccard" ->
       """WITH w AS (SELECT doc_id, list_distinct(string_split(lower(text), ' ')) AS ws FROM documents),
