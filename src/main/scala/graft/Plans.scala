@@ -53,7 +53,13 @@ object Plans {
     "evt_zipf_fit", "tsdb_forecast_eval", "tsdb_lead_lag_corr",
     "llm_repeated_ngram", "agg_grouping_id", "scan_profile",
     "llm_contrastive_triplets", "llm_balance_labels",
-    "agg_multi_distinct", "join_runtime_filter")
+    "agg_multi_distinct", "join_runtime_filter",
+    "llm_dsir_weights", "graph_components", "evt_vwap",
+    "llm_multimodal_frames", "llm_dedup_eval", "cdc_scd2",
+    "evt_asof_enrich", "graph_degree_hist", "llm_sim_ivf_recall",
+    "fn_url", "graph_pagerank_copart", "llm_retrieval_mrr",
+    "llm_embed_pca", "sink_dynamic_overwrite", "llm_char_entropy",
+    "llm_unigram_kl", "agg_weighted_median", "evt_concurrency_peak")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

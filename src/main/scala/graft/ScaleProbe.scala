@@ -166,6 +166,12 @@ object ScaleProbe {
       SparkEntry.queries("graph_triangles")(spark, dir).count()
     def components(dir: String): Long =
       SparkEntry.queries("graph_components")(spark, dir).count()
+    // dedup-eval truth side: inverted-shingle Σ df² — the disjoint
+    // replica shingle spaces keep df flat at 10× docs, so the probe
+    // checks truth cost tracks corpus size, NOT sample² (the shape the
+    // r10 rewrite removed: 45 s at 1×, ~100× at 10×)
+    def dedupEval(dir: String): Long =
+      SparkEntry.queries("llm_dedup_eval")(spark, dir).count()
     def minhashSigOnly(dir: String): Long =
       // aggregate a lane, don't count(): column pruning under count()
       // drops the signature expression entirely and the probe would time
@@ -181,6 +187,7 @@ object ScaleProbe {
     flagship(sf); downsample(sf); sessionize(sf); minhash(sf); minhashSigOnly(sf)
     funnel(sf); wau(sf)
     clusters(sf); pagerank(sf); pagerankCopart(sf); triangles(sf); components(sf)
+    dedupEval(sf)
     ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
@@ -202,6 +209,7 @@ object ScaleProbe {
       ("graph_pagerank_copart", time(pagerankCopart(sf)), time(pagerankCopart(big))),
       ("graph_triangles", time(triangles(sf)), time(triangles(big))),
       ("graph_components", time(components(sf)), time(components(big))),
+      ("dedup_eval_truth", time(dedupEval(sf)), time(dedupEval(big))),
       ("ivf_batch_topk", time(ivfBatch(sf)), time(ivfBatch(big))),
       // the timed builds rebuild from scratch, clearing the warmup's
       // tombstones — stored_probe times the clean index, deleted_probe

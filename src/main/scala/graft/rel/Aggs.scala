@@ -35,6 +35,31 @@ object Aggs {
   }
 
   val queries: Map[String, Q] = Map(
+    // Exact weighted median (lower): per group, the smallest value v
+    // whose cumulative weight reaches half the group's total —
+    // inventory valuation / weighted-latency SLO shape. The cumulative
+    // sum uses a RANGE frame (whole tie group included), so the result
+    // is permutation-proof without a tie-break column; weights are
+    // integer-valued doubles, so every sum is exact. Cost: one
+    // group-partitioned sort window + the final group aggregate —
+    // at 100 TB a hash-partition-by-group sort-within-partitions pass,
+    // no self-join against the per-group total (that's the second
+    // window below, same partitioning, zero extra shuffles).
+    "agg_weighted_median" -> ((s, dir) => {
+      val wc = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy("l_returnflag")
+      Tables.lineitem(s, dir)
+        .select(col("l_returnflag"), col("l_extendedprice"), col("l_quantity"))
+        .withColumn("cw", sum(col("l_quantity")).over(wc))
+        .withColumn("tw", sum(col("l_quantity")).over(wt))
+        .where(col("cw") * 2 >= col("tw"))
+        .groupBy("l_returnflag")
+        .agg(min(col("l_extendedprice")).as("w_median"),
+          min(col("tw")).cast("long").as("total_weight"))
+        .orderBy("l_returnflag")
+    }),
+
     // revenue concentration (the 80/20 curve): customers ranked by
     // exact-decimal revenue into deciles, each decile's share and the
     // cumulative share. Windows run over the REDUCED customer frame
@@ -480,6 +505,20 @@ object Aggs {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // mirror of agg_weighted_median: the same RANGE-frame cumulative
+    // weight (tie-group inclusive), min qualifying value per group
+    "agg_weighted_median" ->
+      """WITH c AS (SELECT l_returnflag, l_extendedprice, l_quantity,
+              SUM(l_quantity) OVER (PARTITION BY l_returnflag
+                ORDER BY l_extendedprice
+                RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cw,
+              SUM(l_quantity) OVER (PARTITION BY l_returnflag) AS tw
+            FROM lineitem)
+         SELECT l_returnflag, MIN(l_extendedprice) AS w_median,
+                CAST(MIN(tw) AS BIGINT) AS total_weight
+         FROM c WHERE cw * 2 >= tw
+         GROUP BY l_returnflag ORDER BY l_returnflag""",
 
     "agg_multi_distinct" ->
       s"""SELECT event_type,

@@ -48,6 +48,43 @@ object Behavior {
         .orderBy("user_id", "ts_ms", "event_id")
     }),
 
+    // Peak concurrency by sweep-line — "how many sessions were open at
+    // once": sessionize (the win_sessionize 30-min-gap convention),
+    // expand each session to ±1 boundary rows BOTH attributed to the
+    // session's start day, and take the max running sum per day. The
+    // classic interval-stacking problem without an interval × interval
+    // self-join: 2 rows per session, one day-partitioned sort window.
+    // Ties sort starts (+1) before ends (−1), so a session ending
+    // exactly when another starts counts as overlap (inclusive
+    // semantics, mirrored by the oracle). At 100 TB: the sessionize
+    // window is user-partitioned, the sweep window day-partitioned —
+    // two bounded sorts, never a quadratic overlap join.
+    "evt_concurrency_peak" -> ((s, dir) => {
+      val wOrd = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = Tables.events(s, dir)
+        .withColumn("prev_ts", lag(col("ts_ms"), 1).over(wOrd))
+        .withColumn("new_sess",
+          when(col("prev_ts").isNull || col("ts_ms") - col("prev_ts") > 1800000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy("user_id", "session_id")
+        .agg(min(col("ts_ms")).as("s_ms"), max(col("ts_ms")).as("e_ms"))
+        .withColumn("day", expr("s_ms DIV 86400000"))
+      val bounds = sess
+        .select(col("user_id"), col("day"), col("s_ms").as("t"), lit(1).as("delta"))
+        .unionByName(sess
+          .select(col("user_id"), col("day"), col("e_ms").as("t"), lit(-1).as("delta")))
+      val wSweep = Window.partitionBy("day")
+        .orderBy(col("t"), col("delta").desc, col("user_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      bounds.withColumn("open", sum(col("delta")).over(wSweep))
+        .groupBy("day")
+        .agg(max(col("open")).as("peak_concurrent"),
+          sum(when(col("delta") === 1, 1).otherwise(0)).cast("long").as("n_sessions"))
+        .orderBy("day")
+    }),
+
     // Slowly-changing-dimension type-2 history build (the classic
     // warehouse CDC shape): treat the event stream as a change log of
     // each user's `k` attribute (parsed from JSON props) and emit one
@@ -481,6 +518,34 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of evt_concurrency_peak: same sessionize, same ±1
+    // boundary expansion attributed to the start day, same
+    // starts-before-ends tie order in the sweep window
+    "evt_concurrency_peak" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
+         l AS (SELECT user_id, event_id, ts_ms,
+                 lag(ts_ms, 1) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id) AS prev_ts
+               FROM e),
+         f AS (SELECT user_id, event_id, ts_ms,
+                 CASE WHEN prev_ts IS NULL OR ts_ms - prev_ts > 1800000 THEN 1 ELSE 0 END AS new_sess
+               FROM l),
+         sid AS (SELECT user_id, ts_ms,
+                 SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 FROM f),
+         sess AS (SELECT user_id, session_id, MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
+                  FROM sid GROUP BY 1, 2),
+         b AS (SELECT user_id, s_ms // 86400000 AS day, s_ms AS t, 1 AS delta FROM sess
+               UNION ALL
+               SELECT user_id, s_ms // 86400000 AS day, e_ms AS t, -1 AS delta FROM sess),
+         o AS (SELECT day, delta,
+                 SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+               FROM b)
+         SELECT day, MAX(open) AS peak_concurrent,
+                CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+         FROM o GROUP BY day ORDER BY day""",
+
     // mirror of evt_asof_enrich: same interleaved window forward-fill
     // (IGNORE NULLS last_value over the same (ts, event_id) order)
     "evt_asof_enrich" ->

@@ -436,4 +436,19 @@ class PlanSpec extends SparkSpec {
         s"HLL estimate $est vs exact $exact drifts beyond 15%")
     }
   }
+
+  test("dedup-eval exact truth is the inverted-shingle join, never a pair product") {
+    // the truth side must count |a∩b| through the (shingle → id)
+    // self-join (Σ df² pairs) — the sample² nested-loop Jaccard scan
+    // this replaced cost 45 s at sf0.1 and sample² anywhere
+    val p = plan("llm_dedup_eval")
+    assert(!p.contains("CartesianProduct"),
+      s"truth side degenerated to a pair product:\n$p")
+    // any equi strategy is fine (fixture scale may broadcast); what
+    // matters is the join is KEYED on the shingle column, not a
+    // condition-only nested loop over all pairs
+    assert("(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin) \\[sh#".r
+      .findFirstIn(p).isDefined,
+      s"shingle co-occurrence must be an equi join on sh:\n$p")
+  }
 }
