@@ -60,6 +60,23 @@ object Aggs {
         .orderBy("l_returnflag")
     }),
 
+    // Geometric and harmonic means (rate/ratio averaging — the means
+    // plain avg gets wrong for multiplicative growth and rates): both
+    // from exact DECIMAL(28,10) sums of the per-row transforms (ln x
+    // and 1/x — the reciprocals are O(1e-5), which DECIMAL(18,4)
+    // would crush), so partial/final combine order can't move the
+    // result; one partial→final aggregate, 3 groups out.
+    "agg_geo_harmonic" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          D.r4s(exp(sum(D.dec10(log(col("l_extendedprice")))).cast("double") /
+            count(lit(1)))).as("geo_mean"),
+          D.r4s(count(lit(1)).cast("double") /
+            sum(D.dec10(lit(1.0) / col("l_extendedprice"))).cast("double"))
+            .as("harm_mean"))
+        .orderBy("l_returnflag")),
+
     // revenue concentration (the 80/20 curve): customers ranked by
     // exact-decimal revenue into deciles, each decile's share and the
     // cumulative share. Windows run over the REDUCED customer frame
@@ -505,6 +522,16 @@ object Aggs {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // mirror of agg_geo_harmonic: exp/reciprocal over the same
+    // DECIMAL(28,10) sums
+    "agg_geo_harmonic" ->
+      """SELECT l_returnflag, count(*) AS n,
+           ROUND(exp(CAST(SUM(CAST(ln(l_extendedprice) AS DECIMAL(28,10))) AS DOUBLE)
+             / count(*)) * 10000.0, 0) / 10000.0 + 0.0 AS geo_mean,
+           ROUND((count(*) / CAST(SUM(CAST(1.0 / l_extendedprice AS DECIMAL(28,10))) AS DOUBLE))
+             * 10000.0, 0) / 10000.0 + 0.0 AS harm_mean
+         FROM lineitem GROUP BY 1 ORDER BY 1""",
 
     // mirror of agg_weighted_median: the same RANGE-frame cumulative
     // weight (tie-group inclusive), min qualifying value per group

@@ -25,6 +25,21 @@ object TsdbQueries {
         .orderBy("event_type", "user_id", "bucket_ms")
     }),
 
+    // first/last downsample aggregators (the other half of the classic
+    // TSDB aggregator set beside avg/sum/min/max/count): value of the
+    // earliest and latest point per bucket, tie-broken by (ts, value)
+    // so duplicate timestamps stay engine-portable. ONE partial→final
+    // aggregate — min_by/max_by carry (key, value) pairs through the
+    // combine, so no per-bucket sort and no window pass.
+    "tsdb_downsample_first_last" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(col("event_type"), col("user_id"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(H))).as("bucket_ms"))
+        .agg(
+          min_by(col("value"), struct(col("ts_ms"), col("value"))).as("first_v"),
+          max_by(col("value"), struct(col("ts_ms"), col("value"))).as("last_v"))
+        .orderBy("event_type", "user_id", "bucket_ms")),
+
     "tsdb_downsample_fill" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
       val ds = Downsample(ev, Seq("user_id"), Day, "avg")
@@ -963,6 +978,21 @@ object TsdbQueries {
       s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
           ${D.oAvgDec("value")} AS value
           FROM events GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    // mirror of tsdb_downsample_first_last: rn over the same (ts,
+    // value) tie order replays min_by/max_by's argmin/argmax exactly
+    "tsdb_downsample_first_last" ->
+      s"""WITH e AS (SELECT event_type, user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                       value, ${oBucket(H)} AS bucket_ms FROM events),
+          r AS (SELECT *,
+                  row_number() OVER (PARTITION BY event_type, user_id, bucket_ms
+                                     ORDER BY ts_ms, value) AS rn,
+                  count(*) OVER (PARTITION BY event_type, user_id, bucket_ms) AS cnt
+                FROM e)
+          SELECT event_type, user_id, bucket_ms,
+                 MIN(CASE WHEN rn = 1 THEN value END) AS first_v,
+                 MIN(CASE WHEN rn = cnt THEN value END) AS last_v
+          FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "tsdb_topn" ->
       s"""WITH ds AS (
