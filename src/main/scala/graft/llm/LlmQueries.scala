@@ -1299,6 +1299,39 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // Int8 scalar quantization health report — the OTHER standard
+    // vector-compression path beside PQ (per-dimension affine map to
+    // 0..255 codes; 4× smaller than float32, no codebook training):
+    // one (dim → min/max) word-count aggregate, a map-side
+    // encode/decode with the 64-row range table broadcast back, and a
+    // single-row error report (corpus MSE in ppm + worst absolute
+    // error). Codes use floor(t·255 + 0.5), not round — both engines
+    // floor the identical IEEE double, so codes are bit-identical
+    // cross-engine; a constant dimension (hi = lo) pins code 0 rather
+    // than dividing by zero (Spark yields Inf, DuckDB NULL — the guard
+    // keeps both honest). Squared errors are DECIMAL(28,10)-quantized
+    // for the order-independent sum. At 100 TB: the range pass and the
+    // error pass are two corpus scans with dim-count-sized exchanges.
+    "llm_embed_sq8" -> ((s, dir) => {
+      val ex = Tables.embeddings(s, dir)
+        .select(col("vec_id"), posexplode(col("embedding")).as(Seq("i", "xf")))
+        .select(col("vec_id"), col("i"), col("xf").cast("double").as("x"))
+      val rng = ex.groupBy("i").agg(min(col("x")).as("lo"), max(col("x")).as("hi"))
+      val enc = ex.join(broadcast(rng), "i")
+        .withColumn("code",
+          when(col("hi") === col("lo"), lit(0.0))
+            .otherwise(floor((col("x") - col("lo")) / (col("hi") - col("lo"))
+              * lit(255.0) + lit(0.5))))
+        .withColumn("recon",
+          col("lo") + col("code") * (col("hi") - col("lo")) / lit(255.0))
+      enc.agg(
+          countDistinct(col("vec_id")).as("n_vecs"),
+          count(lit(1)).as("n_elems"),
+          D.r4s(sum(D.dec10((col("x") - col("recon")) * (col("x") - col("recon"))))
+            .cast("double") / count(lit(1)) * lit(1000000.0)).as("mse_ppm"),
+          D.r4s(max(abs(col("x") - col("recon")))).as("max_abs_err"))
+    }),
+
     // Per-source unigram drift vs the whole corpus: KL(P_src ‖ P_mix)
     // with add-one smoothing over the corpus vocabulary — the
     // mixture-health check run before reweighting a training blend.
@@ -3121,6 +3154,26 @@ object LlmQueries {
                  ROUND(CAST(SUM(CAST(-p * log2(p) AS DECIMAL(28,10))) AS DOUBLE) * 10000.0, 0) / 10000.0 + 0.0 AS entropy
                FROM pp GROUP BY 1)
          SELECT doc_id, entropy, entropy >= 2.0 AS keep FROM e ORDER BY doc_id""",
+
+    // mirror of llm_embed_sq8: identical affine map, floor(t·255+0.5)
+    // codes, hi=lo guard, DECIMAL(28,10) squared-error sum
+    "llm_embed_sq8" ->
+      """WITH x AS (SELECT e.vec_id, r.i,
+                      CAST(e.embedding[r.i] AS DOUBLE) AS x
+                    FROM embeddings e, range(1, 65) r(i)),
+         rng AS (SELECT i, MIN(x) AS lo, MAX(x) AS hi FROM x GROUP BY 1),
+         enc AS (SELECT x.vec_id, x.x,
+                   CASE WHEN rng.hi = rng.lo THEN 0.0
+                        ELSE floor((x.x - rng.lo) / (rng.hi - rng.lo) * 255.0 + 0.5)
+                   END AS code, rng.lo, rng.hi
+                 FROM x JOIN rng USING (i)),
+         rc AS (SELECT vec_id, x,
+                  lo + code * (hi - lo) / 255.0 AS recon FROM enc)
+         SELECT count(DISTINCT vec_id) AS n_vecs, count(*) AS n_elems,
+                ROUND((CAST(SUM(CAST((x - recon) * (x - recon) AS DECIMAL(28,10))) AS DOUBLE)
+                  / count(*) * 1000000.0) * 10000.0, 0) / 10000.0 + 0.0 AS mse_ppm,
+                ROUND(MAX(abs(x - recon)) * 10000.0, 0) / 10000.0 + 0.0 AS max_abs_err
+         FROM rc""",
 
     "llm_unigram_kl" ->
       """WITH t AS (SELECT source, unnest(string_split(lower(text), ' ')) AS term FROM documents),

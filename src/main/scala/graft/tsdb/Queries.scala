@@ -890,6 +890,26 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // absent-series alert (PromQL `absent()` / dead-man's-switch): a
+    // series that reported in the 21-day baseline window but has ZERO
+    // points in the last 7 days before pinned NOW. Two pruned scans
+    // reduced to distinct series keys, one anti join on the key —
+    // series-count-sized frames, never point-sized, and both scans
+    // push their time-range filter (the alert every fleet runs to
+    // catch silently-dead emitters). last_seen_ms dates the death.
+    "tsdb_absent_series" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val cut = Tables.NowMs - 7L * 86400000
+      val base = ev.where(col("ts_ms") >= Tables.NowMs - 28L * 86400000 &&
+          col("ts_ms") < cut)
+        .groupBy("event_type", "user_id")
+        .agg(max(col("ts_ms")).as("last_seen_ms"))
+      val recent = ev.where(col("ts_ms") >= cut)
+        .select("event_type", "user_id").distinct()
+      base.join(recent, Seq("event_type", "user_id"), "left_anti")
+        .orderBy("event_type", "user_id")
+    }),
+
     "tsdb_ttl_expiry" -> ((s, dir) =>
       Retention.applyTtl(Tables.events(s, dir), "ts_ms", Tables.NowMs, 14L * 86400000)
         .select("event_id", "ts_ms")
@@ -2219,6 +2239,24 @@ object TsdbQueries {
                 FROM ds GROUP BY 1, 2)
           SELECT tag_user, bucket_ms, ${D.oR4("value / 3600.0")} AS value
           FROM m ORDER BY 1, 2""",
+
+    // mirror of tsdb_absent_series: same windows off the pinned NOW,
+    // same anti-join semantics via NOT EXISTS
+    "tsdb_absent_series" ->
+      s"""WITH e AS (SELECT event_type, user_id, epoch_ns(ts) // 1000000 AS ts_ms
+                     FROM events),
+          base AS (SELECT event_type, user_id, MAX(ts_ms) AS last_seen_ms
+                   FROM e
+                   WHERE ts_ms >= ${Tables.NowMs - 28L * 86400000}
+                     AND ts_ms < ${Tables.NowMs - 7L * 86400000}
+                   GROUP BY 1, 2),
+          recent AS (SELECT DISTINCT event_type, user_id FROM e
+                     WHERE ts_ms >= ${Tables.NowMs - 7L * 86400000})
+          SELECT b.event_type, b.user_id, b.last_seen_ms FROM base b
+          WHERE NOT EXISTS (SELECT 1 FROM recent r
+                            WHERE r.event_type = b.event_type
+                              AND r.user_id = b.user_id)
+          ORDER BY 1, 2""",
 
     "tsdb_ttl_expiry" ->
       s"""SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events
