@@ -48,6 +48,25 @@ object Behavior {
         .orderBy("user_id", "ts_ms", "event_id")
     }),
 
+    // New vs returning users per day — the first-seen split every
+    // product dashboard opens with: one min(day) per user (the
+    // user-keyed aggregate), broadcast-joined back into the distinct
+    // (user, day) frame. Both frames are user-count-sized; the raw
+    // event scan reduces immediately.
+    "evt_new_vs_returning" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+        .select(col("user_id"), expr("ts_ms DIV 86400000").as("day"))
+        .distinct()
+      val firstDay = e.groupBy("user_id").agg(min(col("day")).as("first_day"))
+      e.join(firstDay, "user_id")
+        .groupBy("day")
+        .agg(sum(when(col("day") === col("first_day"), 1).otherwise(0))
+            .cast("long").as("new_users"),
+          sum(when(col("day") =!= col("first_day"), 1).otherwise(0))
+            .cast("long").as("returning_users"))
+        .orderBy("day")
+    }),
+
     // Peak concurrency by sweep-line — "how many sessions were open at
     // once": sessionize (the win_sessionize 30-min-gap convention),
     // expand each session to ±1 boundary rows BOTH attributed to the
@@ -518,6 +537,17 @@ object Behavior {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of evt_new_vs_returning: same first-seen split
+    "evt_new_vs_returning" ->
+      """WITH d AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
+                    FROM events),
+         f AS (SELECT user_id, MIN(day) AS first_day FROM d GROUP BY 1)
+         SELECT d.day,
+                CAST(SUM(CASE WHEN d.day = f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS new_users,
+                CAST(SUM(CASE WHEN d.day <> f.first_day THEN 1 ELSE 0 END) AS BIGINT) AS returning_users
+         FROM d JOIN f USING (user_id)
+         GROUP BY d.day ORDER BY d.day""",
+
     // mirror of evt_concurrency_peak: same sessionize, same ±1
     // boundary expansion attributed to the start day, same
     // starts-before-ends tie order in the sweep window
