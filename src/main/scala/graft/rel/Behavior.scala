@@ -69,15 +69,19 @@ object Behavior {
 
     // Peak concurrency by sweep-line — "how many sessions were open at
     // once": sessionize (the win_sessionize 30-min-gap convention),
-    // expand each session to ±1 boundary rows BOTH attributed to the
-    // session's start day, and take the max running sum per day. The
-    // classic interval-stacking problem without an interval × interval
-    // self-join: 2 rows per session, one day-partitioned sort window.
-    // Ties sort starts (+1) before ends (−1), so a session ending
-    // exactly when another starts counts as overlap (inclusive
-    // semantics, mirrored by the oracle). At 100 TB: the sessionize
-    // window is user-partitioned, the sweep window day-partitioned —
-    // two bounded sorts, never a quadratic overlap join.
+    // CLIP each session at day boundaries (one ±1 boundary pair per
+    // day spanned — a session crossing midnight contributes to every
+    // day it overlaps, so the per-day peak is the TRUE daily peak, not
+    // just among sessions starting that day), and take the max running
+    // sum per day. n_sessions = sessions ACTIVE (overlapping) that
+    // day. The classic interval-stacking problem without an interval ×
+    // interval self-join: ≤2 rows per session-day, one day-partitioned
+    // sort window. Ties sort starts (+1) before ends (−1), so a
+    // session ending exactly when another starts counts as overlap
+    // (inclusive semantics, mirrored by the oracle). At 100 TB: the
+    // sessionize window is user-partitioned, the sweep window
+    // day-partitioned — two bounded sorts, never a quadratic overlap
+    // join; the day-explode is bounded by session span in days.
     "evt_concurrency_peak" -> ((s, dir) => {
       val wOrd = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
       val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -89,11 +93,14 @@ object Behavior {
         .withColumn("session_id", sum(col("new_sess")).over(wRun))
         .groupBy("user_id", "session_id")
         .agg(min(col("ts_ms")).as("s_ms"), max(col("ts_ms")).as("e_ms"))
-        .withColumn("day", expr("s_ms DIV 86400000"))
+        .withColumn("day",
+          explode(sequence(expr("s_ms DIV 86400000"), expr("e_ms DIV 86400000"))))
+        .withColumn("cs", greatest(col("s_ms"), col("day") * 86400000L))
+        .withColumn("ce", least(col("e_ms"), (col("day") + 1) * 86400000L))
       val bounds = sess
-        .select(col("user_id"), col("day"), col("s_ms").as("t"), lit(1).as("delta"))
+        .select(col("user_id"), col("day"), col("cs").as("t"), lit(1).as("delta"))
         .unionByName(sess
-          .select(col("user_id"), col("day"), col("e_ms").as("t"), lit(-1).as("delta")))
+          .select(col("user_id"), col("day"), col("ce").as("t"), lit(-1).as("delta")))
       val wSweep = Window.partitionBy("day")
         .orderBy(col("t"), col("delta").desc, col("user_id"))
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -548,8 +555,8 @@ object Behavior {
          FROM d JOIN f USING (user_id)
          GROUP BY d.day ORDER BY d.day""",
 
-    // mirror of evt_concurrency_peak: same sessionize, same ±1
-    // boundary expansion attributed to the start day, same
+    // mirror of evt_concurrency_peak: same sessionize, same
+    // day-boundary clipping (one ±1 pair per day spanned), same
     // starts-before-ends tie order in the sweep window
     "evt_concurrency_peak" ->
       """WITH e AS (SELECT user_id, event_id, epoch_ns(ts) // 1000000 AS ts_ms FROM events),
@@ -565,14 +572,21 @@ object Behavior {
                  FROM f),
          sess AS (SELECT user_id, session_id, MIN(ts_ms) AS s_ms, MAX(ts_ms) AS e_ms
                   FROM sid GROUP BY 1, 2),
-         b AS (SELECT user_id, s_ms // 86400000 AS day, s_ms AS t, 1 AS delta FROM sess
+         sd AS (SELECT user_id, s_ms, e_ms,
+                  UNNEST(range(s_ms // 86400000, e_ms // 86400000 + 1)) AS day
+                FROM sess),
+         cl AS (SELECT user_id, day,
+                  greatest(s_ms, day * 86400000) AS cs,
+                  least(e_ms, (day + 1) * 86400000) AS ce
+                FROM sd),
+         b AS (SELECT user_id, day, cs AS t, 1 AS delta FROM cl
                UNION ALL
-               SELECT user_id, s_ms // 86400000 AS day, e_ms AS t, -1 AS delta FROM sess),
+               SELECT user_id, day, ce AS t, -1 AS delta FROM cl),
          o AS (SELECT day, delta,
                  SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC, user_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
                FROM b)
-         SELECT day, MAX(open) AS peak_concurrent,
+         SELECT day, CAST(MAX(open) AS BIGINT) AS peak_concurrent,
                 CAST(SUM(CASE WHEN delta = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
          FROM o GROUP BY day ORDER BY day""",
 
@@ -690,7 +704,9 @@ object Behavior {
                   ${r4("CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)")} AS cvr_a,
                   ${r4("CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)")} AS cvr_b
                 FROM c)
-          SELECT n_a, conv_a, n_b, conv_b, cvr_a, cvr_b,
+          SELECT CAST(n_a AS BIGINT) AS n_a, CAST(conv_a AS BIGINT) AS conv_a,
+                 CAST(n_b AS BIGINT) AS n_b, CAST(conv_b AS BIGINT) AS conv_b,
+                 cvr_a, cvr_b,
                  ${r4("cvr_b / cvr_a - 1.0")} AS lift
           FROM r"""
     },

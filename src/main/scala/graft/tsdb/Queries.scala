@@ -856,6 +856,25 @@ object TsdbQueries {
         Pipeline.Caps(maxDataPoints = 4000))
     }),
 
+    // EP2 wire parity: the SAME pipeline driven from the OpenTSDB
+    // POST /api/query JSON payload itself — RequestJson.parse turns
+    // the wire body into the typed TsdbQuery (relative "30d-ago"
+    // start resolved against pinned NOW = exactly T0; omitted end
+    // defaults to NOW = T1), then the generic Pipeline.run executes
+    // it. The oracle recomputes the pipeline stages directly, so a
+    // parser bug in times/filters/downsample hash-fails here.
+    "tsdb_query_json" -> ((s, dir) => {
+      val body =
+        """{"start": "30d-ago",
+            "queries": [{"metric": "click", "aggregator": "sum",
+                         "downsample": "1h-avg", "rate": false,
+                         "filters": [{"type": "wildcard", "tagk": "user",
+                                      "filter": "1*", "groupBy": true}]}]}"""
+      val q = RequestJson.parse(body, Tables.NowMs)
+      Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
+        .select("tag_user", "bucket_ms", "value")
+    }),
+
     // EP2' multi-subquery request over the SHARED scan (Pipeline.runAll
     // materializes one filtered points slice for both subqueries —
     // plan-asserted in PlanSpec): click/sum and view/max grouped by the
@@ -1462,7 +1481,8 @@ object TsdbQueries {
                   lag(value) OVER (PARTITION BY user_id ORDER BY bucket_ms) AS prev
                 FROM ds)
           SELECT user_id, count(*) AS n_buckets,
-                 SUM(CASE WHEN value < prev THEN 1 ELSE 0 END) AS n_resets,
+                 CAST(SUM(CASE WHEN value < prev THEN 1 ELSE 0 END)
+                      AS BIGINT) AS n_resets,
                  ${D.oR4("""CAST(COALESCE(SUM(CASE WHEN value < prev
                      THEN CAST(prev AS DECIMAL(18,4)) - CAST(value AS DECIMAL(18,4))
                      END), 0) AS DOUBLE)""")} AS drop_total
@@ -2090,6 +2110,21 @@ object TsdbQueries {
                    ${D.oAvgDec("value")} AS value
             FROM events
             WHERE event_type = 'click' AND user_id IN (${(0 until 20).mkString(", ")})
+              AND epoch_ns(ts) // 1000000 >= $T0
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2)
+          SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of tsdb_query_json: the parsed request's stages recomputed
+    // directly — wildcard "1*" on the user tag, 1h-avg downsample,
+    // sum merge, [T0, T1) from the relative-time resolution
+    "tsdb_query_json" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) LIKE '1%'
               AND epoch_ns(ts) // 1000000 >= $T0
               AND epoch_ns(ts) // 1000000 < $T1
             GROUP BY 1, 2)

@@ -170,4 +170,67 @@ class PureSpec extends AnyFunSuite {
       case other => fail(s"unexpected tree: $other")
     }
   }
+  test("wire JSON: full request parses to the typed model") {
+    val q = RequestJson.parse(
+      """{"start": "30d-ago", "end": 1706659200,
+          "queries": [{"metric": "click", "aggregator": "sum",
+                       "downsample": "1h-avg-zero", "rate": true,
+                       "rateOptions": {"counter": true, "counterMax": 1000,
+                                       "resetValue": 5},
+                       "filters": [{"type": "wildcard", "tagk": "user",
+                                    "filter": "1*", "groupBy": true},
+                                   {"type": "regexp", "tagk": "host",
+                                    "filter": "web[0-9]+"}]}]}""", Now)
+    assert(q.startMs == Now - 30 * 86400000L)
+    assert(q.endMs == Now) // epoch seconds normalized to ms
+    val sub = q.queries.head
+    assert(sub.metric == "click" && sub.aggregator == "sum")
+    assert(sub.downsample.contains(DownsampleSpec(3600000L, "avg", "zero")))
+    assert(sub.rate)
+    assert(sub.rateOptions == RateOptions(counter = true,
+      counterMax = Some(1000L), resetValue = Some(5L)))
+    assert(sub.filters == Seq(
+      TagFilterSpec("wildcard", "user", "1*", groupBy = true),
+      TagFilterSpec("regexp", "host", "web[0-9]+")))
+  }
+
+  test("wire JSON: end defaults to now; numeric ms start passes through") {
+    val q = RequestJson.parse(
+      s"""{"start": ${Now - 3600000L},
+           "queries": [{"metric": "m", "aggregator": "avg"}]}""", Now)
+    assert(q.startMs == Now - 3600000L && q.endMs == Now)
+    assert(q.queries.head.downsample.isEmpty && !q.queries.head.rate)
+  }
+
+  test("wire JSON: legacy tags map becomes groupBy filters") {
+    val q = RequestJson.parse(
+      """{"start": "1h-ago",
+          "queries": [{"metric": "m", "aggregator": "max",
+                       "tags": {"host": "web01|web02", "dc": "*"}}]}""", Now)
+    val fs = q.queries.head.filters
+    assert(fs.contains(TagFilterSpec("literal_or", "host", "web01|web02",
+      groupBy = true)))
+    assert(fs.contains(TagFilterSpec("wildcard", "dc", "*", groupBy = true)))
+  }
+
+  test("wire JSON: malformed requests are 400s, not planner crashes") {
+    def bad(body: String): Unit =
+      intercept[IllegalArgumentException](RequestJson.parse(body, Now))
+    bad("{not json")                                        // malformed JSON
+    bad("[]")                                               // not an object
+    bad("""{"queries": [{"metric": "m", "aggregator": "sum"}]}""") // no start
+    bad("""{"start": "1h-ago"}""")                          // no queries
+    bad("""{"start": "1h-ago", "queries": []}""")           // empty queries
+    bad("""{"start": "1h-ago", "queries": [{"aggregator": "sum"}]}""") // no metric
+    bad("""{"start": "1h-ago", "queries": [{"metric": "m"}]}""") // no aggregator
+    bad("""{"start": "1h-ago", "end": "2h-ago",
+           "queries": [{"metric": "m", "aggregator": "sum"}]}""") // end <= start
+    bad("""{"start": "1h-ago",
+           "queries": [{"metric": "m", "aggregator": "sum",
+                        "filters": [{"type": "bogus_type", "tagk": "u",
+                                     "filter": "x"}]}]}""")  // unknown filter
+    bad("""{"start": "1h-ago",
+           "queries": [{"metric": "m", "aggregator": "sum",
+                        "downsample": "bogus"}]}""")         // bad downsample
+  }
 }

@@ -26,8 +26,21 @@ def norm(s):
         return s.map(lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v)
     return s
 
+def kind(s):
+    """Type *kind* for the driver-faithful dtype compare: int/float/bool/
+    datetime/object. The driver's hasher distinguishes value types, so a
+    Spark BIGINT vs a DuckDB HUGEINT (pandas float64/object) must FAIL
+    locally too — that exact blindness shipped 7 red rows in round 10."""
+    if np.issubdtype(s.dtype, np.datetime64): return "datetime"
+    if np.issubdtype(s.dtype, np.bool_): return "bool"
+    if np.issubdtype(s.dtype, np.integer): return "int"
+    if np.issubdtype(s.dtype, np.floating): return "float"
+    return "object"
+
 def cells_equal(a, b):
     a, b = norm(a), norm(b)
+    if kind(a) != kind(b):
+        return False  # dtype-kind mismatch = driver hash mismatch
     if np.issubdtype(a.dtype, np.floating) or np.issubdtype(b.dtype, np.floating):
         av, bv = a.astype(float).values, b.astype(float).values
         return np.array_equal(av, bv, equal_nan=True)
@@ -37,6 +50,27 @@ def cells_equal(a, b):
     except Exception:
         return list(a.values) == list(b.values)
 
+BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+
+def audit_types(con, oracle):
+    """Plan (not run) every oracle in DuckDB and flag any output column
+    whose type the driver would hash differently from Spark's physical
+    type — HUGEINT/UHUGEINT (int128, from an uncast integer SUM) have no
+    Spark equivalent and always hash-diverge."""
+    bad = []
+    for name in sorted(oracle):
+        try:
+            rel = con.sql(oracle[name])
+            hits = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
+                    if str(t).upper() in BANNED_DUCK_TYPES]
+        except Exception as e:
+            print(f"TYPEAUDIT ERR {name}: {e}")
+            bad.append(name); continue
+        if hits:
+            print(f"TYPEAUDIT FAIL {name}: {hits} — wrap in CAST(... AS BIGINT)")
+            bad.append(name)
+    return bad
+
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
@@ -44,7 +78,9 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sfdir}/{t}.parquet')")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
-    fails, okc = [], 0
+    type_bad = audit_types(con, {n: s for n, s in oracle.items()
+                                 if not only or n in only})
+    fails, okc = list(type_bad), 0
     for name in sorted(oracle):
         if only and name not in only:
             continue
@@ -82,6 +118,7 @@ def main():
             fails.append(name); continue
         okc += 1
         print(f"OK   {name} ({len(sd)} rows)")
+    fails = sorted(set(fails))
     print(f"\n{okc} ok, {len(fails)} failed" + (f": {fails}" if fails else ""))
     sys.exit(1 if fails else 0)
 
