@@ -181,6 +181,36 @@ object ScaleProbe {
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .agg(sum(col("m0")), count(lit(1))).head().getLong(1)
 
+    // the Similarity chained-CASE ceiling, measured (r11): assign every
+    // vector to its nearest of k=256 centroids — 4–32× the fixture's
+    // k, the regime where the literal expression tree nears Janino's
+    // 64 KB method limit — via (a) the literal least-over-structs
+    // projection the engine uses at k≤64 and (b) the broadcast-relation
+    // join + min_by swap documented at Similarity.collectCentroids as
+    // the production-k shape. Same assignment semantics; the probe
+    // times the code-shape difference and its 10× scaling.
+    val k256 = spark.read.parquet(s"$sf/embeddings.parquet")
+      .where(col("vec_id") < 256)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("cvec"))
+    def assignLiteral(dir: String): Long =
+      llm.Similarity.assignToCentroids(
+        spark.read.parquet(s"$dir/embeddings.parquet"), k256)
+        .agg(sum(col("centroid_id")), count(lit(1))).head().getLong(1)
+    def assignBroadcast(dir: String): Long = {
+      val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+      val cb = broadcast(k256.withColumn(
+        "sq_c", llm.Similarity.dotExpr("cvec", "cvec")))
+      emb.crossJoin(cb)
+        .select(col("vec_id"), struct(
+          (col("sq_c") - lit(2.0) * llm.Similarity.dotExpr("embedding", "cvec"))
+            .as("dist"),
+          col("centroid_id")).as("dc"))
+        .groupBy("vec_id").agg(min(col("dc")).as("m"))
+        .select(col("vec_id"), col("m.centroid_id").as("centroid_id"))
+        .agg(sum(col("centroid_id")), count(lit(1))).head().getLong(1)
+    }
+
     // warm the datasets AND each query shape (codegen compiles on first
     // run; timing it against 1× would flatter the 10× ratio)
     core.Tables.events(spark, sf).count(); core.Tables.events(spark, big).count()
@@ -191,6 +221,7 @@ object ScaleProbe {
     ivfBatch(sf); ivfStoredBuild(sf); ivfStoredProbe(sf)
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
+    assignLiteral(sf); assignBroadcast(sf)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
@@ -218,7 +249,9 @@ object ScaleProbe {
       ("ivf_stored_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))),
       ("ivf_filtered_probe", time(ivfFilteredProbe(sf)), time(ivfFilteredProbe(big))),
       ("ivf_takedown_delete", time(ivfDelete(sf)), time(ivfDelete(big))),
-      ("ivf_deleted_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))))
+      ("ivf_deleted_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))),
+      ("centroid_assign_literal_k256", time(assignLiteral(sf)), time(assignLiteral(big))),
+      ("centroid_assign_broadcast_k256", time(assignBroadcast(sf)), time(assignBroadcast(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()

@@ -211,6 +211,33 @@ object LlmQueries {
   }
 
   val queries: Map[String, Q] = Map(
+    // Corpus snapshot diff — the dataset-versioning primitive ("what
+    // changed between corpus v1 and v2"): v1 = the pre-batch slice
+    // (%10≠7, the corpus-lifecycle convention), v2 = a later snapshot
+    // with a takedown (%11=5 removed) and a revision (%13=0 text
+    // edited). Membership from a doc_id full-outer join; change
+    // detection from md5 DIGESTS computed map-side at each scan — at
+    // 100 TB only (id, 16-byte digest) pairs shuffle into the
+    // id-co-partitioned join, payload bytes never move, so the diff
+    // costs one scan per snapshot + one row-count-sized join.
+    "llm_corpus_diff" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val v1 = docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h1"))
+      val v2 = docs.where(pmod(col("doc_id"), lit(11)) =!= 5)
+        .select(col("doc_id"),
+          md5(when(pmod(col("doc_id"), lit(13)) === 0,
+              concat(col("text"), lit(" rev2")))
+            .otherwise(col("text")).cast("binary")).as("h2"))
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, "added")
+            .when(col("h2").isNull, "removed")
+            .when(col("h1") =!= col("h2"), "changed")
+            .otherwise("unchanged").as("status"))
+        .orderBy("doc_id")
+    }),
+
     "llm_dedup_exact" -> ((s, dir) =>
       Tables.documents(s, dir)
         .groupBy("text")
@@ -1868,6 +1895,19 @@ object LlmQueries {
           col("n_chars"), graft.core.D.r4s(Similarity.normExpr("embedding")).as("norm"))
         .orderBy("doc_id")),
 
+    // the REAL codec path (r11): synthesized genuine PNGs decoded with
+    // javax.imageio — width/height come out of the image parser, not
+    // the input row, so a broken encode or decode hash-fails against
+    // the analytic oracle (dims were derived before encoding). The
+    // decode runs in the same per-partition shape the stub documents;
+    // see Multimodal.scala for the corrupt-payload error path (unit-
+    // tested: decode_ok=false, never a task failure).
+    "llm_multimodal_decode" -> ((s, dir) =>
+      Multimodal.decodePngMeta(Multimodal.pngTable(s, dir))
+        .toDF()
+        .select("id", "width", "height", "format", "decode_ok")
+        .orderBy("id")),
+
     "llm_multimodal_meta" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -2997,6 +3037,23 @@ object LlmQueries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n FROM documents
          GROUP BY text ORDER BY keep_id""",
 
+    // mirror of llm_corpus_diff: same snapshot predicates, same md5
+    // digest compare (digest inequality, not text inequality)
+    "llm_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, md5(text) AS h FROM documents
+                     WHERE doc_id % 10 <> 7),
+          v2 AS (SELECT doc_id,
+                   md5(CASE WHEN doc_id % 13 = 0 THEN text || ' rev2'
+                            ELSE text END) AS h
+                 FROM documents WHERE doc_id % 11 <> 5)
+         SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+                CASE WHEN v1.doc_id IS NULL THEN 'added'
+                     WHEN v2.doc_id IS NULL THEN 'removed'
+                     WHEN v1.h <> v2.h THEN 'changed'
+                     ELSE 'unchanged' END AS status
+         FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+         ORDER BY doc_id""",
+
     "llm_dedup_simhash" -> SimhashOracle,
 
     "llm_dedup_near_minhash" ->
@@ -3942,6 +3999,17 @@ object LlmQueries {
             CAST(greatest(octet_length(encode(text)) // 16, 1) AS BIGINT) AS thumb_bytes,
             CAST(least(8, octet_length(encode(text)) // 64 + 1) AS INT) AS frames_sampled
          FROM documents ORDER BY id""",
+
+    // mirror of llm_multimodal_decode: the dimensions were derived
+    // analytically BEFORE the PNG encode, so the oracle states them
+    // without any image parsing — the engine must round-trip them
+    // through a real encoder+decoder to match
+    "llm_multimodal_decode" ->
+      """SELECT doc_id AS id,
+            CAST(1 + doc_id % 16 AS INT) AS width,
+            CAST(1 + n_chars % 16 AS INT) AS height,
+            'png' AS format, TRUE AS decode_ok
+         FROM documents ORDER BY doc_id""",
 
     "llm_multimodal_meta" ->
       """SELECT doc_id,

@@ -58,4 +58,82 @@ object Multimodal {
     val ds = mediaTable(s, dir).repartition(partitions, col("id")).as[MediaRow]
     decodeFeatures(ds).toDF()
   }
+
+  // ------------------------------------------------------ real decode
+  //
+  // The one REAL codec path (r11): PNG via `javax.imageio` — in the JDK,
+  // so no new dependency. The fixtures carry no genuine media bytes, so
+  // the table synthesizes real PNGs deterministically (dimensions
+  // derived from document fields, pixels from a per-id hash) and the
+  // decoder then reads them back with an actual image parser. Unlike
+  // the stub above, width/height come out of the codec, not the input
+  // row — a corrupted payload fails decode (`decode_ok=false`) instead
+  // of producing fake numbers. On a cluster this is the same
+  // mapPartitions shape as [[decodeFeatures]]: codec state initialized
+  // once per partition, decoder memory bounded by partition size,
+  // payload bytes never shuffled before the (tiny) metadata projection.
+
+  case class PngRow(id: Long, media: Array[Byte])
+  case class PngMeta(id: Long, width: Int, height: Int,
+                     format: String, decode_ok: Boolean)
+
+  /** Deterministic real PNG: `w×h` RGB, pixel colors from a per-(id,x,y)
+    * integer hash. Byte-level output may differ across JDK encoder
+    * versions — consumers must assert on DECODED properties (the oracle
+    * does), never on the encoded payload. */
+  def encodePng(id: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y,
+          ((id * 2654435761L + x * 31L + y * 17L) & 0xFFFFFFL).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** Synthesized-PNG media table: one real encoded image per document,
+    * dimensions analytically derived (width = 1 + id mod 16, height =
+    * 1 + n_chars mod 16) so an oracle can state them without decoding. */
+  def pngTable(s: SparkSession, dir: String, partitions: Int = 32): Dataset[PngRow] = {
+    import s.implicits._
+    graft.core.Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+      .repartition(partitions, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        PngRow(id, encodePng(id, 1 + (id % 16).toInt, 1 + (nc % 16).toInt))
+      })
+  }
+
+  /** REAL decode: `ImageIO.read` parses the PNG byte stream and the
+    * emitted dimensions are the codec's, not the synthesizer's.
+    * Undecodable payloads (truncated/corrupt/unknown format) yield
+    * `decode_ok=false` with sentinel dims — a poisoned row must not
+    * kill a 100 TB decode job. */
+  def decodePngMeta(media: Dataset[PngRow]): Dataset[PngMeta] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      // per-partition codec init: in-memory stream cache (the default
+      // temp-FILE cache would add a disk round-trip per image)
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          if (img == null) PngMeta(r.id, -1, -1, "undecodable", false)
+          else PngMeta(r.id, img.getWidth, img.getHeight, "png", true)
+        } catch {
+          case _: Exception => PngMeta(r.id, -1, -1, "undecodable", false)
+        }
+      }
+    }
+  }
 }

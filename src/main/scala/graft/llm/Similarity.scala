@@ -270,7 +270,23 @@ object Similarity {
     * built on it (ivfCentroids, assignToCentroids, ivfTopK) executes
     * full jobs during DataFrame CONSTRUCTION — plan-dump / schema-only
     * consumers pay the Lloyd iterations too. Deliberate trade-off: it
-    * keeps assignment a zero-shuffle literal projection. */
+    * keeps assignment a zero-shuffle literal projection.
+    *
+    * CEILING (production-k swap): downstream consumers bake these k
+    * rows into a chained `least`-over-structs / CASE expression tree.
+    * That is the right zero-shuffle trade at the fixture's k=8..64, but
+    * the generated code grows O(k·dim): past k≈a few hundred Janino
+    * hits the 64 KB method-bytecode limit and whole-stage codegen falls
+    * back to interpreted (silent ~10× slowdown), and at FAISS-scale k
+    * (4k–64k centroid lists) the driver-side plan itself bloats. The
+    * swap at that scale — same results, no literals: keep centroids a
+    * k-row RELATION, `broadcast()` it into a vectors × centroids join,
+    * and take `min_by(struct(dist, centroid_id))` per vector (one
+    * map-side broadcast-NLJ pass, still zero shuffle of the vectors;
+    * the per-row cost is identical, only the code shape changes). The
+    * same swap applies to [[readPqCodebooks]]' ADC scoring (codebooks
+    * → broadcast relation keyed by (sub, code)). Measured at k=256 in
+    * ScaleProbe (`centroid-literal-vs-broadcast`). */
   private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float], Double)] = {
     val rows = centroids
       .select(col("centroid_id"), col("cvec"), dotExpr("cvec", "cvec").as("sq_c"))
@@ -1026,7 +1042,9 @@ object Similarity {
     pqAdcTopK(encoded, queryVec, perSub, dim, topK)
   }
 
-  /** The stored PQ codebooks as driver literals — one m×k-row collect. */
+  /** The stored PQ codebooks as driver literals — one m×k-row collect.
+    * Same production-k ceiling and broadcast-relation swap as
+    * [[collectCentroids]] (the ADC chained-CASE grows O(m·k)). */
   private def readPqCodebooks(s: SparkSession,
                               path: String): Seq[Array[(Int, Seq[Float], Double)]] = {
     val rows = s.read.parquet(s"$path/codebooks")

@@ -991,6 +991,34 @@ object TsdbQueries {
         .orderBy("tag_user", "ts_ms", "value")
     }),
 
+    // Catalog upsert + vacuum THROUGH the oracle gate (r11 — promotes
+    // the two Oracle=N §2 rows): build the bucketed catalog from a
+    // base slice, upsert the remainder as a delta batch (exercising
+    // the novelty-scoped bucket rewrite), vacuum the "expired"
+    // user%10==3 series against the retained points, emit the
+    // survivors. The end state is idempotent and SELF-HEALING: a
+    // vacuumed series re-upserts then re-vacuums to the same rows, and
+    // a stale series from an older fixture generation dies in the
+    // vacuum anti-join — so reruns and crash replays converge. Oracle
+    // recomputes the catalog from surviving points directly (the
+    // tsdb_catalog_prune pattern).
+    "series_catalog_roundtrip" -> ((s, dir) => {
+      val path = scratch("series_catalog_" +
+        dir.replaceAll("[^A-Za-z0-9._-]", "_"))
+      val points = Pipeline.eventsAsPoints(s, dir)
+      val cut = T0 + 15L * Day
+      Catalog.upsertCatalog(s,
+        Catalog.fromPoints(points.where(col("ts_ms") < cut)), path)
+      Catalog.upsertCatalog(s,
+        Catalog.fromPoints(points.where(col("ts_ms") >= cut)), path)
+      val live = points.where(
+        pmod(element_at(col("tags"), "user").cast("long"), lit(10)) =!= 3)
+      Catalog.vacuum(s, path, live)
+      Catalog.readCatalog(s, path).get
+        .select(col("metric"), col("tags_canonical"))
+        .orderBy("metric", "tags_canonical")
+    }),
+
     "tsdb_text_query" -> ((s, dir) => {
       Tables.documents(s, dir)
         .where(col("lang") === "en")
@@ -2115,6 +2143,15 @@ object TsdbQueries {
             GROUP BY 1, 2)
           SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
           FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of series_catalog_roundtrip: the surviving catalog IS the
+    // distinct series of the retained points — upsert adds every
+    // series, vacuum deletes exactly the expired ones
+    "series_catalog_roundtrip" ->
+      """SELECT event_type AS metric,
+                'user=' || CAST(user_id AS VARCHAR) AS tags_canonical
+         FROM events WHERE user_id % 10 <> 3
+         GROUP BY 1, 2 ORDER BY 1, 2""",
 
     // mirror of tsdb_query_json: the parsed request's stages recomputed
     // directly — wildcard "1*" on the user tag, 1h-avg downsample,

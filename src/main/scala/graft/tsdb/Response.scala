@@ -32,4 +32,27 @@ object Response {
         else array(aggregateTags.map(lit): _*))
       .select("metric", "tags", "aggregateTags", "dps")
   }
+
+  /** Wire-JSON serialization of one shaped response row — the body the
+    * HTTP layer returns for `POST /api/query` (one JSON object per
+    * series group; the endpoint wraps them in a JSON array). Engine-side
+    * `to_json` (codegen'd, distributed — the serialization cost scales
+    * with the response, and the driver only ever concatenates strings);
+    * `dps` becomes the OpenTSDB `{ "<epoch_ms>": value }` object via
+    * map_from_entries over the sorted (ts, value) pairs, preserving
+    * their order. Unit-tested by Jackson round-trip (EndToEndSpec) —
+    * float→text formatting is engine-defined, so the wire string is
+    * asserted structurally, never hash-compared cross-engine. */
+  def toJsonColumn: org.apache.spark.sql.Column =
+    to_json(struct(
+      col("metric"), col("tags"), col("aggregateTags"),
+      map_from_entries(transform(col("dps"),
+        p => struct(p.getField("ts").cast("string").as("key"),
+          p.getField("value").as("value")))).as("dps")))
+
+  /** [[shape]] + [[toJsonColumn]]: the complete rows→wire step. */
+  def toJsonRows(merged: DataFrame, metric: String, groupTags: Seq[String],
+                 aggregateTags: Seq[String]): DataFrame =
+    shape(merged, metric, groupTags, aggregateTags)
+      .select(toJsonColumn.as("json"))
 }

@@ -983,4 +983,28 @@ class LlmSpec extends SparkSpec {
       .orderBy("id").select("checksum").as[String].collect()
     assert(a.toSeq == b.toSeq, "partitioning must not change features")
   }
+
+  test("multimodal: real PNG decode — javax.imageio round-trip + corrupt bytes") {
+    // local (driver-side) codec check: encode → decode recovers the dims,
+    // and the payload is a genuine PNG (magic bytes)
+    val png = Multimodal.encodePng(42L, 7, 5)
+    assert(png.take(4).toSeq == Seq(0x89.toByte, 'P'.toByte, 'N'.toByte, 'G'.toByte),
+      "encodePng must emit a real PNG payload")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img.getWidth == 7 && img.getHeight == 5)
+    // distributed path: corrupt / truncated payloads must yield
+    // decode_ok=false rows, never task failures
+    val rows = Seq(
+      Multimodal.PngRow(1L, png),
+      Multimodal.PngRow(2L, png.take(10)),               // truncated header
+      Multimodal.PngRow(3L, Array[Byte](1, 2, 3, 4)),    // not an image
+      Multimodal.PngRow(4L, Array.emptyByteArray))       // empty payload
+    val out = Multimodal.decodePngMeta(spark.createDataset(rows))
+      .collect().map(m => m.id -> m).toMap
+    assert(out(1L).decode_ok && out(1L).width == 7 && out(1L).height == 5)
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(!out(id).decode_ok && out(id).width == -1,
+        s"payload $id must fail decode gracefully")
+    }
+  }
 }

@@ -48,6 +48,21 @@ class EndToEndSpec extends SparkSpec {
     val dps = row.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("dps")
     assert(dps.nonEmpty && dps.map(_.getLong(0)).sliding(2).forall(p => p.head <= p.last),
       "dps must be time-sorted")
+
+    // wire-JSON round-trip: the serialized row must parse back to the
+    // same structure (Jackson; the HTTP layer would emit this body)
+    val json = Response.toJsonRows(merged, "click", Seq("event_type"), Seq("user"))
+      .as[String].collect().head
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(json)
+    assert(node.get("metric").asText == "click")
+    assert(node.get("tags").get("event_type").asText == "click")
+    assert(node.get("aggregateTags").get(0).asText == "user")
+    val dpsNode = node.get("dps")
+    assert(dpsNode.isObject && dpsNode.size == dps.size,
+      "dps must serialize to the {\"<epoch_ms>\": value} object")
+    val firstTs = dps.head.getLong(0).toString
+    assert(math.abs(dpsNode.get(firstTs).asDouble - dps.head.getDouble(1)) < 1e-9,
+      "dps values must survive the wire round-trip")
   }
 
   test("keyset lifecycle: create, overwrite, list, drop, tenant scan with TTL") {
