@@ -1006,12 +1006,18 @@ object TsdbQueries {
       val path = scratch("series_catalog_" +
         dir.replaceAll("[^A-Za-z0-9._-]", "_"))
       val points = Pipeline.eventsAsPoints(s, dir)
-      val cut = T0 + 15L * Day
+      // ONE points scan: the series set is materialized once
+      // (series-cardinality rows) and every lifecycle step — base
+      // build, delta upsert (which REPLAYS the base half, proving the
+      // replay no-op), vacuum's live set — derives from it. The r11
+      // first cut re-scanned and re-distinct'd the points table three
+      // times (10 s solo at sf0.1 → ~6 s); catalog maintenance cost
+      // should be series-sized, the one points distinct is the floor.
+      val series = graft.core.Exec.materialize(Catalog.fromPoints(points))
       Catalog.upsertCatalog(s,
-        Catalog.fromPoints(points.where(col("ts_ms") < cut)), path)
-      Catalog.upsertCatalog(s,
-        Catalog.fromPoints(points.where(col("ts_ms") >= cut)), path)
-      val live = points.where(
+        series.where(pmod(col("tsid"), lit(2)) === 0), path)
+      Catalog.upsertCatalog(s, series, path)
+      val live = series.where(
         pmod(element_at(col("tags"), "user").cast("long"), lit(10)) =!= 3)
       Catalog.vacuum(s, path, live)
       Catalog.readCatalog(s, path).get
