@@ -59,7 +59,9 @@ object Plans {
     "evt_asof_enrich", "graph_degree_hist", "llm_sim_ivf_recall",
     "fn_url", "graph_pagerank_copart", "llm_retrieval_mrr",
     "llm_embed_pca", "sink_dynamic_overwrite", "llm_char_entropy",
-    "llm_unigram_kl", "agg_weighted_median", "evt_concurrency_peak")
+    "llm_unigram_kl", "agg_weighted_median", "evt_concurrency_peak",
+    "tsdb_query_json", "llm_corpus_diff", "llm_multimodal_decode",
+    "tsdb_downsample_minmax_count", "series_catalog_roundtrip")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -1366,6 +1366,50 @@ object LlmQueries {
     // order-independent per-doc sum — shuffle-order-proof, the
     // bm25-stored convention. Everything that moves is (doc, char)
     // rows: bounded by doc length × charset, never corpus².
+    // RAKE keyphrase extraction (Rose et al. 2010 — public algorithm):
+    // candidate phrases are maximal stopword-free word runs (the
+    // gaps-and-islands trick: pos − row_number over non-stop tokens
+    // groups a run under one island id — no self-join, one per-doc
+    // window); word score = degree/frequency where degree sums the
+    // lengths of the islands containing the word; phrase score =
+    // decimal sum of member word scores; top-3 phrases per doc. The
+    // corpus-exploration / auto-labeling op every curation UI wants.
+    // All integer counts + one 4dp-quantized ratio per word, so the
+    // full output is oracle-exact. At 100 TB: everything is one
+    // token-sized explode + doc-partitioned windows/aggregates —
+    // embarrassingly doc-parallel, nothing cross-doc ever shuffles.
+    "llm_keyphrase_rake" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val toks = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .where(col("w") =!= "")
+      val ns = graft.core.Exec.materialize(
+        toks.where(!col("w").isin("the", "a", "of", "and"))
+          .withColumn("rn",
+            row_number().over(Window.partitionBy("doc_id").orderBy("pos")))
+          .withColumn("island", col("pos") - col("rn")))
+      val ph = ns.groupBy("doc_id", "island")
+        .agg(expr("array_join(transform(array_sort(collect_list(struct(pos, w))), p -> p.w), ' ')")
+            .as("phrase"),
+          count(lit(1)).as("len"))
+      val ws = ns.join(ph.select("doc_id", "island", "len"),
+          Seq("doc_id", "island"))
+        .groupBy("doc_id", "w")
+        .agg(D.r4s(sum(col("len")).cast("double") / count(lit(1))).as("wscore"))
+      val psc = ns.join(ws, Seq("doc_id", "w"))
+        .groupBy("doc_id", "island")
+        .agg(D.r4s(sum(D.dec(col("wscore"))).cast("double")).as("score"))
+      val wTop = Window.partitionBy("doc_id")
+        .orderBy(col("score").desc, col("phrase"))
+      ph.join(psc, Seq("doc_id", "island"))
+        .withColumn("rk", row_number().over(wTop))
+        .where(col("rk") <= 3)
+        .select(col("doc_id"), col("phrase"), col("len"), col("score"),
+          col("rk").cast("long").as("rk"))
+        .orderBy("doc_id", "rk")
+    }),
+
     "llm_char_entropy" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cc = Tables.documents(s, dir)
@@ -3260,6 +3304,38 @@ object LlmQueries {
          SELECT doc_id, n_tokens,
                 ROUND((sum_cf * 1000000.0 / (n_tokens * total)) * 10000.0, 0) / 10000.0 + 0.0 AS fam_ppm
          FROM d, tot ORDER BY doc_id""",
+
+    // mirror of llm_keyphrase_rake: same raw-split positions, same
+    // islands (pos − rn over non-stop rows), same deg/freq word score
+    // and decimal phrase-score sum, same (score desc, phrase) rank
+    "llm_keyphrase_rake" ->
+      s"""WITH t0 AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                      FROM documents),
+          tx AS (SELECT doc_id, i - 1 AS pos, ws[i] AS w
+                 FROM t0, UNNEST(range(1, len(ws) + 1)) r(i)),
+          tk AS (SELECT * FROM tx WHERE w <> ''),
+          ns AS (SELECT doc_id, pos, w,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS rn
+                 FROM tk WHERE w NOT IN ('the', 'a', 'of', 'and')),
+          isl AS (SELECT doc_id, pos, w, pos - rn AS island FROM ns),
+          ph AS (SELECT doc_id, island,
+                   string_agg(w, ' ' ORDER BY pos) AS phrase,
+                   CAST(count(*) AS BIGINT) AS len
+                 FROM isl GROUP BY 1, 2),
+          wsc AS (SELECT i.doc_id, i.w,
+                    ${D.oR4("CAST(SUM(p.len) AS DOUBLE) / count(*)")} AS wscore
+                  FROM isl i JOIN ph p ON p.doc_id = i.doc_id AND p.island = i.island
+                  GROUP BY 1, 2),
+          psc AS (SELECT i.doc_id, i.island,
+                    ${D.oR4(D.oSumDec("w2.wscore"))} AS score
+                  FROM isl i JOIN wsc w2 ON w2.doc_id = i.doc_id AND w2.w = i.w
+                  GROUP BY 1, 2),
+          rk AS (SELECT p.doc_id, p.phrase, p.len, s.score,
+                   row_number() OVER (PARTITION BY p.doc_id
+                                      ORDER BY s.score DESC, p.phrase) AS rk
+                 FROM ph p JOIN psc s ON s.doc_id = p.doc_id AND s.island = p.island)
+          SELECT doc_id, phrase, len, score, CAST(rk AS BIGINT) AS rk
+          FROM rk WHERE rk <= 3 ORDER BY doc_id, rk""",
 
     "llm_char_entropy" ->
       s"""WITH ch AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),

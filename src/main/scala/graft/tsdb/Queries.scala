@@ -40,6 +40,28 @@ object TsdbQueries {
           max_by(col("value"), struct(col("ts_ms"), col("value"))).as("last_v"))
         .orderBy("event_type", "user_id", "bucket_ms")),
 
+    // min/max/count downsample aggregators through the oracle gate
+    // (r11 — the remaining third of the classic TSDB aggregator set:
+    // sum/avg, first/last, and the p* family are already oracled).
+    // Three partial-agg passes over the same pruned scan joined on the
+    // grid key; min/max emit raw input values (zero float math), count
+    // is exact integer, 4dp quantization only at the boundary.
+    "tsdb_downsample_minmax_count" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "view")
+      val mn = Downsample(ev, Seq("user_id"), H, "min")
+        .withColumnRenamed("value", "vmin")
+      val mx = Downsample(ev, Seq("user_id"), H, "max")
+        .withColumnRenamed("value", "vmax")
+      val ct = Downsample(ev, Seq("user_id"), H, "count")
+        .withColumnRenamed("value", "n")
+      mn.join(mx, Seq("user_id", "bucket_ms"))
+        .join(ct, Seq("user_id", "bucket_ms"))
+        .select(col("user_id"), col("bucket_ms"),
+          D.r4s(col("vmin")).as("vmin"), D.r4s(col("vmax")).as("vmax"),
+          col("n"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     "tsdb_downsample_fill" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
       val ds = Downsample(ev, Seq("user_id"), Day, "avg")
@@ -1066,6 +1088,13 @@ object TsdbQueries {
                  MIN(CASE WHEN rn = 1 THEN value END) AS first_v,
                  MIN(CASE WHEN rn = cnt THEN value END) AS last_v
           FROM r GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+
+    "tsdb_downsample_minmax_count" ->
+      s"""SELECT user_id, ${oBucket(H)} AS bucket_ms,
+                 ${D.oR4("min(value)")} AS vmin, ${D.oR4("max(value)")} AS vmax,
+                 CAST(count(value) AS BIGINT) AS n
+          FROM events WHERE event_type = 'view'
+          GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "tsdb_topn" ->
       s"""WITH ds AS (

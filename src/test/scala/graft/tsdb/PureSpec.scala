@@ -233,4 +233,17 @@ class PureSpec extends AnyFunSuite {
            "queries": [{"metric": "m", "aggregator": "sum",
                         "downsample": "bogus"}]}""")         // bad downsample
   }
+
+  test("wire JSON fuzz: arbitrary input either parses or raises the 400 analog") {
+    // a request body from the network must NEVER surface anything but
+    // IllegalArgumentException — any other throwable is a 500, a bug
+    val prop = forAll { (s: String) =>
+      try { RequestJson.parse(s, Now); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+    assert(check(Parameters.default, prop).passed)
+  }
 }
