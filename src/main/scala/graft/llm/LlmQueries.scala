@@ -1366,6 +1366,70 @@ object LlmQueries {
     // order-independent per-doc sum — shuffle-order-proof, the
     // bm25-stored convention. Everything that moves is (doc, char)
     // rows: bounded by doc length × charset, never corpus².
+    // Classifier-based quality filtering, TRAINED on-cluster (the
+    // CCNet/fastText-style quality-model shape, here a logistic
+    // regression on surface features learned by 3 unrolled
+    // full-batch gradient-descent steps): features = stopword ratio,
+    // mean word length, ln(1+chars); label = (lang = 'en'). Each step
+    // is ONE partial-agg pass — per-doc residual (σ(w·x) − y) times
+    // each feature, decimal-summed, ÷n, 4dp-quantized — and the
+    // 4-scalar weight vector comes back to the driver (config-sized
+    // collect, the Lloyd pattern). Determinism: z and σ are
+    // 4dp-quantized before/after exp, gradients and weights after
+    // every step, so the oracle unrolls the same 3 steps and
+    // hash-matches. At 100 TB each step is a map-side scan + one
+    // 4-value reduce — distributed model fitting with NO ml-lib
+    // dependency; more steps = more passes, the shape is unchanged.
+    "llm_quality_logreg" -> ((s, dir) => {
+      val feats = graft.core.Exec.materialize(Tables.documents(s, dir)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1.0).otherwise(0.0).as("y"),
+          Dedup.words(col("text")).as("ws0"), col("n_chars"))
+        .select(col("doc_id"), col("y"),
+          size(expr("filter(ws0, x -> x <> '')")).cast("double").as("nw"),
+          size(expr("filter(ws0, x -> x IN ('the', 'a', 'of', 'and'))"))
+            .cast("double").as("stops"),
+          expr("aggregate(filter(ws0, x -> x <> ''), 0L, (a, x) -> a + length(x))")
+            .cast("double").as("chars_w"),
+          col("n_chars"))
+        .select(col("doc_id"), col("y"),
+          D.r4s(col("stops") / col("nw")).as("x1"),
+          D.r4s(col("chars_w") / col("nw")).as("x2"),
+          D.r4s(log(lit(1.0) + col("n_chars"))).as("x3")))
+      var w = Array(0.0, 0.0, 0.0, 0.0) // bias, x1, x2, x3
+      for (_ <- 1 to 3) {
+        val p = D.r4s(lit(1.0) /
+          (lit(1.0) + exp(-D.r4s(lit(w(0)) + lit(w(1)) * col("x1")
+            + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))))
+        val r = feats
+          .select((p - col("y")).as("res"), col("x1"), col("x2"), col("x3"))
+          .agg(D.r4s(sum(D.dec(col("res"))).cast("double") / count(lit(1))).as("g0"),
+            D.r4s(sum(D.dec(col("res") * col("x1"))).cast("double") / count(lit(1))).as("g1"),
+            D.r4s(sum(D.dec(col("res") * col("x2"))).cast("double") / count(lit(1))).as("g2"),
+            D.r4s(sum(D.dec(col("res") * col("x3"))).cast("double") / count(lit(1))).as("g3"))
+          .head()
+        // driver-side mirror of D.r4s: BigDecimal.valueOf + HALF_UP is
+        // exactly Spark's Round-on-double (shortest-repr BigDecimal,
+        // half away from zero) — Math.round would round negative ties
+        // toward +∞ and diverge from the oracle's ROUND
+        w = w.indices.map { j =>
+          java.math.BigDecimal.valueOf((w(j) - 0.5 * r.getDouble(j)) * 10000.0)
+            .setScale(0, java.math.RoundingMode.HALF_UP)
+            .doubleValue() / 10000.0 + 0.0
+        }.toArray
+      }
+      val pF = D.r4s(lit(1.0) /
+        (lit(1.0) + exp(-D.r4s(lit(w(0)) + lit(w(1)) * col("x1")
+          + lit(w(2)) * col("x2") + lit(w(3)) * col("x3")))))
+      feats.select(col("y"), pF.as("p"))
+        .agg(count(lit(1)).as("n"),
+          D.r4s(sum(when((col("p") >= 0.5) === (col("y") === 1.0), 1)
+            .otherwise(0)).cast("double") / count(lit(1))).as("accuracy"))
+        .select(lit(w(0)).as("w_bias"), lit(w(1)).as("w_stop"),
+          lit(w(2)).as("w_len"), lit(w(3)).as("w_chars"),
+          col("n"), col("accuracy"))
+    }),
+
     // RAKE keyphrase extraction (Rose et al. 2010 — public algorithm):
     // candidate phrases are maximal stopword-free word runs (the
     // gaps-and-islands trick: pos − row_number over non-stop tokens
@@ -3304,6 +3368,57 @@ object LlmQueries {
          SELECT doc_id, n_tokens,
                 ROUND((sum_cf * 1000000.0 / (n_tokens * total)) * 10000.0, 0) / 10000.0 + 0.0 AS fam_ppm
          FROM d, tot ORDER BY doc_id""",
+
+    // mirror of llm_quality_logreg: the 3 gradient-descent steps
+    // unrolled as CTE pairs (gradient aggregate, weight update) over
+    // the same 4dp-quantized features/z/σ/gradients/weights — the
+    // llm_embed_pca unrolling pattern applied to model fitting
+    "llm_quality_logreg" -> {
+      def z(w: String) =
+        D.oR4(s"$w.w0 + $w.w1 * f.x1 + $w.w2 * f.x2 + $w.w3 * f.x3")
+      def p(w: String) = D.oR4(s"1.0 / (1.0 + exp(-(${z(w)})))")
+      def step(i: Int, prev: String): String = {
+        val res = s"((${p(prev)}) - f.y)"
+        val n = "CAST(count(*) AS DOUBLE)"
+        s"""g$i AS (SELECT
+              ${D.oR4(s"${D.oSumDec(res)} / $n")} AS g0,
+              ${D.oR4(s"${D.oSumDec(s"$res * f.x1")} / $n")} AS g1,
+              ${D.oR4(s"${D.oSumDec(s"$res * f.x2")} / $n")} AS g2,
+              ${D.oR4(s"${D.oSumDec(s"$res * f.x3")} / $n")} AS g3
+            FROM f CROSS JOIN $prev),
+          ws$i AS (SELECT
+              ${D.oR4(s"$prev.w0 - 0.5 * g$i.g0")} AS w0,
+              ${D.oR4(s"$prev.w1 - 0.5 * g$i.g1")} AS w1,
+              ${D.oR4(s"$prev.w2 - 0.5 * g$i.g2")} AS w2,
+              ${D.oR4(s"$prev.w3 - 0.5 * g$i.g3")} AS w3
+            FROM $prev CROSS JOIN g$i)"""
+      }
+      s"""WITH t AS (SELECT doc_id,
+               CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+               list_filter(string_split(lower(text), ' '), x -> x <> '') AS ws,
+               list_filter(string_split(lower(text), ' '),
+                           x -> x IN ('the', 'a', 'of', 'and')) AS st,
+               n_chars
+             FROM documents),
+          f AS (SELECT doc_id, y,
+               ${D.oR4("CAST(len(st) AS DOUBLE) / len(ws)")} AS x1,
+               ${D.oR4(
+                 "CAST(list_sum(list_transform(ws, x -> length(x))) AS DOUBLE) / len(ws)")} AS x2,
+               ${D.oR4("ln(1.0 + n_chars)")} AS x3
+             FROM t),
+          ws0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+          ${step(1, "ws0")},
+          ${step(2, "ws1")},
+          ${step(3, "ws2")},
+          acc AS (SELECT CAST(count(*) AS BIGINT) AS n,
+               ${D.oR4(
+                 s"CAST(SUM(CASE WHEN ((${p("ws3")}) >= 0.5) = (f.y = 1.0) " +
+                   "THEN 1 ELSE 0 END) AS DOUBLE) / count(*)")} AS accuracy
+             FROM f CROSS JOIN ws3)
+          SELECT ws3.w0 AS w_bias, ws3.w1 AS w_stop, ws3.w2 AS w_len,
+                 ws3.w3 AS w_chars, acc.n, acc.accuracy
+          FROM ws3 CROSS JOIN acc"""
+    },
 
     // mirror of llm_keyphrase_rake: same raw-split positions, same
     // islands (pos − rn over non-stop rows), same deg/freq word score

@@ -226,6 +226,38 @@ object Aggs {
         .orderBy("event_type")
     }),
 
+    // Audience-overlap via partitioned bitmaps (r11): |click ∩
+    // purchase| users WITHOUT a distinct-distinct join. Each segment
+    // reduces map-side to one bitmap per 2¹⁵-id bucket
+    // (bitmap_construct_agg); per-segment cardinalities and the OR'd
+    // union come off those segment×bucket bitmaps, and the
+    // intersection is inclusion–exclusion |A|+|B|−|A∪B| — EXACT for
+    // bitmaps (unlike HLL, whose registers can't intersect). At
+    // 100 TB the only shuffle payload is one bitmap per
+    // (segment, id-bucket): the roaring-bitmap audience-analysis
+    // shape every ad/product-analytics stack runs.
+    "agg_bitmap_intersect" -> ((s, dir) => {
+      val seg = graft.core.Exec.materialize(Tables.events(s, dir)
+        .where(col("event_type").isin("click", "purchase"))
+        .select(col("event_type").as("seg"),
+          expr("bitmap_bucket_number(user_id)").as("bkt"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy("seg", "bkt")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm")))
+      val nClick = seg.where(col("seg") === "click")
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_click"))
+      val nPur = seg.where(col("seg") === "purchase")
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_purchase"))
+      val nUnion = seg.groupBy("bkt")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .agg(sum(expr("bitmap_count(bm)")).cast("long").as("n_union"))
+      nClick.crossJoin(nPur).crossJoin(nUnion)
+        .select(col("n_click"), col("n_purchase"), col("n_union"),
+          (col("n_click") + col("n_purchase") - col("n_union")).as("n_both"),
+          D.r4s((col("n_click") + col("n_purchase") - col("n_union"))
+            .cast("double") / col("n_union")).as("jaccard"))
+    }),
+
     // TPC-H Q1 shape
     "agg_hash_groupby" -> ((s, dir) => {
       val disc = col("l_extendedprice") * (lit(1.0) - col("l_discount"))
@@ -522,6 +554,22 @@ object Aggs {
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users
          FROM events GROUP BY 1 ORDER BY 1""",
+
+    // mirror of agg_bitmap_intersect: exact distinct sets — the bitmap
+    // inclusion-exclusion must equal the literal set intersection
+    "agg_bitmap_intersect" ->
+      s"""WITH a AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
+          b AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'purchase'),
+          u AS (SELECT count(*) AS n_union FROM
+                  (SELECT user_id FROM a UNION SELECT user_id FROM b)),
+          m AS (SELECT (SELECT count(*) FROM a) AS n_click,
+                       (SELECT count(*) FROM b) AS n_purchase,
+                       (SELECT n_union FROM u) AS n_union)
+          SELECT n_click, n_purchase, n_union,
+                 n_click + n_purchase - n_union AS n_both,
+                 ${graft.core.D.oR4(
+                   "CAST(n_click + n_purchase - n_union AS DOUBLE) / n_union")} AS jaccard
+          FROM m""",
 
     // mirror of agg_geo_harmonic: exp/reciprocal over the same
     // DECIMAL(28,10) sums
