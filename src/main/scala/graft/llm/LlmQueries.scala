@@ -1651,6 +1651,41 @@ object LlmQueries {
         .orderBy(col("n").desc, col("bg"))
         .limit(100)),
 
+    // PMI collocations (phrase mining): pointwise mutual information
+    // ln(N·c_ab / (c_a·c_b)) over adjacent word pairs — the classic
+    // collocation score (Church & Hanks 1990) used to promote
+    // multi-word units before tokenizer training. Pair generation is
+    // MAP-SIDE (transform over the already-local token array — no
+    // posexplode+window shuffle); the only exchanges are the two
+    // word-count hash aggregates (map-side combined) and the pair⋈vocab
+    // joins on term keys — all vocab-sized, never corpus-sized. The
+    // count products stay in exact BIGINT (c_ab·N ≤ tokens² ≪ 2⁶³);
+    // only the final ln is float, 4dp-quantized. c_ab ≥ 5 is the usual
+    // sparse-count floor (PMI explodes on singletons).
+    "llm_word_pmi" -> ((s, dir) => {
+      val d = Tables.documents(s, dir).select(Dedup.words(col("text")).as("ws"))
+      val pc = d.where(size(col("ws")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(ws) - 2), i -> struct(ws[i] AS w1, ws[i+1] AS w2))"))
+          .as("p"))
+        .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+        .where(col("w1") =!= "" && col("w2") =!= "")
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c_ab"))
+      val uni = d.select(explode(col("ws")).as("w")).where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val n = uni.agg(sum(col("c")).as("n_tok"))
+      val scored = pc.where(col("c_ab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("c").as("c_a")), "w1")
+        .join(uni.select(col("w").as("w2"), col("c").as("c_b")), "w2")
+        .crossJoin(n)
+        .select(col("w1"), col("w2"), col("c_ab"),
+          D.r4s(log((col("c_ab") * col("n_tok")).cast("double")
+            / (col("c_a") * col("c_b")).cast("double"))).as("pmi"))
+      // top-100 via orderBy+limit → TakeOrderedAndProject (per-partition
+      // heaps + driver merge of 100-row tops, no global sort/window)
+      scored.orderBy(col("pmi").desc, col("w1"), col("w2")).limit(100)
+    }),
+
     // one BPE-merge iteration — the tokenizer-training inner loop:
     // corpus word frequencies first (vocab-sized after the groupBy),
     // then every adjacent character pair weighted by its word's corpus
@@ -2084,6 +2119,33 @@ object LlmQueries {
         .where(pmod(col("rn"), lit(5)) === 1)
         .select("lang", "doc_id", "rn")
         .orderBy("lang", "doc_id")
+    }),
+
+    // weight-proportional sampling without replacement, DETERMINISTIC:
+    // priority sampling (Duffield/Lund/Thorup) with the uniform draw
+    // replaced by an md5-derived 32-bit integer — pri = h(doc) ÷ w(doc)
+    // in EXACT integer division (w = token count ≥ 1), keep the k
+    // smallest priorities per source. Longer docs get proportionally
+    // smaller priorities → inclusion probability ∝ weight, yet the
+    // sample is a pure function of content ids: reshuffling partitions,
+    // re-running, or growing the cluster cannot change it (unlike
+    // rand()-seeded sampleBy). All-integer keys also make the per-source
+    // top-k ranking tie-free and hash-portable — no float ordering to
+    // diverge cross-engine. One scan + a per-source window over
+    // source-partitioned rows; at 100 TB the window is a per-partition
+    // top-k heap + per-source merge, never a global sort.
+    "llm_sample_priority" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("w", size(split(col("text"), " ")).cast("long"))
+        .withColumn("h", expr(
+          "CAST(conv(substr(md5(CAST(concat('ps:', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("pri", expr("CAST(h DIV w AS BIGINT)"))
+      val win = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("pri"), col("doc_id"))
+      d.withColumn("rn", row_number().over(win).cast("long"))
+        .where(col("rn") <= 20)
+        .select("source", "doc_id", "w", "pri", "rn")
+        .orderBy("source", "rn")
     }),
 
     // weighted mixture: upweight one slice by replication (epoch mixing)
@@ -4019,6 +4081,27 @@ object LlmQueries {
          SELECT bg, count(*) AS n FROM b
          GROUP BY bg ORDER BY n DESC, bg LIMIT 100""",
 
+    // mirror of llm_word_pmi: same lowered split, same adjacent pairs,
+    // exact-BIGINT count products, identical ln argument shape
+    "llm_word_pmi" ->
+      s"""WITH w AS (SELECT string_split(lower(text), ' ') AS ws FROM documents),
+          pr AS (SELECT ws[i] AS w1, ws[i + 1] AS w2
+                 FROM (SELECT ws, unnest(range(1, len(ws))) AS i
+                       FROM w WHERE len(ws) >= 2)),
+          pc AS (SELECT w1, w2, count(*) AS c_ab FROM pr
+                 WHERE w1 <> '' AND w2 <> '' GROUP BY 1, 2),
+          u AS (SELECT unnest(ws) AS w FROM w),
+          uc AS (SELECT w, count(*) AS c FROM u WHERE w <> '' GROUP BY 1),
+          n AS (SELECT CAST(SUM(c) AS BIGINT) AS n_tok FROM uc)
+          SELECT p.w1, p.w2, p.c_ab,
+                 ${D.oR4("LN(CAST(p.c_ab * n.n_tok AS DOUBLE) / (a.c * b.c))")} AS pmi
+          FROM pc p
+          JOIN uc a ON a.w = p.w1
+          JOIN uc b ON b.w = p.w2
+          CROSS JOIN n
+          WHERE p.c_ab >= 5
+          ORDER BY pmi DESC, p.w1, p.w2 LIMIT 100""",
+
     // mirror of llm_url_dedup: same synthesized URL, same normalize
     // regexps (DuckDB regexp_extract group arg ≡ Spark's idx), same
     // min-per-canonical keep rule
@@ -4069,6 +4152,21 @@ object LlmQueries {
             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
           FROM documents)
          SELECT lang, doc_id, rn FROM r WHERE rn % 5 = 1 ORDER BY lang, doc_id""",
+
+    // mirror of llm_sample_priority: same md5 slice, same exact integer
+    // division (DuckDB // ≡ Spark DIV on non-negative operands)
+    "llm_sample_priority" ->
+      """WITH d AS (SELECT source, doc_id,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+              CAST(('0x' || substr(md5('ps:' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h
+            FROM documents),
+          p AS (SELECT source, doc_id, w, h // w AS pri FROM d),
+          r AS (SELECT source, doc_id, w, pri,
+                  CAST(row_number() OVER (PARTITION BY source
+                    ORDER BY pri, doc_id) AS BIGINT) AS rn
+                FROM p)
+          SELECT source, doc_id, w, pri, rn FROM r
+          WHERE rn <= 20 ORDER BY source, rn""",
 
     "llm_mixture_weighted" ->
       """SELECT doc_id, lang, CAST(0 AS BIGINT) AS copy FROM documents

@@ -337,6 +337,22 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms")
     }),
 
+    // DDSketch log-bucket quantile sketch (see Histogram.scala): the
+    // RELATIVE-error percentile shape — per-(series, day) sketches at
+    // ingest, cross-series merge = bucket-wise add, p50/p95/p99 read
+    // off ≤ log_γ(max/min) buckets per (metric, day). Fixed-width bins
+    // (tsdb_histogram_pct) bound absolute error; this bounds p99
+    // error on long-tailed data at ~1% (γ=1.02) with a sketch whose
+    // size never depends on point count.
+    "tsdb_ddsketch_pct" -> ((s, dir) => {
+      val g = 1.02
+      val sk = Histogram.ddsketchBuild(Tables.events(s, dir),
+        Seq("event_type", "user_id"), Day, gamma = g)
+      val m = Histogram.ddsketchMerge(sk, Seq("event_type"))
+      Histogram.ddsketchPercentiles(m, Seq("event_type"), Seq(50, 95, 99), gamma = g)
+        .orderBy("event_type", "bucket_ms", "pct")
+    }),
+
     // calendar-aligned weekly buckets (weeks start Monday, not at
     // epoch-relative 7d offsets — the OpenTSDB `1wc` interval)
     "tsdb_downsample_calendar" -> ((s, dir) => {
@@ -1142,6 +1158,34 @@ object TsdbQueries {
           SELECT event_type, bucket_ms, MIN(bin) * 25.0 AS p95
           FROM c WHERE cum * 100 >= 95 * total
           GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // DDSketch mirror: same quantized log-ratio bucketing, bucket-wise
+    // merge, integer rank threshold, quantized 2γ^i/(γ+1) estimate
+    "tsdb_ddsketch_pct" ->
+      s"""WITH b AS (
+            SELECT event_type, user_id, ${oBucket(Day)} AS bucket_ms,
+                   CASE WHEN value > 0
+                        THEN CAST(CEIL(${D.oR4("LN(value) / LN(1.02)")}) AS BIGINT)
+                        ELSE -1000000 END AS idx
+            FROM events),
+          sk AS (SELECT event_type, user_id, bucket_ms, idx, COUNT(*) AS scnt
+                 FROM b GROUP BY 1, 2, 3, 4),
+          m AS (SELECT event_type, bucket_ms, idx, CAST(SUM(scnt) AS BIGINT) AS cnt
+                FROM sk GROUP BY 1, 2, 3),
+          c AS (SELECT event_type, bucket_ms, idx, cnt,
+                  SUM(cnt) OVER (PARTITION BY event_type, bucket_ms
+                                 ORDER BY idx) AS cum,
+                  SUM(cnt) OVER (PARTITION BY event_type, bucket_ms) AS total
+                FROM m),
+          p AS (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS pct),
+          r AS (SELECT event_type, bucket_ms, p.pct, MIN(idx) AS idx
+                FROM c CROSS JOIN p
+                WHERE cum * 100 >= p.pct * total
+                GROUP BY 1, 2, 3)
+          SELECT event_type, bucket_ms, pct,
+                 CASE WHEN idx = -1000000 THEN 0.0
+                      ELSE ${D.oR4("2.0 * POWER(1.02, idx) / 2.02")} END AS est
+          FROM r ORDER BY 1, 2, 3""",
 
     "tsdb_downsample_calendar" ->
       s"""SELECT event_type, user_id,

@@ -1007,4 +1007,44 @@ class LlmSpec extends SparkSpec {
         s"payload $id must fail decode gracefully")
     }
   }
+
+  test("word PMI: count floor respected, PMI algebra exact, order total") {
+    val rows = graft.SparkEntry.queries("llm_word_pmi")(spark, sf)
+      .as[(String, String, Long, Double)].collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    assert(rows.forall(_._3 >= 5), "c_ab floor")
+    // sorted by (pmi desc, w1, w2) — a total order, no ties left to luck
+    val key = rows.map(r => (-r._4, r._1, r._2)).toSeq
+    assert(key == key.sorted, "top-k order must be the declared total order")
+    // recompute one row's PMI independently from raw token counts
+    val (w1, w2, cab, pmi) = rows.head
+    val toks = graft.core.Tables.documents(spark, sf)
+      .select(explode(Dedup.words(col("text"))).as("w"))
+      .where(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect().toMap
+    val n = toks.values.sum
+    val exp = math.log(cab.toDouble * n / (toks(w1).toDouble * toks(w2)))
+    assert(math.abs(pmi - exp) < 1e-3, s"pmi=$pmi expected≈$exp")
+  }
+
+  test("priority sample: deterministic, per-source k, inclusion tracks weight") {
+    val q = graft.SparkEntry.queries("llm_sample_priority")
+    val a = q(spark, sf).as[(String, Long, Long, Long, Long)].collect().toSeq
+    val b = q(spark, sf).as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(a == b, "sample must be a pure function of content ids")
+    val bySrc = a.groupBy(_._1)
+    assert(bySrc.values.forall(_.length <= 20))
+    // priorities are the k smallest per source: every kept priority must
+    // be <= every dropped one (recompute the full priority set)
+    val all = graft.core.Tables.documents(spark, sf)
+      .selectExpr("source",
+        "CAST(conv(substr(md5(CAST(concat('ps:', CAST(doc_id AS STRING)) AS BINARY)), 1, 8), 16, 10) AS BIGINT) DIV size(split(text, ' ')) AS pri")
+      .as[(String, Long)].collect().groupBy(_._1)
+    bySrc.foreach { case (src, kept) =>
+      val keptMax = kept.map(_._4).max
+      val full = all(src).map(_._2).sorted
+      val kth = full(math.min(19, full.length - 1))
+      assert(keptMax <= kth, s"$src: kept a priority above the k-th smallest")
+    }
+  }
 }

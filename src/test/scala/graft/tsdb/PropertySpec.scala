@@ -223,6 +223,51 @@ class PropertySpec extends SparkSpec {
     })
   }
 
+  test("ddsketch p95 is within the γ relative-error bound of the exact quantile") {
+    run(Prop.forAll(genPoints) { pts =>
+      val pos = pts.filter(_._3 > 0)
+      pos.isEmpty || {
+        val df = pos.toDF("user", "ts_ms", "value")
+        val g = 1.02
+        val sk = Histogram.ddsketchBuild(df, Seq("user"), 3600000L, g)
+        val m = Histogram.ddsketchMerge(sk, Nil)
+        val got = Histogram.ddsketchPercentiles(m, Nil, Seq(95), g)
+          .select("bucket_ms", "est")
+          .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+        val alpha = (g - 1) / (g + 1)
+        pos.groupBy { case (_, ts, _) => ts - ts % 3600000L }
+          .forall { case (bucket, rows) =>
+            val vs = rows.map(_._3).sorted
+            val total = vs.size
+            // the house integer rank rule: smallest v with cum*100 >= 95*total
+            val exact = vs(vs.indices.find(i => (i + 1) * 100 >= 95 * total).get)
+            // α bound + slack for the two 4dp quantizations (log-ratio, estimate)
+            math.abs(got(bucket) - exact) <= alpha * exact * 1.01 + 1e-3
+          }
+      }
+    })
+  }
+
+  test("ddsketch merge across series ≡ one unpartitioned sketch; non-positives take the zero bucket") {
+    run(Prop.forAll(genPoints) { pts =>
+      pts.isEmpty || {
+        val df = pts.toDF("user", "ts_ms", "value")
+        val g = 1.02
+        val merged = Histogram.ddsketchMerge(
+          Histogram.ddsketchBuild(df, Seq("user"), 3600000L, g), Nil)
+          .select("bucket_ms", "idx", "cnt")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val direct = Histogram.ddsketchBuild(df, Nil, 3600000L, g)
+          .select("bucket_ms", "idx", "cnt")
+          .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+        val zeroRows = pts.count(_._3 <= 0).toLong
+        merged == direct &&
+          direct.collect { case ((_, idx), c) if idx == Histogram.DdZeroIdx => c }
+            .sum == zeroRows
+      }
+    })
+  }
+
   test("topn(avg) equals sort-by-score selection; every score is the series mean") {
     run(Prop.forAll(genPoints) { pts =>
       pts.isEmpty || {
