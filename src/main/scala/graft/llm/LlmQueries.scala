@@ -2148,6 +2148,94 @@ object LlmQueries {
         .orderBy("source", "rn")
     }),
 
+    // Count-Min sketch heavy hitters (Cormode & Muthukrishnan 2005):
+    // d=4 rows × w=4096 buckets over the corpus token stream, bucket
+    // row j of token t = 12-bit slice j of md5("cms:"||t); estimate =
+    // min over rows of the bucket sum — always ≥ the exact count, the
+    // classic one-sided error. Built RELATIONALLY so the DuckDB oracle
+    // replays it bit-for-bit: tokens reduce map-side to vocab-sized
+    // (w, cnt) first, the sketch is a 16k-row aggregate over that, and
+    // the top-20 probe joins the broadcast sketch. At 100 TB the swap
+    // is the standard sketch aggregate (d×w fixed-size array buffer,
+    // map-side mergeable — the shuffle payload is the SKETCH, never
+    // the tokens); this formulation keeps identical estimates since
+    // bucket sums are associative either way. The md5-slice hash
+    // family is the same portable-lane trick the MinHash pipeline uses
+    // (Dedup.minhashSigsPortable).
+    "llm_cms_heavy" -> ((s, dir) => {
+      val tok = Tables.documents(s, dir)
+        .select(explode(Dedup.words(col("text"))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("cnt"))
+      val v = graft.core.Exec.materialize(
+        tok.withColumn("hx", md5(concat(lit("cms:"), col("w")).cast("binary")))
+          .select(Seq(col("w"), col("cnt")) ++ (0 until 4).map(j =>
+            expr(s"CAST(conv(substr(hx, ${8 * j + 1}, 3), 16, 10) AS BIGINT)")
+              .as(s"b$j")): _*))
+      val lanes = array(col("b0"), col("b1"), col("b2"), col("b3"))
+      val cms = v.select(col("cnt"), posexplode(lanes).as(Seq("j", "b")))
+        .groupBy("j", "b").agg(sum(col("cnt")).as("bucket_cnt"))
+      val cand = v.orderBy(col("cnt").desc, col("w")).limit(20)
+      cand.select(col("w"), col("cnt"), posexplode(lanes).as(Seq("j", "b")))
+        .join(broadcast(cms), Seq("j", "b"))
+        .groupBy("w", "cnt").agg(min(col("bucket_cnt")).as("cms_est"))
+        .select(col("w"), col("cnt").as("exact_cnt"), col("cms_est"),
+          (col("cms_est") - col("cnt")).as("overcount"))
+        .orderBy(col("exact_cnt").desc, col("w"))
+    }),
+
+    // Bloom-filter membership pre-filter — the cheap first stage of
+    // cross-corpus dedup: an m=65536-bit, k=3 Bloom filter over the
+    // BASE split's content digests (sources src0–src9) probed by the
+    // INCOMING split (src10–src19); per source we report probe count,
+    // bloom maybes, exact duplicates, and false positives (maybe minus
+    // exact — the one-sided error a verify pass then clears). Bit
+    // positions are 16-bit md5 lanes, so the filter is a pure function
+    // of content and both engines derive identical bits. The set-bit
+    // table is bounded by m (fixed, ≤ 65536 rows) and BROADCASTS into
+    // the probe scan — at 100 TB that is the whole point: the base
+    // corpus compresses to a fixed-size filter, the probe side never
+    // shuffles, and only bloom-maybe survivors reach the exact
+    // verification join (here the digest semi-join). Real-cluster
+    // swap: spark.util.sketch.BloomFilter broadcast — same semantics,
+    // this relational formulation keeps the filter replayable by the
+    // oracle. Invariant: an exact dup shares the digest, hence every
+    // position ⇒ n_dup ≤ n_maybe always.
+    "llm_bloom_prefilter" -> ((s, dir) => {
+      val d = Tables.documents(s, dir)
+        .withColumn("hx", md5(concat(lit("bf:"), col("text")).cast("binary")))
+        .withColumn("p0", expr("CAST(conv(substr(hx, 1, 4), 16, 10) AS BIGINT)"))
+        .withColumn("p1", expr("CAST(conv(substr(hx, 9, 4), 16, 10) AS BIGINT)"))
+        .withColumn("p2", expr("CAST(conv(substr(hx, 17, 4), 16, 10) AS BIGINT)"))
+      // src0..src9 have 4-char names, src10..src19 have 5 — the stable
+      // fixture split (no RNG, no id ranges that shift across sf)
+      val base = d.where(length(col("source")) === 4)
+      val probe = d.where(length(col("source")) === 5)
+      val bits = base
+        .select(explode(array(col("p0"), col("p1"), col("p2"))).as("bit"))
+        .distinct()
+      val pos = array_distinct(array(col("p0"), col("p1"), col("p2")))
+      val maybe = probe
+        .select(col("doc_id"), explode(pos).as("bit"), size(pos).as("npos"))
+        .join(broadcast(bits), Seq("bit"))
+        .groupBy("doc_id", "npos").agg(count(lit(1)).as("nset"))
+        .where(col("nset") === col("npos"))
+        .select(col("doc_id"), lit(1L).as("maybe"))
+      val dup = probe
+        .join(base.select(col("hx")).distinct(), Seq("hx"), "left_semi")
+        .select(col("doc_id"), lit(1L).as("dup"))
+      probe.select("doc_id", "source")
+        .join(maybe, Seq("doc_id"), "left")
+        .join(dup, Seq("doc_id"), "left")
+        .groupBy("source").agg(
+          count(lit(1)).as("n_docs"),
+          count(col("maybe")).as("n_maybe"),
+          count(col("dup")).as("n_dup"),
+          count(when(col("maybe").isNotNull && col("dup").isNull, lit(1)))
+            .as("n_false_pos"))
+        .orderBy("source")
+    }),
+
     // weighted mixture: upweight one slice by replication (epoch mixing)
     "llm_mixture_weighted" -> ((s, dir) => {
       val d = Tables.documents(s, dir).select("doc_id", "lang")
@@ -4167,6 +4255,62 @@ object LlmQueries {
                 FROM p)
           SELECT source, doc_id, w, pri, rn FROM r
           WHERE rn <= 20 ORDER BY source, rn""",
+
+    // mirror of llm_cms_heavy: same md5 12-bit lane buckets, bucket
+    // sums cast back to BIGINT (uncast SUM would type HUGEINT — the
+    // r10 lesson), same top-20 candidate cut
+    "llm_cms_heavy" ->
+      """WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS w
+                    FROM documents),
+         tc AS (SELECT w, count(*) AS cnt FROM t WHERE w <> '' GROUP BY 1),
+         v AS (SELECT w, cnt, md5('cms:' || w) AS hx FROM tc),
+         vb AS (SELECT w, cnt, j,
+                  CAST(('0x' || substr(hx, 8 * j + 1, 3)) AS BIGINT) AS b
+                FROM v, (SELECT unnest([0, 1, 2, 3]) AS j)),
+         cms AS (SELECT j, b, CAST(SUM(cnt) AS BIGINT) AS bucket_cnt
+                 FROM vb GROUP BY 1, 2),
+         cand AS (SELECT w, cnt FROM tc ORDER BY cnt DESC, w LIMIT 20),
+         cb AS (SELECT c.w, c.cnt, vb.j, vb.b
+                FROM cand c JOIN vb ON vb.w = c.w)
+         SELECT cb.w, cb.cnt AS exact_cnt,
+                MIN(m.bucket_cnt) AS cms_est,
+                MIN(m.bucket_cnt) - cb.cnt AS overcount
+         FROM cb JOIN cms m ON m.j = cb.j AND m.b = cb.b
+         GROUP BY cb.w, cb.cnt
+         ORDER BY exact_cnt DESC, cb.w""",
+
+    // mirror of llm_bloom_prefilter: same 16-bit md5 lanes, same
+    // length-split of sources, same all-positions-set membership rule
+    "llm_bloom_prefilter" ->
+      """WITH d AS (SELECT doc_id, source, md5('bf:' || text) AS hx
+                    FROM documents),
+         p AS (SELECT doc_id, source, hx,
+                 CAST(('0x' || substr(hx, 1, 4)) AS BIGINT) AS p0,
+                 CAST(('0x' || substr(hx, 9, 4)) AS BIGINT) AS p1,
+                 CAST(('0x' || substr(hx, 17, 4)) AS BIGINT) AS p2
+               FROM d),
+         base AS (SELECT * FROM p WHERE len(source) = 4),
+         probe AS (SELECT * FROM p WHERE len(source) = 5),
+         bits AS (SELECT DISTINCT bit FROM
+                    (SELECT unnest([p0, p1, p2]) AS bit FROM base)),
+         pe AS (SELECT doc_id,
+                  unnest(list_distinct([p0, p1, p2])) AS bit,
+                  len(list_distinct([p0, p1, p2])) AS npos
+                FROM probe),
+         mb AS (SELECT doc_id FROM pe JOIN bits USING (bit)
+                GROUP BY doc_id, npos HAVING count(*) = npos),
+         dup AS (SELECT doc_id FROM probe
+                 WHERE hx IN (SELECT hx FROM base))
+         SELECT pr.source,
+                count(*) AS n_docs,
+                count(mb.doc_id) AS n_maybe,
+                count(dup.doc_id) AS n_dup,
+                count(CASE WHEN mb.doc_id IS NOT NULL
+                            AND dup.doc_id IS NULL THEN 1 END) AS n_false_pos
+         FROM probe pr
+         LEFT JOIN mb ON mb.doc_id = pr.doc_id
+         LEFT JOIN dup ON dup.doc_id = pr.doc_id
+         GROUP BY 1 ORDER BY pr.source""",
 
     "llm_mixture_weighted" ->
       """SELECT doc_id, lang, CAST(0 AS BIGINT) AS copy FROM documents

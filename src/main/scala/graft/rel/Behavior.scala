@@ -540,10 +540,58 @@ object Behavior {
         .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
         .agg(count(lit(1)).as("n_users"))
         .orderBy("cohort_week", "week_offset")
+    }),
+
+    // MATCH_RECOGNIZE-style sequence detection: per user, occurrences
+    // of the strictly-consecutive pattern view → click → purchase
+    // completing within 72 hours of the first step (the fixture's
+    // per-user event cadence is ~10 h, so a minutes-scale bound would
+    // make the detector vacuous at every sf). SQL-standard row
+    // pattern matching compiles to exactly this shape for a
+    // fixed-length pattern: ONE user-partitioned ordered window pass
+    // with lead() materializing the next-k rows, a row filter for the
+    // pattern predicate — no self-join, no per-event blow-up. The
+    // per-user aggregate after the filter is user-count-sized. At
+    // 100 TB the window sort is the only shuffle, on the same user
+    // key every behavioral query here already partitions by.
+    // (Variable-length patterns — A B* C — fold into the sessionize/
+    // streak gaps-and-islands shape instead; this is the fixed-arity
+    // fast path.)
+    "evt_sequence_detect" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy("ts_ms", "event_id")
+      Tables.events(s, dir)
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("event_type"))
+        .withColumn("t2", lead(col("event_type"), 1).over(w))
+        .withColumn("t3", lead(col("event_type"), 2).over(w))
+        .withColumn("ts3", lead(col("ts_ms"), 2).over(w))
+        .where(col("event_type") === "view" && col("t2") === "click" &&
+          col("t3") === "purchase" && col("ts3") - col("ts_ms") <= lit(259200000L))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_matches"), min(col("ts_ms")).as("first_start_ms"))
+        .orderBy(col("n_matches").desc, col("user_id"))
     })
   )
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of evt_sequence_detect: same user-ordered lead() triples,
+    // same 72-h completion bound, same (ts_ms, event_id) tie order
+    "evt_sequence_detect" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                           event_id, event_type
+                    FROM events),
+         l AS (SELECT user_id, ts_ms, event_type,
+                      lead(event_type, 1) OVER w AS t2,
+                      lead(event_type, 2) OVER w AS t3,
+                      lead(ts_ms, 2) OVER w AS ts3
+               FROM e WINDOW w AS (PARTITION BY user_id
+                                   ORDER BY ts_ms, event_id)),
+         m AS (SELECT user_id, ts_ms FROM l
+               WHERE event_type = 'view' AND t2 = 'click'
+                 AND t3 = 'purchase' AND ts3 - ts_ms <= 259200000)
+         SELECT user_id, count(*) AS n_matches,
+                MIN(ts_ms) AS first_start_ms
+         FROM m GROUP BY 1 ORDER BY n_matches DESC, user_id""",
+
     // mirror of evt_new_vs_returning: same first-seen split
     "evt_new_vs_returning" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day

@@ -198,6 +198,38 @@ object Graph {
         .orderBy("hops")
     }),
 
+    // Adamic–Adar link prediction over the co-purchase graph: for each
+    // EXISTING edge pair (the same adjacent-candidate policy as
+    // graph_jaccard_similar — recommenders score candidate pairs, not
+    // all pairs), AA(a,b) = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v)) — common
+    // neighbors weighted inversely by how promiscuous they are
+    // (Adamic & Adar 2003). Same broadcast-adjacency shape as
+    // graph_triangles; the common-neighbor explode is wedge-bounded
+    // (Σ|N(a)∩N(b)| over edges = 3·#triangles·2, nothing pair²), and
+    // the per-neighbor degree lookup broadcasts the node-sized degree
+    // table. A common neighbor of an edge pair has deg ≥ 2, so
+    // ln(deg) ≥ ln 2 and the 1/ln terms are bounded ≤ 1.443 —
+    // DECIMAL(28,10)-quantized for the order-free sum.
+    "graph_adamic_adar" -> ((s, dir) => {
+      val es = graft.core.Exec.materialize(edges(s, dir))
+      val deg = es.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val adj = es.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val e0 = es.where(col("src") < col("dst"))
+      val common = e0
+        .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
+        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
+        .select(col("src"), col("dst"),
+          explode(array_intersect(col("na"), col("nb"))).as("node"))
+      common.join(broadcast(deg), "node")
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n_common"),
+          graft.core.D.r4s(sum(graft.core.D.dec10(
+            lit(1.0) / log(col("deg").cast("double")))).cast("double"))
+            .as("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("src"), col("dst"))
+        .limit(20)
+    }),
+
     // Whole-graph triangle census plus basic size stats in ONE row.
     // The id-ORIENTED edge list (src < dst) counts each triangle
     // exactly once at its two smallest vertices: triangles on edge
@@ -328,6 +360,29 @@ object Graph {
            JOIN edges e ON e.src = bfs.node WHERE bfs.hops < 6),
          lv AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY node)
          SELECT hops, count(*) AS n_nodes FROM lv GROUP BY 1 ORDER BY hops""",
+
+    // mirror of graph_adamic_adar: common neighbors via the two-hop
+    // join restricted to candidate edges, same DECIMAL(28,10) term
+    // quantization, same ln argument shape
+    "graph_adamic_adar" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                      FROM lineitem),
+          e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+          edges AS (SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+          com AS (SELECT p.src, p.dst, ea.dst AS node
+                  FROM e0 p
+                  JOIN edges ea ON ea.src = p.src
+                  JOIN edges eb ON eb.src = p.dst AND eb.dst = ea.dst)
+          SELECT c.src, c.dst, count(*) AS n_common,
+                 ${graft.core.D.oR4(
+                   "CAST(SUM(CAST(1.0 / LN(CAST(d.deg AS DOUBLE)) " +
+                   "AS DECIMAL(28,10))) AS DOUBLE)")} AS adamic_adar
+          FROM com c JOIN deg d ON d.node = c.node
+          GROUP BY 1, 2
+          ORDER BY adamic_adar DESC, c.src, c.dst LIMIT 20""",
 
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

@@ -1027,6 +1027,38 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(pmi - exp) < 1e-3, s"pmi=$pmi expected≈$exp")
   }
 
+  test("count-min estimates are one-sided and exact counts are the true top-k") {
+    val rows = graft.SparkEntry.queries("llm_cms_heavy")(spark, sf)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty && rows.size <= 20)
+    // the CMS guarantee: estimate >= exact, overcount is the difference
+    assert(rows.forall { case (_, exact, est, over) =>
+      est >= exact && over == est - exact })
+    // candidates are the true top-k by exact count
+    val truth = graft.core.Tables.documents(spark, sf)
+      .select(explode(Dedup.words(col("text"))).as("w"))
+      .where(col("w") =!= "").groupBy("w").count()
+      .as[(String, Long)].collect()
+      .sortBy { case (w, c) => (-c, w) }.take(rows.size)
+    assert(rows.map(r => (r._1, r._2)) == truth.toSeq)
+  }
+
+  test("bloom prefilter: dup implies maybe, false positives are the gap") {
+    val rows = graft.SparkEntry.queries("llm_bloom_prefilter")(spark, sf)
+      .as[(String, Long, Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty, "probe sources must exist")
+    assert(rows.forall(_._1.length == 5), "probe side is src10..src19 only")
+    rows.foreach { case (src, n, maybe, dup, fp) =>
+      assert(dup <= maybe && maybe <= n, s"$src: dup<=maybe<=n violated")
+      assert(fp == maybe - dup, s"$src: fp must be exactly maybe-dup " +
+        "(an exact dup shares the digest, hence every bloom position)")
+    }
+    // filter totals cover the whole probe split
+    val probeN = graft.core.Tables.documents(spark, sf)
+      .where(length(col("source")) === 5).count()
+    assert(rows.map(_._2).sum == probeN)
+  }
+
   test("priority sample: deterministic, per-source k, inclusion tracks weight") {
     val q = graft.SparkEntry.queries("llm_sample_priority")
     val a = q(spark, sf).as[(String, Long, Long, Long, Long)].collect().toSeq

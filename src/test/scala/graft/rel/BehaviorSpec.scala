@@ -300,4 +300,51 @@ class BehaviorSpec extends SparkSpec {
     val ns = rows.map(_._2)
     assert(ns.zip(ns.tail).forall { case (a, b) => a >= b })
   }
+
+  test("sequence detect matches a brute-force per-user scan") {
+    val got = run("evt_sequence_detect")
+      .as[(Long, Long, Long)].collect().toSeq
+    // brute force: per user, sort by (ts_ms, event_id), slide a
+    // 3-window, count view>click>purchase completing within 72 h
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts_ms", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val expect = ev.groupBy(_._1).flatMap { case (u, rows) =>
+      val seq3 = rows.sortBy(r => (r._2, r._3)).sliding(3).filter(w =>
+        w.length == 3 && w(0)._4 == "view" && w(1)._4 == "click" &&
+          w(2)._4 == "purchase" && w(2)._2 - w(0)._2 <= 259200000L).toSeq
+      if (seq3.isEmpty) None
+      else Some((u, seq3.length.toLong, seq3.map(_(0)._2).min))
+    }.toSet
+    assert(got.nonEmpty, "detector must be non-vacuous at this sf")
+    assert(got.toSet == expect, "window-lead matches must equal brute force")
+    // declared total order: n desc, then user
+    val key = got.map(r => (-r._2, r._1))
+    assert(key == key.sorted)
+  }
+
+  test("adamic-adar matches brute force and respects its bounds") {
+    val got = run("graph_adamic_adar")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty && got.size <= 20)
+    // common neighbors of an adjacent pair have degree >= 2, so every
+    // term <= 1/ln 2 and the score is bounded by n_common * 1.4427
+    assert(got.forall { case (_, _, nc, aa) =>
+      nc >= 1 && aa > 0 && aa <= nc * 1.4427 + 1e-9 })
+    // brute-force the top pair's score from the raw co-purchase edges
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    li.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    val (src, dst, nc, aa) = got.head
+    val common = adj(src) & adj(dst)
+    assert(common.size.toLong == nc)
+    val exp = common.toSeq.map(v => 1.0 / math.log(adj(v).size.toDouble)).sum
+    assert(math.abs(aa - exp) < 1e-3, s"aa=$aa expected≈$exp")
+  }
 }
