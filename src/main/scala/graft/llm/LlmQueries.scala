@@ -2069,6 +2069,24 @@ object LlmQueries {
         .select("id", "width", "height", "format", "decode_ok")
         .orderBy("id")),
 
+    // pixel-level feature extraction over the REAL codec path: decode
+    // each synthesized PNG and aggregate per-channel sums from the
+    // decoded raster (Multimodal.decodePngStats). PNG is lossless, so
+    // the oracle recomputes the identical sums from the synthesis
+    // formula ((id·2654435761 + 31x + 17y) & 0xFFFFFF) analytically —
+    // the engine result only matches if a genuine encoder+decoder
+    // round-trip preserved every pixel. Integer channel sums, one
+    // 4dp mean ratio; stats rows are the only thing that leaves the
+    // decode partitions.
+    "llm_multimodal_pixstats" -> ((s, dir) =>
+      Multimodal.decodePngStats(Multimodal.pngTable(s, dir)).toDF()
+        .select(col("id"), col("width"), col("height"), col("n_px"),
+          col("sum_r"), col("sum_g"), col("sum_b"),
+          D.r4s(col("sum_r").cast("double") / col("n_px").cast("double"))
+            .as("mean_r"),
+          col("decode_ok"))
+        .orderBy("id")),
+
     "llm_multimodal_meta" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -2234,6 +2252,45 @@ object LlmQueries {
           count(when(col("maybe").isNotNull && col("dup").isNull, lit(1)))
             .as("n_false_pos"))
         .orderBy("source")
+    }),
+
+    // Preference-pair construction for reward-model training: per
+    // (lang, length-bucket) group — the stand-in for a per-prompt
+    // response group — pair the highest-quality doc (chosen) with the
+    // lowest (rejected), tie-broken on doc_id, and keep only pairs
+    // with a strictly positive margin (tied pairs teach a reward model
+    // nothing; this also drops singleton groups, where chosen =
+    // rejected). Quality is the same deterministic heuristic
+    // llm_quality_score ships, 4dp-quantized BEFORE ranking so the
+    // order itself is portable. Shape: one map-side score scan, two
+    // row_number windows over the SAME (lang, bucket) partitioning —
+    // one sort shuffle total — and a group-count-sized join; at 100 TB
+    // with per-prompt groups this is a bounded per-key top/bottom-1,
+    // never a within-group pair blow-up (a full preference matrix
+    // would be group², the classic mistake).
+    "llm_pref_pairs" -> ((s, dir) => {
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')",
+        Seq("the", "a", "of", "and"))
+      val d = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        expr("CAST(n_chars DIV 200 AS BIGINT)").as("len_bucket"),
+        D.r4s(qualityCol(nw, stops)).as("q"))
+      val wBest = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "len_bucket").orderBy(col("q").desc, col("doc_id"))
+      val wWorst = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang", "len_bucket").orderBy(col("q").asc, col("doc_id"))
+      val ranked = d.withColumn("rb", row_number().over(wBest))
+        .withColumn("rw", row_number().over(wWorst))
+      val best = ranked.where(col("rb") === 1).select(col("lang"),
+        col("len_bucket"), col("doc_id").as("chosen_id"), col("q").as("chosen_q"))
+      val worst = ranked.where(col("rw") === 1).select(col("lang"),
+        col("len_bucket"), col("doc_id").as("rejected_id"), col("q").as("rejected_q"))
+      best.join(worst, Seq("lang", "len_bucket"))
+        .where(col("chosen_q") > col("rejected_q"))
+        .select(col("lang"), col("len_bucket"), col("chosen_id"),
+          col("rejected_id"), col("chosen_q"), col("rejected_q"),
+          D.r4s(col("chosen_q") - col("rejected_q")).as("margin"))
+        .orderBy("lang", "len_bucket")
     }),
 
     // weighted mixture: upweight one slice by replication (epoch mixing)
@@ -4312,6 +4369,33 @@ object LlmQueries {
          LEFT JOIN dup ON dup.doc_id = pr.doc_id
          GROUP BY 1 ORDER BY pr.source""",
 
+    // mirror of llm_pref_pairs: same 4dp-prequantized quality, same
+    // double row_number ranking, same positive-margin keep rule
+    "llm_pref_pairs" ->
+      s"""WITH b AS (SELECT doc_id, lang, n_chars // 200 AS len_bucket,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
+            FROM documents),
+          q AS (SELECT doc_id, lang, len_bucket,
+                  ${D.oR4(QualitySqlExpr)} AS q FROM b),
+          r AS (SELECT doc_id, lang, len_bucket, q,
+                  row_number() OVER (PARTITION BY lang, len_bucket
+                                     ORDER BY q DESC, doc_id) AS rb,
+                  row_number() OVER (PARTITION BY lang, len_bucket
+                                     ORDER BY q ASC, doc_id) AS rw
+                FROM q),
+          best AS (SELECT lang, len_bucket, doc_id AS chosen_id,
+                          q AS chosen_q FROM r WHERE rb = 1),
+          worst AS (SELECT lang, len_bucket, doc_id AS rejected_id,
+                           q AS rejected_q FROM r WHERE rw = 1)
+          SELECT b.lang, b.len_bucket, b.chosen_id, w.rejected_id,
+                 b.chosen_q, w.rejected_q,
+                 ${D.oR4("b.chosen_q - w.rejected_q")} AS margin
+          FROM best b JOIN worst w USING (lang, len_bucket)
+          WHERE b.chosen_q > w.rejected_q
+          ORDER BY b.lang, b.len_bucket""",
+
     "llm_mixture_weighted" ->
       """SELECT doc_id, lang, CAST(0 AS BIGINT) AS copy FROM documents
          UNION ALL
@@ -4461,6 +4545,33 @@ object LlmQueries {
             CAST(1 + n_chars % 16 AS INT) AS height,
             'png' AS format, TRUE AS decode_ok
          FROM documents ORDER BY doc_id""",
+
+    // mirror of llm_multimodal_pixstats: the pixel channel sums are
+    // recomputed ANALYTICALLY from the synthesis formula — no image
+    // library on the oracle side; the engine's numbers only match if
+    // the real PNG encode→decode round-trip was pixel-exact
+    "llm_multimodal_pixstats" ->
+      s"""WITH d AS (SELECT doc_id AS id,
+                       CAST(1 + doc_id % 16 AS INT) AS width,
+                       CAST(1 + n_chars % 16 AS INT) AS height
+                     FROM documents),
+          xs AS (SELECT id, width, height,
+                   unnest(range(0, width)) AS x FROM d),
+          ps AS (SELECT id, width, height, x,
+                   unnest(range(0, height)) AS y FROM xs),
+          px AS (SELECT id, width, height,
+                   ((id * 2654435761 + x * 31 + y * 17) & 16777215) AS rgb
+                 FROM ps),
+          agg AS (SELECT id, width, height, count(*) AS n_px,
+                    CAST(SUM(rgb // 65536) AS BIGINT) AS sum_r,
+                    CAST(SUM((rgb // 256) % 256) AS BIGINT) AS sum_g,
+                    CAST(SUM(rgb % 256) AS BIGINT) AS sum_b
+                  FROM px GROUP BY 1, 2, 3)
+          SELECT id, width, height, n_px, sum_r, sum_g, sum_b,
+                 ${D.oR4("CAST(sum_r AS DOUBLE) / CAST(n_px AS DOUBLE)")}
+                   AS mean_r,
+                 TRUE AS decode_ok
+          FROM agg ORDER BY id""",
 
     "llm_multimodal_meta" ->
       """SELECT doc_id,

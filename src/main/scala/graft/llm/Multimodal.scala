@@ -113,6 +113,54 @@ object Multimodal {
       })
   }
 
+  case class PngStats(id: Long, width: Int, height: Int, n_px: Long,
+                      sum_r: Long, sum_g: Long, sum_b: Long, decode_ok: Boolean)
+
+  /** REAL pixel-level feature extraction: decode the PNG and aggregate
+    * per-channel sums over the DECODED raster — the "feature-extract"
+    * stage of a multimodal ingest (brightness stats, channel balance)
+    * running on codec output, not on metadata. PNG is lossless, so the
+    * decoded pixels must equal the synthesized ones bit-for-bit: the
+    * analytic oracle recomputes the same channel sums from the pixel
+    * formula without touching an image library, and any codec
+    * round-trip corruption shows up as a hash mismatch. Same
+    * mapPartitions discipline as [[decodePngMeta]]: codec init once
+    * per partition, per-image work bounded by raster size, only the
+    * fixed-width stats row leaves the partition — at 100 TB the
+    * payload bytes never shuffle. */
+  def decodePngStats(media: Dataset[PngRow]): Dataset[PngStats] = {
+    import media.sparkSession.implicits._
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      rows.map { r =>
+        try {
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(r.media))
+          if (img == null) PngStats(r.id, -1, -1, 0L, 0L, 0L, 0L, false)
+          else {
+            val w = img.getWidth; val h = img.getHeight
+            var sr = 0L; var sg = 0L; var sb = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                val rgb = img.getRGB(x, y) & 0xFFFFFF
+                sr += (rgb >> 16) & 0xFF
+                sg += (rgb >> 8) & 0xFF
+                sb += rgb & 0xFF
+                x += 1
+              }
+              y += 1
+            }
+            PngStats(r.id, w, h, w.toLong * h, sr, sg, sb, true)
+          }
+        } catch {
+          case _: Exception => PngStats(r.id, -1, -1, 0L, 0L, 0L, 0L, false)
+        }
+      }
+    }
+  }
+
   /** REAL decode: `ImageIO.read` parses the PNG byte stream and the
     * emitted dimensions are the codec's, not the synthesizer's.
     * Undecodable payloads (truncated/corrupt/unknown format) yield

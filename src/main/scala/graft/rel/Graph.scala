@@ -198,6 +198,40 @@ object Graph {
         .orderBy("hops")
     }),
 
+    // Label propagation community detection (Raghavan 2007), made
+    // DETERMINISTIC: two SYNCHRONOUS rounds from label = node id, each
+    // node adopting its neighbors' modal label with the (count desc,
+    // label asc) tie-break — async/random-order LPA is famously
+    // run-dependent, which would be unverifiable here; the synchronous
+    // fixed-round variant is a pure function of the graph. Per round:
+    // ONE edge ⋈ labels join (node state broadcast — the same
+    // billion-node co-partition swap as graph_pagerank applies
+    // verbatim), a (node, label) count aggregate, and a per-node
+    // top-1 window over the label-count frame (node-sized, never
+    // edge-sized). Communities differ from connected components: a
+    // bridge node joins the side with more of its neighbors, splitting
+    // dense regions a component merge would glue together.
+    "graph_label_propagation" -> ((s, dir) => {
+      val es = graft.core.Exec.materialize(edges(s, dir))
+      val l0 = es.select(col("src").as("node")).distinct()
+        .withColumn("label", col("node"))
+      val round = (labels: DataFrame) => {
+        val counts = es
+          .join(broadcast(labels.withColumnRenamed("node", "src")), "src")
+          .groupBy(col("dst").as("node"), col("label"))
+          .agg(count(lit(1)).as("c"))
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("node").orderBy(col("c").desc, col("label"))
+        counts.withColumn("rn", row_number().over(w))
+          .where(col("rn") === 1).select("node", "label")
+      }
+      val l2 = round(graft.core.Exec.materialize(round(l0)))
+      l2.groupBy(col("label").as("community_id"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy(col("n_nodes").desc, col("community_id"))
+        .limit(20)
+    }),
+
     // Adamic–Adar link prediction over the co-purchase graph: for each
     // EXISTING edge pair (the same adjacent-candidate policy as
     // graph_jaccard_similar — recommenders score candidate pairs, not
@@ -360,6 +394,33 @@ object Graph {
            JOIN edges e ON e.src = bfs.node WHERE bfs.hops < 6),
          lv AS (SELECT node, min(hops) AS hops FROM bfs GROUP BY node)
          SELECT hops, count(*) AS n_nodes FROM lv GROUP BY 1 ORDER BY hops""",
+
+    // mirror of graph_label_propagation: two synchronous rounds, the
+    // same (count desc, label asc) modal tie-break via row_number
+    "graph_label_propagation" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst, src FROM e0),
+         l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+         c1 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                FROM edges e JOIN l0 l ON l.node = e.src GROUP BY 1, 2),
+         l1 AS (SELECT node, label FROM
+                  (SELECT node, label,
+                     row_number() OVER (PARTITION BY node
+                       ORDER BY c DESC, label) AS rn FROM c1)
+                WHERE rn = 1),
+         c2 AS (SELECT e.dst AS node, l.label, count(*) AS c
+                FROM edges e JOIN l1 l ON l.node = e.src GROUP BY 1, 2),
+         l2 AS (SELECT node, label FROM
+                  (SELECT node, label,
+                     row_number() OVER (PARTITION BY node
+                       ORDER BY c DESC, label) AS rn FROM c2)
+                WHERE rn = 1)
+         SELECT label AS community_id, count(*) AS n_nodes FROM l2
+         GROUP BY 1 ORDER BY n_nodes DESC, community_id LIMIT 20""",
 
     // mirror of graph_adamic_adar: common neighbors via the two-hop
     // join restricted to candidate edges, same DECIMAL(28,10) term

@@ -1059,6 +1059,46 @@ class LlmSpec extends SparkSpec {
     assert(rows.map(_._2).sum == probeN)
   }
 
+  test("pixstats: decoded channel sums equal the synthesis formula") {
+    val rows = graft.SparkEntry.queries("llm_multimodal_pixstats")(spark, sf)
+      .as[(Long, Int, Int, Long, Long, Long, Long, Double, Boolean)]
+      .collect().toSeq
+    assert(rows.nonEmpty && rows.forall(_._9), "every synthesized PNG decodes")
+    assert(rows.forall(r => r._2 >= 1 && r._2 <= 16 && r._3 >= 1 && r._3 <= 16))
+    // recompute one row's sums straight from the pixel formula — if the
+    // codec round-trip dropped or shifted a pixel this cannot match
+    val r = rows.maxBy(_._4)
+    var (sr, sg, sb) = (0L, 0L, 0L)
+    for (y <- 0 until r._3; x <- 0 until r._2) {
+      val rgb = (r._1 * 2654435761L + x * 31L + y * 17L) & 0xFFFFFF
+      sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+    }
+    assert((r._5, r._6, r._7) == ((sr, sg, sb)),
+      s"decoded sums ${(r._5, r._6, r._7)} != formula ${(sr, sg, sb)}")
+    assert(r._4 == r._2.toLong * r._3)
+  }
+
+  test("pref pairs: chosen is the group max, rejected the min, margin positive") {
+    val pairs = graft.SparkEntry.queries("llm_pref_pairs")(spark, sf)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (lang, bkt, cid, rid, cq, rq, m) =>
+      assert(cid != rid && cq > rq && m > 0, s"($lang,$bkt) pair invalid")
+    }
+    // cross-check against the shipped quality scores: chosen/rejected
+    // must be the group's extreme scores under the same 4dp quantization
+    val q = graft.SparkEntry.queries("llm_quality_score")(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    val meta = graft.core.Tables.documents(spark, sf)
+      .selectExpr("doc_id", "lang", "CAST(n_chars DIV 200 AS BIGINT)")
+      .as[(Long, String, Long)].collect()
+      .groupBy(t => (t._2, t._3))
+    pairs.foreach { case (lang, bkt, cid, rid, cq, rq, _) =>
+      val qs = meta((lang, bkt)).map(t => q(t._1))
+      assert(cq == qs.max && rq == qs.min, s"($lang,$bkt) not the extremes")
+    }
+  }
+
   test("priority sample: deterministic, per-source k, inclusion tracks weight") {
     val q = graft.SparkEntry.queries("llm_sample_priority")
     val a = q(spark, sf).as[(String, Long, Long, Long, Long)].collect().toSeq

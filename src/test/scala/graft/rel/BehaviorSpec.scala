@@ -323,6 +323,32 @@ class BehaviorSpec extends SparkSpec {
     assert(key == key.sorted)
   }
 
+  test("label propagation matches a brute-force synchronous 2-round run") {
+    val got = run("graph_label_propagation")
+      .as[(Long, Long)].collect().toSeq
+    assert(got.nonEmpty && got.size <= 20)
+    // brute force: adjacency from raw lineitem, labels = id, two
+    // synchronous modal rounds with the (count desc, label asc) break
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, List[Long]]()
+    li.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b) adj(a) = b :: adj.getOrElse(a, Nil)
+    }
+    // symmetric closure dedup: neighbor multiplicity must be 1 per edge
+    val nbrs = adj.map { case (k, v) => k -> v.distinct }.toMap
+    def step(l: Map[Long, Long]): Map[Long, Long] = nbrs.map { case (n, ns) =>
+      val byLabel = ns.groupBy(l).view.mapValues(_.size).toSeq
+      n -> byLabel.minBy { case (lab, c) => (-c, lab) }._1
+    }
+    val l2 = step(step(nbrs.keys.map(k => k -> k).toMap))
+    val expect = l2.values.groupBy(identity).map { case (l, xs) => (l, xs.size.toLong) }
+      .toSeq.sortBy { case (l, n) => (-n, l) }.take(got.size)
+    assert(got == expect, "engine LPA must equal the brute-force rounds")
+  }
+
   test("adamic-adar matches brute force and respects its bounds") {
     val got = run("graph_adamic_adar")
       .as[(Long, Long, Long, Double)].collect().toSeq
