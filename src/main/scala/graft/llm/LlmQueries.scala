@@ -327,6 +327,40 @@ object LlmQueries {
         Dedup.nearDupPairsPortable(Tables.documents(s, dir), "doc_id", "text",
           k = 32, r = 4, shingleN = 3, threshold = 0.5))),
 
+    // The APPLY step of near-dup dedup: canonical-survivor selection.
+    // Production dedup keeps the BEST member of each near-dup cluster
+    // (not the min-id — you want the cleanest copy of the page, not
+    // the first-crawled one): per cluster, the max-quality doc with
+    // doc_id tie-break, plus the member/removal census a curation
+    // report needs. Quality is 4dp-prequantized so the argmax itself
+    // is portable. Shape: the cluster-label frame is
+    // cluster-member-sized (a small fraction of the corpus), the
+    // quality join is keyed on doc_id, and both windows share ONE
+    // cluster_id partitioning — one sort shuffle over member rows.
+    "llm_dedup_canonical" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val labels = Dedup.clusterLabels(
+        Dedup.nearDupPairsPortable(docs, "doc_id", "text",
+          k = 32, r = 4, shingleN = 3, threshold = 0.5))
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')",
+        Seq("the", "a", "of", "and"))
+      val q = docs.select(col("doc_id"), D.r4s(qualityCol(nw, stops)).as("q"))
+      val wRank = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id").orderBy(col("q").desc, col("doc_id"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy("cluster_id")
+      labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+        .join(q, "doc_id")
+        .withColumn("rn", row_number().over(wRank))
+        .withColumn("n_members", count(lit(1)).over(wAll))
+        .where(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("canonical_id"),
+          col("q").as("canonical_q"), col("n_members"),
+          (col("n_members") - 1).as("n_removed"))
+        .orderBy("cluster_id")
+    }),
+
     // The flagship curation pipeline — the chain a training-data run
     // actually executes, composed from the operators above: exact dedup
     // (keep min-id per text) → near-dup cluster representatives only →
@@ -1185,20 +1219,33 @@ object LlmQueries {
           sum(col("n_chars")).as("total_chars"))
         .orderBy("lang")),
 
-    "llm_lang_id" -> ((s, dir) => {
-      val scored = Tables.documents(s, dir)
-        .withColumn("w", Dedup.words(col("text")))
-        .select(col("doc_id") +:
-          Text.Markers.toSeq.sortBy(_._1).map { case (l, m) =>
-            Text.markerScore("w", m).as(s"s_$l")
-          }: _*)
-      scored.withColumn("predicted",
-        when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"), col("s_zh")), "en")
-          .when(col("s_de") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "de")
-          .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
-          .when(col("s_fr") >= col("s_zh"), "fr")
-          .otherwise("zh"))
-        .orderBy("doc_id")
+    "llm_lang_id" -> ((s, dir) => langIdScored(s, dir).orderBy("doc_id")),
+
+    // Language-ID EVALUATION: the confusion matrix of the shipped
+    // classifier (langIdScored — the eval grades the exact predictor
+    // llm_lang_id serves, not a re-implementation) against the
+    // fixture's true labels, one row per (true, predicted) cell with
+    // the row-normalized share (diagonal = per-language recall). The
+    // measure-don't-assert companion to llm_lang_id, like
+    // llm_dedup_eval and llm_sim_ivf_recall are for their families.
+    // On THIS fixture the matrix shows the classifier collapsing to
+    // all-'en' (the synthetic text shares one vocabulary across langs,
+    // so only the en markers ever fire) — that is the eval doing its
+    // job: it catches a predictor that would misroute a corpus BEFORE
+    // the router ships, instead of asserting a quality the fixture
+    // cannot support.
+    // Shape: the map-side classifier scan feeds ONE lang²-bounded
+    // aggregate (≤ 25 cells) and a cell-partitioned window — nothing
+    // row-sized survives the first groupBy.
+    "llm_lang_confusion" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("true_lang")
+      langIdScored(s, dir).select("doc_id", "predicted")
+        .join(Tables.documents(s, dir).select(col("doc_id"), col("lang")), "doc_id")
+        .groupBy(col("lang").as("true_lang"), col("predicted").as("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .withColumn("recall", D.r4s(col("n").cast("double") /
+          sum(col("n")).over(w).cast("double")))
+        .orderBy("true_lang", "pred_lang")
     }),
 
     // repetition-loop gate: per doc the most-repeated trigram and the
@@ -2663,6 +2710,24 @@ object LlmQueries {
   /** Quality score over derived columns n_words / stops — the single
     * definition behind llm_quality_score AND llm_corpus_curate's gate,
     * as a Spark Column and the bit-matching oracle fragment. */
+  /** The n-gram-marker language classifier behind llm_lang_id AND its
+    * confusion-matrix eval (llm_lang_confusion) — one definition so the
+    * eval can never grade a drifted copy of the predictor. */
+  private def langIdScored(s: SparkSession, dir: String): DataFrame = {
+    val scored = Tables.documents(s, dir)
+      .withColumn("w", Dedup.words(col("text")))
+      .select(col("doc_id") +:
+        Text.Markers.toSeq.sortBy(_._1).map { case (l, m) =>
+          Text.markerScore("w", m).as(s"s_$l")
+        }: _*)
+    scored.withColumn("predicted",
+      when(col("s_en") >= greatest(col("s_de"), col("s_es"), col("s_fr"), col("s_zh")), "en")
+        .when(col("s_de") >= greatest(col("s_es"), col("s_fr"), col("s_zh")), "de")
+        .when(col("s_es") >= greatest(col("s_fr"), col("s_zh")), "es")
+        .when(col("s_fr") >= col("s_zh"), "fr")
+        .otherwise("zh"))
+  }
+
   private def qualityCol(nw: org.apache.spark.sql.Column, stops: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
       (stops.cast("double") / nw) * 0.5
@@ -3450,6 +3515,27 @@ object LlmQueries {
          SELECT lab.node AS doc_id, lab.cluster_id, sz.n_members
          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
 
+    // mirror of llm_dedup_canonical: same pair CTEs + min-label
+    // closure as llm_dedup_clusters, same 4dp-prequantized quality
+    // argmax with doc_id tie-break
+    "llm_dedup_canonical" ->
+      s"""WITH RECURSIVE $NearDupPairCtes,
+         $MinLabelClosureCtes,
+         qb AS (SELECT doc_id,
+                  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+                  CAST(len(list_filter(string_split(lower(text), ' '),
+                       x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
+                FROM documents),
+         qq AS (SELECT doc_id, ${D.oR4(QualitySqlExpr)} AS q FROM qb),
+         mem AS (SELECT lab.node AS doc_id, lab.cluster_id, qq.q,
+                   row_number() OVER (PARTITION BY lab.cluster_id
+                                      ORDER BY qq.q DESC, lab.node) AS rn,
+                   count(*) OVER (PARTITION BY lab.cluster_id) AS n_members
+                 FROM lab JOIN qq ON qq.doc_id = lab.node)
+         SELECT cluster_id, doc_id AS canonical_id, q AS canonical_q,
+                n_members, n_members - 1 AS n_removed
+         FROM mem WHERE rn = 1 ORDER BY cluster_id""",
+
     // curation flagship: pair CTEs + recursive closure feed the
     // non-representative drop set; exact dedup and the quality gate
     // mirror llm_dedup_exact / llm_quality_score shapes; aggregates per
@@ -4044,6 +4130,34 @@ object LlmQueries {
                  WHEN s_fr >= s_zh THEN 'fr'
                  ELSE 'zh' END AS predicted
          FROM sc ORDER BY doc_id""",
+
+    // mirror of llm_lang_confusion: the same classifier CASE joined to
+    // true labels; the window SUM feeding the recall ratio is cast to
+    // DOUBLE inline (never emitted — an uncast HUGEINT output would
+    // trip the type audit)
+    "llm_lang_confusion" ->
+      s"""WITH w AS (SELECT doc_id, lang,
+                       string_split(lower(text), ' ') AS ws FROM documents),
+          sc AS (SELECT doc_id, lang,
+             CAST(len(list_filter(ws, x -> x IN ('der', 'die', 'und', 'ist'))) AS BIGINT) AS s_de,
+             CAST(len(list_filter(ws, x -> x IN ('the', 'a', 'of', 'and', 'value'))) AS BIGINT) AS s_en,
+             CAST(len(list_filter(ws, x -> x IN ('el', 'la', 'de', 'que'))) AS BIGINT) AS s_es,
+             CAST(len(list_filter(ws, x -> x IN ('le', 'les', 'et', 'est'))) AS BIGINT) AS s_fr,
+             CAST(len(list_filter(ws, x -> x IN ('de', 'shi', 'le'))) AS BIGINT) AS s_zh
+           FROM w),
+          p AS (SELECT lang AS true_lang,
+             CASE WHEN s_en >= greatest(s_de, s_es, s_fr, s_zh) THEN 'en'
+                  WHEN s_de >= greatest(s_es, s_fr, s_zh) THEN 'de'
+                  WHEN s_es >= greatest(s_fr, s_zh) THEN 'es'
+                  WHEN s_fr >= s_zh THEN 'fr'
+                  ELSE 'zh' END AS pred_lang
+           FROM sc),
+          m AS (SELECT true_lang, pred_lang, count(*) AS n
+                FROM p GROUP BY 1, 2)
+          SELECT true_lang, pred_lang, n,
+                 ${D.oR4("CAST(n AS DOUBLE) / CAST(SUM(n) OVER " +
+                   "(PARTITION BY true_lang) AS DOUBLE)")} AS recall
+          FROM m ORDER BY true_lang, pred_lang""",
 
     // mirror of llm_repeated_ngram: trigrams over range(1, len-1)
     "llm_repeated_ngram" ->

@@ -239,11 +239,20 @@ object Graph {
     // neighbors weighted inversely by how promiscuous they are
     // (Adamic & Adar 2003). Same broadcast-adjacency shape as
     // graph_triangles; the common-neighbor explode is wedge-bounded
-    // (Σ|N(a)∩N(b)| over edges = 3·#triangles·2, nothing pair²), and
-    // the per-neighbor degree lookup broadcasts the node-sized degree
-    // table. A common neighbor of an edge pair has deg ≥ 2, so
-    // ln(deg) ≥ ln 2 and the 1/ln terms are bounded ≤ 1.443 —
-    // DECIMAL(28,10)-quantized for the order-free sum.
+    // (Σ|N(a)∩N(b)| over candidate edges — nothing pair²), the
+    // per-neighbor degree lookup broadcasts the node-sized degree
+    // table, and the (src, dst) re-aggregate partial-aggregates in the
+    // same stage the explode runs in, so the shuffle payload is
+    // edge-bounded. MEASURED alternative, rejected: folding (v, wt)
+    // structs into the adjacency so the weight sum becomes a map-side
+    // aggregate over array_intersect removes the explode/join/agg —
+    // but struct-array intersect falls off Spark's hashed fast path
+    // into pairwise equality (O(|na|·|nb|) per edge) and benched 349 s
+    // vs this plan's ~7 s at sf0.1. Long-array intersect stays hashed;
+    // keep ids primitive, join the weights. A common neighbor of an
+    // edge pair has deg ≥ 2, so ln(deg) ≥ ln 2 and the 1/ln terms are
+    // bounded ≤ 1.443 — DECIMAL(28,10)-quantized for the order-free
+    // sum.
     "graph_adamic_adar" -> ((s, dir) => {
       val es = graft.core.Exec.materialize(edges(s, dir))
       val deg = es.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))

@@ -1099,6 +1099,49 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("lang confusion: cells partition the corpus, recalls sum to 1 per row") {
+    val cells = graft.SparkEntry.queries("llm_lang_confusion")(spark, sf)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(cells.nonEmpty)
+    val nDocs = graft.core.Tables.documents(spark, sf).count()
+    assert(cells.map(_._3).sum == nDocs, "cells must partition the corpus")
+    // per true_lang the recall shares sum to ~1 (4dp rounding slack)
+    cells.groupBy(_._1).values.foreach { row =>
+      assert(math.abs(row.map(_._4).sum - 1.0) < 1e-3 * row.size)
+    }
+    // the matrix must agree with the shipped per-doc predictions
+    val pred = graft.SparkEntry.queries("llm_lang_id")(spark, sf)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    val truth = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang").as[(Long, String)].collect()
+    val expect = truth.groupBy(t => (t._2, pred(t._1)))
+      .view.mapValues(_.length.toLong).toMap
+    assert(cells.map(c => (c._1, c._2) -> c._3).toMap == expect)
+  }
+
+  test("dedup canonical: survivor is the cluster's best-quality member") {
+    val rows = graft.SparkEntry.queries("llm_dedup_canonical")(spark, sf)
+      .as[(Long, Long, Double, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    rows.foreach { case (_, _, _, n, rem) =>
+      assert(n >= 2 && rem == n - 1, "clusters have >=2 members by construction")
+    }
+    // cross-check against the cluster frame + quality scores
+    val clusters = graft.SparkEntry.queries("llm_dedup_clusters")(spark, sf)
+      .select("doc_id", "cluster_id").as[(Long, Long)].collect()
+      .groupBy(_._2)
+    val q = graft.SparkEntry.queries("llm_quality_score")(spark, sf)
+      .select("doc_id", "quality").as[(Long, Double)].collect().toMap
+    assert(rows.size == clusters.size, "one survivor per cluster")
+    rows.foreach { case (cid, canon, cq, n, _) =>
+      val members = clusters(cid).map(_._1)
+      assert(members.size.toLong == n)
+      val best = members.map(d => (-q(d), d)).min._2
+      assert(canon == best && cq == q(canon),
+        s"cluster $cid: canonical $canon != best $best")
+    }
+  }
+
   test("priority sample: deterministic, per-source k, inclusion tracks weight") {
     val q = graft.SparkEntry.queries("llm_sample_priority")
     val a = q(spark, sf).as[(String, Long, Long, Long, Long)].collect().toSeq
