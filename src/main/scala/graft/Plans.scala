@@ -61,7 +61,12 @@ object Plans {
     "llm_embed_pca", "sink_dynamic_overwrite", "llm_char_entropy",
     "llm_unigram_kl", "agg_weighted_median", "evt_concurrency_peak",
     "tsdb_query_json", "llm_corpus_diff", "llm_multimodal_decode",
-    "tsdb_downsample_minmax_count", "series_catalog_roundtrip")
+    "tsdb_downsample_minmax_count", "series_catalog_roundtrip",
+    "llm_keyphrase_rake", "llm_quality_logreg", "agg_bitmap_intersect",
+    "tsdb_ddsketch_pct", "llm_word_pmi", "llm_sample_priority",
+    "evt_sequence_detect", "graph_adamic_adar", "llm_cms_heavy",
+    "llm_bloom_prefilter", "graph_label_propagation", "llm_pref_pairs",
+    "llm_multimodal_pixstats", "llm_lang_confusion", "llm_dedup_canonical")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

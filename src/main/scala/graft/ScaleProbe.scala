@@ -181,6 +181,27 @@ object ScaleProbe {
         spark.read.parquet(s"$dir/documents.parquet"), "doc_id", "text")
         .agg(sum(col("m0")), count(lit(1))).head().getLong(1)
 
+    // r11 additions. CMS: the sketch is vocab-then-16k-bounded, so 10×
+    // docs should cost ~the token scan. Bloom: the bit table is
+    // m-bounded (at 10× the 65536-bit demo filter SATURATES — all
+    // probes read maybe; the probe measures COST scaling, the
+    // saturation itself is the documented m∝n sizing lesson).
+    // Adamic–Adar: wedge-bounded explode over the disjoint-replica
+    // graph — 10× edges, per-replica wedge structure unchanged.
+    // LPA: two fixed rounds, each one edge⋈labels join — should track
+    // the edge count like components. Sequence detect: one window
+    // sort over 10× event rows.
+    def cms(dir: String): Long =
+      SparkEntry.queries("llm_cms_heavy")(spark, dir).count()
+    def bloom(dir: String): Long =
+      SparkEntry.queries("llm_bloom_prefilter")(spark, dir).count()
+    def adamicAdar(dir: String): Long =
+      SparkEntry.queries("graph_adamic_adar")(spark, dir).count()
+    def lpa(dir: String): Long =
+      SparkEntry.queries("graph_label_propagation")(spark, dir).count()
+    def seqDetect(dir: String): Long =
+      SparkEntry.queries("evt_sequence_detect")(spark, dir).count()
+
     // the Similarity chained-CASE ceiling, measured (r11): assign every
     // vector to its nearest of k=256 centroids — 4–32× the fixture's
     // k, the regime where the literal expression tree nears Janino's
@@ -222,6 +243,7 @@ object ScaleProbe {
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
     assignLiteral(sf); assignBroadcast(sf)
+    cms(sf); bloom(sf); adamicAdar(sf); lpa(sf); seqDetect(sf)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
@@ -251,7 +273,12 @@ object ScaleProbe {
       ("ivf_takedown_delete", time(ivfDelete(sf)), time(ivfDelete(big))),
       ("ivf_deleted_probe", time(ivfStoredProbe(sf)), time(ivfStoredProbe(big))),
       ("centroid_assign_literal_k256", time(assignLiteral(sf)), time(assignLiteral(big))),
-      ("centroid_assign_broadcast_k256", time(assignBroadcast(sf)), time(assignBroadcast(big))))
+      ("centroid_assign_broadcast_k256", time(assignBroadcast(sf)), time(assignBroadcast(big))),
+      ("cms_heavy_hitters", time(cms(sf)), time(cms(big))),
+      ("bloom_prefilter", time(bloom(sf)), time(bloom(big))),
+      ("graph_adamic_adar", time(adamicAdar(sf)), time(adamicAdar(big))),
+      ("graph_label_propagation", time(lpa(sf)), time(lpa(big))),
+      ("evt_sequence_detect", time(seqDetect(sf)), time(seqDetect(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()

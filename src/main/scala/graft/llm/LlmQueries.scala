@@ -327,6 +327,28 @@ object LlmQueries {
         Dedup.nearDupPairsPortable(Tables.documents(s, dir), "doc_id", "text",
           k = 32, r = 4, shingleN = 3, threshold = 0.5))),
 
+    // Threshold-tuning histogram for the near-dup pipeline: the
+    // distribution of verified Jaccard over ALL band-join candidates
+    // (threshold 0 — the whole candidate set LSH surfaces), bucketed
+    // at 0.1 with a reverse-cumulative kept-pair count per bucket.
+    // This is the artifact that answers "what threshold should this
+    // corpus dedup at" BEFORE committing to a run — read off
+    // n_kept_at_or_above at each candidate cutoff. Cost is exactly
+    // one candidate-generation pass (the same banded bound as the
+    // dedup itself — never all-pairs); the histogram fold is
+    // ≤11 rows, and the reverse cumsum window runs on that tiny frame.
+    "llm_dedup_jaccard_hist" -> ((s, dir) => {
+      val pairs = Dedup.nearDupPairsPortable(Tables.documents(s, dir),
+        "doc_id", "text", k = 32, r = 4, shingleN = 3, threshold = 0.0)
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("bucket").desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      pairs.select(floor(col("jaccard") * 10).cast("long").as("bucket"))
+        .groupBy("bucket").agg(count(lit(1)).as("n_pairs"))
+        .withColumn("n_kept_at_or_above", sum(col("n_pairs")).over(w))
+        .orderBy("bucket")
+    }),
+
     // The APPLY step of near-dup dedup: canonical-survivor selection.
     // Production dedup keeps the BEST member of each near-dup cluster
     // (not the min-id — you want the cleanest copy of the page, not
@@ -3514,6 +3536,20 @@ object LlmQueries {
          sz AS (SELECT cluster_id, count(*) AS n_members FROM lab GROUP BY 1)
          SELECT lab.node AS doc_id, lab.cluster_id, sz.n_members
          FROM lab JOIN sz USING (cluster_id) ORDER BY doc_id""",
+
+    // mirror of llm_dedup_jaccard_hist: same candidate CTEs (ver
+    // carries every candidate's 4dp jaccard), same 0.1 bucketing and
+    // reverse cumsum (cast — window SUM would type HUGEINT)
+    "llm_dedup_jaccard_hist" ->
+      s"""WITH $NearDupPairCtes,
+         h AS (SELECT CAST(floor(jaccard * 10) AS BIGINT) AS bucket,
+                      count(*) AS n_pairs
+               FROM ver GROUP BY 1)
+         SELECT bucket, n_pairs,
+                CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                  AS BIGINT) AS n_kept_at_or_above
+         FROM h ORDER BY bucket""",
 
     // mirror of llm_dedup_canonical: same pair CTEs + min-label
     // closure as llm_dedup_clusters, same 4dp-prequantized quality

@@ -106,6 +106,47 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // Irregular-interval EWMA over the RAW points — the gauge
+    // smoother when samples arrive unevenly (the bucket-grid ewma
+    // above assumes a fixed cadence): time-aware decay
+    // d = exp(-Δt/τ), ewma_i = v_i + d·(ewma_{i−1} − v_i), τ = 6 h.
+    // Inherently sequential per series, so it folds O(n) with the
+    // aggregate HOF over the sorted point list using a FLAT
+    // double-array state [prev_ts, out₁..out_k] (prev ewma = last
+    // out) — one fold per series, not the O(n²) per-prefix shape,
+    // with per-step decay AND ewma 4dp-quantized so the recurrence
+    // is the identical double chain on both engines. Shuffle unit is
+    // one series' bounded point list, like every sequential-fold op
+    // here (alert_hysteresis pattern).
+    "tsdb_ewma_irregular" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+        .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
+      val arr = ev.groupBy("user_id")
+        .agg(sort_array(collect_list(
+          struct(col("ts_ms"), col("event_id"), col("value")))).as("pts"))
+      val folded = expr(
+        """aggregate(pts, array(CAST(-1.0 AS DOUBLE)),
+             (st, p) -> CASE WHEN element_at(st, 1) < 0.0
+               THEN array(CAST(p.ts_ms AS DOUBLE), p.value)
+               ELSE concat(
+                 array(CAST(p.ts_ms AS DOUBLE)),
+                 slice(st, 2, size(st) - 1),
+                 array(round((p.value +
+                   (round(exp(-(CAST(p.ts_ms AS DOUBLE) - element_at(st, 1))
+                      / 21600000.0) * 10000.0, 0) / 10000.0 + 0.0)
+                   * (element_at(st, size(st)) - p.value)) * 10000.0, 0)
+                   / 10000.0 + 0.0))
+             END)""")
+      arr.withColumn("st", folded)
+        .withColumn("outs", expr("slice(st, 2, size(st) - 1)"))
+        .select(col("user_id"), posexplode(col("pts")).as(Seq("i", "p")),
+          col("outs"))
+        .select(col("user_id"), col("p.ts_ms").as("ts_ms"),
+          col("p.event_id").as("event_id"),
+          element_at(col("outs"), col("i") + 1).as("ewma"))
+        .orderBy("user_id", "ts_ms", "event_id")
+    }),
+
     // Holt level+trend smoothing (α=β=0.5, binary-exact) — the same
     // per-prefix portable fold as tsdb_ewma, with two-field struct state
     "tsdb_holt" -> ((s, dir) => {
@@ -1222,6 +1263,39 @@ object TsdbQueries {
             ${D.oR4("""list_reduce(list_slice(vs, 1, i),
               (acc, x) -> CAST(0.5 AS DOUBLE) * x + CAST(0.5 AS DOUBLE) * acc)""")} AS ewma
           FROM idx ORDER BY 1, 2""",
+
+    // mirror of tsdb_ewma_irregular: same sentinel-init list_reduce
+    // with the flat [prev_ts, out...] state, same per-step 4dp
+    // quantization of both the decay and the ewma
+    "tsdb_ewma_irregular" ->
+      """WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                          event_id, value
+                   FROM events WHERE event_type = 'click'),
+         arr AS (SELECT user_id,
+                   list(struct_pack(ts_ms := ts_ms, event_id := event_id,
+                                    value := value)
+                        ORDER BY ts_ms, event_id) AS pts
+                 FROM e GROUP BY 1),
+         f AS (SELECT user_id, pts,
+                 list_reduce(
+                   [[-1.0]] || list_transform(pts,
+                     p -> [CAST(p.ts_ms AS DOUBLE), p.value]),
+                   (acc, x) -> CASE WHEN acc[1] < 0.0 THEN [x[1], x[2]]
+                     ELSE list_concat(list_concat([x[1]], acc[2:]),
+                       [ROUND((x[2] +
+                          (ROUND(EXP(-(x[1] - acc[1]) / 21600000.0)
+                             * 10000.0, 0) / 10000.0 + 0.0)
+                          * (acc[len(acc)] - x[2])) * 10000.0, 0)
+                          / 10000.0 + 0.0])
+                   END) AS st
+               FROM arr),
+         x AS (SELECT user_id, pts, st[2:] AS outs FROM f),
+         u AS (SELECT user_id, unnest(pts) AS p,
+                      unnest(range(1, len(pts) + 1)) AS i, outs
+               FROM x)
+         SELECT user_id, p.ts_ms AS ts_ms, p.event_id AS event_id,
+                outs[i] AS ewma
+         FROM u ORDER BY user_id, ts_ms, event_id""",
 
     // mirror of Trend.seasonalDow: same epoch-day weekday derivation,
     // same decimal-mean window per (series, weekday)

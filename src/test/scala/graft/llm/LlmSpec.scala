@@ -1142,6 +1142,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("jaccard histogram: buckets bounded, reverse cumsum consistent") {
+    val rows = graft.SparkEntry.queries("llm_dedup_jaccard_hist")(spark, sf)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => r._1 >= 0 && r._1 <= 10))
+    // n_kept_at_or_above must be the sum of n_pairs over buckets >= b
+    rows.foreach { case (b, _, kept) =>
+      assert(kept == rows.filter(_._1 >= b).map(_._2).sum, s"bucket $b cumsum")
+    }
+    // total pairs = the threshold-0 candidate set the pipeline verifies
+    val all = Dedup.nearDupPairsPortable(
+      graft.core.Tables.documents(spark, sf), "doc_id", "text",
+      k = 32, r = 4, shingleN = 3, threshold = 0.0).count()
+    assert(rows.map(_._2).sum == all)
+  }
+
   test("priority sample: deterministic, per-source k, inclusion tracks weight") {
     val q = graft.SparkEntry.queries("llm_sample_priority")
     val a = q(spark, sf).as[(String, Long, Long, Long, Long)].collect().toSeq

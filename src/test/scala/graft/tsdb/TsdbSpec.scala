@@ -433,4 +433,34 @@ class TsdbSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double, Double, Double)].collect().toSeq
     assert(cp == Seq(("s", 2 * H, 3L, 2L, 1.0, 9.0, 8.0)))
   }
+
+  test("irregular ewma matches a brute-force per-user fold") {
+    // exact mirror of D.r4s: shortest-repr BigDecimal HALF_UP, like
+    // Spark's Round (math.round would diverge on negative .5 halves)
+    def q4(x: Double): Double = BigDecimal(x * 10000.0)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 10000.0 + 0.0
+    val got = graft.SparkEntry.queries("tsdb_ewma_irregular")(spark, sf)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got.nonEmpty)
+    val ev = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "click")
+      .select("user_id", "ts_ms", "event_id", "value")
+      .as[(Long, Long, Long, Double)].collect()
+    val expect = ev.groupBy(_._1).toSeq.flatMap { case (u, rows) =>
+      val sorted = rows.sortBy(r => (r._2, r._3))
+      var prevTs = -1.0
+      var e = 0.0
+      sorted.map { case (_, ts, id, v) =>
+        e = if (prevTs < 0) v
+            else q4(v + q4(math.exp(-(ts - prevTs) / 21600000.0)) * (e - v))
+        prevTs = ts.toDouble
+        (u, ts, id, e)
+      }
+    }.sortBy(r => (r._1, r._2, r._3))
+    assert(got == expect, "HOF fold must equal the scalar recurrence")
+    // decay sanity: a point long after its predecessor forgets history
+    // (d -> 0 => ewma ~ v); the brute force above already pins exact
+    // values, so just assert the fold emitted one row per input point
+    assert(got.size == ev.length)
+  }
 }
