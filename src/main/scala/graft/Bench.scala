@@ -32,7 +32,10 @@ object Bench {
     "llm_dataset_card", "llm_query_likelihood",
     "graph_pagerank", "graph_triangles", "tsdb_lttb",
     "llm_bigram_surprisal", "llm_embed_outliers", "tsdb_holt_winters",
-    "graph_components", "llm_dsir_weights", "llm_dedup_eval")
+    "graph_components", "llm_dsir_weights", "llm_dedup_eval",
+    "llm_embed_pca", "series_catalog_roundtrip", "graph_adamic_adar",
+    "graph_label_propagation", "llm_keyphrase_rake", "llm_cms_heavy",
+    "graph_kcore", "tsdb_ddsketch_rollup")
 
   def main(args: Array[String]): Unit = {
     // A renamed query must fail loudly here, not silently vanish from the

@@ -228,6 +228,94 @@ object Behavior {
           graft.core.D.r4s(col("cvr_b") / col("cvr_a") - lit(1.0)))
     }),
 
+    // CUPED-adjusted experiment readout (Deng et al., WSDM'13) — the
+    // variance-reduction standard: adjust each user's post-period
+    // outcome by their PRE-period covariate, y_adj = y − θ(x − x̄),
+    // θ = cov(x,y)/var(x). Pre/post split at the corpus time midpoint
+    // (1-row broadcast), x = pre-period event count, y = post-period
+    // purchase count, arm = user parity. θ comes from EXACT integer
+    // sufficient statistics (n·Σxy − Σx·Σy over n·Σx² − (Σx)²; at
+    // 100 TB the BIGINT sums become DECIMAL(38,0) — same one-pass
+    // shape), quantized 4dp once; every downstream mean is r4 of an
+    // exact-integer ratio, so the adjusted means add no float surface
+    // beyond the house rule. The user frame is computed once and
+    // shared by the stats and arm aggregates.
+    "evt_cuped_lift" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).select("user_id", "ts_ms", "event_type")
+      val mid = ev.agg(expr("min(ts_ms) + (max(ts_ms) - min(ts_ms)) DIV 2").as("mid"))
+      val u = graft.core.Exec.materialize(ev.crossJoin(broadcast(mid))
+        .groupBy("user_id")
+        .agg(sum(when(col("ts_ms") < col("mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("ts_ms") >= col("mid") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+        .withColumn("arm", pmod(col("user_id"), lit(2))))
+      val st = u.agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+          sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .select(
+          graft.core.D.r4s(
+            (col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")).as("theta"),
+          graft.core.D.r4s(col("sx").cast("double") / col("n").cast("double")).as("mx"))
+      val meanY = graft.core.D.r4s(col("ay").cast("double") / col("n_u").cast("double"))
+      val meanX = graft.core.D.r4s(col("ax").cast("double") / col("n_u").cast("double"))
+      u.groupBy("arm")
+        .agg(count(lit(1)).as("n_u"), sum("x").as("ax"), sum("y").as("ay"))
+        .crossJoin(broadcast(st))
+        .select(col("arm"), col("n_u"), col("theta"),
+          meanY.as("mean_y"),
+          graft.core.D.r4s(meanY - col("theta") * (meanX - col("mx")))
+            .as("mean_y_adj"))
+        .orderBy("arm")
+    }),
+
+    // Kaplan–Meier survival curve for time-to-churn — THE
+    // right-censoring-aware retention statistic (naive churn rates
+    // understate survival when observation windows are cut short).
+    // Duration = weeks between a user's first and last active day;
+    // the event (churn) is observed iff the user has been silent ≥ 28
+    // days at corpus end, otherwise the duration is censored. Per
+    // week t: d_t churns among n_t at risk (everyone with duration
+    // ≥ t — censored users leave the risk set after their last week,
+    // which is the whole point of KM), S(t) = Π_{u≤t}(1 − d_u/n_u).
+    // Everything to the weekly frame is user-sized aggregates; the
+    // weekly frame itself is TIME-span-sized (corpus weeks, a data
+    // constant independent of volume), so the global desc-cumsum
+    // window and the per-prefix product fold — the established
+    // portable-double-chain pattern (tsdb_holt) with one r4 at the
+    // end — run over dozens of rows at any corpus scale.
+    "evt_survival_km" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ms DIV $DayMs").as("day"))
+      val u = d.groupBy("user_id")
+        .agg(min("day").as("first_day"), max("day").as("last_day"))
+      val mx = u.agg(max("last_day").as("corpus_last"))
+      val wk = u.crossJoin(broadcast(mx))
+        .select(expr("(last_day - first_day) DIV 7").as("t"),
+          when(col("corpus_last") - col("last_day") >= 28, 1L)
+            .otherwise(0L).as("churned"))
+        .groupBy("t")
+        .agg(sum("churned").as("d"), count(lit(1)).as("obs"))
+      val wRisk = Window.orderBy(col("t").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val risk = wk.withColumn("n_risk", sum(col("obs")).over(wRisk))
+        .withColumn("f",
+          lit(1.0) - col("d").cast("double") / col("n_risk").cast("double"))
+      val arr = risk.agg(sort_array(collect_list(
+        struct(col("t"), col("d"), col("obs"), col("n_risk"), col("f")))).as("pts"))
+      val fs = transform(col("pts"), p => p.getField("f"))
+      val folded = transform(col("pts"), (p, i) =>
+        struct(p.getField("t").as("t"), p.getField("d").as("d"),
+          p.getField("obs").as("obs"), p.getField("n_risk").as("n_risk"),
+          aggregate(slice(fs, lit(1), i + lit(1)), lit(1.0),
+            (acc, x) => acc * x, acc => graft.core.D.r4s(acc)).as("surv")))
+      arr.select(explode(folded).as("e"))
+        .select(col("e.t").as("week"), col("e.n_risk").as("n_risk"),
+          col("e.d").as("n_churned"),
+          (col("e.obs") - col("e.d")).as("n_censored"),
+          col("e.surv").as("survival"))
+        .orderBy("week")
+    }),
+
     // week-over-week churn: of week-w actives, who has NO week-w+1
     // activity. One distinct aggregate + one self-join co-partitioned
     // on user_id; every frame is user×week-sized. Weeks without a
@@ -399,6 +487,42 @@ object Behavior {
           coalesce(col("m.channel"), lit("none")).as("channel"),
           col("m.t_ts").as("touch_ts"))
         .orderBy("purchase_id")
+    }),
+
+    // Position-based (U-shaped) multi-touch attribution — the third
+    // standard model next to last- and first-touch: each purchase
+    // splits its credit 40% to the first touch, 40% to the last, and
+    // 20% evenly across the middle of its 7-day touch path (n=1 → 1.0,
+    // n=2 → 0.5 each), reported as total credit per channel. Same
+    // co-partitioned user join as the single-touch models; the rank
+    // and count come from ONE purchase-partitioned window pass, the
+    // per-touch fractional credit is 4dp-quantized (the only ratio),
+    // and channel totals are decimal sums. Per-purchase credits sum
+    // to 1 by construction (spec-pinned).
+    "evt_attribution_position" -> ((s, dir) => {
+      val e = Tables.events(s, dir)
+      val p = e.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("ts_ms").as("p_ts"))
+      val t = e.where(col("event_type").isin("click", "view"))
+        .select(col("user_id").as("t_user"), col("ts_ms").as("t_ts"),
+          col("event_id").as("t_id"), col("event_type").as("channel"))
+      val touches = p.join(t, col("user_id") === col("t_user") &&
+        col("t_ts") <= col("p_ts") &&
+        col("t_ts") > col("p_ts") - lit(7L * 86400000L))
+      val w = Window.partitionBy("purchase_id")
+      val wAsc = w.orderBy(col("t_ts"), col("t_id"))
+      val ranked = touches.withColumn("rn", row_number().over(wAsc))
+        .withColumn("n", count(lit(1)).over(w))
+      val credit = when(col("n") === 1, lit(1.0))
+        .when(col("rn") === 1 || col("rn") === col("n"),
+          when(col("n") === 2, lit(0.5)).otherwise(lit(0.4)))
+        .otherwise(graft.core.D.r4s(lit(0.2) / (col("n") - 2).cast("double")))
+      ranked.groupBy("channel")
+        .agg(count(lit(1)).as("n_touches"),
+          graft.core.D.r4s(sum(graft.core.D.dec(credit)).cast("double"))
+            .as("credit"))
+        .orderBy("channel")
     }),
 
     // first-touch attribution — the complement of evt_attribution's
@@ -592,6 +716,38 @@ object Behavior {
                 MIN(ts_ms) AS first_start_ms
          FROM m GROUP BY 1 ORDER BY n_matches DESC, user_id""",
 
+    // mirror of evt_attribution_position: same 7-day touch join, same
+    // window rank/count, same 4dp per-touch credit and decimal totals
+    "evt_attribution_position" ->
+      s"""WITH e AS (SELECT event_id, user_id,
+                       epoch_ns(ts) // 1000000 AS ts_ms, event_type
+                     FROM events),
+          p AS (SELECT event_id AS purchase_id, user_id, ts_ms AS p_ts
+                FROM e WHERE event_type = 'purchase'),
+          t AS (SELECT user_id AS t_user, ts_ms AS t_ts,
+                       event_id AS t_id, event_type AS channel
+                FROM e WHERE event_type IN ('click', 'view')),
+          touches AS (SELECT p.purchase_id, t.t_ts, t.t_id, t.channel
+                      FROM p JOIN t ON t.t_user = p.user_id
+                        AND t.t_ts <= p.p_ts
+                        AND t.t_ts > p.p_ts - 604800000),
+          ranked AS (SELECT channel,
+                       row_number() OVER (PARTITION BY purchase_id
+                                          ORDER BY t_ts, t_id) AS rn,
+                       count(*) OVER (PARTITION BY purchase_id) AS n
+                     FROM touches),
+          cr AS (SELECT channel,
+                   CASE WHEN n = 1 THEN 1.0
+                        WHEN rn = 1 OR rn = n THEN
+                          CASE WHEN n = 2 THEN 0.5 ELSE 0.4 END
+                        ELSE ${graft.core.D.oR4(
+                          "0.2 / CAST(n - 2 AS DOUBLE)")}
+                   END AS credit
+                 FROM ranked)
+          SELECT channel, count(*) AS n_touches,
+                 ${graft.core.D.oR4(graft.core.D.oSumDec("credit"))} AS credit
+          FROM cr GROUP BY 1 ORDER BY channel""",
+
     // mirror of evt_new_vs_returning: same first-seen split
     "evt_new_vs_returning" ->
       """WITH d AS (SELECT DISTINCT user_id, epoch_ns(ts) // 86400000000000 AS day
@@ -757,6 +913,72 @@ object Behavior {
                  cvr_a, cvr_b,
                  ${r4("cvr_b / cvr_a - 1.0")} AS lift
           FROM r"""
+    },
+
+    // mirror of evt_cuped_lift: midpoint split, exact-integer
+    // sufficient stats for θ, r4 means — every SUM cast BIGINT
+    "evt_cuped_lift" -> {
+      val r4 = (x: String) => graft.core.D.oR4(x)
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms,
+                       event_type FROM events),
+          m AS (SELECT MIN(ts_ms) + (MAX(ts_ms) - MIN(ts_ms)) // 2 AS mid
+                FROM e),
+          u AS (SELECT user_id,
+                  CAST(SUM(CASE WHEN ts_ms < mid THEN 1 ELSE 0 END)
+                    AS BIGINT) AS x,
+                  CAST(SUM(CASE WHEN ts_ms >= mid AND event_type = 'purchase'
+                    THEN 1 ELSE 0 END) AS BIGINT) AS y
+                FROM e CROSS JOIN m GROUP BY 1),
+          ua AS (SELECT user_id % 2 AS arm, x, y FROM u),
+          st AS (SELECT COUNT(*) AS n,
+                   CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+                   CAST(SUM(x * y) AS BIGINT) AS sxy,
+                   CAST(SUM(x * x) AS BIGINT) AS sxx
+                 FROM ua),
+          th AS (SELECT
+                   ${r4("CAST(n * sxy - sx * sy AS DOUBLE) / CAST(n * sxx - sx * sx AS DOUBLE)")} AS theta,
+                   ${r4("CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)")} AS mx
+                 FROM st),
+          ar AS (SELECT arm, COUNT(*) AS n_u,
+                   CAST(SUM(x) AS BIGINT) AS ax, CAST(SUM(y) AS BIGINT) AS ay
+                 FROM ua GROUP BY 1)
+          SELECT arm, n_u, theta,
+            ${r4("CAST(ay AS DOUBLE) / CAST(n_u AS DOUBLE)")} AS mean_y,
+            ${r4(s"${r4("CAST(ay AS DOUBLE) / CAST(n_u AS DOUBLE)")} - theta * (${r4("CAST(ax AS DOUBLE) / CAST(n_u AS DOUBLE)")} - mx)")} AS mean_y_adj
+          FROM ar CROSS JOIN th ORDER BY arm"""
+    },
+
+    // mirror of evt_survival_km: same duration/censoring rules, same
+    // desc-cumsum risk sets, same per-prefix left-fold product with
+    // one r4 at the end (list_reduce ≡ the engine's aggregate fold;
+    // the engine's 1.0 init is an IEEE no-op)
+    "evt_survival_km" -> {
+      val r4 = (x: String) => graft.core.D.oR4(x)
+      s"""WITH e AS (SELECT user_id,
+                       (epoch_ns(ts) // 1000000) // $DayMs AS day FROM events),
+          u AS (SELECT user_id, MIN(day) AS fd, MAX(day) AS ld
+                FROM e GROUP BY 1),
+          mx AS (SELECT MAX(ld) AS cl FROM u),
+          lf AS (SELECT (ld - fd) // 7 AS t,
+                   CASE WHEN cl - ld >= 28 THEN 1 ELSE 0 END AS ch
+                 FROM u CROSS JOIN mx),
+          wk AS (SELECT t, CAST(SUM(ch) AS BIGINT) AS d, COUNT(*) AS obs
+                 FROM lf GROUP BY 1),
+          r AS (SELECT t, d, obs,
+                  CAST(SUM(obs) OVER (ORDER BY t DESC) AS BIGINT) AS n_risk
+                FROM wk),
+          fx AS (SELECT t, d, obs, n_risk,
+                   CAST(1.0 AS DOUBLE) - CAST(d AS DOUBLE) / CAST(n_risk AS DOUBLE) AS fct
+                 FROM r),
+          a AS (SELECT list(fct ORDER BY t) AS fs, list(t ORDER BY t) AS ts
+                FROM fx),
+          ix AS (SELECT fs, ts, UNNEST(range(1, len(fs) + 1)) AS i FROM a),
+          s AS (SELECT ts[i] AS week,
+                  ${r4("list_reduce(list_slice(fs, 1, i), (x, y) -> x * y)")} AS survival
+                FROM ix)
+          SELECT fx.t AS week, fx.n_risk, fx.d AS n_churned,
+                 fx.obs - fx.d AS n_censored, s.survival
+          FROM fx JOIN s ON s.week = fx.t ORDER BY week"""
     },
 
     "evt_churn_weekly" ->

@@ -142,6 +142,34 @@ object Graph {
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg")),
 
+    // 3-core of the co-purchase graph — the classic density filter
+    // (drop leaf/bridge products until everything left has ≥3 dense
+    // neighbors; the substrate community detectors and bundle miners
+    // run on). Synchronous peel, 6 unrolled rounds: each round one
+    // edge-sized degree aggregate + two semi joins against the
+    // broadcast survivor set (node-sized; billion-node swap =
+    // co-partition the semi joins on the edge key, same plan minus
+    // the broadcasts). 6 rounds is fixture-calibrated — GraphSpec
+    // asserts the peel actually reached its fixpoint (round 6 ≡ round
+    // 5), so the emitted rows are the TRUE 3-core, not an
+    // approximation; a deeper corpus fails the spec rather than
+    // silently under-peeling. Per-round lineage cut by materialize.
+    "graph_kcore" -> ((s, dir) => {
+      val k = 3
+      var es = graft.core.Exec.materialize(edges(s, dir))
+      for (_ <- 1 to 6) {
+        val keep = broadcast(
+          es.groupBy("src").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= k).select("src"))
+        es = graft.core.Exec.materialize(
+          es.join(keep, Seq("src"), "left_semi")
+            .join(keep.select(col("src").as("dst")), Seq("dst"), "left_semi"))
+      }
+      es.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+        .orderBy("node")
+    }),
+
     // Connected components of the co-purchase graph: component id =
     // min node id reachable (the canonical label), one row per
     // component with its size. Reuses the dedup min-label closure
@@ -367,6 +395,28 @@ object Graph {
                    UNION ALL SELECT dst, src FROM e0),
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
          SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""",
+
+    // mirror of graph_kcore: the same 6 synchronous peel rounds
+    // unrolled as CTE pairs (survivors, surviving edges)
+    "graph_kcore" -> {
+      val base =
+        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                       FROM lineitem),
+           e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+           e_0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+      val rounds = (1 to 6).map { i =>
+        s"""k_$i AS (SELECT src FROM e_${i - 1} GROUP BY 1
+                     HAVING COUNT(*) >= 3),
+            e_$i AS (SELECT e.src, e.dst FROM e_${i - 1} e
+                     JOIN k_$i a ON a.src = e.src
+                     JOIN k_$i b ON b.src = e.dst)"""
+      }.mkString(",\n")
+      s"""$base,
+          $rounds
+          SELECT src AS node, COUNT(*) AS deg
+          FROM e_6 GROUP BY 1 ORDER BY node"""
+    },
 
     // mirror: min reachable node id per node via a recursive
     // reachability CTE (UNION dedups (node, seed) pairs, so the

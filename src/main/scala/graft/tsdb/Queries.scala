@@ -394,6 +394,55 @@ object TsdbQueries {
         .orderBy("event_type", "bucket_ms", "pct")
     }),
 
+    // sketch ROLLUP — the materialized-rollup story for quantiles:
+    // per-(series, day) DDSketches re-bucketed to the week and merged
+    // by bucket-wise count addition (the mergeability that makes the
+    // sketch usable as stored partial state; fixed-width histograms
+    // and exact percentiles can't re-aggregate like this). At 100 TB
+    // the day sketches are the stored artifact and the weekly answer
+    // touches only sketch rows — never the points. TsdbSpec pins
+    // merge associativity: rollup-of-days ≡ built-directly-at-week.
+    "tsdb_ddsketch_rollup" -> ((s, dir) => {
+      val g = 1.02
+      val sk = Histogram.ddsketchBuild(Tables.events(s, dir),
+        Seq("event_type", "user_id"), Day, gamma = g)
+      val wk = sk.withColumn("bucket_ms",
+        col("bucket_ms") - pmod(col("bucket_ms"), lit(7 * Day)))
+      val m = Histogram.ddsketchMerge(wk, Seq("event_type"))
+      Histogram.ddsketchPercentiles(m, Seq("event_type"), Seq(50, 95, 99), gamma = g)
+        .orderBy("event_type", "bucket_ms", "pct")
+    }),
+
+    // Savitzky–Golay smoothing (5-point quadratic, the classic
+    // instrument-data smoother): ŷ₀ = (−3(v₋₂+v₊₂) + 12(v₋₁+v₊₁) +
+    // 17v₀)/35 — preserves peak height/width where a moving average
+    // flattens it. The stencil is integer-weighted over ALREADY
+    // 4dp-quantized hourly buckets, summed in exact DECIMAL and
+    // divided once (r4), so the convolution is engine-portable by
+    // construction. Rows whose ±2 neighbors are not exactly ±1h/±2h
+    // away (series edges, gaps) are excluded — a gap must not smuggle
+    // a distant value into the stencil. One series-partitioned window
+    // pass over downsampled rows; nothing revisits the points.
+    "tsdb_savgol" -> ((s, dir) => {
+      val ds = Downsample(Tables.events(s, dir), Seq("event_type"), H, "avg")
+      val w = Window.partitionBy("event_type").orderBy("bucket_ms")
+      def lgv(k: Int) = lag(col("value"), k).over(w)
+      def ldv(k: Int) = lead(col("value"), k).over(w)
+      ds.withColumn("num",
+          (D.dec(lgv(2)) + D.dec(ldv(2))) * lit(-3) +
+          (D.dec(lgv(1)) + D.dec(ldv(1))) * lit(12) +
+          D.dec(col("value")) * lit(17))
+        .withColumn("contig",
+          (lag(col("bucket_ms"), 2).over(w) === col("bucket_ms") - lit(2 * H)) &&
+          (lag(col("bucket_ms"), 1).over(w) === col("bucket_ms") - lit(H)) &&
+          (lead(col("bucket_ms"), 1).over(w) === col("bucket_ms") + lit(H)) &&
+          (lead(col("bucket_ms"), 2).over(w) === col("bucket_ms") + lit(2 * H)))
+        .where(col("contig"))
+        .select(col("event_type"), col("bucket_ms"), col("value"),
+          D.r4s(col("num").cast("double") / lit(35.0)).as("smoothed"))
+        .orderBy("event_type", "bucket_ms")
+    }),
+
     // calendar-aligned weekly buckets (weeks start Monday, not at
     // epoch-relative 7d offsets — the OpenTSDB `1wc` interval)
     "tsdb_downsample_calendar" -> ((s, dir) => {
@@ -1227,6 +1276,56 @@ object TsdbQueries {
                  CASE WHEN idx = -1000000 THEN 0.0
                       ELSE ${D.oR4("2.0 * POWER(1.02, idx) / 2.02")} END AS est
           FROM r ORDER BY 1, 2, 3""",
+
+    // rollup mirror: identical point→bucket quantization, counts
+    // grouped straight at (event_type, week, idx) — bucket-wise count
+    // addition is exactly what the engine's merge computes
+    "tsdb_ddsketch_rollup" ->
+      s"""WITH b AS (
+            SELECT event_type,
+                   (${oBucket(Day)}) - (${oBucket(Day)}) % ${7 * Day} AS bucket_ms,
+                   CASE WHEN value > 0
+                        THEN CAST(CEIL(${D.oR4("LN(value) / LN(1.02)")}) AS BIGINT)
+                        ELSE -1000000 END AS idx
+            FROM events),
+          m AS (SELECT event_type, bucket_ms, idx, CAST(COUNT(*) AS BIGINT) AS cnt
+                FROM b GROUP BY 1, 2, 3),
+          c AS (SELECT event_type, bucket_ms, idx, cnt,
+                  SUM(cnt) OVER (PARTITION BY event_type, bucket_ms
+                                 ORDER BY idx) AS cum,
+                  SUM(cnt) OVER (PARTITION BY event_type, bucket_ms) AS total
+                FROM m),
+          p AS (SELECT CAST(unnest([50, 95, 99]) AS BIGINT) AS pct),
+          r AS (SELECT event_type, bucket_ms, p.pct, MIN(idx) AS idx
+                FROM c CROSS JOIN p
+                WHERE cum * 100 >= p.pct * total
+                GROUP BY 1, 2, 3)
+          SELECT event_type, bucket_ms, pct,
+                 CASE WHEN idx = -1000000 THEN 0.0
+                      ELSE ${D.oR4("2.0 * POWER(1.02, idx) / 2.02")} END AS est
+          FROM r ORDER BY 1, 2, 3""",
+
+    // mirror of tsdb_savgol: same hourly decimal-avg buckets, same
+    // integer-weighted stencil in exact DECIMAL, same contiguity guard
+    "tsdb_savgol" ->
+      s"""WITH ds AS (SELECT event_type, ${oBucket(H)} AS bucket_ms,
+                        ${D.oAvgDec("value")} AS value
+                      FROM events GROUP BY 1, 2),
+          w AS (SELECT event_type, bucket_ms, value,
+                  lag(value, 2) OVER win AS l2, lag(value, 1) OVER win AS l1,
+                  lead(value, 1) OVER win AS d1, lead(value, 2) OVER win AS d2,
+                  lag(bucket_ms, 2) OVER win AS lb2,
+                  lag(bucket_ms, 1) OVER win AS lb1,
+                  lead(bucket_ms, 1) OVER win AS db1,
+                  lead(bucket_ms, 2) OVER win AS db2
+                FROM ds
+                WINDOW win AS (PARTITION BY event_type ORDER BY bucket_ms))
+          SELECT event_type, bucket_ms, value,
+            ${D.oR4("CAST((CAST(l2 AS DECIMAL(18,4)) + CAST(d2 AS DECIMAL(18,4))) * (-3) + (CAST(l1 AS DECIMAL(18,4)) + CAST(d1 AS DECIMAL(18,4))) * 12 + CAST(value AS DECIMAL(18,4)) * 17 AS DOUBLE) / 35.0")} AS smoothed
+          FROM w
+          WHERE lb2 = bucket_ms - ${2 * H} AND lb1 = bucket_ms - $H
+            AND db1 = bucket_ms + $H AND db2 = bucket_ms + ${2 * H}
+          ORDER BY 1, 2""",
 
     "tsdb_downsample_calendar" ->
       s"""SELECT event_type, user_id,

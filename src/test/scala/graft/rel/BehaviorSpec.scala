@@ -349,6 +349,27 @@ class BehaviorSpec extends SparkSpec {
     assert(got == expect, "engine LPA must equal the brute-force rounds")
   }
 
+  test("position attribution: per-purchase credits sum to 1") {
+    val rows = run("evt_attribution_position")
+      .as[(String, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
+    // total credit across channels = number of attributed purchases
+    // (each path hands out exactly 1.0, middle rounding aside)
+    val e = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts_ms", "event_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val touches = e.filter(t => t._4 == "click" || t._4 == "view")
+    val attributed = e.filter(_._4 == "purchase").count { p =>
+      touches.exists(t => t._1 == p._1 && t._2 <= p._2 &&
+        t._2 > p._2 - 7L * 86400000L)
+    }
+    val total = rows.map(_._3).sum
+    assert(math.abs(total - attributed) < 0.01 * attributed + 0.01,
+      s"credit total $total != attributed purchases $attributed")
+    // and the per-model family agrees on scale: touches >= purchases
+    assert(rows.map(_._2).sum >= attributed)
+  }
+
   test("adamic-adar matches brute force and respects its bounds") {
     val got = run("graph_adamic_adar")
       .as[(Long, Long, Long, Double)].collect().toSeq
@@ -372,5 +393,95 @@ class BehaviorSpec extends SparkSpec {
     assert(common.size.toLong == nc)
     val exp = common.toSeq.map(v => 1.0 / math.log(adj(v).size.toDouble)).sum
     assert(math.abs(aa - exp) < 1e-3, s"aa=$aa expected≈$exp")
+  }
+
+  test("CUPED: theta and adjusted means match brute force") {
+    val rows = run("evt_cuped_lift")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows.map(_._1) == Seq(0L, 1L))
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts_ms", "event_type")
+      .as[(Long, Long, String)].collect()
+    val mid = ev.map(_._2).min + (ev.map(_._2).max - ev.map(_._2).min) / 2
+    val per = ev.groupBy(_._1).map { case (u, es) =>
+      (u, es.count(_._2 < mid).toLong,
+        es.count(e => e._2 >= mid && e._3 == "purchase").toLong)
+    }.toSeq
+    val n = per.size.toLong
+    val sx = per.map(_._2).sum; val sy = per.map(_._3).sum
+    val sxy = per.map(p => p._2 * p._3).sum
+    val sxx = per.map(p => p._2 * p._2).sum
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val theta = r4((n * sxy - sx * sy).toDouble / (n * sxx - sx * sx).toDouble)
+    val mx = r4(sx.toDouble / n)
+    rows.foreach { case (arm, nu, th, my, myAdj) =>
+      val grp = per.filter(p => p._1 % 2 == arm)
+      assert(nu == grp.size.toLong)
+      assert(math.abs(th - theta) < 1e-9)
+      val meanY = r4(grp.map(_._3).sum.toDouble / grp.size)
+      val meanX = r4(grp.map(_._2).sum.toDouble / grp.size)
+      assert(math.abs(my - meanY) < 1e-9)
+      assert(math.abs(myAdj - r4(meanY - theta * (meanX - mx))) < 1e-9)
+    }
+  }
+
+  test("Kaplan-Meier: survival matches brute force, is non-increasing") {
+    val rows = run("evt_survival_km")
+      .as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
+    val surv = rows.map(_._5)
+    assert(surv.zip(surv.tail).forall { case (a, b) => b <= a + 1e-9 })
+    assert(surv.forall(x => x >= 0.0 && x <= 1.0))
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts_ms").as[(Long, Long)].collect()
+    // note: .values first — mapping a Map straight to (fd, ld) pairs
+    // would collapse users sharing a first day into one entry
+    val per = ev.groupBy(_._1).values.toSeq.map { es =>
+      val ds = es.map(_._2 / 86400000L)
+      (ds.min, ds.max)
+    }
+    val cl = per.map(_._2).max
+    val lf = per.map { case (fd, ld) =>
+      ((ld - fd) / 7, if (cl - ld >= 28) 1L else 0L) }
+    val wk = lf.groupBy(_._1).map { case (t, xs) =>
+      (t, xs.map(_._2).sum, xs.size.toLong) }.toSeq.sortBy(_._1)
+    def r4(x: Double) = math.round(x * 10000.0) / 10000.0
+    var atRisk = lf.size.toLong
+    var s = 1.0
+    wk.foreach { case (t, d, obs) =>
+      s = s * (1.0 - d.toDouble / atRisk.toDouble)
+      val row = rows.find(_._1 == t).get
+      assert(row._2 == atRisk && row._3 == d && row._4 == obs - d, s"week $t")
+      assert(math.abs(row._5 - r4(s)) < 1e-9, s"week $t: ${row._5} vs ${r4(s)}")
+      atRisk -= obs
+    }
+  }
+
+  test("3-core: peel reached its fixpoint and matches brute force") {
+    val got = run("graph_kcore").as[(Long, Long)].collect().toMap
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val adj = scala.collection.mutable.Map[Long, Set[Long]]()
+    li.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b)
+        adj(a) = adj.getOrElse(a, Set.empty) + b
+    }
+    var cur: Map[Long, Set[Long]] = adj.toMap
+    var rounds = 0
+    var changed = true
+    while (changed && rounds < 50) {
+      val keep = cur.filter(_._2.size >= 3).keySet
+      val nxt = cur.collect { case (v, ns) if keep(v) => (v, ns & keep) }
+        .filter(_._2.nonEmpty).toMap
+      changed = nxt != cur
+      cur = nxt
+      rounds += 1
+    }
+    assert(rounds <= 6, s"fixture peel depth $rounds exceeds the 6 unrolled rounds")
+    val expect = cur.map { case (v, ns) => (v, ns.size.toLong) }
+    assert(got == expect, "engine 3-core must equal the brute-force fixpoint")
+    assert(got.values.forall(_ >= 3L))
   }
 }

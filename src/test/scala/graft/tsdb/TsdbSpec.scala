@@ -463,4 +463,54 @@ class TsdbSpec extends SparkSpec {
     // values, so just assert the fold emitted one row per input point
     assert(got.size == ev.length)
   }
+
+  test("ddsketch rollup: day sketches merged to week == built at week") {
+    // merge associativity made concrete: re-bucketing per-day sketches
+    // to the week and merging must give the same percentile rows as
+    // building the sketch at weekly granularity directly — the
+    // property that lets stored day sketches serve any coarser rollup
+    val g = 1.02
+    val ev = graft.core.Tables.events(spark, sf)
+    val rolled = graft.SparkEntry.queries("tsdb_ddsketch_rollup")(spark, sf)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val wk = 7L * 86400000L
+    val direct = {
+      val sk = Histogram.ddsketchBuild(ev, Seq("event_type", "user_id"), wk, gamma = g)
+      val m = Histogram.ddsketchMerge(sk, Seq("event_type"))
+      Histogram.ddsketchPercentiles(m, Seq("event_type"), Seq(50, 95, 99), gamma = g)
+        .orderBy("event_type", "bucket_ms", "pct")
+        .as[(String, Long, Long, Double)].collect().toSeq
+    }
+    assert(rolled.nonEmpty && rolled == direct)
+  }
+
+  test("savgol: stencil matches brute force; edges and gaps excluded") {
+    val rows = graft.SparkEntry.queries("tsdb_savgol")(spark, sf)
+      .as[(String, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    // brute-force the hourly series, then the 5-point stencil
+    val h = 3600000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("event_type", "ts_ms", "value")
+      .as[(String, Long, Double)].collect()
+    def q4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val ds = ev.groupBy(e => (e._1, e._2 - e._2 % h)).map { case ((m, b), xs) =>
+      val sum = xs.map(x => BigDecimal(x._3).setScale(4, BigDecimal.RoundingMode.HALF_UP))
+        .sum
+      ((m, b), q4(sum.toDouble / xs.size))
+    }
+    val expect = ds.flatMap { case ((m, b), _) =>
+      val st = (-2 to 2).map(k => ds.get((m, b + k * h)))
+      if (st.forall(_.isDefined)) {
+        val v = st.map(_.get)
+        val num = BigDecimal(v(0)) * -3 + BigDecimal(v(1)) * 12 +
+          BigDecimal(v(2)) * 17 + BigDecimal(v(3)) * 12 + BigDecimal(v(4)) * -3
+        Some(((m, b), q4(num.toDouble / 35.0)))
+      } else None
+    }.toMap
+    assert(rows.size == expect.size)
+    rows.foreach { case (m, b, _, sm) =>
+      assert(math.abs(sm - expect((m, b))) < 1e-9, s"$m@$b")
+    }
+  }
 }
