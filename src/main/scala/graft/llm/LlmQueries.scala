@@ -2208,6 +2208,40 @@ object LlmQueries {
         .orderBy("lang", "doc_id")
     }),
 
+    // Token-budget greedy fill — "give me the best documents per
+    // language up to a fixed token budget", the mixture-construction
+    // primitive when the constraint is tokens (what training actually
+    // consumes), not doc counts: docs ordered by (4dp quality desc,
+    // doc_id), kept while the running token sum stays ≤ 50k. One
+    // lang-partitioned sort + cumsum window, then a lang-sized
+    // summary. 100 TB note: a per-language TOTAL order is the honest
+    // cost of exact greedy fill; the two-pass swap (quality-bucket
+    // token histogram → prefix-sum threshold → map-side keep) gets
+    // within one bucket's granularity with no global sort — same
+    // structure as llm_quality_buckets — and is what a planetary
+    // corpus would run.
+    "llm_token_budget_sample" -> ((s, dir) => {
+      val budget = 50000L
+      val nw = Text.nWords(col("text"))
+      val stops = Text.markerScore("split(lower(text), ' ')",
+        Seq("the", "a", "of", "and"))
+      val scored = Tables.documents(s, dir).select(col("doc_id"), col("lang"),
+        Text.bpeApprox(col("n_chars")).as("tokens"),
+        graft.core.D.r4s(qualityCol(nw, stops)).as("quality"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("quality").desc, col("doc_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      scored.withColumn("cum", sum(col("tokens")).over(w))
+        .withColumn("kept", col("cum") <= lit(budget))
+        .groupBy("lang").agg(
+          count(lit(1)).as("n_docs"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+          sum(when(col("kept"), col("tokens")).otherwise(0L)).as("kept_tokens"),
+          min(when(col("kept"), col("quality"))).as("cut_quality"))
+        .orderBy("lang")
+    }),
+
     // weight-proportional sampling without replacement, DETERMINISTIC:
     // priority sampling (Duffield/Lund/Thorup) with the uniform draw
     // replaced by an md5-derived 32-bit integer — pri = h(doc) ÷ w(doc)
@@ -4447,6 +4481,29 @@ object LlmQueries {
             CAST(row_number() OVER (PARTITION BY lang ORDER BY doc_id) AS BIGINT) AS rn
           FROM documents)
          SELECT lang, doc_id, rn FROM r WHERE rn % 5 = 1 ORDER BY lang, doc_id""",
+
+    // mirror of llm_token_budget_sample: same 4dp quality ordering,
+    // ROWS-framed cumulative token sum, 50k keep rule
+    "llm_token_budget_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+              CAST(ceil(n_chars / 4.0) AS BIGINT) AS tokens,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+              CAST(len(list_filter(string_split(lower(text), ' '),
+                   x -> x IN ('the', 'a', 'of', 'and'))) AS BIGINT) AS stops
+            FROM documents),
+          q AS (SELECT doc_id, lang, tokens,
+                  ${graft.core.D.oR4(QualitySqlExpr)} AS quality
+                FROM b),
+          m AS (SELECT lang, tokens, quality,
+                  CAST(SUM(tokens) OVER (PARTITION BY lang
+                    ORDER BY quality DESC, doc_id
+                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+                FROM q)
+          SELECT lang, COUNT(*) AS n_docs,
+            CAST(SUM(CASE WHEN cum <= 50000 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+            CAST(SUM(CASE WHEN cum <= 50000 THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+            MIN(CASE WHEN cum <= 50000 THEN quality END) AS cut_quality
+          FROM m GROUP BY 1 ORDER BY 1""",
 
     // mirror of llm_sample_priority: same md5 slice, same exact integer
     // division (DuckDB // ≡ Spark DIV on non-negative operands)

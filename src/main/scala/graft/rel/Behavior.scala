@@ -268,6 +268,30 @@ object Behavior {
         .orderBy("arm")
     }),
 
+    // Sample-ratio-mismatch (SRM) check — the experiment-health gate
+    // every A/B readout should run first: per day, the active-user
+    // counts per arm vs the expected 50/50 split, scored by the
+    // 1-df chi-square statistic and flagged at the 0.05 critical
+    // value (3.8415). A flagged day means assignment or logging is
+    // broken and the lift numbers can't be trusted. One distinct
+    // user-day aggregate then a day-sized frame; the chi2 is r4 of
+    // exact-integer-derived doubles.
+    "evt_ab_srm" -> ((s, dir) => {
+      val d = Tables.events(s, dir)
+        .select(col("user_id"), expr(s"ts_ms DIV $DayMs").as("day")).distinct()
+      val per = d.groupBy("day").agg(
+        sum(when(pmod(col("user_id"), lit(2)) === 0, 1L).otherwise(0L)).as("n_a"),
+        sum(when(pmod(col("user_id"), lit(2)) === 1, 1L).otherwise(0L)).as("n_b"))
+      val e = (col("n_a") + col("n_b")).cast("double") / lit(2.0)
+      per.select(col("day"), col("n_a"), col("n_b"),
+          graft.core.D.r4s(
+            (col("n_a").cast("double") - e) * (col("n_a").cast("double") - e) / e +
+            (col("n_b").cast("double") - e) * (col("n_b").cast("double") - e) / e)
+            .as("chi2"))
+        .withColumn("srm", col("chi2") > lit(3.8415))
+        .orderBy("day")
+    }),
+
     // Kaplan–Meier survival curve for time-to-churn — THE
     // right-censoring-aware retention statistic (naive churn rates
     // understate survival when observation windows are cut short).
@@ -946,6 +970,27 @@ object Behavior {
             ${r4("CAST(ay AS DOUBLE) / CAST(n_u AS DOUBLE)")} AS mean_y,
             ${r4(s"${r4("CAST(ay AS DOUBLE) / CAST(n_u AS DOUBLE)")} - theta * (${r4("CAST(ax AS DOUBLE) / CAST(n_u AS DOUBLE)")} - mx)")} AS mean_y_adj
           FROM ar CROSS JOIN th ORDER BY arm"""
+    },
+
+    // mirror of evt_ab_srm: same distinct user-day frame, parity
+    // arms, r4 chi-square against the same critical value
+    "evt_ab_srm" -> {
+      val ex = "CAST(n_a + n_b AS DOUBLE) / 2.0"
+      s"""WITH e AS (SELECT DISTINCT user_id,
+                       (epoch_ns(ts) // 1000000) // $DayMs AS day FROM events),
+          p AS (SELECT day,
+                  CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_a,
+                  CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_b
+                FROM e GROUP BY 1),
+          c AS (SELECT day, n_a, n_b,
+                  ${graft.core.D.oR4(
+                    s"(CAST(n_a AS DOUBLE) - $ex) * (CAST(n_a AS DOUBLE) - $ex) / ($ex) + " +
+                    s"(CAST(n_b AS DOUBLE) - $ex) * (CAST(n_b AS DOUBLE) - $ex) / ($ex)")} AS chi2
+                FROM p)
+          SELECT day, n_a, n_b, chi2, chi2 > 3.8415 AS srm
+          FROM c ORDER BY day"""
     },
 
     // mirror of evt_survival_km: same duration/censoring rules, same

@@ -640,6 +640,82 @@ object TsdbQueries {
         .orderBy("user_id", "lag_d")
     }),
 
+    // Dominant-period detection: the autocorr machinery swept over
+    // lags 1–7d, then one per-series arg-max (max r, ties to the
+    // shorter lag) — "does this series have a daily/weekly rhythm,
+    // and which". Pair volume is series×buckets×7 via the same
+    // co-partitioned shifted self-join; the arg-max is a struct-max
+    // over the already-lag-reduced frame, no second shuffle. The
+    // min-overlap/variance cuts mirror tsdb_autocorr so degenerate
+    // series never emit a fake period.
+    "tsdb_period_detect" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+      val ds = graft.core.Exec.materialize(
+        Downsample(ev, Seq("user_id"), Day, "avg"))
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val lags = (1L to 7L).toDF("lag_d")
+      val a = ds.select(col("user_id"), col("bucket_ms"), col("value").as("av"))
+      val b = ds.select(col("user_id"), col("bucket_ms").as("b_bucket"),
+        col("value").as("bv"))
+      val joined = a.crossJoin(broadcast(lags))
+        .join(b, b("user_id") === a("user_id") &&
+          col("b_bucket") === col("bucket_ms") + col("lag_d") * lit(Day))
+      val stats = joined.groupBy(a("user_id"), col("lag_d")).agg(
+        count(lit(1)).as("n"),
+        sum(D.dec(col("av"))).cast("double").as("sx"),
+        sum(D.dec(col("bv"))).cast("double").as("sy"),
+        sum(col("av").cast(d18) * col("bv").cast(d18)).cast("double").as("sxy"),
+        sum(col("av").cast(d18) * col("av").cast(d18)).cast("double").as("sxx"),
+        sum(col("bv").cast(d18) * col("bv").cast(d18)).cast("double").as("syy"))
+      val n = col("n").cast("double")
+      val varX = n * col("sxx") - col("sx") * col("sx")
+      val varY = n * col("syy") - col("sy") * col("sy")
+      val acf = stats.where(col("n") >= 10 && varX > 0 && varY > 0)
+        .select(col("user_id"), col("lag_d"), col("n"),
+          D.r4s((n * col("sxy") - col("sx") * col("sy")) / sqrt(varX * varY)).as("r"))
+      acf.groupBy("user_id")
+        .agg(max(struct(col("r"), (-col("lag_d")).as("nl"), col("n"))).as("m"))
+        .select(col("user_id"), (-col("m.nl")).as("period_d"),
+          col("m.r").as("r"), col("m.n").as("n_pairs"))
+        .orderBy("user_id")
+    }),
+
+    // 1-D local-level Kalman filter (random-walk state, Q=1, R=4) —
+    // the optimal-gain smoother beside Holt's fixed-gain one: per step
+    // P'=P+Q, K=P'/(P'+R), x+=K(v−x), P=(1−K)P'. The gain SELF-TUNES:
+    // large after gaps in confidence, shrinking toward steady state —
+    // emitted per bucket so the convergence is visible. Same
+    // per-prefix portable-fold shape as tsdb_holt (identical double
+    // chains on both engines, r4 only at emission); state is 3 scalars
+    // per series regardless of length.
+    "tsdb_kalman" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      val arr = ds.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+          .as("pts"))
+      val vals = transform(col("pts"), p => p.getField("value"))
+      val folded = transform(col("pts"), (p, i) =>
+        struct(p.getField("bucket_ms").as("bucket_ms"),
+          aggregate(
+            slice(vals, lit(2), i),
+            struct(element_at(vals, lit(1)).as("x"), lit(1.0).as("p"),
+              lit(0.0).as("k")),
+            (acc, v) => {
+              val pp = acc.getField("p") + lit(1.0)
+              val k = pp / (pp + lit(4.0))
+              struct((acc.getField("x") + k * (v - acc.getField("x"))).as("x"),
+                ((lit(1.0) - k) * pp).as("p"), k.as("k"))
+            },
+            acc => struct(D.r4s(acc.getField("x")).as("x"),
+              D.r4s(acc.getField("k")).as("k"))).as("st")))
+      arr.select(col("user_id"), explode(folded).as("e"))
+        .select(col("user_id"), col("e.bucket_ms").as("bucket_ms"),
+          col("e.st.x").as("level"), col("e.st.k").as("gain"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
     // Bollinger bands: trailing-24h mean ± 2σ envelope per hourly
     // series, from exact-decimal window sums (same frame machinery as
     // tsdb_anomaly_zscore, but band emission instead of flagging)
@@ -2104,6 +2180,68 @@ object TsdbQueries {
           WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
             AND CAST(n AS DOUBLE) * syy - sy * sy > 0
           ORDER BY user_id, lag_d""",
+
+    // mirror of tsdb_period_detect: the autocorr stats over lags 1–7,
+    // arg-max by (r desc, lag asc) via row_number
+    "tsdb_period_detect" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2),
+          p AS (
+            SELECT a.user_id, CAST(l.lag_d AS BIGINT) AS lag_d, count(*) AS n,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+                   CAST(SUM(CAST(a.value AS DECIMAL(18,4)) * CAST(a.value AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(b.value AS DECIMAL(18,4)) * CAST(b.value AS DECIMAL(18,4))) AS DOUBLE) AS syy
+            FROM ds a
+            CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6), (7)) l(lag_d)
+            JOIN ds b ON b.user_id = a.user_id
+                     AND b.bucket_ms = a.bucket_ms + l.lag_d * $Day
+            GROUP BY 1, 2),
+          acf AS (
+            SELECT user_id, lag_d, n,
+                   ROUND(((CAST(n AS DOUBLE) * sxy - sx * sy)
+                          / sqrt((CAST(n AS DOUBLE) * sxx - sx * sx)
+                               * (CAST(n AS DOUBLE) * syy - sy * sy))) * 10000.0, 0) / 10000.0 + 0.0 AS r
+            FROM p
+            WHERE n >= 10 AND CAST(n AS DOUBLE) * sxx - sx * sx > 0
+              AND CAST(n AS DOUBLE) * syy - sy * sy > 0),
+          rk AS (SELECT user_id, lag_d, n, r,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY r DESC, lag_d) AS rn
+                 FROM acf)
+          SELECT user_id, lag_d AS period_d, r, n AS n_pairs
+          FROM rk WHERE rn = 1 ORDER BY user_id""",
+
+    // mirror of tsdb_kalman: same prefix fold over [v, p, k] triples
+    // (first element carries the P=1, K=0 init), identical step
+    // arithmetic so the double chain is bit-equal, r4 at emission
+    "tsdb_kalman" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id,
+                    list(value ORDER BY bucket_ms) AS vs,
+                    list(bucket_ms ORDER BY bucket_ms) AS bs
+                  FROM ds GROUP BY 1),
+          idx AS (SELECT user_id, vs, bs, UNNEST(range(1, len(vs) + 1)) AS i FROM arr),
+          st AS (SELECT user_id, bs[i] AS bucket_ms,
+                   list_reduce(
+                     list_concat(
+                       [[vs[1], CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)]],
+                       list_transform(list_slice(vs, 2, i),
+                         v -> [v, CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+                     (acc, e) -> [
+                       acc[1] + ((acc[2] + 1.0) / (acc[2] + 1.0 + 4.0)) * (e[1] - acc[1]),
+                       (1.0 - (acc[2] + 1.0) / (acc[2] + 1.0 + 4.0)) * (acc[2] + 1.0),
+                       (acc[2] + 1.0) / (acc[2] + 1.0 + 4.0)]) AS s
+                 FROM idx)
+          SELECT user_id, bucket_ms,
+            ${D.oR4("s[1]")} AS level, ${D.oR4("s[3]")} AS gain
+          FROM st ORDER BY 1, 2""",
 
     "tsdb_bollinger" ->
       s"""WITH ds AS (

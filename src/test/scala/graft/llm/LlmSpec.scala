@@ -1178,4 +1178,37 @@ class LlmSpec extends SparkSpec {
       assert(keptMax <= kth, s"$src: kept a priority above the k-th smallest")
     }
   }
+
+  test("token budget sample: greedy fill matches brute force") {
+    val rows = graft.SparkEntry.queries("llm_token_budget_sample")(spark, sf)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(rows.nonEmpty && rows.map(_._1) == rows.map(_._1).sorted)
+    def q4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val stop = Set("the", "a", "of", "and")
+    val ds = graft.core.Tables.documents(spark, sf)
+      .select("doc_id", "lang", "text", "n_chars")
+      .as[(Long, String, String, Long)].collect()
+    val scored = ds.map { case (id, lang, text, nc) =>
+      val words = text.split(" ", -1)
+      val nw = words.length
+      val stops = text.toLowerCase.split(" ", -1).count(stop)
+      val quality = q4(math.min(1.0, nw.toDouble / 100.0) * 0.5 +
+        stops.toDouble / nw * 0.5)
+      (lang, id, math.ceil(nc / 4.0).toLong, quality)
+    }
+    scored.groupBy(_._1).foreach { case (lang, docs) =>
+      val ordered = docs.sortBy(d => (-d._4, d._2))
+      var cum = 0L
+      val kept = ordered.takeWhile { d => cum += d._3; cum <= 50000L }
+      val row = rows.find(_._1 == lang).get
+      assert(row._2 == docs.length.toLong, s"$lang n_docs")
+      assert(row._3 == kept.size.toLong, s"$lang n_kept")
+      assert(row._4 == kept.map(_._3).sum, s"$lang kept_tokens")
+      assert(math.abs(row._5 - kept.map(_._4).min) < 1e-9, s"$lang cut")
+      // budget respected and maximal: one more doc would overflow it
+      assert(kept.map(_._3).sum <= 50000L)
+      if (kept.size < ordered.size)
+        assert(kept.map(_._3).sum + ordered(kept.size)._3 > 50000L)
+    }
+  }
 }

@@ -457,6 +457,27 @@ class BehaviorSpec extends SparkSpec {
     }
   }
 
+  test("SRM: chi-square matches brute force; flag agrees with 3.8415") {
+    val rows = run("evt_ab_srm")
+      .as[(Long, Long, Long, Double, Boolean)].collect().toSeq
+    assert(rows.nonEmpty)
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts_ms").as[(Long, Long)].collect()
+    val byDay = ev.map { case (u, t) => (t / 86400000L, u) }.distinct
+      .groupBy(_._1)
+    def q4(x: Double) = math.round(x * 10000.0) / 10000.0
+    assert(rows.size == byDay.size)
+    rows.foreach { case (day, na, nb, chi2, srm) =>
+      val us = byDay(day).map(_._2)
+      val (ea, eb) = (us.count(_ % 2 == 0).toLong, us.count(_ % 2 == 1).toLong)
+      assert(na == ea && nb == eb, s"day $day")
+      val e = (ea + eb).toDouble / 2.0
+      val exp = q4((ea - e) * (ea - e) / e + (eb - e) * (eb - e) / e)
+      assert(math.abs(chi2 - exp) < 1e-9, s"day $day")
+      assert(srm == (chi2 > 3.8415))
+    }
+  }
+
   test("3-core: peel reached its fixpoint and matches brute force") {
     val got = run("graph_kcore").as[(Long, Long)].collect().toMap
     val li = graft.core.Tables.lineitem(spark, sf)

@@ -484,6 +484,90 @@ class TsdbSpec extends SparkSpec {
     assert(rolled.nonEmpty && rolled == direct)
   }
 
+  test("kalman: fold matches the scalar recurrence; gain in [0,1)") {
+    val rows = graft.SparkEntry.queries("tsdb_kalman")(spark, sf)
+      .as[(Long, Long, Double, Double)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, _, _, k) => k >= 0.0 && k < 1.0 })
+    // brute-force the daily series then the filter recurrence
+    def q4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val day = 86400000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .where(col("event_type") === "click")
+      .select("user_id", "ts_ms", "value")
+      .as[(Long, Long, Double)].collect()
+    val ds = ev.groupBy(e => (e._1, e._2 - e._2 % day)).map { case (key, xs) =>
+      val sum = xs.map(x => BigDecimal(x._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      (key, q4(sum.toDouble / xs.size))
+    }
+    val expect = ds.groupBy(_._1._1).flatMap { case (u, cells) =>
+      val ordered = cells.toSeq.sortBy(_._1._2)
+      var x = ordered.head._2; var p = 1.0; var k = 0.0
+      ordered.zipWithIndex.map { case (((_, b), v), i) =>
+        if (i > 0) {
+          val pp = p + 1.0
+          k = pp / (pp + 4.0)
+          x = x + k * (v - x)
+          p = (1.0 - k) * pp
+        }
+        ((u, b), (q4(x), q4(k)))
+      }
+    }
+    assert(rows.size == expect.size)
+    rows.foreach { case (u, b, lv, gn) =>
+      val (ex, ek) = expect((u, b))
+      assert(math.abs(lv - ex) < 1e-9 && math.abs(gn - ek) < 1e-9, s"$u@$b")
+    }
+  }
+
+  test("period detect: arg-max over a brute-force 1-7d ACF sweep") {
+    val rows = graft.SparkEntry.queries("tsdb_period_detect")(spark, sf)
+      .as[(Long, Long, Double, Long)].collect().toSeq
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (_, pd, r, n) =>
+      pd >= 1 && pd <= 7 && r >= -1.0 - 1e-9 && r <= 1.0 + 1e-9 && n >= 10 })
+    def q4(x: Double) = math.round(x * 10000.0) / 10000.0
+    val day = 86400000L
+    val ev = graft.core.Tables.events(spark, sf)
+      .select("user_id", "ts_ms", "value")
+      .as[(Long, Long, Double)].collect()
+    val ds = ev.groupBy(e => (e._1, e._2 - e._2 % day)).map { case (key, xs) =>
+      val sum = xs.map(x => BigDecimal(x._3)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP)).sum
+      (key, q4(sum.toDouble / xs.size))
+    }
+    val expect = ds.groupBy(_._1._1).flatMap { case (u, cells) =>
+      val m = cells.map { case ((_, b), v) => (b, v) }
+      val acf = (1L to 7L).flatMap { lag =>
+        val pairs = m.toSeq.flatMap { case (b, v) =>
+          m.get(b + lag * day).map(w => (v, w)) }
+        val n = pairs.size
+        if (n < 10) None else {
+          def d4(x: Double) = BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP)
+          val sx = pairs.map(p => d4(p._1)).sum.toDouble
+          val sy = pairs.map(p => d4(p._2)).sum.toDouble
+          val sxy = pairs.map(p => d4(p._1) * d4(p._2)).sum.toDouble
+          val sxx = pairs.map(p => d4(p._1) * d4(p._1)).sum.toDouble
+          val syy = pairs.map(p => d4(p._2) * d4(p._2)).sum.toDouble
+          val vx = n * sxx - sx * sx; val vy = n * syy - sy * sy
+          if (vx <= 0 || vy <= 0) None
+          else Some((lag, q4((n * sxy - sx * sy) / math.sqrt(vx * vy)), n.toLong))
+        }
+      }
+      if (acf.isEmpty) None
+      else {
+        val best = acf.maxBy(a => (a._2, -a._1))
+        Some((u, best))
+      }
+    }
+    assert(rows.size == expect.size)
+    rows.foreach { case (u, pd, r, n) =>
+      val (epd, er, en) = expect(u)
+      assert(pd == epd && math.abs(r - er) < 1e-9 && n == en, s"user $u")
+    }
+  }
+
   test("savgol: stencil matches brute force; edges and gaps excluded") {
     val rows = graft.SparkEntry.queries("tsdb_savgol")(spark, sf)
       .as[(String, Long, Double, Double)].collect().toSeq
