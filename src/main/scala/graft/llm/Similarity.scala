@@ -286,8 +286,12 @@ object Similarity {
     * the per-row cost is identical, only the code shape changes). The
     * same swap applies to [[readPqCodebooks]]' ADC scoring (codebooks
     * → broadcast relation keyed by (sub, code)). Measured at k=256 in
-    * ScaleProbe (`centroid-literal-vs-broadcast`). */
-  private def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float], Double)] = {
+    * ScaleProbe (`centroid_assign_*_k256`): literal falls out of
+    * whole-stage codegen (Janino 64 KB) at 3.60 s; broadcast+min_by
+    * stays codegen'd at 1.18 s. As of r12 the swap is MECHANIZED:
+    * [[assignNearest]] auto-selects the broadcast form at
+    * k ≥ [[LiteralKCeiling]] — callers never see the difference. */
+  private[llm] def collectCentroids(centroids: DataFrame): Array[(Int, Seq[Float], Double)] = {
     val rows = centroids
       .select(col("centroid_id"), col("cvec"), dotExpr("cvec", "cvec").as("sq_c"))
       .collect()
@@ -312,9 +316,64 @@ object Similarity {
     * [[collectCentroids]]) — constructing the returned DataFrame runs
     * Spark jobs. */
   def assignToCentroids(vectors: DataFrame, centroids: DataFrame): DataFrame =
-    assignByLiterals(vectors, collectCentroids(centroids))
+    assignNearest(vectors, collectCentroids(centroids))
 
-  private def assignByLiterals(vectors: DataFrame,
+  /** k at or above which [[assignNearest]] abandons the literal
+    * least-over-structs projection for the broadcast-relation + min_by
+    * form. 128 sits between the largest fixture k (64 — literal is
+    * fastest there: zero shuffle, zero join) and the measured k=256
+    * cliff where the literal expression tree blows Janino's 64 KB
+    * method-bytecode limit, drops out of whole-stage codegen, and runs
+    * interpreted at ~3× the broadcast form's cost (PERF.md r11,
+    * ScaleProbe `centroid_assign_*_k256`: 3.60 s vs 1.18 s at 1×). */
+  val LiteralKCeiling = 128
+
+  /** Nearest-centroid assignment, auto-selecting the code shape by k:
+    * literal expression tree below [[LiteralKCeiling]] (map-only, zero
+    * shuffle — the right trade at index-fixture k), broadcast relation
+    * + min_by at or above it (codegen-safe at any k; FAISS-scale lists
+    * run 4k–64k centroids). Same distances, same lowest-id tie-break,
+    * same output schema either way. */
+  private[llm] def assignNearest(vectors: DataFrame,
+                            cs: Array[(Int, Seq[Float], Double)]): DataFrame =
+    if (cs.length < LiteralKCeiling || !vectors.columns.contains("vec_id"))
+      assignByLiterals(vectors, cs)
+    else assignByBroadcast(vectors, cs)
+
+  /** Production-k assignment: centroids stay a k-row RELATION,
+    * broadcast into a vectors × centroids nested-loop pass, per-vector
+    * argmin via `min(struct(dist, centroid_id))` (lexicographic struct
+    * order = the literal form's lowest-id tie-break), then a join back
+    * on vec_id to restore the caller's schema. Generated code is O(1)
+    * in k — the centroid data rides the broadcast, not the instruction
+    * stream. Distances use the IDENTICAL expression the literal form
+    * codegens (sq_a + sq_c − 2·Dot4), so assignments are bit-equal.
+    * Costs vs literal: the argmin shuffles corpus-count (vec_id, dist)
+    * pairs (map-side partial min first) and the restore join shuffles
+    * the corpus once — both dwarfed by the k·dim flops/row that
+    * dominate at the k where this path activates; serving deployments
+    * precompute assignment into the stored index anyway
+    * (ensureIvfIndex). Falls back to literal when `vectors` lacks a
+    * vec_id key to join back on. */
+  private[llm] def assignByBroadcast(vectors: DataFrame,
+                                cs: Array[(Int, Seq[Float], Double)]): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    val cdf = cs.toIndexedSeq.toDF("centroid_id", "cvec", "sq_c")
+    val nearest = vectors
+      .select(col("vec_id"), col("embedding"),
+        dotExpr("embedding", "embedding").as("sq_a"))
+      .crossJoin(broadcast(cdf))
+      .select(col("vec_id"), struct(
+        (col("sq_a") + col("sq_c")
+          - lit(2.0) * dotExpr("embedding", "cvec")).as("dist"),
+        col("centroid_id")).as("dc"))
+      .groupBy("vec_id")
+      .agg(min(col("dc")).getField("centroid_id").as("centroid_id"))
+    vectors.join(nearest, Seq("vec_id"))
+  }
+
+  private[llm] def assignByLiterals(vectors: DataFrame,
                                cs: Array[(Int, Seq[Float], Double)]): DataFrame = {
     require(cs.nonEmpty, "assignByLiterals: no centroids")
     val dists = cs.map { case (cid, cvec, sqc) =>
@@ -341,7 +400,7 @@ object Similarity {
   def ivfTopK(vectors: DataFrame, queryVec: DataFrame, centroids: DataFrame,
               k: Int, nprobe: Int): DataFrame = {
     val cs = collectCentroids(centroids)
-    val assigned = assignByLiterals(vectors, cs)
+    val assigned = assignNearest(vectors, cs)
     val spark = vectors.sparkSession
     import spark.implicits._
     val cdf = cs.toIndexedSeq.map { case (cid, cvec, sqc) => (cid, cvec, sqc) }
@@ -477,7 +536,7 @@ object Similarity {
                    k: Int, nprobe: Int,
                    maxBroadcastQueries: Long = 50000L): DataFrame = {
     val cs = collectCentroids(centroids)
-    val assigned = assignByLiterals(vectors, cs)
+    val assigned = assignNearest(vectors, cs)
     probeJoinTopK(assigned, queries, cs, k, nprobe, maxBroadcastQueries)
   }
 
@@ -624,7 +683,7 @@ object Similarity {
     import s.implicits._
     val cs = collectCentroids(ivfCentroids(vectors, p.k, p.iters))
     val perSub = pqCodebooks(vectors, p.pqM, p.pqK, p.pqIters, p.dim).map(collectCentroids)
-    val lists = assignByLiterals(vectors, cs)
+    val lists = assignNearest(vectors, cs)
       .withColumn("nrm", normExpr("embedding"))
       .select(vectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, p.dim): _*)
@@ -920,7 +979,7 @@ object Similarity {
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
     val perSub = readPqCodebooks(s, path)
     val dim = perSub.map(_.head._2.size).sum // Σ subspace widths
-    assignByLiterals(newVectors, cs)
+    assignNearest(newVectors, cs)
       .withColumn("nrm", normExpr("embedding"))
       .select(newVectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, dim): _*)
@@ -1013,7 +1072,7 @@ object Similarity {
                            maxBroadcastRows: Long = 1000000L): DataFrame = {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
-    val nb = assignByLiterals(batch, cs)
+    val nb = assignNearest(batch, cs)
       .withColumn("a_nrm", normExpr("embedding"))
       .select(col("centroid_id"), col("vec_id").as("new_id"),
         col("embedding").as("av"), col("a_nrm"))

@@ -1211,4 +1211,33 @@ class LlmSpec extends SparkSpec {
         assert(kept.map(_._3).sum + ordered(kept.size)._3 > 50000L)
     }
   }
+
+  test("assignNearest: broadcast form at k>=128 is bit-equal to literal and codegen-safe") {
+    // 140 centroids (>= Similarity.LiteralKCeiling) puts assignToCentroids
+    // on the broadcast-relation + min_by path; the literal form forced on
+    // the SAME centroid set must produce identical assignments (same
+    // distance expression, same lowest-id tie-break), and the plans must
+    // have the pinned shapes: broadcast carries a BroadcastNestedLoopJoin,
+    // literal stays join-free.
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val cdf = emb.where(col("vec_id") < 140)
+      .select(col("vec_id").cast("int").as("centroid_id"),
+        col("embedding").as("cvec"))
+    val cs = Similarity.collectCentroids(cdf)
+    assert(cs.length == 140)
+    val viaApi = Similarity.assignToCentroids(emb, cdf)
+    val pBroadcast = viaApi.queryExecution.executedPlan.toString
+    assert(pBroadcast.contains("BroadcastNestedLoopJoin"),
+      s"k=140 must take the broadcast relation path:\n$pBroadcast")
+    val viaLiteral = Similarity.assignByLiterals(emb, cs)
+    assert(!viaLiteral.queryExecution.executedPlan.toString
+      .contains("Join"), "literal form must stay join-free")
+    val a = viaApi.select("vec_id", "centroid_id").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    val b = viaLiteral.select("vec_id", "centroid_id").as[(Long, Int)]
+      .collect().sortBy(_._1).toSeq
+    assert(a == b, "broadcast and literal assignments must be identical")
+    // every vector below 140 is its own centroid (self-distance 0 wins)
+    assert(a.takeWhile(_._1 < 140).forall { case (v, c) => v == c })
+  }
 }
