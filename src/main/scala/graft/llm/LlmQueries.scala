@@ -2156,6 +2156,20 @@ object LlmQueries {
           col("decode_ok"))
         .orderBy("id")),
 
+    // the REAL audio codec path (r12): synthesized genuine WAVs decoded
+    // with javax.sound.sampled — sample count/rate/channels come out of
+    // the RIFF parser and the amplitude sums out of the decoded PCM
+    // frames, so a broken encode or decode hash-fails against the
+    // analytic oracle (clip length and sample values were derived
+    // before encoding; PCM is lossless). Corrupt-payload error path is
+    // unit-tested: decode_ok=false, never a task failure. Video stays
+    // the declared stub (no container codec in the JDK).
+    "llm_multimodal_audio" -> ((s, dir) =>
+      Multimodal.decodeWavStats(Multimodal.wavTable(s, dir)).toDF()
+        .select("id", "n_samples", "sample_rate", "channels",
+          "sum_amp", "sum_abs", "decode_ok")
+        .orderBy("id")),
+
     "llm_multimodal_meta" -> ((s, dir) =>
       Tables.documents(s, dir).select(
         col("doc_id"),
@@ -4779,6 +4793,25 @@ object LlmQueries {
                    AS mean_r,
                  TRUE AS decode_ok
           FROM agg ORDER BY id""",
+
+    // mirror of llm_multimodal_audio: clip length and PCM sample values
+    // were derived analytically BEFORE the WAV encode, so the oracle
+    // restates them with integer algebra — no audio library; the engine
+    // must round-trip them through a real RIFF encoder+decoder to match
+    "llm_multimodal_audio" ->
+      """WITH d AS (SELECT doc_id AS id,
+                      16 + doc_id % 64 + n_chars % 32 AS n
+                    FROM documents),
+         s AS (SELECT id, n, unnest(range(0, n)) AS i FROM d),
+         v AS (SELECT id, n,
+                 ((id * 2654435761 + i * 31) % 4096) - 2048 AS amp
+               FROM s)
+         SELECT id, CAST(n AS BIGINT) AS n_samples,
+                CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
+                CAST(SUM(amp) AS BIGINT) AS sum_amp,
+                CAST(SUM(abs(amp)) AS BIGINT) AS sum_abs,
+                TRUE AS decode_ok
+         FROM v GROUP BY id, n ORDER BY id""",
 
     "llm_multimodal_meta" ->
       """SELECT doc_id,

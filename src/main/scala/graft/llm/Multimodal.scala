@@ -161,6 +161,103 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------- real audio
+  //
+  // The second REAL codec path (r12): WAV via `javax.sound.sampled` —
+  // also in the JDK, same discipline as the PNG path above. The table
+  // synthesizes genuine RIFF/WAVE payloads (16-bit signed PCM, mono,
+  // 8 kHz, sample values from a per-(id, i) integer formula), and the
+  // decoder parses them back with the JDK audio codec: sample counts,
+  // rate, and channel layout come out of the PARSED header, sample sums
+  // out of the decoded PCM frames. PCM is lossless, so an analytic
+  // oracle recomputes the sums from the formula with no audio library —
+  // the engine matches only if a real encode→decode round-trip
+  // preserved every sample. Video remains the one declared stub (no
+  // container/codec in the JDK).
+
+  case class WavRow(id: Long, media: Array[Byte])
+  case class WavStats(id: Long, n_samples: Long, sample_rate: Int,
+                      channels: Int, sum_amp: Long, sum_abs: Long,
+                      decode_ok: Boolean)
+
+  /** Deterministic real WAV: `n` 16-bit signed little-endian PCM mono
+    * samples at 8 kHz, sample i = ((id·2654435761 + 31i) mod 4096) −
+    * 2048 — the audio twin of [[encodePng]]'s pixel formula. The RIFF
+    * container bytes come from the JDK encoder; consumers must assert
+    * on DECODED samples, never on the payload bytes. */
+  def encodeWav(id: Long, n: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = (((id * 2654435761L + i * 31L) % 4096L) - 2048L).toShort
+      pcm(2 * i) = (v & 0xFF).toByte
+      pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Synthesized-WAV media table: one real encoded clip per document,
+    * length analytically derived (n = 16 + id mod 64 + n_chars mod 32)
+    * so an oracle can state it without decoding. */
+  def wavTable(s: SparkSession, dir: String, partitions: Int = 32): Dataset[WavRow] = {
+    import s.implicits._
+    graft.core.Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+      .repartition(partitions, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        WavRow(id, encodeWav(id, (16L + id % 64L + nc % 32L).toInt))
+      })
+  }
+
+  /** REAL audio decode + feature extraction: parse the WAV container
+    * with `AudioSystem.getAudioInputStream` (format fields come from the
+    * codec, not the input row), stream the PCM frames, and aggregate
+    * amplitude sums over the DECODED samples — the audio analogue of
+    * [[decodePngStats]]. Undecodable or unexpected-format payloads
+    * yield `decode_ok=false` sentinels; a poisoned row must not kill a
+    * 100 TB decode job. Same mapPartitions discipline: only the
+    * fixed-width stats row leaves the partition. */
+  def decodeWavStats(media: Dataset[WavRow]): Dataset[WavStats] = {
+    import media.sparkSession.implicits._
+    val bad = (id: Long) => WavStats(id, 0L, -1, -1, 0L, 0L, false)
+    media.mapPartitions { rows =>
+      rows.map { r =>
+        try {
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          val f = ais.getFormat
+          if (f.getEncoding !=
+                javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+              f.getSampleSizeInBits != 16 || f.getChannels != 1 ||
+              f.isBigEndian)
+            bad(r.id)
+          else {
+            val data = ais.readAllBytes()
+            val n = data.length / 2
+            var sum = 0L; var sabs = 0L; var i = 0
+            while (i < n) {
+              val v = ((data(2 * i) & 0xFF) | (data(2 * i + 1) << 8)).toShort
+              sum += v
+              sabs += math.abs(v.toLong)
+              i += 1
+            }
+            WavStats(r.id, n.toLong, f.getSampleRate.toInt, f.getChannels,
+              sum, sabs, true)
+          }
+        } catch { case _: Exception => bad(r.id) }
+      }
+    }
+  }
+
   /** REAL decode: `ImageIO.read` parses the PNG byte stream and the
     * emitted dimensions are the codec's, not the synthesizer's.
     * Undecodable payloads (truncated/corrupt/unknown format) yield

@@ -1008,6 +1008,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real WAV decode — javax.sound round-trip + corrupt bytes") {
+    // local codec check: encode → decode recovers count/rate/sums, and
+    // the payload is a genuine RIFF/WAVE container (magic bytes)
+    val wav = Multimodal.encodeWav(42L, 100)
+    assert(new String(wav.take(4), "US-ASCII") == "RIFF" &&
+      new String(wav.slice(8, 12), "US-ASCII") == "WAVE",
+      "encodeWav must emit a real RIFF/WAVE payload")
+    // expected sums straight from the synthesis formula
+    val amps = (0 until 100).map(i => ((42L * 2654435761L + i * 31L) % 4096L) - 2048L)
+    val rows = Seq(
+      Multimodal.WavRow(1L, wav),
+      Multimodal.WavRow(2L, wav.take(12)),               // truncated header
+      Multimodal.WavRow(3L, Array[Byte](1, 2, 3, 4)),    // not audio
+      Multimodal.WavRow(4L, Array.emptyByteArray))       // empty payload
+    val out = Multimodal.decodeWavStats(spark.createDataset(rows))
+      .collect().map(m => m.id -> m).toMap
+    val ok = out(1L)
+    assert(ok.decode_ok && ok.n_samples == 100L && ok.sample_rate == 8000 &&
+      ok.channels == 1, s"decoded header fields wrong: $ok")
+    assert(ok.sum_amp == amps.sum && ok.sum_abs == amps.map(math.abs).sum,
+      "decoded PCM sums must equal the synthesis formula (lossless)")
+    Seq(2L, 3L, 4L).foreach { id =>
+      assert(!out(id).decode_ok && out(id).sample_rate == -1,
+        s"payload $id must fail decode gracefully")
+    }
+  }
+
   test("word PMI: count floor respected, PMI algebra exact, order total") {
     val rows = graft.SparkEntry.queries("llm_word_pmi")(spark, sf)
       .as[(String, String, Long, Double)].collect()
