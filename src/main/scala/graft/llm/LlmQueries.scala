@@ -2777,9 +2777,6 @@ object LlmQueries {
        ),
        lab AS (SELECT node, min(r) AS cluster_id FROM reach GROUP BY node)"""
 
-  /** Quality score over derived columns n_words / stops — the single
-    * definition behind llm_quality_score AND llm_corpus_curate's gate,
-    * as a Spark Column and the bit-matching oracle fragment. */
   /** The n-gram-marker language classifier behind llm_lang_id AND its
     * confusion-matrix eval (llm_lang_confusion) — one definition so the
     * eval can never grade a drifted copy of the predictor. */
@@ -2798,6 +2795,9 @@ object LlmQueries {
         .otherwise("zh"))
   }
 
+  /** Quality score over derived columns n_words / stops — the single
+    * definition behind llm_quality_score AND llm_corpus_curate's gate,
+    * as a Spark Column and the bit-matching oracle fragment. */
   private def qualityCol(nw: org.apache.spark.sql.Column, stops: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     least(lit(1.0), nw.cast("double") / 100.0) * 0.5 +
       (stops.cast("double") / nw) * 0.5

@@ -522,7 +522,9 @@ object Behavior {
     // and count come from ONE purchase-partitioned window pass, the
     // per-touch fractional credit is 4dp-quantized (the only ratio),
     // and channel totals are decimal sums. Per-purchase credits sum
-    // to 1 by construction (spec-pinned).
+    // to 1 up to 4dp rounding of the middle credit (0.2/(n−2) per
+    // middle touch — for n where (n−2) doesn't divide 0.2 exactly,
+    // e.g. n=5 → 3×0.0667 = 0.2001); the spec pins the sum within 1%.
     "evt_attribution_position" -> ((s, dir) => {
       val e = Tables.events(s, dir)
       val p = e.where(col("event_type") === "purchase")

@@ -149,7 +149,8 @@ object Graph {
     // edge-sized degree aggregate + two semi joins against the
     // broadcast survivor set (node-sized; billion-node swap =
     // co-partition the semi joins on the edge key, same plan minus
-    // the broadcasts). 6 rounds is fixture-calibrated — GraphSpec
+    // the broadcasts). 6 rounds is fixture-calibrated — BehaviorSpec
+    // ("3-core: peel reached its fixpoint and matches brute force")
     // asserts the peel actually reached its fixpoint (round 6 ≡ round
     // 5), so the emitted rows are the TRUE 3-core, not an
     // approximation; a deeper corpus fails the spec rather than

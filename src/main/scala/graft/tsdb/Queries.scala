@@ -110,40 +110,47 @@ object TsdbQueries {
     // smoother when samples arrive unevenly (the bucket-grid ewma
     // above assumes a fixed cadence): time-aware decay
     // d = exp(-Δt/τ), ewma_i = v_i + d·(ewma_{i−1} − v_i), τ = 6 h.
-    // Inherently sequential per series, so it folds O(n) with the
-    // aggregate HOF over the sorted point list using a FLAT
-    // double-array state [prev_ts, out₁..out_k] (prev ewma = last
-    // out) — one fold per series, not the O(n²) per-prefix shape,
-    // with per-step decay AND ewma 4dp-quantized so the recurrence
-    // is the identical double chain on both engines. Shuffle unit is
-    // one series' bounded point list, like every sequential-fold op
-    // here (alert_hysteresis pattern).
+    // Inherently sequential per series, so it streams a typed
+    // flatMapGroups fold with O(1) carried state (prev_ts, prev_ewma)
+    // — genuinely O(n) per series (the r11 HOF form concat'd a
+    // growing output array each step: O(n²) state copying in
+    // per-series points — fine at fixture cardinality, wrong at
+    // 100 TB; ADVICE r11). The per-step decay AND ewma are
+    // 4dp-quantized with Spark round()'s exact semantics
+    // (BigDecimal.valueOf → HALF_UP, −0.0 normalized — replicated
+    // verbatim below) so the recurrence stays the identical double
+    // chain on both engines and the hash oracle is unchanged.
+    // Shuffle unit is one series' point set, like every
+    // sequential-fold op here (alert_hysteresis pattern); the
+    // per-group sort is transient, carried state across points O(1).
     "tsdb_ewma_irregular" -> ((s, dir) => {
+      import s.implicits._
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
         .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
-      val arr = ev.groupBy("user_id")
-        .agg(sort_array(collect_list(
-          struct(col("ts_ms"), col("event_id"), col("value")))).as("pts"))
-      val folded = expr(
-        """aggregate(pts, array(CAST(-1.0 AS DOUBLE)),
-             (st, p) -> CASE WHEN element_at(st, 1) < 0.0
-               THEN array(CAST(p.ts_ms AS DOUBLE), p.value)
-               ELSE concat(
-                 array(CAST(p.ts_ms AS DOUBLE)),
-                 slice(st, 2, size(st) - 1),
-                 array(round((p.value +
-                   (round(exp(-(CAST(p.ts_ms AS DOUBLE) - element_at(st, 1))
-                      / 21600000.0) * 10000.0, 0) / 10000.0 + 0.0)
-                   * (element_at(st, size(st)) - p.value)) * 10000.0, 0)
-                   / 10000.0 + 0.0))
-             END)""")
-      arr.withColumn("st", folded)
-        .withColumn("outs", expr("slice(st, 2, size(st) - 1)"))
-        .select(col("user_id"), posexplode(col("pts")).as(Seq("i", "p")),
-          col("outs"))
-        .select(col("user_id"), col("p.ts_ms").as("ts_ms"),
-          col("p.event_id").as("event_id"),
-          element_at(col("outs"), col("i") + 1).as("ewma"))
+        .as[(Long, Long, Long, Double)]
+      // Spark round(x·10⁴, 0)/10⁴ + 0.0, byte-for-byte
+      def r4(x: Double): Double =
+        java.math.BigDecimal.valueOf(x * 10000.0)
+          .setScale(0, java.math.RoundingMode.HALF_UP)
+          .doubleValue() / 10000.0 + 0.0
+      ev.groupByKey(_._1).flatMapGroups { (uid, it) =>
+        // same total order the old sort_array(struct(ts, id, value))
+        // imposed
+        val pts = it.toArray.sortBy(pt => (pt._2, pt._3, pt._4))
+        var prevTs = -1.0
+        var prevE = 0.0
+        pts.iterator.map { case (_, ts, eid, v) =>
+          val e =
+            if (prevTs < 0.0) v
+            else {
+              val d = r4(math.exp(-(ts.toDouble - prevTs) / 21600000.0))
+              r4(v + d * (prevE - v))
+            }
+          prevTs = ts.toDouble
+          prevE = e
+          (uid, ts, eid, e)
+        }
+      }.toDF("user_id", "ts_ms", "event_id", "ewma")
         .orderBy("user_id", "ts_ms", "event_id")
     }),
 
