@@ -1328,7 +1328,8 @@ object TsdbQueries {
                                  ORDER BY bin) AS cum,
                   SUM(cnt) OVER (PARTITION BY event_type, bucket_ms) AS total
                 FROM m)
-          SELECT event_type, bucket_ms, MIN(bin) * 25.0 AS p95
+          SELECT event_type, bucket_ms,
+                 CAST(MIN(bin) * 25.0 AS DOUBLE) AS p95
           FROM c WHERE cum * 100 >= 95 * total
           GROUP BY 1, 2 ORDER BY 1, 2""",
 

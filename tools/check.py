@@ -51,27 +51,62 @@ def cells_equal(a, b):
         return list(a.values) == list(b.values)
 
 BANNED_DUCK_TYPES = ("HUGEINT", "UHUGEINT")
+# Widest DECIMAL precision the cross-engine compare is safe at. DuckDB
+# promotes decimal arithmetic freely up to DECIMAL(38,_); Spark caps at
+# 38 too but the two engines' promotion rules differ, and a >18-digit
+# decimal no longer round-trips exactly through int64/float64 — the same
+# class of silent divergence HUGEINT caused in r10. Oracles must CAST
+# sums back down (the house D.dec/oSumDec10 helpers stay within this).
+MAX_DECIMAL_PRECISION = 18
+
+def _decimal_too_wide(t):
+    m = __import__("re").match(r"DECIMAL\((\d+)\s*,\s*\d+\)", str(t).upper())
+    return bool(m) and int(m.group(1)) > MAX_DECIMAL_PRECISION
 
 def audit_types(con, oracle):
     """Plan (not run) every oracle in DuckDB and flag any output column
     whose type the driver would hash differently from Spark's physical
     type — HUGEINT/UHUGEINT (int128, from an uncast integer SUM) have no
-    Spark equivalent and always hash-diverge."""
+    Spark equivalent and always hash-diverge, and DECIMALs wider than
+    MAX_DECIMAL_PRECISION digits exceed what the hasher normalizes
+    exactly (the next HUGEINT-class candidate)."""
     bad = []
     for name in sorted(oracle):
         try:
             rel = con.sql(oracle[name])
             hits = [(c, str(t)) for c, t in zip(rel.columns, rel.types)
-                    if str(t).upper() in BANNED_DUCK_TYPES]
+                    if str(t).upper() in BANNED_DUCK_TYPES
+                    or _decimal_too_wide(t)]
         except Exception as e:
             print(f"TYPEAUDIT ERR {name}: {e}")
             bad.append(name); continue
         if hits:
-            print(f"TYPEAUDIT FAIL {name}: {hits} — wrap in CAST(... AS BIGINT)")
+            print(f"TYPEAUDIT FAIL {name}: {hits} — wrap in CAST(... AS "
+                  f"BIGINT) or a <= {MAX_DECIMAL_PRECISION}-digit DECIMAL")
             bad.append(name)
     return bad
 
+def audit_selftest():
+    """`check.py --audit-selftest`: the audit must FAIL on seeded bad
+    oracles (a HUGEINT sum, a wide DECIMAL) and PASS a clean one —
+    guards the guard (judge r11 item 8)."""
+    con = duckdb.connect()
+    seeded = {
+        "seeded_hugeint": "SELECT SUM(x) AS s FROM (SELECT 1::BIGINT AS x)",
+        "seeded_wide_decimal": "SELECT CAST(1.5 AS DECIMAL(38,10)) AS v",
+        "seeded_clean": "SELECT CAST(1 AS BIGINT) AS n, "
+                        "CAST(1.5 AS DECIMAL(18,4)) AS d",
+    }
+    bad = audit_types(con, seeded)
+    assert "seeded_hugeint" in bad, "audit missed a HUGEINT output"
+    assert "seeded_wide_decimal" in bad, "audit missed a wide DECIMAL"
+    assert "seeded_clean" not in bad, "audit flagged a clean oracle"
+    print("audit selftest: ok (2 seeded offenders flagged, clean passed)")
+    sys.exit(0)
+
 def main():
+    if sys.argv[1:] == ["--audit-selftest"]:
+        audit_selftest()
     sfdir, outdir = sys.argv[1], sys.argv[2]
     only = set(sys.argv[3:])
     con = duckdb.connect()
