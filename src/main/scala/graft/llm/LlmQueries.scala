@@ -175,6 +175,36 @@ object LlmQueries {
     s"${Dedup.BandLayoutVersion}|del|$dir|k=32,r=4,n=3|built=mod10ne7|deleted=mod10eq3|batch=mod10eq7" +
       s"|${contentTag(Tables.documents(s, dir), s"docs|$dir")}"
 
+  /** Stream-grown artifact roots (§2.I promotion, r12): the index-growth
+    * sinks write here through the REAL foreachBatch streams, then the
+    * same probes the batch-built indexes serve run against them —
+    * putting the stream-growth path itself behind the driver's hash
+    * gate. Sidecar fingerprint, written only AFTER the stream
+    * completes: a crash mid-growth leaves no fingerprint and the next
+    * run wipes and rebuilds (checkpoint included, so no stale
+    * replay-skip state survives a rebuild). */
+  private def growRoot(dir: String, name: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), name).toString
+  private def growFpFile(root: String) =
+    java.nio.file.Paths.get(root, "_growfp")
+  private def growCurrent(root: String, fp: String): Boolean =
+    try new String(java.nio.file.Files.readAllBytes(growFpFile(root)),
+      java.nio.charset.StandardCharsets.UTF_8) == fp
+    catch { case _: Exception => false }
+  private def wipeAndGrow(root: String, fp: String)(grow: => Unit): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+    grow
+    java.nio.file.Files.write(growFpFile(root),
+      fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
   /** The exact base+delta state [[queries]]' llm_dedup_incremental
     * serves from — factored out so the bench warmup and the query
     * build ONE index from ONE code path (no drift). */
@@ -496,6 +526,65 @@ object LlmQueries {
       ensureIncrementalBandIndex(s, dir)
       Dedup.incrementalNearDups(s, docs.where(pmod(col("doc_id"), lit(10)) === 7),
         docs, bandIndexPath(dir))
+    }),
+
+    // §2.I stream_band_index_growth, PROMOTED to the driver gate (r12):
+    // the corpus band index is grown from a DOCUMENT STREAM — three
+    // one-file micro-batches through Ingest.maintainBandIndex's
+    // exactly-once foreachBatch sink over an empty schema-bearing base
+    // — then probed with the SAME new-batch near-dup check
+    // llm_dedup_incremental runs against its batch-built index (same
+    // corpus: every doc_id % 10 <> 7, here all streamed). The oracle
+    // recomputes the pairs from scratch, so a stream-growth divergence
+    // (lost batch, double-landed replay, txn-watermark bug) hash-fails
+    // HERE, not only in StreamSpec's batch-equivalence test.
+    "stream_band_index_growth" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = growRoot(dir, "bands_grow")
+      val idx = s"$root/idx"
+      val fp = s"${Dedup.BandLayoutVersion}|grow|$dir|k=32,r=4,n=3" +
+        s"|streamed=mod10ne7|batch=mod10eq7|${contentTag(docs, s"docs|$dir")}"
+      if (!growCurrent(root, fp)) wipeAndGrow(root, fp) {
+        val src = s"$root/src"
+        docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+          .repartition(3).write.parquet(src)
+        graft.stream.Ingest.maintainBandIndex(s,
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          idx, s"$root/cp")
+      }
+      Dedup.incrementalNearDups(s,
+        docs.where(pmod(col("doc_id"), lit(10)) === 7), docs, idx)
+    }),
+
+    // §2.I stream_ivf_index_growth, PROMOTED to the driver gate (r12):
+    // quantizer trained offline on the vec_id % 7 <> 3 slice
+    // (maintainIvfIndex refuses to start without one), the % 7 == 3
+    // slice appended by the REAL stream sink in three micro-batches,
+    // then the same stored-index probe as llm_sim_ivf_appended — whose
+    // oracle (Lloyd CTEs parameterized by the train slice, assignment
+    // over the full corpus) this query shares verbatim: readers union
+    // base lists + stream-landed deltas, so a growth divergence breaks
+    // the hash.
+    "stream_ivf_index_growth" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val root = growRoot(dir, "ann_grow")
+      val idx = s"$root/idx"
+      val fp = annFingerprint(s, dir) + "|train=mod7ne3|grown=stream3"
+      if (!growCurrent(root, fp)) wipeAndGrow(root, fp) {
+        Similarity.buildIvfIndex(s,
+          emb.where(pmod(col("vec_id"), lit(7)) =!= 3), idx, fp)
+        val src = s"$root/src"
+        emb.where(pmod(col("vec_id"), lit(7)) === 3)
+          .repartition(3).write.parquet(src)
+        graft.stream.Ingest.maintainIvfIndex(s,
+          s.readStream.schema(emb.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          idx, s"$root/cp")
+      }
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfTopKStored(s, qs, idx, 5, nprobe = 2)
     }),
 
     // takedown from the stored band index: built on the full non-batch
@@ -3415,6 +3504,18 @@ object LlmQueries {
     // clustering trained on the corpus slice, every vector assigned —
     // the append-without-retrain semantics recomputed from scratch
     "llm_sim_ivf_appended" -> ivfBatchOracleWith(ivfCtes("vec_id % 7 <> 3")),
+
+    // stream-grown IVF index ≡ the batch-appended one (same train
+    // slice, same served corpus) — the oracle is shared verbatim
+    "stream_ivf_index_growth" ->
+      ivfBatchOracleWith(ivfCtes("vec_id % 7 <> 3")),
+
+    // stream-grown band index serves the same probe as the batch-built
+    // one — same corpus side (every id % 10 <> 7), same verify
+    "stream_band_index_growth" ->
+      s"""WITH ${nearDupPairCtesWith("a.id % 10 <> 7 AND b.id % 10 = 7")}
+         SELECT b_id AS new_id, a_id AS corpus_id, jaccard FROM ver
+         WHERE jaccard >= 0.5 ORDER BY new_id, corpus_id""",
 
     // takedown mirror: whole-corpus training, candidates minus the
     // tombstoned slice — a deleted vector can never be returned

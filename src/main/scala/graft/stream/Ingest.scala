@@ -82,6 +82,20 @@ object Ingest {
     df
   }
 
+  /** The file SOURCE itself, promoted into the driver gate (r12): run
+    * the events fixture through the streaming file source in append
+    * mode with NO transformation beyond the shared ts derivation, and
+    * return the read-back rows — hash-compared against the batch table
+    * by the oracle. Read-back equivalence IS the correctness statement
+    * for a source: any scheme/partition/ordering bug in the streaming
+    * read path diverges here, not just in unit tests. */
+  def sourceFiles(s: SparkSession, dir: String): DataFrame = {
+    val raw = eventsStream(s, dir)
+      .select(col("event_id"), col("ts_ms"), col("user_id"),
+        col("event_type"), col("value"), col("props"))
+    runToMemory(s, raw, "append").orderBy("event_id")
+  }
+
   /** Tumbling 1h window per event_type (watermarked). */
   def tumbling(s: SparkSession, dir: String): DataFrame = {
     val agg = eventsStream(s, dir)

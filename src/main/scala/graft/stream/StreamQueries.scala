@@ -10,6 +10,7 @@ object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    "stream_source_files" -> ((s, dir) => Ingest.sourceFiles(s, dir)),
     "stream_tumbling" -> ((s, dir) => Ingest.tumbling(s, dir)),
     "stream_sliding" -> ((s, dir) => Ingest.sliding(s, dir)),
     "stream_session" -> ((s, dir) => Ingest.session(s, dir)),
@@ -60,6 +61,13 @@ object StreamQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // read-back equivalence: the streaming file source must surface the
+    // exact batch table (same ids, same ms derivation, same payloads)
+    "stream_source_files" ->
+      """SELECT event_id, epoch_ns(ts) // 1000000 AS ts_ms, user_id,
+                event_type, value, props
+         FROM events ORDER BY event_id""",
+
     "stream_tumbling" ->
       s"""SELECT event_type, (epoch_ns(ts) // 3600000000000) * 3600000 AS bucket_ms,
             count(*) AS n, ${D.oSumDec("value")} AS sum_value
