@@ -199,6 +199,10 @@ object ScaleProbe {
       SparkEntry.queries("graph_adamic_adar")(spark, dir).count()
     def lpa(dir: String): Long =
       SparkEntry.queries("graph_label_propagation")(spark, dir).count()
+    def kcore(dir: String): Long =
+      SparkEntry.queries("graph_kcore")(spark, dir).count()
+    def kcoreCopart(dir: String): Long =
+      SparkEntry.queries("graph_kcore_copart")(spark, dir).count()
     def seqDetect(dir: String): Long =
       SparkEntry.queries("evt_sequence_detect")(spark, dir).count()
 
@@ -243,7 +247,8 @@ object ScaleProbe {
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
     assignLiteral(sf); assignBroadcast(sf)
-    cms(sf); bloom(sf); adamicAdar(sf); lpa(sf); seqDetect(sf)
+    cms(sf); bloom(sf); adamicAdar(sf); lpa(sf); kcore(sf); kcoreCopart(sf)
+    seqDetect(sf)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
@@ -278,6 +283,8 @@ object ScaleProbe {
       ("bloom_prefilter", time(bloom(sf)), time(bloom(big))),
       ("graph_adamic_adar", time(adamicAdar(sf)), time(adamicAdar(big))),
       ("graph_label_propagation", time(lpa(sf)), time(lpa(big))),
+      ("graph_kcore", time(kcore(sf)), time(kcore(big))),
+      ("graph_kcore_copart", time(kcoreCopart(sf)), time(kcoreCopart(big))),
       ("evt_sequence_detect", time(seqDetect(sf)), time(seqDetect(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }

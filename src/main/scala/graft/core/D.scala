@@ -37,6 +37,17 @@ object D {
   def r4s(c: Column): Column = round(c * lit(10000.0), 0) / 10000.0 + lit(0.0)
   def oR4(x: String): String = s"ROUND(($x) * 10000.0, 0) / 10000.0 + 0.0"
 
+  /** [[r4s]] for DRIVER/EXECUTOR-side Scala (typed folds that replicate
+    * a Column recurrence): byte-for-byte Spark `round(x·10⁴, 0)/10⁴ +
+    * 0.0` — java `BigDecimal.valueOf` (shortest-repr), HALF_UP, signed
+    * zero normalized. Any typed reimplementation of a quantized
+    * recurrence MUST use this, never `math.round`/`rint` (different
+    * tie rules → silent hash divergence). */
+  def r4d(x: Double): Double =
+    java.math.BigDecimal.valueOf(x * 10000.0)
+      .setScale(0, java.math.RoundingMode.HALF_UP)
+      .doubleValue() / 10000.0 + 0.0
+
   /** CAST(x AS DECIMAL(28,10)) — exact order-independent addition for
     * SMALL per-term contributions (entropy / KL terms are O(p·log p),
     * down around 1e-6, which DECIMAL(18,4) would crush to zero): ten

@@ -171,6 +171,34 @@ object Graph {
         .orderBy("node")
     }),
 
+    // graph_kcore with NOTHING node-sized broadcast — the billion-node
+    // swap the broadcast variant's comment documents, landed as a twin
+    // after ScaleProbe measured the broadcast form at 5.9× on the 10×
+    // replica graph (the same broadcast-node-state term pagerank
+    // showed; the copart pagerank precedent). Edges live partitioned
+    // on src; each round the survivor set flows through TWO
+    // shuffle-hash semi joins (src, then dst — the dst-side edge
+    // shuffle is the unavoidable price of peeling an undirected graph
+    // without keeping both orientations partitioned). Same math, same
+    // unroll, same oracle text.
+    "graph_kcore_copart" -> ((s, dir) => {
+      val k = 3
+      var es = graft.core.Exec.materialize(
+        edges(s, dir).repartition(col("src")))
+      for (_ <- 1 to 6) {
+        val keep = graft.core.Exec.materialize(
+          es.groupBy("src").agg(count(lit(1)).as("deg"))
+            .where(col("deg") >= k).select("src"))
+        es = graft.core.Exec.materialize(
+          es.join(keep.hint("shuffle_hash"), Seq("src"), "left_semi")
+            .join(keep.select(col("src").as("dst")).hint("shuffle_hash"),
+              Seq("dst"), "left_semi"))
+      }
+      es.groupBy("src").agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+        .orderBy("node")
+    }),
+
     // Connected components of the co-purchase graph: component id =
     // min node id reachable (the canonical label), one row per
     // component with its size. Reuses the dedup min-label closure
@@ -315,6 +343,38 @@ object Graph {
     // the broadcast budget: co-partition both joins on the edge
     // endpoint (same plan minus the broadcasts) and degree-orient the
     // edges so no hub node owns a giant forward list.
+    // Per-node local clustering coefficient — cc(v) = 2·t(v) /
+    // (deg(v)·(deg(v)−1)) — the classic "how clique-like is this
+    // node's neighborhood" measure (bundle detection over the
+    // co-purchase graph). t(v) comes from the SAME broadcast-adjacency
+    // intersect the global triangle count uses, but summed per node:
+    // over the symmetric edges of v, Σ_u |N(v)∩N(u)| counts every
+    // triangle at v twice (once through each incident edge), so
+    // t(v) = Σ/2 exactly — integer algebra end to end, one wedge-
+    // bounded pass, one node-sized aggregate. cc is the only ratio,
+    // 4dp at emission; deg<2 nodes have no defined cc and are
+    // excluded. Billion-node swap = the same co-partition trade as
+    // graph_triangles (adjacency joined on the edge key instead of
+    // broadcast).
+    "graph_clustering_coeff" -> ((s, dir) => {
+      val es = graft.core.Exec.materialize(edges(s, dir))
+      val adj = es.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val tw = es
+        .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
+        .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
+        .select(col("src"),
+          size(array_intersect(col("na"), col("nb"))).cast("long").as("c"))
+        .groupBy("src").agg((sum(col("c")) / 2).cast("long").as("n_tri"))
+      adj.select(col("src").as("part_id"), size(col("nbrs")).cast("long").as("deg"))
+        .where(col("deg") >= 2)
+        .join(tw.select(col("src").as("part_id"), col("n_tri")), Seq("part_id"), "left")
+        .select(col("part_id"), col("deg"),
+          coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+          graft.core.D.r4s(lit(2.0) * coalesce(col("n_tri"), lit(0L))
+            / (col("deg") * (col("deg") - 1))).as("cc"))
+        .orderBy("part_id")
+    }),
+
     "graph_triangles" -> ((s, dir) => {
       val es = graft.core.Exec.materialize(edges(s, dir))
       val e0 = es.where(col("src") < col("dst"))
@@ -337,6 +397,26 @@ object Graph {
   // contribution quantization. ONE text for the broadcast AND the
   // co-partitioned variant — they must compute identical ranks (the
   // swap changes data movement, never math).
+  private val KcoreOracle: String = {
+    val base =
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+         e_0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+    val rounds = (1 to 6).map { i =>
+      s"""k_$i AS (SELECT src FROM e_${i - 1} GROUP BY 1
+                   HAVING COUNT(*) >= 3),
+          e_$i AS (SELECT e.src, e.dst FROM e_${i - 1} e
+                   JOIN k_$i a ON a.src = e.src
+                   JOIN k_$i b ON b.src = e.dst)"""
+    }.mkString(",\n")
+    s"""$base,
+        $rounds
+        SELECT src AS node, COUNT(*) AS deg
+        FROM e_6 GROUP BY 1 ORDER BY node"""
+  }
+
   private val PagerankOracle: String =
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                       FROM lineitem),
@@ -397,27 +477,11 @@ object Graph {
          deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
          SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""",
 
-    // mirror of graph_kcore: the same 6 synchronous peel rounds
-    // unrolled as CTE pairs (survivors, surviving edges)
-    "graph_kcore" -> {
-      val base =
-        """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-                       FROM lineitem),
-           e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
-                  FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
-           e_0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
-      val rounds = (1 to 6).map { i =>
-        s"""k_$i AS (SELECT src FROM e_${i - 1} GROUP BY 1
-                     HAVING COUNT(*) >= 3),
-            e_$i AS (SELECT e.src, e.dst FROM e_${i - 1} e
-                     JOIN k_$i a ON a.src = e.src
-                     JOIN k_$i b ON b.src = e.dst)"""
-      }.mkString(",\n")
-      s"""$base,
-          $rounds
-          SELECT src AS node, COUNT(*) AS deg
-          FROM e_6 GROUP BY 1 ORDER BY node"""
-    },
+    // mirror of graph_kcore AND graph_kcore_copart (ONE text — the
+    // copart twin changes data movement, never math): the same 6
+    // synchronous peel rounds unrolled as CTE pairs
+    "graph_kcore" -> KcoreOracle,
+    "graph_kcore_copart" -> KcoreOracle,
 
     // mirror: min reachable node id per node via a recursive
     // reachability CTE (UNION dedups (node, seed) pairs, so the
@@ -504,6 +568,31 @@ object Graph {
           FROM com c JOIN deg d ON d.node = c.node
           GROUP BY 1, 2
           ORDER BY adamic_adar DESC, c.src, c.dst LIMIT 20""",
+
+    // mirror of graph_clustering_coeff: t(v) counted directly as
+    // neighbor pairs (u < w) that close an edge — no halving needed
+    // SQL-side; same deg≥2 cut, same 4dp-only-at-cc contract
+    "graph_clustering_coeff" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                      FROM lineitem),
+          e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                 FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+          edges AS (SELECT src, dst FROM e0
+                    UNION ALL SELECT dst, src FROM e0),
+          deg AS (SELECT src AS part_id, count(*) AS deg
+                  FROM edges GROUP BY 1),
+          tri AS (SELECT e1.src AS part_id, count(*) AS n_tri
+                  FROM edges e1 JOIN edges e2
+                    ON e2.src = e1.src AND e1.dst < e2.dst
+                  JOIN e0 uw ON uw.src = e1.dst AND uw.dst = e2.dst
+                  GROUP BY 1)
+          SELECT d.part_id, d.deg,
+                 COALESCE(t.n_tri, 0) AS n_tri,
+                 ${graft.core.D.oR4(
+                   "2.0 * COALESCE(t.n_tri, 0) / (d.deg * (d.deg - 1))")}
+                   AS cc
+          FROM deg d LEFT JOIN tri t ON t.part_id = d.part_id
+          WHERE d.deg >= 2 ORDER BY d.part_id""",
 
     "graph_triangles" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p

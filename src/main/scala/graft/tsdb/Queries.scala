@@ -117,8 +117,8 @@ object TsdbQueries {
     // per-series points — fine at fixture cardinality, wrong at
     // 100 TB; ADVICE r11). The per-step decay AND ewma are
     // 4dp-quantized with Spark round()'s exact semantics
-    // (BigDecimal.valueOf → HALF_UP, −0.0 normalized — replicated
-    // verbatim below) so the recurrence stays the identical double
+    // (BigDecimal.valueOf → HALF_UP, −0.0 normalized —
+    // graft.core.D.r4d) so the recurrence stays the identical double
     // chain on both engines and the hash oracle is unchanged.
     // Shuffle unit is one series' point set, like every
     // sequential-fold op here (alert_hysteresis pattern); the
@@ -128,11 +128,7 @@ object TsdbQueries {
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
         .select(col("user_id"), col("ts_ms"), col("event_id"), col("value"))
         .as[(Long, Long, Long, Double)]
-      // Spark round(x·10⁴, 0)/10⁴ + 0.0, byte-for-byte
-      def r4(x: Double): Double =
-        java.math.BigDecimal.valueOf(x * 10000.0)
-          .setScale(0, java.math.RoundingMode.HALF_UP)
-          .doubleValue() / 10000.0 + 0.0
+      val r4 = graft.core.D.r4d _
       ev.groupByKey(_._1).flatMapGroups { (uid, it) =>
         // same total order the old sort_array(struct(ts, id, value))
         // imposed
@@ -686,6 +682,54 @@ object TsdbQueries {
         .select(col("user_id"), (-col("m.nl")).as("period_d"),
           col("m.r").as("r"), col("m.n").as("n_pairs"))
         .orderBy("user_id")
+    }),
+
+    // Dynamic-time-warping distance between adjacent series (user u vs
+    // u+1) over their daily 4dp grids — THE shape-similarity measure
+    // when two series drift out of phase (lead_lag_corr's fixed-shift
+    // sweep can't see elastic alignment). Full O(n·m) DP per pair in a
+    // typed mapPartitions (one tight double loop; only + and exact min
+    // enter, so the chain is engine-portable with r4 at emission
+    // only); the DP row state is O(n). Pair volume is bounded by the
+    // adjacent-id pairing — the production all-pairs variant gates on
+    // an LSH/PAA prefilter first, and a Sakoe-Chiba band turns each
+    // pair O(n·w). The oracle replays the identical DP via nested
+    // list_reduce (column state prepended as the init element, the
+    // house sentinel-init pattern).
+    "tsdb_dtw" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      val arr = ds.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+          .as("pts"))
+        .select(col("user_id"), expr("transform(pts, p -> p.value)").as("vs"))
+      val pairs = arr.as("a")
+        .join(arr.as("b"), col("b.user_id") === col("a.user_id") + 1)
+        .select(col("a.user_id").as("a_id"), col("b.user_id").as("b_id"),
+          col("a.vs").as("av"), col("b.vs").as("bv"))
+        .as[(Long, Long, Seq[Double], Seq[Double])]
+      pairs.mapPartitions(_.map { case (aId, bId, avS, bvS) =>
+        val av = avS.toArray; val bv = bvS.toArray
+        val n = av.length
+        var prev = Array.fill(n + 1)(Double.PositiveInfinity)
+        prev(0) = 0.0
+        var j = 0
+        while (j < bv.length) {
+          val nw = new Array[Double](n + 1)
+          nw(0) = Double.PositiveInfinity
+          var i = 1
+          while (i <= n) {
+            nw(i) = math.abs(av(i - 1) - bv(j)) +
+              math.min(nw(i - 1), math.min(prev(i), prev(i - 1)))
+            i += 1
+          }
+          prev = nw
+          j += 1
+        }
+        (aId, bId, n.toLong, bv.length.toLong, graft.core.D.r4d(prev(n)))
+      }).toDF("a_id", "b_id", "n_a", "n_b", "dtw")
+        .orderBy("a_id")
     }),
 
     // 1-D local-level Kalman filter (random-walk state, Q=1, R=4) —
@@ -2226,6 +2270,43 @@ object TsdbQueries {
     // mirror of tsdb_kalman: same prefix fold over [v, p, k] triples
     // (first element carries the P=1, K=0 init), identical step
     // arithmetic so the double chain is bit-equal, r4 at emission
+    // mirror of tsdb_dtw: the identical DP replayed via nested
+    // list_reduce — outer fold over b's values with the DP column as
+    // the prepended init element, inner fold building each new column
+    // (index singletons as fold elements, the sentinel-init pattern);
+    // only abs/+/least enter, so the double chain is bit-equal
+    "tsdb_dtw" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id, list(value ORDER BY bucket_ms) AS vs
+                  FROM ds GROUP BY 1),
+          pr AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
+                        a.vs AS av, b.vs AS bv
+                 FROM arr a JOIN arr b ON b.user_id = a.user_id + 1),
+          dp AS (SELECT a_id, b_id,
+                   CAST(len(av) AS BIGINT) AS n_a,
+                   CAST(len(bv) AS BIGINT) AS n_b,
+                   list_reduce(
+                     [[0.0] || list_transform(range(1, len(av) + 1),
+                        i -> CAST('infinity' AS DOUBLE))]
+                     || list_transform(bv, b -> [b]),
+                     (acc, xb) -> list_reduce(
+                       [[CAST('infinity' AS DOUBLE)]]
+                       || list_transform(range(1, len(av) + 1),
+                            i -> [CAST(i AS DOUBLE)]),
+                       (st, xi) -> st ||
+                         [abs(av[CAST(xi[1] AS BIGINT)] - xb[1])
+                          + least(st[len(st)],
+                                  acc[CAST(xi[1] AS BIGINT) + 1],
+                                  acc[CAST(xi[1] AS BIGINT)])]))
+                     AS col_final
+                 FROM pr)
+          SELECT a_id, b_id, n_a, n_b,
+                 ${D.oR4("col_final[CAST(n_a AS BIGINT) + 1]")} AS dtw
+          FROM dp ORDER BY a_id""",
+
     "tsdb_kalman" ->
       s"""WITH ds AS (
             SELECT user_id, ${oBucket(Day)} AS bucket_ms,
