@@ -2581,6 +2581,48 @@ object LlmQueries {
         .orderBy("source")
     }),
 
+    // ROUGE-1/2 recall between adjacent docs (a = reference, a+1 =
+    // candidate) — the summarization/eval overlap metric as a corpus
+    // query: clipped n-gram counts Σ min(c_ref, c_cand) over the
+    // per-doc gram count frames, divided by the reference total.
+    // Integer algebra until the two final ratios (r4); pairs with no
+    // overlapping grams survive via left joins (ov = 0), docs too
+    // short for bigrams emit rouge2 = NULL rather than a fake 0. Gram
+    // frames are (doc, gram)-keyed aggregates — the pair join is
+    // gram-co-partitioned, nothing corpus² ever forms.
+    "llm_rouge_overlap" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+      val uni = docs.select(col("doc_id"), explode(col("w")).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      val bi = docs.select(col("doc_id"),
+          explode(Dedup.shingles("w", 2)).as("g"))
+        .groupBy("doc_id", "g").agg(count(lit(1)).as("c"))
+      def tot(g: DataFrame, nm: String) =
+        g.groupBy("doc_id").agg(sum(col("c")).as(nm))
+      def ov(g: DataFrame, nm: String) = g.as("a")
+        .join(g.as("b"), col("b.doc_id") === col("a.doc_id") + 1 &&
+          col("b.g") === col("a.g"))
+        .groupBy(col("a.doc_id").as("doc_id"))
+        .agg(sum(least(col("a.c"), col("b.c"))).as(nm))
+      val ids = docs.select(col("doc_id"))
+      val pairs = ids
+        .join(ids.select((col("doc_id") - 1).as("doc_id")), "doc_id")
+      pairs
+        .join(tot(uni, "tot1"), "doc_id")
+        .join(ov(uni, "ov1"), Seq("doc_id"), "left")
+        .join(tot(bi, "tot2"), Seq("doc_id"), "left")
+        .join(ov(bi, "ov2"), Seq("doc_id"), "left")
+        .select(col("doc_id").as("a_id"), (col("doc_id") + 1).as("b_id"),
+          coalesce(col("ov1"), lit(0L)).as("ov1"), col("tot1"),
+          D.r4s(coalesce(col("ov1"), lit(0L)) / col("tot1")).as("rouge1"),
+          coalesce(col("ov2"), lit(0L)).as("ov2"),
+          coalesce(col("tot2"), lit(0L)).as("tot2"),
+          when(coalesce(col("tot2"), lit(0L)) > 0,
+            D.r4s(coalesce(col("ov2"), lit(0L)) / col("tot2"))).as("rouge2"))
+        .orderBy("a_id")
+    }),
+
     // per-doc n-gram novelty: the fraction of a doc's DISTINCT bigrams
     // appearing nowhere else in the corpus (df = 1) — high novelty is
     // fresh content, low is boilerplate/duplication. One (doc, bigram)
@@ -4770,6 +4812,44 @@ object LlmQueries {
          FROM g ORDER BY source""",
 
     // mirror of llm_ngram_novelty: same distinct bigrams, df=1 recount
+    // mirror of llm_rouge_overlap: same clipped-count algebra, same
+    // left-join zero-fill, same NULL rouge2 for bigram-free references
+    "llm_rouge_overlap" ->
+      s"""WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws
+                     FROM documents),
+          uni AS (SELECT doc_id, g, count(*) AS c
+                  FROM (SELECT doc_id, unnest(ws) AS g FROM w) GROUP BY 1, 2),
+          bi AS (SELECT doc_id, g, count(*) AS c
+                 FROM (SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS g
+                       FROM (SELECT doc_id, ws,
+                               unnest(range(1, len(ws))) AS i FROM w))
+                 GROUP BY 1, 2),
+          t1 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot1
+                 FROM uni GROUP BY 1),
+          t2 AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS tot2
+                 FROM bi GROUP BY 1),
+          o1 AS (SELECT a.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov1
+                 FROM uni a JOIN uni b
+                   ON b.doc_id = a.doc_id + 1 AND b.g = a.g GROUP BY 1),
+          o2 AS (SELECT a.doc_id, CAST(SUM(LEAST(a.c, b.c)) AS BIGINT) AS ov2
+                 FROM bi a JOIN bi b
+                   ON b.doc_id = a.doc_id + 1 AND b.g = a.g GROUP BY 1),
+          pairs AS (SELECT a.doc_id FROM documents a
+                    JOIN documents b ON b.doc_id = a.doc_id + 1)
+          SELECT p.doc_id AS a_id, p.doc_id + 1 AS b_id,
+                 COALESCE(o1.ov1, 0) AS ov1, t1.tot1,
+                 ${D.oR4("COALESCE(o1.ov1, 0) / t1.tot1")} AS rouge1,
+                 COALESCE(o2.ov2, 0) AS ov2,
+                 COALESCE(t2.tot2, 0) AS tot2,
+                 CASE WHEN COALESCE(t2.tot2, 0) > 0
+                      THEN ${D.oR4("COALESCE(o2.ov2, 0) / t2.tot2")} END
+                   AS rouge2
+          FROM pairs p JOIN t1 ON t1.doc_id = p.doc_id
+          LEFT JOIN t2 ON t2.doc_id = p.doc_id
+          LEFT JOIN o1 ON o1.doc_id = p.doc_id
+          LEFT JOIN o2 ON o2.doc_id = p.doc_id
+          ORDER BY a_id""",
+
     "llm_ngram_novelty" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
          i AS (SELECT doc_id, toks, unnest(range(1, len(toks))) AS k FROM t

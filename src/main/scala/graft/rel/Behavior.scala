@@ -591,6 +591,34 @@ object Behavior {
         .orderBy("day")
     }),
 
+    // Gini coefficient of per-user activity, per event type — the
+    // engagement-concentration scalar next to the Zipf exponent
+    // (zipf fits the tail's shape; Gini summarizes the whole
+    // inequality in [0,1]). Classic sorted-cumulative identity
+    // G = 2·Σᵢ i·xᵢ / (n·Σx) − (n+1)/n over counts ranked ascending
+    // (user_id tie-break): one user-level aggregate, one rank window
+    // over the REDUCED frame, integer sums until the final two-term
+    // double expression (multiplications cast to double first — the
+    // n·Σx product overflows int64 at planetary scale). One r4.
+    "evt_gini_activity" -> ((s, dir) => {
+      val per = Tables.events(s, dir)
+        .groupBy("event_type", "user_id").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("event_type")
+        .orderBy(col("cnt"), col("user_id"))
+      per.withColumn("i", row_number().over(w))
+        .groupBy("event_type").agg(
+          count(lit(1)).as("n_users"),
+          sum(col("cnt")).as("total"),
+          sum(col("i").cast("long") * col("cnt")).as("iwsum"))
+        .select(col("event_type"), col("n_users"), col("total"),
+          graft.core.D.r4s(
+            lit(2.0) * col("iwsum")
+              / (col("n_users").cast("double") * col("total").cast("double"))
+            - (col("n_users") + 1).cast("double") / col("n_users").cast("double"))
+            .as("gini"))
+        .orderBy("event_type")
+    }),
+
     // Zipf/power-law fit of the user-activity distribution: OLS of
     // ln(count) on ln(rank) over the activity-ranked user frame — the
     // "how heavy-tailed is my traffic" diagnostic (slope ≈ −s, the
@@ -1112,6 +1140,27 @@ object Behavior {
          SELECT g.d AS day, count(DISTINCT dy.user_id) AS wau
          FROM grid g JOIN days dy ON dy.day BETWEEN g.d - 6 AND g.d
          GROUP BY 1 ORDER BY 1""",
+
+    // mirror of evt_gini_activity: same ascending (cnt, user_id) rank,
+    // same double-cast products in the final expression
+    "evt_gini_activity" ->
+      s"""WITH per AS (SELECT event_type, user_id, count(*) AS cnt
+                       FROM events GROUP BY 1, 2),
+          rk AS (SELECT event_type, cnt,
+                   row_number() OVER (PARTITION BY event_type
+                                      ORDER BY cnt, user_id) AS i
+                 FROM per),
+          ag AS (SELECT event_type,
+                   count(*) AS n_users,
+                   CAST(SUM(cnt) AS BIGINT) AS total,
+                   CAST(SUM(i * cnt) AS BIGINT) AS iwsum
+                 FROM rk GROUP BY 1)
+          SELECT event_type, n_users, total,
+                 ${graft.core.D.oR4(
+                   "2.0 * iwsum / (CAST(n_users AS DOUBLE) * CAST(total AS DOUBLE))" +
+                   " - CAST(n_users + 1 AS DOUBLE) / CAST(n_users AS DOUBLE)")}
+                   AS gini
+          FROM ag ORDER BY event_type""",
 
     // mirror of evt_zipf_fit: same per-term decimal-quantized logs,
     // same OLS derivation (slope expanded textually inside intercept)

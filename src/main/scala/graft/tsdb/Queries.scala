@@ -1003,6 +1003,60 @@ object TsdbQueries {
         Seq("user_id"), lookback = 24, minBuckets = 12, threshold = 2.0)
         .orderBy("user_id", "bucket_ms")),
 
+    // Western Electric SPC run rules over the hourly control chart —
+    // the rules a raw z-score fence can't express because they are RUN
+    // conditions: rule1 = point beyond ±3σ, rule2 = ≥2 of 3
+    // consecutive beyond ±2σ on the SAME side, rule4 = ≥8 consecutive
+    // on one side of the center line. Center/σ from whole-series exact
+    // decimal sufficient stats (the anomaly_zscore formulation); the
+    // run logic is one 3-row window sum plus the gaps-and-islands
+    // row_number pair — all integer flags after the fence compares, so
+    // only the fences themselves ride the (identical) double chain.
+    // One series-partitioned window pass; emitted as per-series rule
+    // violation counts.
+    "tsdb_spc_rules" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val d18 = org.apache.spark.sql.types.DecimalType(18, 4)
+      val ds = Downsample(
+        Tables.events(s, dir).where(col("event_type") === "click"),
+        Seq("user_id"), H, "avg")
+      val st = ds.groupBy("user_id").agg(
+        count(lit(1)).as("n"),
+        sum(D.dec(col("value"))).cast("double").as("sx"),
+        sum(col("value").cast(d18) * col("value").cast(d18))
+          .cast("double").as("sxx"))
+      val n = col("n").cast("double")
+      val varNum = n * col("sxx") - col("sx") * col("sx")
+      val j = ds.join(st, "user_id")
+        .where(col("n") >= 12 && varNum > lit(0.0))
+        .withColumn("center", col("sx") / n)
+        .withColumn("sd", sqrt(varNum / (n * (n - lit(1.0)))))
+      val wAll = Window.partitionBy("user_id").orderBy("bucket_ms")
+      val w3 = wAll.rowsBetween(-2, 0)
+      val flagged = j
+        .withColumn("r1", (col("value") > col("center") + lit(3.0) * col("sd")
+          || col("value") < col("center") - lit(3.0) * col("sd")).cast("int"))
+        .withColumn("a2", (col("value") > col("center") + lit(2.0) * col("sd")).cast("int"))
+        .withColumn("b2", (col("value") < col("center") - lit(2.0) * col("sd")).cast("int"))
+        .withColumn("r2",
+          (sum(col("a2")).over(w3) >= 2 || sum(col("b2")).over(w3) >= 2).cast("int"))
+        .withColumn("sgn", when(col("value") > col("center"), 1)
+          .when(col("value") < col("center"), -1).otherwise(0))
+        .withColumn("isl",
+          row_number().over(wAll) - row_number().over(
+            Window.partitionBy("user_id", "sgn").orderBy("bucket_ms")))
+        .withColumn("runlen", row_number().over(
+          Window.partitionBy(col("user_id"), col("sgn"), col("isl"))
+            .orderBy("bucket_ms")))
+        .withColumn("r4", (col("sgn") =!= 0 && col("runlen") >= 8).cast("int"))
+      flagged.groupBy("user_id").agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("r1")).as("n_rule1"),
+          sum(col("r2")).as("n_rule2"),
+          sum(col("r4")).as("n_rule4"))
+        .orderBy("user_id")
+    }),
+
     // time-weighted average downsample (irregular-sample aware)
     "tsdb_downsample_twa" -> ((s, dir) => {
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
@@ -2540,6 +2594,52 @@ object TsdbQueries {
           WHERE n >= 12 AND n * sxx - sx * sx > 0
             AND abs((value - sx / n) / sqrt((n * sxx - sx * sx) / (n * (n - 1.0)))) >= 2.0
           ORDER BY 1, 2""",
+
+    // mirror of tsdb_spc_rules: identical fences off the same exact
+    // decimal sufficient stats, the same 3-row window and islands pair
+    "tsdb_spc_rules" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          st AS (SELECT user_id, CAST(count(*) AS DOUBLE) AS n,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))
+                          * CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sxx
+                 FROM ds GROUP BY user_id),
+          jx AS (SELECT d.user_id, d.bucket_ms, d.value,
+                   sx / n AS center,
+                   sqrt((n * sxx - sx * sx) / (n * (n - 1.0))) AS sd
+                 FROM ds d JOIN st ON st.user_id = d.user_id
+                 WHERE n >= 12 AND n * sxx - sx * sx > 0.0),
+          fl AS (SELECT user_id, bucket_ms,
+                   CASE WHEN value > center + 3.0 * sd
+                          OR value < center - 3.0 * sd THEN 1 ELSE 0 END AS r1,
+                   CASE WHEN value > center + 2.0 * sd THEN 1 ELSE 0 END AS a2,
+                   CASE WHEN value < center - 2.0 * sd THEN 1 ELSE 0 END AS b2,
+                   CASE WHEN value > center THEN 1
+                        WHEN value < center THEN -1 ELSE 0 END AS sgn
+                 FROM jx),
+          w3 AS (SELECT user_id, bucket_ms, r1, sgn,
+                   CASE WHEN SUM(a2) OVER w >= 2 OR SUM(b2) OVER w >= 2
+                        THEN 1 ELSE 0 END AS r2,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY bucket_ms)
+                   - row_number() OVER (PARTITION BY user_id, sgn
+                                        ORDER BY bucket_ms) AS isl
+                 FROM fl
+                 WINDOW w AS (PARTITION BY user_id ORDER BY bucket_ms
+                              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)),
+          rn AS (SELECT user_id, bucket_ms, r1, r2, sgn,
+                   row_number() OVER (PARTITION BY user_id, sgn, isl
+                                      ORDER BY bucket_ms) AS runlen
+                 FROM w3)
+          SELECT user_id, count(*) AS n_buckets,
+                 CAST(SUM(r1) AS BIGINT) AS n_rule1,
+                 CAST(SUM(r2) AS BIGINT) AS n_rule2,
+                 CAST(SUM(CASE WHEN sgn <> 0 AND runlen >= 8
+                               THEN 1 ELSE 0 END) AS BIGINT) AS n_rule4
+          FROM rn GROUP BY user_id ORDER BY user_id""",
 
     "tsdb_downsample_twa" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000000 AS ts_ms, value
