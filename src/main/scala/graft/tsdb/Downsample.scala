@@ -195,20 +195,36 @@ object Downsample {
     * Emits (seriesCols..., bucket_ms, ewma 4dp). */
   def ewma(downsampled: DataFrame, seriesCols: Seq[String],
            alpha: Double): DataFrame = {
-    val a = lit(alpha)
-    val b = lit(1.0 - alpha)
-    val arr = downsampled.groupBy(seriesCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
-        .as("pts"))
-    val vals = transform(col("pts"), p => p.getField("value"))
-    val folded = transform(col("pts"), (p, i) =>
-      struct(p.getField("bucket_ms").as("bucket_ms"),
-        graft.core.D.r4s(aggregate(
-          slice(vals, lit(2), i), element_at(vals, lit(1)),
-          (acc, x) => a * x + b * acc)).as("ewma")))
-    arr.select(seriesCols.map(col) :+ explode(folded).as("e"): _*)
-      .select(seriesCols.map(col) :+ col("e.bucket_ms").as("bucket_ms") :+
-        col("e.ewma").as("ewma"): _*)
+    // O(n) typed scan per series (r12): the r11 form recomputed the
+    // fold per PREFIX (transform × aggregate-over-slice) — O(n²) in
+    // per-series buckets, fine on a 30-day fixture grid, wrong on a
+    // multi-year one. Same raw double chain (a·x + (1−α)·acc, seeded
+    // with the first value), same (bucket_ms, value) sort order, same
+    // 4dp emission-only quantization via the byte-identical D.r4d —
+    // the hash oracle (per-prefix list_reduce on the DuckDB side) is
+    // unchanged. The generic series key rides through the typed fold
+    // as one JSON string and is unpacked with its original schema.
+    val s = downsampled.sparkSession
+    import s.implicits._
+    val keySchema = org.apache.spark.sql.types.StructType(
+      seriesCols.map(c => downsampled.schema(c)))
+    val packed = downsampled.select(
+      to_json(struct(seriesCols.map(col): _*)).as("k"),
+      col("bucket_ms"), col("value")).as[(String, Long, Double)]
+    val beta = 1.0 - alpha
+    val out = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val pts = it.toArray.sortBy(p => (p._2, p._3))
+      var acc = 0.0
+      var first = true
+      pts.iterator.map { case (_, b, v) =>
+        acc = if (first) { first = false; v } else alpha * v + beta * acc
+        (k, b, graft.core.D.r4d(acc))
+      }
+    }.toDF("k", "bucket_ms", "ewma")
+    out.select(from_json(col("k"), keySchema).as("ks") +:
+        col("bucket_ms") +: col("ewma") +: Nil: _*)
+      .select(seriesCols.map(c => col(s"ks.$c").as(c)) :+
+        col("bucket_ms") :+ col("ewma"): _*)
   }
 
   /** Last-observation-carried-forward gap fill over the null-filled

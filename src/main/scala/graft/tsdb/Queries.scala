@@ -741,29 +741,28 @@ object TsdbQueries {
     // chains on both engines, r4 only at emission); state is 3 scalars
     // per series regardless of length.
     "tsdb_kalman" -> ((s, dir) => {
+      import s.implicits._
       val ev = Tables.events(s, dir).where(col("event_type") === "click")
       val ds = Downsample(ev, Seq("user_id"), Day, "avg")
-      val arr = ds.groupBy("user_id")
-        .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
-          .as("pts"))
-      val vals = transform(col("pts"), p => p.getField("value"))
-      val folded = transform(col("pts"), (p, i) =>
-        struct(p.getField("bucket_ms").as("bucket_ms"),
-          aggregate(
-            slice(vals, lit(2), i),
-            struct(element_at(vals, lit(1)).as("x"), lit(1.0).as("p"),
-              lit(0.0).as("k")),
-            (acc, v) => {
-              val pp = acc.getField("p") + lit(1.0)
-              val k = pp / (pp + lit(4.0))
-              struct((acc.getField("x") + k * (v - acc.getField("x"))).as("x"),
-                ((lit(1.0) - k) * pp).as("p"), k.as("k"))
-            },
-            acc => struct(D.r4s(acc.getField("x")).as("x"),
-              D.r4s(acc.getField("k")).as("k"))).as("st")))
-      arr.select(col("user_id"), explode(folded).as("e"))
-        .select(col("user_id"), col("e.bucket_ms").as("bucket_ms"),
-          col("e.st.x").as("level"), col("e.st.k").as("gain"))
+        .select(col("user_id"), col("bucket_ms"), col("value"))
+        .as[(Long, Long, Double)]
+      // O(n) typed scan (r12; was the per-prefix O(n²) fold) — same
+      // raw (x, p, k) double chain, 4dp only at emission via D.r4d
+      ds.groupByKey(_._1).flatMapGroups { (uid, it) =>
+        val pts = it.toArray.sortBy(p => (p._2, p._3))
+        var x = 0.0; var p = 1.0; var k = 0.0
+        var first = true
+        pts.iterator.map { case (_, bkt, v) =>
+          if (first) { first = false; x = v; p = 1.0; k = 0.0 }
+          else {
+            val pp = p + 1.0
+            k = pp / (pp + 4.0)
+            x = x + k * (v - x)
+            p = (1.0 - k) * pp
+          }
+          (uid, bkt, D.r4d(x), D.r4d(k))
+        }
+      }.toDF("user_id", "bucket_ms", "level", "gain")
         .orderBy("user_id", "bucket_ms")
     }),
 

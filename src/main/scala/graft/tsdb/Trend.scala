@@ -99,27 +99,38 @@ object Trend {
     * points. */
   def holt(downsampled: DataFrame, seriesCols: Seq[String],
            alpha: Double, beta: Double): DataFrame = {
-    val a = lit(alpha); val a1 = lit(1.0 - alpha)
-    val bb = lit(beta); val b1 = lit(1.0 - beta)
-    val arr = downsampled.groupBy(seriesCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
-        .as("pts"))
-    val vals = transform(col("pts"), p => p.getField("value"))
-    def lNew(acc: Column, x: Column) =
-      a * x + a1 * (acc.getField("l") + acc.getField("b"))
-    val folded = transform(col("pts"), (p, i) =>
-      struct(p.getField("bucket_ms").as("bucket_ms"),
-        aggregate(
-          slice(vals, lit(2), i),
-          struct(element_at(vals, lit(1)).as("l"), lit(0.0).as("b")),
-          (acc, x) => struct(
-            lNew(acc, x).as("l"),
-            (bb * (lNew(acc, x) - acc.getField("l")) + b1 * acc.getField("b")).as("b")),
-          acc => struct(graft.core.D.r4s(acc.getField("l")).as("l"),
-            graft.core.D.r4s(acc.getField("b")).as("b"))).as("st")))
-    arr.select(seriesCols.map(col) :+ explode(folded).as("e"): _*)
-      .select(seriesCols.map(col) ++ Seq(col("e.bucket_ms").as("bucket_ms"),
-        col("e.st.l").as("level"), col("e.st.b").as("trend")): _*)
+    // O(n) typed scan per series (r12; the Downsample.ewma rewrite's
+    // twin — the r11 per-prefix transform × aggregate-over-slice was
+    // O(n²) in per-series buckets). Same raw (l, b) double chain —
+    // lNew = αx + (1−α)(l+b), bNew = β(lNew−l) + (1−β)b, seeded
+    // (v₁, 0) — same sort order, 4dp only at emission (D.r4d); the
+    // per-prefix list_reduce oracle text is unchanged.
+    val s = downsampled.sparkSession
+    import s.implicits._
+    val keySchema = org.apache.spark.sql.types.StructType(
+      seriesCols.map(c => downsampled.schema(c)))
+    val packed = downsampled.select(
+      to_json(struct(seriesCols.map(col): _*)).as("k"),
+      col("bucket_ms"), col("value")).as[(String, Long, Double)]
+    val a1 = 1.0 - alpha; val b1 = 1.0 - beta
+    val out = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val pts = it.toArray.sortBy(p => (p._2, p._3))
+      var l = 0.0; var b = 0.0
+      var first = true
+      pts.iterator.map { case (_, bkt, v) =>
+        if (first) { first = false; l = v; b = 0.0 }
+        else {
+          val lNew = alpha * v + a1 * (l + b)
+          b = beta * (lNew - l) + b1 * b
+          l = lNew
+        }
+        (k, bkt, graft.core.D.r4d(l), graft.core.D.r4d(b))
+      }
+    }.toDF("k", "bucket_ms", "level", "trend")
+    out.select(from_json(col("k"), keySchema).as("ks") +:
+        col("bucket_ms") +: col("level") +: col("trend") +: Nil: _*)
+      .select(seriesCols.map(c => col(s"ks.$c").as(c)) ++
+        Seq(col("bucket_ms"), col("level"), col("trend")): _*)
   }
 
   /** Largest-Triangle-Three-Buckets downsampling (Steinarsson 2013) —
