@@ -235,39 +235,40 @@ object Trend {
     * Per-prefix O(n²) like ewma over the (bounded) downsample grid. */
   def holtWinters(downsampled: DataFrame, seriesCols: Seq[String],
                   period: Int = 7): DataFrame = {
-    val arr = downsampled.groupBy(seriesCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
-        .as("pts"))
-    val zip = transform(col("pts"), (p, k) =>
-      array(p.getField("value"), pmod(k, lit(period)).cast("double")))
-    val init = array_repeat(lit(0.0), period + 3)
-    val folded = transform(col("pts"), (p, i) =>
-      struct(p.getField("bucket_ms").as("bucket_ms"),
-        aggregate(slice(zip, lit(1), i + lit(1)), init,
-          (acc, e) => {
-            val x = element_at(e, 1)
-            val j = element_at(e, 2)
-            val l = element_at(acc, 1)
-            val b = element_at(acc, 2)
-            val sj = element_at(acc, (lit(4.0) + j).cast("int"))
-            val lN = lit(0.5) * (x - sj) + lit(0.5) * (l + b)
-            concat(
-              array(lN,
-                lit(0.5) * (lN - l) + lit(0.5) * b,
-                l + b + sj),
-              transform(sequence(lit(0), lit(period - 1)), k =>
-                when(k.cast("double") === j,
-                  lit(0.5) * (x - lN) + lit(0.5) * sj)
-                  .otherwise(element_at(acc, (lit(4) + k).cast("int")))))
-          },
-          acc => struct(
-            D.r4s(element_at(acc, 1)).as("level"),
-            D.r4s(element_at(acc, 2)).as("trend"),
-            D.r4s(element_at(acc, 3)).as("fitted"))).as("st")))
-    arr.select(seriesCols.map(col) :+ explode(folded).as("e"): _*)
-      .select(seriesCols.map(col) ++ Seq(
-        col("e.bucket_ms").as("bucket_ms"), col("e.st.level").as("level"),
-        col("e.st.trend").as("trend"), col("e.st.fitted").as("fitted")): _*)
+    // O(n·period) typed scan per series (r12; the per-prefix HOF fold
+    // re-ran the whole (period+3)-slot recurrence per output row —
+    // O(n²·period)). Same zero-seeded chain — the FIRST point goes
+    // through the merge like every other (unlike ewma/holt's
+    // value-seed) — same additive-seasonal updates, 4dp only at
+    // emission (D.r4d); oracle text unchanged.
+    val s = downsampled.sparkSession
+    import s.implicits._
+    val keySchema = org.apache.spark.sql.types.StructType(
+      seriesCols.map(c => downsampled.schema(c)))
+    val packed = downsampled.select(
+      to_json(struct(seriesCols.map(col): _*)).as("k"),
+      col("bucket_ms"), col("value")).as[(String, Long, Double)]
+    val out = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val pts = it.toArray.sortBy(p => (p._2, p._3))
+      val season = new Array[Double](period) // zeros, like the HOF init
+      var l = 0.0; var b = 0.0
+      var idx = 0
+      pts.iterator.map { case (_, bkt, x) =>
+        val j = idx % period
+        val sj = season(j)
+        val lN = 0.5 * (x - sj) + 0.5 * (l + b)
+        val bN = 0.5 * (lN - l) + 0.5 * b
+        val fit = l + b + sj
+        season(j) = 0.5 * (x - lN) + 0.5 * sj
+        l = lN; b = bN
+        idx += 1
+        (k, bkt, D.r4d(l), D.r4d(b), D.r4d(fit))
+      }
+    }.toDF("k", "bucket_ms", "level", "trend", "fitted")
+    out.select(from_json(col("k"), keySchema).as("ks") +: col("bucket_ms") +:
+        col("level") +: col("trend") +: col("fitted") +: Nil: _*)
+      .select(seriesCols.map(c => col(s"ks.$c").as(c)) ++ Seq(
+        col("bucket_ms"), col("level"), col("trend"), col("fitted")): _*)
   }
 
   /** One-sided CUSUM drift detector per series (Page's cumulative-sum
@@ -284,24 +285,35 @@ object Trend {
     * in each series' bucket count like ewma — grid-sized, never raw
     * points. */
   def cusum(downsampled: DataFrame, seriesCols: Seq[String]): DataFrame = {
-    val arr = downsampled.groupBy(seriesCols.map(col): _*)
-      .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
-        .as("pts"),
-        D.r4s(sum(D.dec(col("value"))).cast("double") / count(lit(1)))
-          .as("mu"))
-    val vals = transform(col("pts"), p => p.getField("value"))
-    val folded = transform(col("pts"), (p, i) =>
-      struct(p.getField("bucket_ms").as("bucket_ms"),
-        D.r4s(aggregate(
-          // transform's index is 0-based: prefix length i+1
-          slice(vals, lit(1), i + lit(1)), lit(0.0),
-          (acc, x) => greatest(
-            acc + x - col("mu") - col("mu") * lit(0.25), lit(0.0))))
-          .as("cusum")))
-    arr.select(seriesCols.map(col) ++ Seq(col("mu"), explode(folded).as("e")): _*)
-      .select(seriesCols.map(col) ++ Seq(
-        col("e.bucket_ms").as("bucket_ms"), col("e.cusum").as("cusum"),
-        when(col("e.cusum") > col("mu"), 1).otherwise(0).as("alarm")): _*)
+    // O(n) typed scan per series (r12; was per-prefix O(n²)). μ stays
+    // a COLUMN computation (exact decimal window sum / count, r4) so
+    // its cross-engine semantics are untouched; it rides into the fold
+    // as a per-row constant. Same zero-seeded max(0, acc+x−μ−μ/4)
+    // chain, r4 only at emission; oracle text unchanged.
+    val s = downsampled.sparkSession
+    import s.implicits._
+    val wAll = Window.partitionBy(seriesCols.map(col): _*)
+    val keySchema = org.apache.spark.sql.types.StructType(
+      seriesCols.map(c => downsampled.schema(c)))
+    val packed = downsampled
+      .withColumn("mu", D.r4s(sum(D.dec(col("value"))).over(wAll)
+        .cast("double") / count(lit(1)).over(wAll)))
+      .select(to_json(struct(seriesCols.map(col): _*)).as("k"),
+        col("bucket_ms"), col("value"), col("mu"))
+      .as[(String, Long, Double, Double)]
+    val out = packed.groupByKey(_._1).flatMapGroups { (k, it) =>
+      val pts = it.toArray.sortBy(p => (p._2, p._3))
+      val mu = pts.head._4
+      var acc = 0.0
+      pts.iterator.map { case (_, bkt, v, _) =>
+        acc = math.max(acc + v - mu - mu * 0.25, 0.0)
+        (k, bkt, D.r4d(acc), if (D.r4d(acc) > mu) 1 else 0)
+      }
+    }.toDF("k", "bucket_ms", "cusum", "alarm")
+    out.select(from_json(col("k"), keySchema).as("ks") +: col("bucket_ms") +:
+        col("cusum") +: col("alarm") +: Nil: _*)
+      .select(seriesCols.map(c => col(s"ks.$c").as(c)) ++ Seq(
+        col("bucket_ms"), col("cusum"), col("alarm")): _*)
   }
 
   /** Largest level shift per series (two-segment changepoint): the
