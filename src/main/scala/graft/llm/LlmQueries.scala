@@ -1632,6 +1632,33 @@ object LlmQueries {
         .orderBy("doc_id", "rk")
     }),
 
+    // Flesch-style readability per doc — the classic quality-scoring
+    // companion to llm_quality_score's ratio heuristics: reading ease
+    // = 206.835 − 1.015·(words/sentences) − 84.6·(syllables/words),
+    // with the standard corpus-scale proxies (sentences = runs of
+    // [.!?], min 1; syllables = vowel-group count, the textbook
+    // approximation). Three regexp counts per row (map-only, codegen)
+    // then one guarded double expression, r4 at emission. Short docs
+    // with zero words emit NULL rather than a fake score.
+    "llm_readability" -> ((s, dir) =>
+      Tables.documents(s, dir)
+        .select(col("doc_id"),
+          size(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)"))
+            .cast("long").as("n_words"),
+          greatest(lit(1L),
+            size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long"))
+            .as("n_sentences"),
+          size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+            .cast("long").as("n_syllables"))
+        .select(col("doc_id"), col("n_words"), col("n_sentences"),
+          col("n_syllables"),
+          when(col("n_words") > 0, D.r4s(
+            lit(206.835)
+              - lit(1.015) * (col("n_words") / col("n_sentences"))
+              - lit(84.6) * (col("n_syllables") / col("n_words"))))
+            .as("flesch"))
+        .orderBy("doc_id")),
+
     "llm_char_entropy" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val cc = Tables.documents(s, dir)
@@ -4498,6 +4525,25 @@ object LlmQueries {
             ROUND((CAST(stops AS DOUBLE) / n_words) * 10000.0, 0) / 10000.0 + 0.0 AS stop_ratio,
             ROUND(($QualitySqlExpr) * 10000.0, 0) / 10000.0 + 0.0 AS quality
          FROM b ORDER BY doc_id""",
+
+    // mirror of llm_readability: same three regexp counts (character
+    // classes only — identical semantics across regex engines), same
+    // guarded formula
+    "llm_readability" ->
+      s"""WITH c AS (SELECT doc_id,
+              CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT)
+                AS n_words,
+              GREATEST(CAST(1 AS BIGINT),
+                CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+                AS n_sentences,
+              CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT)
+                AS n_syllables
+            FROM documents)
+          SELECT doc_id, n_words, n_sentences, n_syllables,
+                 CASE WHEN n_words > 0 THEN ${D.oR4(
+                   "206.835 - 1.015 * (n_words / n_sentences)" +
+                   " - 84.6 * (n_syllables / n_words)")} END AS flesch
+          FROM c ORDER BY doc_id""",
 
     "llm_token_count" ->
       """SELECT doc_id,

@@ -643,6 +643,43 @@ object TsdbQueries {
         .orderBy("user_id", "lag_d")
     }),
 
+    // AR(1) one-step forecast per series — the autoregressive model
+    // next to the OLS-on-time fit (tsdb_forecast_linear regresses on
+    // the clock; this regresses on the series' own previous value, the
+    // right model for mean-reverting gauges): φ and intercept from
+    // exact decimal sufficient stats over the (x_{t−1}, x_t) lag
+    // pairs, both 4dp-quantized BEFORE the forecast so the emitted
+    // chain is r4(c + φ·last). One lag window + one series-sized
+    // aggregate; degenerate series (n<8 or zero lag variance) are
+    // suppressed like tsdb_autocorr's cuts.
+    "tsdb_ar1_forecast" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("bucket_ms")
+      val ds = Downsample(
+        Tables.events(s, dir).where(col("event_type") === "click"),
+        Seq("user_id"), Day, "avg")
+      val pairs = ds.withColumn("xl", lag(col("value"), 1).over(w))
+        .where(col("xl").isNotNull)
+      val stats = pairs.groupBy("user_id").agg(
+        count(lit(1)).as("n_pairs"),
+        sum(D.dec(col("xl"))).cast("double").as("sx"),
+        sum(D.dec(col("value"))).cast("double").as("sy"),
+        sum(D.dec(col("xl") * col("xl"))).cast("double").as("sxx"),
+        sum(D.dec(col("xl") * col("value"))).cast("double").as("sxy"),
+        max(struct(col("bucket_ms"), col("value")))
+          .getField("value").as("last_v"))
+      val n = col("n_pairs").cast("double")
+      val den = n * col("sxx") - col("sx") * col("sx")
+      stats.where(col("n_pairs") >= 8 && den > lit(0.0))
+        .withColumn("phi",
+          D.r4s((n * col("sxy") - col("sx") * col("sy")) / den))
+        .withColumn("c", D.r4s((col("sy") - col("phi") * col("sx")) / n))
+        .select(col("user_id"), col("n_pairs"), col("phi"), col("c"),
+          col("last_v"),
+          D.r4s(col("c") + col("phi") * col("last_v")).as("forecast"))
+        .orderBy("user_id")
+    }),
+
     // Dominant-period detection: the autocorr machinery swept over
     // lags 1–7d, then one per-series arg-max (max r, ties to the
     // shorter lag) — "does this series have a daily/weekly rhythm,
@@ -2323,6 +2360,38 @@ object TsdbQueries {
     // mirror of tsdb_kalman: same prefix fold over [v, p, k] triples
     // (first element carries the P=1, K=0 init), identical step
     // arithmetic so the double chain is bit-equal, r4 at emission
+    // mirror of tsdb_ar1_forecast: identical decimal sufficient stats
+    // over the lag pairs, φ and c quantized before the forecast
+    "tsdb_ar1_forecast" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          l AS (SELECT user_id, bucket_ms, value,
+                  lag(value) OVER (PARTITION BY user_id
+                                   ORDER BY bucket_ms) AS xl
+                FROM ds),
+          p AS (SELECT * FROM l WHERE xl IS NOT NULL),
+          st AS (SELECT user_id, count(*) AS n_pairs,
+                   CAST(SUM(CAST(xl AS DECIMAL(18,4))) AS DOUBLE) AS sx,
+                   CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sy,
+                   CAST(SUM(CAST(xl * xl AS DECIMAL(18,4))) AS DOUBLE) AS sxx,
+                   CAST(SUM(CAST(xl * value AS DECIMAL(18,4))) AS DOUBLE) AS sxy,
+                   arg_max(value, bucket_ms) AS last_v
+                 FROM p GROUP BY 1),
+          f AS (SELECT user_id, n_pairs, sx, sy, last_v,
+                  ${D.oR4("(CAST(n_pairs AS DOUBLE) * sxy - sx * sy)" +
+                    " / (CAST(n_pairs AS DOUBLE) * sxx - sx * sx)")} AS phi
+                FROM st
+                WHERE n_pairs >= 8
+                  AND CAST(n_pairs AS DOUBLE) * sxx - sx * sx > 0.0),
+          g AS (SELECT user_id, n_pairs, phi, last_v,
+                  ${D.oR4("(sy - phi * sx) / CAST(n_pairs AS DOUBLE)")} AS c
+                FROM f)
+          SELECT user_id, n_pairs, phi, c, last_v,
+                 ${D.oR4("c + phi * last_v")} AS forecast
+          FROM g ORDER BY user_id""",
+
     // mirror of tsdb_dtw: the identical DP replayed via nested
     // list_reduce — outer fold over b's values with the DP column as
     // the prepended init element, inner fold building each new column
