@@ -18,6 +18,32 @@ import org.apache.spark.sql.types.DecimalType
   */
 object Correlate {
 
+  /** Raw (unquantized) dynamic-time-warping distance between two value
+    * sequences — full O(n·m) DP, O(n) row state, |·| step cost, the
+    * standard (↑, ←, ↖) recurrence. Shared by tsdb_dtw's typed scan
+    * and its spec (identity/symmetry/hand-example properties); the
+    * DuckDB oracle replays the same chain via nested list_reduce.
+    * Empty inputs return +∞ (no warping path exists). */
+  def dtwDistance(av: Array[Double], bv: Array[Double]): Double = {
+    val n = av.length
+    var prev = Array.fill(n + 1)(Double.PositiveInfinity)
+    prev(0) = 0.0
+    var j = 0
+    while (j < bv.length) {
+      val nw = new Array[Double](n + 1)
+      nw(0) = Double.PositiveInfinity
+      var i = 1
+      while (i <= n) {
+        nw(i) = math.abs(av(i - 1) - bv(j)) +
+          math.min(nw(i - 1), math.min(prev(i), prev(i - 1)))
+        i += 1
+      }
+      prev = nw
+      j += 1
+    }
+    prev(n)
+  }
+
   /** Lead/lag discovery: for each candidate series pair, the LAG (in
     * grid steps, −maxLag..+maxLag) whose shifted alignment maximizes
     * Pearson r — "does A lead B, and by how much". The B side is

@@ -748,23 +748,8 @@ object TsdbQueries {
         .as[(Long, Long, Seq[Double], Seq[Double])]
       pairs.mapPartitions(_.map { case (aId, bId, avS, bvS) =>
         val av = avS.toArray; val bv = bvS.toArray
-        val n = av.length
-        var prev = Array.fill(n + 1)(Double.PositiveInfinity)
-        prev(0) = 0.0
-        var j = 0
-        while (j < bv.length) {
-          val nw = new Array[Double](n + 1)
-          nw(0) = Double.PositiveInfinity
-          var i = 1
-          while (i <= n) {
-            nw(i) = math.abs(av(i - 1) - bv(j)) +
-              math.min(nw(i - 1), math.min(prev(i), prev(i - 1)))
-            i += 1
-          }
-          prev = nw
-          j += 1
-        }
-        (aId, bId, n.toLong, bv.length.toLong, graft.core.D.r4d(prev(n)))
+        (aId, bId, av.length.toLong, bv.length.toLong,
+          graft.core.D.r4d(Correlate.dtwDistance(av, bv)))
       }).toDF("a_id", "b_id", "n_a", "n_b", "dtw")
         .orderBy("a_id")
     }),

@@ -451,4 +451,26 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined,
       s"shingle co-occurrence must be an equi join on sh:\n$p")
   }
+
+  test("r12 additions keep equi-join/window shapes: rouge, clustering coeff, spc, gini") {
+    // ROUGE: gram joins must be equi joins on (doc_id+1, g), never a product
+    val pr = plan("llm_rouge_overlap")
+    assert(!pr.contains("CartesianProduct") &&
+      !pr.contains("BroadcastNestedLoopJoin"),
+      s"rouge gram join degenerated to a product:\n$pr")
+    // clustering coefficient reuses the broadcast-adjacency shape
+    val pc = plan("graph_clustering_coeff")
+    assert(!pc.contains("CartesianProduct"), s"cc must never cross:\n$pc")
+    assert(pc.contains("BroadcastHashJoin"),
+      s"adjacency must broadcast at fixture scale:\n$pc")
+    // SPC rules: run logic is windows over one series partitioning, no joins
+    // beyond the stats join; no product
+    val ps = plan("tsdb_spc_rules")
+    assert(!ps.contains("CartesianProduct") &&
+      !ps.contains("BroadcastNestedLoopJoin"), s"spc must stay equi:\n$ps")
+    assert(ps.contains("Window"), s"run rules must be window passes:\n$ps")
+    // Gini: one rank window over the reduced user frame + partial agg
+    val pg = plan("evt_gini_activity")
+    assert(pg.contains("Window") && !pg.contains("CartesianProduct"))
+  }
 }

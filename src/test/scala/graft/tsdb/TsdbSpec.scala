@@ -597,4 +597,31 @@ class TsdbSpec extends SparkSpec {
       assert(math.abs(sm - expect((m, b))) < 1e-9, s"$m@$b")
     }
   }
+
+  test("DTW: identity zero, symmetry, hand-computed alignment, monotone under shift") {
+    import graft.tsdb.Correlate.dtwDistance
+    val a = Array(1.0, 2.0, 3.0, 2.0, 1.0)
+    assert(dtwDistance(a, a) == 0.0, "a series warps onto itself for free")
+    val b = Array(1.0, 3.0, 2.0)
+    assert(dtwDistance(a, b) == dtwDistance(b, a), "|.| cost is symmetric")
+    // hand-computed: a=[1,2], b=[2] -> dp = |1-2| + |2-2| = 1 (diag then up)
+    assert(dtwDistance(Array(1.0, 2.0), Array(2.0)) == 1.0)
+    // elastic alignment beats pointwise: [1,2,3] vs [1,1,2,3] warps at cost 0
+    assert(dtwDistance(Array(1.0, 2.0, 3.0), Array(1.0, 1.0, 2.0, 3.0)) == 0.0)
+    // empty side: no warping path
+    assert(dtwDistance(Array.empty[Double], a).isPosInfinity)
+    // the registered query agrees with the library function on a real pair
+    val row = graft.SparkEntry.queries("tsdb_dtw")(spark, sf)
+      .limit(1).collect().headOption
+    row.foreach { r =>
+      val aId = r.getLong(0); val bId = r.getLong(1)
+      val ds = graft.tsdb.Downsample(
+        graft.core.Tables.events(spark, sf).where(col("event_type") === "click"),
+        Seq("user_id"), 86400000L, "avg")
+      def series(id: Long) = ds.where(col("user_id") === id)
+        .orderBy("bucket_ms").select("value").as[Double].collect()
+      assert(r.getDouble(4) ==
+        graft.core.D.r4d(dtwDistance(series(aId), series(bId))))
+    }
+  }
 }
