@@ -22,7 +22,10 @@ object Bench {
     "graph_kcore",
     // the four r11 unexplained-2× queries stay itemized until attributed
     "llm_chunk_overlap", "join_interval_overlap", "tsdb_query_capped",
-    "tsdb_holt_winters")
+    "tsdb_holt_winters",
+    // r12 lifecycle-priced additions (stream-grown indexes build inside
+    // their timed runs, the series_catalog_roundtrip precedent)
+    "stream_band_index_growth", "stream_ivf_index_growth")
 
   /** Every run writes the FULL per-query timing table here (one
     * `name\tseconds[\tFAILED]` row per query) — the judge-readable

@@ -1987,6 +1987,32 @@ object LlmQueries {
     // swap), then probed as one corpus. Per-term df derives at probe
     // time and the stats sums combine exactly, so append ≡ rebuild —
     // the oracle is the whole-corpus indexed formulation verbatim.
+    // §2.I stream_text_index_growth (r12) — completes the stream-grown
+    // index trio (band r12, IVF r12, text here): the inverted text
+    // index grows from a DOCUMENT STREAM in three micro-batches
+    // (Ingest.maintainTextIndex's exactly-once foreachBatch sink over
+    // an empty bucket-pinned base; per-batch integer-exact corpus
+    // stats land in the same atomic swap as the postings), then the
+    // standard stored-index BM25 probe runs against it — the SAME
+    // whole-corpus oracle as llm_bm25_indexed, so a lost/duplicated
+    // batch or stats/postings skew breaks the hash here.
+    "stream_text_index_growth" -> ((s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val root = growRoot(dir, "text_grow")
+      val idx = s"$root/idx"
+      val fp = s"${Retrieval.TextLayoutVersion}|grow|b=16|streamed=all" +
+        s"|${contentTag(docs, s"docs|$dir")}"
+      if (!growCurrent(root, fp)) wipeAndGrow(root, fp) {
+        val src = s"$root/src"
+        docs.repartition(3).write.parquet(src)
+        graft.stream.Ingest.maintainTextIndex(s,
+          s.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1).parquet(src),
+          idx, s"$root/cp")
+      }
+      Retrieval.bm25TopKStored(s, idx, Bm25Terms, 10)
+    }),
+
     "llm_bm25_appended" -> ((s, dir) => {
       val docs = Tables.documents(s, dir)
       val path = textAppendPath(dir)
@@ -3303,6 +3329,10 @@ object LlmQueries {
     // indexed formulation; matching it proves batch boundaries and the
     // delta union change nothing
     "llm_bm25_appended" -> bm25IndexedOracle("TRUE"),
+
+    // stream-grown text index serves the whole corpus — same oracle as
+    // the batch-built stored index
+    "stream_text_index_growth" -> bm25IndexedOracle("TRUE"),
 
     // takedown mirror: df + candidates over the live slice, corpus
     // stats still whole-corpus (bounded staleness until compaction)
