@@ -317,7 +317,7 @@ object Dedup {
     // of a join+count against the previous round (decimal: a BIGINT sum
     // over corpus-scale ids would wrap)
     def labelSum(df: DataFrame): java.math.BigDecimal =
-      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+      Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head().getDecimal(0))
         .getOrElse(java.math.BigDecimal.ZERO) // empty input: sum is NULL
     // the fused init IS a completed round, so its sum seeds the
     // convergence compare: a diameter-1 graph (dup pairs around one

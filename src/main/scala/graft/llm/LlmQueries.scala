@@ -65,7 +65,7 @@ object LlmQueries {
   private[llm] def contentTag(df: org.apache.spark.sql.DataFrame,
                               cacheKey: String): String =
     tagCache.computeIfAbsent(cacheKey, _ => {
-      val r = df.select(xxhash64(struct(df.columns.map(col): _*)).as("h"))
+      val r = df.select(xxhash64(struct(df.columns.toIndexedSeq.map(col): _*)).as("h"))
         .agg(count(lit(1)), expr("bit_xor(h)")).head()
       s"n=${r.getLong(0)},x=${if (r.isNullAt(1)) 0L else r.getLong(1)}"
     })

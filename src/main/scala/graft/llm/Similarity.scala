@@ -685,7 +685,7 @@ object Similarity {
     val perSub = pqCodebooks(vectors, p.pqM, p.pqK, p.pqIters, p.dim).map(collectCentroids)
     val lists = assignNearest(vectors, cs)
       .withColumn("nrm", normExpr("embedding"))
-      .select(vectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
+      .select(vectors.columns.toIndexedSeq.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, p.dim): _*)
     val cdf = cs.toIndexedSeq.map { case (cid, cvec, _) => (cid, cvec) }
       .toDF("centroid_id", "cvec")
@@ -928,7 +928,7 @@ object Similarity {
     val served = s.read.parquet(s"$path/lists")
     // the served rows stripped back to input columns — nrm, codes and
     // the assignment are all functions of the quantizer being replaced
-    val corpus = served.select(served.columns.filterNot(c =>
+    val corpus = served.select(served.columns.toIndexedSeq.filterNot(c =>
       c == "nrm" || c == "centroid_id" || c.startsWith("code_")).map(col): _*)
     // training collects run BEFORE the swap (reading the old artifact,
     // still intact) and the new lists write streams off it inside the
@@ -981,7 +981,8 @@ object Similarity {
     val dim = perSub.map(_.head._2.size).sum // Σ subspace widths
     assignNearest(newVectors, cs)
       .withColumn("nrm", normExpr("embedding"))
-      .select(newVectors.columns.map(col) ++ Seq(col("nrm"), col("centroid_id"))
+      .select(newVectors.columns.toIndexedSeq.map(col)
+        ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, dim): _*)
   }
 

@@ -236,7 +236,7 @@ object Graph {
       import s.implicits._
       val es = graft.core.Exec.materialize(edges(s, dir))
       // 1-row collect: the source id (same contract as centroid/stats reads)
-      val src0 = es.agg(min(col("src"))).head.getLong(0)
+      val src0 = es.agg(min(col("src"))).head().getLong(0)
       var visited = graft.core.Exec.materialize(
         Seq((src0, 0L)).toDF("node", "hops"))
       var frontier = visited

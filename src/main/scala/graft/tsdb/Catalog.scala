@@ -128,8 +128,9 @@ object Catalog {
           .collect().map(_.getInt(0)).sorted
         if (affected.nonEmpty) {
           val merged = existing
-            .map(ex => ex.where(col("b").isin(affected.map(Integer.valueOf): _*))
-              .unionByName(staged.where(col("b").isin(affected.map(Integer.valueOf): _*))))
+            .map(ex => ex.where(col("b").isin(affected.toIndexedSeq.map(Integer.valueOf): _*))
+              .unionByName(staged.where(
+                col("b").isin(affected.toIndexedSeq.map(Integer.valueOf): _*))))
             .getOrElse(staged)
           val staging = s"$catalogPath/_staging"
           merged.write.mode("overwrite").partitionBy("b").parquet(staging)
@@ -204,7 +205,7 @@ object Catalog {
           .collect().map(_.getInt(0)).sorted
         if (affected.nonEmpty) {
           val survivors = ex
-            .where(col("b").isin(affected.map(Integer.valueOf): _*))
+            .where(col("b").isin(affected.toIndexedSeq.map(Integer.valueOf): _*))
             .join(live, Seq("metric", "tags_canonical"), "left_semi")
           val staging = s"$catalogPath/_staging"
           survivors.write.mode("overwrite").partitionBy("b").parquet(staging)

@@ -73,7 +73,7 @@ object RequestJson {
     // rewrite OpenTSDB itself performs): value "*" → wildcard,
     // anything else → literal_or, both groupBy=true
     val tagFilters = Option(o.get("tags")).filter(_.isObject).toSeq
-      .flatMap(_.fields().asScala.map { e =>
+      .flatMap(_.properties().asScala.map { e =>
         val v = e.getValue.asText
         if (v == "*") TagFilterSpec("wildcard", e.getKey, "*", groupBy = true)
         else TagFilterSpec("literal_or", e.getKey, v, groupBy = true)
