@@ -343,6 +343,41 @@ object Graph {
     // the broadcast budget: co-partition both joins on the edge
     // endpoint (same plan minus the broadcasts) and degree-orient the
     // edges so no hub node owns a giant forward list.
+    // Market-basket association lift over co-purchase pairs —
+    // lift(a,b) = N·c_ab / (c_a·c_b) (>1 = bought together more than
+    // chance), the classic recommender/assortment measure the graph
+    // ops' structural metrics don't capture. Same co-partitioned
+    // order self-join as edges() but COUNTING pair occurrences
+    // (c_ab = orders containing both), per-part supports from one
+    // order-distinct aggregate, N = order count broadcast as a
+    // single-row literal join. Integer algebra until the one r4
+    // ratio (products double-cast — c_a·c_b overflows int64 at
+    // planetary basket counts); min support 3 on the pair,
+    // lift-desc top-20 through TakeOrderedAndProject.
+    "graph_basket_lift" -> ((s, dir) => {
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select(col("l_orderkey").as("ok"), col("l_partkey").as("p"))
+        .distinct()
+      val n = li.select(col("ok")).distinct().agg(count(lit(1)).as("n_orders"))
+      val sup = li.groupBy("p").agg(count(lit(1)).as("c"))
+      val pair = li.alias("a").join(li.alias("b"), "ok")
+        .where(col("a.p") < col("b.p"))
+        .groupBy(col("a.p").as("pa"), col("b.p").as("pb"))
+        .agg(count(lit(1)).as("c_ab"))
+        .where(col("c_ab") >= 3)
+      pair
+        .join(sup.select(col("p").as("pa"), col("c").as("c_a")), "pa")
+        .join(sup.select(col("p").as("pb"), col("c").as("c_b")), "pb")
+        .crossJoin(broadcast(n))
+        .select(col("pa"), col("pb"), col("c_a"), col("c_b"), col("c_ab"),
+          graft.core.D.r4s(col("n_orders").cast("double")
+            * col("c_ab").cast("double")
+            / (col("c_a").cast("double") * col("c_b").cast("double")))
+            .as("lift"))
+        .orderBy(col("lift").desc, col("pa"), col("pb"))
+        .limit(20)
+    }),
+
     // Per-node local clustering coefficient — cc(v) = 2·t(v) /
     // (deg(v)·(deg(v)−1)) — the classic "how clique-like is this
     // node's neighborhood" measure (bundle detection over the
@@ -568,6 +603,27 @@ object Graph {
           FROM com c JOIN deg d ON d.node = c.node
           GROUP BY 1, 2
           ORDER BY adamic_adar DESC, c.src, c.dst LIMIT 20""",
+
+    // mirror of graph_basket_lift: same order-distinct pair counting,
+    // same double-cast products, same lift-desc/(pa,pb) total order
+    "graph_basket_lift" ->
+      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                      FROM lineitem),
+          n AS (SELECT count(DISTINCT ok) AS n_orders FROM li),
+          sup AS (SELECT p, count(*) AS c FROM li GROUP BY 1),
+          pair AS (SELECT a.p AS pa, b.p AS pb, count(*) AS c_ab
+                   FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p
+                   GROUP BY 1, 2 HAVING count(*) >= 3)
+          SELECT pa, pb, sa.c AS c_a, sb.c AS c_b, c_ab,
+                 ${graft.core.D.oR4(
+                   "CAST(n.n_orders AS DOUBLE) * CAST(c_ab AS DOUBLE)" +
+                   " / (CAST(sa.c AS DOUBLE) * CAST(sb.c AS DOUBLE))")}
+                   AS lift
+          FROM pair
+          JOIN sup sa ON sa.p = pair.pa
+          JOIN sup sb ON sb.p = pair.pb
+          CROSS JOIN n
+          ORDER BY lift DESC, pa, pb LIMIT 20""",
 
     // mirror of graph_clustering_coeff: t(v) counted directly as
     // neighbor pairs (u < w) that close an edge — no halving needed
