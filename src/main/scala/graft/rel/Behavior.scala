@@ -591,6 +591,28 @@ object Behavior {
         .orderBy("day")
     }),
 
+    // Per-user event-type entropy — behavioral DIVERSITY (a user doing
+    // only views scores 0; one spread evenly over all types scores
+    // log₂|types|), the segmentation feature next to RFM's intensity
+    // measures. Same dec10 per-term entropy chain as llm_char_entropy
+    // (terms are O(p·log p), down at 1e-6 — DECIMAL(18,4) would crush
+    // them): one (user, type) count aggregate, per-user window for p,
+    // exact-decimal term sum, r4 at emission. User-sized frames only.
+    "evt_type_entropy" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+      val c = Tables.events(s, dir)
+        .groupBy("user_id", "event_type")
+        .agg(count(lit(1)).cast("double").as("cnt"))
+      c.withColumn("p", col("cnt") / sum(col("cnt")).over(w))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_types"),
+          sum(col("cnt")).cast("long").as("n_events"),
+          graft.core.D.r4s(
+            sum(graft.core.D.dec10(-col("p") * log2(col("p"))))
+              .cast("double")).as("entropy"))
+        .orderBy("user_id")
+    }),
+
     // Gini coefficient of per-user activity, per event type — the
     // engagement-concentration scalar next to the Zipf exponent
     // (zipf fits the tail's shape; Gini summarizes the whole
@@ -1140,6 +1162,21 @@ object Behavior {
          SELECT g.d AS day, count(DISTINCT dy.user_id) AS wau
          FROM grid g JOIN days dy ON dy.day BETWEEN g.d - 6 AND g.d
          GROUP BY 1 ORDER BY 1""",
+
+    // mirror of evt_type_entropy: same per-user probability window and
+    // dec10 entropy-term sum as the char-entropy mirror
+    "evt_type_entropy" ->
+      s"""WITH c AS (SELECT user_id, event_type,
+                       CAST(count(*) AS DOUBLE) AS cnt
+                     FROM events GROUP BY 1, 2),
+          pp AS (SELECT user_id, cnt,
+                   cnt / sum(cnt) OVER (PARTITION BY user_id) AS p
+                 FROM c)
+          SELECT user_id, count(*) AS n_types,
+                 CAST(SUM(cnt) AS BIGINT) AS n_events,
+                 ${graft.core.D.oR4(graft.core.D.oSumDec10("-p * log2(p)"))}
+                   AS entropy
+          FROM pp GROUP BY user_id ORDER BY user_id""",
 
     // mirror of evt_gini_activity: same ascending (cnt, user_id) rank,
     // same double-cast products in the final expression
