@@ -771,17 +771,36 @@ object LlmQueries {
         .orderBy("lang")
     }),
 
+    // per-label cohesion via the CENTROID IDENTITY, not a pair join:
+    // for unit vectors uᵢ, mean pairwise cosine = (‖Σu‖² − Σ‖uᵢ‖²) /
+    // (n(n−1)) — two O(n·d) aggregate passes replace the former
+    // Σ label² self-join (PlanSpec asserts every join here is
+    // post-aggregation). Components are 4dp-decimal-quantized before
+    // summing so both engines add exactly, in any order.
     "llm_embed_label_cohesion" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
         .withColumn("nrm", Similarity.normExpr("embedding"))
       val ns = emb.groupBy("label").agg(count(lit(1)).as("n_vecs"),
         graft.core.D.avgDec(col("nrm")).as("avg_norm"))
-      val pc = Similarity.blockedPairCosines(emb, "label", ordered = true)
-        .join(emb.select(col("vec_id").as("a_id"), col("label")), "a_id")
-        .groupBy("label").agg(count(lit(1)).as("n_pairs"),
-          graft.core.D.avgDec(col("sim")).as("avg_pair_cos"))
-      ns.join(pc, "label").orderBy("label")
-        .select("label", "n_vecs", "avg_norm", "n_pairs", "avg_pair_cos")
+      val ex = emb.select(col("vec_id"), col("label"), col("nrm"),
+          posexplode(col("embedding")).as(Seq("pos", "x")))
+        .select(col("vec_id"), col("label"), col("pos"),
+          graft.core.D.dec(col("x").cast("double") / col("nrm")).as("u"))
+      val ss = ex.groupBy("label", "pos").agg(sum(col("u")).as("sm"))
+        .groupBy("label").agg(
+          sum(graft.core.D.dec(col("sm").cast("double") * col("sm").cast("double")))
+            .cast("double").as("sum_ss"))
+      val self = ex.groupBy("label", "vec_id").agg(
+          sum(graft.core.D.dec(col("u").cast("double") * col("u").cast("double")))
+            .as("sd"))
+        .groupBy("label").agg(sum(col("sd")).cast("double").as("sum_self"))
+      ns.join(ss, "label").join(self, "label")
+        .where(col("n_vecs") > 1)
+        .select(col("label"), col("n_vecs"), col("avg_norm"),
+          (col("n_vecs") * (col("n_vecs") - lit(1)) / lit(2)).cast("long").as("n_pairs"),
+          graft.core.D.r4s((col("sum_ss") - col("sum_self")) /
+            (col("n_vecs") * (col("n_vecs") - lit(1))).cast("double")).as("avg_pair_cos"))
+        .orderBy("label")
     }),
 
     // full contrastive triplets (anchor, positive, negative) with the
@@ -1151,13 +1170,36 @@ object LlmQueries {
     "llm_knn_join" -> ((s, dir) =>
       Similarity.knnJoinPerGroup(Tables.embeddings(s, dir), "label", 3)),
 
+    // approximate kNN join through the STORED IVF index: the scale twin
+    // of llm_knn_join — no within-label self-join anywhere (PlanSpec
+    // asserts it); every vector probes its nprobe lists, candidates
+    // bounded by nprobe·(corpus/k) per query, and k grows with the
+    // corpus (ScaleProbe's sizing). Oracle = the Lloyd-unrolled batch
+    // probe with the self candidate removed before the rank window.
+    "llm_knn_join_ivf" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      Similarity.ivfKnnJoinStored(s, path, 3, nprobe = 2)
+    }),
+
     // embedding-cosine near-dup: pairs above a similarity threshold,
-    // blocked on label (the brief's fourth dedup modality); shares the
-    // blocked pair-generation scaffold with the kNN join
-    "llm_dedup_cosine" -> ((s, dir) =>
-      Similarity.blockedPairCosines(Tables.embeddings(s, dir), "label", ordered = true)
+    // blocked on the quantizer's centroid_id off the PERSISTED index —
+    // the llm_semdedup blocking (Σ cluster², with cluster size bounded
+    // by the k ∝ corpus sizing), NOT the former Σ label² self-join of
+    // the raw corpus (labels don't grow with data; clusters do).
+    // Oracle unrolls the SAME two Lloyd iterations as llm_sim_ivf, so
+    // dedup and search are provably one clustering.
+    "llm_dedup_cosine" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      val assigned = Similarity.readLists(s, path)
+        .select("vec_id", "embedding", "nrm", "centroid_id")
+      Similarity.blockedPairCosines(assigned, "centroid_id", ordered = true)
         .where(col("sim") >= 0.35)
-        .orderBy("a_id", "b_id")),
+        .orderBy("a_id", "b_id")
+    }),
 
     // SemDeDup (Abbas et al. 2023): semantic dedup via embedding
     // clusters — k-means coarse clusters bound the pair generation
@@ -2880,12 +2922,15 @@ object LlmQueries {
     * (the tombstone-deletion mirror: the quantizer keeps its training,
     * only candidates disappear). */
   private def ivfBatchOracleWith(ctes: String,
-                                 candFilter: String = "TRUE"): String =
+                                 candFilter: String = "TRUE",
+                                 queryPred: String = "d.vec_id < 4",
+                                 k: Int = 5,
+                                 neighborAlias: String = "vec_id"): String =
     s"""WITH $ctes,
           qdist AS (SELECT d.vec_id AS query_id, cs.cid,
                       sq.sq + cs.sq - 2.0 * d.dot AS dist
                     FROM csq_3 cs
-                    JOIN dot_3 d ON d.cid = cs.cid AND d.vec_id < 4
+                    JOIN dot_3 d ON d.cid = cs.cid AND $queryPred
                     JOIN sq ON sq.vec_id = d.vec_id),
           probes AS (SELECT query_id, cid FROM (
                        SELECT query_id, cid,
@@ -2905,11 +2950,11 @@ object LlmQueries {
                  FROM qdot q
                  JOIN sq sv ON sv.vec_id = q.vec_id
                  JOIN sq sqq ON sqq.vec_id = q.query_id)
-          SELECT query_id, rn, vec_id, sim FROM (
+          SELECT query_id, rn, vec_id AS $neighborAlias, sim FROM (
             SELECT query_id, vec_id, sim,
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
             FROM sm)
-          WHERE rn <= 5 ORDER BY query_id, rn"""
+          WHERE rn <= $k ORDER BY query_id, rn"""
   private val IvfBatchOracle: String = ivfBatchOracleWith(IvfCtes)
 
   /** Shared CTE chain ending at `ver` (verified candidate pairs) — the
@@ -3655,6 +3700,13 @@ object LlmQueries {
     // become window ranks partitioned by query_id
     "llm_sim_ivf_batch" -> IvfBatchOracle,
     "llm_sim_ivf_stored" -> IvfBatchOracle,
+
+    // approximate kNN-join mirror: every vector is a query (the qdist
+    // restriction drops), the self candidate is removed BEFORE the rank
+    // window (a.vec_id <> p.query_id), k = 3
+    "llm_knn_join_ivf" -> ivfBatchOracleWith(IvfCtes,
+      candFilter = "a.vec_id <> p.query_id", queryPred = "TRUE",
+      k = 3, neighborAlias = "neighbor_id"),
     // retrained-on-full-corpus probe ≡ whole-corpus-trained batch probe
     // (see the registration comment: the match IS the retrain check)
     "llm_sim_ivf_retrained" -> IvfBatchOracle,
@@ -4196,6 +4248,9 @@ object LlmQueries {
                    AS chars_per_token
           FROM g ORDER BY lang""",
 
+    // centroid-identity mirror: mean pairwise cosine of unit vectors =
+    // (‖Σu‖² − Σ‖uᵢ‖²) / (n(n−1)) — NO pair join; components quantized
+    // to DECIMAL(18,4) before every sum so both engines add exactly
     "llm_embed_label_cohesion" ->
       s"""WITH $NormCte,
           nrm AS (SELECT e.vec_id, e.label, SQRT(CAST(n.d2 AS DOUBLE)) AS nrm
@@ -4203,21 +4258,25 @@ object LlmQueries {
           ns AS (SELECT label, CAST(count(*) AS BIGINT) AS n_vecs,
                    ${D.oAvgDec("nrm")} AS avg_norm
                  FROM nrm GROUP BY 1),
-          p AS (SELECT a.label, a.vec_id AS a_id, b.vec_id AS b_id,
-                  SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)
-                      AS DECIMAL(18,4))) AS dot
-                FROM embeddings a, embeddings b, range(1, 65) r(i)
-                WHERE a.label = b.label AND a.vec_id < b.vec_id
-                GROUP BY 1, 2, 3),
-          sim AS (SELECT p.label,
-                    ROUND((CAST(p.dot AS DOUBLE) / (na.nrm * nb.nrm)) * 10000.0, 0) / 10000.0 + 0.0 AS sim
-                  FROM p JOIN nrm na ON na.vec_id = p.a_id
-                  JOIN nrm nb ON nb.vec_id = p.b_id),
-          pc AS (SELECT label, CAST(count(*) AS BIGINT) AS n_pairs,
-                   ${D.oAvgDec("sim")} AS avg_pair_cos
-                 FROM sim GROUP BY 1)
-          SELECT ns.label, ns.n_vecs, ns.avg_norm, pc.n_pairs, pc.avg_pair_cos
-          FROM ns JOIN pc USING (label) ORDER BY ns.label""",
+          ex AS (SELECT e.vec_id, e.label, r.i AS pos,
+                   CAST(CAST(e.embedding[r.i] AS DOUBLE) / nm.nrm AS DECIMAL(18,4)) AS u
+                 FROM embeddings e JOIN nrm nm ON nm.vec_id = e.vec_id,
+                   range(1, 65) r(i)),
+          sums AS (SELECT label, pos, SUM(u) AS sm FROM ex GROUP BY 1, 2),
+          ss AS (SELECT label,
+                   CAST(SUM(CAST(CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+                       AS DECIMAL(18,4))) AS DOUBLE) AS sum_ss
+                 FROM sums GROUP BY 1),
+          sf AS (SELECT label, CAST(SUM(sd) AS DOUBLE) AS sum_self FROM (
+                   SELECT label, vec_id,
+                     SUM(CAST(CAST(u AS DOUBLE) * CAST(u AS DOUBLE)
+                         AS DECIMAL(18,4))) AS sd
+                   FROM ex GROUP BY 1, 2) GROUP BY 1)
+          SELECT ns.label, ns.n_vecs, ns.avg_norm,
+                 CAST(ns.n_vecs * (ns.n_vecs - 1) / 2 AS BIGINT) AS n_pairs,
+                 ${D.oR4("(ss.sum_ss - sf.sum_self) / CAST(ns.n_vecs * (ns.n_vecs - 1) AS DOUBLE)")} AS avg_pair_cos
+          FROM ns JOIN ss USING (label) JOIN sf USING (label)
+          WHERE ns.n_vecs > 1 ORDER BY ns.label""",
 
     // mirror of Similarity.hardNegatives: per-element-decimal dots
     // against each query vector, label-mismatch filter, top-5 window
@@ -4354,19 +4413,25 @@ object LlmQueries {
           SELECT a_id AS vec_id, rn, b_id AS neighbor_id, sim
           FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
 
+    // centroid-blocked mirror (the llm_semdedup pair CTEs without the
+    // closure): pairs exist only within a Lloyd cluster — the SAME
+    // clustering the llm_sim_ivf oracle unrolls
     "llm_dedup_cosine" ->
-      s"""WITH $NormCte,
-          p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
-                  SUM(CAST(CAST(a.embedding[r.i] AS DOUBLE) * CAST(b.embedding[r.i] AS DOUBLE)
-                      AS DECIMAL(18,4))) AS dot
-                FROM embeddings a JOIN embeddings b
-                  ON a.label = b.label AND a.vec_id < b.vec_id, range(1, 65) r(i)
+      s"""WITH $IvfCtes,
+          pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
+                 FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
+          d AS (SELECT p.a_id, p.b_id,
+                  CAST(SUM(CAST(ea.x * eb.x AS DECIMAL(18,4))) AS DOUBLE) AS dot
+                FROM pr p
+                JOIN el ea ON ea.vec_id = p.a_id
+                JOIN el eb ON eb.vec_id = p.b_id AND eb.pos = ea.pos
                 GROUP BY 1, 2),
-          s AS (SELECT p.a_id, p.b_id,
-                  ROUND((CAST(p.dot AS DOUBLE) /
-                        (SQRT(CAST(na.d2 AS DOUBLE)) * SQRT(CAST(nb.d2 AS DOUBLE)))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
-                FROM p JOIN n na ON na.vec_id = p.a_id JOIN n nb ON nb.vec_id = p.b_id)
-          SELECT a_id, b_id, sim FROM s WHERE sim >= 0.35 ORDER BY a_id, b_id""",
+          sm AS (SELECT d.a_id, d.b_id,
+                   ROUND((d.dot / (SQRT(sa.sq) * SQRT(sb.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
+                 FROM d
+                 JOIN sq sa ON sa.vec_id = d.a_id
+                 JOIN sq sb ON sb.vec_id = d.b_id)
+          SELECT a_id, b_id, sim FROM sm WHERE sim >= 0.35 ORDER BY a_id, b_id""",
 
     "llm_embed_normalize" ->
       s"""WITH $NormCte

@@ -565,7 +565,8 @@ object Similarity {
   private def probeJoinTopK(assigned: DataFrame, queries: DataFrame,
                             cs: Array[(Int, Seq[Float], Double)],
                             k: Int, nprobe: Int,
-                            maxBroadcastQueries: Long): DataFrame = {
+                            maxBroadcastQueries: Long,
+                            excludeSelf: Boolean = false): DataFrame = {
     val dists = cs.map { case (cid, cvec, sqc) =>
       struct(
         (col("sq_q") + lit(sqc) - lit(2.0)
@@ -590,7 +591,13 @@ object Similarity {
     val withNrm =
       if (assigned.columns.contains("nrm")) joined
       else joined.withColumn("nrm", normExpr("embedding"))
-    withNrm
+    // kNN-join callers probe with the corpus itself: the query vector is
+    // its own nearest candidate, so it is dropped BEFORE the rank window
+    // (ranks stay dense over true neighbors)
+    val candidates =
+      if (excludeSelf) withNrm.where(col("vec_id") =!= col("query_id"))
+      else withNrm
+    candidates
       .withColumn("sim",
         cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -782,6 +789,28 @@ object Similarity {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
     probeJoinTopK(readLists(s, path), queries, cs, k, nprobe, maxBroadcastQueries)
+  }
+
+  /** Approximate kNN JOIN through the stored index: every corpus vector
+    * probes its nprobe nearest inverted lists and ranks the candidates
+    * there, self excluded. Replaces the exact within-label pair join
+    * ([[knnJoinPerGroup]]'s Σ label² blowup) with per-query candidate
+    * sets bounded by nprobe·(corpus/k) — and k (the cluster count) is
+    * the scale knob: sizing k ∝ corpus/target-list-size keeps the
+    * per-query candidate fetch CONSTANT as the corpus grows (ScaleProbe
+    * measures exactly that sizing at 10×). Emits
+    * (query_id, rn, neighbor_id, sim). */
+  def ivfKnnJoinStored(s: SparkSession, path: String, k: Int, nprobe: Int,
+                       maxBroadcastQueries: Long = 50000L): DataFrame = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
+    val lists = readLists(s, path)
+    val queries = lists.select(col("vec_id").as("query_id"),
+      col("embedding").as("qv"))
+    probeJoinTopK(lists, queries, cs, k, nprobe, maxBroadcastQueries,
+      excludeSelf = true)
+      .select(col("query_id"), col("rn"), col("vec_id").as("neighbor_id"),
+        col("sim"))
   }
 
   /** [[ivfTopKStored]] with a metadata predicate pushed INTO the

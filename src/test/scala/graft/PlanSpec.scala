@@ -473,4 +473,34 @@ class PlanSpec extends SparkSpec {
     val pg = plan("evt_gini_activity")
     assert(pg.contains("Window") && !pg.contains("CartesianProduct"))
   }
+
+  test("r13 scale twins carry NO within-label self-join") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    def joins(name: String) =
+      optimized(name).queryExecution.optimizedPlan.collect { case j: Join => j }
+    // kNN join + cosine dedup: every join keys on centroid_id (the
+    // quantizer blocking) or the probe's query metadata — never on the
+    // raw corpus's label column (Σ label² does not bound at 100 TB:
+    // labels are a fixed vocabulary, clusters grow with the corpus)
+    for (q <- Seq("llm_knn_join_ivf", "llm_dedup_cosine")) {
+      val js = joins(q)
+      assert(js.nonEmpty, s"$q should join lists/probes")
+      js.foreach { j =>
+        val refs = j.condition.toSeq.flatMap(_.references.map(_.name))
+        assert(!refs.contains("label"),
+          s"$q must not pair-join on label, got condition refs $refs")
+      }
+    }
+    // cohesion: the centroid identity leaves only post-aggregation
+    // joins (label-count-sized frames) — no join may see the raw
+    // embeddings table on both sides
+    val cj = joins("llm_embed_label_cohesion")
+    assert(cj.nonEmpty)
+    cj.foreach { j =>
+      def agged(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan) =
+        p.collectFirst { case a: Aggregate => a }.isDefined
+      assert(agged(j.left) && agged(j.right),
+        s"cohesion joins must be post-aggregation only:\n$j")
+    }
+  }
 }
