@@ -1205,6 +1205,24 @@ object TsdbQueries {
         .select("tag_user", "bucket_ms", "value")
     }),
 
+    // EP2 GET-form parity: the SAME generic pipeline driven from the
+    // OpenTSDB URI query string — RequestQs parses
+    // agg:[downsample:]metric{grouping}{non-grouping} (braces arrive
+    // percent-encoded, exercising the decode), with the 2.2+
+    // filter-function syntax in both brace groups: the FIRST group's
+    // wildcard(1*) keeps `user` as a grouping tag, the SECOND group's
+    // not_literal_or(13) filters without grouping. The oracle
+    // recomputes the stages directly, so a GET-parser bug in times /
+    // group split / filter functions hash-fails here; GET ≡ POST on
+    // the shared grammar is additionally property-tested in PureSpec.
+    "tsdb_query_qs" -> ((s, dir) => {
+      val qs = "start=30d-ago&m=sum:1h-avg:click" +
+        "%7Buser=wildcard(1*)%7D%7Buser=not_literal_or(13)%7D"
+      val q = RequestQs.parse(qs, Tables.NowMs)
+      Pipeline.run(s, Pipeline.eventsAsPoints(s, dir), q)
+        .select("tag_user", "bucket_ms", "value")
+    }),
+
     // EP2' multi-subquery request over the SHARED scan (Pipeline.runAll
     // materializes one filtered points slice for both subqueries —
     // plan-asserted in PlanSpec): click/sum and view/max grouped by the
@@ -2794,6 +2812,21 @@ object TsdbQueries {
                    ${D.oAvgDec("value")} AS value
             FROM events
             WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) LIKE '1%'
+              AND epoch_ns(ts) // 1000000 >= $T0
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2)
+          SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+          FROM ds GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    // mirror of tsdb_query_qs: the GET-string request's stages — the
+    // json mirror plus the non-grouping not_literal_or(13) predicate
+    "tsdb_query_qs" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) LIKE '1%'
+              AND CAST(user_id AS VARCHAR) NOT IN ('13')
               AND epoch_ns(ts) // 1000000 >= $T0
               AND epoch_ns(ts) // 1000000 < $T1
             GROUP BY 1, 2)

@@ -82,8 +82,9 @@ object RequestJson {
   }
 
   /** The filter types [[TagFilters.toPredicate]] compiles — rejected
-    * here, at the request edge, not at plan time. */
-  private val FilterTypes = Set("literal_or", "not_literal_or",
+    * here, at the request edge, not at plan time (shared with the
+    * GET-form parser, [[RequestQs]]). */
+  private[tsdb] val FilterTypes = Set("literal_or", "not_literal_or",
     "iliteral_or", "not_iliteral_or", "wildcard", "iwildcard",
     "regexp", "regexp_ci")
 

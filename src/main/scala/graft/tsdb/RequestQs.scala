@@ -1,0 +1,208 @@
+package graft.tsdb
+
+/** OpenTSDB `GET /api/query` query-string → [[TsdbQuery]] — the URI twin
+  * of [[RequestJson]] (EP2 [PK-H]; the reference serves both forms off
+  * one handler). Grammar per subquery parameter:
+  *
+  * {{{
+  * start=<t>&end=<t>&m=<agg>:[<interval>-<agg>[-<fill>]:]
+  *     [rate[{counter[,<max>[,<reset>]]}]:]<metric>[{<grouping>}][{<filters>}]
+  * }}}
+  *
+  * - `start`/`end` accept epoch seconds, epoch millis, or relative
+  *   `<n><unit>-ago` ([[TimeParse.toAbsMs]]); `end` defaults to the
+  *   pinned `nowMs` (D5 — replayable, never wall-clock).
+  * - downsample and rate tokens are accepted in EITHER order between
+  *   the aggregator and the metric (OpenTSDB documents rate-first but
+  *   its parser takes both; lenient here, like the POST parser's
+  *   epoch-unit leniency).
+  * - the FIRST brace group sets groupBy=true on its filters, the
+  *   SECOND groupBy=false — the documented grouping/non-grouping split.
+  * - brace entries take the 2.2+ filter-function syntax
+  *   `tagk=type(value)` for any [[RequestJson.FilterTypes]] member, or
+  *   the legacy bare forms with the documented conversion [PK-M]:
+  *   `*` → wildcard, a value containing `*` → iwildcard, anything else
+  *   (including `a|b` or-lists) → literal_or.
+  * - repeated `m=` parameters form a multi-subquery request in
+  *   parameter order (the OpenTSDB response-array order).
+  *
+  * Strict where a server must be strict — the 400 analog
+  * (IllegalArgumentException) for: missing `start`, no `m` parameter,
+  * empty aggregator/metric, unknown filter type or function, malformed
+  * rate options, unbalanced braces, bad percent-encoding, `end <=
+  * start`, duplicate rate/downsample tokens. A query string from the
+  * network must never surface anything but the 400 analog
+  * (property-tested like the POST parser). */
+object RequestQs {
+
+  def parse(qs: String, nowMs: Long): TsdbQuery = {
+    // accept a bare query string or a full path?query URI
+    val body = qs.indexOf('?') match {
+      case -1 => qs
+      case i  => qs.substring(i + 1)
+    }
+    val params: Seq[(String, String)] =
+      body.split("&").toSeq.filter(_.nonEmpty).map { kv =>
+        val i = kv.indexOf('=')
+        require(i > 0, s"malformed query parameter (expected k=v): $kv")
+        (decode(kv.substring(0, i)), decode(kv.substring(i + 1)))
+      }
+    def first(k: String): Option[String] =
+      params.collectFirst { case (`k`, v) => v }
+    val start = first("start").map(toMs(_, nowMs)).getOrElse(
+      throw new IllegalArgumentException("missing required parameter: start"))
+    val end = first("end").map(toMs(_, nowMs)).getOrElse(nowMs)
+    require(end > start, s"end ($end) must be after start ($start)")
+    val ms = params.collect { case ("m", v) => v }
+    require(ms.nonEmpty, "at least one m= subquery parameter is required")
+    TsdbQuery(start, end, ms.map(subQuery))
+  }
+
+  private def decode(s: String): String =
+    try java.net.URLDecoder.decode(s, java.nio.charset.StandardCharsets.UTF_8)
+    catch {
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"bad percent-encoding: ${e.getMessage}")
+    }
+
+  /** [[TimeParse.toAbsMs]] with its errors normalized to the 400 analog
+    * (the POST parser gets this for free from Jackson's field typing). */
+  private def toMs(t: String, nowMs: Long): Long =
+    try TimeParse.toAbsMs(t, nowMs)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"bad time spec '$t': ${e.getMessage}")
+    }
+
+  private def subQuery(m: String): SubQuery = {
+    val parts = splitTopLevel(m, ':')
+    require(parts.length >= 2,
+      s"m must be <aggregator>:[<downsample>:][rate:]<metric>[{...}]: $m")
+    val agg = parts.head
+    require(agg.nonEmpty && !agg.contains('{'), s"bad aggregator in m: $m")
+    var ds: Option[DownsampleSpec] = None
+    var rate = false
+    var ro = RateOptions()
+    parts.tail.dropRight(1).foreach { tok =>
+      if (tok == "rate" || tok.startsWith("rate{")) {
+        require(!rate, s"duplicate rate token in m: $m")
+        rate = true
+        ro = rateOptions(tok)
+      } else {
+        require(ds.isEmpty, s"duplicate downsample token in m: $m")
+        ds = Some(parseDs(tok))
+      }
+    }
+    val (metric, filters) = metricAndFilters(parts.last)
+    SubQuery(metric, agg, ds, rate, ro, filters)
+  }
+
+  private def parseDs(tok: String): DownsampleSpec =
+    try TimeParse.parseDownsample(tok)
+    catch {
+      case e: IllegalArgumentException => throw e
+      case e: RuntimeException =>
+        throw new IllegalArgumentException(s"bad downsample '$tok': ${e.getMessage}")
+    }
+
+  /** `rate` → defaults; `rate{counter[,max[,reset]]}` → counter rate
+    * with wrap handling — empty positions keep their defaults
+    * (`rate{counter,,0}` is the documented reset-only form). */
+  private def rateOptions(tok: String): RateOptions = {
+    if (tok == "rate") return RateOptions()
+    require(tok.startsWith("rate{") && tok.endsWith("}"),
+      s"malformed rate options: $tok")
+    val fields = tok.substring(5, tok.length - 1).split(",", -1)
+    require(fields.length <= 3,
+      s"rate options take at most counter,max,reset: $tok")
+    val counter = fields(0) match {
+      case "" | "false"            => false
+      case "counter" | "dropcounter" => true
+      case other =>
+        throw new IllegalArgumentException(s"unknown rate option: $other")
+    }
+    def num(i: Int): Option[Long] =
+      if (fields.length > i && fields(i).nonEmpty)
+        try Some(fields(i).toLong)
+        catch {
+          case _: NumberFormatException =>
+            throw new IllegalArgumentException(
+              s"rate option position $i must be an integer: ${fields(i)}")
+        }
+      else None
+    RateOptions(counter, num(1), num(2))
+  }
+
+  private def metricAndFilters(p: String): (String, Seq[TagFilterSpec]) = {
+    val ob = p.indexOf('{')
+    val metric = if (ob == -1) p else p.substring(0, ob)
+    require(metric.nonEmpty, s"missing metric in m subquery: $p")
+    if (ob == -1) return (metric, Nil)
+    val groups = braceGroups(p.substring(ob))
+    require(groups.length <= 2,
+      s"at most two filter groups (grouping + non-grouping): $p")
+    val fs = groups.zipWithIndex.flatMap { case (g, i) =>
+      g.map(parseFilter(_, groupBy = i == 0))
+    }
+    (metric, fs)
+  }
+
+  /** Split `{a}{b}` into entry lists; strict on balance and trailing
+    * junk. An empty group (`{}`) contributes no filters (the OpenTSDB
+    * group-by-nothing form). */
+  private def braceGroups(s: String): Seq[Seq[String]] = {
+    val out = Seq.newBuilder[Seq[String]]
+    var i = 0
+    while (i < s.length) {
+      require(s.charAt(i) == '{', s"unexpected text outside braces: $s")
+      val close = s.indexOf('}', i)
+      require(close != -1, s"unbalanced braces: $s")
+      val body = s.substring(i + 1, close)
+      require(!body.contains('{'), s"nested braces: $s")
+      out += (if (body.isEmpty) Nil else splitTopLevel(body, ',').toSeq)
+      i = close + 1
+    }
+    out.result()
+  }
+
+  private def parseFilter(entry: String, groupBy: Boolean): TagFilterSpec = {
+    val i = entry.indexOf('=')
+    require(i > 0 && i < entry.length - 1, s"filter must be tagk=spec: $entry")
+    val tagk = entry.substring(0, i)
+    val v = entry.substring(i + 1)
+    val fn = "^([A-Za-z_]+)\\((.*)\\)$".r
+    v match {
+      case fn(t, arg) if RequestJson.FilterTypes(t) =>
+        require(arg.nonEmpty, s"empty filter value: $entry")
+        TagFilterSpec(t, tagk, arg, groupBy)
+      case fn(t, _) =>
+        throw new IllegalArgumentException(s"unknown filter type: $t")
+      case "*"                    => TagFilterSpec("wildcard", tagk, "*", groupBy)
+      case s if s.contains("*")   => TagFilterSpec("iwildcard", tagk, s, groupBy)
+      case s                      => TagFilterSpec("literal_or", tagk, s, groupBy)
+    }
+  }
+
+  /** Split on `sep` outside `{}` — filter values may legally contain
+    * the separator (`regexp(.*:80)`, literal_or commas never, but
+    * colons yes). Strict on unbalanced braces. */
+  private def splitTopLevel(s: String, sep: Char): Array[String] = {
+    val parts = Array.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '{' => depth += 1; cur += '{'
+      case '}' =>
+        depth -= 1
+        require(depth >= 0, s"unbalanced braces: $s")
+        cur += '}'
+      case c if c == sep && depth == 0 =>
+        parts += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    require(depth == 0, s"unbalanced braces: $s")
+    parts += cur.result()
+    parts.result()
+  }
+}

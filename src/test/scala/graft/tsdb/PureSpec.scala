@@ -246,4 +246,120 @@ class PureSpec extends AnyFunSuite {
     }
     assert(check(Parameters.default, prop).passed)
   }
+
+  test("GET query string: full request parses to the typed model") {
+    val q = RequestQs.parse(
+      "start=30d-ago&end=1706659200&" +
+        "m=sum:1h-avg-zero:rate%7Bcounter,1000,5%7D:click" +
+        "%7Buser=wildcard(1*),host=regexp(web[0-9]:8080)%7D" +
+        "%7Bdc=*%7D", Now)
+    assert(q.startMs == Now - 30 * 86400000L)
+    assert(q.endMs == Now) // epoch seconds normalized to ms
+    val sub = q.queries.head
+    assert(sub.metric == "click" && sub.aggregator == "sum")
+    assert(sub.downsample.contains(DownsampleSpec(3600000L, "avg", "zero")))
+    assert(sub.rate)
+    assert(sub.rateOptions == RateOptions(counter = true,
+      counterMax = Some(1000L), resetValue = Some(5L)))
+    // first brace group groups; second doesn't; the regexp's colon
+    // must survive the m-token split
+    assert(sub.filters == Seq(
+      TagFilterSpec("wildcard", "user", "1*", groupBy = true),
+      TagFilterSpec("regexp", "host", "web[0-9]:8080", groupBy = true),
+      TagFilterSpec("wildcard", "dc", "*")))
+  }
+
+  test("GET query string: legacy bare tag values get the documented conversion") {
+    val q = RequestQs.parse(
+      "start=1h-ago&m=max:m1{host=web01|web02,dc=*,rack=r*}", Now)
+    assert(q.queries.head.filters == Seq(
+      TagFilterSpec("literal_or", "host", "web01|web02", groupBy = true),
+      TagFilterSpec("wildcard", "dc", "*", groupBy = true),
+      TagFilterSpec("iwildcard", "rack", "r*", groupBy = true)))
+    assert(q.endMs == Now) // end defaults to pinned now
+    // repeated m= parameters stack in order
+    val q2 = RequestQs.parse("start=1h-ago&m=sum:a&m=max:1h-avg:b", Now)
+    assert(q2.queries.map(_.metric) == Seq("a", "b"))
+    assert(q2.queries(1).downsample.contains(DownsampleSpec(3600000L, "avg")))
+  }
+
+  test("GET query string: malformed requests are 400s, not planner crashes") {
+    def bad(qs: String): Unit =
+      intercept[IllegalArgumentException](RequestQs.parse(qs, Now))
+    bad("m=sum:click")                        // no start
+    bad("start=1h-ago")                       // no m
+    bad("start=1h-ago&end=2h-ago&m=sum:a")    // end <= start
+    bad("start=1h-ago&m=click")               // no aggregator separator
+    bad("start=1h-ago&m=sum:")                // empty metric
+    bad("start=1h-ago&m=:click")              // empty aggregator
+    bad("start=1h-ago&m=sum:1h-avg:1h-max:a") // duplicate downsample
+    bad("start=1h-ago&m=sum:rate:rate:a")     // duplicate rate
+    bad("start=1h-ago&m=sum:bogus:a")         // bad downsample token
+    bad("start=1h-ago&m=sum:rate{pizza}:a")   // unknown rate option
+    bad("start=1h-ago&m=sum:rate{counter,x}:a") // non-integer counterMax
+    bad("start=1h-ago&m=sum:a{u=bogus_type(x)}") // unknown filter fn
+    bad("start=1h-ago&m=sum:a{u=literal_or()}")  // empty filter value
+    bad("start=1h-ago&m=sum:a{u=1")           // unbalanced braces
+    bad("start=1h-ago&m=sum:a{u=1}x")         // trailing junk after braces
+    bad("start=1h-ago&m=sum:a{u=1}{v=2}{w=3}") // three brace groups
+    bad("start=bogus&m=sum:a")                // unparseable time
+    bad("start=1h-ago&m=sum:a&%zz=1")         // bad percent-encoding
+  }
+
+  test("GET ≡ POST: the shared grammar parses to the same typed request") {
+    // one property drives both parsers from the same randomized spec —
+    // a drift in either (time handling, groupBy split, rate options,
+    // filter types) fails here without needing the oracle
+    val types = RequestJson.FilterTypes.toVector
+    val prop = forAll { (nHours0: Int, agg0: Int, rate: Boolean,
+                         ftype0: Int, groupBy: Boolean, cmax0: Long) =>
+      val nHours = math.abs(nHours0 % 720) + 2
+      val agg = Vector("sum", "avg", "max", "min")(math.abs(agg0 % 4))
+      val ftype = types(math.abs(ftype0 % types.size))
+      val cmax = math.abs(cmax0 % 100000) + 1
+      val rateQs =
+        if (rate) s"rate%7Bcounter,$cmax%7D:" else ""
+      val rateJson =
+        if (rate) s""""rate": true, "rateOptions": {"counter": true, "counterMax": $cmax},"""
+        else ""
+      val fjson =
+        s"""{"type": "$ftype", "tagk": "user", "filter": "1*",
+             "groupBy": $groupBy}"""
+      val qsFilters =
+        if (groupBy) s"%7Buser=$ftype(1*)%7D" else s"%7B%7D%7Buser=$ftype(1*)%7D"
+      val fromQs = RequestQs.parse(
+        s"start=${nHours}h-ago&m=$agg:1h-avg:${rateQs}click$qsFilters", Now)
+      val fromJson = RequestJson.parse(
+        s"""{"start": "${nHours}h-ago",
+             "queries": [{"metric": "click", "aggregator": "$agg",
+                          "downsample": "1h-avg", $rateJson
+                          "filters": [$fjson]}]}""", Now)
+      fromQs == fromJson
+    }
+    assert(check(Parameters.default, prop).passed)
+  }
+
+  test("GET query string fuzz: arbitrary input either parses or raises the 400 analog") {
+    val prop = forAll { (s: String) =>
+      try { RequestQs.parse(s, Now); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+    assert(check(Parameters.default, prop).passed)
+    // and structured near-miss fuzz around the m grammar, where random
+    // strings rarely reach: mutate a valid m with junk at a random cut
+    val prop2 = forAll { (cut0: Int, junk: String) =>
+      val base = "start=1h-ago&m=sum:1h-avg:rate{counter}:click{user=wildcard(1*)}{dc=*}"
+      val cut = math.abs(cut0 % base.length)
+      val s = base.substring(0, cut) + junk + base.substring(cut)
+      try { RequestQs.parse(s, Now); true }
+      catch {
+        case _: IllegalArgumentException => true
+        case _: Throwable => false
+      }
+    }
+    assert(check(Parameters.default, prop2).passed)
+  }
 }
