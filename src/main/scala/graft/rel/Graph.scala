@@ -431,18 +431,23 @@ object Graph {
   // mirror: same relative-rank scaling, same per-iteration decimal
   // contribution quantization. ONE text for the broadcast AND the
   // co-partitioned variant — they must compute identical ranks (the
-  // swap changes data movement, never math).
+  // swap changes data movement, never math). Every round CTE is
+  // MATERIALIZED: e_{i-1} is referenced twice per round (the degree
+  // filter and the peel join), so DuckDB's default CTE inlining
+  // recomputes the whole prefix 2^rounds times — the 38 GB spill that
+  // excluded this oracle from the r12 sf0.1 sweep. Materialization
+  // makes the unroll linear (≈3 s at sf0.1).
   private val KcoreOracle: String = {
     val base =
-      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+      """WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
-         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         e0 AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
                 FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
-         e_0 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
+         e_0 AS MATERIALIZED (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)"""
     val rounds = (1 to 6).map { i =>
-      s"""k_$i AS (SELECT src FROM e_${i - 1} GROUP BY 1
+      s"""k_$i AS MATERIALIZED (SELECT src FROM e_${i - 1} GROUP BY 1
                    HAVING COUNT(*) >= 3),
-          e_$i AS (SELECT e.src, e.dst FROM e_${i - 1} e
+          e_$i AS MATERIALIZED (SELECT e.src, e.dst FROM e_${i - 1} e
                    JOIN k_$i a ON a.src = e.src
                    JOIN k_$i b ON b.src = e.dst)"""
     }.mkString(",\n")
@@ -518,24 +523,35 @@ object Graph {
     "graph_kcore" -> KcoreOracle,
     "graph_kcore_copart" -> KcoreOracle,
 
-    // mirror: min reachable node id per node via a recursive
-    // reachability CTE (UNION dedups (node, seed) pairs, so the
-    // closure is Σ component² rows — fine at oracle scale; the engine
-    // side runs Hash-Min instead, which is the at-scale formulation)
-    "graph_components" ->
-      """WITH RECURSIVE li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+    // mirror: the SAME Hash-Min iteration the engine runs, unrolled as
+    // MATERIALIZED per-round CTEs (label = min of self + neighbor
+    // labels) instead of the r12 recursive reachability closure whose
+    // state is Σ component² (node, seed) rows — the other sf0.1
+    // exclusion. Hash-Min's fixpoint is the unique min-reachable-id
+    // labeling, so ANY converged unroll equals the closure (verified
+    // equal at sf0.01); 6 rounds is 2× the measured convergence depth
+    // at sf0.1 (3 improving rounds) — an under-unroll would hash-FAIL
+    // the gate loudly, never pass silently. Cost: 6 edge-sized joins.
+    "graph_components" -> {
+      val labRounds = (1 to 6).map { i =>
+        s"""l_$i AS MATERIALIZED (
+             SELECT e.dst AS node, LEAST(MIN(la.lab), MIN(lb.lab)) AS lab
+             FROM e_0 e JOIN l_${i - 1} la ON la.node = e.src
+             JOIN l_${i - 1} lb ON lb.node = e.dst
+             GROUP BY 1)"""
+      }.mkString(",\n")
+      s"""WITH li AS MATERIALIZED (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
-         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+         e0 AS MATERIALIZED (SELECT DISTINCT a.p AS src, b.p AS dst
                 FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
-         edges AS (SELECT src, dst FROM e0
+         e_0 AS MATERIALIZED (SELECT src, dst FROM e0
                    UNION ALL SELECT dst, src FROM e0),
-         reach(node, r) AS (
-           SELECT DISTINCT src, src FROM edges
-           UNION
-           SELECT e.dst, reach.r FROM reach JOIN edges e ON e.src = reach.node),
-         comp AS (SELECT node, min(r) AS component_id FROM reach GROUP BY node)
+         l_0 AS MATERIALIZED (SELECT src AS node, src AS lab FROM e_0 GROUP BY 1, 2),
+         $labRounds,
+         comp AS (SELECT node, lab AS component_id FROM l_6)
          SELECT component_id, count(*) AS n_nodes FROM comp
-         GROUP BY 1 ORDER BY n_nodes DESC, component_id LIMIT 20""",
+         GROUP BY 1 ORDER BY n_nodes DESC, component_id LIMIT 20"""
+    },
 
     // mirror: level-capped recursive BFS; min(hops) per node = first
     // reach, identical to the engine's frontier/visited discipline
