@@ -2346,13 +2346,26 @@ object LlmQueries {
     // frames, so a broken encode or decode hash-fails against the
     // analytic oracle (clip length and sample values were derived
     // before encoding; PCM is lossless). Corrupt-payload error path is
-    // unit-tested: decode_ok=false, never a task failure. Video stays
-    // the declared stub (no container codec in the JDK).
+    // unit-tested: decode_ok=false, never a task failure.
     "llm_multimodal_audio" -> ((s, dir) =>
       Multimodal.decodeWavStats(Multimodal.wavTable(s, dir)).toDF()
         .select("id", "n_samples", "sample_rate", "channels",
           "sum_amp", "sum_abs", "decode_ok")
         .orderBy("id")),
+
+    // the REAL video codec path (r13, closing the declared stub):
+    // synthesized genuine ANIMATED GIFs decoded with javax.imageio's
+    // multi-frame reader — the frame count comes out of the parsed
+    // container and per-frame luminance sums out of each decoded
+    // raster, one output row per frame (the shape that feeds a vision
+    // encoder). Grayscale rasters make GIF's indexed palette lossless,
+    // so the analytic oracle restates every frame's pixel sum with
+    // integer algebra; a dropped/reordered/corrupted frame hash-fails.
+    "llm_multimodal_video_frames" -> ((s, dir) =>
+      Multimodal.decodeGifFrames(Multimodal.gifTable(s, dir)).toDF()
+        .select("id", "frame_idx", "width", "height", "n_px", "sum_lum",
+          "decode_ok")
+        .orderBy("id", "frame_idx")),
 
     "llm_multimodal_meta" -> ((s, dir) =>
       Tables.documents(s, dir).select(
@@ -2369,15 +2382,17 @@ object LlmQueries {
     "llm_multimodal_features" -> ((s, dir) =>
       Multimodal.features(s, dir).orderBy("id")),
 
-    // frame sampling AS ROWS — the video/audio shape that feeds a
-    // vision encoder: each media payload explodes to ≤8 evenly-spaced
-    // frame slices, one row per frame with its offset and content
-    // digest. Pure map-side (sequence + explode + substring + md5, all
-    // codegen); the frame count and slice arithmetic are the stub
+    // frame sampling AS ROWS over OPAQUE payloads: each media payload
+    // explodes to ≤8 evenly-spaced byte slices, one row per frame with
+    // its offset and content digest. Pure map-side (sequence + explode
+    // + substring + md5, all codegen); the slice arithmetic is the stub
     // decoder's (Multimodal.decodeFeatures) made relational, so the
-    // per-frame rows stay DuckDB-checkable. At 100 TB frames explode
-    // the row count ≤8× but each row carries a digest, not the slice —
-    // the downstream encoder join is what reads bytes, partition-local.
+    // per-frame rows stay DuckDB-checkable. This is the codec-AGNOSTIC
+    // sampling shape (any container, no decode); the REAL decoded-frame
+    // twin is llm_multimodal_video_frames, which runs an actual
+    // multi-frame codec. At 100 TB frames explode the row count ≤8×
+    // but each row carries a digest, not the slice — the downstream
+    // encoder join is what reads bytes, partition-local.
     "llm_multimodal_frames" -> ((s, dir) => {
       val d = Tables.documents(s, dir)
         .select(col("doc_id"), col("text"),
@@ -5103,7 +5118,7 @@ object LlmQueries {
           ps AS (SELECT id, width, height, x,
                    unnest(range(0, height)) AS y FROM xs),
           px AS (SELECT id, width, height,
-                   ((id * 2654435761 + x * 31 + y * 17) & 16777215) AS rgb
+                   (((id % 16777216) * 2654435761 + x * 31 + y * 17) & 16777215) AS rgb
                  FROM ps),
           agg AS (SELECT id, width, height, count(*) AS n_px,
                     CAST(SUM(rgb // 65536) AS BIGINT) AS sum_r,
@@ -5126,7 +5141,7 @@ object LlmQueries {
                     FROM documents),
          s AS (SELECT id, n, unnest(range(0, n)) AS i FROM d),
          v AS (SELECT id, n,
-                 ((id * 2654435761 + i * 31) % 4096) - 2048 AS amp
+                 (((id % 4096) * 2654435761 + i * 31) % 4096) - 2048 AS amp
                FROM s)
          SELECT id, CAST(n AS BIGINT) AS n_samples,
                 CAST(8000 AS INT) AS sample_rate, CAST(1 AS INT) AS channels,
@@ -5134,6 +5149,27 @@ object LlmQueries {
                 CAST(SUM(abs(amp)) AS BIGINT) AS sum_abs,
                 TRUE AS decode_ok
          FROM v GROUP BY id, n ORDER BY id""",
+
+    // mirror of llm_multimodal_video_frames: frame count, dims and
+    // every frame's luminance sum restated from the synthesis formula —
+    // no codec on the oracle side; the engine's rows only match if the
+    // real animated-GIF encode→decode preserved each frame, in order
+    "llm_multimodal_video_frames" ->
+      """WITH d AS (SELECT doc_id AS id,
+                      2 + doc_id % 6 AS n_frames,
+                      CAST(2 + doc_id % 15 AS INT) AS w,
+                      CAST(2 + n_chars % 15 AS INT) AS h
+                    FROM documents),
+         fr AS (SELECT id, w, h, unnest(range(0, n_frames)) AS f FROM d),
+         xs AS (SELECT id, w, h, f, unnest(range(0, w)) AS x FROM fr),
+         px AS (SELECT id, f, w, h, x, unnest(range(0, h)) AS y FROM xs),
+         ag AS (SELECT id, f, w, h, count(*) AS n_px,
+                  CAST(SUM(((id % 256) * 2654435761 + f * 97 + x * 31 + y * 17) % 256)
+                       AS BIGINT) AS sum_lum
+                FROM px GROUP BY 1, 2, 3, 4)
+         SELECT id, CAST(f AS INT) AS frame_idx, w AS width, h AS height,
+                CAST(n_px AS BIGINT) AS n_px, sum_lum, TRUE AS decode_ok
+         FROM ag ORDER BY id, frame_idx""",
 
     "llm_multimodal_meta" ->
       """SELECT doc_id,

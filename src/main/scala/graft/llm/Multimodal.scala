@@ -88,8 +88,11 @@ object Multimodal {
     while (y < h) {
       var x = 0
       while (x < w) {
+        // id reduced mod 2^24 before the multiply — keeps the product
+        // inside int64 on BOTH engines at any doc_id scale (the same
+        // overflow-parity discipline as encodeWav / encodeGif)
         img.setRGB(x, y,
-          ((id * 2654435761L + x * 31L + y * 17L) & 0xFFFFFFL).toInt)
+          (((id % 16777216L) * 2654435761L + x * 31L + y * 17L) & 0xFFFFFFL).toInt)
         x += 1
       }
       y += 1
@@ -172,8 +175,8 @@ object Multimodal {
   // out of the decoded PCM frames. PCM is lossless, so an analytic
   // oracle recomputes the sums from the formula with no audio library —
   // the engine matches only if a real encode→decode round-trip
-  // preserved every sample. Video remains the one declared stub (no
-  // container/codec in the JDK).
+  // preserved every sample. (Video got the same treatment in r13 via
+  // animated GIF — see the "real video" section below.)
 
   case class WavRow(id: Long, media: Array[Byte])
   case class WavStats(id: Long, n_samples: Long, sample_rate: Int,
@@ -181,17 +184,22 @@ object Multimodal {
                       decode_ok: Boolean)
 
   /** Deterministic real WAV: `n` 16-bit signed little-endian PCM mono
-    * samples at 8 kHz, sample i = ((id·2654435761 + 31i) mod 4096) −
-    * 2048 — the audio twin of [[encodePng]]'s pixel formula. The RIFF
-    * container bytes come from the JDK encoder; consumers must assert
-    * on DECODED samples, never on the payload bytes. */
+    * samples at 8 kHz, sample i = (((id mod 4096)·2654435761 + 31i)
+    * mod 4096) − 2048 — the audio twin of [[encodePng]]'s pixel
+    * formula. `id` is reduced mod 4096 BEFORE the multiply (r13,
+    * ADVICE): the raw product wraps int64 silently on the JVM for
+    * id ≳ 3.47e9 while DuckDB BIGINT overflow ERRORS — the reduction
+    * keeps the arithmetic in-range identically in both engines at any
+    * doc_id scale. The RIFF container bytes come from the JDK encoder;
+    * consumers must assert on DECODED samples, never on the payload
+    * bytes. */
   def encodeWav(id: Long, n: Int): Array[Byte] = {
     val fmt = new javax.sound.sampled.AudioFormat(
       8000f, 16, 1, true, false) // 8 kHz, 16-bit, mono, signed, little-endian
     val pcm = new Array[Byte](n * 2)
     var i = 0
     while (i < n) {
-      val v = (((id * 2654435761L + i * 31L) % 4096L) - 2048L).toShort
+      val v = ((((id % 4096L) * 2654435761L + i * 31L) % 4096L) - 2048L).toShort
       pcm(2 * i) = (v & 0xFF).toByte
       pcm(2 * i + 1) = ((v >> 8) & 0xFF).toByte
       i += 1
@@ -278,6 +286,133 @@ object Multimodal {
         } catch {
           case _: Exception => PngMeta(r.id, -1, -1, "undecodable", false)
         }
+      }
+    }
+  }
+
+  // ------------------------------------------------------- real video
+  //
+  // The third REAL codec path (r13), closing the long-declared video
+  // stub: animated GIF via `javax.imageio` — the one multi-frame
+  // container the JDK can both WRITE (ImageWriter.writeToSequence) and
+  // READ (ImageReader.getNumImages/read(i)) with no new dependency.
+  // The table synthesizes genuine animated GIFs (frame count, dims and
+  // per-pixel gray values all analytically derived), and the decoder
+  // walks the REAL frame sequence: frame count comes from the parsed
+  // container, pixels from each decoded raster. Grayscale rasters keep
+  // the round-trip lossless (≤256 distinct colors — GIF's indexed
+  // palette quantizes nothing), so an analytic oracle restates the
+  // per-frame luminance sums with integer algebra and the engine
+  // matches only if a real encode→decode round-trip preserved every
+  // frame in order.
+
+  case class GifRow(id: Long, media: Array[Byte])
+  case class GifFrameStats(id: Long, frame_idx: Int, width: Int, height: Int,
+                           n_px: Long, sum_lum: Long, decode_ok: Boolean)
+
+  /** Deterministic real animated GIF: `frames` full `w×h` grayscale
+    * frames, pixel (f, x, y) = ((id mod 256)·2654435761 + 97f + 31x +
+    * 17y) mod 256 — the video twin of [[encodePng]]'s formula with a
+    * per-frame term (id reduced before the multiply: the encodeWav
+    * overflow-parity discipline). Container bytes come from the JDK
+    * encoder; consumers must assert on DECODED frames, never on the
+    * payload. */
+  def encodeGif(id: Long, frames: Int, w: Int, h: Int): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersBySuffix("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      // non-interlaced frames, explicitly: the JDK writer defaults to
+      // INTERLACED row order, which its own reader mis-rasterizes for
+      // small frame heights (rows land shifted) — a measured JDK
+      // writer/reader disagreement, sidestepped at the spec level
+      val param = writer.getDefaultWriteParam
+      param.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+      var f = 0
+      while (f < frames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+        val raster = img.getRaster
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            raster.setSample(x, y, 0,
+              (((id % 256L) * 2654435761L + f * 97L + x * 31L + y * 17L) % 256L).toInt)
+            x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null), param)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
+  /** Synthesized animated-GIF media table: one real multi-frame clip
+    * per document — frames = 2 + id mod 6, width = 2 + id mod 15,
+    * height = 2 + n_chars mod 15, all derived BEFORE encoding so an
+    * oracle can state them without a codec. */
+  def gifTable(s: SparkSession, dir: String, partitions: Int = 32): Dataset[GifRow] = {
+    import s.implicits._
+    graft.core.Tables.documents(s, dir)
+      .select(col("doc_id"), col("n_chars").cast("long").as("nc"))
+      .repartition(partitions, col("doc_id"))
+      .as[(Long, Long)]
+      .mapPartitions(_.map { case (id, nc) =>
+        GifRow(id, encodeGif(id, (2L + id % 6L).toInt,
+          (2L + id % 15L).toInt, (2L + nc % 15L).toInt))
+      })
+  }
+
+  /** REAL frame sampling + feature extraction: parse the GIF container,
+    * iterate the frame sequence (`getNumImages(true)` forces a full
+    * container scan — the count is the codec's, not the synthesizer's),
+    * decode each raster and aggregate per-frame luminance. One OUTPUT
+    * ROW PER FRAME — the shape that feeds a vision encoder. Undecodable
+    * payloads yield a single decode_ok=false sentinel row; a poisoned
+    * row must not kill a 100 TB decode job. Same mapPartitions
+    * discipline as the PNG/WAV paths: codec init once per partition,
+    * per-clip work bounded by raster×frames, only fixed-width stats
+    * rows leave the partition — payload bytes never shuffle. */
+  def decodeGifFrames(media: Dataset[GifRow]): Dataset[GifFrameStats] = {
+    import media.sparkSession.implicits._
+    val bad = (id: Long) => GifFrameStats(id, -1, -1, -1, 0L, 0L, false)
+    media.mapPartitions { rows =>
+      javax.imageio.ImageIO.setUseCache(false)
+      val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
+      rows.flatMap { r =>
+        try {
+          val iis = javax.imageio.ImageIO.createImageInputStream(
+            new java.io.ByteArrayInputStream(r.media))
+          reader.setInput(iis, false, true)
+          val n = reader.getNumImages(true)
+          if (n <= 0) Seq(bad(r.id))
+          else (0 until n).map { f =>
+            val img = reader.read(f)
+            val w = img.getWidth; val h = img.getHeight
+            var lum = 0L
+            var y = 0
+            while (y < h) {
+              var x = 0
+              while (x < w) {
+                // decoded GIF frames come back indexed/RGB; channels are
+                // equal on a grayscale palette — read one
+                lum += (img.getRGB(x, y) & 0xFF).toLong
+                x += 1
+              }
+              y += 1
+            }
+            GifFrameStats(r.id, f, w, h, w.toLong * h, lum, true)
+          }
+        } catch { case _: Exception => Seq(bad(r.id)) }
       }
     }
   }

@@ -1035,6 +1035,36 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real animated-GIF decode — frame walk + corrupt bytes") {
+    // local codec check: encode → decode recovers frame count, dims and
+    // per-frame luminance, and the payload is a genuine GIF container
+    val gif = Multimodal.encodeGif(42L, 4, 5, 3)
+    assert(new String(gif.take(6), "US-ASCII") == "GIF89a",
+      "encodeGif must emit a real GIF89a payload")
+    val rows = Seq(
+      Multimodal.GifRow(1L, gif),
+      Multimodal.GifRow(2L, gif.take(8)),                // truncated header
+      Multimodal.GifRow(3L, Array[Byte](1, 2, 3, 4)),    // not an image
+      Multimodal.GifRow(4L, Array.emptyByteArray))       // empty payload
+    val out = Multimodal.decodeGifFrames(spark.createDataset(rows))
+      .collect().groupBy(_.id)
+    val frames = out(1L).sortBy(_.frame_idx)
+    assert(frames.length == 4 && frames.forall(f => f.decode_ok &&
+      f.width == 5 && f.height == 3), s"frame walk wrong: ${frames.toSeq}")
+    // per-frame luminance straight from the synthesis formula — frame
+    // ORDER matters (a swapped pair would still pass a set compare)
+    frames.foreach { fr =>
+      val exp = (for (y <- 0 until 3; x <- 0 until 5)
+        yield (42L * 2654435761L + fr.frame_idx * 97L + x * 31L + y * 17L) % 256L).sum
+      assert(fr.sum_lum == exp, s"frame ${fr.frame_idx} luminance: $fr")
+    }
+    Seq(2L, 3L, 4L).foreach { id =>
+      val bad = out(id)
+      assert(bad.length == 1 && !bad.head.decode_ok && bad.head.width == -1,
+        s"payload $id must fail decode gracefully, got ${bad.toSeq}")
+    }
+  }
+
   test("word PMI: count floor respected, PMI algebra exact, order total") {
     val rows = graft.SparkEntry.queries("llm_word_pmi")(spark, sf)
       .as[(String, String, Long, Double)].collect()
