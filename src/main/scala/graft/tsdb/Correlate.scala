@@ -44,6 +44,40 @@ object Correlate {
     prev(n)
   }
 
+  /** Sakoe-Chiba BANDED [[dtwDistance]]: cells with |i − j| > band are
+    * never computed, so each pair costs O(n·band) instead of O(n·m) —
+    * the production shape the tsdb_dtw comment promises (a 10k-point
+    * series pair drops from 10⁸ cells to 10⁵ at band 10). The band
+    * widens to |n − m| when the length gap exceeds it — no warping
+    * path exists inside a narrower band (every path must traverse the
+    * length difference), the standard adjustment. Within the band the
+    * recurrence is bit-identical to the full DP, so band ≥ max(n, m)
+    * reproduces [[dtwDistance]] exactly (property-tested), and a
+    * narrower band can only RAISE the distance (path-set restriction —
+    * also property-tested). */
+  def dtwDistanceBanded(av: Array[Double], bv: Array[Double], band: Int): Double = {
+    val n = av.length
+    val m = bv.length
+    if (n == 0 || m == 0) return Double.PositiveInfinity
+    val w = math.max(band, math.abs(n - m))
+    var prev = Array.fill(n + 1)(Double.PositiveInfinity)
+    prev(0) = 0.0
+    var j = 1
+    while (j <= m) {
+      val nw = Array.fill(n + 1)(Double.PositiveInfinity)
+      var i = math.max(1, j - w)
+      val hi = math.min(n, j + w)
+      while (i <= hi) {
+        nw(i) = math.abs(av(i - 1) - bv(j - 1)) +
+          math.min(nw(i - 1), math.min(prev(i), prev(i - 1)))
+        i += 1
+      }
+      prev = nw
+      j += 1
+    }
+    prev(n)
+  }
+
   /** Lead/lag discovery: for each candidate series pair, the LAG (in
     * grid steps, −maxLag..+maxLag) whose shifted alignment maximizes
     * Pearson r — "does A lead B, and by how much". The B side is

@@ -754,6 +754,54 @@ object TsdbQueries {
         .orderBy("a_id")
     }),
 
+    // the PRODUCTION DTW path tsdb_dtw's comment promises (r13):
+    // bounded candidate pairing (next-5 ids — linear in series count,
+    // the lag-table fan-out pattern, never all-pairs), a CHEAP
+    // LB_Kim-style lower-bound prefilter (max of first/last/max/min
+    // deltas — four per-series scalars, each provably ≤ DTW, so a
+    // dropped pair can never have qualified), then Sakoe-Chiba BANDED
+    // DP (band 3, widened to the length gap when larger) on the ~half
+    // that survive — O(n·band) per pair instead of O(n·m). Oracle
+    // replays the banded DP via the same nested list_reduce as
+    // tsdb_dtw with the row index carried in the accumulator head and
+    // the band condition inlined; band ≡ full-DP-within-band is
+    // additionally property-tested in TsdbSpec.
+    "tsdb_dtw_banded" -> ((s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      val arr = ds.groupBy("user_id")
+        .agg(sort_array(collect_list(struct(col("bucket_ms"), col("value"))))
+          .as("pts"))
+        .select(col("user_id"), expr("transform(pts, p -> p.value)").as("vs"))
+        .withColumn("fv", element_at(col("vs"), 1))
+        .withColumn("lv", element_at(col("vs"), -1))
+        .withColumn("mx", array_max(col("vs")))
+        .withColumn("mn", array_min(col("vs")))
+      val offsets = s.range(1, 6).select(col("id").as("off"))
+      val a = arr.select(col("user_id").as("a_id"), col("vs").as("av"),
+        col("fv").as("a_fv"), col("lv").as("a_lv"),
+        col("mx").as("a_mx"), col("mn").as("a_mn"))
+      val b = arr.select(col("user_id").as("b_id"), col("vs").as("bv"),
+        col("fv").as("b_fv"), col("lv").as("b_lv"),
+        col("mx").as("b_mx"), col("mn").as("b_mn"))
+      val pairs = a.crossJoin(broadcast(offsets))
+        .join(b, col("b_id") === col("a_id") + col("off"))
+        .withColumn("lb", greatest(
+          abs(col("a_fv") - col("b_fv")), abs(col("a_lv") - col("b_lv")),
+          abs(col("a_mx") - col("b_mx")), abs(col("a_mn") - col("b_mn"))))
+        .where(col("lb") <= 80.0)
+        .select(col("a_id"), col("b_id"), col("av"), col("bv"), col("lb"))
+        .as[(Long, Long, Seq[Double], Seq[Double], Double)]
+      pairs.mapPartitions(_.map { case (aId, bId, avS, bvS, lb) =>
+        val av = avS.toArray; val bv = bvS.toArray
+        (aId, bId, av.length.toLong, bv.length.toLong,
+          graft.core.D.r4d(lb),
+          graft.core.D.r4d(Correlate.dtwDistanceBanded(av, bv, 3)))
+      }).toDF("a_id", "b_id", "n_a", "n_b", "lb", "dtw")
+        .orderBy("a_id", "b_id")
+    }),
+
     // 1-D local-level Kalman filter (random-walk state, Q=1, R=4) —
     // the optimal-gain smoother beside Holt's fixed-gain one: per step
     // P'=P+Q, K=P'/(P'+R), x+=K(v−x), P=(1−K)P'. The gain SELF-TUNES:
@@ -2431,6 +2479,60 @@ object TsdbQueries {
           SELECT a_id, b_id, n_a, n_b,
                  ${D.oR4("col_final[CAST(n_a AS BIGINT) + 1]")} AS dtw
           FROM dp ORDER BY a_id""",
+
+    // mirror of tsdb_dtw_banded: same bounded next-5 pairing, the same
+    // four-scalar lower bound, and the banded DP replayed via the
+    // tsdb_dtw nested list_reduce with the row counter j carried as
+    // the accumulator HEAD (acc = [j, d_0..d_n]) so the band test
+    // |i − j| > w can be evaluated inside the fold; w = greatest(3,
+    // length gap), exactly the engine's widening
+    "tsdb_dtw_banded" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          arr AS (SELECT user_id, list(value ORDER BY bucket_ms) AS vs
+                  FROM ds GROUP BY 1),
+          st AS (SELECT user_id, vs, vs[1] AS fv, vs[len(vs)] AS lv,
+                        list_aggregate(vs, 'max') AS mx,
+                        list_aggregate(vs, 'min') AS mn
+                 FROM arr),
+          pr AS (SELECT a.user_id AS a_id, b.user_id AS b_id,
+                        a.vs AS av, b.vs AS bv,
+                        greatest(abs(a.fv - b.fv), abs(a.lv - b.lv),
+                                 abs(a.mx - b.mx), abs(a.mn - b.mn)) AS lb,
+                        greatest(CAST(3 AS DOUBLE),
+                                 abs(CAST(len(a.vs) AS DOUBLE)
+                                     - CAST(len(b.vs) AS DOUBLE))) AS w
+                 FROM st a JOIN st b
+                   ON b.user_id > a.user_id AND b.user_id <= a.user_id + 5
+                 WHERE greatest(abs(a.fv - b.fv), abs(a.lv - b.lv),
+                                abs(a.mx - b.mx), abs(a.mn - b.mn)) <= 80.0),
+          dp AS (SELECT a_id, b_id,
+                   CAST(len(av) AS BIGINT) AS n_a,
+                   CAST(len(bv) AS BIGINT) AS n_b,
+                   lb,
+                   list_reduce(
+                     [[0.0, 0.0] || list_transform(range(1, len(av) + 1),
+                        i -> CAST('infinity' AS DOUBLE))]
+                     || list_transform(bv, b -> [b]),
+                     (acc, xb) -> list_reduce(
+                       [[acc[1] + 1, CAST('infinity' AS DOUBLE)]]
+                       || list_transform(range(1, len(av) + 1),
+                            i -> [CAST(i AS DOUBLE)]),
+                       (stt, xi) -> stt ||
+                         [CASE WHEN abs(xi[1] - stt[1]) > w
+                               THEN CAST('infinity' AS DOUBLE)
+                               ELSE abs(av[CAST(xi[1] AS BIGINT)] - xb[1])
+                                    + least(stt[len(stt)],
+                                            acc[CAST(xi[1] AS BIGINT) + 2],
+                                            acc[CAST(xi[1] AS BIGINT) + 1])
+                               END]))
+                     AS col_final
+                 FROM pr)
+          SELECT a_id, b_id, n_a, n_b, ${D.oR4("lb")} AS lb,
+                 ${D.oR4("col_final[CAST(n_a AS BIGINT) + 2]")} AS dtw
+          FROM dp ORDER BY a_id, b_id""",
 
     "tsdb_kalman" ->
       s"""WITH ds AS (

@@ -624,4 +624,48 @@ class TsdbSpec extends SparkSpec {
         graft.core.D.r4d(dtwDistance(series(aId), series(bId))))
     }
   }
+
+  test("banded DTW: band ≡ full DP within the band width; narrowing only raises") {
+    import graft.tsdb.Correlate.{dtwDistance, dtwDistanceBanded}
+    val rnd = new scala.util.Random(13)
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(12)
+      val m = 1 + rnd.nextInt(12)
+      val a = Array.fill(n)(math.rint(rnd.nextDouble() * 100) / 4)
+      val b = Array.fill(m)(math.rint(rnd.nextDouble() * 100) / 4)
+      val full = dtwDistance(a, b)
+      // a band covering the whole matrix IS the full DP — bit-equal
+      assert(dtwDistanceBanded(a, b, math.max(n, m)) == full,
+        s"covering band must reproduce the full DP (n=$n m=$m)")
+      // restricting the path set can only raise the distance, monotonically
+      val ds = (1 to math.max(n, m)).map(w => dtwDistanceBanded(a, b, w))
+      ds.sliding(2).filter(_.size == 2).foreach { p =>
+        assert(p(0) >= p(1), s"band widening must not raise distance")
+      }
+      assert(ds.forall(_ >= full) && ds.last == full)
+      // the adaptive widening keeps every pair feasible (never +inf)
+      assert(!ds.head.isPosInfinity, "length-gap widening must keep a path")
+    }
+    // hand case where the optimal path LEAVES a narrow band: the spikes
+    // sit 2 positions out of phase, so the free alignment needs
+    // |i − j| = 2 — full DP (and band ≥ 2) warp at cost 0, band 1 can't
+    val a = Array(0.0, 5.0, 0.0, 0.0, 0.0)
+    val b = Array(0.0, 0.0, 0.0, 5.0, 0.0)
+    assert(dtwDistance(a, b) == 0.0)
+    assert(dtwDistanceBanded(a, b, 2) == 0.0)
+    assert(dtwDistanceBanded(a, b, 1) > 0.0,
+      "narrow band must exclude the off-diagonal optimum here")
+    // LB_Kim-style prefilter soundness on random pairs: each scalar
+    // bound ≤ DTW, so the query's pruning can never drop a qualifier
+    for (_ <- 1 to 200) {
+      val n = 1 + rnd.nextInt(10)
+      val m = 1 + rnd.nextInt(10)
+      val a = Array.fill(n)(math.rint(rnd.nextDouble() * 100) / 4)
+      val b = Array.fill(m)(math.rint(rnd.nextDouble() * 100) / 4)
+      val lb = Seq(math.abs(a.head - b.head), math.abs(a.last - b.last),
+        math.abs(a.max - b.max), math.abs(a.min - b.min)).max
+      assert(lb <= dtwDistance(a, b) + 1e-9,
+        s"lower bound must never exceed the true DTW")
+    }
+  }
 }
