@@ -24,8 +24,21 @@ object Bench {
     "llm_chunk_overlap", "join_interval_overlap", "tsdb_query_capped",
     "tsdb_holt_winters",
     // r12 lifecycle-priced additions (stream-grown indexes build inside
-    // their timed runs, the series_catalog_roundtrip precedent)
+    // their timed runs, the series_catalog_roundtrip precedent; the
+    // bench WIPES their artifact roots before timing — see
+    // LifecycleGrown — so the growth phase runs every bench, not just
+    // on a cold /tmp)
     "stream_band_index_growth", "stream_ivf_index_growth")
+
+  /** Stream-growth lifecycle queries (ADVICE r12): their artifact roots
+    * are wiped before each timed first pass so the growth phase is IN
+    * the timing on every run (a warm /tmp would otherwise reduce them
+    * to probe-only), and they are EXEMPT from the outlier rerun — a
+    * rerun finds the grown artifact current, times only the probe, and
+    * the reported min would silently drop the growth cost again. */
+  val LifecycleGrown: Set[String] = Set(
+    "stream_band_index_growth", "stream_ivf_index_growth",
+    "stream_text_index_growth")
 
   /** Every run writes the FULL per-query timing table here (one
     * `name\tseconds[\tFAILED]` row per query) — the judge-readable
@@ -101,6 +114,12 @@ object Bench {
     }
     val perRep = (1 to reps).map { _ =>
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
+        // lifecycle-grown artifacts are wiped (untimed — the wipe is
+        // bookkeeping, not lifecycle cost) so the growth phase runs
+        // inside EVERY timed pass, reps included
+        if (LifecycleGrown(name))
+          try graft.llm.LlmQueries.resetGrowthArtifact(sfDir, name)
+          catch { case scala.util.control.NonFatal(_) => }
         name -> timeOnce(fn)
       }
     }
@@ -134,7 +153,7 @@ object Bench {
       if (sortedTimes.isEmpty) 0.0 else sortedTimes(sortedTimes.size / 2)
     val rerunThreshold = math.max(1.0, 3.0 * median)
     val results = firstPass.map { case (name, t, ok0) =>
-      if (t <= rerunThreshold) (name, t, ok0)
+      if (t <= rerunThreshold || LifecycleGrown(name)) (name, t, ok0)
       else {
         // a rerun that FAILED must not replace the first-pass time — a
         // 0.3 s exception would otherwise publish as a phantom speedup
@@ -156,7 +175,14 @@ object Bench {
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(timingsFile),
       results.map { case (n, t, ok) =>
         s"$n\t$t${if (ok) "" else "\tFAILED"}" }.mkString("", "\n", "\n"))
-    catch { case _: Throwable => }
+    catch {
+      // NonFatal only (ADVICE r12: a swallowed OOM is a lie elsewhere),
+      // and a loud stderr note — a stale committed BENCH_FULL.tsv read
+      // as current is a silent attribution error
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"WARNING: could not write $timingsFile: $e — " +
+          "the committed copy may be STALE")
+    }
     val byName = results.map(r => r._1 -> r._2).toMap
     val qs = Headline.flatMap(h => byName.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
@@ -174,9 +200,13 @@ object Bench {
     val summary = s""""metric":"total","value":${r3(total)},"unit":"sec","sf":$sf,"n_queries":${results.size},"outlier_reruns":$reruns,"failed":$failedJson"""
     // summary-only line FIRST (r11: the 78-entry itemization clipped the
     // contract line to parsed:null and the round total went unrecorded —
-    // this short line survives any tail window and carries the total)
-    println(s"{$summary}")
-    println(s"""{$summary,"queries":$qs}""")
+    // this short line survives any tail window and carries the total).
+    // Both lines describe the SAME run; the "line" discriminator
+    // (ADVICE r12) lets any consumer that scans all metric:"total"
+    // lines dedupe instead of double-counting. The FULL line stays
+    // last — it is the contract line when the window holds it.
+    println(s"""{$summary,"line":"summary"}""")
+    println(s"""{$summary,"line":"full","queries":$qs}""")
     if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -192,17 +192,39 @@ object LlmQueries {
     try new String(java.nio.file.Files.readAllBytes(growFpFile(root)),
       java.nio.charset.StandardCharsets.UTF_8) == fp
     catch { case _: Exception => false }
-  private def wipeAndGrow(root: String, fp: String)(grow: => Unit): Unit = {
-    val p = java.nio.file.Paths.get(root)
+  /** Recursive delete with the walk stream CLOSED (ADVICE r12: the
+    * unclosed Files.walk leaked a directory handle per rebuild). */
+  private def deleteTree(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete(_))
+      scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .iterator().asScala.foreach(java.nio.file.Files.delete(_))
+      }
     }
+
+  private def wipeAndGrow(root: String, fp: String)(grow: => Unit): Unit = {
+    val p = java.nio.file.Paths.get(root)
+    deleteTree(p)
     java.nio.file.Files.createDirectories(p)
     grow
     java.nio.file.Files.write(growFpFile(root),
       fp.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** Bench hook (ADVICE r12 lifecycle pricing): wipe ONE stream-growth
+    * query's artifact root so its next run genuinely re-runs the
+    * growth phase — without this, a warm /tmp turns the "lifecycle-
+    * priced" bench rows into probe-only timings. Query-name keyed so
+    * the bench wipes exactly what it is about to time. */
+  def resetGrowthArtifact(dir: String, queryName: String): Unit = {
+    val roots = Map(
+      "stream_band_index_growth" -> "bands_grow",
+      "stream_ivf_index_growth" -> "ann_grow",
+      "stream_text_index_growth" -> "text_grow")
+    roots.get(queryName).foreach { name =>
+      deleteTree(java.nio.file.Paths.get(growRoot(dir, name)))
+    }
   }
 
   /** The exact base+delta state [[queries]]' llm_dedup_incremental
