@@ -206,6 +206,48 @@ object ScaleProbe {
     def seqDetect(dir: String): Long =
       SparkEntry.queries("evt_sequence_detect")(spark, dir).count()
 
+    // r13 additions — the retired-quadratic trio, probed with the
+    // production sizing: cluster count k ∝ corpus / target-list-size
+    // (250), so per-query candidate fetch (kNN join) and per-cluster
+    // pair blocks (cosine dedup) stay CONSTANT as the corpus grows —
+    // k=8 at 1× (2k vectors), k=80 at 10× (20k). The fixture queries
+    // keep k=8 (their oracle unrolls that Lloyd); this probe measures
+    // the knob the Scaladoc claims.
+    def knnIdxPath(dir: String) = s"$idxRoot/knn_${if (dir == sf) "x1" else "x10"}"
+    def scaledK(dir: String): Int = {
+      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
+      math.max(8, (n / 250L).toInt)
+    }
+    def knnIvfBuild(dir: String): Long = {
+      llm.Similarity.buildIvfIndex(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"), knnIdxPath(dir),
+        "knnprobe", llm.Similarity.IndexParams(k = scaledK(dir)))
+      1L
+    }
+    def knnJoinIvf(dir: String): Long =
+      llm.Similarity.ivfKnnJoinStored(spark, knnIdxPath(dir), 3, nprobe = 2)
+        .count()
+    def dedupCosineBlocked(dir: String): Long =
+      llm.Similarity.blockedPairCosines(
+        llm.Similarity.readLists(spark, knnIdxPath(dir))
+          .select("vec_id", "embedding", "nrm", "centroid_id"),
+        "centroid_id", ordered = true)
+        .where(col("sim") >= 0.35).count()
+    def cohesion(dir: String): Long =
+      SparkEntry.queries("llm_embed_label_cohesion")(spark, dir).count()
+    // stream-growth lifecycle at 10×: wipe the growth root, run the
+    // registered query — the timing covers the FULL growth (3 stream
+    // micro-batches, each 10× bigger at 10×) plus its serving probe;
+    // O(batch) growth should scale with batch bytes, far under 10×
+    // wall-clock (per-batch overhead dominates at fixture scale)
+    def streamGrowth(name: String)(dir: String): Long = {
+      llm.LlmQueries.resetGrowthArtifact(dir, name)
+      SparkEntry.queries(name)(spark, dir).count()
+    }
+    val bandGrow = streamGrowth("stream_band_index_growth") _
+    val ivfGrow = streamGrowth("stream_ivf_index_growth") _
+    val textGrow = streamGrowth("stream_text_index_growth") _
+
     // the Similarity chained-CASE ceiling, measured (r11): assign every
     // vector to its nearest of k=256 centroids — 4–32× the fixture's
     // k, the regime where the literal expression tree nears Janino's
@@ -249,6 +291,8 @@ object ScaleProbe {
     assignLiteral(sf); assignBroadcast(sf)
     cms(sf); bloom(sf); adamicAdar(sf); lpa(sf); kcore(sf); kcoreCopart(sf)
     seqDetect(sf)
+    knnIvfBuild(sf); knnJoinIvf(sf); dedupCosineBlocked(sf); cohesion(sf)
+    bandGrow(sf); ivfGrow(sf); textGrow(sf)
     spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
     val rows = Seq(
       ("flagship_pipeline", time(flagship(sf)), time(flagship(big))),
@@ -285,7 +329,14 @@ object ScaleProbe {
       ("graph_label_propagation", time(lpa(sf)), time(lpa(big))),
       ("graph_kcore", time(kcore(sf)), time(kcore(big))),
       ("graph_kcore_copart", time(kcoreCopart(sf)), time(kcoreCopart(big))),
-      ("evt_sequence_detect", time(seqDetect(sf)), time(seqDetect(big))))
+      ("evt_sequence_detect", time(seqDetect(sf)), time(seqDetect(big))),
+      ("knn_ivf_build_scaledk", time(knnIvfBuild(sf)), time(knnIvfBuild(big))),
+      ("llm_knn_join_ivf_scaledk", time(knnJoinIvf(sf)), time(knnJoinIvf(big))),
+      ("llm_dedup_cosine_scaledk", time(dedupCosineBlocked(sf)), time(dedupCosineBlocked(big))),
+      ("llm_embed_label_cohesion", time(cohesion(sf)), time(cohesion(big))),
+      ("stream_band_index_growth", time(bandGrow(sf)), time(bandGrow(big))),
+      ("stream_ivf_index_growth", time(ivfGrow(sf)), time(ivfGrow(big))),
+      ("stream_text_index_growth", time(textGrow(sf)), time(textGrow(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
     spark.stop()
