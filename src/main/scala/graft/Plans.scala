@@ -68,7 +68,8 @@ object Plans {
     "llm_bloom_prefilter", "graph_label_propagation", "llm_pref_pairs",
     "llm_multimodal_pixstats", "llm_lang_confusion", "llm_dedup_canonical",
     "llm_knn_join_ivf", "llm_dedup_cosine", "llm_embed_label_cohesion",
-    "tsdb_query_qs", "tsdb_dtw_banded", "llm_multimodal_video_frames")
+    "tsdb_query_qs", "tsdb_dtw_banded", "llm_multimodal_video_frames",
+    "llm_sim_radius_stored")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")

@@ -993,6 +993,20 @@ object LlmQueries {
       Similarity.ivfTopKStored(s, qs, path, 5, nprobe = 2)
     }),
 
+    // RADIUS search off the same stored index (r13): everything with
+    // cosine ≥ 0.30 in the probed lists — the dedup-against-index /
+    // compliance-sweep serving shape where the answer is "all close
+    // enough", not a fixed k. No rank window at all: a pure filter
+    // over the pruned candidate fetch, strictly cheaper than top-k.
+    "llm_sim_radius_stored" -> ((s, dir) => {
+      val emb = Tables.embeddings(s, dir)
+      val path = annIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      val qs = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      Similarity.ivfRadiusStored(s, qs, path, 0.30, nprobe = 2)
+    }),
+
     // hybrid search: the stored-index probe with a metadata predicate
     // (label < 5) pushed INTO the inverted-lists scan — post-filtering
     // the top-k would break recall, so the candidate fetch itself is
@@ -2958,11 +2972,10 @@ object LlmQueries {
     * the appended-index mirror); `candFilter` prunes the candidate set
     * (the tombstone-deletion mirror: the quantizer keeps its training,
     * only candidates disappear). */
-  private def ivfBatchOracleWith(ctes: String,
-                                 candFilter: String = "TRUE",
-                                 queryPred: String = "d.vec_id < 4",
-                                 k: Int = 5,
-                                 neighborAlias: String = "vec_id"): String =
+  /** Probe prefix shared by the rank (top-k) and radius oracle tails:
+    * everything up to the scored candidate CTE `sm`. */
+  private def ivfProbePrefix(ctes: String, candFilter: String,
+                             queryPred: String): String =
     s"""WITH $ctes,
           qdist AS (SELECT d.vec_id AS query_id, cs.cid,
                       sq.sq + cs.sq - 2.0 * d.dot AS dist
@@ -2986,13 +2999,27 @@ object LlmQueries {
                    ROUND((q.dot / (SQRT(sv.sq) * SQRT(sqq.sq))) * 10000.0, 0) / 10000.0 + 0.0 AS sim
                  FROM qdot q
                  JOIN sq sv ON sv.vec_id = q.vec_id
-                 JOIN sq sqq ON sqq.vec_id = q.query_id)
+                 JOIN sq sqq ON sqq.vec_id = q.query_id)"""
+
+  private def ivfBatchOracleWith(ctes: String,
+                                 candFilter: String = "TRUE",
+                                 queryPred: String = "d.vec_id < 4",
+                                 k: Int = 5,
+                                 neighborAlias: String = "vec_id"): String =
+    s"""${ivfProbePrefix(ctes, candFilter, queryPred)}
           SELECT query_id, rn, vec_id AS $neighborAlias, sim FROM (
             SELECT query_id, vec_id, sim,
                    CAST(row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, vec_id) AS BIGINT) AS rn
             FROM sm)
           WHERE rn <= $k ORDER BY query_id, rn"""
   private val IvfBatchOracle: String = ivfBatchOracleWith(IvfCtes)
+
+  /** Radius-search mirror: the same probe prefix, a threshold filter
+    * instead of the rank window. */
+  private def ivfRadiusOracleWith(ctes: String, minSim: Double): String =
+    s"""${ivfProbePrefix(ctes, "TRUE", "d.vec_id < 4")}
+          SELECT query_id, vec_id, sim FROM sm
+          WHERE sim >= $minSim ORDER BY query_id, vec_id"""
 
   /** Shared CTE chain ending at `ver` (verified candidate pairs) — the
     * oracle mirror of Dedup.nearDupPairsPortable's packed-lane layout:
@@ -3737,6 +3764,10 @@ object LlmQueries {
     // become window ranks partitioned by query_id
     "llm_sim_ivf_batch" -> IvfBatchOracle,
     "llm_sim_ivf_stored" -> IvfBatchOracle,
+
+    // radius mirror: threshold filter over the scored candidates, no
+    // rank window — stored-probe radius ≡ inline probe + filter
+    "llm_sim_radius_stored" -> ivfRadiusOracleWith(IvfCtes, 0.30),
 
     // approximate kNN-join mirror: every vector is a query (the qdist
     // restriction drops), the self candidate is removed BEFORE the rank

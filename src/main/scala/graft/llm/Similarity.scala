@@ -562,11 +562,13 @@ object Similarity {
     * pre-assigned corpus on centroid_id, per-query top-k window. The
     * broadcast of the exploded probe set is GATED on a bounded count of
     * the query frame — see [[gatedBroadcast]]. */
-  private def probeJoinTopK(assigned: DataFrame, queries: DataFrame,
-                            cs: Array[(Int, Seq[Float], Double)],
-                            k: Int, nprobe: Int,
-                            maxBroadcastQueries: Long,
-                            excludeSelf: Boolean = false): DataFrame = {
+  /** Shared probe-join stage: nprobe pick + lists join + cosine — the
+    * scored candidate frame (query_id, vec_id, sim) both the top-k and
+    * the radius consumers rank/filter. */
+  private def probeScored(assigned: DataFrame, queries: DataFrame,
+                          cs: Array[(Int, Seq[Float], Double)],
+                          nprobe: Int, maxBroadcastQueries: Long,
+                          excludeSelf: Boolean): DataFrame = {
     val dists = cs.map { case (cid, cvec, sqc) =>
       struct(
         (col("sq_q") + lit(sqc) - lit(2.0)
@@ -583,8 +585,6 @@ object Similarity {
         col("p").getField("centroid_id").as("centroid_id"))
       .withColumn("qnrm", normExpr("qv"))
     val probeSide = gatedBroadcast(probes, queries, maxBroadcastQueries)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
     val joined = assigned.join(probeSide, Seq("centroid_id"))
     // stored-index corpora carry a precomputed norm column; inline
     // corpora pay the Dot4 only on candidates surviving the probe join
@@ -597,9 +597,18 @@ object Similarity {
     val candidates =
       if (excludeSelf) withNrm.where(col("vec_id") =!= col("query_id"))
       else withNrm
-    candidates
-      .withColumn("sim",
-        cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")))
+    candidates.withColumn("sim",
+      cosineFrom(dotExpr("embedding", "qv"), col("nrm"), col("qnrm")))
+  }
+
+  private def probeJoinTopK(assigned: DataFrame, queries: DataFrame,
+                            cs: Array[(Int, Seq[Float], Double)],
+                            k: Int, nprobe: Int,
+                            maxBroadcastQueries: Long,
+                            excludeSelf: Boolean = false): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("sim").desc, col("vec_id"))
+    probeScored(assigned, queries, cs, nprobe, maxBroadcastQueries, excludeSelf)
       .withColumn("rn", row_number().over(w).cast("long"))
       .where(col("rn") <= k)
       .select("query_id", "rn", "vec_id", "sim")
@@ -789,6 +798,27 @@ object Similarity {
     graft.tsdb.Keysets.repairSwap(s, path)
     val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
     probeJoinTopK(readLists(s, path), queries, cs, k, nprobe, maxBroadcastQueries)
+  }
+
+  /** RADIUS (range) search through the stored index: every candidate in
+    * the probed lists with cosine ≥ `minSim` — the dedup-against-index /
+    * compliance-sweep serving shape, where the answer is "everything
+    * close enough", not a fixed k (a top-k would truncate dense
+    * neighborhoods and pad sparse ones). Same probe plan as
+    * [[ivfTopKStored]] minus the rank window entirely: no per-query
+    * sort, so the result is a pure filter over the pruned candidate
+    * fetch — strictly cheaper than top-k at any scale. Result size is
+    * data-dependent by design; callers bound it with `minSim`. */
+  def ivfRadiusStored(s: SparkSession, queries: DataFrame, path: String,
+                      minSim: Double, nprobe: Int,
+                      maxBroadcastQueries: Long = 50000L): DataFrame = {
+    graft.tsdb.Keysets.repairSwap(s, path)
+    val cs = collectCentroids(s.read.parquet(s"$path/centroids"))
+    probeScored(readLists(s, path), queries, cs, nprobe, maxBroadcastQueries,
+      excludeSelf = false)
+      .where(col("sim") >= minSim)
+      .select("query_id", "vec_id", "sim")
+      .orderBy("query_id", "vec_id")
   }
 
   /** Approximate kNN JOIN through the stored index: every corpus vector
