@@ -11,12 +11,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     tsdb.Pipeline.flagship(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2. Both unions
+    * REFUSE key collisions (Reg) — a query re-registered in two modules,
+    * or twice inside one module's Map literal, fails the first run
+    * loudly instead of silently shadowing. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    tsdb.TsdbQueries.queries ++ rel.Relational.queries ++ llm.LlmQueries.queries ++ stream.StreamQueries.queries
+    core.Reg.disjointUnion(tsdb.TsdbQueries.queries, rel.Relational.queries,
+      llm.LlmQueries.queries, stream.StreamQueries.queries)
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    tsdb.TsdbQueries.oracleSql ++ rel.Relational.oracleSql ++ llm.LlmQueries.oracleSql ++ stream.StreamQueries.oracleSql
+    core.Reg.disjointUnion(tsdb.TsdbQueries.oracleSql, rel.Relational.oracleSql,
+      llm.LlmQueries.oracleSql, stream.StreamQueries.oracleSql)
 }

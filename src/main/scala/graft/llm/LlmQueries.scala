@@ -262,7 +262,7 @@ object LlmQueries {
       textIndexPath(dir), textFingerprint(s, dir))
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     // Corpus snapshot diff — the dataset-versioning primitive ("what
     // changed between corpus v1 and v2"): v1 = the pre-batch slice
     // (%10≠7, the corpus-lifecycle convention), v2 = a later snapshot
@@ -3293,7 +3293,7 @@ object LlmQueries {
         SELECT * FROM (${bm25IndexedSelect(Bm25Terms, liveFilter)})
         WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10"""
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     "llm_bm25_topk" ->
       s"""WITH ${bm25Ctes(Bm25Terms)}
           SELECT doc_id, bm25 FROM bscore WHERE bm25 > 0

@@ -34,7 +34,7 @@ object Aggs {
     def outputEncoder = org.apache.spark.sql.Encoders.scalaDouble
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     // Exact weighted median (lower): per group, the smallest value v
     // whose cumulative weight reaches half the group's total —
     // inventory valuation / weighted-latency SLO shape. The cumulative
@@ -549,7 +549,7 @@ object Aggs {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     // the bitmap pipeline must land on the plain exact distinct
     "agg_bitmap_distinct" ->
       """SELECT event_type, count(DISTINCT user_id) AS n_users

@@ -22,7 +22,7 @@ object Behavior {
   private val WeekMs = 7L * 86400000L
   private val DayMs = 86400000L
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     // As-of dimension enrichment WITHOUT a join — the scalable
     // alternative to point-in-interval lookups against the SCD2
     // history: interleave fact and dimension-change rows in ONE
@@ -772,7 +772,7 @@ object Behavior {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     // mirror of evt_sequence_detect: same user-ordered lead() triples,
     // same 72-h completion bound, same (ts_ms, event_id) tie order
     "evt_sequence_detect" ->

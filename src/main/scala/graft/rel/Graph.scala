@@ -36,7 +36,7 @@ object Graph {
     e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     // Two unrolled PageRank iterations (damping 0.85) from the uniform
     // start, ranks kept RELATIVE to uniform (pr·N) so the 4dp decimal
     // quantization of contributions operates at O(1) magnitude instead
@@ -477,7 +477,7 @@ object Graph {
           SELECT id AS part_id, pr FROM p2
           ORDER BY pr DESC, part_id LIMIT 20"""
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     "graph_pagerank" -> PagerankOracle,
     "graph_pagerank_copart" -> PagerankOracle,
 

@@ -21,7 +21,7 @@ object Joins {
 
   private val BandMs = 300000L  // 5 min
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     "join_broadcast" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .join(broadcast(Tables.part(s, dir)), col("l_partkey") === col("p_partkey"))
@@ -328,7 +328,7 @@ object Joins {
        FROM orders JOIN lineitem ON o_orderkey = l_orderkey
        ORDER BY o_orderkey, l_linenumber, l_extendedprice"""
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     // mirror of join_asof_nearest: the struct min ≡ the
     // (|Δt|, p_ts, p_id) rn=1 arg-min
     "join_runtime_filter" -> {

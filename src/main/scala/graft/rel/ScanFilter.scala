@@ -34,7 +34,7 @@ object ScanFilter {
     d.toString
   }
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     "scan_parquet" -> ((s, dir) =>
       Tables.lineitem(s, dir).orderBy("l_orderkey", "l_linenumber",
         "l_partkey", "l_suppkey", "l_quantity", "l_extendedprice",
@@ -304,7 +304,7 @@ object ScanFilter {
         .select("event_id", "k").orderBy("event_id"))
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     "scan_agg_pushdown" ->
       """SELECT count(*) AS n_rows, min(l_orderkey) AS min_okey,
                 max(l_orderkey) AS max_okey

@@ -19,7 +19,7 @@ object SetsFns {
     Tables.events(s, dir).where(col("event_type") === "view")
       .select("user_id").distinct()
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     "set_union_all" -> ((s, dir) =>
       clickUsers(s, dir).withColumn("src", lit("click"))
         .unionByName(viewUsers(s, dir).withColumn("src", lit("view")))
@@ -279,7 +279,7 @@ object SetsFns {
         .orderBy("p_partkey"))
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     "set_union_all" ->
       """WITH c AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'click'),
             v AS (SELECT DISTINCT user_id FROM events WHERE event_type = 'view')

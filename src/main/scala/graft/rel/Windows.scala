@@ -15,7 +15,7 @@ import org.apache.spark.sql.functions._
 object Windows {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     "win_row_number" -> ((s, dir) => {
       val w = Window.partitionBy("event_type").orderBy(col("value").desc, col("event_id"))
       Tables.events(s, dir)
@@ -199,7 +199,7 @@ object Windows {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     "win_row_number" ->
       """SELECT event_id, event_type, value,
             row_number() OVER (PARTITION BY event_type ORDER BY value DESC, event_id) AS rn

@@ -9,7 +9,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 object StreamQueries {
   type Q = (SparkSession, String) => DataFrame
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     "stream_source_files" -> ((s, dir) => Ingest.sourceFiles(s, dir)),
     "stream_tumbling" -> ((s, dir) => Ingest.tumbling(s, dir)),
     "stream_sliding" -> ((s, dir) => Ingest.sliding(s, dir)),
@@ -60,7 +60,7 @@ object StreamQueries {
     })
   )
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     // read-back equivalence: the streaming file source must surface the
     // exact batch table (same ids, same ms derivation, same payloads)
     "stream_source_files" ->

@@ -19,7 +19,7 @@ object TsdbQueries {
   private val T0 = 1704067200000L    // 2024-01-01T00:00:00Z
   private val T1 = Tables.NowMs      // 2024-01-31T00:00:00Z (pinned NOW, D5)
 
-  val queries: Map[String, Q] = Map(
+  val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
     "tsdb_downsample" -> ((s, dir) => {
       Downsample(Tables.events(s, dir), Seq("event_type", "user_id"), H, "avg")
         .orderBy("event_type", "user_id", "bucket_ms")
@@ -1442,7 +1442,7 @@ object TsdbQueries {
     d.toString
   }
 
-  val oracleSql: Map[String, String] = Map(
+  val oracleSql: Map[String, String] = graft.core.Reg.uniqueMap(
     "tsdb_downsample" ->
       s"""SELECT event_type, user_id, ${oBucket(H)} AS bucket_ms,
           ${D.oAvgDec("value")} AS value
