@@ -197,6 +197,8 @@ object ScaleProbe {
       SparkEntry.queries("llm_bloom_prefilter")(spark, dir).count()
     def adamicAdar(dir: String): Long =
       SparkEntry.queries("graph_adamic_adar")(spark, dir).count()
+    def adamicAdarCopart(dir: String): Long =
+      SparkEntry.queries("graph_adamic_adar_copart")(spark, dir).count()
     def lpa(dir: String): Long =
       SparkEntry.queries("graph_label_propagation")(spark, dir).count()
     def kcore(dir: String): Long =
@@ -289,7 +291,8 @@ object ScaleProbe {
     ivfFilteredProbe(sf)
     ivfDelete(sf); ivfStoredProbe(sf) // warm the anti-join probe shape too
     assignLiteral(sf); assignBroadcast(sf)
-    cms(sf); bloom(sf); adamicAdar(sf); lpa(sf); kcore(sf); kcoreCopart(sf)
+    cms(sf); bloom(sf); adamicAdar(sf); adamicAdarCopart(sf); lpa(sf)
+    kcore(sf); kcoreCopart(sf)
     seqDetect(sf)
     knnIvfBuild(sf); knnJoinIvf(sf); dedupCosineBlocked(sf); cohesion(sf)
     bandGrow(sf); ivfGrow(sf); textGrow(sf)
@@ -326,6 +329,7 @@ object ScaleProbe {
       ("cms_heavy_hitters", time(cms(sf)), time(cms(big))),
       ("bloom_prefilter", time(bloom(sf)), time(bloom(big))),
       ("graph_adamic_adar", time(adamicAdar(sf)), time(adamicAdar(big))),
+      ("graph_adamic_adar_copart", time(adamicAdarCopart(sf)), time(adamicAdarCopart(big))),
       ("graph_label_propagation", time(lpa(sf)), time(lpa(big))),
       ("graph_kcore", time(kcore(sf)), time(kcore(big))),
       ("graph_kcore_copart", time(kcoreCopart(sf)), time(kcoreCopart(big))),

@@ -330,6 +330,38 @@ object Graph {
         .limit(20)
     }),
 
+    // The beyond-broadcast-budget Adamic–Adar: NOTHING node-sized
+    // broadcast (the kcore/pagerank copart shape). Edges partitioned
+    // ONCE on src; both adjacency attachments and the wedge-degree
+    // lookup are shuffle-hash joins co-partitioned on their keys, so
+    // no term grows with node count. MEASURED HONESTLY (r13): unlike
+    // kcore, the broadcast form still wins at 10× (36.8 s vs 59.9 s) —
+    // sorted-adjacency arrays are node-sized and tiny here, and the
+    // wedge-sized deg join dominates either way; the crossover lies
+    // beyond the fixture scales, where adjacency outgrows the
+    // broadcast budget. This twin is the escape hatch for that regime,
+    // not a fixture-scale winner. Same math, same oracle text.
+    "graph_adamic_adar_copart" -> ((s, dir) => {
+      val es = graft.core.Exec.materialize(
+        edges(s, dir).repartition(col("src")))
+      val deg = es.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+      val adj = es.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+      val e0 = es.where(col("src") < col("dst"))
+      val common = e0
+        .join(adj.select(col("src"), col("nbrs").as("na")).hint("shuffle_hash"), "src")
+        .join(adj.select(col("src").as("dst"), col("nbrs").as("nb")).hint("shuffle_hash"), "dst")
+        .select(col("src"), col("dst"),
+          explode(array_intersect(col("na"), col("nb"))).as("node"))
+      common.join(deg.hint("shuffle_hash"), "node")
+        .groupBy("src", "dst")
+        .agg(count(lit(1)).as("n_common"),
+          graft.core.D.r4s(sum(graft.core.D.dec10(
+            lit(1.0) / log(col("deg").cast("double")))).cast("double"))
+            .as("adamic_adar"))
+        .orderBy(col("adamic_adar").desc, col("src"), col("dst"))
+        .limit(20)
+    }),
+
     // Whole-graph triangle census plus basic size stats in ONE row.
     // The id-ORIENTED edge list (src < dst) counts each triangle
     // exactly once at its two smallest vertices: triangles on edge
@@ -456,6 +488,26 @@ object Graph {
         SELECT src AS node, COUNT(*) AS deg
         FROM e_6 GROUP BY 1 ORDER BY node"""
   }
+
+  private val AdamicAdarOracle: String =
+    s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                    FROM lineitem),
+        e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+               FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+        edges AS (SELECT src, dst FROM e0
+                  UNION ALL SELECT dst, src FROM e0),
+        deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
+        com AS (SELECT p.src, p.dst, ea.dst AS node
+                FROM e0 p
+                JOIN edges ea ON ea.src = p.src
+                JOIN edges eb ON eb.src = p.dst AND eb.dst = ea.dst)
+        SELECT c.src, c.dst, count(*) AS n_common,
+               ${graft.core.D.oR4(
+                 "CAST(SUM(CAST(1.0 / LN(CAST(d.deg AS DOUBLE)) " +
+                 "AS DECIMAL(28,10))) AS DOUBLE)")} AS adamic_adar
+        FROM com c JOIN deg d ON d.node = c.node
+        GROUP BY 1, 2
+        ORDER BY adamic_adar DESC, c.src, c.dst LIMIT 20"""
 
   private val PagerankOracle: String =
       s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
@@ -600,25 +652,10 @@ object Graph {
     // mirror of graph_adamic_adar: common neighbors via the two-hop
     // join restricted to candidate edges, same DECIMAL(28,10) term
     // quantization, same ln argument shape
-    "graph_adamic_adar" ->
-      s"""WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
-                      FROM lineitem),
-          e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
-                 FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
-          edges AS (SELECT src, dst FROM e0
-                    UNION ALL SELECT dst, src FROM e0),
-          deg AS (SELECT src AS node, count(*) AS deg FROM edges GROUP BY 1),
-          com AS (SELECT p.src, p.dst, ea.dst AS node
-                  FROM e0 p
-                  JOIN edges ea ON ea.src = p.src
-                  JOIN edges eb ON eb.src = p.dst AND eb.dst = ea.dst)
-          SELECT c.src, c.dst, count(*) AS n_common,
-                 ${graft.core.D.oR4(
-                   "CAST(SUM(CAST(1.0 / LN(CAST(d.deg AS DOUBLE)) " +
-                   "AS DECIMAL(28,10))) AS DOUBLE)")} AS adamic_adar
-          FROM com c JOIN deg d ON d.node = c.node
-          GROUP BY 1, 2
-          ORDER BY adamic_adar DESC, c.src, c.dst LIMIT 20""",
+    // ONE text for the broadcast AND co-partitioned variants — the
+    // copart twin changes data movement, never math
+    "graph_adamic_adar" -> AdamicAdarOracle,
+    "graph_adamic_adar_copart" -> AdamicAdarOracle,
 
     // mirror of graph_basket_lift: same order-distinct pair counting,
     // same double-cast products, same lift-desc/(pa,pb) total order

@@ -395,6 +395,16 @@ class PlanSpec extends SparkSpec {
       s"top-20 must not globally sort the node set:\n$p")
   }
 
+  test("co-partitioned adamic-adar never broadcasts node state") {
+    val p = plan("graph_adamic_adar_copart")
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastExchange"),
+      s"the copart variant exists to remove adjacency/degree broadcasts:\n$p")
+    assert(p.contains("ShuffledHashJoin"),
+      s"adjacency must join shuffle-hash on the edge endpoint:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-20 must not globally sort the pair set:\n$p")
+  }
+
   test("dsir joins the LMs broadcast and bounds the top-50") {
     val p = plan("llm_dsir_weights")
     assert(p.contains("TakeOrderedAndProject"),
