@@ -388,10 +388,17 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
-      rows.flatMap { r =>
-        try {
-          val iis = javax.imageio.ImageIO.createImageInputStream(
+      val frames = rows.flatMap { r =>
+        // the per-row input stream is CLOSED after the frame walk (an
+        // unclosed MemoryCacheImageInputStream per row accumulates
+        // buffers across a large partition); the reader itself is the
+        // per-partition amortized codec state, disposed at iterator end
+        val iis =
+          try javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.media))
+          catch { case _: Exception => null }
+        if (iis == null) Seq(bad(r.id))
+        else try {
           reader.setInput(iis, false, true)
           val n = reader.getNumImages(true)
           if (n <= 0) Seq(bad(r.id))
@@ -412,8 +419,13 @@ object Multimodal {
             }
             GifFrameStats(r.id, f, w, h, w.toLong * h, lum, true)
           }
-        } catch { case _: Exception => Seq(bad(r.id)) }
+        } catch { case _: Exception => Seq(bad(r.id))
+        } finally {
+          reader.setInput(null)
+          try iis.close() catch { case _: Exception => }
+        }
       }
+      frames ++ { reader.dispose(); Iterator.empty }
     }
   }
 }

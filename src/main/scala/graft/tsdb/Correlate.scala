@@ -60,19 +60,29 @@ object Correlate {
     val m = bv.length
     if (n == 0 || m == 0) return Double.PositiveInfinity
     val w = math.max(band, math.abs(n - m))
+    // two buffers allocated ONCE and swapped; per row only the band
+    // window (plus its left boundary) is touched, so total work is
+    // genuinely O(m·w), not O(m·n) (r13 review: a full ∞-fill per row
+    // silently restored the quadratic cost the band exists to avoid).
+    // Stale cells outside the window are never read: a slot i is only
+    // written by rows j with |i − j| ≤ w, and row j+1 reads prev only
+    // at indices ≥ j − w, all inside row j's written window or the
+    // explicitly-∞'d boundary slot.
     var prev = Array.fill(n + 1)(Double.PositiveInfinity)
+    var cur = Array.fill(n + 1)(Double.PositiveInfinity)
     prev(0) = 0.0
     var j = 1
     while (j <= m) {
-      val nw = Array.fill(n + 1)(Double.PositiveInfinity)
-      var i = math.max(1, j - w)
+      val lo = math.max(1, j - w)
       val hi = math.min(n, j + w)
+      cur(lo - 1) = Double.PositiveInfinity
+      var i = lo
       while (i <= hi) {
-        nw(i) = math.abs(av(i - 1) - bv(j - 1)) +
-          math.min(nw(i - 1), math.min(prev(i), prev(i - 1)))
+        cur(i) = math.abs(av(i - 1) - bv(j - 1)) +
+          math.min(cur(i - 1), math.min(prev(i), prev(i - 1)))
         i += 1
       }
-      prev = nw
+      val t = prev; prev = cur; cur = t
       j += 1
     }
     prev(n)

@@ -117,8 +117,14 @@ object RequestQs {
     require(fields.length <= 3,
       s"rate options take at most counter,max,reset: $tok")
     val counter = fields(0) match {
-      case "" | "false"            => false
-      case "counter" | "dropcounter" => true
+      case "" | "false" => false
+      case "counter"    => true
+      // dropcounter (drop negative deltas) is NOT modeled by
+      // RateOptions / the rate stage — silently mapping it to counter
+      // semantics would return wrong numbers; 400 is the honest answer
+      case "dropcounter" =>
+        throw new IllegalArgumentException(
+          "dropcounter rate semantics are not supported")
       case other =>
         throw new IllegalArgumentException(s"unknown rate option: $other")
     }
@@ -150,16 +156,30 @@ object RequestQs {
 
   /** Split `{a}{b}` into entry lists; strict on balance and trailing
     * junk. An empty group (`{}`) contributes no filters (the OpenTSDB
-    * group-by-nothing form). */
+    * group-by-nothing form). Depth-aware on BOTH brace and paren
+    * nesting, so a regexp value like `regexp(web[0-9]{1,3})` keeps its
+    * quantifier braces and its comma (r13 review: the naive
+    * indexOf('}') scan rejected legal quantifiers as "nested braces"
+    * and the comma split mangled paren-enclosed values into bogus
+    * filters that parsed SILENTLY). */
   private def braceGroups(s: String): Seq[Seq[String]] = {
     val out = Seq.newBuilder[Seq[String]]
     var i = 0
     while (i < s.length) {
       require(s.charAt(i) == '{', s"unexpected text outside braces: $s")
-      val close = s.indexOf('}', i)
+      var depth = 0
+      var close = -1
+      var k = i
+      while (k < s.length && close == -1) {
+        s.charAt(k) match {
+          case '{' => depth += 1
+          case '}' => depth -= 1; if (depth == 0) close = k
+          case _ =>
+        }
+        k += 1
+      }
       require(close != -1, s"unbalanced braces: $s")
       val body = s.substring(i + 1, close)
-      require(!body.contains('{'), s"nested braces: $s")
       out += (if (body.isEmpty) Nil else splitTopLevel(body, ',').toSeq)
       i = close + 1
     }
@@ -184,24 +204,30 @@ object RequestQs {
     }
   }
 
-  /** Split on `sep` outside `{}` — filter values may legally contain
-    * the separator (`regexp(.*:80)`, literal_or commas never, but
-    * colons yes). Strict on unbalanced braces. */
+  /** Split on `sep` outside `{}` AND `()` — filter values may legally
+    * contain the separator (a regexp value can carry colons, commas,
+    * and `{m,n}` quantifiers: `regexp(web[0-9]{1,3}:80)`), so both
+    * nesting pairs shield it. Strict on unbalanced braces; parens act
+    * only as a depth floor (an unmatched ')' in a bare value is the
+    * filter parser's problem, not a split error). */
   private def splitTopLevel(s: String, sep: Char): Array[String] = {
     val parts = Array.newBuilder[String]
     val cur = new StringBuilder
-    var depth = 0
+    var braces = 0
+    var parens = 0
     s.foreach {
-      case '{' => depth += 1; cur += '{'
+      case '{' => braces += 1; cur += '{'
       case '}' =>
-        depth -= 1
-        require(depth >= 0, s"unbalanced braces: $s")
+        braces -= 1
+        require(braces >= 0, s"unbalanced braces: $s")
         cur += '}'
-      case c if c == sep && depth == 0 =>
+      case '(' => parens += 1; cur += '('
+      case ')' => parens = math.max(0, parens - 1); cur += ')'
+      case c if c == sep && braces == 0 && parens == 0 =>
         parts += cur.result(); cur.clear()
       case c => cur += c
     }
-    require(depth == 0, s"unbalanced braces: $s")
+    require(braces == 0, s"unbalanced braces: $s")
     parts += cur.result()
     parts.result()
   }

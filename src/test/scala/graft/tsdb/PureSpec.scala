@@ -304,6 +304,23 @@ class PureSpec extends AnyFunSuite {
     bad("start=1h-ago&m=sum:a{u=1}{v=2}{w=3}") // three brace groups
     bad("start=bogus&m=sum:a")                // unparseable time
     bad("start=1h-ago&m=sum:a&%zz=1")         // bad percent-encoding
+    bad("start=1h-ago&m=sum:rate{dropcounter}:a") // unmodeled semantics → 400
+  }
+
+  test("GET query string: regexp values keep quantifier braces and commas") {
+    // r13 review: the naive group scan rejected {m,n} quantifiers as
+    // "nested braces" and split paren-enclosed commas into bogus
+    // filters that parsed SILENTLY — both now depth-aware
+    val q = RequestQs.parse(
+      "start=1h-ago&m=sum:a{host=regexp(web[0-9]{1,3}:80),dc=*}", Now)
+    assert(q.queries.head.filters == Seq(
+      TagFilterSpec("regexp", "host", "web[0-9]{1,3}:80", groupBy = true),
+      TagFilterSpec("wildcard", "dc", "*", groupBy = true)))
+    val q2 = RequestQs.parse(
+      "start=1h-ago&m=sum:a{host=literal_or(a,x=y)}", Now)
+    assert(q2.queries.head.filters == Seq(
+      TagFilterSpec("literal_or", "host", "a,x=y", groupBy = true)),
+      "a comma inside the filter function must not fabricate a second filter")
   }
 
   test("GET ≡ POST: the shared grammar parses to the same typed request") {

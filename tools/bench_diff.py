@@ -73,9 +73,14 @@ def main():
     regressions = []
     failures = []
     for name in common:
-        (t_old, _), (t_new, failed) = old[name], new[name]
+        (t_old, old_failed), (t_new, failed) = old[name], new[name]
         if failed:
             failures.append(name)
+        # an old FAILED row timed an exception, not the query - using it
+        # as a ratio baseline would flag the honest fixed run as a
+        # phantom regression
+        if old_failed or failed:
+            continue
         if t_new > args.ratio * t_old and t_new > args.floor:
             regressions.append((name, t_old, t_new))
     tot_old = sum(old[n][0] for n in common)
