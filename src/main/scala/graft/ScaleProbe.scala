@@ -212,18 +212,14 @@ object ScaleProbe {
     // production sizing: cluster count k ∝ corpus / target-list-size
     // (250), so per-query candidate fetch (kNN join) and per-cluster
     // pair blocks (cosine dedup) stay CONSTANT as the corpus grows —
-    // k=8 at 1× (2k vectors), k=80 at 10× (20k). The fixture queries
-    // keep k=8 (their oracle unrolls that Lloyd); this probe measures
-    // the knob the Scaladoc claims.
+    // k=8 at 1× (2k vectors), k=80 at 10× (20k). r14: this sizing IS
+    // the registered one ([[llm.LlmQueries.scaledAnnK]]); the probe
+    // reuses that formula so there is exactly one definition of it.
     def knnIdxPath(dir: String) = s"$idxRoot/knn_${if (dir == sf) "x1" else "x10"}"
-    def scaledK(dir: String): Int = {
-      val n = spark.read.parquet(s"$dir/embeddings.parquet").count()
-      math.max(8, (n / 250L).toInt)
-    }
     def knnIvfBuild(dir: String): Long = {
       llm.Similarity.buildIvfIndex(spark,
         spark.read.parquet(s"$dir/embeddings.parquet"), knnIdxPath(dir),
-        "knnprobe", llm.Similarity.IndexParams(k = scaledK(dir)))
+        "knnprobe", llm.LlmQueries.scaledAnnParams(spark, dir))
       1L
     }
     def knnJoinIvf(dir: String): Long =

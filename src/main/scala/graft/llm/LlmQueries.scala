@@ -78,6 +78,41 @@ object LlmQueries {
     Similarity.IndexParams().fingerprint(dir) +
       s"|${contentTag(Tables.embeddings(s, dir), s"emb|$dir")}"
 
+  /** PRODUCTION cluster-count sizing: k ∝ corpus / target-list-size
+    * (250), floor 8 — per-query probe work (nprobe·corpus/k candidates)
+    * and per-cluster pair blocks (Σ cluster²) stay CONSTANT as the
+    * corpus grows. This is the REGISTERED sizing for the kNN-join /
+    * cosine-dedup pair (r14; previously only ScaleProbe measured it —
+    * the registered rows probed the fixture's k=8 lists, the one
+    * super-linear family in the r13 10× sweep). The corpus count comes
+    * free off the memoized [[contentTag]] (its `n=` field), so sizing
+    * adds zero extra scans. The oracle restates the SAME formula in SQL
+    * (`GREATEST(8, COUNT(*) // 250)` as the Lloyd seed LIMIT), so the
+    * gate holds at ANY fixture scale, not just ones where k lands on 8. */
+  private[graft] def scaledAnnK(s: org.apache.spark.sql.SparkSession,
+                                dir: String): Int = {
+    val tag = contentTag(Tables.embeddings(s, dir), s"emb|$dir")
+    val n = tag.split(",")(0).stripPrefix("n=").toLong
+    math.max(8L, n / 250L).toInt
+  }
+
+  private[graft] def scaledAnnParams(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): Similarity.IndexParams =
+    Similarity.IndexParams(k = scaledAnnK(s, dir))
+
+  /** Separate artifact for the scaled-k index: the main [[annIndexPath]]
+    * index stays k=8 (the llm_sim_ivf family's oracle unrolls that
+    * Lloyd), so sharing one path would thrash rebuilds whenever
+    * scaledAnnK ≠ 8. One per fixture dir, same tmp-root contract. */
+  private[graft] def annScaledIndexPath(dir: String): String =
+    java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
+      dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_scaled").toString
+
+  private def annScaledFingerprint(s: org.apache.spark.sql.SparkSession,
+                                   dir: String): String =
+    scaledAnnParams(s, dir).fingerprint(dir) +
+      s"|${contentTag(Tables.embeddings(s, dir), s"emb|$dir")}"
+
   /** Persisted inverted-text-index artifact (one per fixture dir, same
     * tmp-root contract as [[annIndexPath]]); fingerprint pins the
     * documents content so a fixture regeneration rebuilds. */
@@ -1209,13 +1244,16 @@ object LlmQueries {
     // approximate kNN join through the STORED IVF index: the scale twin
     // of llm_knn_join — no within-label self-join anywhere (PlanSpec
     // asserts it); every vector probes its nprobe lists, candidates
-    // bounded by nprobe·(corpus/k) per query, and k grows with the
-    // corpus (ScaleProbe's sizing). Oracle = the Lloyd-unrolled batch
-    // probe with the self candidate removed before the rank window.
+    // bounded by nprobe·(corpus/k) per query, and k IS the registered
+    // scale knob (r14: scaledAnnK = max(8, n/250), the sizing ScaleProbe
+    // measured at 2.8×/10× vs 10.7× with fixture k). Oracle = the
+    // Lloyd-unrolled batch probe with the SAME SQL-computed seed count
+    // and the self candidate removed before the rank window.
     "llm_knn_join_ivf" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val path = annIndexPath(dir)
-      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      val path = annScaledIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annScaledFingerprint(s, dir),
+        scaledAnnParams(s, dir))
       Similarity.ivfKnnJoinStored(s, path, 3, nprobe = 2)
     }),
 
@@ -1224,12 +1262,15 @@ object LlmQueries {
     // the llm_semdedup blocking (Σ cluster², with cluster size bounded
     // by the k ∝ corpus sizing), NOT the former Σ label² self-join of
     // the raw corpus (labels don't grow with data; clusters do).
-    // Oracle unrolls the SAME two Lloyd iterations as llm_sim_ivf, so
-    // dedup and search are provably one clustering.
+    // r14: blocks on the SCALED index (k = max(8, n/250) registered,
+    // not just probed) — cluster size, and with it the pair blow-up,
+    // is now bounded by construction at any corpus. Oracle unrolls the
+    // same two Lloyd iterations with the same SQL-computed seed count.
     "llm_dedup_cosine" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
-      val path = annIndexPath(dir)
-      Similarity.ensureIvfIndex(s, emb, path, annFingerprint(s, dir))
+      val path = annScaledIndexPath(dir)
+      Similarity.ensureIvfIndex(s, emb, path, annScaledFingerprint(s, dir),
+        scaledAnnParams(s, dir))
       val assigned = Similarity.readLists(s, path)
         .select("vec_id", "embedding", "nrm", "centroid_id")
       Similarity.blockedPairCosines(assigned, "centroid_id", ordered = true)
@@ -2909,7 +2950,7 @@ object LlmQueries {
     * accumulated corpus and appending later batches with the stored
     * centroids (`llm_sim_ivf_appended`). train = TRUE is the classic
     * whole-corpus clustering every pre-r7 oracle uses. */
-  private def ivfCtes(train: String): String = {
+  private def ivfCtes(train: String, kExpr: String = "8"): String = {
     // one Lloyd step: assignment against centroid elements `cin`, then
     // (for the first `iters` steps) the refreshed centroids `cout`;
     // `src` is el_t during training, el for the final whole-corpus assignment
@@ -2934,13 +2975,22 @@ object LlmQueries {
          el_t AS (SELECT * FROM el WHERE $train),
          sq AS (SELECT vec_id, CAST(SUM(CAST(x * x AS DECIMAL(18,4))) AS DOUBLE) AS sq FROM el GROUP BY 1),
          c_init AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, vec_id
-                    FROM (SELECT vec_id FROM embeddings WHERE $train ORDER BY vec_id LIMIT 8)),
+                    FROM (SELECT vec_id FROM embeddings WHERE $train ORDER BY vec_id LIMIT $kExpr)),
          c0 AS (SELECT ci.cid, el.pos, el.x AS v FROM c_init ci JOIN el ON el.vec_id = ci.vec_id),
          ${step(1, "c0", "a1", Some("c1"), "el_t")},
          ${step(2, "c1", "a2", Some("c2"), "el_t")},
          ${step(3, "c2", "a3", None, "el")}"""
   }
   private val IvfCtes: String = ivfCtes("TRUE")
+
+  /** [[IvfCtes]] with the PRODUCTION k ∝ corpus seed count — the SQL
+    * restatement of [[scaledAnnK]] (GREATEST(8, n // 250), n = corpus
+    * rows). The Lloyd unroll depth is iterations (2), not k, so the
+    * oracle text stays the same size at any k; only the seed LIMIT and
+    * the cid domain grow. Used by the scaled-index rows
+    * (llm_knn_join_ivf, llm_dedup_cosine). */
+  private val IvfCtesScaledK: String =
+    ivfCtes("TRUE", "GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 250)")
 
   private val IvfOracle: String = {
     s"""WITH $IvfCtes,
@@ -3771,8 +3821,9 @@ object LlmQueries {
 
     // approximate kNN-join mirror: every vector is a query (the qdist
     // restriction drops), the self candidate is removed BEFORE the rank
-    // window (a.vec_id <> p.query_id), k = 3
-    "llm_knn_join_ivf" -> ivfBatchOracleWith(IvfCtes,
+    // window (a.vec_id <> p.query_id), k = 3; clustering = the SCALED
+    // seed count (GREATEST(8, n//250)), the registered index's sizing
+    "llm_knn_join_ivf" -> ivfBatchOracleWith(IvfCtesScaledK,
       candFilter = "a.vec_id <> p.query_id", queryPred = "TRUE",
       k = 3, neighborAlias = "neighbor_id"),
     // retrained-on-full-corpus probe ≡ whole-corpus-trained batch probe
@@ -4482,10 +4533,11 @@ object LlmQueries {
           FROM r WHERE rn <= 3 ORDER BY vec_id, rn""",
 
     // centroid-blocked mirror (the llm_semdedup pair CTEs without the
-    // closure): pairs exist only within a Lloyd cluster — the SAME
-    // clustering the llm_sim_ivf oracle unrolls
+    // closure): pairs exist only within a Lloyd cluster — r14: the
+    // SCALED clustering (seed count GREATEST(8, n//250)), matching the
+    // registered index's k ∝ corpus sizing
     "llm_dedup_cosine" ->
-      s"""WITH $IvfCtes,
+      s"""WITH $IvfCtesScaledK,
           pr AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id
                  FROM a3 a JOIN a3 b ON a.cid = b.cid AND a.vec_id < b.vec_id),
           d AS (SELECT p.a_id, p.b_id,
