@@ -117,9 +117,17 @@ object Bench {
         // lifecycle-grown artifacts are wiped (untimed — the wipe is
         // bookkeeping, not lifecycle cost) so the growth phase runs
         // inside EVERY timed pass, reps included
+        // a failed wipe must be LOUD (ADVICE r13): a silently-surviving
+        // artifact would publish a probe-only timing under a row whose
+        // whole point is lifecycle pricing
         if (LifecycleGrown(name))
           try graft.llm.LlmQueries.resetGrowthArtifact(sfDir, name)
-          catch { case scala.util.control.NonFatal(_) => }
+          catch {
+            case scala.util.control.NonFatal(e) =>
+              System.err.println(s"WARNING: pre-timing wipe failed for " +
+                s"$name: $e — its published time may be probe-only, NOT " +
+                "lifecycle-priced")
+          }
         name -> timeOnce(fn)
       }
     }

@@ -388,11 +388,17 @@ object Multimodal {
     media.mapPartitions { rows =>
       javax.imageio.ImageIO.setUseCache(false)
       val reader = javax.imageio.ImageIO.getImageReadersBySuffix("gif").next()
-      val frames = rows.flatMap { r =>
+      // dispose on TASK END, not iterator exhaustion (ADVICE r13): a
+      // short-circuited consumer (a limit, a take) abandons the
+      // iterator mid-walk and an exhaustion-keyed dispose would leak
+      // the reader's native buffers
+      Option(org.apache.spark.TaskContext.get()).foreach(
+        _.addTaskCompletionListener[Unit](_ => reader.dispose()))
+      rows.flatMap { r =>
         // the per-row input stream is CLOSED after the frame walk (an
         // unclosed MemoryCacheImageInputStream per row accumulates
         // buffers across a large partition); the reader itself is the
-        // per-partition amortized codec state, disposed at iterator end
+        // per-partition amortized codec state, disposed at task end
         val iis =
           try javax.imageio.ImageIO.createImageInputStream(
             new java.io.ByteArrayInputStream(r.media))
@@ -425,7 +431,6 @@ object Multimodal {
           try iis.close() catch { case _: Exception => }
         }
       }
-      frames ++ { reader.dispose(); Iterator.empty }
     }
   }
 }

@@ -581,11 +581,17 @@ object Graph {
     // state is Σ component² (node, seed) rows — the other sf0.1
     // exclusion. Hash-Min's fixpoint is the unique min-reachable-id
     // labeling, so ANY converged unroll equals the closure (verified
-    // equal at sf0.01); 6 rounds is 2× the measured convergence depth
-    // at sf0.1 (3 improving rounds) — an under-unroll would hash-FAIL
-    // the gate loudly, never pass silently. Cost: 6 edge-sized joins.
+    // equal at sf0.01); 8 rounds is ~2.7× the measured convergence
+    // depth at sf0.1 (3 improving rounds). r14 (ADVICE r13): the text
+    // also SELF-DIAGNOSES an under-unroll — a sentinel row
+    // (component_id = -1, n_nodes = 9e14 + changed-label count, sorted
+    // first) appears iff round 8 still changed labels vs round 7, so a
+    // bigger-diameter fixture fails with "the unroll is too shallow,
+    // bump the round count in Graph.scala" written into the first
+    // mismatching cell instead of an opaque label hash. Cost: 8
+    // edge-sized joins, all MATERIALIZED.
     "graph_components" -> {
-      val labRounds = (1 to 6).map { i =>
+      val labRounds = (1 to 8).map { i =>
         s"""l_$i AS MATERIALIZED (
              SELECT e.dst AS node, LEAST(MIN(la.lab), MIN(lb.lab)) AS lab
              FROM e_0 e JOIN l_${i - 1} la ON la.node = e.src
@@ -600,9 +606,14 @@ object Graph {
                    UNION ALL SELECT dst, src FROM e0),
          l_0 AS MATERIALIZED (SELECT src AS node, src AS lab FROM e_0 GROUP BY 1, 2),
          $labRounds,
-         comp AS (SELECT node, lab AS component_id FROM l_6)
-         SELECT component_id, count(*) AS n_nodes FROM comp
-         GROUP BY 1 ORDER BY n_nodes DESC, component_id LIMIT 20"""
+         chg AS (SELECT count(*) AS n FROM l_8 a
+                 JOIN l_7 b ON b.node = a.node AND b.lab <> a.lab)
+         SELECT component_id, n_nodes FROM (
+           SELECT lab AS component_id, count(*) AS n_nodes
+           FROM l_8 GROUP BY 1
+           UNION ALL
+           SELECT CAST(-1 AS BIGINT), 900000000000000 + n FROM chg WHERE n > 0)
+         ORDER BY n_nodes DESC, component_id LIMIT 20"""
     },
 
     // mirror: level-capped recursive BFS; min(hops) per node = first

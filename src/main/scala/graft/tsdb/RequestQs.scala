@@ -204,30 +204,47 @@ object RequestQs {
     }
   }
 
-  /** Split on `sep` outside `{}` AND `()` — filter values may legally
-    * contain the separator (a regexp value can carry colons, commas,
-    * and `{m,n}` quantifiers: `regexp(web[0-9]{1,3}:80)`), so both
-    * nesting pairs shield it. Strict on unbalanced braces; parens act
-    * only as a depth floor (an unmatched ')' in a bare value is the
-    * filter parser's problem, not a split error). */
+  /** Split on `sep` outside `{}` and outside RECOGNIZED `type(...)`
+    * filter functions — a regexp value can carry colons, commas, and
+    * `{m,n}` quantifiers (`regexp(web[0-9]{1,3}:80)`), so those must
+    * not split. Strict on unbalanced braces AND on an unclosed
+    * recognized function. A paren in a BARE value is literal text, not
+    * nesting (ADVICE r13: `{u=a(1,v=2}` must split into two filters,
+    * not silently parse as one literal_or `a(1,v=2`), so only a '('
+    * immediately following `=<known-filter-type>` opens a shield.
+    * Consequence: inside a shielded regexp arg, parens must balance —
+    * write an unmatched literal paren as a class (`[(]`), not `\(`;
+    * the parser is documented strict at the request edge. */
   private def splitTopLevel(s: String, sep: Char): Array[String] = {
     val parts = Array.newBuilder[String]
     val cur = new StringBuilder
     var braces = 0
     var parens = 0
+    // true iff cur ends with `=<ident>` where <ident> is a known filter
+    // function name — the only place '(' means nesting in this grammar
+    def fnOpen: Boolean = {
+      val t = cur.reverseIterator.takeWhile(c => c.isLetter || c == '_').length
+      t > 0 && cur.length > t && cur.charAt(cur.length - t - 1) == '=' &&
+        RequestJson.FilterTypes(cur.substring(cur.length - t))
+    }
     s.foreach {
       case '{' => braces += 1; cur += '{'
       case '}' =>
         braces -= 1
         require(braces >= 0, s"unbalanced braces: $s")
         cur += '}'
-      case '(' => parens += 1; cur += '('
-      case ')' => parens = math.max(0, parens - 1); cur += ')'
+      case '(' =>
+        if (parens > 0 || fnOpen) parens += 1
+        cur += '('
+      case ')' =>
+        if (parens > 0) parens -= 1
+        cur += ')'
       case c if c == sep && braces == 0 && parens == 0 =>
         parts += cur.result(); cur.clear()
       case c => cur += c
     }
     require(braces == 0, s"unbalanced braces: $s")
+    require(parens == 0, s"unclosed filter function: $s")
     parts += cur.result()
     parts.result()
   }

@@ -321,6 +321,16 @@ class PureSpec extends AnyFunSuite {
     assert(q2.queries.head.filters == Seq(
       TagFilterSpec("literal_or", "host", "a,x=y", groupBy = true)),
       "a comma inside the filter function must not fabricate a second filter")
+    // ADVICE r13: a paren in a BARE value is literal text, not a comma
+    // shield — {u=a(1,v=2} is TWO filters, not one literal_or "a(1,v=2"
+    val q3 = RequestQs.parse("start=1h-ago&m=sum:a{u=a(1,v=2}", Now)
+    assert(q3.queries.head.filters == Seq(
+      TagFilterSpec("literal_or", "u", "a(1", groupBy = true),
+      TagFilterSpec("literal_or", "v", "2", groupBy = true)))
+    // and an OPENED recognized function that never closes is a 400,
+    // not a silent literal_or swallow of everything after it
+    intercept[IllegalArgumentException](
+      RequestQs.parse("start=1h-ago&m=sum:a{u=regexp(ab,v=2}", Now))
   }
 
   test("GET ≡ POST: the shared grammar parses to the same typed request") {
