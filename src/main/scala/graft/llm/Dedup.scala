@@ -27,6 +27,17 @@ object Dedup {
              ELSE transform(sequence(0, size($arr) - $n), i -> concat_ws(' ', slice($arr, i + 1, $n)))
              END""")
 
+  /** Deterministic line segmentation of flat text: consecutive `w`-word
+    * windows, last window ragged (the fixture corpus carries no
+    * newlines, so "line" is a documented convention — the CCNet/
+    * RefinedWeb granularity between whole-doc hashes and 8-char
+    * winnowed grams). `arr` is a SQL fragment naming a materialized
+    * words-array column. Pure per-row column math: segmentation never
+    * shuffles; only the line-df aggregate does. */
+  def lineSegments(arr: String, w: Int): Column =
+    expr(s"""transform(sequence(0, CAST(ceil(size($arr) / $w.0) AS INT) - 1),
+             i -> array_join(slice($arr, i * $w + 1, $w), ' '))""")
+
   /** Base hashes: each shingle string hashed ONCE. The k-seed family is
     * then derived by re-hashing the 64-bit values ([[minhashSignature]]) —
     * hashing fixed-width longs is far cheaper than re-hashing every

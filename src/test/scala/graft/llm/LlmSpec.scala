@@ -513,6 +513,63 @@ class LlmSpec extends SparkSpec {
     assert(ham(sigs(1L), sigs(3L)) < ham(sigs(1L), sigs(4L)))
   }
 
+  test("line segments: 4-word windows, ragged tail, order preserved") {
+    val segs = Seq((1L, "a b c d e f g h i"), (2L, "x"), (3L, "a b c d"))
+      .toDF("doc_id", "text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"), Dedup.lineSegments("ws", 4).as("lines"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(segs(1L) == Seq("a b c d", "e f g h", "i"))
+    assert(segs(2L) == Seq("x"))
+    assert(segs(3L) == Seq("a b c d"))
+  }
+
+  test("line dedup: df counts every occurrence; apply removes df>2 lines in order") {
+    // "p q r s" appears 3× corpus-wide (df=3 > 2, removed everywhere:
+    // twice in doc 1, once in doc 2); every other line is unique
+    val corpus = Seq(
+      (1L, "p q r s p q r s u v w x"),
+      (2L, "p q r s m n o t"),
+      (3L, "a b c d e f g h")
+    ).toDF("doc_id", "text")
+    val lines = corpus
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(Dedup.lineSegments("ws", 4)).as(Seq("line_idx", "line")))
+      .withColumn("h", md5(col("line")))
+    val ldf = lines.groupBy("h").agg(count(lit(1)).as("df"))
+    val lj = lines.join(ldf, "h")
+    val dfMap = lj.select("line", "df").distinct()
+      .as[(String, Long)].collect().toMap
+    assert(dfMap("p q r s") == 3L && dfMap("u v w x") == 1L)
+    val cleaned = lj.groupBy("doc_id")
+      .agg(expr("""array_join(transform(
+             array_sort(collect_list(
+               CASE WHEN df <= 2 THEN struct(line_idx, line) END)),
+             p -> p.line), ' ')""").as("clean"))
+      .as[(Long, String)].collect().toMap
+    assert(cleaned(1L) == "u v w x", "both df=3 copies removed, kept line survives")
+    assert(cleaned(2L) == "m n o t")
+    assert(cleaned(3L) == "a b c d e f g h", "unique-line doc untouched")
+    // a doc that loses EVERY line cleans to "" (md5('') row), not a drop
+    val allDup = Seq((1L, "z z z z"), (2L, "z z z z"), (3L, "z z z z"))
+      .toDF("doc_id", "text")
+      .withColumn("ws", split(col("text"), " "))
+      .select(col("doc_id"),
+        posexplode(Dedup.lineSegments("ws", 4)).as(Seq("line_idx", "line")))
+      .withColumn("h", md5(col("line")))
+    val ldf2 = allDup.groupBy("h").agg(count(lit(1)).as("df"))
+    val gone = allDup.join(ldf2, "h").groupBy("doc_id")
+      .agg(expr("""md5(array_join(transform(
+             array_sort(collect_list(
+               CASE WHEN df <= 2 THEN struct(line_idx, line) END)),
+             p -> p.line), ' '))""").as("clean_md5"))
+    assert(gone.count() == 3L)
+    val emptyMd5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(Array.emptyByteArray).map("%02x".format(_)).mkString
+    assert(gone.select("clean_md5").as[String].collect().forall(_ == emptyMd5))
+  }
+
   test("dedup exact is idempotent") {
     val once = docs.dropDuplicates("text")
     assert(once.count() == 4)
