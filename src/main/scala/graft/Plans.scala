@@ -69,7 +69,8 @@ object Plans {
     "llm_multimodal_pixstats", "llm_lang_confusion", "llm_dedup_canonical",
     "llm_knn_join_ivf", "llm_dedup_cosine", "llm_embed_label_cohesion",
     "tsdb_query_qs", "tsdb_dtw_banded", "llm_multimodal_video_frames",
-    "llm_sim_radius_stored", "llm_dedup_lines", "llm_dedup_lines_apply")
+    "llm_sim_radius_stored", "llm_dedup_lines", "llm_dedup_lines_apply",
+    "tsdb_query_wire")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
