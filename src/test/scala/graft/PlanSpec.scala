@@ -484,6 +484,31 @@ class PlanSpec extends SparkSpec {
     assert(pg.contains("Window") && !pg.contains("CartesianProduct"))
   }
 
+  test("graph node-state dispatch: broadcast under fixture stats, copart under a forced-low budget") {
+    // the measured dispatcher (r14) must pick the broadcast form when
+    // node state fits the budget (fixture stats) and the co-partitioned
+    // shuffle-hash form when it does not — both regimes pinned here so
+    // neither silently rots
+    val names = Seq("graph_pagerank", "graph_kcore", "graph_adamic_adar")
+    for (n <- names) {
+      val p = plan(n)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$n must broadcast node state under fixture stats:\n$p")
+      assert(!p.contains("ShuffledHashJoin"),
+        s"$n broadcast regime must carry no shuffle-hash node-state join:\n$p")
+    }
+    spark.conf.set("graft.graph.nodeStateBroadcastBytes", "1")
+    try {
+      for (n <- names) {
+        val p = plan(n)
+        assert(p.contains("ShuffledHashJoin"),
+          s"$n must co-partition node state under a 1-byte budget:\n$p")
+        assert(!p.contains("BroadcastHashJoin"),
+          s"$n copart regime must broadcast NOTHING node-sized:\n$p")
+      }
+    } finally spark.conf.unset("graft.graph.nodeStateBroadcastBytes")
+  }
+
   test("r13 scale twins carry NO within-label self-join") {
     import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
     def joins(name: String) =
