@@ -69,6 +69,10 @@ object ScaleProbe {
       .reduce(_ unionByName _)
       .write.mode("overwrite").parquet(s"$big/embeddings.parquet")
 
+    // build-only mode: refresh /tmp/graft_x10 for the full-family Bench
+    // sweep without re-timing this probe's own ~40 rows
+    if (sys.env.contains("SPARK_GRAFT_BUILD_ONLY")) { spark.stop(); return }
+
     def time(f: => Long): Double = {
       val t0 = System.nanoTime(); f
       val dt = (System.nanoTime() - t0) / 1e9
@@ -339,6 +343,136 @@ object ScaleProbe {
       ("stream_text_index_growth", time(textGrow(sf)), time(textGrow(big))))
     println("operator,t_1x_sec,t_10x_sec,ratio")
     rows.foreach { case (n, a, b) => println(f"$n,$a%.2f,$b%.2f,${b / a}%.1f") }
+    spark.stop()
+  }
+}
+
+/** The 100× probe tier (judge r14 #4): 10× hides quadratics with small
+  * constants, so the CONTESTED rows get a deeper point — the scaled-k
+  * ANN pair, the graph broadcast-vs-copart twins (pagerank/kcore/
+  * adamic-adar, BOTH regimes forced through the registered dispatcher),
+  * and the band-index stream growth. Replicas are disjoint (shifted
+  * ids, per-replica word prefixes, disjoint graph copies — the same
+  * construction the x10 probe documents), built only for the SMALL
+  * tables (embeddings/documents/lineitem keys — disk is the
+  * constraint). Every row is timed at 1×/10×/100× in one JVM so the
+  * ratios are apples-to-apples. Run:
+  * `SPARK_DRIVER_MEM=64g tools/run.sh graft.ScaleProbe100`. */
+object ScaleProbe100 {
+  def main(args: Array[String]): Unit = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder().master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val sf = "/root/testdata/sf0.1"
+
+    def scratch(name: String): String = {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), name)
+      java.nio.file.Files.createDirectories(d); d.toString
+    }
+    // replicate n disjoint copies via a broadcast range cross join —
+    // one shuffle-free pass per table, not an n-way union
+    def build(dir: String, n: Int): Unit = {
+      val reps = spark.range(n).toDF("i")
+      val li = spark.read.parquet(s"$sf/lineitem.parquet")
+        .select("l_orderkey", "l_partkey")
+      li.crossJoin(reps)
+        .select((col("l_orderkey") + col("i") * 100000000L).as("l_orderkey"),
+          (col("l_partkey") + col("i") * 10000000L).as("l_partkey"))
+        .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+      val docs = spark.read.parquet(s"$sf/documents.parquet")
+      docs.crossJoin(reps)
+        .select((col("doc_id") + col("i") * 10000000L).as("doc_id"),
+          expr("array_join(transform(split(text, ' '), " +
+            "w -> concat('x', CAST(i AS STRING), 'r', w)), ' ')").as("text"),
+          col("lang"), col("source"), col("n_chars"))
+        .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+      val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+      emb.crossJoin(reps)
+        .select((col("vec_id") + col("i") * 10000000L).as("vec_id"),
+          col("embedding"), col("label"))
+        .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    }
+
+    def time(f: => Long): Double = {
+      val t0 = System.nanoTime(); f
+      val dt = (System.nanoTime() - t0) / 1e9
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+      dt
+    }
+
+    val x10 = scratch("graft_p100_x10")
+    val x100 = scratch("graft_p100_x100")
+    val tb10 = time { build(x10, 10); 1L }
+    val tb100 = time { build(x100, 100); 1L }
+    println(f"# replica build: x10 $tb10%.1f s, x100 $tb100%.1f s")
+
+    // ANN trio at the REGISTERED scaled-k sizing (k = max(8, n/250):
+    // 8 / 80 / 800) — its own index path per scale, so verify
+    // artifacts are never clobbered
+    val idxRoot = scratch("graft_p100_idx")
+    def knnIdx(dir: String) = s"$idxRoot/${dir.replaceAll("[^A-Za-z0-9._-]", "_")}"
+    def annBuild(dir: String): Long = {
+      llm.Similarity.buildIvfIndex(spark,
+        spark.read.parquet(s"$dir/embeddings.parquet"), knnIdx(dir),
+        "p100", llm.LlmQueries.scaledAnnParams(spark, dir))
+      1L
+    }
+    def annKnnJoin(dir: String): Long =
+      llm.Similarity.ivfKnnJoinStored(spark, knnIdx(dir), 3, nprobe = 2).count()
+    def annDedup(dir: String): Long =
+      llm.Similarity.blockedPairCosines(
+        llm.Similarity.readLists(spark, knnIdx(dir))
+          .select("vec_id", "embedding", "nrm", "centroid_id"),
+        "centroid_id", ordered = true)
+        .where(col("sim") >= 0.35).count()
+
+    // graph twins, BOTH regimes through the registered rows: the
+    // dispatcher row forced to broadcast via an effectively-infinite
+    // budget, the pinned _copart row for the co-partitioned form.
+    // (Left to itself the dispatcher picks broadcast at 1×/10× and
+    // flips to copart at 100× — 2M nodes × 32 B > 10 MB.)
+    def forced(name: String, dir: String): Long = {
+      spark.conf.set(rel.Graph.NodeStateBudgetKey, Long.MaxValue.toString)
+      try SparkEntry.queries(name)(spark, dir).count()
+      finally spark.conf.unset(rel.Graph.NodeStateBudgetKey)
+    }
+    def bcast(name: String)(dir: String): Long = forced(name, dir)
+    def copart(name: String)(dir: String): Long =
+      SparkEntry.queries(name)(spark, dir).count()
+    def bandGrow(dir: String): Long = {
+      llm.LlmQueries.resetGrowthArtifact(dir, "stream_band_index_growth")
+      SparkEntry.queries("stream_band_index_growth")(spark, dir).count()
+    }
+
+    // warm every shape at 1× (codegen compiles once; timing the first
+    // run against 1× would flatter the big ratios)
+    annBuild(sf); annKnnJoin(sf); annDedup(sf)
+    bcast("graph_pagerank")(sf); copart("graph_pagerank_copart")(sf)
+    bcast("graph_kcore")(sf); copart("graph_kcore_copart")(sf)
+    bcast("graph_adamic_adar")(sf); copart("graph_adamic_adar_copart")(sf)
+    bandGrow(sf)
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+    val rows = Seq[(String, String => Long)](
+      ("knn_ivf_build_scaledk", annBuild),
+      ("llm_knn_join_ivf_scaledk", annKnnJoin),
+      ("llm_dedup_cosine_scaledk", annDedup),
+      ("graph_pagerank_bcast", bcast("graph_pagerank")),
+      ("graph_pagerank_copart", copart("graph_pagerank_copart")),
+      ("graph_kcore_bcast", bcast("graph_kcore")),
+      ("graph_kcore_copart", copart("graph_kcore_copart")),
+      ("graph_adamic_adar_bcast", bcast("graph_adamic_adar")),
+      ("graph_adamic_adar_copart", copart("graph_adamic_adar_copart")),
+      ("stream_band_index_growth", bandGrow))
+    println("operator,t_1x_sec,t_10x_sec,t_100x_sec,r10,r100")
+    rows.foreach { case (n, f) =>
+      val a = time(f(sf)); val b = time(f(x10)); val c = time(f(x100))
+      println(f"$n,$a%.2f,$b%.2f,$c%.2f,${b / a}%.1f,${c / a}%.1f")
+    }
     spark.stop()
   }
 }

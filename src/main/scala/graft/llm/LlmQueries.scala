@@ -108,8 +108,8 @@ object LlmQueries {
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann_scaled").toString
 
-  private def annScaledFingerprint(s: org.apache.spark.sql.SparkSession,
-                                   dir: String): String =
+  private[graft] def annScaledFingerprint(s: org.apache.spark.sql.SparkSession,
+                                          dir: String): String =
     scaledAnnParams(s, dir).fingerprint(dir) +
       s"|${contentTag(Tables.embeddings(s, dir), s"emb|$dir")}"
 
