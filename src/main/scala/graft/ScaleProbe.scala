@@ -468,8 +468,11 @@ object ScaleProbe100 {
       ("graph_adamic_adar_bcast", bcast("graph_adamic_adar")),
       ("graph_adamic_adar_copart", copart("graph_adamic_adar_copart")),
       ("stream_band_index_growth", bandGrow))
+    // optional row filter (comma-separated names) for targeted re-runs
+    val only = sys.env.get("SPARK_GRAFT_P100_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     println("operator,t_1x_sec,t_10x_sec,t_100x_sec,r10,r100")
-    rows.foreach { case (n, f) =>
+    rows.filter(r => only.forall(_.contains(r._1))).foreach { case (n, f) =>
       val a = time(f(sf)); val b = time(f(x10)); val c = time(f(x100))
       println(f"$n,$a%.2f,$b%.2f,$c%.2f,${b / a}%.1f,${c / a}%.1f")
     }

@@ -96,9 +96,26 @@ object LlmQueries {
     math.max(8L, n / 250L).toInt
   }
 
+  /** Training-sample stride twin of [[scaledAnnK]]: caps the trained
+    * set at ~50k vectors (stride = n/50000, clamped to [1, 250] so the
+    * trained set never drops below k = n/250 seeds). With k ∝ corpus,
+    * whole-corpus Lloyd costs n·k ∝ n² flops — the r14 100× probe
+    * measured the build at 208× — while a capped sample restores
+    * linear build cost without touching assignment (every vector is
+    * still stored and probed). Stride resolves to 1 at every driver
+    * fixture scale, so fixture hashes are unchanged; the oracle
+    * restates the same stride arithmetic in SQL. */
+  private[graft] def scaledAnnStride(s: org.apache.spark.sql.SparkSession,
+                                     dir: String): Int = {
+    val tag = contentTag(Tables.embeddings(s, dir), s"emb|$dir")
+    val n = tag.split(",")(0).stripPrefix("n=").toLong
+    math.min(250L, math.max(1L, n / 50000L)).toInt
+  }
+
   private[graft] def scaledAnnParams(s: org.apache.spark.sql.SparkSession,
                                      dir: String): Similarity.IndexParams =
-    Similarity.IndexParams(k = scaledAnnK(s, dir))
+    Similarity.IndexParams(k = scaledAnnK(s, dir),
+      trainStride = scaledAnnStride(s, dir))
 
   /** Separate artifact for the scaled-k index: the main [[annIndexPath]]
     * index stays k=8 (the llm_sim_ivf family's oracle unrolls that
@@ -3035,14 +3052,20 @@ object LlmQueries {
   }
   private val IvfCtes: String = ivfCtes("TRUE")
 
-  /** [[IvfCtes]] with the PRODUCTION k ∝ corpus seed count — the SQL
-    * restatement of [[scaledAnnK]] (GREATEST(8, n // 250), n = corpus
-    * rows). The Lloyd unroll depth is iterations (2), not k, so the
-    * oracle text stays the same size at any k; only the seed LIMIT and
-    * the cid domain grow. Used by the scaled-index rows
-    * (llm_knn_join_ivf, llm_dedup_cosine). */
+  /** [[IvfCtes]] with the PRODUCTION k ∝ corpus seed count AND the
+    * capped training sample — the SQL restatement of [[scaledAnnK]]
+    * (GREATEST(8, n // 250)) and [[scaledAnnStride]] (LEAST(250,
+    * GREATEST(1, n // 50000)); the train predicate restricts Lloyd
+    * seeds/updates, the final assignment still covers every vector —
+    * the same machinery the appended-index oracle uses). Both resolve
+    * to the classic whole-corpus k=8 clustering at driver fixture
+    * scales. The Lloyd unroll depth is iterations (2), not k, so the
+    * oracle text stays the same size at any k. Used by the
+    * scaled-index rows (llm_knn_join_ivf, llm_dedup_cosine). */
   private val IvfCtesScaledK: String =
-    ivfCtes("TRUE", "GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 250)")
+    ivfCtes(
+      "vec_id % LEAST(250, GREATEST(1, (SELECT COUNT(*) FROM embeddings) // 50000)) = 0",
+      "GREATEST(8, (SELECT COUNT(*) FROM embeddings) // 250)")
 
   private val IvfOracle: String = {
     s"""WITH $IvfCtes,

@@ -648,11 +648,21 @@ object Similarity {
 
   /** Parameters of a persisted index build; the fingerprint pins the
     * ARTIFACT LAYOUT version, them, and the caller-supplied corpus
-    * tag, so any change rebuilds. */
+    * tag, so any change rebuilds. `trainStride` > 1 trains the
+    * quantizer (Lloyd seeds/updates AND the PQ codebooks) on the
+    * deterministic `vec_id % trainStride = 0` subsample while STILL
+    * assigning every vector — classic IVF practice (FAISS trains on a
+    * bounded sample): with k ∝ corpus, full-corpus training costs
+    * n·k·dim ∝ n² flops, quadratic in the corpus; a stride that caps
+    * the trained set restores n·k/stride ∝ LINEAR build cost (measured
+    * in the r14 100× probe). Stride 1 = the classic whole-corpus
+    * training every small fixture uses. */
   final case class IndexParams(k: Int = 8, iters: Int = 2, pqM: Int = 4,
-                               pqK: Int = 8, pqIters: Int = 1, dim: Int = 64) {
+                               pqK: Int = 8, pqIters: Int = 1, dim: Int = 64,
+                               trainStride: Int = 1) {
     def fingerprint(corpusTag: String): String =
-      s"$AnnLayoutVersion|$corpusTag|k=$k,i=$iters|pq=${pqM}x$pqK,i=$pqIters|dim=$dim"
+      s"$AnnLayoutVersion|$corpusTag|k=$k,i=$iters|pq=${pqM}x$pqK,i=$pqIters" +
+        s"|dim=$dim|ts=$trainStride"
   }
 
   private def metaPath(path: String) = new org.apache.hadoop.fs.Path(s"$path/_meta")
@@ -697,8 +707,14 @@ object Similarity {
                                     p: IndexParams,
                                     carryListsFiles: Map[String, Array[Byte]]): Unit = {
     import s.implicits._
-    val cs = collectCentroids(ivfCentroids(vectors, p.k, p.iters))
-    val perSub = pqCodebooks(vectors, p.pqM, p.pqK, p.pqIters, p.dim).map(collectCentroids)
+    // trainStride restricts what the quantizer LEARNS from; the lists
+    // below still assign and store the full corpus
+    val trainVecs =
+      if (p.trainStride > 1)
+        vectors.where(pmod(col("vec_id"), lit(p.trainStride.toLong)) === 0L)
+      else vectors
+    val cs = collectCentroids(ivfCentroids(trainVecs, p.k, p.iters))
+    val perSub = pqCodebooks(trainVecs, p.pqM, p.pqK, p.pqIters, p.dim).map(collectCentroids)
     val lists = assignNearest(vectors, cs)
       .withColumn("nrm", normExpr("embedding"))
       .select(vectors.columns.toIndexedSeq.map(col) ++ Seq(col("nrm"), col("centroid_id"))

@@ -370,7 +370,12 @@ object Graph {
     // join dominates either way; the crossover lies beyond the fixture
     // scales, where adjacency outgrows the broadcast budget — exactly
     // the regime the dispatcher's byte estimate routes here. Same
-    // math, same oracle text.
+    // math, same oracle text. SINGLE-BOX CAVEAT (r14 100× probe): the
+    // wedge shuffle carries the attached adjacency arrays (≈ edges ×
+    // avg-degree × 8 B — 230 GB at the 100× replica), which is what
+    // co-partitioning is FOR on a many-disk cluster but exhausts one
+    // machine's spill; on any single box prefer the broadcast form.
+    // Known follow-up: a payload-free wedge join on raw edge lists.
     "graph_adamic_adar_copart" -> ((s, dir) =>
       adamicAdarFrom(graft.core.Exec.materialize(
         edges(s, dir).repartition(col("src"))), bcast = false)),

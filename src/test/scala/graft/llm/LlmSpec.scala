@@ -795,6 +795,30 @@ class LlmSpec extends SparkSpec {
     assert(top.map(_._2).max <= brute.map(_._2).max)
   }
 
+  test("trainStride: quantizer trains on the sample, assignment stays total") {
+    val emb = graft.core.Tables.embeddings(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("stride_idx").toString
+    Similarity.buildIvfIndex(spark, emb, s"$dir/ann", "stride-test",
+      Similarity.IndexParams(k = 8, trainStride = 3))
+    val lists = Similarity.readLists(spark, s"$dir/ann")
+    // every vector is stored and assigned, not just the trained sample
+    assert(lists.count() == emb.count(), "assignment must cover the full corpus")
+    // the stored centroids equal Lloyd over EXACTLY the stride sample
+    val sampled = emb.where(pmod(col("vec_id"), lit(3L)) === 0L)
+    val expect = Similarity.ivfCentroids(sampled, 8, iters = 2)
+      .orderBy("centroid_id").collect().map(_.toString).toSeq
+    val stored = spark.read.parquet(s"$dir/ann/centroids")
+      .orderBy("centroid_id").collect().map(_.toString).toSeq
+    assert(stored == expect, "centroids must be the sample's Lloyd result")
+    // stride is part of the fingerprint: same corpus tag, different
+    // stride → a different artifact, never a silent reuse
+    assert(Similarity.IndexParams(trainStride = 3).fingerprint("t") !=
+      Similarity.IndexParams(trainStride = 1).fingerprint("t"))
+    // the scaled registrations resolve stride 1 at fixture scale (the
+    // formula: n/50000 clamped to [1, 250])
+    assert(LlmQueries.scaledAnnStride(spark, sf) == 1)
+  }
+
   test("PQ: codes are total and bounded; ADC ranks the query's own code first") {
     val emb = graft.core.Tables.embeddings(spark, sf)
     val books = Similarity.pqCodebooks(emb, m = 4, k = 8, iters = 1, dim = 64)
