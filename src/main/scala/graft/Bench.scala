@@ -177,9 +177,20 @@ object Bench {
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     // full per-query timings ALWAYS go to a file (the stdout JSON line
     // stays bounded for the driver's capture window); best-effort — a
-    // read-only cwd must not fail the bench itself
-    val timingsFile =
-      sys.env.getOrElse("SPARK_GRAFT_TIMINGS_FILE", FullTimingsPath)
+    // read-only cwd must not fail the bench itself. A FILTERED run
+    // (SPARK_GRAFT_ONLY) without an explicit TIMINGS_FILE must NOT
+    // clobber the committed full table with its few rows (this exact
+    // foot-gun shipped a 3-row BENCH_FULL.tsv twice in r14) — it gets
+    // a sibling scratch path instead, named on stderr.
+    val timingsFile = sys.env.getOrElse("SPARK_GRAFT_TIMINGS_FILE",
+      if (only.isEmpty) FullTimingsPath
+      else {
+        val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
+          "graft_bench_filtered.tsv").toString
+        System.err.println(s"NOTE: filtered run — timings to $p, " +
+          s"NOT $FullTimingsPath")
+        p
+      })
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(timingsFile),
       results.map { case (n, t, ok) =>
         s"$n\t$t${if (ok) "" else "\tFAILED"}" }.mkString("", "\n", "\n"))
