@@ -185,8 +185,10 @@ object Bench {
     val timingsFile = sys.env.getOrElse("SPARK_GRAFT_TIMINGS_FILE",
       if (only.isEmpty) FullTimingsPath
       else {
+        // PID suffix (ADVICE r14): two concurrent filtered runs would
+        // otherwise clobber each other's scratch table silently
         val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"),
-          "graft_bench_filtered.tsv").toString
+          s"graft_bench_filtered_${ProcessHandle.current().pid()}.tsv").toString
         System.err.println(s"NOTE: filtered run — timings to $p, " +
           s"NOT $FullTimingsPath")
         p

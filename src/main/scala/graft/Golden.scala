@@ -16,12 +16,15 @@ object Golden {
   val GoldenPath = "src/test/resources/golden.json"
 
   /** The no-oracle queries whose output is fully deterministic — the
-    * two engine-native (xxhash64) throughput variants plus the `nan`
-    * fill policy (NaN encodings are not hash-comparable cross-engine,
-    * SURVEY §2.J); everything else, sketches included, is
-    * DuckDB-oracle-checked. */
+    * two engine-native (xxhash64) throughput variants, the `nan` fill
+    * policy (NaN encodings are not hash-comparable cross-engine,
+    * SURVEY §2.J), and the RATE wire emission (per-second rates cross
+    * |v| < 1e-3 where Java/DuckDB float texts diverge — the documented
+    * Response.toJsonColumn precondition); everything else, sketches
+    * included, is DuckDB-oracle-checked. */
   val Tracked: Seq[String] = Seq(
-    "fn_hash_native", "llm_dedup_minhash_native", "tsdb_downsample_fill_nan")
+    "fn_hash_native", "llm_dedup_minhash_native", "tsdb_downsample_fill_nan",
+    "tsdb_query_wire_rate")
 
   def checksum(df: DataFrame): (Long, String) = {
     val md = java.security.MessageDigest.getInstance("MD5")

@@ -244,7 +244,9 @@ object RequestQs {
       case c => cur += c
     }
     require(braces == 0, s"unbalanced braces: $s")
-    require(parens == 0, s"unclosed filter function: $s")
+    require(parens == 0,
+      s"unclosed filter function: $s (a literal '(' inside a filter value " +
+        "must be written as the class [(] — see the splitTopLevel grammar)")
     parts += cur.result()
     parts.result()
   }

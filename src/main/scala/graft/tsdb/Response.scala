@@ -40,9 +40,20 @@ object Response {
     * with the response, and the driver only ever concatenates strings);
     * `dps` becomes the OpenTSDB `{ "<epoch_ms>": value }` object via
     * map_from_entries over the sorted (ts, value) pairs, preserving
-    * their order. Unit-tested by Jackson round-trip (EndToEndSpec) —
-    * float→text formatting is engine-defined, so the wire string is
-    * asserted structurally, never hash-compared cross-engine. */
+    * their order. Unit-tested by Jackson round-trip (EndToEndSpec).
+    *
+    * FLOAT-TEXT PARITY PRECONDITION (the tsdb_query_wire* oracle rows,
+    * ADVICE r14): float→text formatting is engine-defined in general,
+    * but the wire rows ARE hash-compared against DuckDB-concatenated
+    * JSON — that only holds while every emitted value is a 4dp-
+    * quantized double with |v| ∈ {0} ∪ [1e-3, 1e7), the range where
+    * Java's Double.toString and DuckDB's shortest-roundtrip printer
+    * emit identical text (outside it Java switches to scientific
+    * notation: 5.0E-4 vs 0.0005). Values that can cross below 1e-3 —
+    * per-second rates, NaN fills — stay golden-pinned, never oracled
+    * (tsdb_query_wire_rate, tsdb_downsample_fill_nan). A value-range
+    * change in an oracled wire row surfaces as an opaque hash mismatch;
+    * check this precondition first. */
   def toJsonColumn: org.apache.spark.sql.Column =
     to_json(struct(
       col("metric"), col("tags"), col("aggregateTags"),

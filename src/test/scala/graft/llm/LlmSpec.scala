@@ -1378,4 +1378,35 @@ class LlmSpec extends SparkSpec {
     // every vector below 140 is its own centroid (self-distance 0 wins)
     assert(a.takeWhile(_._1 < 140).forall { case (v, c) => v == c })
   }
+
+  test("two-level assignment: exact on separated clusters, routed at the ceiling") {
+    // k = the two-level ceiling, centroids on an 8×8×8 lattice ×100
+    // (well-separated); vectors sit EXACTLY at centroids, so the coarse
+    // routing and the exhaustive argmin must agree and the fine pick is
+    // the self-centroid at distance 0 — two-level ≡ exhaustive here
+    val k = Similarity.TwoLevelKCeiling
+    def coords(i: Int): Seq[Float] =
+      Seq(i % 8, (i / 8) % 8, (i / 64) % 8, i / 512).map(d => d * 100.0f)
+    val cs = (0 until k).map { i =>
+      val v = coords(i)
+      (i, v, v.map(x => x.toDouble * x.toDouble).sum)
+    }.toArray
+    val vecs = (0 until 2048).map(i => (i.toLong, coords(i % k)))
+      .toDF("vec_id", "embedding")
+    val exact = Similarity.assignByBroadcast(vecs, cs)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().sorted.toSeq
+    val two = Similarity.assignByTwoLevel(vecs, cs)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().sorted.toSeq
+    assert(two == exact, "two-level diverged from exhaustive on separated clusters")
+    assert(exact.size == 2048 && exact.map(_._1).distinct.size == 2048,
+      "assignment must be total — one centroid per vector")
+    // the dispatcher routes k >= ceiling through the two-level path
+    val routed = Similarity.assignNearest(vecs, cs)
+      .select("vec_id", "centroid_id").as[(Long, Int)].collect().sorted.toSeq
+    assert(routed == two)
+    // every super cell is non-empty and the routing map is total
+    val (sups, c2s) = Similarity.superCentroids(cs)
+    assert(c2s.size == k && sups.nonEmpty &&
+      c2s.values.toSet == sups.map(_._1).toSet)
+  }
 }

@@ -395,6 +395,26 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(aa - exp) < 1e-3, s"aa=$aa expected≈$exp")
   }
 
+  test("adamic-adar copart: bucket-split equals single-pass equals broadcast") {
+    // the r15 copart plan slices its degree-packed adjacency attach into
+    // budget-bounded buckets; decimal/long partials make bucket-split ≡
+    // single-pass EXACT — pin it by forcing a tiny slice budget (several
+    // buckets at sf0.001) against the default (one slice) and against
+    // the broadcast regime, which shares the oracle text
+    val one = run("graph_adamic_adar_copart")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    spark.conf.set("graft.graph.wedgeSliceBytes", (4L * 1024 * 1024).toString)
+    val many =
+      try run("graph_adamic_adar_copart")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      finally spark.conf.unset("graft.graph.wedgeSliceBytes")
+    assert(many == one,
+      s"bucketed copart diverged from single-pass:\n$many\nvs\n$one")
+    val bc = run("graph_adamic_adar") // fixture stats → broadcast regime
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(bc == one, s"copart diverged from broadcast:\n$bc\nvs\n$one")
+  }
+
   test("CUPED: theta and adjusted means match brute force") {
     val rows = run("evt_cuped_lift")
       .as[(Long, Long, Double, Double, Double)].collect().toSeq
