@@ -120,23 +120,58 @@ object Graph {
       .orderBy("node")
   }
 
+  /** Degree-packing shift for one-long adjacency entries
+    * (`nbr << shift | deg`): sized from the max degree, width-checked
+    * against the max node id. Shared by both Adamic–Adar regimes so the
+    * packed domains are identical. */
+  private def packShift(maxDeg: Long, maxId: Long, who: String): Int = {
+    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDeg))
+    require(maxId >= 0 && maxId < (1L << (62 - shift)),
+      s"$who: cannot pack (node id up to $maxId, degree up to $maxDeg " +
+        s"needing $shift bits) into one long; re-key node ids densely " +
+        "before the graph build")
+    shift
+  }
+
   /** Adamic–Adar over adjacent pairs from a prepared edge frame — the
-    * BROADCAST regime: node-sized adjacency and degree frames broadcast
-    * into one edge scan, wedge explode and degree lookup both map-side. */
+    * BROADCAST regime. r15: same degree-packed adjacency as the copart
+    * form (`nbr << shift | deg`) fed to the fused
+    * [[org.apache.spark.sql.graftfn.AdamicAdarWedge]] sorted-merge
+    * expression — per-edge (count, exact decimal weight sum) computed
+    * MAP-SIDE in one codegen'd pass. Nothing wedge-sized exists in the
+    * plan at all (the pre-r15 explode + broadcast-degree join +
+    * (src,dst) re-aggregate are gone); the only joins are the
+    * node-sized degree pack and the two adjacency attaches, all
+    * broadcast. Per-term quantization matches the old
+    * `sum(dec10(1/log(deg)))` bit-for-bit ([[graftfn.AaKernel]]), so
+    * the oracle text is unchanged. */
   private def adamicAdarFrom(es: DataFrame): DataFrame = {
-    val deg = es.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    val adj = es.groupBy("src").agg(sort_array(collect_list(col("dst"))).as("nbrs"))
+    val deg = es.groupBy(col("dst").as("node")).agg(count(lit(1)).as("deg"))
+    // pack stats off the node-sized frame the plan consumes anyway
+    val st = deg.agg(max(col("deg")), max(col("node"))).head()
+    val (maxDeg, maxId) =
+      if (st.isNullAt(0)) (1L, 0L) else (st.getLong(0), st.getLong(1))
+    val shift = packShift(maxDeg, maxId, "adamicAdarFrom")
+    val mask = (1L << shift) - 1
+    val ew = es.join(broadcast(deg), col("dst") === col("node"))
+      .select(col("src"), (shiftleft(col("dst"), shift) + col("deg")).as("pk"))
+    val adj = ew.groupBy("src").agg(sort_array(collect_list(col("pk"))).as("nbrs"))
     val e0 = es.where(col("src") < col("dst"))
-    val common = e0
-      .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
+    e0.join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
       .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
+      // candidate edges with an empty intersection never appeared in
+      // the pre-r15 explode output — drop them (same result set) with
+      // the COUNT-ONLY merge: the optimizer inlines this predicate into
+      // the adjacency join condition, where the full decimal wedge
+      // would cost an allocation per probed edge
+      .where(org.apache.spark.sql.graftfn.SortedIntersectCount
+        .of(col("na"), col("nb")) > 0)
       .select(col("src"), col("dst"),
-        explode(array_intersect(col("na"), col("nb"))).as("node"))
-    common.join(broadcast(deg), "node")
-      .groupBy("src", "dst")
-      .agg(count(lit(1)).as("n_common"),
-        graft.core.D.r4s(sum(graft.core.D.dec10(
-          lit(1.0) / log(col("deg").cast("double")))).cast("double"))
+        org.apache.spark.sql.graftfn.AdamicAdarWedge
+          .of(col("na"), col("nb"), mask).as("w"))
+      .select(col("src"), col("dst"),
+        col("w").getField("nc").as("n_common"),
+        graft.core.D.r4s(col("w").getField("ws").cast("double"))
           .as("adamic_adar"))
       .orderBy(col("adamic_adar").desc, col("src"), col("dst"))
       .limit(20)
@@ -169,8 +204,11 @@ object Graph {
     *     shuffle in the old plan) is GONE from this regime entirely.
     *  2. BUCKETED attach: neighbors split into ceil(payload/budget)
     *     hash buckets ([[WedgeSliceBudgetKey]]); each slice attaches
-    *     only its bucket's (short) arrays, intersects, explodes,
-    *     decodes, and PARTIAL-AGGREGATES to an edge-bounded
+    *     only its bucket's (short) arrays and computes the per-edge
+    *     (count, decimal-sum) pair MAP-SIDE via the fused
+    *     [[org.apache.spark.sql.graftfn.AdamicAdarWedge]] sorted-merge
+    *     expression (r15 — no wedge row ever exists, not even as
+    *     aggregate input), yielding an edge-bounded
     *     (src, dst, count, decimal-sum) frame that is materialized
     *     before the next slice runs (a System.gc() nudge lets the
     *     ContextCleaner reclaim the finished slice's shuffle files, so
@@ -200,11 +238,7 @@ object Graph {
     val (dirEdges, nodes, maxDeg, maxId) =
       if (st.isNullAt(2)) (0L, 0L, 1L, 0L)
       else (st.getLong(0), st.getLong(1), st.getLong(2), st.getLong(3))
-    val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDeg))
-    require(maxId >= 0 && maxId < (1L << (62 - shift)),
-      s"adamicAdarCopart: cannot pack (node id up to $maxId, degree up " +
-        s"to $maxDeg needing $shift bits) into one long; re-key node ids " +
-        "densely before the graph build")
+    val shift = packShift(maxDeg, maxId, "adamicAdarCopart")
     val mask = (1L << shift) - 1
     val ew = materialize(
       es.join(deg.hint("shuffle_hash"), col("dst") === col("node"))
@@ -215,17 +249,25 @@ object Graph {
     val payload = (dirEdges / 2) * (16L + 8L * avgDeg)
     val budget = math.max(1L, wedgeSliceBudget(s))
     val nBuckets = math.min(4096L, math.max(1L, (payload + budget - 1) / budget)).toInt
+    // r15: the per-slice wedge explode + (src,dst) re-aggregate are
+    // FUSED into one map-side sorted-merge expression (AdamicAdarWedge):
+    // each surviving edge row carries its exact (count, decimal sum)
+    // directly — no wedge-sized aggregate input exists even transiently,
+    // and the decimal quantization is bit-identical to the old
+    // sum(dec10(1/log(deg))) (AaKernel), so slices stay refold-exact.
     def slice(b: Int): DataFrame = {
       val adjb = ew.where(pmod(col("nbr"), lit(nBuckets.toLong)) === b.toLong)
         .groupBy("src").agg(sort_array(collect_list(col("pk"))).as("nbrs"))
       e0.join(adjb.select(col("src"), col("nbrs").as("na")).hint("shuffle_hash"), "src")
         .join(adjb.select(col("src").as("dst"), col("nbrs").as("nb")).hint("shuffle_hash"), "dst")
+        .where(org.apache.spark.sql.graftfn.SortedIntersectCount
+          .of(col("na"), col("nb")) > 0)
         .select(col("src"), col("dst"),
-          explode(array_intersect(col("na"), col("nb"))).as("pk"))
-        .groupBy("src", "dst")
-        .agg(count(lit(1)).as("nc"),
-          sum(graft.core.D.dec10(lit(1.0) /
-            log(col("pk").bitwiseAND(lit(mask)).cast("double")))).as("ws"))
+          org.apache.spark.sql.graftfn.AdamicAdarWedge
+            .of(col("na"), col("nb"), mask).as("w"))
+        .select(col("src"), col("dst"),
+          col("w").getField("nc").as("nc"),
+          col("w").getField("ws").as("ws"))
     }
     // fold finished slices into ONE running (src, dst, nc, ws) frame
     // instead of keeping B materialized partials alive — the partials
@@ -306,7 +348,9 @@ object Graph {
     // generator every item-item recommender uses — adjacent pairs, not
     // all pairs), top-20. Same broadcast-adjacency shape as
     // graph_triangles but over the FULL symmetric neighborhoods:
-    // |N(a)∩N(b)| is a map-side array_intersect, the union size is
+    // |N(a)∩N(b)| is a map-side SortedIntersectCount (r15 — native
+    // two-pointer merge over the pre-sorted adjacency arrays, replacing
+    // array_intersect's per-row hash set), the union size is
     // |N(a)|+|N(b)|−|∩|, and only edge rows flow — nothing pair² ever
     // materializes. Jaccard is a ratio of exact integers, 4dp-rounded.
     "graph_jaccard_similar" -> ((s, dir) => {
@@ -316,7 +360,8 @@ object Graph {
       e0.join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
         .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
         .select(col("src"), col("dst"),
-          size(array_intersect(col("na"), col("nb"))).cast("long").as("common"),
+          org.apache.spark.sql.graftfn.SortedIntersectCount
+            .of(col("na"), col("nb")).as("common"),
           (size(col("na")) + size(col("nb"))).cast("long").as("degsum"))
         .select(col("src"), col("dst"), col("common"),
           graft.core.D.r4s(col("common").cast("double") /
@@ -473,21 +518,17 @@ object Graph {
     // all pairs), AA(a,b) = Σ_{v ∈ N(a)∩N(b)} 1/ln(deg(v)) — common
     // neighbors weighted inversely by how promiscuous they are
     // (Adamic & Adar 2003). Same broadcast-adjacency shape as
-    // graph_triangles; the common-neighbor explode is wedge-bounded
-    // (Σ|N(a)∩N(b)| over candidate edges — nothing pair²), the
-    // per-neighbor degree lookup broadcasts the node-sized degree
-    // table, and the (src, dst) re-aggregate partial-aggregates in the
-    // same stage the explode runs in, so the shuffle payload is
-    // edge-bounded. MEASURED alternative, rejected: folding (v, wt)
-    // structs into the adjacency so the weight sum becomes a map-side
-    // aggregate over array_intersect removes the explode/join/agg —
-    // but struct-array intersect falls off Spark's hashed fast path
-    // into pairwise equality (O(|na|·|nb|) per edge) and benched 349 s
-    // vs this plan's ~7 s at sf0.1. Long-array intersect stays hashed;
-    // keep ids primitive, join the weights. A common neighbor of an
+    // graph_triangles. r15: the weight fold that was REJECTED in r13
+    // as a struct-array intersect (struct equality falls off Spark's
+    // hashed fast path — benched 349 s vs 7 s at sf0.1) now works the
+    // right way — degrees PACKED into the neighbor longs (ids stay
+    // primitive) and the fused AdamicAdarWedge sorted-merge expression
+    // computing per-edge (count, exact decimal weight sum) map-side, so
+    // the wedge explode, the degree join, and the (src,dst)
+    // re-aggregate are all gone from the plan. A common neighbor of an
     // edge pair has deg ≥ 2, so ln(deg) ≥ ln 2 and the 1/ln terms are
-    // bounded ≤ 1.443 — DECIMAL(28,10)-quantized for the order-free
-    // sum.
+    // bounded ≤ 1.443 — quantized at decimal scale 10 exactly like the
+    // old dec10 cast (AaKernel) for the order-free sum.
     "graph_adamic_adar" -> ((s, dir) => {
       // measured dispatch (r14): the broadcast side here is the
       // ADJACENCY (edge-count-bounded payload: every dst id appears in
@@ -582,7 +623,8 @@ object Graph {
         .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
         .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
         .select(col("src"),
-          size(array_intersect(col("na"), col("nb"))).cast("long").as("c"))
+          org.apache.spark.sql.graftfn.SortedIntersectCount
+            .of(col("na"), col("nb")).as("c"))
         .groupBy("src").agg((sum(col("c")) / 2).cast("long").as("n_tri"))
       adj.select(col("src").as("part_id"), size(col("nbrs")).cast("long").as("deg"))
         .where(col("deg") >= 2)
@@ -602,7 +644,8 @@ object Graph {
       val tri = e0
         .join(broadcast(adj.select(col("src"), col("nbrs").as("na"))), "src")
         .join(broadcast(adj.select(col("src").as("dst"), col("nbrs").as("nb"))), "dst")
-        .select(size(array_intersect(col("na"), col("nb"))).cast("long").as("t"))
+        .select(org.apache.spark.sql.graftfn.SortedIntersectCount
+          .of(col("na"), col("nb")).as("t"))
         // inner-join drops edges whose dst has no forward list — those
         // contribute 0; coalesce covers the triangle-free graph
         .agg(coalesce(sum(col("t")), lit(0L)).as("n_triangles"))
