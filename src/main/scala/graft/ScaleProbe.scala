@@ -365,6 +365,13 @@ object ScaleProbe100 {
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the FORCED-broadcast regimes collect a ~2 GB adjacency to the
+      // driver at the 100× replica (the real dispatcher picks copart
+      // there — the forced ceiling exists only so the probe can measure
+      // the losing side); r15: the degree-packed arrays compress worse
+      // than raw sorted ids and crossed the 1 GB default maxResultSize,
+      // aborting the row
+      .config("spark.driver.maxResultSize", "8g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val sf = "/root/testdata/sf0.1"

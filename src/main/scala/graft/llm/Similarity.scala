@@ -823,16 +823,26 @@ object Similarity {
       else vectors
     val cs = collectCentroids(ivfCentroids(trainVecs, p.k, p.iters))
     val perSub = pqCodebooks(trainVecs, p.pqM, p.pqK, p.pqIters, p.dim).map(collectCentroids)
+    // CLUSTER the lists on centroid_id before the dynamic-partition
+    // write (r15, measured at the 100× replica): without it every write
+    // task opens a file in up to k directories — k × tasks parquet
+    // writer inits (16k files at k=800), 100–220 s of pure fan-out —
+    // where the clustered write lands each centroid's rows from exactly
+    // one task (≤ min(k, shuffle.partitions)·~1 files, 4 s measured
+    // from identical input). PERSISTED so the assignment pass runs once
+    // (the write and the _trained marker both consume it).
     val lists = assignNearest(vectors, cs)
       .withColumn("nrm", normExpr("embedding"))
       .select(vectors.columns.toIndexedSeq.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, p.dim): _*)
+      .repartition(col("centroid_id"))
+      .persist()
     val cdf = cs.toIndexedSeq.map { case (cid, cvec, _) => (cid, cvec) }
       .toDF("centroid_id", "cvec")
     val cbdf = perSub.zipWithIndex.flatMap { case (csSub, sub) =>
       csSub.toIndexedSeq.map { case (cid, cvec, _) => (sub, cid, cvec) }
     }.toDF("sub", "centroid_id", "cvec")
-    graft.tsdb.Keysets.swapBuiltDir(s, path) { tmp =>
+    try graft.tsdb.Keysets.swapBuiltDir(s, path) { tmp =>
       cdf.coalesce(1).write.parquet(s"$tmp/centroids")
       cbdf.coalesce(1).write.parquet(s"$tmp/codebooks")
       lists.write.partitionBy("centroid_id").parquet(s"$tmp/lists")
@@ -840,15 +850,16 @@ object Similarity {
       val out = fs.create(metaPath(tmp), true)
       try out.write(fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       finally out.close()
-      // pin the TRAINED corpus size with the artifact (footer-count of
-      // the freshly written lists): [[deltaFraction]] measures drift
-      // against this number, so the signal survives delta compaction —
-      // folding appended rows into the base bounds file counts but
-      // does NOT retrain the quantizer, and a drift metric that reset
-      // to zero on fold would let the index rot behind the maintenance
-      // pass that is supposed to protect it
-      writeLongMarker(fs, s"$tmp/_trained",
-        s.read.parquet(s"$tmp/lists").count())
+      // pin the TRAINED corpus size with the artifact: [[deltaFraction]]
+      // measures drift against this number, so the signal survives
+      // delta compaction — folding appended rows into the base bounds
+      // file counts but does NOT retrain the quantizer, and a drift
+      // metric that reset to zero on fold would let the index rot
+      // behind the maintenance pass that is supposed to protect it.
+      // (r15: counted off the persisted frame just written — same
+      // value as the former freshly-written-footer count, without
+      // re-listing the lists dir.)
+      writeLongMarker(fs, s"$tmp/_trained", lists.count())
       // cumulative appended mass folded into the base so far: starts
       // at 0, advanced by compaction (the marker lives INSIDE lists/
       // to ride its atomic swap); underscore files are invisible to
@@ -858,7 +869,7 @@ object Similarity {
         val out2 = fs.create(new org.apache.hadoop.fs.Path(s"$tmp/lists/$name"), true)
         try out2.write(bytes) finally out2.close()
       }
-    }
+    } finally { lists.unpersist(); () }
   }
 
   private def writeLongMarker(fs: org.apache.hadoop.fs.FileSystem,
@@ -1173,7 +1184,8 @@ object Similarity {
   def appendIvfDelta(s: SparkSession, newVectors: DataFrame, path: String): Unit = {
     val rows = deltaRows(s, newVectors, path)
     graft.tsdb.Keysets.appendDelta(s, path, "lists")(
-      tmp => rows.write.partitionBy("centroid_id").parquet(tmp))
+      tmp => rows.repartition(col("centroid_id"))
+        .write.partitionBy("centroid_id").parquet(tmp))
   }
 
   /** Exactly-once streaming append — the Delta Lake txn pattern (see
@@ -1186,6 +1198,7 @@ object Similarity {
     // payload built inside the callback: a replay-skip costs zero jobs
     graft.tsdb.Keysets.appendDeltaTxn(s, path, "lists", streamId, batchId)(
       tmp => deltaRows(s, newVectors, path)
+        .repartition(col("centroid_id"))
         .write.partitionBy("centroid_id").parquet(tmp))
 
   /** Tombstone-delete vectors from the stored index WITHOUT rewriting
@@ -1212,7 +1225,8 @@ object Similarity {
       // and an empty partitioned write would land a schema-less dir
       if (doomed.isEmpty) return
       graft.tsdb.Keysets.appendDelta(s, path, "lists")(
-        tmp => doomed.write.partitionBy("centroid_id").parquet(tmp))
+        tmp => doomed.repartition(col("centroid_id"))
+          .write.partitionBy("centroid_id").parquet(tmp))
     } finally { doomed.unpersist(); () }
   }
 
@@ -1235,7 +1249,8 @@ object Similarity {
       // base: an empty dynamic-partition write creates zero files and
       // every later read would fail on schema inference
       if (live.isEmpty) live.repartition(1).write.parquet(tmp)
-      else live.write.partitionBy("centroid_id").parquet(tmp)
+      else live.repartition(col("centroid_id"))
+        .write.partitionBy("centroid_id").parquet(tmp)
       writeLongMarker(new org.apache.hadoop.fs.Path(tmp)
         .getFileSystem(s.sparkContext.hadoopConfiguration),
         s"$tmp/_appended", appended)
