@@ -126,6 +126,11 @@ object Graph {
     * packed domains are identical. */
   private def packShift(maxDeg: Long, maxId: Long, who: String): Int = {
     val shift = 64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, maxDeg))
+    // guard before computing the id bound: 62 - shift going negative
+    // would wrap the << distance mod 64 and make the require message lie
+    require(shift <= 61,
+      s"$who: degree up to $maxDeg needs $shift bits - cannot degree-pack " +
+        "into one long; re-key node ids densely before the graph build")
     require(maxId >= 0 && maxId < (1L << (62 - shift)),
       s"$who: cannot pack (node id up to $maxId, degree up to $maxDeg " +
         s"needing $shift bits) into one long; re-key node ids densely " +

@@ -78,7 +78,9 @@ object BuildProf {
     }
     def nfiles(p0: String): Long = {
       val d = java.nio.file.Paths.get(p0)
-      java.nio.file.Files.walk(d).filter(_.toString.endsWith(".parquet")).count()
+      scala.util.Using.resource(java.nio.file.Files.walk(d)) { st =>
+        st.filter(_.toString.endsWith(".parquet")).count()
+      }
     }
     println(s"files direct=${nfiles(s"$out/lists_direct")} " +
       s"repart=${nfiles(s"$out/lists_repart")}")

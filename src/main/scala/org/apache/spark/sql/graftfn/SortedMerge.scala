@@ -114,14 +114,19 @@ object SortedIntersectCount {
   * mirroring the decimal formulation; it cannot occur for common
   * neighbors of an adjacent pair (deg ≥ 2 by construction). */
 object AaKernel {
-  private val Cache = new Array[Long](1 << 16)
+  // AtomicLongArray rather than Array[Long]: the JMM permits word
+  // tearing on racy non-volatile 64-bit reads, and executor task
+  // threads share this cache. get/lazySet keep the same lock-free
+  // idempotent-write scheme (every writer stores the same value for a
+  // slot) with no tearing and no fence on the read path's hot hit.
+  private val Cache = new java.util.concurrent.atomic.AtomicLongArray(1 << 16)
 
   def recip10(deg: Long): Long = {
     if (deg <= 1L) return 0L
-    if (deg < Cache.length) {
-      val c = Cache(deg.toInt)
+    if (deg < (1 << 16)) {
+      val c = Cache.get(deg.toInt)
       if (c != 0L) c
-      else { val v = compute(deg); Cache(deg.toInt) = v; v }
+      else { val v = compute(deg); Cache.lazySet(deg.toInt, v); v }
     } else compute(deg)
   }
 
