@@ -69,6 +69,35 @@ object Bench {
     }
     try graft.core.Tables.events(spark, sfDir).count()
     catch { case _: Throwable => }
+    // Fixed-work CALIBRATION controls (VERDICT r15 #1): ambient container
+    // drift has inflated driver timings of UNTOUCHED code 2-12x in four
+    // separate rounds, and each time attribution was re-argued by hand.
+    // Two controls, timed min-of-3 both BEFORE and AFTER the sweep:
+    //  - compute: a seeded in-memory hash-aggregate touching no storage —
+    //    pure CPU capability of this container at this moment;
+    //  - scan: a fixed warm parquet aggregate over lineitem — IO+decode
+    //    capability (warm: the table was counted in the warmup above, so
+    //    page-cache state is the same every run).
+    // They are NOT queries: excluded from `value`/`n_queries` (the driver
+    // contract total), written to the TSV as `_calib_*` rows and to the
+    // JSON line under "calib" so tools/bench_diff.py can normalize every
+    // round-over-round ratio by the measured container ratio instead of
+    // re-litigating "ambient vs regression" from circumstantial evidence.
+    import org.apache.spark.sql.functions.{bit_xor, col, xxhash64}
+    def timed(fn: => Unit): Double = {
+      val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
+    }
+    def calibCompute(): Double = timed {
+      spark.range(0L, 256L * 1000 * 1000, 1L, cpus.toInt)
+        .select(bit_xor(xxhash64(col("id")))).collect(); ()
+    }
+    def calibScan(): Double = timed {
+      spark.read.parquet(s"$sfDir/lineitem.parquet")
+        .select(bit_xor(xxhash64(col("l_orderkey"), col("l_partkey"),
+          col("l_quantity"), col("l_extendedprice")))).collect(); ()
+    }
+    val calibComputePre = (1 to 3).map(_ => calibCompute()).min
+    val calibScanPre = (1 to 3).map(_ => calibScan()).min
     // dev filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
@@ -171,6 +200,13 @@ object Bench {
     }
     val reruns = firstPass.count(_._2 > rerunThreshold)
     val failed = results.filter(!_._3).map(_._1).sorted
+    // post-sweep calibration: a drift window that opened MID-run shows
+    // as post >> pre (or vice versa); the per-kind MIN is the container's
+    // capability this run, the pre/post spread is the drift diagnostic
+    val calibComputePost = (1 to 3).map(_ => calibCompute()).min
+    val calibScanPost = (1 to 3).map(_ => calibScan()).min
+    val calibComputeMin = math.min(calibComputePre, calibComputePost)
+    val calibScanMin = math.min(calibScanPre, calibScanPost)
     // Locale.ROOT: f"%.3f" under a comma-decimal default locale would
     // emit "1,234" and corrupt the JSON line
     def r3(v: Double): String =
@@ -193,9 +229,18 @@ object Bench {
           s"NOT $FullTimingsPath")
         p
       })
+    // calibration rows lead the table under a reserved `_calib_` prefix
+    // (no query may start with `_`): the two MIN rows are what
+    // bench_diff normalizes by; the pre/post rows are the drift spread
+    val calibRows = Seq(
+      "_calib_compute" -> calibComputeMin, "_calib_scan" -> calibScanMin,
+      "_calib_compute_pre" -> calibComputePre,
+      "_calib_compute_post" -> calibComputePost,
+      "_calib_scan_pre" -> calibScanPre, "_calib_scan_post" -> calibScanPost)
+      .map { case (n, t) => s"$n\t$t" }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(timingsFile),
-      results.map { case (n, t, ok) =>
-        s"$n\t$t${if (ok) "" else "\tFAILED"}" }.mkString("", "\n", "\n"))
+      (calibRows ++ results.map { case (n, t, ok) =>
+        s"$n\t$t${if (ok) "" else "\tFAILED"}" }).mkString("", "\n", "\n"))
     catch {
       // NonFatal only (ADVICE r12: a swallowed OOM is a lie elsewhere),
       // and a loud stderr note — a stale committed BENCH_FULL.tsv read
@@ -218,7 +263,10 @@ object Bench {
     // chatter); `failed` is bounded (normally empty) and a nonzero exit
     // makes a broken query fail the run itself, not just annotate it
     val failedJson = failed.map(n => s"\"$n\"").mkString("[", ",", "]")
-    val summary = s""""metric":"total","value":${r3(total)},"unit":"sec","sf":$sf,"n_queries":${results.size},"outlier_reruns":$reruns,"failed":$failedJson"""
+    // calib object is bounded (~90 chars) and rides the SUMMARY line so
+    // the attribution anchor survives any driver capture window
+    val calibJson = s""""calib":{"compute":${r3(calibComputeMin)},"scan":${r3(calibScanMin)},"compute_post":${r3(calibComputePost)},"scan_post":${r3(calibScanPost)}}"""
+    val summary = s""""metric":"total","value":${r3(total)},"unit":"sec","sf":$sf,"n_queries":${results.size},"outlier_reruns":$reruns,$calibJson,"failed":$failedJson"""
     // summary-only line FIRST (r11: the 78-entry itemization clipped the
     // contract line to parsed:null and the round total went unrecorded —
     // this short line survives any tail window and carries the total).

@@ -15,6 +15,17 @@ Usage:
 Also reports added/removed queries (informational) and the common-subset
 total delta. Run it as part of the end-of-round checklist AFTER the
 driver-scale bench, BEFORE committing the new BENCH_FULL.tsv.
+
+Calibration normalization (VERDICT r15 #1): Bench writes fixed-work
+`_calib_compute` / `_calib_scan` control rows (min-of-3, min of pre/post
+sweep) to the same table. When BOTH tables carry them, every new time is
+divided by the measured container ratio (geometric mean of the per-kind
+calib ratios) before the regression gate — so a 1.7x-slower container
+doesn't read as 380 phantom per-query regressions, while a genuine plan
+regression still trips the gate because the calib rows didn't move.
+--raw restores gating on unnormalized times. The driver's contract total
+stays the raw number either way — this is attribution, not excuse
+manufacturing; the raw common-subset total is always printed.
 """
 import argparse
 import subprocess
@@ -42,6 +53,8 @@ def main():
                     help="fail when new > ratio * old (default 2.0)")
     ap.add_argument("--floor", type=float, default=1.0,
                     help="ignore regressions whose new time <= floor sec")
+    ap.add_argument("--raw", action="store_true",
+                    help="gate on raw times even when calib rows exist")
     args = ap.parse_args()
 
     if args.old is None:
@@ -58,8 +71,36 @@ def main():
         old_name = args.old
     new_text = open(args.new).read()
 
-    old = load(old_text)
-    new = load(new_text)
+    old_all = load(old_text)
+    new_all = load(new_text)
+    # _calib_* rows are fixed-work controls, not queries: pull them out
+    # before any added/removed/common accounting
+    old = {k: v for k, v in old_all.items() if not k.startswith("_calib_")}
+    new = {k: v for k, v in new_all.items() if not k.startswith("_calib_")}
+    calib_ratio = 1.0
+    calib_note = "no calib rows in both tables - ratios are raw"
+    kinds = [k for k in ("_calib_compute", "_calib_scan")
+             if k in old_all and k in new_all
+             and old_all[k][0] > 0 and new_all[k][0] > 0]
+    if kinds:
+        import math
+        per_kind = {k: new_all[k][0] / old_all[k][0] for k in kinds}
+        calib_ratio = math.exp(sum(math.log(r) for r in per_kind.values())
+                               / len(per_kind))
+        calib_note = ("container calib ratio %.2fx (%s)" % (
+            calib_ratio,
+            ", ".join(f"{k.removeprefix('_calib_')} {r:.2f}x"
+                      for k, r in per_kind.items())))
+        spread = [(k, new_all[f"{k}_pre"][0], new_all[f"{k}_post"][0])
+                  for k in kinds
+                  if f"{k}_pre" in new_all and f"{k}_post" in new_all]
+        for k, pre, post in spread:
+            if max(pre, post) > 1.5 * min(pre, post):
+                calib_note += (f"; DRIFT WINDOW: {k} pre {pre:.2f}s vs "
+                               f"post {post:.2f}s")
+    normalize = bool(kinds) and not args.raw
+    print(calib_note + (" - gating on calib-normalized times"
+                        if normalize else ""))
     added = sorted(set(new) - set(old))
     removed = sorted(set(old) - set(new))
     common = sorted(set(old) & set(new))
@@ -81,17 +122,21 @@ def main():
         # phantom regression
         if old_failed or failed:
             continue
-        if t_new > args.ratio * t_old and t_new > args.floor:
-            regressions.append((name, t_old, t_new))
+        t_gate = t_new / calib_ratio if normalize else t_new
+        if t_gate > args.ratio * t_old and t_gate > args.floor:
+            regressions.append((name, t_old, t_new, t_gate))
     tot_old = sum(old[n][0] for n in common)
     tot_new = sum(new[n][0] for n in common)
     print(f"common subset: {len(common)} queries, "
-          f"{tot_old:.1f}s ({old_name}) -> {tot_new:.1f}s "
-          f"({tot_new / tot_old:.2f}x)" if tot_old else "no common queries")
+          f"{tot_old:.1f}s ({old_name}) -> {tot_new:.1f}s raw "
+          f"({tot_new / tot_old:.2f}x raw, "
+          f"{tot_new / calib_ratio / tot_old:.2f}x calib-normalized)"
+          if tot_old else "no common queries")
 
-    for name, t_old, t_new in sorted(regressions, key=lambda r: -r[2] / r[1]):
-        print(f"REGRESSION {name}: {t_old:.2f}s -> {t_new:.2f}s "
-              f"({t_new / t_old:.1f}x)")
+    for name, t_old, t_new, t_gate in sorted(
+            regressions, key=lambda r: -r[3] / r[1]):
+        print(f"REGRESSION {name}: {t_old:.2f}s -> {t_new:.2f}s raw / "
+              f"{t_gate:.2f}s normalized ({t_gate / t_old:.1f}x)")
     for name in failures:
         print(f"FAILED {name}")
     if regressions or failures:
