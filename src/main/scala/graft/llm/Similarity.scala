@@ -249,7 +249,10 @@ object Similarity {
       // the previous iteration into k literal rows, so each Lloyd step
       // is a small self-contained job — no ever-deepening plan and no
       // full-corpus checkpoint.
-      centroids = assignToCentroids(vectors, centroids)
+      // dispatchK = the requested k: keeps the assignment route stable
+      // across iterations even when empty-cluster drops shrink the
+      // surviving set below a route ceiling (see assignNearest)
+      centroids = assignNearest(vectors, collectCentroids(centroids), k)
         .select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy("centroid_id", "pos")
         .agg((sum(graft.core.D.dec(col("col").cast("double"))).cast("double")
@@ -351,11 +354,24 @@ object Similarity {
     * third restricts candidates to the vector's coarse cell (exact on
     * separated clusters, standard IVF-build approximation otherwise). */
   private[llm] def assignNearest(vectors: DataFrame,
-                            cs: Array[(Int, Seq[Float], Double)]): DataFrame =
-    if (cs.length < LiteralKCeiling || !vectors.columns.contains("vec_id"))
+                            cs: Array[(Int, Seq[Float], Double)],
+                            dispatchK: Int = -1): DataFrame = {
+    // Route by the REQUESTED build k when the caller supplies it, not
+    // the surviving-centroid count (r16): Lloyd drops empty clusters,
+    // so a k=800 build can dip to ~500 survivors after one update and
+    // fall off the two-level route onto the exhaustive broadcast pass
+    // — measured 10× (iter2 49 s vs iter1's 5 s assignment at the 100×
+    // replica). The training regime is a property of the build
+    // geometry, not of the survivor count; and since no oracle-gated
+    // path ever REQUESTS k ≥ TwoLevelKCeiling (see the ceiling's
+    // scaladoc), routing by requested k is bit-identical for every
+    // gate-hashed build.
+    val k = math.max(cs.length, dispatchK)
+    if (k < LiteralKCeiling || !vectors.columns.contains("vec_id"))
       assignByLiterals(vectors, cs)
-    else if (cs.length < TwoLevelKCeiling) assignByBroadcast(vectors, cs)
+    else if (k < TwoLevelKCeiling) assignByBroadcast(vectors, cs)
     else assignByTwoLevel(vectors, cs)
+  }
 
   /** Production-k assignment: centroids stay a k-row RELATION,
     * broadcast into a vectors × centroids nested-loop pass, per-vector
@@ -831,7 +847,7 @@ object Similarity {
     // one task (≤ min(k, shuffle.partitions)·~1 files, 4 s measured
     // from identical input). PERSISTED so the assignment pass runs once
     // (the write and the _trained marker both consume it).
-    val lists = assignNearest(vectors, cs)
+    val lists = assignNearest(vectors, cs, p.k)
       .withColumn("nrm", normExpr("embedding"))
       .select(vectors.columns.toIndexedSeq.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, p.dim): _*)

@@ -1422,6 +1422,39 @@ object TsdbQueries {
         .orderBy("form", "json")
     }),
 
+    // EP2''c the ORACLED wire-rate row (VERDICT r15 #3): the same two
+    // rate request forms as tsdb_query_wire_rate, emitted through the
+    // QUANTIZED-TEXT mode (Response.toJsonColumnText4) — dps values
+    // rendered as fixed-4dp decimal text from INTEGER arithmetic, so
+    // neither engine's float printer is consulted and the bytes are
+    // hash-comparable at ANY rate magnitude (rates quantize to 4dp in
+    // MergeRate.rate, so the render is exact). The emitted text stays
+    // valid JSON numeric syntax ("0.0003", never 3.0E-4), so a client
+    // parses it to the same double as the raw mode; the raw
+    // Double.toString emission keeps wire-native shortest-round-trip
+    // text and stays golden-pinned under tsdb_query_wire_rate.
+    "tsdb_query_wire_rate_text" -> ((s, dir) => {
+      val pts = Pipeline.eventsAsPoints(s, dir)
+      def post(counter: Boolean) =
+        s"""{"start": "30d-ago",
+             "queries": [{"metric": "click", "aggregator": "sum",
+                          "downsample": "1h-avg", "rate": true,
+                          "rateOptions": {"counter": $counter},
+                          "filters": [{"type": "wildcard", "tagk": "user",
+                                       "filter": "1*", "groupBy": true}]}]}"""
+      def wireRate(form: String, body: String): DataFrame = {
+        val q = RequestJson.parse(body, Tables.NowMs)
+        val rated = Pipeline.run(s, pts, q)
+          .where(col("rate").isNotNull)
+          .select(col("tag_user"), col("bucket_ms"), col("rate").as("value"))
+        Response.toJsonRowsText4(rated, q.queries.head.metric, Seq("user"), Nil)
+          .select(lit(form).as("form"), col("json"))
+      }
+      wireRate("post_rate_grouped", post(counter = false))
+        .unionByName(wireRate("post_rate_counter", post(counter = true)))
+        .orderBy("form", "json")
+    }),
+
     // EP2' multi-subquery request over the SHARED scan (Pipeline.runAll
     // materializes one filtered points slice for both subqueries —
     // plan-asserted in PlanSpec): click/sum and view/max grouped by the
@@ -3231,6 +3264,57 @@ object TsdbQueries {
           SELECT qidx, json FROM
             (SELECT qidx, json FROM j0 UNION ALL SELECT qidx, json FROM j1)
           ORDER BY qidx, json""",
+
+    // wire matrix, RATE column in the QUANTIZED-TEXT emission mode:
+    // dps values rendered from the 4dp-quantized rate's UNSCALED
+    // integer (sign || u DIV 10^4 || '.' || lpad(u MOD 10^4)) — the
+    // same integer arithmetic Response.toJsonColumnText4 runs, so no
+    // float printer is consulted on either engine. Plain rate drops
+    // only the first bucket (lag NULL); counter rate also drops
+    // negative deltas (no counterMax → wrap-to-null).
+    "tsdb_query_wire_rate_text" ->
+      s"""WITH ds AS (
+            SELECT CAST(user_id AS VARCHAR) AS tag_user, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events
+            WHERE event_type = 'click' AND CAST(user_id AS VARCHAR) LIKE '1%'
+              AND epoch_ns(ts) // 1000000 >= $T0
+              AND epoch_ns(ts) // 1000000 < $T1
+            GROUP BY 1, 2),
+          mg AS (SELECT tag_user, bucket_ms, ${D.oSumDec("value")} AS value
+                 FROM ds GROUP BY 1, 2),
+          base AS (SELECT tag_user, bucket_ms,
+                          value - lag(value) OVER w AS delta,
+                          (bucket_ms - lag(bucket_ms) OVER w) / 1000.0 AS dtsec
+                   FROM mg WINDOW w AS (PARTITION BY tag_user ORDER BY bucket_ms)),
+          rp AS (SELECT tag_user, bucket_ms,
+                        CAST(round((${D.oR4("delta / dtsec")}) * 10000) AS BIGINT) AS u
+                 FROM base WHERE delta IS NOT NULL),
+          rc AS (SELECT tag_user, bucket_ms,
+                        CAST(round((${D.oR4("delta / dtsec")}) * 10000) AS BIGINT) AS u
+                 FROM base WHERE delta IS NOT NULL AND delta >= 0),
+          jp AS (SELECT '{"metric":"click","tags":{"user":"' || tag_user ||
+                        '"},"aggregateTags":[],"dps":{' ||
+                        string_agg('"' || CAST(bucket_ms AS VARCHAR) || '":' ||
+                                   (CASE WHEN u < 0 THEN '-' ELSE '' END) ||
+                                   CAST(abs(u) // 10000 AS VARCHAR) || '.' ||
+                                   lpad(CAST(abs(u) % 10000 AS VARCHAR), 4, '0'),
+                                   ',' ORDER BY bucket_ms) ||
+                        '}}' AS json
+                 FROM rp GROUP BY tag_user),
+          jc AS (SELECT '{"metric":"click","tags":{"user":"' || tag_user ||
+                        '"},"aggregateTags":[],"dps":{' ||
+                        string_agg('"' || CAST(bucket_ms AS VARCHAR) || '":' ||
+                                   (CASE WHEN u < 0 THEN '-' ELSE '' END) ||
+                                   CAST(abs(u) // 10000 AS VARCHAR) || '.' ||
+                                   lpad(CAST(abs(u) % 10000 AS VARCHAR), 4, '0'),
+                                   ',' ORDER BY bucket_ms) ||
+                        '}}' AS json
+                 FROM rc GROUP BY tag_user)
+          SELECT form, json FROM (
+            SELECT 'post_rate_counter' AS form, json FROM jc
+            UNION ALL SELECT 'post_rate_grouped', json FROM jp)
+          ORDER BY form, json""",
 
     // one SELECT per subquery, stacked in request order — the oracle
     // mirror of the OpenTSDB response array

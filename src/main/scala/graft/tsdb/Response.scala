@@ -61,6 +61,50 @@ object Response {
         p => struct(p.getField("ts").cast("string").as("key"),
           p.getField("value").as("value")))).as("dps")))
 
+  /** QUANTIZED-TEXT emission mode (VERDICT r15 #3): dps values are
+    * rendered as fixed-4dp decimal text built from INTEGER arithmetic
+    * — sign, unscaled DIV 10⁴, '.', lpad(unscaled MOD 10⁴) — so no
+    * float→text formatter of either engine is ever consulted and the
+    * emitted bytes are deterministic for ANY value magnitude (the raw
+    * [[toJsonColumn]] path emits Java's shortest-round-trip text, which
+    * goes scientific below 1e-3 — 5.0E-4 vs DuckDB's 0.0005 — which is
+    * why per-second rates could only be golden-pinned there). The text
+    * is emitted UNQUOTED: "2.7800" is valid JSON numeric syntax and
+    * parses to the same double in any client, so wire compatibility is
+    * preserved; the only observable difference from the raw mode is
+    * non-canonical trailing zeros. Exact precondition: values must
+    * already BE 4dp-quantized (true for every D3/r4s pipeline output —
+    * the rate path quantizes in MergeRate.rate), so the ROUND here only
+    * repairs double representation error, never loses information.
+    * metric/tags/aggregateTags still serialize through to_json (proper
+    * JSON escaping); the dps object is spliced into that text. */
+  def toJsonColumnText4: org.apache.spark.sql.Column = {
+    val head = to_json(struct(
+      col("metric"), col("tags"), col("aggregateTags")))
+    val dpsText = expr("""
+      concat('{',
+        array_join(transform(dps, p -> concat(
+          '"', CAST(p.ts AS STRING), '":',
+          CASE WHEN CAST(round(p.value * 10000) AS BIGINT) < 0
+               THEN '-' ELSE '' END,
+          CAST(abs(CAST(round(p.value * 10000) AS BIGINT)) DIV 10000 AS STRING),
+          '.',
+          lpad(CAST(abs(CAST(round(p.value * 10000) AS BIGINT)) % 10000 AS STRING),
+               4, '0'))), ','),
+        '}')""")
+    // head always ends in '}': strip it, splice the dps object in
+    concat(regexp_replace(head, "\\}$", ""),
+      lit(",\"dps\":"), dpsText, lit("}"))
+  }
+
+  /** [[shape]] + [[toJsonColumnText4]]: the quantized-text rows→wire
+    * step — the oracle-comparable emission for value ranges where raw
+    * Double.toString text cannot be (per-second rates). */
+  def toJsonRowsText4(merged: DataFrame, metric: String, groupTags: Seq[String],
+                      aggregateTags: Seq[String]): DataFrame =
+    shape(merged, metric, groupTags, aggregateTags)
+      .select(toJsonColumnText4.as("json"))
+
   /** [[shape]] + [[toJsonColumn]]: the complete rows→wire step. */
   def toJsonRows(merged: DataFrame, metric: String, groupTags: Seq[String],
                  aggregateTags: Seq[String]): DataFrame =

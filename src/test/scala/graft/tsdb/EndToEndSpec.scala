@@ -63,6 +63,26 @@ class EndToEndSpec extends SparkSpec {
     val firstTs = dps.head.getLong(0).toString
     assert(math.abs(dpsNode.get(firstTs).asDouble - dps.head.getDouble(1)) < 1e-9,
       "dps values must survive the wire round-trip")
+
+    // QUANTIZED-TEXT mode (r16): same request, text-rendered dps — must
+    // still be VALID JSON whose numbers parse to the same doubles as
+    // the raw emission (values here are 4dp merge outputs, so the
+    // fixed-4dp render is exact), with every dps value emitted as a
+    // JSON NUMBER (unquoted), never a string or scientific notation
+    val jsonT = Response.toJsonRowsText4(merged, "click", Seq("event_type"), Seq("user"))
+      .as[String].collect().head
+    val nodeT = new com.fasterxml.jackson.databind.ObjectMapper().readTree(jsonT)
+    assert(nodeT.get("metric").asText == "click")
+    val dpsT = nodeT.get("dps")
+    assert(dpsT.isObject && dpsT.size == dps.size)
+    dps.foreach { p =>
+      val v = dpsT.get(p.getLong(0).toString)
+      assert(v != null && v.isNumber, s"text-mode dps must be JSON numbers, got $v")
+      assert(math.abs(v.asDouble - p.getDouble(1)) < 1e-9,
+        "text-mode dps must parse to the same double as the raw mode")
+      assert(!v.asText.toUpperCase.contains("E"),
+        s"text mode must never emit scientific notation: ${v.asText}")
+    }
   }
 
   test("keyset lifecycle: create, overwrite, list, drop, tenant scan with TTL") {
