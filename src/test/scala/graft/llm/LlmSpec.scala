@@ -1052,16 +1052,20 @@ class LlmSpec extends SparkSpec {
     }
   }
 
-  test("multimodal: decode stub emits one feature row per media row") {
+  test("multimodal: mixed real decode emits one feature row per media row") {
     val feats = Multimodal.features(spark, sf, partitions = 4)
     val n = graft.core.Tables.documents(spark, sf).count()
     assert(feats.count() == n)
-    assert(feats.where(col("n_bytes") <= 0).count() == 0)
+    // every genuine payload must actually decode — a false here means a
+    // codec round-trip broke, not a poisoned fixture
+    assert(feats.where(!col("decode_ok")).count() == 0)
+    assert(feats.where(col("content_units") <= 0).count() == 0)
     assert(feats.select("format").distinct().as[String].collect().toSet == Set("png", "wav"))
-    // deterministic across runs
-    val a = feats.orderBy("id").select("checksum").as[String].collect()
+    // deterministic across partitionings (features derive from decoded
+    // content, which is synthesis-determined per id)
+    val a = feats.orderBy("id").select("content_sum").as[Long].collect()
     val b = Multimodal.features(spark, sf, partitions = 2)
-      .orderBy("id").select("checksum").as[String].collect()
+      .orderBy("id").select("content_sum").as[Long].collect()
     assert(a.toSeq == b.toSeq, "partitioning must not change features")
   }
 
