@@ -249,10 +249,13 @@ object Similarity {
       // the previous iteration into k literal rows, so each Lloyd step
       // is a small self-contained job — no ever-deepening plan and no
       // full-corpus checkpoint.
-      // dispatchK = the requested k: keeps the assignment route stable
-      // across iterations even when empty-cluster drops shrink the
-      // surviving set below a route ceiling (see assignNearest)
-      centroids = assignNearest(vectors, collectCentroids(centroids), k)
+      // dispatchK from the REQUESTED k: keeps the assignment route
+      // stable across iterations even when empty-cluster drops shrink
+      // the surviving set below a route ceiling, and skips the literal
+      // tree at build-relevant k (compile-per-iteration dominates —
+      // see LiteralBuildKCeiling)
+      centroids = assignNearest(vectors, collectCentroids(centroids),
+          buildDispatchK(k))
         .select(col("centroid_id"), posexplode(col("embedding")))
         .groupBy("centroid_id", "pos")
         .agg((sum(graft.core.D.dec(col("col").cast("double"))).cast("double")
@@ -330,6 +333,28 @@ object Similarity {
     * interpreted at ~3× the broadcast form's cost (PERF.md r11,
     * ScaleProbe `centroid_assign_*_k256`: 3.60 s vs 1.18 s at 1×). */
   val LiteralKCeiling = 128
+
+  /** k at or above which BUILD-path assignments (the Lloyd loop and the
+    * lists build — [[ivfCentroids]] / buildIvfIndexCarrying) skip the
+    * literal expression tree even though it EXECUTES fastest: every
+    * Lloyd iteration generates a FRESH plan, and a k×dim literal tree
+    * costs ~10 s of Janino compilation per iteration at k=80/dim=64
+    * (measured, LloydProf at the 10× replica: the mean-agg stage read
+    * 14.5 s with literal centroids embedded vs <1 s broadcast
+    * execution) — compile-per-iteration dominates run-once plans.
+    * Serving/probe paths keep the literal route up to
+    * [[LiteralKCeiling]]: they compile once and execute many times.
+    * 32 keeps every oracle-gated build literal (fixture k = 8
+    * everywhere, scaledAnnK resolves to 8 at every driver scale), so
+    * gate-hashed plans AND results are unchanged; the broadcast form
+    * is bit-equal anyway (LlmSpec pins literal ≡ broadcast). */
+  val LiteralBuildKCeiling = 32
+
+  /** Dispatch k for BUILD-path assignment at requested size `k`: below
+    * [[LiteralBuildKCeiling]] stay literal; otherwise skip at least to
+    * the broadcast form (two-level takes over past its own ceiling). */
+  private def buildDispatchK(k: Int): Int =
+    if (k >= LiteralBuildKCeiling) math.max(k, LiteralKCeiling) else k
 
   /** k at or above which [[assignNearest]] routes through the
     * TWO-LEVEL (coarse-then-fine) assignment instead of scoring all k
@@ -847,7 +872,7 @@ object Similarity {
     // one task (≤ min(k, shuffle.partitions)·~1 files, 4 s measured
     // from identical input). PERSISTED so the assignment pass runs once
     // (the write and the _trained marker both consume it).
-    val lists = assignNearest(vectors, cs, p.k)
+    val lists = assignNearest(vectors, cs, buildDispatchK(p.k))
       .withColumn("nrm", normExpr("embedding"))
       .select(vectors.columns.toIndexedSeq.map(col) ++ Seq(col("nrm"), col("centroid_id"))
         ++ pqCodeCols(perSub, p.dim): _*)

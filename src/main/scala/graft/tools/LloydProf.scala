@@ -87,6 +87,20 @@ object LloydProf {
     }
     cellStats("seed(cs0)", cs0)
     cellStats("iter1(cs1)", cs1)
+    // route A/B at this geometry: literal least-over-structs vs
+    // broadcast+min_by vs two-level, same centroids, same vectors —
+    // the dispatch ceilings should reflect these numbers, not lore
+    if (cs0.length >= 2) {
+      t("assign_literal") {
+        Similarity.assignByLiterals(trainVecs, cs0).count()
+      }
+      t("assign_broadcast") {
+        Similarity.assignByBroadcast(trainVecs, cs0).count()
+      }
+      t("assign_twolevel") {
+        Similarity.assignByTwoLevel(trainVecs, cs0).count()
+      }
+    }
     spark.stop()
   }
 }
