@@ -232,7 +232,15 @@ object Bench {
     // calibration rows lead the table under a reserved `_calib_` prefix
     // (no query may start with `_`): the two MIN rows are what
     // bench_diff normalizes by; the pre/post rows are the drift spread
+    // numeric scale factor from the fixture dir name ("sf0.1" → 0.1);
+    // leading-digit requirement keeps the match a valid number
+    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r
+      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     val calibRows = Seq(
+      // the _sf row guards bench_diff against cross-scale comparison:
+      // an sf0.001 smoke table committed over the sf0.1 driver table
+      // read as 387 phantom regressions this round before the guard
+      s"_sf\t$sf") ++ Seq(
       "_calib_compute" -> calibComputeMin, "_calib_scan" -> calibScanMin,
       "_calib_compute_pre" -> calibComputePre,
       "_calib_compute_post" -> calibComputePost,
@@ -253,11 +261,6 @@ object Bench {
     val qs = Headline.flatMap(h => byName.get(h).map(v => s"\"$h\":${r3(v)}"))
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    // numeric scale factor from the fixture dir name ("sf0.1" → 0.1);
-    // the pattern requires a leading digit so a match is always a valid
-    // JSON number (never "." from an odd dir name)
-    val sf = "sf([0-9]+(?:\\.[0-9]+)?)".r
-      .findFirstMatchIn(sfDir).map(_.group(1)).getOrElse("0")
     spark.stop()
     // keep the contract JSON line LAST on stdout (after Spark shutdown
     // chatter); `failed` is bounded (normally empty) and a nonzero exit

@@ -73,6 +73,15 @@ def main():
 
     old_all = load(old_text)
     new_all = load(new_text)
+    # cross-scale guard: comparing an sf0.001 smoke table against an
+    # sf0.1 table reads as hundreds of phantom regressions (this exact
+    # clobber shipped in r16 before the guard) - refuse outright
+    sf_old = old_all.pop("_sf", None)
+    sf_new = new_all.pop("_sf", None)
+    if sf_old and sf_new and sf_old[0] != sf_new[0]:
+        print(f"ERROR: tables are from different scale factors "
+              f"(old sf={sf_old[0]:g}, new sf={sf_new[0]:g}) - not comparable")
+        return 1
     # _calib_* rows are fixed-work controls, not queries: pull them out
     # before any added/removed/common accounting
     old = {k: v for k, v in old_all.items() if not k.startswith("_calib_")}
