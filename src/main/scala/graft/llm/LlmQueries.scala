@@ -1449,6 +1449,34 @@ object LlmQueries {
         .orderBy("doc_id")
     }),
 
+    // The dup-gram sibling of llm_repetition_ratio (r16): Gopher's
+    // "fraction of characters in duplicated n-grams" rule, at n=3 —
+    // the INTRA-document repetition signal (llm_dedup_lines is
+    // corpus-level df; this one needs no cross-doc state at all).
+    // Char mass = occurrences × gram length over the gram stream, so
+    // the fraction is self-normalizing and ≤ 1 by construction. Two
+    // map-side-combinable hash aggregates keyed by (doc, gram) then
+    // doc; zero joins, zero cross-doc shuffle — embarrassingly
+    // parallel at 100 TB.
+    "llm_repetition_dupgram" -> ((s, dir) => {
+      val g = Tables.documents(s, dir)
+        .select(col("doc_id"), Dedup.words(col("text")).as("w"))
+        .where(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(Dedup.shingles("w", 3)).as("g"))
+      g.groupBy("doc_id", "g").agg(count(lit(1)).as("cnt"))
+        .groupBy("doc_id")
+        .agg(sum(col("cnt")).as("n_grams"),
+          sum(when(col("cnt") > 1, col("cnt")).otherwise(lit(0L)))
+            .as("dup_occurrences"),
+          sum(col("cnt") * length(col("g")).cast("long")).as("all_chars"),
+          sum(when(col("cnt") > 1, col("cnt") * length(col("g")).cast("long"))
+            .otherwise(lit(0L))).as("dup_chars"))
+        .select(col("doc_id"), col("n_grams"), col("dup_occurrences"),
+          graft.core.D.r4s(col("dup_chars").cast("double")
+            / col("all_chars").cast("double")).as("dup_char_frac"))
+        .orderBy("doc_id")
+    }),
+
     // HTML boilerplate strip: fixture docs are plain text, so wrap them
     // in synthesized markup first (the non-vacuous trick llm_pii_scrub
     // uses), then strip tags and collapse whitespace with codegen'd
@@ -4320,6 +4348,22 @@ object LlmQueries {
          SELECT doc_id, bg AS top_bigram, cnt AS top_cnt, n_bigrams,
                 ROUND((CAST(cnt AS DOUBLE) / n_bigrams) * 10000.0, 0) / 10000.0 + 0.0 AS rep_ratio
          FROM r WHERE rn = 1 ORDER BY doc_id""",
+
+    // mirror of llm_repetition_dupgram: same 3-gram stream, char mass
+    // = occurrences x gram length, duplicated = within-doc count > 1
+    "llm_repetition_dupgram" ->
+      """WITH w AS (SELECT doc_id, string_split(lower(text), ' ') AS ws FROM documents),
+         el AS (SELECT doc_id, ws FROM w WHERE len(ws) >= 3),
+         js AS (SELECT doc_id, ws, unnest(range(1, len(ws) - 1)) AS j FROM el),
+         g AS (SELECT doc_id, ws[j] || ' ' || ws[j+1] || ' ' || ws[j+2] AS g FROM js),
+         c AS (SELECT doc_id, g, count(*) AS cnt FROM g GROUP BY 1, 2)
+         SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_grams,
+                CAST(SUM(CASE WHEN cnt > 1 THEN cnt ELSE 0 END) AS BIGINT)
+                  AS dup_occurrences,
+                ROUND((CAST(SUM(CASE WHEN cnt > 1 THEN cnt * length(g) ELSE 0 END) AS DOUBLE)
+                       / CAST(SUM(cnt * length(g)) AS DOUBLE)) * 10000.0, 0) / 10000.0 + 0.0
+                  AS dup_char_frac
+         FROM c GROUP BY doc_id ORDER BY doc_id""",
 
     "llm_html_strip" ->
       """WITH h AS (SELECT doc_id,
