@@ -87,15 +87,21 @@ object Bench {
     def timed(fn: => Unit): Double = {
       val t0 = System.nanoTime(); fn; (System.nanoTime() - t0) / 1e9
     }
-    def calibCompute(): Double = timed {
-      spark.range(0L, 256L * 1000 * 1000, 1L, cpus.toInt)
-        .select(bit_xor(xxhash64(col("id")))).collect(); ()
-    }
-    def calibScan(): Double = timed {
-      spark.read.parquet(s"$sfDir/lineitem.parquet")
-        .select(bit_xor(xxhash64(col("l_orderkey"), col("l_partkey"),
-          col("l_quantity"), col("l_extendedprice")))).collect(); ()
-    }
+    // A calibration control must never abort the sweep it calibrates
+    // (ADVICE r16): a fixture dir without lineitem, or a transient IO
+    // error, records the 0.0 sentinel (bench_diff.py skips non-positive
+    // calib values) instead of killing the bench before a query runs.
+    def calibCompute(): Double =
+      try timed {
+        spark.range(0L, 256L * 1000 * 1000, 1L, cpus.toInt)
+          .select(bit_xor(xxhash64(col("id")))).collect(); ()
+      } catch { case _: Throwable => 0.0 }
+    def calibScan(): Double =
+      try timed {
+        spark.read.parquet(s"$sfDir/lineitem.parquet")
+          .select(bit_xor(xxhash64(col("l_orderkey"), col("l_partkey"),
+            col("l_quantity"), col("l_extendedprice")))).collect(); ()
+      } catch { case _: Throwable => 0.0 }
     val calibComputePre = (1 to 3).map(_ => calibCompute()).min
     val calibScanPre = (1 to 3).map(_ => calibScan()).min
     // dev filter: SPARK_GRAFT_ONLY=q1,q2 times just those queries
@@ -141,7 +147,15 @@ object Bench {
       }
       (dt, ok)
     }
+    // phase-level receipts for the lifecycle rows (VERDICT r16 #1b):
+    // the growth queries time their internal phases through
+    // graft.core.Phase; the drains land as `_phase_<query>|<phase>`
+    // control rows in the TSV, so THIS environment's phase split rides
+    // every published bench — no separate GrowthProf run to argue from
+    graft.core.Phase.enable()
+    val phaseRows = scala.collection.mutable.ArrayBuffer[(String, Double)]()
     val perRep = (1 to reps).map { _ =>
+      graft.core.Phase.drain()  // discard warmup/prebuild phases
       selected.toSeq.sortBy(_._1).map { case (name, fn) =>
         // lifecycle-grown artifacts are wiped (untimed — the wipe is
         // bookkeeping, not lifecycle cost) so the growth phase runs
@@ -157,7 +171,11 @@ object Bench {
                 s"$name: $e — its published time may be probe-only, NOT " +
                 "lifecycle-priced")
           }
-        name -> timeOnce(fn)
+        val r = timeOnce(fn)
+        graft.core.Phase.drain().foreach { case (ph, sec) =>
+          phaseRows += (s"_phase_$name|$ph" -> sec)
+        }
+        name -> r
       }
     }
     // (name, best time, succeeded-at-least-once) per query — the ok
@@ -246,8 +264,13 @@ object Bench {
       "_calib_compute_post" -> calibComputePost,
       "_calib_scan_pre" -> calibScanPre, "_calib_scan_post" -> calibScanPost)
       .map { case (n, t) => s"$n\t$t" }
+    // one row per (query, phase), min across reps — same discipline as
+    // the per-query times; underscore prefix keeps them out of every
+    // query accounting (bench_diff drops `_`-prefixed control rows)
+    val phaseTsv = phaseRows.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (k, vs) => s"$k\t${vs.map(_._2).min}" }
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(timingsFile),
-      (calibRows ++ results.map { case (n, t, ok) =>
+      (calibRows ++ phaseTsv ++ results.map { case (n, t, ok) =>
         s"$n\t$t${if (ok) "" else "\tFAILED"}" }).mkString("", "\n", "\n"))
     catch {
       // NonFatal only (ADVICE r12: a swallowed OOM is a lie elsewhere),

@@ -87,6 +87,32 @@ object D {
   /** Round a final double ratio to 4dp (D3) — see [[r4s]]. */
   def r4(c: Column): Column = r4s(c)
 
+  /** Fixed-4dp decimal TEXT from integer arithmetic — the scalar-column
+    * form of Response.toJsonColumnText4's dps render: sign, unscaled
+    * DIV 10⁴, '.', lpad(unscaled MOD 10⁴). No float→text formatter of
+    * either engine is consulted, so the bytes are hash-comparable at
+    * ANY magnitude (Java goes scientific below 1e-3; DuckDB doesn't).
+    * Precondition: the input is already 4dp-quantized (every D3/r4s
+    * output), so round() here only repairs double representation
+    * error. Emitted text is valid JSON/SQL numeric syntax. */
+  def text4(x: String): Column = expr(
+    s"""concat(
+          CASE WHEN CAST(round(($x) * 10000) AS BIGINT) < 0
+               THEN '-' ELSE '' END,
+          CAST(abs(CAST(round(($x) * 10000) AS BIGINT)) DIV 10000 AS STRING),
+          '.',
+          lpad(CAST(abs(CAST(round(($x) * 10000) AS BIGINT)) % 10000 AS STRING),
+               4, '0'))""")
+
+  /** DuckDB mirror of [[text4]] (// = integer division). */
+  def oText4(x: String): String =
+    s"""(CASE WHEN CAST(round(($x) * 10000) AS BIGINT) < 0
+              THEN '-' ELSE '' END ||
+         CAST(abs(CAST(round(($x) * 10000) AS BIGINT)) // 10000 AS VARCHAR) ||
+         '.' ||
+         lpad(CAST(abs(CAST(round(($x) * 10000) AS BIGINT)) % 10000 AS VARCHAR),
+              4, '0'))"""
+
   // Oracle-SQL fragment builders (keep Spark + DuckDB text in one place).
   def oSumDec(x: String): String = s"CAST(SUM(CAST($x AS DECIMAL(18,4))) AS DOUBLE)"
   def oAvgDec(x: String): String = oR4(s"${oSumDec(x)} / COUNT($x)")

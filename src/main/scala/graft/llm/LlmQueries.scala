@@ -637,12 +637,16 @@ object LlmQueries {
         s"|streamed=mod10ne7|batch=mod10eq7|${contentTag(docs, s"docs|$dir")}"
       if (!growCurrent(root, fp)) wipeAndGrow(root, fp) {
         val src = s"$root/src"
-        docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
-          .repartition(3).write.parquet(src)
-        graft.stream.Ingest.maintainBandIndex(s,
-          s.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1).parquet(src),
-          idx, s"$root/cp")
+        graft.core.Phase.time("src_write") {
+          docs.where(pmod(col("doc_id"), lit(10)) =!= 7)
+            .repartition(3).write.parquet(src)
+        }
+        graft.core.Phase.time("stream_3batches") {
+          graft.stream.Ingest.maintainBandIndex(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src),
+            idx, s"$root/cp")
+        }
       }
       Dedup.incrementalNearDups(s,
         docs.where(pmod(col("doc_id"), lit(10)) === 7), docs, idx)
@@ -663,15 +667,21 @@ object LlmQueries {
       val idx = s"$root/idx"
       val fp = annFingerprint(s, dir) + "|train=mod7ne3|grown=stream3"
       if (!growCurrent(root, fp)) wipeAndGrow(root, fp) {
-        Similarity.buildIvfIndex(s,
-          emb.where(pmod(col("vec_id"), lit(7)) =!= 3), idx, fp)
+        graft.core.Phase.time("quantizer_train") {
+          Similarity.buildIvfIndex(s,
+            emb.where(pmod(col("vec_id"), lit(7)) =!= 3), idx, fp)
+        }
         val src = s"$root/src"
-        emb.where(pmod(col("vec_id"), lit(7)) === 3)
-          .repartition(3).write.parquet(src)
-        graft.stream.Ingest.maintainIvfIndex(s,
-          s.readStream.schema(emb.schema)
-            .option("maxFilesPerTrigger", 1).parquet(src),
-          idx, s"$root/cp")
+        graft.core.Phase.time("src_write") {
+          emb.where(pmod(col("vec_id"), lit(7)) === 3)
+            .repartition(3).write.parquet(src)
+        }
+        graft.core.Phase.time("stream_3batches") {
+          graft.stream.Ingest.maintainIvfIndex(s,
+            s.readStream.schema(emb.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src),
+            idx, s"$root/cp")
+        }
       }
       val qs = emb.where(col("vec_id") < 4)
         .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
@@ -2231,11 +2241,15 @@ object LlmQueries {
         s"|${contentTag(docs, s"docs|$dir")}"
       if (!growCurrent(root, fp)) wipeAndGrow(root, fp) {
         val src = s"$root/src"
-        docs.repartition(3).write.parquet(src)
-        graft.stream.Ingest.maintainTextIndex(s,
-          s.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1).parquet(src),
-          idx, s"$root/cp")
+        graft.core.Phase.time("src_write") {
+          docs.repartition(3).write.parquet(src)
+        }
+        graft.core.Phase.time("stream_3batches") {
+          graft.stream.Ingest.maintainTextIndex(s,
+            s.readStream.schema(docs.schema)
+              .option("maxFilesPerTrigger", 1).parquet(src),
+            idx, s"$root/cp")
+        }
       }
       Retrieval.bm25TopKStored(s, idx, Bm25Terms, 10)
     }),
@@ -2579,8 +2593,8 @@ object LlmQueries {
     // javax.imageio — width/height come out of the image parser, not
     // the input row, so a broken encode or decode hash-fails against
     // the analytic oracle (dims were derived before encoding). The
-    // decode runs in the same per-partition shape the stub documents;
-    // see Multimodal.scala for the corrupt-payload error path (unit-
+    // decode runs per-partition with codec init amortized once; see
+    // Multimodal.scala for the corrupt-payload error path (unit-
     // tested: decode_ok=false, never a task failure).
     "llm_multimodal_decode" -> ((s, dir) =>
       Multimodal.decodePngMeta(Multimodal.pngTable(s, dir))

@@ -4,12 +4,16 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal columns: media as opaque BINARY + typed metadata
-  * (SURVEY §2.K / task brief). The Spark-side plumbing — schema,
-  * partitioning, batch shape — is real; the actual codec is STUBBED with
-  * a deterministic fake (this container has no image/audio libraries),
-  * clearly marked below. On a real cluster the stub body is the only
-  * thing to replace (e.g. with a JNI/javacv decoder), the dataflow
-  * stays identical.
+  * (SURVEY §2.K / task brief). Both the Spark-side plumbing — schema,
+  * partitioning, batch shape — and the codecs are REAL since r16: the
+  * fixture table carries genuinely encoded PNG/WAV payloads
+  * ([[encodePng]]/[[encodeWav]]) and decode goes through the JDK's
+  * actual parsers (`javax.imageio.ImageIO`, `javax.sound.sampled
+  * .AudioSystem`). Only `_frames`/`_video_frames` stay codec-agnostic
+  * by design (frame SELECTION over an opaque container — no video
+  * codec exists in any JDK). On a cluster with richer codecs
+  * (JNI/javacv) the per-partition decoder body is the only swap point;
+  * the dataflow stays identical.
   */
 object Multimodal {
 
@@ -169,15 +173,15 @@ object Multimodal {
 
   // ------------------------------------------------------ real decode
   //
-  // The one REAL codec path (r11): PNG via `javax.imageio` — in the JDK,
-  // so no new dependency. The fixtures carry no genuine media bytes, so
-  // the table synthesizes real PNGs deterministically (dimensions
-  // derived from document fields, pixels from a per-id hash) and the
-  // decoder then reads them back with an actual image parser. Unlike
-  // the stub above, width/height come out of the codec, not the input
-  // row — a corrupted payload fails decode (`decode_ok=false`) instead
-  // of producing fake numbers. On a cluster this is the same
-  // mapPartitions shape as [[decodeFeatures]]: codec state initialized
+  // The first REAL codec path (r11): PNG via `javax.imageio` — in the
+  // JDK, so no new dependency. The fixtures carry no genuine media
+  // bytes, so the table synthesizes real PNGs deterministically
+  // (dimensions derived from document fields, pixels from a per-id
+  // hash) and the decoder then reads them back with an actual image
+  // parser. Width/height come out of the codec, not the input row — a
+  // corrupted payload fails decode (`decode_ok=false`) instead of
+  // producing fake numbers. On a cluster this is the same
+  // mapPartitions shape as [[decodeMixedFeatures]]: codec state initialized
   // once per partition, decoder memory bounded by partition size,
   // payload bytes never shuffled before the (tiny) metadata projection.
 

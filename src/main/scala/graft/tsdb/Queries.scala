@@ -1489,6 +1489,61 @@ object TsdbQueries {
         .orderBy("user_id", "bucket_ms")
     }),
 
+    // ORACLED twin of tsdb_downsample_fill_nan (VERDICT r16 #3 — the
+    // wire-rate-text trick applied to the fill policy): the SAME grid
+    // and the SAME gaps, but the value column is emitted as fixed-4dp
+    // decimal TEXT built from integer arithmetic (D.text4) with the
+    // NaN fill rendered as the literal sentinel token 'NaN' — neither
+    // engine's float printer nor NaN encoding is consulted, so the
+    // bytes hash-compare in DuckDB. The raw emission (a real IEEE NaN
+    // in a DOUBLE column, the wire-native shape) stays golden-pinned
+    // above; a client parses this text to the identical doubles.
+    "tsdb_downsample_fill_nan_text" -> ((s, dir) => {
+      val ev = Tables.events(s, dir).where(col("event_type") === "click")
+      val ds = Downsample(ev, Seq("user_id"), Day, "avg")
+      Downsample.withFill(s, ds, Seq("user_id"), Day,
+        T0 - 2 * Day, T1 + 2 * Day, "nan")
+        .select(col("user_id"), col("bucket_ms"),
+          when(isnan(col("value")), lit("NaN"))
+            .otherwise(D.text4("value")).as("value_text"))
+        .orderBy("user_id", "bucket_ms")
+    }),
+
+    // [PK-M] annotation overlay (VERDICT r16 #5 — OpenTSDB exposes
+    // /api/annotation: notes/events pinned to a series + time window,
+    // returned alongside query output; mycenae's support is uncertain
+    // while the reference is empty, so this is the engine analog built
+    // to the OpenTSDB shape). The annotation fixture is DERIVED from
+    // the data deterministically (per series, its top-3 busiest DAYS
+    // become day-spanning "incident" windows — rank tie-broken by day),
+    // so DuckDB restates it with the same algebra. The overlay is the
+    // production plan for this shape at 100 TB: the annotation side is
+    // human-sized (3 × series cardinality) → BROADCAST range join onto
+    // the already-downsample-reduced hourly frame; the big side
+    // shuffles once for its own aggregate and never for the overlay.
+    "tsdb_annotation_overlay" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val hourly = Downsample(ev, Seq("event_type"), H, "avg")
+      val daily = ev.groupBy(col("event_type"),
+          (col("ts_ms") - pmod(col("ts_ms"), lit(Day))).as("ann_start"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("event_type").orderBy(col("n").desc, col("ann_start"))
+      val ann = daily.withColumn("rk", row_number().over(w))
+        .where(col("rk") <= 3)
+        .select(col("event_type").as("ann_type"), col("ann_start"),
+          (col("ann_start") + Day).as("ann_end"),
+          concat_ws(":", lit("incident"), col("event_type"),
+            col("rk").cast("string")).as("note"))
+      hourly.join(broadcast(ann),
+          col("event_type") === col("ann_type") &&
+          col("bucket_ms") >= col("ann_start") &&
+          col("bucket_ms") < col("ann_end"), "left")
+        .select(col("event_type"), col("bucket_ms"), col("value"),
+          col("note"))
+        .orderBy("event_type", "bucket_ms", "note")
+    }),
+
     // absent-series alert (PromQL `absent()` / dead-man's-switch): a
     // series that reported in the 21-day baseline window but has ZERO
     // points in the last 7 days before pinned NOW. Two pruned scans
@@ -1797,6 +1852,50 @@ object TsdbQueries {
           FROM series s CROSS JOIN spine p
           LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms
           ORDER BY 1, 2""",
+
+    // mirror of tsdb_downsample_fill_nan_text: the nan-fill grid with
+    // gaps as the literal 'NaN' token and present values as the same
+    // integer-built fixed-4dp text (D.oText4) — NULL before the fill
+    // marks exactly the buckets Spark filled with NaN
+    "tsdb_downsample_fill_nan_text" ->
+      s"""WITH ds AS (
+            SELECT user_id, ${oBucket(Day)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events WHERE event_type = 'click' GROUP BY 1, 2),
+          spine AS (SELECT range AS bucket_ms
+                    FROM range(${T0 - 2 * Day}, ${T1 + 2 * Day}, $Day)),
+          series AS (SELECT DISTINCT user_id FROM ds)
+          SELECT s.user_id, p.bucket_ms,
+            CASE WHEN d.value IS NULL THEN 'NaN'
+                 ELSE ${D.oText4("d.value")} END AS value_text
+          FROM series s CROSS JOIN spine p
+          LEFT JOIN ds d ON d.user_id = s.user_id AND d.bucket_ms = p.bucket_ms
+          ORDER BY 1, 2""",
+
+    // mirror of tsdb_annotation_overlay: hourly avg per series overlaid
+    // with the derived top-3-busiest-day incident annotations via the
+    // same range predicate
+    "tsdb_annotation_overlay" ->
+      s"""WITH hourly AS (
+            SELECT event_type, ${oBucket(H)} AS bucket_ms,
+                   ${D.oAvgDec("value")} AS value
+            FROM events GROUP BY 1, 2),
+          daily AS (
+            SELECT event_type, ${oBucket(Day)} AS ann_start,
+                   COUNT(*) AS n
+            FROM events GROUP BY 1, 2),
+          ann AS (
+            SELECT event_type AS ann_type, ann_start,
+                   ann_start + $Day AS ann_end,
+                   'incident:' || event_type || ':' || CAST(rk AS VARCHAR) AS note
+            FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY event_type
+                    ORDER BY n DESC, ann_start) AS rk FROM daily)
+            WHERE rk <= 3)
+          SELECT h.event_type, h.bucket_ms, h.value, a.note
+          FROM hourly h LEFT JOIN ann a
+            ON h.event_type = a.ann_type
+           AND h.bucket_ms >= a.ann_start AND h.bucket_ms < a.ann_end
+          ORDER BY 1, 2, 4""",
 
     // mirror of Downsample.ewma: the same per-prefix left fold via
     // list_reduce over the bucket-sorted value list (list_reduce seeds

@@ -395,12 +395,63 @@ class BehaviorSpec extends SparkSpec {
     assert(math.abs(aa - exp) < 1e-3, s"aa=$aa expected≈$exp")
   }
 
+  test("adamic-adar capped: default no-op at fixture, biting cap equals brute force") {
+    // sf0.001's max symmetric degree is 138, so the DEFAULT cap (150)
+    // excludes nothing here — pin the cap as a no-op on a skew-free
+    // graph (the production property: capping must not perturb results
+    // below the cap)
+    val uncapped = run("graph_adamic_adar")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val cappedDefault = run("graph_adamic_adar_capped")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(cappedDefault == uncapped,
+      "default cap (150) must be a no-op on the max-degree-138 fixture")
+    // force a BITING cap (median degree is 89, so 100 drops real nodes)
+    // and pin capped == brute force on the capped subgraph, with the
+    // engine's exact quantization (dec10 per-term HALF_UP, r4 at the
+    // end) so the compare is bitwise, order included
+    spark.conf.set("graft.graph.degreeCap", "100")
+    val got = try run("graph_adamic_adar_capped")
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    finally spark.conf.unset("graft.graph.degreeCap")
+    assert(got != uncapped, "a cap below max degree must change the result")
+    val li = graft.core.Tables.lineitem(spark, sf)
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+      .as[(Long, Long)].collect()
+    val adj0 = scala.collection.mutable.Map[Long, Set[Long]]()
+    li.groupBy(_._1).values.foreach { grp =>
+      val ps = grp.map(_._2).distinct
+      for (a <- ps; b <- ps if a != b)
+        adj0(a) = adj0.getOrElse(a, Set.empty) + b
+    }
+    val keep = adj0.collect { case (n, nb) if nb.size <= 100 => n }.toSet
+    assert(keep.size < adj0.size, "cap=100 must exclude nodes at sf0.001")
+    val adj = adj0.collect { case (n, nb) if keep(n) =>
+      n -> (nb & keep) }.toMap
+    def term(v: Long): java.math.BigDecimal =
+      java.math.BigDecimal.valueOf(1.0 / math.log(adj(v).size.toDouble))
+        .setScale(10, java.math.RoundingMode.HALF_UP)
+    val exp = (for {
+      (a, na) <- adj.toSeq
+      b <- na if a < b
+      common = na & adj(b) if common.nonEmpty
+    } yield {
+      val ws = common.toSeq.map(term)
+        .foldLeft(java.math.BigDecimal.ZERO)(_ add _)
+      (a, b, common.size.toLong, graft.core.D.r4d(ws.doubleValue))
+    }).sortBy { case (a, b, _, aa) => (-aa, a, b) }.take(20)
+    assert(got == exp, s"capped engine result diverged:\n$got\nvs\n$exp")
+  }
+
   test("adamic-adar copart: bucket-split equals single-pass equals broadcast") {
-    // the r15 copart plan slices its degree-packed adjacency attach into
-    // budget-bounded buckets; decimal/long partials make bucket-split ≡
-    // single-pass EXACT — pin it by forcing a tiny slice budget (several
-    // buckets at sf0.001) against the default (one slice) and against
-    // the broadcast regime, which shares the oracle text
+    // the r16 copart plan hash-partitions CANDIDATE PAIRS into
+    // budget-bounded slices — each pair completes (adjacency attach +
+    // wedge count + AA sum) inside exactly one slice, each slice
+    // reduces to its own top-20, and the answer is the top-20 of the
+    // slice union (exact under the total order aa desc, src, dst).
+    // Pin slice-split ≡ single-pass by forcing a tiny slice budget
+    // (several slices at sf0.001) against the default (one slice) and
+    // against the broadcast regime, which shares the oracle text
     val one = run("graph_adamic_adar_copart")
       .as[(Long, Long, Long, Double)].collect().toSeq
     spark.conf.set("graft.graph.wedgeSliceBytes", (4L * 1024 * 1024).toString)

@@ -82,10 +82,11 @@ def main():
         print(f"ERROR: tables are from different scale factors "
               f"(old sf={sf_old[0]:g}, new sf={sf_new[0]:g}) - not comparable")
         return 1
-    # _calib_* rows are fixed-work controls, not queries: pull them out
-    # before any added/removed/common accounting
-    old = {k: v for k, v in old_all.items() if not k.startswith("_calib_")}
-    new = {k: v for k, v in new_all.items() if not k.startswith("_calib_")}
+    # underscore-prefixed rows are controls, not queries (_calib_* =
+    # fixed-work calibration, _phase_* = lifecycle-row phase splits):
+    # pull them out before any added/removed/common accounting
+    old = {k: v for k, v in old_all.items() if not k.startswith("_")}
+    new = {k: v for k, v in new_all.items() if not k.startswith("_")}
     calib_ratio = 1.0
     calib_note = "no calib rows in both tables - ratios are raw"
     kinds = [k for k in ("_calib_compute", "_calib_scan")
@@ -96,8 +97,21 @@ def main():
         per_kind = {k: new_all[k][0] / old_all[k][0] for k in kinds}
         calib_ratio = math.exp(sum(math.log(r) for r in per_kind.values())
                                / len(per_kind))
-        calib_note = ("container calib ratio %.2fx (%s)" % (
+        # kind-specific drift breaks the blended mean's attribution
+        # (ADVICE r16): a pure-scan query normalized by a compute-driven
+        # factor over/under-states its regression. When the per-kind
+        # ratios diverge beyond 1.3x, gate with the CONSERVATIVE (least
+        # excusing) ratio instead of the geomean and say so - a real
+        # regression still trips, and the printed divergence tells the
+        # reader which kind moved.
+        divergent = (len(per_kind) > 1 and
+                     max(per_kind.values()) > 1.3 * min(per_kind.values()))
+        if divergent:
+            calib_ratio = min(per_kind.values())
+        calib_note = ("container calib ratio %.2fx%s (%s)" % (
             calib_ratio,
+            " [per-kind ratios diverge >1.3x - using conservative min,"
+            " not geomean]" if divergent else "",
             ", ".join(f"{k.removeprefix('_calib_')} {r:.2f}x"
                       for k, r in per_kind.items())))
         spread = [(k, new_all[f"{k}_pre"][0], new_all[f"{k}_post"][0])
