@@ -228,20 +228,27 @@ object Graph {
       .getOrElse(8L * 1024 * 1024 * 1024)
 
   /** Conf key for how many wedge slices run CONCURRENTLY (VERDICT r16
-    * #6): strictly sequential slices left the box idle between a
+    * #6): strictly sequential slices leave the box idle between a
     * slice's shuffle-write and shuffle-read phases; 2 in flight overlap
     * one slice's reduce with the next one's map. Peak live scratch is
-    * `concurrency × wedgeSliceBytes` — the budget knob is PER SLICE, so
-    * a disk-tight box sets concurrency 1 and keeps the old bound, a
-    * many-disk cluster raises either knob. Default 2: doubles scratch
-    * headroom use for ~25% wall-clock cut (measured at the 100×
-    * replica, PERF.md r17) and never changes results — every slice is
-    * still materialized before the union and the final top-20 order is
-    * total. */
+    * `concurrency × wedgeSliceBytes` AND — the part that bit — peak
+    * HEAP is concurrency × the slices' shuffle-hash build sides, which
+    * do not spill. DEFAULT 1 (sequential, the r16-proven discipline):
+    * concurrency 2 was MEASURED at the 100× replica on this box
+    * (96 GB driver heap) and sent the single-JVM run into a GC death
+    * spiral where sequential completes in 1128.8 s — on local[32] the
+    * executors share the one heap, so overlapping slices doubles
+    * non-spillable build memory with no second machine to absorb it
+    * (PERF.md r17). On a REAL cluster the build sides land on separate
+    * executors and the knob is plausible — it ships opt-in for that
+    * topology, never the single-box default. Results are identical
+    * either way: every slice materializes its own top-20 before the
+    * union and the final order is total (BehaviorSpec pins the forced
+    * conc=2 tiny-budget split ≡ single-pass at fixture scale). */
   private[graft] val WedgeSliceConcurrencyKey = "graft.graph.wedgeSliceConcurrency"
   private def wedgeSliceConcurrency(s: SparkSession): Int =
     math.max(1, s.conf.getOption(WedgeSliceConcurrencyKey)
-      .map(_.toInt).getOrElse(2))
+      .map(_.toInt).getOrElse(1))
 
   /** The beyond-broadcast-budget Adamic–Adar (judge r14 #1; refold
     * chain cut per judge r15 #2). Same math and oracle text as the

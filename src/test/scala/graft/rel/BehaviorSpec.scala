@@ -461,6 +461,20 @@ class BehaviorSpec extends SparkSpec {
       finally spark.conf.unset("graft.graph.wedgeSliceBytes")
     assert(many == one,
       s"bucketed copart diverged from single-pass:\n$many\nvs\n$one")
+    // overlapped slices (opt-in wedgeSliceConcurrency=2) must be
+    // bit-identical too: each slice still materializes its own top-20
+    // before the union, whatever thread ran it
+    spark.conf.set("graft.graph.wedgeSliceBytes", (4L * 1024 * 1024).toString)
+    spark.conf.set("graft.graph.wedgeSliceConcurrency", "2")
+    val overlapped =
+      try run("graph_adamic_adar_copart")
+        .as[(Long, Long, Long, Double)].collect().toSeq
+      finally {
+        spark.conf.unset("graft.graph.wedgeSliceBytes")
+        spark.conf.unset("graft.graph.wedgeSliceConcurrency")
+      }
+    assert(overlapped == one,
+      s"overlapped copart diverged from single-pass:\n$overlapped\nvs\n$one")
     val bc = run("graph_adamic_adar") // fixture stats → broadcast regime
       .as[(Long, Long, Long, Double)].collect().toSeq
     assert(bc == one, s"copart diverged from broadcast:\n$bc\nvs\n$one")
