@@ -12,6 +12,29 @@ class TsdbSpec extends SparkSpec {
   private def pts(rows: (String, Long, Long, Double)*) =
     rows.toDF("metric", "user", "ts_ms", "value")
 
+  test("text4: fixed-4dp integer-built text for every magnitude class") {
+    // the scalar-column emission behind the fill_nan/wire-rate oracled
+    // twins: never scientific notation, never a float printer; sign,
+    // zero-pad, sub-1e-3, negative-fraction and exact-integer classes
+    val cases = Seq(
+      0.0 -> "0.0000",
+      1.0 -> "1.0000",
+      -1.0 -> "-1.0000",
+      0.0005 -> "0.0005",        // Java prints 5.0E-4 — text4 must not
+      -0.0003 -> "-0.0003",      // sign rides the whole number, not the int part (0 DIV = 0)
+      2.78 -> "2.7800",
+      -12345.6789 -> "-12345.6789",
+      0.00005 -> "0.0001",       // repair rounding HALF_UP at the 4dp edge
+      1e7 -> "10000000.0000")
+    val df = cases.map(_._1).toDF("v")
+      .select(graft.core.D.text4("v").as("t"))
+    assert(df.as[String].collect().toSeq == cases.map(_._2),
+      "text4 emission diverged from the fixed-4dp contract")
+    // every emitted string is valid JSON numeric syntax → parses back
+    cases.foreach { case (v, s) =>
+      assert(math.abs(s.toDouble - graft.core.D.r4d(v)) < 1e-12) }
+  }
+
   test("query_last: one row per series; ties at the max timestamp take the larger value") {
     // the exact agg shape tsdb_query_last registers (max over the
     // (ts_ms, value) struct — lexicographic, so the ts tie breaks to
