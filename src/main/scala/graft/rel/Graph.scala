@@ -206,7 +206,7 @@ object Graph {
     * never creates the exposure it removes. After this, every adjacency
     * row downstream is ≤ cap × 8 B by construction and packShift's
     * degree field is ≤ ⌈log₂ cap⌉ bits. */
-  private def capDegrees(es: DataFrame, cap: Long, bcast: Boolean): DataFrame = {
+  private[graft] def capDegrees(es: DataFrame, cap: Long, bcast: Boolean): DataFrame = {
     val keep0 = es.groupBy(col("src")).agg(count(lit(1)).as("deg"))
       .where(col("deg") <= cap).select("src")
     val keep =

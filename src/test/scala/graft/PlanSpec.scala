@@ -538,4 +538,39 @@ class PlanSpec extends SparkSpec {
         s"cohesion joins must be post-aggregation only:\n$j")
     }
   }
+
+  test("annotation overlay BROADCASTS the annotation side (r17)") {
+    // the 100 TB shape: the human-sized derived-annotation frame rides a
+    // broadcast range join onto the downsample-reduced hourly frame —
+    // the big side must never shuffle FOR THE OVERLAY (its one exchange
+    // is its own hash aggregate), and the range predicate must not
+    // degrade to a cartesian/loop join over the points
+    val p = plan("tsdb_annotation_overlay")
+    assert(p.contains("BroadcastHashJoin"),
+      s"annotation overlay must broadcast the annotation side:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"annotation overlay must not plan a cartesian product:\n$p")
+  }
+
+  test("degree cap runs as node-sized semi joins before any adjacency build (r17)") {
+    // capDegrees must filter edges with LeftSemi joins against the
+    // node-sized keep set — never materialize adjacency first (the
+    // whole point is that super-node arrays are never built). The
+    // registered row materializes this stage eagerly (its stats feed
+    // the dispatch), so the shape is pinned on the stage plan itself.
+    import org.apache.spark.sql.functions.col
+    val e0 = spark.range(0, 100).toDF("src")
+      .crossJoin(spark.range(0, 4).toDF("d"))
+      .select(col("src"), ((col("src") + col("d") + 1) % 100).as("dst"))
+    val es = e0.unionAll(e0.select(col("dst").as("src"), col("src").as("dst")))
+    val pB = rel.Graph.capDegrees(es, 3, bcast = true)
+      .queryExecution.executedPlan.toString
+    assert(pB.contains("LeftSemi") && pB.contains("BroadcastHashJoin"),
+      s"broadcast cap must be broadcast semi joins:\n$pB")
+    val pS = rel.Graph.capDegrees(es, 3, bcast = false)
+      .queryExecution.executedPlan.toString
+    assert(pS.contains("LeftSemi") && pS.contains("ShuffledHashJoin"),
+      s"copart cap must be shuffle-hash semi joins:\n$pS")
+    assert(!pB.contains("CartesianProduct") && !pS.contains("CartesianProduct"))
+  }
 }
