@@ -413,6 +413,24 @@ object SkewProbe {
       f"${rows.length}%d rows in $dt%.1f s (COMPLETED - bounded per-row " +
       "memory; hub excluded before any adjacency build)")
     require(rows.nonEmpty, "capped AA returned no rows on the skewed graph")
+    spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
+
+    // same-session comparator: the UNSKEWED 10x graph through the same
+    // capped row — the denominator that says how much of the skewed
+    // wall is the graph family's ordinary 10x price vs the skew's
+    // residual (cap semi joins + the hub-fattened edge build)
+    val plain = {
+      val d = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_skew_plain")
+      java.nio.file.Files.createDirectories(d); d.toString
+    }
+    reps.write.mode("overwrite").parquet(s"$plain/lineitem.parquet")
+    val t1 = System.nanoTime()
+    val rowsP = SparkEntry.queries("graph_adamic_adar_capped")(spark, plain)
+      .collect()
+    val dtP = (System.nanoTime() - t1) / 1e9
+    println(f"graph_adamic_adar_capped on the UNSKEWED 10x graph: " +
+      f"${rowsP.length}%d rows in $dtP%.1f s (comparator - skew residual " +
+      f"${dt / dtP}%.1fx)")
     spark.stop()
   }
 }
