@@ -70,7 +70,13 @@ object Plans {
     "llm_knn_join_ivf", "llm_dedup_cosine", "llm_embed_label_cohesion",
     "tsdb_query_qs", "tsdb_dtw_banded", "llm_multimodal_video_frames",
     "llm_sim_radius_stored", "llm_dedup_lines", "llm_dedup_lines_apply",
-    "tsdb_query_wire")
+    "tsdb_query_wire",
+    // r17 additions: the annotation overlay's broadcast range join,
+    // the capped AA (semi-join cap stage is eager — the dumped plan is
+    // the downstream AA over capped edges), and the oracled NaN-fill
+    // text twin's spine/fill/text-render pipeline
+    "tsdb_annotation_overlay", "graph_adamic_adar_capped",
+    "tsdb_downsample_fill_nan_text")
 
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[4]")
