@@ -465,6 +465,33 @@ object Graph {
         .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
         .orderBy("deg")),
 
+    // BUILD-ONCE/ANALYZE-MANY graph storage (r17 — the 100 TB shape the
+    // per-query edge builds deliberately do NOT model): the co-purchase
+    // edge table materialized as a BUCKETED+SORTED-by-src catalog table
+    // (Scale.writeBucketed — the join_bucketed layout tool applied to
+    // the graph), then an analysis run off the stored layout whose
+    // per-node aggregate rides the bucketing with ZERO exchange before
+    // it. At corpus scale nobody re-derives a 240M-edge graph per
+    // query: the graph is materialized once and every analysis
+    // (degree/adjacency/peel seed aggregates — anything keyed on src)
+    // starts shuffle-free from the bucket files. The write half is part
+    // of the operator (the join_bucketed / format-round-trip lifecycle
+    // honesty); PlanSpec pins the exchange-free first aggregate; the
+    // oracle is the same degree-histogram algebra as graph_degree_hist,
+    // which is exactly the point — identical math, storage-served plan.
+    "graph_edges_stored" -> ((s, dir) => {
+      val t = "graft_edges_bkt"
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.conf.get("spark.sql.warehouse.dir"), t)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) { fs.delete(loc, true); () }
+      Scale.writeBucketed(edges(s, dir), t, "src", 8)
+      s.table(t).groupBy("src").agg(count(lit(1)).as("deg"))
+        .groupBy("deg").agg(count(lit(1)).as("n_nodes"))
+        .orderBy("deg")
+    }),
+
     // 3-core of the co-purchase graph — the classic density filter
     // (drop leaf/bridge products until everything left has ≥3 dense
     // neighbors; the substrate community detectors and bundle miners
@@ -866,6 +893,19 @@ object Graph {
           ORDER BY jaccard DESC, p.src, p.dst LIMIT 20""",
 
     "graph_degree_hist" ->
+      """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
+                     FROM lineitem),
+         e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst
+                FROM li a JOIN li b ON a.ok = b.ok AND a.p < b.p),
+         edges AS (SELECT src, dst FROM e0
+                   UNION ALL SELECT dst, src FROM e0),
+         deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1)
+         SELECT deg, count(*) AS n_nodes FROM deg GROUP BY 1 ORDER BY deg""",
+
+    // mirror of graph_edges_stored: identical degree-histogram algebra —
+    // the engine row's difference is the bucketed storage path, which
+    // SQL semantics cannot see (that's the point; PlanSpec sees it)
+    "graph_edges_stored" ->
       """WITH li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS p
                      FROM lineitem),
          e0 AS (SELECT DISTINCT a.p AS src, b.p AS dst

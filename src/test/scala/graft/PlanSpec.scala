@@ -539,6 +539,21 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("stored graph: the per-node aggregate rides the bucketing, zero pre-agg exchange (r17)") {
+    // the build-once/analyze-many receipt: groupBy(src) over the
+    // bucketed edge table must need NO Exchange before its partial
+    // aggregate — the exchanges left are the node-sized histogram
+    // re-key and the D1 orderBy. Count exchanges: the inline
+    // graph_degree_hist plan carries MORE (the edge self-join + the
+    // per-node re-shuffle); the stored plan must carry exactly 2.
+    val p = SparkEntry.queries("graph_edges_stored")(spark, sf)
+      .queryExecution.executedPlan
+    val exchanges = p.toString.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 2,
+      s"stored-graph aggregate must ride the bucketing (expected <= 2 " +
+        s"exchanges: histogram re-key + orderBy), got $exchanges:\n$p")
+  }
+
   test("annotation overlay BROADCASTS the annotation side (r17)") {
     // the 100 TB shape: the human-sized derived-annotation frame rides a
     // broadcast range join onto the downsample-reduced hourly frame —
