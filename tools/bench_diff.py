@@ -108,10 +108,26 @@ def main():
                      max(per_kind.values()) > 1.3 * min(per_kind.values()))
         if divergent:
             calib_ratio = min(per_kind.values())
-        calib_note = ("container calib ratio %.2fx%s (%s)" % (
-            calib_ratio,
+        # Normalization may only EXCUSE a slower container, never demand
+        # proportional speedups from a faster one: per-row costs are not
+        # linear in calib (fixed micro-batch/codegen/IO overheads), so
+        # dividing by a <1 ratio flags every overhead-bound row as a
+        # phantom normalized regression (observed: 164 flags on a 2.3x
+        # FASTER box with raw times all improved). Clamp the gating
+        # ratio at 1.0; a sub-1 measured ratio is still printed, with
+        # the masking caveat it implies (a real plan regression smaller
+        # than the container speedup hides in raw times - accepted, the
+        # next same-speed container exposes it).
+        faster_box = calib_ratio < 1.0
+        raw_ratio = calib_ratio
+        calib_ratio = max(1.0, calib_ratio)
+        calib_note = ("container calib ratio %.2fx%s%s (%s)" % (
+            raw_ratio,
             " [per-kind ratios diverge >1.3x - using conservative min,"
             " not geomean]" if divergent else "",
+            " [new container FASTER - gating on raw times; regressions"
+            " below the speedup factor may be masked]" if faster_box
+            else "",
             ", ".join(f"{k.removeprefix('_calib_')} {r:.2f}x"
                       for k, r in per_kind.items())))
         spread = [(k, new_all[f"{k}_pre"][0], new_all[f"{k}_post"][0])
