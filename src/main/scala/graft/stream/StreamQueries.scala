@@ -23,6 +23,21 @@ object StreamQueries {
     "stream_cdc_latest" -> ((s, dir) => Ingest.cdcLatest(s, dir)),
     "stream_scd2" -> ((s, dir) => Ingest.streamScd2(s, dir)),
     "stream_windowed_dau" -> ((s, dir) => Ingest.windowedDau(s, dir)),
+    // hot/cold merged read (r18 — VERDICT r17 "what's missing" #2): a
+    // real streaming landing of the recent tier + the batch cold store,
+    // deliberately overlapping one day, seam-deduped hot-first, one
+    // daily downsample across the seam; the oracle recomputes the read
+    // from raw events alone — equality is the consistency statement.
+    // Stable scratch dir wiped per run (the foreachbatch_sink contract:
+    // leftover landings would change the hot tier).
+    "stream_hot_cold_union" -> ((s, dir) => {
+      val tmp = java.nio.file.Paths.get(
+        sys.props("java.io.tmpdir"), "graft_hotcold")
+      org.apache.commons.io.FileUtils.deleteDirectory(tmp.toFile)
+      java.nio.file.Files.createDirectories(tmp)
+      Ingest.hotColdUnion(s, dir, tmp.toString)
+    }),
+
     "stream_foreachbatch_sink" -> ((s, dir) => {
       // stable scratch dir, WIPED before each run: catalog upserts are
       // stateful, so leftover state from a previous run would change the
@@ -210,6 +225,19 @@ object StreamQueries {
     "stream_foreachbatch_sink" ->
       """SELECT DISTINCT event_type AS metric, 'user=' || user_id AS tags_canonical
          FROM events ORDER BY 1, 2""",
+
+    // the merged hot/cold read recomputed from the raw events alone:
+    // per-key dedup (MAX(value) — cross-tier copies carry identical
+    // values, so hot-priority collapses to the value max) then the
+    // same daily decimal-avg downsample the engine runs across the seam
+    "stream_hot_cold_union" ->
+      """WITH pts AS (SELECT event_type, user_id,
+                        epoch_ns(ts) // 1000000 AS ts_ms, MAX(value) AS value
+                      FROM events GROUP BY 1, 2, 3)
+         SELECT event_type, user_id,
+           (ts_ms // 86400000) * 86400000 AS bucket_ms,
+           ROUND((CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) / COUNT(value)) * 10000.0, 0) / 10000.0 + 0.0 AS value
+         FROM pts GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
 
     "ingest_validate" ->
       """SELECT event_type AS metric, count(*) AS n,

@@ -588,4 +588,43 @@ class PlanSpec extends SparkSpec {
       s"copart cap must be shuffle-hash semi joins:\n$pS")
     assert(!pB.contains("CartesianProduct") && !pS.contains("CartesianProduct"))
   }
+
+  test("stored edge layout: family rows serve off the bucket files, zero pre-agg exchange (r18)") {
+    // VERDICT r17 #2: with the shared layout prebuilt, an ordinary
+    // family row (not just graph_edges_stored) must read the bucketed
+    // table — no lineitem scan, no edge self-join — and its per-node
+    // aggregate must ride HashPartitioning(src) from the bucket layout:
+    // the only exchanges left are the node-sized histogram re-key and
+    // the D1 orderBy.
+    rel.Graph.prebuildStoredEdges(spark, sf)
+    try {
+      val p = plan("graph_degree_hist")
+      assert(p.contains(rel.Graph.edgeTableName(sf)),
+        s"family row did not take the stored path:\n$p")
+      assert(!p.contains("lineitem"),
+        s"stored path must not rebuild edges from lineitem:\n$p")
+      val exchanges = p.linesIterator.count(_.contains("Exchange"))
+      assert(exchanges <= 2,
+        s"stored-path aggregate must ride the bucketing (expected <= 2 " +
+          s"exchanges: histogram re-key + orderBy), got $exchanges:\n$p")
+    } finally rel.Graph.invalidateStoredEdges(sf)
+  }
+
+  test("wire matrix serves all four request forms off ONE materialized slice (r18)") {
+    // VERDICT r17 #5: the multi-form wire rows must not re-scan the
+    // fact table once per form — the shared metric+time slice is
+    // materialized once and every form's pipeline reads it, so the
+    // returned plan carries ZERO FileScans (each form scans the
+    // checkpointed slice instead).
+    val p = plan("tsdb_query_wire_fill")
+    assert(!p.contains("FileScan"),
+      s"wire matrix must serve every form off the shared slice:\n$p")
+  }
+
+  test("multi-subquery request shares ONE points materialization (r6 design, pinned r18)") {
+    val p = plan("tsdb_multi_subquery")
+    assert(!p.contains("FileScan"),
+      s"multi-subquery must serve every subquery off the shared " +
+        s"materialized slice, zero per-subquery FileScans:\n$p")
+  }
 }

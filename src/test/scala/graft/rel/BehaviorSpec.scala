@@ -590,4 +590,25 @@ class BehaviorSpec extends SparkSpec {
     assert(got == expect, "engine 3-core must equal the brute-force fixpoint")
     assert(got.values.forall(_ >= 3L))
   }
+
+  test("stored edge layout: every family row is bitwise path-independent (r18)") {
+    // VERDICT r17 #2 equivalence contract: the shared bucketed layout
+    // changes data movement, never results. Run representative rows —
+    // both dispatch regimes, iterative peels, the copart wedge path —
+    // once off the prebuilt bucket files and once inline, and compare
+    // collected rows exactly. (Oracle coverage exercises whichever path
+    // the harness happens to take; this pins the OTHER one too.)
+    val names = Seq("graph_degree_hist", "graph_pagerank",
+      "graph_pagerank_copart", "graph_kcore", "graph_adamic_adar",
+      "graph_adamic_adar_copart", "graph_components", "graph_triangles")
+    Graph.prebuildStoredEdges(spark, sf)
+    val storedRes =
+      try names.map(n => n -> run(n).collect().toSeq)
+      finally Graph.invalidateStoredEdges(sf)
+    storedRes.foreach { case (n, storedRows) =>
+      val inlineRows = run(n).collect().toSeq
+      assert(storedRows == inlineRows,
+        s"$n diverges between stored and inline edge paths")
+    }
+  }
 }

@@ -31,6 +31,22 @@ import argparse
 import subprocess
 import sys
 
+# Contract gate anchor (VERDICT r17 #1b ruling): the r16 driver sweep is
+# the first calib-bearing anchor — BENCH_r16.json, 653.038 s / 389
+# queries at calib compute 0.210 / scan 0.200 (local[32], sf0.1). The
+# BENCH_r04 number (125.7 s / 133 q) predates the calibration controls
+# and can never be normalized; it stays in BASELINE.md as history. The
+# gate divides the new table's per-query rate by the measured container
+# ratio (geomean of per-kind calib ratios, CLAMPED at 1.0 — the r17
+# faster-box rule: normalization may excuse a slower container, never
+# demand proportional speedups from a faster one) and fails above
+# --anchor-ratio (default 2.0, the original contract multiplier).
+ANCHOR = {
+    "name": "BENCH_r16 (driver, sf0.1, local[32])",
+    "total": 653.038, "n_queries": 389,
+    "calib_compute": 0.210, "calib_scan": 0.200, "sf": "0.1",
+}
+
 
 def load(text):
     out = {}
@@ -55,6 +71,11 @@ def main():
                     help="ignore regressions whose new time <= floor sec")
     ap.add_argument("--raw", action="store_true",
                     help="gate on raw times even when calib rows exist")
+    ap.add_argument("--anchor-ratio", type=float, default=2.0,
+                    help="fail when the calib-normalized per-query rate "
+                         "exceeds this multiple of the anchor rate")
+    ap.add_argument("--no-anchor", action="store_true",
+                    help="skip the contract-anchor rate gate")
     args = ap.parse_args()
 
     if args.old is None:
@@ -172,15 +193,50 @@ def main():
           f"{tot_new / calib_ratio / tot_old:.2f}x calib-normalized)"
           if tot_old else "no common queries")
 
+    # Contract-anchor rate gate (VERDICT r17 #1b): new table's per-query
+    # rate vs the calib-bearing r16 anchor, normalized by the measured
+    # container ratio (clamped at 1.0). Runs only on same-sf tables with
+    # calib rows — a smoke-sf table or a calib-less table can't speak to
+    # the contract.
+    anchor_fail = False
+    if not args.no_anchor:
+        if sf_new and sf_new[0] != float(ANCHOR["sf"]):
+            print(f"anchor gate: skipped (table sf={sf_new[0]:g}, "
+                  f"anchor sf={ANCHOR['sf']})")
+        elif new and all(f"_calib_{k}" in new_all and new_all[f"_calib_{k}"][0] > 0
+                         for k in ("compute", "scan")):
+            import math
+            per_kind = {k: new_all[f"_calib_{k}"][0] / ANCHOR[f"calib_{k}"]
+                        for k in ("compute", "scan")}
+            a_ratio = math.exp(sum(math.log(r) for r in per_kind.values())
+                               / len(per_kind))
+            if max(per_kind.values()) > 1.3 * min(per_kind.values()):
+                a_ratio = min(per_kind.values())
+            a_ratio = max(1.0, a_ratio)
+            rate_new = sum(v[0] for v in new.values()) / len(new)
+            rate_anchor = ANCHOR["total"] / ANCHOR["n_queries"]
+            gate_rate = rate_new / a_ratio
+            verdict_ratio = gate_rate / rate_anchor
+            print(f"anchor gate vs {ANCHOR['name']}: "
+                  f"{rate_new:.3f} s/q raw over {len(new)} queries, "
+                  f"container ratio {a_ratio:.2f}x -> {gate_rate:.3f} s/q "
+                  f"normalized = {verdict_ratio:.2f}x anchor rate "
+                  f"({rate_anchor:.3f} s/q); limit {args.anchor_ratio:.1f}x")
+            if verdict_ratio > args.anchor_ratio:
+                anchor_fail = True
+        else:
+            print("anchor gate: skipped (no positive calib rows in new table)")
+
     for name, t_old, t_new, t_gate in sorted(
             regressions, key=lambda r: -r[3] / r[1]):
         print(f"REGRESSION {name}: {t_old:.2f}s -> {t_new:.2f}s raw / "
               f"{t_gate:.2f}s normalized ({t_gate / t_old:.1f}x)")
     for name in failures:
         print(f"FAILED {name}")
-    if regressions or failures:
+    if regressions or failures or anchor_fail:
         print(f"\n{len(regressions)} regression(s) > {args.ratio}x above "
-              f"{args.floor}s, {len(failures)} failure(s)")
+              f"{args.floor}s, {len(failures)} failure(s)"
+              + (", ANCHOR GATE EXCEEDED" if anchor_fail else ""))
         return 1
     print(f"no regressions > {args.ratio}x above {args.floor}s")
     return 0
