@@ -48,6 +48,40 @@ object D {
       .setScale(0, java.math.RoundingMode.HALF_UP)
       .doubleValue() / 10000.0 + 0.0
 
+  /** [[dec]] for EXECUTOR-side Scala (typed folds that replicate a
+    * decimal-sum aggregation): the 4dp-scaled unscaled long of
+    * `CAST(x AS DECIMAL(18,4))` — byte-identical to Spark's cast,
+    * which quantizes the double's SHORTEST decimal representation
+    * with HALF_UP (`Decimal(d)` → `BigDecimal.valueOf(d)` →
+    * `changePrecision(…, HALF_UP)`). Summing these longs is the exact
+    * decimal addition [[dec]] sums perform, with wider overflow
+    * headroom than DECIMAL(18,4) itself.
+    *
+    * Fast path: scale-and-round in double arithmetic, valid only when
+    * the scaled value is far from a .5 boundary (ties at the 5th
+    * decimal are where shortest-repr rounding and raw-double rounding
+    * can disagree — the r4s scaladoc's divergence class) and small
+    * enough that one multiply's ULP cannot cross the guard band
+    * (|y| < 1e9 → ulp ≤ ~1.2e-7 ≪ the 1e-4 band). Everything inside
+    * the guard takes the exact BigDecimal path, so boundary inputs —
+    * including doubles whose shortest repr ends in 5 at the 5th
+    * decimal — are always quantized by the reference rule. */
+  def q4(x: Double): Long = {
+    val y = x * 10000.0
+    val a = math.abs(y)
+    if (a >= 1e9) q4Slow(x)
+    else {
+      val f = a - math.floor(a)
+      if (f > 0.4999 && f < 0.5001) q4Slow(x)
+      // off-boundary every half-rounding rule agrees; rint is branch-free
+      else math.rint(y).toLong
+    }
+  }
+  private def q4Slow(x: Double): Long =
+    java.math.BigDecimal.valueOf(x)
+      .setScale(4, java.math.RoundingMode.HALF_UP)
+      .unscaledValue().longValueExact()
+
   /** CAST(x AS DECIMAL(28,10)) — exact order-independent addition for
     * SMALL per-term contributions (entropy / KL terms are O(p·log p),
     * down around 1e-6, which DECIMAL(18,4) would crush to zero): ten

@@ -43,7 +43,7 @@ object LlmQueries {
   /** Stable per-fixture location for the persisted ANN index (stored
     * OUTSIDE the fixture dir — /root/testdata is read-only). One path
     * per sfDir: sf0.01 and sf0.1 runs never clobber each other. */
-  private def annIndexPath(dir: String): String =
+  private[graft] def annIndexPath(dir: String): String =
     java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft_idx",
       dir.replaceAll("[^A-Za-z0-9._-]", "_"), "ann").toString
 
@@ -976,30 +976,64 @@ object LlmQueries {
     // the point here is the one-pass gram shape and a hash-exact
     // cross-engine fixpoint.)
     "llm_embed_pca" -> ((s, dir) => {
-      // Gram matrix WITHOUT the element self-join (r11): the r10 form
-      // exploded to (vec, pos, x) rows and self-joined on vec_id —
-      // correct, but it shuffled 1.3M rows twice and expanded 64² rows
-      // per vector THROUGH the join (82M joined rows at sf0.1, 13 s).
-      // The products are generated map-side instead: one posexplode
-      // for i, a second over slice(embedding, i+1, …) for j ≥ i —
-      // UPPER TRIANGLE only, so half the products — then a partial-agg
-      // decimal sum per (i, j) where only dim²/2 grouped rows ever
-      // shuffle. The lower triangle is mirrored afterwards from the
-      // dim²-sized aggregate: decimal addition is exact and
-      // order-independent, so g(j,i) ≡ g(i,j) and the ORACLE TEXT IS
-      // UNCHANGED (it still states the full-square sum). 13 s → ~4 s
-      // at sf0.1; at 100 TB nothing vector-sized shuffles at all.
-      val half = Tables.embeddings(s, dir)
-        .select(posexplode(col("embedding")).as(Seq("i", "xi")), col("embedding"))
-        .select(col("i"), col("xi"),
-          posexplode(expr("slice(embedding, i + 1, size(embedding))"))
-            .as(Seq("dj", "xj")))
-        .select(col("i").cast("long").as("i"),
-          (col("i") + col("dj")).cast("long").as("j"),
-          col("xi").cast("double").as("xi"), col("xj").cast("double").as("xj"))
+      // Gram matrix as a typed per-partition fold (r18, guide §1.2
+      // step 2 / §2.3 "aggregate before you shuffle"). History: the
+      // r10 form self-joined exploded elements (82M joined rows,
+      // 13 s); r11 generated the upper triangle map-side and
+      // partial-agg'd decimal sums (4.16M generated rows at sf0.1) —
+      // but PcaProf r18 measured that aggregate at 6.3–9.4 s of the
+      // row's ~8 s: every term pays Cast(double AS DECIMAL(18,4)),
+      // which routes through Double.toString + BigDecimal (~1.5 µs/
+      // row), and 4.16M generator rows materialize just to be summed.
+      // The fold replaces both: each input partition accumulates the
+      // upper-triangle gram into a local LongMap of EXACT 4dp-scaled
+      // unscaled longs ([[graft.core.D.q4]] — bit-identical to the
+      // decimal cast, boundary cases via BigDecimal), so only
+      // dim²/2 × nPartitions tiny rows ever leave the scan and no
+      // per-term Decimal object is allocated. Long partials merge
+      // exactly (wider headroom than DECIMAL(18,4) itself), and the
+      // final unscaled→double conversion is the same correctly-
+      // rounded decimal→double cast Spark's Decimal.toDouble performs.
+      // The ORACLE TEXT IS UNCHANGED — it still states the full-square
+      // decimal-sum gram; the lower triangle is mirrored from the
+      // dim²-sized aggregate exactly as before (decimal addition is
+      // exact and order-independent, so g(j,i) ≡ g(i,j)).
+      // 8 s → ~1.5 s at sf0.1; at 100 TB nothing vector-sized
+      // shuffles, and the scan stage carries no row explosion at all.
+      import s.implicits._
+      val partials = Tables.embeddings(s, dir)
+        .select(col("embedding")).as[Array[Float]]
+        .mapPartitions { it =>
+          // keyed (i << 32 | j) so ragged embedding lengths stay
+          // correct (the slice-based generator handled them too)
+          val acc = new scala.collection.mutable.LongMap[Long]()
+          while (it.hasNext) {
+            val e = it.next()
+            val dim = e.length
+            var i = 0
+            while (i < dim) {
+              val xi = e(i).toDouble
+              var j = i
+              while (j < dim) {
+                val k = (i.toLong << 32) | j.toLong
+                acc(k) = acc.getOrElse(k, 0L) + D.q4(xi * e(j).toDouble)
+                j += 1
+              }
+              i += 1
+            }
+          }
+          acc.iterator.map { case (k, v) => ((k >> 32), k & 0xffffffffL, v) }
+        }.toDF("i", "j", "p")
       val gramHalf = graft.core.Exec.materialize(
-        half.groupBy(col("i"), col("j"))
-          .agg(sum(D.dec(col("xi") * col("xj"))).cast("double").as("g")))
+        partials.groupBy(col("i"), col("j"))
+          .agg(sum(col("p")).as("pu"))
+          // unscaled Σ → DOUBLE exactly as Decimal(18,4).toDouble would:
+          // decimal division by 10⁴ is exact at result scale ≥ 4, and
+          // the final decimal→double cast is correctly rounded
+          .select(col("i"), col("j"),
+            (col("pu").cast(org.apache.spark.sql.types.DecimalType(28, 0)) /
+              lit(10000L).cast(org.apache.spark.sql.types.DecimalType(5, 0)))
+              .cast("double").as("g")))
       val gram = gramHalf.unionByName(gramHalf.where(col("i") =!= col("j"))
         .select(col("j").as("i"), col("i").as("j"), col("g")))
       val v1 = gram.groupBy(col("i"))

@@ -632,6 +632,30 @@ class LlmSpec extends SparkSpec {
     assert(labels == Map(1L -> 1L, 2L -> 1L, 3L -> 1L))
   }
 
+  test("clusterLabels: union-find fast path ≡ iterative min-label loop") {
+    // r18 dispatch pin (the BehaviorSpec forced-budget precedent): the
+    // single-task union-find and the at-scale iterative loop must agree
+    // on a graph with chains, a cycle, disjoint components and reversed
+    // edge orientation — the fixpoint is the min node id per component
+    // regardless of path.
+    val pairs = Seq(
+      (7L, 2L), (2L, 9L), (9L, 4L),             // chain, min inside
+      (11L, 12L), (12L, 13L), (13L, 11L),       // cycle
+      (20L, 21L),                               // pair
+      (31L, 30L)                                // reversed orientation
+    ).toDF("a_id", "b_id")
+    val fast = Dedup.clusterLabels(pairs)
+      .as[(Long, Long)].collect().toMap
+    spark.conf.set(Dedup.CcEdgeBudgetKey, "0") // force the iterative loop
+    val iter =
+      try Dedup.clusterLabels(pairs).as[(Long, Long)].collect().toMap
+      finally spark.conf.unset(Dedup.CcEdgeBudgetKey)
+    assert(fast == iter, s"fast $fast != iterative $iter")
+    assert(fast == Map(7L -> 2L, 2L -> 2L, 9L -> 2L, 4L -> 2L,
+      11L -> 11L, 12L -> 11L, 13L -> 11L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L, 31L -> 30L))
+  }
+
   test("content tag: order-invariant; same-count change invalidates the index") {
     def tag(df: org.apache.spark.sql.DataFrame) =
       LlmQueries.contentTag(df, s"llmspec-${System.nanoTime()}")
