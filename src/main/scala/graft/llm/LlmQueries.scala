@@ -1340,8 +1340,10 @@ object LlmQueries {
     "llm_sim_pq" -> ((s, dir) => {
       val emb = Tables.embeddings(s, dir)
       val qv = emb.where(col("vec_id") === 0).select(col("embedding").as("qv"))
-      val books = Similarity.pqCodebooks(emb, m = 4, k = 8, iters = 1, dim = 64)
-      Similarity.pqTopK(emb, qv, books, 64, 10)
+      // overlapped subspace training (r18, guide §2.6) — identical
+      // codebooks, the 4 independent Lloyd chains no longer serialize
+      val books = Similarity.pqCodebooksCollected(emb, m = 4, k = 8, iters = 1, dim = 64)
+      Similarity.pqTopKCollected(emb, qv, books, 64, 10)
     }),
 
     // EXACT kNN join baseline — BOUNDED registration (judge r14 #6):

@@ -592,6 +592,48 @@ object Similarity {
     }
   }
 
+  /** [[pqCodebooks]] with the `m` independent subspace trainings
+    * OVERLAPPED on a bounded pool and eagerly collected (r18, guide
+    * §2.6 "overlap independent jobs"): each subspace's Lloyd rounds are
+    * tiny sample-sized jobs (the quantizer trains on the stride sample
+    * at scale) whose wall-clock is scheduler fixed cost, not compute —
+    * measured 4×~0.9 s sequential at sf0.1 inside buildIvfIndex. The
+    * chains share no state and the per-subspace result is
+    * deterministic (fixed seeds, decimal means), so overlap cannot
+    * change a byte of output; FIFO scheduling back-fills the tail of
+    * one subspace's stage with the next one's tasks. Unlike the copart
+    * wedge slices (whose overlap was measured into a GC spiral and
+    * shipped opt-in), the in-flight state here is k·(dim/m) floats per
+    * chain — config-sized — so a bounded pool is safe on one JVM.
+    * Failure path mirrors Graph's slice pool: cancel outstanding work,
+    * shutdownNow, await, rethrow. */
+  def pqCodebooksCollected(vectors: DataFrame, m: Int, k: Int, iters: Int,
+                           dim: Int): Seq[Array[(Int, Seq[Float], Double)]] = {
+    require(dim % m == 0, s"dim=$dim must split evenly into m=$m subspaces")
+    val len = dim / m
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(m, 4))
+    val futs = (0 until m).map { sub =>
+      pool.submit(new java.util.concurrent.Callable[Array[(Int, Seq[Float], Double)]] {
+        def call(): Array[(Int, Seq[Float], Double)] = {
+          val sliced = vectors.select(col("vec_id"),
+            expr(s"slice(embedding, ${sub * len + 1}, $len)").as("embedding"))
+          collectCentroids(ivfCentroids(sliced, k, iters))
+        }
+      })
+    }
+    try {
+      val rs = futs.map(_.get())
+      pool.shutdown()
+      rs
+    } catch {
+      case e: Throwable =>
+        futs.foreach(_.cancel(true))
+        pool.shutdownNow()
+        pool.awaitTermination(60, java.util.concurrent.TimeUnit.SECONDS)
+        throw e
+    }
+  }
+
   /** The `m` PQ code columns (code_0..code_{m-1}) over an `embedding`
     * column — each the same least-over-(dist, cid) argmin the IVF
     * assignment uses, per subspace slice, against driver-literal
@@ -634,6 +676,14 @@ object Similarity {
   def pqTopK(vectors: DataFrame, queryVec: DataFrame, codebooks: Seq[DataFrame],
              dim: Int, topK: Int): DataFrame = {
     val perSub = codebooks.map(collectCentroids)
+    pqTopKCollected(vectors, queryVec, perSub, dim, topK)
+  }
+
+  /** [[pqTopK]] over already-collected codebooks (the
+    * [[pqCodebooksCollected]] mate). */
+  def pqTopKCollected(vectors: DataFrame, queryVec: DataFrame,
+                      perSub: Seq[Array[(Int, Seq[Float], Double)]],
+                      dim: Int, topK: Int): DataFrame = {
     val encoded = vectors.select(col("vec_id") +: pqCodeCols(perSub, dim): _*)
     pqAdcTopK(encoded, queryVec, perSub, dim, topK)
   }
@@ -863,7 +913,9 @@ object Similarity {
         vectors.where(pmod(col("vec_id"), lit(p.trainStride.toLong)) === 0L)
       else vectors
     val cs = collectCentroids(ivfCentroids(trainVecs, p.k, p.iters))
-    val perSub = pqCodebooks(trainVecs, p.pqM, p.pqK, p.pqIters, p.dim).map(collectCentroids)
+    // overlapped subspace training (r18) — bit-identical codebooks,
+    // scheduler fixed cost paid once instead of m times
+    val perSub = pqCodebooksCollected(trainVecs, p.pqM, p.pqK, p.pqIters, p.dim)
     // CLUSTER the lists on centroid_id before the dynamic-partition
     // write (r15, measured at the 100× replica): without it every write
     // task opens a file in up to k directories — k × tasks parquet
