@@ -251,8 +251,25 @@ object Graph {
     var es = graft.core.Exec.materialize(round(edges0, deg0))
     // rounds 1-5 cut lineage; round 6 stays LAZY so the returned plan
     // carries the semi-join shape PlanSpec pins in both regimes (the
-    // final aggregate consumes it exactly once — nothing recomputes)
-    for (_ <- 2 to 5) es = graft.core.Exec.materialize(round(es, None))
+    // final aggregate consumes it exactly once — nothing recomputes).
+    // EARLY EXIT at fixpoint (r18, §G-1.2 "don't compute things you
+    // throw away"): peeling is monotone — once a round removes no edge
+    // every later round is the identity, so the count each checkpoint
+    // already paid for doubles as the convergence test and the
+    // remaining materialized rounds are skipped. The final LAZY round
+    // still runs (plan shape + result unchanged: peel(fixpoint) =
+    // fixpoint); co-purchase 3-cores stabilize in 1-2 rounds, so this
+    // cuts 3-4 checkpoint+semi-join rounds of pure no-op work.
+    var n = es.count()
+    var r = 2
+    var fixed = false
+    while (r <= 5 && !fixed) {
+      es = graft.core.Exec.materialize(round(es, None))
+      val n2 = es.count()
+      fixed = n2 == n
+      n = n2
+      r += 1
+    }
     round(es, None).groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg"))
       .orderBy("node")
@@ -746,7 +763,12 @@ object Graph {
             .select(col("dst").as("node")).distinct()
             .join(visited.select("node"), Seq("node"), "left_anti")
             .withColumn("hops", lit(h)))
-        visited = graft.core.Exec.materialize(visited.unionAll(nxt))
+        // visited stays a LAZY union of ≤7 already-checkpointed level
+        // frames (r18): re-checkpointing the union each round paid one
+        // extra job per level for lineage that is already flat — the
+        // per-round anti-join and the final census read the same
+        // checkpointed blocks either way
+        visited = visited.unionAll(nxt)
         frontier = nxt
         h += 1
       }

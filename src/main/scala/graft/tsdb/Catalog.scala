@@ -133,7 +133,13 @@ object Catalog {
                 col("b").isin(affected.toIndexedSeq.map(Integer.valueOf): _*))))
             .getOrElse(staged)
           val staging = s"$catalogPath/_staging"
-          merged.write.mode("overwrite").partitionBy("b").parquet(staging)
+          // cluster on b before the dynamic-partition write (r18 — the
+          // r15 IVF lists-write lesson): without it every write task
+          // opens a file in up to CatalogBuckets dirs (tasks × buckets
+          // parquet writer inits for series-sized content); clustered,
+          // each affected bucket lands from exactly one task
+          merged.repartition(col("b"))
+            .write.mode("overwrite").partitionBy("b").parquet(staging)
           affected.foreach(b => swapStagedBucket(fs, staging, catalogPath, b))
           // staged output is spent once every bucket swapped (committer
           // _SUCCESS + emptied partition dirs would otherwise accumulate
@@ -208,7 +214,10 @@ object Catalog {
             .where(col("b").isin(affected.toIndexedSeq.map(Integer.valueOf): _*))
             .join(live, Seq("metric", "tags_canonical"), "left_semi")
           val staging = s"$catalogPath/_staging"
-          survivors.write.mode("overwrite").partitionBy("b").parquet(staging)
+          // clustered like the upsert write (r18) — one task per
+          // affected bucket instead of tasks × buckets writer inits
+          survivors.repartition(col("b"))
+            .write.mode("overwrite").partitionBy("b").parquet(staging)
           affected.foreach(b => swapStagedBucket(fs, staging, catalogPath, b))
           val stagingP = new org.apache.hadoop.fs.Path(staging)
           if (fs.exists(stagingP)) { fs.delete(stagingP, true); () }
