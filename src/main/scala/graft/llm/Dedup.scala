@@ -589,10 +589,14 @@ object Dedup {
     * postings move — never all-pairs, never the corpus text. */
   def containmentPairs(docs: DataFrame, idCol: String, textCol: String,
                        n: Int, maxDf: Int, threshold: Double): DataFrame = {
-    val sh = docs
+    // materialized once (r18): the shingle explode feeds SIX consumers
+    // below (df cut, both sides of the candidate self-join, sizes, both
+    // sides of the intersection join) — unmaterialized, the split +
+    // shingle + explode chain re-ran per consumer (~6× the map work)
+    val sh = graft.core.Exec.materialize(docs
       .withColumn("w", words(col(textCol)))
       .select(col(idCol).as("doc_id"),
-        explode(array_distinct(shingles("w", n))).as("s"))
+        explode(array_distinct(shingles("w", n))).as("s")))
     val rareS = sh.groupBy("s").agg(count(lit(1)).as("sdf"))
       .where(col("sdf") <= maxDf).select("s")
     val rare = sh.join(rareS, "s")

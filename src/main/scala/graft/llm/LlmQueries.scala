@@ -2577,12 +2577,15 @@ object LlmQueries {
       val W = 8
       val docs = Tables.documents(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("ws"))
-      val grams = docs
+      // materialized once (r18): both the df aggregate and the
+      // candidate join consume the gram frame — unmaterialized, the
+      // per-doc transform+md5 HOF (the row's hot map work) ran twice
+      val grams = graft.core.Exec.materialize(docs
         .where(size(col("ws")) >= W)
         .select(col("doc_id"), posexplode(expr(
           s"transform(sequence(0, size(ws) - $W), " +
             s"i -> md5(array_join(slice(ws, i + 1, $W), ' ')))"))
-          .as(Seq("gidx", "gh")))
+          .as(Seq("gidx", "gh"))))
       val dupStarts = grams
         .join(grams.groupBy("gh").agg(count(lit(1)).as("df"))
           .where(col("df") >= 2).select("gh"), "gh")

@@ -41,16 +41,6 @@ case class Md5Winnow(child: Expression, k: Int, w: Int)
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "md5_winnow"
 
-  private def less(a: Array[Byte], b: Array[Byte]): Boolean = {
-    var i = 0
-    while (i < 16) {
-      val x = a(i) & 0xff; val y = b(i) & 0xff
-      if (x != y) return x < y
-      i += 1
-    }
-    false
-  }
-
   override def nullSafeEval(input: Any): Any = {
     val text = input.asInstanceOf[UTF8String]
     val n = text.numChars()
@@ -58,12 +48,46 @@ case class Md5Winnow(child: Expression, k: Int, w: Int)
     val nwin = ng - w + 1         // full windows
     if (nwin <= 0) return new GenericArrayData(Array.empty[Any])
     val md = MessageDigest.getInstance("MD5")
-    val digests = new Array[Array[Byte]](ng)
+    // r18 (guide §1.2 step 2 — per-task work): the former per-gram
+    // `text.substring(j, j+k).getBytes` paid two byte-array copies plus
+    // a fresh 16-byte digest allocation per gram (~n per doc, ~10M per
+    // sf0.1 pass). One code-point→byte-offset index per doc makes each
+    // gram a (offset, len) slice of ONE materialized byte array, fed to
+    // the digest in place; digests land in a reused scratch buffer and
+    // are stored as two packed longs (unsigned-long compare ≡ the
+    // former unsigned-byte compare ≡ lowercase-hex order). Identical
+    // output bytes — only allocations and copies are removed.
+    val bytes = text.getBytes      // one copy per doc
+    val offs = new Array[Int](n + 1)
+    var bi = 0
+    var ci = 0
+    while (ci < n) {
+      offs(ci) = bi
+      bi += UTF8String.numBytesForFirstByte(bytes(bi))
+      ci += 1
+    }
+    offs(n) = bytes.length
+    val hi = new Array[Long](ng)
+    val lo = new Array[Long](ng)
+    val scratch = new Array[Byte](16)
+    def pack8(off: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < 8) { v = (v << 8) | (scratch(off + i) & 0xffL); i += 1 }
+      v
+    }
     var j = 0
     while (j < ng) {
-      // SQL substr counts CHARACTERS; substring(i, j) is code-point based
-      digests(j) = md.digest(text.substring(j, j + k).getBytes)
+      md.update(bytes, offs(j), offs(j + k) - offs(j))
+      md.digest(scratch, 0, 16)   // resets md for the next gram
+      hi(j) = pack8(0)
+      lo(j) = pack8(8)
       j += 1
+    }
+    // unsigned 128-bit compare over the packed digests
+    def less(a: Int, b: Int): Boolean = {
+      val c = java.lang.Long.compareUnsigned(hi(a), hi(b))
+      if (c != 0) c < 0 else java.lang.Long.compareUnsigned(lo(a), lo(b)) < 0
     }
     // monotonic deque sliding min (indices of candidate minima, increasing)
     val deque = new Array[Int](ng)
@@ -76,18 +100,21 @@ case class Md5Winnow(child: Expression, k: Int, w: Int)
     var lastEmitted = -1
     j = 0
     while (j < ng) {
-      while (tail > head && !less(digests(deque(tail - 1)), digests(j))) tail -= 1
+      while (tail > head && !less(deque(tail - 1), j)) tail -= 1
       deque(tail) = j; tail += 1
       if (deque(head) <= j - w) head += 1
       if (j >= w - 1 && deque(head) != lastEmitted) {
         lastEmitted = deque(head)
-        val d = digests(lastEmitted)
         val hex = new java.lang.StringBuilder(32)
-        var b = 0
-        while (b < 16) {
-          hex.append(Character.forDigit((d(b) >> 4) & 0xf, 16))
-          hex.append(Character.forDigit(d(b) & 0xf, 16))
-          b += 1
+        var nib = 60
+        while (nib >= 0) {
+          hex.append(Character.forDigit(((hi(lastEmitted) >>> nib) & 0xfL).toInt, 16))
+          nib -= 4
+        }
+        nib = 60
+        while (nib >= 0) {
+          hex.append(Character.forDigit(((lo(lastEmitted) >>> nib) & 0xfL).toInt, 16))
+          nib -= 4
         }
         out.add(hex.toString)
       }
