@@ -15,7 +15,16 @@ object Scale {
     * join on the key into a local merge. */
   def writeBucketed(df: DataFrame, table: String, key: String, buckets: Int,
                     path: Option[String] = None): Unit = {
-    val w = df.write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
+    // repartition on (buckets, key) BEFORE the bucketed write (r18,
+    // §G-6 small files): bucketBy splits each write task's rows by
+    // bucket id, so an unclustered input lands tasks × buckets files
+    // (the sf0.1 edge table: 640 files for 17 MB — every consumer scan
+    // paid the opens). HashPartitioning(key, buckets) is the same
+    // murmur3-pmod assignment bucketBy uses, so clustered input lands
+    // exactly one file per bucket; the writer's sortBy still sorts
+    // within each file. Results unchanged — layout only.
+    val w = df.repartition(buckets, col(key))
+      .write.mode("overwrite").bucketBy(buckets, key).sortBy(key)
       .format("parquet")
     path.fold(w)(p => w.option("path", p)).saveAsTable(table)
   }
