@@ -54,8 +54,20 @@ object TsdbQueries {
         .where(col("ts_ms") >= qs.map(_.startMs).min &&
                col("ts_ms") < qs.map(_.endMs).max))
     }
-    forms.map { case (f, q) => wireForm(s, shared, f, q) }
-      .reduce(_.unionByName(_))
+    // r18: the matrix deliberately pairs each request with its
+    // query-string twin — POST JSON and QS encodings of the SAME
+    // request parse to EQUAL TsdbQuery values (case-class equality),
+    // so the four forms are two distinct pipelines. Evaluate each
+    // distinct query ONCE (materialized — the per-form union would
+    // otherwise recompute it per label) and emit its json under every
+    // form label. Output rows identical; pipelines halved. A form
+    // that parses differently simply gets its own evaluation.
+    val evaluated = forms.map(_._2).distinct.map { q =>
+      q -> graft.core.Exec.materialize(wireForm(s, shared, "_", q).select("json"))
+    }.toMap
+    forms.map { case (f, q) =>
+      evaluated(q).select(lit(f).as("form"), col("json"))
+    }.reduce(_.unionByName(_))
   }
 
   val queries: Map[String, Q] = graft.core.Reg.uniqueMap(
