@@ -18,8 +18,14 @@ import org.apache.spark.sql.types.DecimalType
   *  - D5: pinned NOW (no wall-clock / randomness inside queries).
   */
 object D {
-  /** CAST(x AS DECIMAL(18,4)) — exact, order-independent addition. */
-  def dec(c: Column): Column = c.cast(DecimalType(18, 4))
+  /** CAST(x AS DECIMAL(18,4)) — exact, order-independent addition.
+    * r18: routed through [[org.apache.spark.sql.graftfn.FastDec]] —
+    * bit-identical to the plain cast (slow path IS the cast; fast path
+    * proven by DSpec's adversarial sweep) without the per-row
+    * Double.toString → BigDecimal parse that dominated every decimal
+    * aggregation over raw points. */
+  def dec(c: Column): Column =
+    org.apache.spark.sql.graftfn.FastDec.of(c.cast("double"), 18, 4)
 
   /** Cross-engine-safe 4dp rounding: `round(x*10⁴, 0)/10⁴`.
     *
@@ -89,7 +95,8 @@ object D {
     * digits keep billions-of-terms sums overflow-safe. Same ULP-tie
     * risk class as [[dec]] — both engines quantize the identical
     * double expression. */
-  def dec10(c: Column): Column = c.cast(DecimalType(28, 10))
+  def dec10(c: Column): Column =
+    org.apache.spark.sql.graftfn.FastDec.of(c.cast("double"), 28, 10)
   def oSumDec10(x: String): String =
     s"CAST(SUM(CAST($x AS DECIMAL(28,10))) AS DOUBLE)"
 
