@@ -40,7 +40,10 @@ object D {
     * The trailing `+ 0.0` normalizes IEEE signed zero (-0.0 + 0.0 = +0.0):
     * Spark's BigDecimal round() yields +0.0 for tiny negative values while
     * DuckDB ROUND preserves -0.0, which breaks the exact hash compare. */
-  def r4s(c: Column): Column = round(c * lit(10000.0), 0) / 10000.0 + lit(0.0)
+  def r4s(c: Column): Column =
+    // r18: FastRound0 ≡ round(y, 0) bit-for-bit (FastDecSpec sweep);
+    // the scale/unscale/sign-normalize double ops stay identical
+    org.apache.spark.sql.graftfn.FastRound0.of(c * lit(10000.0)) / 10000.0 + lit(0.0)
   def oR4(x: String): String = s"ROUND(($x) * 10000.0, 0) / 10000.0 + 0.0"
 
   /** [[r4s]] for DRIVER/EXECUTOR-side Scala (typed folds that replicate

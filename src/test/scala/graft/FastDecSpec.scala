@@ -68,6 +68,37 @@ class FastDecSpec extends SparkSpec {
     sweep(vals, 28, 10)
   }
 
+  test("FastRound0 ≡ round(x, 0) on adversarial and randomized values") {
+    import org.apache.spark.sql.graftfn.FastRound0
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(0.0, -0.0, -0.3, -0.5, 0.5, 2.5, -2.5, 1.5, -1.5,
+      Double.NaN, Double.PositiveInfinity, Double.NegativeInfinity,
+      1e300, -1e300, 9.007199254740993e15, 4.5e15,
+      math.nextUp(0.5), math.nextDown(0.5), math.nextUp(-0.5)) ++
+      (1 to 200000).map(_ => (rnd.nextDouble() - 0.5) *
+        math.pow(10, rnd.nextInt(14) - 4)) ++
+      (1 to 50000).map(_ => (rnd.nextInt(2000001) - 1000000) / 2.0 +
+        rnd.nextGaussian() * 1e-12)
+    val df = vals.toDF("x").select(col("x"),
+      round(col("x"), 0).as("ref"), FastRound0.of(col("x")).as("fast"))
+    val bad = df.where(!(col("ref") <=> col("fast"))).collect()
+    assert(bad.isEmpty, "codegen mismatch: " +
+      bad.take(5).map(r => s"${r.get(0)} ref=${r.get(1)} fast=${r.get(2)}").mkString("; "))
+    // bit-level check incl. signed zero, driver-side against the
+    // reference formula Spark's RoundBase uses
+    vals.foreach { x =>
+      val ref =
+        if (x.isNaN || x.isInfinite) x
+        else java.math.BigDecimal.valueOf(x)
+          .setScale(0, java.math.RoundingMode.HALF_UP).doubleValue()
+      val fast = FastRound0.round0(x)
+      assert(java.lang.Double.doubleToRawLongBits(ref) ==
+        java.lang.Double.doubleToRawLongBits(fast) ||
+        (ref.isNaN && fast.isNaN),
+        s"round0 mismatch x=$x ref=$ref fast=$fast")
+    }
+  }
+
   test("FastDec overflow raises the cast's ANSI arithmetic error") {
     intercept[ArithmeticException] {
       FastDec.eval(1.5e14, 18, 4)
